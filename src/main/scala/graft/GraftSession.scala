@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are tuned for the driver's `local[32]` single-JVM harness but
+  * the same settings are what we would ship to a 1000-executor cluster:
+  * AQE on (runtime shuffle-partition coalescing + skew-join splitting),
+  * UTC session time for oracle parity, and a shuffle-partition count that
+  * matches available parallelism instead of the legacy 200 default.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
