@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Djb2
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2C):
+  * token counting, language ID, quality scoring, document fingerprinting.
+  *
+  * Everything is composed from built-in `functions._` so the whole pipeline
+  * stays in whole-stage codegen — at 100 TB these are pure map-side scans
+  * (no shuffle except final presentation sorts, which production callers
+  * would drop).
+  */
+object TextAnalysis {
+
+  /** Occurrences of a literal inside a column via the length-delta trick —
+    * branch-free, codegen-friendly, and exactly reproducible in SQL. */
+  private def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
+
+  private def occurrencesSql(expr: String, needle: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  /** Whole-token occurrences: pad both text and needle with spaces. */
+  private def tokenOccurrences(padded: Column, word: String): Column =
+    occurrences(padded, s" $word ")
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation
+    * (letter runs / digit runs / single other symbols) per document. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "[ \t\n\r]+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(length(text) AS BIGINT) AS len_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- langid
+
+  /** Function-word markers per language. On real corpora these separate
+    * languages sharply; the mechanism (marker-token frequency argmax) is
+    * the standard n-gram-free heuristic. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "y", "los"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("的", "了", "是"))
+
+  /** Language ID: per-language marker-token counts and argmax prediction
+    * with a fixed precedence order (first-listed language wins ties). */
+  def langid(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scored = Tables.documents(s, d).select(
+      (col("doc_id") +: markers.map { case (lang, ws) =>
+        ws.map(w => tokenOccurrences(padded, w)).reduce(_ + _).as(s"s_$lang")
+      }): _*)
+    // precedence CASE: en >= all → en; else de >= remaining → de; ...
+    val langs = markers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lang, i), rest) =>
+      val later = langs.drop(i + 1)
+      if (later.isEmpty) rest
+      else when(later.map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _), lang).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  val langidSql: String = {
+    val p = "' ' || lower(text) || ' '"
+    val score = markers.map { case (lang, ws) =>
+      ws.map(w => occurrencesSql(p, s" $w ")).mkString(" + ") + s" AS s_$lang"
+    }.mkString(",\n ")
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, $score
+       |  FROM documents
+       |)
+       |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+       | CASE $pred ELSE '${langs.last}' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- quality
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: length, punctuation density, stopword ratio, and a
+    * linear combination — the usual cheap pre-filters before expensive
+    * model-based scoring. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nTokens = size(split(trim(col("text")), "[ \t\n\r]+")).cast("long")
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+    val nStop = stopwords.map(w => tokenOccurrences(padded, w)).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        round(nPunct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
+        round(
+          least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - least(nPunct.cast("double") / length(col("text")) * 10.0, lit(1.0))) * 0.25
+            + least(nStop.cast("double") / nTokens * 5.0, lit(1.0)) * 0.25,
+          6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val p = "' ' || lower(text) || ' '"
+    val nTokens = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
+    val nPunct = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+    val nStop = stopwords.map(w => occurrencesSql(p, s" $w ")).mkString(" + ")
+    s"""SELECT doc_id,
+       | $nTokens AS n_tokens,
+       | round(CAST($nPunct AS DOUBLE) / length(text), 6) AS punct_ratio,
+       | round(CAST($nStop AS DOUBLE) / $nTokens, 6) AS stopword_ratio,
+       | round(least(CAST($nTokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       |   + (1.0 - least(CAST($nPunct AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
+       |   + least(CAST($nStop AS DOUBLE) / $nTokens * 5.0, 1.0) * 0.25, 6) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- fingerprint
+
+  /** Document fingerprinting: md5 of whitespace-normalized lowercase text
+    * (content-addressed identity) + the 64-bit djb2 rolling hash (cheap
+    * 8-byte fingerprint; the oracle recomputes djb2 in SQL). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val normalized = trim(regexp_replace(lower(col("text")), "[ \t\n\r]+", " "))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(to_binary(normalized, lit("utf-8"))).as("md5_fp"),
+        Djb2.djb2_hash(normalized).as("djb2_fp"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """WITH RECURSIVE norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS t
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, t, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM norm
+      |  UNION ALL
+      |  SELECT doc_id, t, i+1,
+      |    (hash*33 + ord(substr(t,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(t)
+      |)
+      |SELECT n.doc_id, md5(n.t) AS md5_fp,
+      |  CAST(CASE WHEN h.hash >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN h.hash - CAST('18446744073709551616' AS HUGEINT)
+      |       ELSE h.hash END AS BIGINT) AS djb2_fp
+      |FROM norm n JOIN h ON n.doc_id = h.doc_id AND h.i = length(n.t)+1
+      |ORDER BY n.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> (tokenStats _),
+    "t_langid" -> (langid _),
+    "t_quality" -> (quality _),
+    "t_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" -> tokenStatsSql,
+    "t_langid" -> langidSql,
+    "t_quality" -> qualitySql,
+    "t_fingerprint" -> fingerprintSql)
+}
