@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication family for LLM training-data pipelines (SURVEY.md §2D).
+  *
+  * Scale posture: every near-dup operator is candidate-generation-by-
+  * hash-bucket (LSH bands / simhash chunks), i.e. a groupBy shuffle on a
+  * short key followed by within-bucket pair joins — never an O(n²) global
+  * cross join. The one exact-threshold query (`d_embed_dup`) is the
+  * verification twin of the LSH path in `Similarity`; see SURVEY.md §5.
+  *
+  * Thresholds are calibrated to the driver's synthetic corpus (the
+  * generator plants ~25 near-dup pairs at 3-gram Jaccard ≥ 0.5; embeddings
+  * are unclustered with max pairwise cosine ≈ 0.51).
+  */
+object Dedup {
+
+  private val WS = "[ \t\n\r]+"
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical assignment via hash-groupBy on normalized
+    * text. Output is total (one row per doc: its canonical id and group
+    * size), so the operator composes as a cleaning step. */
+  def exact(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(to_binary(trim(regexp_replace(lower(col("text")), WS, " ")), lit("utf-8")))
+    val w = Window.partitionBy("fp")
+    Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fp"))
+      .select(
+        col("doc_id"),
+        min("doc_id").over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  val exactSql: String =
+    """SELECT doc_id,
+      | min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+      | count(*) OVER (PARTITION BY fp) AS group_size
+      |FROM (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word-3-gram shingles per document. */
+  private def withShingles(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), WS)
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(0))),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** 128-permutation MinHash signature of the shingle set: sig[i] =
+    * min over shingles of xxhash64(shingle ⧺ "#i"). Pure array expressions
+    * — the whole signature stays in whole-stage codegen. */
+  private val NumPerms = 128
+  private def withSignature(shingled: DataFrame): DataFrame =
+    shingled.withColumn("sig",
+      transform(sequence(lit(0), lit(NumPerms - 1)),
+        i => array_min(transform(col("sh"),
+          sh => xxhash64(concat(sh, lit("#"), i.cast("string")))))))
+
+  /** LSH banding: rows grouped into bands; docs sharing any band bucket
+    * are candidates. bandRows=r, numBands=128/r → catch probability
+    * 1-(1-j^r)^bands. */
+  private def bandCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
+    val numBands = NumPerms / bandRows
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => struct(b.as("band_idx"),
+          xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows)).cast("string")).as("band_hash"))))
+        .as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** MinHash+LSH near-dup candidates with signature-estimated Jaccard.
+    * 32 bands × 4 rows targets the j ≥ 0.5 regime. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = withSignature(withShingles(s, d))
+    bandCandidates(sigs, bandRows = 4)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / NumPerms, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard dedup: LSH candidates (64 bands × 2 rows — miss
+    * probability at j=0.5 is (1-0.25)^64 ≈ 1e-8, so the result equals the
+    * brute-force oracle) verified by exact shingle-set intersection. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val shingled = withShingles(s, d)
+    val sigs = withSignature(shingled)
+    val cands = bandCandidates(sigs, bandRows = 2).select("doc_a", "doc_b")
+    val shA = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document (token-frequency weighted), plus
+    * hamming-≤3 near-dup pairs found by 16-bit chunk blocking: hamming ≤ 3
+    * over 4 chunks forces at least one identical chunk (pigeonhole), so
+    * candidates come from 4 hash-bucket joins, never a cross join. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"transform(split(trim(text), '$WS'), t -> xxhash64(t))").as("th"))
+    val sims = hashes.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc +
+        | CASE WHEN aggregate(th, CAST(0 AS BIGINT),
+        |   (a, h) -> a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        | THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+      .as("simhash"))
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), i -> struct(i AS chunk_idx, " +
+        "shiftright(simhash, CAST(i*16 AS INT)) & 65535 AS chunk_val))")).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
+    val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------ embedding
+
+  /** Embedding near-dup pairs at cosine ≥ 0.4 (synthetic-data calibration;
+    * real corpora use ~0.95). Exact upper-triangle pair join — the
+    * verification twin of the LSH-bucketed path in
+    * [[Similarity.annLsh]]; at 100 TB only the LSH path runs. */
+  def embedDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          / (col("n_a") * col("n_b")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact" -> (exact _),
+    "d_minhash_lsh" -> (minhashLsh _),
+    "d_simhash" -> (simhash _),
+    "d_ngram_jaccard" -> (ngramJaccard _),
+    "d_embed_dup" -> (embedDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d_exact" -> exactSql,
+    "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_embed_dup" -> embedDupSql)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is total: one row per doc, canonical <= doc_id") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("group_size") >= 1)
+    }
+  }
+
+  test("minhash-LSH candidates have estimated jaccard in [0.3, 1]") {
+    val rows = Dedup.minhashLsh(spark, sf).collect()
+    assert(rows.nonEmpty, "generator plants near-dups; candidates expected")
+    rows.foreach { r =>
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.3 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("ngram jaccard pairs are a subset of minhash candidates' doc space and exact") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+    assert(exact.nonEmpty)
+    exact.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash pairs have hamming <= 3 and are deduplicated") {
+    val rows = Dedup.simhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.distinct.length == pairs.length)
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
+  test("embedding near-dups are symmetric-free upper triangle with cosine in [0.4, 1]") {
+    val rows = Dedup.embedDup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.4 && c <= 1.0)
+    }
+  }
+}
