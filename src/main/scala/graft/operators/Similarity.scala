@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embedding column (SURVEY.md §2E).
+  *
+  * Scale posture: the brute-force paths broadcast a small query set
+  * against the big corpus (one scan, no shuffle of the corpus); the LSH
+  * path buckets the corpus by hyperplane signature so a query probes one
+  * bucket — the standard trade at 100 TB where exact top-k over all
+  * vectors is a full scan per query.
+  */
+object Similarity {
+
+  /** embeddings as (vec_id, v: array<double>, norm). */
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-10 for one query vector (vec_id = 0). The
+    * 1-row query side is broadcast; the corpus is scanned once. */
+  def annBrute(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val annBruteSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id, round(list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm), 6) AS cosine
+      |FROM e, q WHERE e.vec_id <> 0
+      |ORDER BY cosine DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** k-NN join: top-5 cosine neighbors for each of the first 10 vectors.
+    * Query side (10 rows) broadcast; ranking by windowed row_number over
+    * the rounded cosine for cross-engine determinism. */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    vs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "vec_id", "cosine", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  val knnJoinSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    round(list_inner_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
+      |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays baked
+    * into the plan — at scale these are tiny broadcast constants. */
+  private val NumPlanes = 4
+  private val Dim = 64
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Seq[Double]): Column = array(p.map(lit): _*)
+
+  private def bucketOf(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH ANN with hamming-1 multiprobe: the corpus is
+    * bucketed by hyperplane signature; the query (vec_id = 0) probes its
+    * own bucket plus the NumPlanes single-bit-flip neighbors. Still a
+    * broadcast-hash-bucket join — candidate set is a few buckets, not the
+    * corpus — which is the whole trade at 100 TB. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d).withColumn("bucket", bucketOf(col("v")))
+    val probes = array((lit(0) +: (0 until NumPlanes).map(i => lit(1 << i))): _*)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(explode(transform(probes, flip => col("bucket").bitwiseXOR(flip))).as("bucket"),
+        col("v").as("q_v"), col("norm").as("q_norm"))
+    vs.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
+    * vector → nearest centroid by squared L2. Broadcast centroids, single
+    * corpus scan — the building block of distributed k-means. */
+  def centroids(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val c = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val l2 = aggregate(zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    vs.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("centroid_id"), round(l2, 6).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "centroid_id", "dist")
+      .orderBy("vec_id")
+  }
+
+  val centroidsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    round(list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |      + list_inner_product(c.c_v, c.c_v), 6) AS dist
+      |  FROM e, c
+      |), ranked AS (
+      |  SELECT vec_id, centroid_id, dist,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ann_brute" -> (annBrute _),
+    "s_knn_join" -> (knnJoin _),
+    "s_ann_lsh" -> (annLsh _),
+    "s_centroids" -> (centroids _))
+
+  val oracles: Map[String, String] = Map(
+    "s_ann_brute" -> annBruteSql,
+    "s_knn_join" -> knnJoinSql,
+    "s_centroids" -> centroidsSql)
+}

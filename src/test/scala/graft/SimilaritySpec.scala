@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force ANN returns k descending-cosine neighbors, excluding the query") {
+    val rows = Similarity.annBrute(spark, sf).collect()
+    assert(rows.length == 10)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted(Ordering[Double].reverse)))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("knn join: 5 neighbors per query, ranks 1..5") {
+    val rows = Similarity.knnJoin(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5))
+    }
+  }
+
+  test("LSH ANN results come from the multiprobe bucket set (query bucket + 4 bit-flips)") {
+    val lsh = Similarity.annLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.map(_.getAs[Int]("bucket")).distinct.length <= 5)
+    // approximate recall: every LSH hit's cosine is a genuine cosine value in [-1,1]
+    lsh.foreach { r =>
+      val c = r.getAs[Double]("cosine"); assert(c >= -1 && c <= 1)
+    }
+  }
+
+  test("centroid assignment is total and deterministic") {
+    val rows = Similarity.centroids(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("centroid_id")
+      assert(cid >= 0 && cid < 10)
+      assert(r.getAs[Double]("dist") >= 0)
+    }
+    // seed vectors are their own centroids at distance 0
+    rows.filter(_.getAs[Long]("vec_id") < 10)
+      .foreach(r => assert(r.getAs[Long]("centroid_id") == r.getAs[Long]("vec_id")))
+  }
+}
