@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.MapReduceQueries.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++ multimodal.Multimodal.queries ++
+      streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.MapReduceQueries.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      streaming.EventStream.oracles
 }

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2F).
+  *
+  * Media are opaque `binary` columns with typed metadata beside them —
+  * the layout a 100 TB image/audio corpus uses (bytes in parquet,
+  * decode at point of use). The decode/feature-extract step itself is
+  * STUBBED with a deterministic byte-level fake (no image/audio codecs in
+  * this container); everything around it — schema, batching, partition
+  * behavior — is real and is what the engine owns.
+  *
+  * The testdata has no binary table, so assets are synthesized
+  * deterministically from `documents.text` (UTF-8 bytes as the "blob").
+  */
+object Multimodal {
+
+  /** documents → (asset_id, media: binary, n_chars metadata). */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      to_binary(col("text"), lit("utf-8")).as("media"),
+      col("n_chars"))
+
+  /** Typed metadata extraction over the binary column: size + checksum.
+    * Pure map-side column ops — a full-corpus metadata pass at 100 TB is
+    * one scan with no shuffle. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .select(col("asset_id"),
+        length(col("media")).cast("bigint").as("n_bytes"),
+        md5(col("media")).as("checksum"))
+      .orderBy("asset_id")
+
+  val binaryMetaSql: String =
+    """SELECT doc_id AS asset_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | md5(text) AS checksum
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Frame sampling: one row per sampled frame of each "video" asset
+    * (1 frame per 100 bytes at 25 fps). explode(sequence(...)) is the
+    * Spark-native row generator — no driver loop, parallel per asset. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .select(col("asset_id"),
+        explode(sequence(lit(0L), (col("n_chars") / 100L).cast("long"))).as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        round(col("frame_idx") * 0.04, 2).as("frame_ts"))
+      .orderBy("asset_id", "frame_idx")
+
+  val frameSampleSql: String =
+    """SELECT asset_id, frame_idx, round(frame_idx * 0.04, 2) AS frame_ts
+      |FROM (
+      |  SELECT doc_id AS asset_id,
+      |    unnest(generate_series(0, CAST(n_chars // 100 AS BIGINT))) AS frame_idx
+      |  FROM documents
+      |)
+      |ORDER BY asset_id, frame_idx""".stripMargin
+
+  /** Stubbed batched feature extractor. The mapPartitions + fixed-size
+    * batch shape is exactly how a real model decode runs (amortize model
+    * init per partition, bounded batch memory); only `fakeDecode` would
+    * be swapped for a codec/model call. Deterministic: features are a
+    * byte-value histogram over 8 bins plus fake width/height from the
+    * first bytes. */
+  def featureExtract(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val batchSize = 64
+    assets(s, d)
+      .select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one "model init" per partition, then fixed-size batches
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+        }
+      }
+      .toDF("asset_id", "width", "height", "feat_norm")
+      .withColumn("feat_norm", round(col("feat_norm"), 6))
+      .orderBy("asset_id")
+  }
+
+  /** Deterministic stand-in for a codec/model call. */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): (Long, Int, Int, Double) = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % 8) += 1; i += 1 }
+    val norm = math.sqrt(hist.map(h => h.toDouble * h).sum)
+    val width = 16 * (1 + ((bytes.headOption.getOrElse(0: Byte) & 0xff) % 64))
+    val height = 16 * (1 + ((if (bytes.length > 1) bytes(1) else 0: Byte) & 0xff) % 64)
+    (id, width, height, norm)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_binary_meta" -> (binaryMeta _),
+    "m_frame_sample" -> (frameSample _),
+    "m_feature_extract" -> (featureExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "m_binary_meta" -> binaryMetaSql,
+    "m_frame_sample" -> frameSampleSql)
+}

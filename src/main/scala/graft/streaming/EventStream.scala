@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Streaming operators over the events table (SURVEY.md §2G).
+  *
+  * `windowAgg` runs a REAL Structured Streaming query (readStream over the
+  * parquet dir, watermark, tumbling window, memory sink) and returns the
+  * materialized result; the DuckDB oracle is the batch-equivalent SQL, so
+  * the driver check proves stream/batch consistency — Spark's core
+  * streaming guarantee. `sessionize` is the classic stateful operator,
+  * implemented as an explicit per-key state machine (the shape
+  * flatMapGroupsWithState takes on an unbounded stream) and checked
+  * against the gaps-and-islands SQL oracle.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events (ts read as nanos-long, converted after). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Tumbling 5-minute window counts/sums per event type via a real
+    * streaming query. Each parquet file is a micro-batch; complete mode +
+    * memory sink materializes the final state. At scale the same plan
+    * runs continuously with the watermark bounding state. */
+  def windowAgg(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), fmt).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val name = "graft_st_window_agg"
+    s.streams.active.find(_.name == name).foreach(_.stop())
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
+  val windowAggSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      | event_type, count(*) AS n, round(sum(value),2) AS total_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Session windows per user with a 30-minute inactivity gap, as an
+    * explicit per-key ordered state machine (groupByKey + flatMapGroups —
+    * the batch twin of flatMapGroupsWithState; the fold is
+    * incremental, O(1) state per key). */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (userId, events) =>
+        val ordered = events.toSeq.sortBy(e => (e._3, e._2)) // (ts, event_id)
+        var sessionId = 0L
+        var lastTs = Long.MinValue
+        var start = 0L; var end = 0L; var n = 0L; var total = 0.0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Double)]
+        def close(): Unit = if (n > 0) out += ((userId, sessionId, start, end, n, total))
+        ordered.foreach { case (_, _, ts, v) =>
+          if (lastTs == Long.MinValue || ts - lastTs > gapMicros) {
+            close(); sessionId += 1; start = ts; n = 0; total = 0.0
+          }
+          lastTs = ts; end = ts; n += 1; total += v
+        }
+        close()
+        out.iterator
+      }
+      .toDF("user_id", "session_id", "start_us", "end_us", "n_events", "total_raw")
+      .select(col("user_id"), col("session_id"),
+        date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
+        date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
+        col("n_events"), round(col("total_raw"), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM ordered
+      |), sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id,
+      | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      | count(*) AS n_events, round(sum(value),2) AS total_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_agg" -> (windowAgg _),
+    "st_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "st_window_agg" -> windowAggSql,
+    "st_sessionize" -> sessionizeSql)
+}

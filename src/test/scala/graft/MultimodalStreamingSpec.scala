@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("binary meta: byte lengths match source metadata, checksums are hex") {
+    val rows = Multimodal.binaryMeta(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[String]("checksum").matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("frame sample: frame count derives from asset size, timestamps at 25fps") {
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    val byAsset = rows.groupBy(_.getAs[Long]("asset_id"))
+    byAsset.values.foreach { g =>
+      val idx = g.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idx.sameElements(idx.indices.map(_.toLong)), "frame indices must be 0..n")
+    }
+  }
+
+  test("feature extract is deterministic across runs and partitionings") {
+    val a = Multimodal.featureExtract(spark, sf).collect()
+    val b = Multimodal.featureExtract(spark, sf).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getAs[Int]("width") % 16 == 0 && r.getAs[Int]("width") <= 1024)
+      assert(r.getAs[Double]("feat_norm") > 0)
+    }
+  }
+
+  test("streaming window agg equals the batch computation") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.windowAgg(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.sameElements(batch), "stream/batch consistency")
+  }
+
+  test("sessionize: sessions are ordered, non-overlapping, gap-respecting per user") {
+    val rows = EventStream.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("session_id"))
+      sorted.foreach { r =>
+        assert(r.getAs[String]("session_start") <= r.getAs[String]("session_end"))
+        assert(r.getAs[Long]("n_events") >= 1)
+      }
+      // consecutive sessions don't touch: start of next is strictly after end of previous
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("session_end") < b.getAs[String]("session_start"))
+        case _ =>
+      }
+    }
+  }
+}
