@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch hot loops.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * evaluate their lambda per element, interpreted and boxed — fine for
+  * presentation logic, ~10× too slow for a 128-permutation signature over
+  * every shingle of a 100 TB corpus. These expressions drop the whole
+  * per-document sketch into one generated static call over primitive
+  * arrays: no boxing, no per-element dispatch.
+  */
+object MinHashImpl {
+  val NumPerms = 128
+  val Prime = 2147483647L // 2^31 - 1
+
+  // deterministic affine permutation family (seeded)
+  val (permA, permB) = {
+    val rnd = new scala.util.Random(7)
+    (Array.fill(NumPerms)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+      Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** sig[p] = min over shingles of (a_p·h(s) + b_p) mod (2³¹−1), h = 31-bit
+    * djb2. Products stay < 2⁶² — exact long arithmetic. */
+  def signature(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = Djb2.hash(shingles.getUTF8String(i).getBytes) & 0x7FFFFFFFL
+      i += 1
+    }
+    val sig = new Array[Long](NumPerms)
+    var p = 0
+    while (p < NumPerms) {
+      val a = permA(p); val b = permB(p)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * hs(j) + b) % Prime
+        if (v < m) m = v
+        j += 1
+      }
+      sig(p) = m
+      p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Band bucket hashes: numBands = 128/bandRows, each band's rows mixed
+    * into one 64-bit bucket key. */
+  def bands(sig: ArrayData, bandRows: Int): ArrayData = {
+    val numBands = NumPerms / bandRows
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < bandRows) {
+        h = (h * 31L) ^ (sig.getLong(b * bandRows + j) * 0x9E3779B97F4A7C15L)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fraction of equal signature positions — the MinHash Jaccard estimate. */
+  def estJaccard(a: ArrayData, b: ArrayData): Double = {
+    var eq = 0
+    var i = 0
+    while (i < NumPerms) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / NumPerms
+  }
+
+  /** 64-bit SimHash over the token multiset: each token's 64-bit hash
+    * votes ±1 per bit, sign of the tally sets the output bit. */
+  def simhash(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = Djb2.hash(tokens.getUTF8String(i).getBytes) * 0x9E3779B97F4A7C15L // avalanche
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+private[graft] trait ArrayInputCheck { self: UnaryExpression =>
+  def expectedElement: DataType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(e, _) if e == expectedElement => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"${self.prettyName} expects array<$expectedElement>, got $other")
+  }
+}
+
+/** array<string> shingles → array<long> 128-perm MinHash signature. */
+case class MinHashSig(child: Expression) extends UnaryExpression with ArrayInputCheck {
+  override def expectedElement: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.signature(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.signature($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** array<long> signature → array<long> band bucket hashes. */
+case class BandHashes(child: Expression, bandRows: Int) extends UnaryExpression with ArrayInputCheck {
+  override def expectedElement: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.bands(input.asInstanceOf[ArrayData], bandRows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.bands($c, $bandRows)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashes = copy(child = newChild)
+  override def prettyName: String = "band_hashes"
+}
+
+/** array<string> tokens → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression with ArrayInputCheck {
+  override def expectedElement: DataType = StringType
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object MinHashFns {
+  def minhash_sig(c: Column): Column = ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+  def band_hashes(c: Column, bandRows: Int): Column =
+    ColumnBridge.column(BandHashes(ColumnBridge.expression(c), bandRows))
+  def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def est_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(EstJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** (sig_a, sig_b) → fraction of equal positions. */
+case class EstJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashImpl.estJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashImpl.estJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EstJaccard = copy(l, r)
+  override def prettyName: String = "est_jaccard"
+}

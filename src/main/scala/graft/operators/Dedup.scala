@@ -65,46 +65,45 @@ object Dedup {
       .filter(size(col("sh")) > 0)
   }
 
-  /** 128-permutation MinHash signature of the shingle set: sig[i] =
-    * min over shingles of xxhash64(shingle ⧺ "#i"). Pure array expressions
-    * — the whole signature stays in whole-stage codegen. */
-  private val NumPerms = 128
-  private def withSignature(shingled: DataFrame): DataFrame =
-    shingled.withColumn("sig",
-      transform(sequence(lit(0), lit(NumPerms - 1)),
-        i => array_min(transform(col("sh"),
-          sh => xxhash64(concat(sh, lit("#"), i.cast("string")))))))
+  /** 128-permutation MinHash signature via the native [[graft.functions.MinHashSig]]
+    * expression — one generated static call per document over primitive
+    * longs (see graft.functions.MinHashImpl for why not higher-order
+    * functions, which evaluate interpreted and boxed per element).
+    * The signature table is persisted: both sides of the band self-join
+    * and the estimate re-joins read it, and it is only 128 longs per doc —
+    * recomputing the shingle+sketch chain per consumer measured 4x the
+    * whole operator cost at sf0.1. */
+  private val NumPerms = graft.functions.MinHashImpl.NumPerms
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    withShingles(s, d)
+      .withColumn("sig", graft.functions.MinHashFns.minhash_sig(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** LSH banding: rows grouped into bands; docs sharing any band bucket
-    * are candidates. bandRows=r, numBands=128/r → catch probability
-    * 1-(1-j^r)^bands. */
+  /** Candidate pairs only -- signatures are NOT carried through the band
+    * join (they'd multiply shuffle width by 128); callers re-join the few
+    * surviving pairs against the persisted signature/shingle table. */
   private def bandCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
-    val numBands = NumPerms / bandRows
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => struct(b.as("band_idx"),
-          xxhash64(slice(col("sig"), b * bandRows + 1, lit(bandRows)).cast("string")).as("band_hash"))))
-        .as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), bandRows)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** MinHash+LSH near-dup candidates with signature-estimated Jaccard.
-    * 32 bands × 4 rows targets the j ≥ 0.5 regime. */
+    * 32 bands x 4 rows targets the j >= 0.5 regime. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = withSignature(withShingles(s, d))
+    val sigs = signatures(s, d).select("doc_id", "sig")
+    val sigA = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     bandCandidates(sigs, bandRows = 4)
+      .join(sigA, "doc_a").join(sigB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / NumPerms, 6).as("est_jaccard"))
+        round(graft.functions.MinHashFns.est_jaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
@@ -113,11 +112,10 @@ object Dedup {
     * probability at j=0.5 is (1-0.25)^64 ≈ 1e-8, so the result equals the
     * brute-force oracle) verified by exact shingle-set intersection. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val shingled = withShingles(s, d)
-    val sigs = withSignature(shingled)
-    val cands = bandCandidates(sigs, bandRows = 2).select("doc_a", "doc_b")
-    val shA = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val sigs = signatures(s, d)
+    val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = 2).select("doc_a", "doc_b")
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -149,15 +147,10 @@ object Dedup {
     * over 4 chunks forces at least one identical chunk (pigeonhole), so
     * candidates come from 4 hash-bucket joins, never a cross join. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val hashes = Tables.documents(s, d)
+    val sims = Tables.documents(s, d)
       .select(col("doc_id"),
-        expr(s"transform(split(trim(text), '$WS'), t -> xxhash64(t))").as("th"))
-    val sims = hashes.select(col("doc_id"), expr(
-      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) -> acc +
-        | CASE WHEN aggregate(th, CAST(0 AS BIGINT),
-        |   (a, h) -> a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) > 0
-        | THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-      .as("simhash"))
+        graft.functions.MinHashFns.simhash64(split(trim(col("text")), WS)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sims.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), i -> struct(i AS chunk_idx, " +
         "shiftright(simhash, CAST(i*16 AS INT)) & 65535 AS chunk_val))")).as("c"))
@@ -182,16 +175,16 @@ object Dedup {
     * verification twin of the LSH-bucketed path in
     * [[Similarity.annLsh]]; at 100 TB only the LSH path runs. */
   def embedDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns.{dot_product, l2_norm}
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", l2_norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("n_a") * col("n_b")), 6).as("cosine"))
+        round(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }

@@ -16,14 +16,16 @@ import graft.Tables
   */
 object Similarity {
 
-  /** embeddings as (vec_id, v: array<double>, norm). */
+  /** embeddings as (vec_id, v: array<double>, norm), via the native
+    * [[graft.functions.DotProduct]] expression (codegen'd primitive loop —
+    * see VectorFns for why not zip_with+aggregate). */
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", graft.functions.VectorFns.l2_norm(col("v")))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFns.dot_product(a, b)
 
   /** Brute-force cosine top-10 for one query vector (vec_id = 0). The
     * 1-row query side is broadcast; the corpus is scanned once. */
