@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.MapReduceQueries.queries ++
+    operators.Relational.queries ++ operators.RelationalExt.queries ++
+      operators.MapReduceQueries.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStream.queries
@@ -22,7 +23,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.MapReduceQueries.oracles ++
+    operators.Relational.oracles ++ operators.RelationalExt.oracles ++
+      operators.MapReduceQueries.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStream.oracles

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extended relational coverage (SURVEY.md §2B continued): set operations,
+  * pattern matching, temporal truncation, string functions, approximate
+  * sketches, and the salted-aggregation skew pattern.
+  */
+object RelationalExt {
+
+  /** LIKE / pattern predicates pushed into the scan. */
+  def q16Like(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").like("%spark window%"))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  val q16Sql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE text LIKE '%spark window%' ORDER BY doc_id""".stripMargin
+
+  /** INTERSECT + EXCEPT: customers with both F and O orders but no P. */
+  def q17SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def byStatus(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_custkey").as("custkey"))
+    byStatus("F").intersect(byStatus("O")).except(byStatus("P"))
+      .orderBy("custkey")
+  }
+
+  val q17Sql: String =
+    """(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY custkey""".stripMargin
+
+  /** Join + aggregate + HAVING over the joined result. */
+  def q18HavingJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("c_custkey")
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name HAVING count(*) >= 15
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Temporal truncation: monthly order rollup. */
+  def q19Monthly(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("month")
+
+  val q19Sql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
+  /** String function battery: upper/substr/length/concat with a cast. */
+  def q20StringFns(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).cast("bigint").as("len"),
+        concat(col("c_name"), lit("#"), col("c_custkey").cast("string")).as("tagged"))
+      .orderBy("c_custkey")
+
+  val q20Sql: String =
+    """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+      | CAST(length(c_name) AS BIGINT) AS len,
+      | c_name || '#' || CAST(c_custkey AS VARCHAR) AS tagged
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Approximate sketches: HLL distinct + approximate quantiles. Sketch
+    * internals differ across engines, so this is a rows-only check; the
+    * spec bounds the estimates against exact values. */
+  def q21Approx(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+      .orderBy("l_returnflag")
+
+  /** Salted two-phase aggregation — the skew pattern: pre-aggregate on
+    * (key, salt) to spread a hot key across partitions, then combine.
+    * Result provably equals the direct aggregate (the oracle computes it
+    * directly), cost is one extra tiny shuffle of num_keys × num_salts
+    * rows. */
+  def q22SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("partial_qty"), count(lit(1)).as("partial_n"))
+    salted
+      .groupBy("l_returnflag")
+      .agg(round(sum("partial_qty"), 2).as("sum_qty"), sum("partial_n").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q22Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_like" -> (q16Like _),
+    "q17_setops" -> (q17SetOps _),
+    "q18_having_join" -> (q18HavingJoin _),
+    "q19_monthly" -> (q19Monthly _),
+    "q20_string_fns" -> (q20StringFns _),
+    "q21_approx" -> (q21Approx _),
+    "q22_salted_agg" -> (q22SaltedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_like" -> q16Sql,
+    "q17_setops" -> q17Sql,
+    "q18_having_join" -> q18Sql,
+    "q19_monthly" -> q19Sql,
+    "q20_string_fns" -> q20Sql,
+    "q22_salted_agg" -> q22Sql)
+}

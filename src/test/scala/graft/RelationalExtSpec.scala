@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalExt
+
+class RelationalExtSpec extends SparkSpec {
+
+  test("all extended queries return rows at sf0.001") {
+    RelationalExt.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name empty")
+    }
+  }
+
+  test("approx sketches are within tolerance of exact values") {
+    val approx = RelationalExt.q21Approx(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median_price")))
+      .toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("parts"), median(col("l_extendedprice")).as("med"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("parts"), r.getAs[Double]("med")))
+      .toMap
+    exact.foreach { case (flag, (parts, med)) =>
+      val (aParts, aMed) = approx(flag)
+      assert(math.abs(aParts - parts).toDouble / parts < 0.05, s"$flag HLL off >5%: $aParts vs $parts")
+      assert(math.abs(aMed - med) / med < 0.05, s"$flag median off >5%: $aMed vs $med")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val salted = RelationalExt.q22SaltedAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("sum_qty"), r.getAs[Long]("n")))
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("sum_qty"), r.getAs[Long]("n")))
+    assert(salted.sameElements(direct))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips (SURVEY.md §2H): the engine must read and write
+  * every interchange format losslessly, and partitioned writes must prune
+  * at read time.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip preserves rows and schema-inferred values") {
+    val out = tmp("graft_csv")
+    val src = Tables.nation(spark, sf)
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.count() == src.count())
+    assert(back.select(sum("n_nationkey")).first().getLong(0)
+      == src.select(sum("n_nationkey")).first().getLong(0))
+  }
+
+  test("json round-trip preserves rows and values") {
+    val out = tmp("graft_json")
+    val src = Tables.supplier(spark, sf)
+    src.write.mode("overwrite").json(out)
+    val back = spark.read.json(out)
+    assert(back.count() == src.count())
+    assert(back.agg(round(sum("s_acctbal"), 2)).first().getDouble(0)
+      == src.agg(round(sum("s_acctbal"), 2)).first().getDouble(0))
+  }
+
+  test("partitioned parquet write prunes partitions at read") {
+    val out = tmp("graft_part")
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    // physical plan must show partition filters, not a data filter over all files
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("o_orderstatus#"),
+      s"expected partition pruning in plan")
+    val full = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count()
+    assert(pruned.count() == full)
+  }
+
+  test("bucketed table write co-locates join keys (no exchange on bucketed join)") {
+    val db = "graft_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_bucketed")
+      val t = spark.table(s"$db.orders_bucketed")
+      assert(t.count() == Tables.orders(spark, sf).count())
+      // sort-merge self-join on the bucket key: bucketing replaces the shuffle
+      val joined = t.as("a").hint("merge").join(t.as("b"), "o_orderkey")
+      val exchanges = joined.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("ShuffleExchange"))
+      assert(exchanges == 0, s"bucketed self-join should not shuffle, saw $exchanges shuffles")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $db.orders_bucketed")
+    }
+  }
+}
