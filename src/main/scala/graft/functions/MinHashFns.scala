@@ -74,6 +74,27 @@ object MinHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Distinct word k-grams joined with single spaces, first-occurrence
+    * order. */
+  def shingles(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    i = 0
+    while (i + k <= n) {
+      var s = toks(i)
+      var j = 1
+      while (j < k) { s = org.apache.spark.unsafe.types.UTF8String.concat(s, space, toks(i + j)); j += 1 }
+      seen.add(s)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Fraction of equal signature positions — the MinHash Jaccard estimate. */
   def estJaccard(a: ArrayData, b: ArrayData): Double = {
     var eq = 0
@@ -118,6 +139,20 @@ private[graft] trait ArrayInputCheck { self: UnaryExpression =>
   }
 }
 
+/** array<string> tokens → array<string> distinct word k-gram shingles
+  * (first-occurrence order). The interpreted transform+element_at+
+  * concat_ws+array_distinct chain measured ~1.6 ms per document. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression with ArrayInputCheck {
+  override def expectedElement: DataType = StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.shingles(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
 /** array<string> shingles → array<long> 128-perm MinHash signature. */
 case class MinHashSig(child: Expression) extends UnaryExpression with ArrayInputCheck {
   override def expectedElement: DataType = StringType
@@ -155,6 +190,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with ArrayInputC
 }
 
 object MinHashFns {
+  def word_shingles(c: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
   def minhash_sig(c: Column): Column = ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
   def band_hashes(c: Column, bandRows: Int): Column =
     ColumnBridge.column(BandHashes(ColumnBridge.expression(c), bandRows))
