@@ -19,6 +19,9 @@ import graft.Tables
   */
 object EventStream {
 
+  /** Per-user open-session state for [[sessionizeStream]]. */
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
   /** Raw parquet schema of events (ts read as nanos-long, converted after). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -96,6 +99,79 @@ object EventStream {
         date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
         col("n_events"), round(col("total_raw"), 2).as("total_value"))
       .orderBy("user_id", "session_id")
+  }
+
+  /** True streaming sessionization: readStream → groupByKey(user) →
+    * flatMapGroupsWithState with an explicit per-user session state and
+    * event-time timeout. Sessions emit when the watermark passes their
+    * 30-minute gap. The batch `sessionize` is the semantic oracle; the
+    * spec checks the streamed sessions match the batch result for all
+    * sessions the watermark has closed. */
+  def sessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val session = s
+    import session.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapMs = 30L * 60 * 1000
+
+    val events = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    val sessions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+          var cur = state.getOption
+          // events within a micro-batch arrive unordered: sort by event time
+          batch.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach { case (_, ts, v) =>
+            val t = ts.getTime
+            cur match {
+              case Some(st) if t - st.end > gapMs =>
+                out += ((userId, st.start, st.end, st.n, st.total))
+                cur = Some(SessionState(t, t, 1, v))
+              case Some(st) =>
+                cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1, st.total + v))
+              case None =>
+                cur = Some(SessionState(t, t, 1, v))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(st => out += ((userId, st.start, st.end, st.n, st.total)))
+            state.remove()
+          } else {
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + gapMs)
+            }
+          }
+          out.iterator
+      }
+      .toDF("user_id", "start_ms", "end_ms", "n_events", "total_raw")
+
+    val name = "graft_st_sessionize_stream"
+    s.streams.active.find(_.name == name).foreach(_.stop())
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("user_id"),
+        date_format(timestamp_millis(col("start_ms")), fmt).as("session_start"),
+        date_format(timestamp_millis(col("end_ms")), fmt).as("session_end"),
+        col("n_events"), round(col("total_raw"), 2).as("total_value"))
+      .orderBy("user_id", "session_start")
   }
 
   val sessionizeSql: String =

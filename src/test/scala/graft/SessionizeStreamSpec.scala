@@ -1,0 +1,30 @@
+package graft
+
+import graft.streaming.EventStream
+
+class SessionizeStreamSpec extends SparkSpec {
+
+  test("streaming flatMapGroupsWithState sessionization matches batch for closed sessions") {
+    val streamed = EventStream.sessionizeStream(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSet
+    val batchAll = EventStream.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    // sessions closed by an in-batch gap always emit; each user's final
+    // session emits only if the event-time timeout (end + 30min) fell
+    // behind the watermark — so bracket: closedByGap ⊆ streamed ⊆ all
+    val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closedByGap = batchAll
+      .filterNot { case (u, sid, _, _, _, _) => lastPerUser(u) == sid }
+      .map { case (u, _, st, en, n, v) => (u, st, en, n, v) }
+      .toSet
+    val all = batchAll.map { case (u, _, st, en, n, v) => (u, st, en, n, v) }.toSet
+    assert(streamed.nonEmpty, "streaming query emitted no closed sessions")
+    assert(closedByGap.subsetOf(streamed),
+      s"missing gap-closed sessions: ${(closedByGap -- streamed).take(3)}")
+    assert(streamed.subsetOf(all),
+      s"streamed sessions not in batch result: ${(streamed -- all).take(3)}")
+  }
+}
