@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline (SURVEY.md §2 composition demo): the
+  * operators composing as a training-data cleaning job — quality filter →
+  * exact-dedup canonicalization → token accounting. Each stage is one of
+  * the §2 operators; the pipeline is their declarative composition, so
+  * Catalyst fuses the scans and the whole job is two shuffles (dedup
+  * window + final sort) regardless of how many stages are chained.
+  */
+object Pipeline {
+
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.quality(s, d)
+      .select("doc_id", "n_tokens", "quality_score")
+    val canonical = Dedup.exact(s, d)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    quality.join(canonical, "doc_id")
+      .filter(col("quality_score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the quality SQL composed with the dedup-canonical window. */
+  val curateSql: String = {
+    val p = "' ' || lower(text) || ' '"
+    def occ(needle: String) =
+      s"CAST((length($p) - length(replace($p, '$needle', ''))) / ${needle.length} AS BIGINT)"
+    val nTokens = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
+    val nPunct = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+    val nStop = Seq("the", "a", "of", "and", "to").map(w => occ(s" $w ")).mkString(" + ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    $nTokens AS n_tokens,
+       |    round(least(CAST($nTokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + (1.0 - least(CAST($nPunct AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
+       |      + least(CAST($nStop AS DOUBLE) / $nTokens * 5.0, 1.0) * 0.25, 6) AS quality_score
+       |  FROM documents
+       |), canon AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM (
+       |    SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
+       |    FROM documents
+       |  )
+       |)
+       |SELECT s.doc_id, s.n_tokens, s.quality_score
+       |FROM scored s JOIN canon c ON s.doc_id = c.doc_id AND c.doc_id = c.canonical_id
+       |WHERE s.quality_score >= 0.5
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_curate" -> (curate _))
+
+  val oracles: Map[String, String] = Map(
+    "p_curate" -> curateSql)
+}

@@ -158,14 +158,81 @@ object Similarity {
       |)
       |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** IVF-style ANN: the corpus is partitioned into centroid cells
+    * (seeded centroids = vec_id < 10); the query probes its nProbe=2
+    * nearest cells and ranks only those vectors — the inverted-file
+    * trade that bounds per-query work to a few cells at 100 TB. Fully
+    * deterministic, so it gets a SQL oracle. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val l2 = aggregate(zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    // cell assignment for every vector (same computation as `centroids`)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"), round(l2, 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "norm", "centroid_id")
+    // the query's 2 nearest cells
+    val probeCells = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v0"), col("norm").as("q_norm0"))
+      .crossJoin(broadcast(cents))
+      .select(col("centroid_id"),
+        round(aggregate(zip_with(col("q_v0"), col("c_v"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("qdist"),
+        col("q_v0"), col("q_norm0"))
+      .orderBy("qdist", "centroid_id")
+      .limit(2)
+      .select(col("centroid_id"), col("q_v0").as("q_v"), col("q_norm0").as("q_norm"))
+    assigned.join(broadcast(probeCells), "centroid_id")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("centroid_id"),
+        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val annIvfSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, centroid_id FROM (
+      |    SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |          + list_inner_product(c.c_v, c.c_v), 6), c.centroid_id) AS rn
+      |    FROM e, c
+      |  ) WHERE rn = 1
+      |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT c.centroid_id FROM c, q
+      |  ORDER BY round(list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)
+      |    + list_inner_product(c.c_v, c.c_v), 6), c.centroid_id
+      |  LIMIT 2
+      |)
+      |SELECT a.vec_id, a.centroid_id,
+      |  round(list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm), 6) AS cosine
+      |FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
+      |WHERE a.vec_id <> 0
+      |ORDER BY cosine DESC, a.vec_id
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_ann_brute" -> (annBrute _),
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
+    "s_ann_ivf" -> (annIvf _),
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
     "s_ann_brute" -> annBruteSql,
     "s_knn_join" -> knnJoinSql,
+    "s_ann_ivf" -> annIvfSql,
     "s_centroids" -> centroidsSql)
 }

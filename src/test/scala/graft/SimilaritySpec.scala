@@ -31,6 +31,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN returns 10 neighbors from at most 2 probed cells") {
+    val rows = Similarity.annIvf(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("centroid_id")).distinct.length <= 2)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted(Ordering[Double].reverse)))
+  }
+
+  test("pipeline curate output is canonical, above threshold, and a subset of docs") {
+    val rows = graft.operators.Pipeline.curate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("quality_score") >= 0.5))
+    assert(rows.length <= Tables.documents(spark, sf).count())
+  }
+
   test("centroid assignment is total and deterministic") {
     val rows = Similarity.centroids(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())
