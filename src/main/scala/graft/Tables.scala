@@ -17,6 +17,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Small scans (one parquet file = one split) serialize compute-heavy
+    * per-row stages on a single core; spread them when the scan has fewer
+    * splits than cores. A 100 TB scan already has thousands of splits, so
+    * this is a no-op there — the condition, not the repartition, is the
+    * scale-honest part. */
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -74,12 +74,15 @@ object MinHashImpl {
     new GenericArrayData(out)
   }
 
-  /** Distinct word k-grams joined with single spaces, first-occurrence
-    * order. */
-  def shingles(tokens: ArrayData, k: Int): ArrayData = {
+  /** Word k-grams joined with single spaces; `distinct` keeps
+    * first-occurrence order (set semantics for Jaccard), otherwise every
+    * occurrence is emitted (frequency counting). */
+  def shingles(tokens: ArrayData, k: Int, distinct: Boolean = true): ArrayData = {
     val n = tokens.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    val seen =
+      if (distinct) new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]() else null
     val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
     while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
@@ -89,10 +92,10 @@ object MinHashImpl {
       var s = toks(i)
       var j = 1
       while (j < k) { s = org.apache.spark.unsafe.types.UTF8String.concat(s, space, toks(i + j)); j += 1 }
-      seen.add(s)
+      if (seen == null || seen.add(s)) out.add(s)
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   /** Fraction of equal signature positions — the MinHash Jaccard estimate. */
@@ -142,13 +145,14 @@ private[graft] trait ArrayInputCheck { self: UnaryExpression =>
 /** array<string> tokens → array<string> distinct word k-gram shingles
   * (first-occurrence order). The interpreted transform+element_at+
   * concat_ws+array_distinct chain measured ~1.6 ms per document. */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression with ArrayInputCheck {
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression with ArrayInputCheck {
   override def expectedElement: DataType = StringType
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    MinHashImpl.shingles(input.asInstanceOf[ArrayData], k)
+    MinHashImpl.shingles(input.asInstanceOf[ArrayData], k, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.shingles($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.shingles($c, $k, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
   override def prettyName: String = "word_shingles"
 }
@@ -190,8 +194,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with ArrayInputC
 }
 
 object MinHashFns {
-  def word_shingles(c: Column, k: Int): Column =
-    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
+  def word_shingles(c: Column, k: Int, distinct: Boolean = true): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k, distinct))
   def minhash_sig(c: Column): Column = ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
   def band_hashes(c: Column, bandRows: Int): Column =
     ColumnBridge.column(BandHashes(ColumnBridge.expression(c), bandRows))

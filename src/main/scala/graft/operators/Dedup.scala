@@ -50,21 +50,11 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Small scans (one parquet file = one split) serialize compute-heavy
-    * per-row stages on a single core; spread them when the scan has fewer
-    * splits than cores. A 100 TB scan already has thousands of splits, so
-    * this is a no-op there — the condition, not the repartition, is the
-    * scale-honest part. */
-  private def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Distinct word-3-gram shingles per document, via the native
     * [[graft.functions.WordShingles]] expression (the interpreted
     * higher-order-function chain measured ~1.6 ms/doc). */
   private def withShingles(s: SparkSession, d: String): DataFrame =
-    parallelize(Tables.documents(s, d))
+    Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"),
         graft.functions.MinHashFns.word_shingles(split(trim(col("text")), WS), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -151,7 +141,7 @@ object Dedup {
     * over 4 chunks forces at least one identical chunk (pigeonhole), so
     * candidates come from 4 hash-bucket joins, never a cross join. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sims = parallelize(Tables.documents(s, d))
+    val sims = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"),
         graft.functions.MinHashFns.simhash64(split(trim(col("text")), WS)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -114,7 +114,52 @@ object RelationalExt {
     """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** lag / lead / ntile over one window spec (single shuffle). */
+  def q23LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2).as("prev_price"),
+        round(coalesce(lead("o_totalprice", 1).over(w), lit(0.0)), 2).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q23Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price,
+      | round(coalesce(lead(o_totalprice) OVER w, 0), 2) AS next_price,
+      | ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Non-equi range join: facts banded against a tiny broadcast interval
+    * table (BroadcastNestedLoopJoin — the right plan when the build side
+    * is a handful of intervals). */
+  def q24RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total_price"))
+      .orderBy("band")
+  }
+
+  val q24Sql: String =
+    """SELECT band, count(*) AS n, round(sum(l_extendedprice),2) AS total_price
+      |FROM lineitem
+      |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 1e9)) b(band, lo, hi)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_lag_lead" -> (q23LagLead _),
+    "q24_range_join" -> (q24RangeJoin _),
     "q16_like" -> (q16Like _),
     "q17_setops" -> (q17SetOps _),
     "q18_having_join" -> (q18HavingJoin _),
@@ -124,6 +169,8 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q23_lag_lead" -> q23Sql,
+    "q24_range_join" -> q24Sql,
     "q16_like" -> q16Sql,
     "q17_setops" -> q17Sql,
     "q18_having_join" -> q18Sql,

@@ -174,13 +174,37 @@ object TextAnalysis {
       |FROM norm n JOIN h ON n.doc_id = h.doc_id AND h.i = length(n.t)+1
       |ORDER BY n.doc_id""".stripMargin
 
+  /** Corpus-level bigram frequencies: top 20 word bigrams across all
+    * documents (every occurrence counted, not per-doc distinct). The
+    * classic n-gram language-model counting job: shingle map-side, one
+    * partial-agg shuffle of distinct bigrams. */
+  def ngramFreq(s: SparkSession, d: String): DataFrame =
+    graft.Tables.parallelize(Tables.documents(s, d))
+      .select(explode(graft.functions.MinHashFns.word_shingles(
+        split(trim(col("text")), "[ \t\n\r]+"), 2, distinct = false)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  val ngramFreqSql: String =
+    """SELECT bigram, count(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(
+      |    generate_series(1, greatest(len(toks)-1, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM (SELECT string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |)
+      |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_ngram_freq" -> (ngramFreq _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langid _),
     "t_quality" -> (quality _),
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_ngram_freq" -> ngramFreqSql,
     "t_token_stats" -> tokenStatsSql,
     "t_langid" -> langidSql,
     "t_quality" -> qualitySql,

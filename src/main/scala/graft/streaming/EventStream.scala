@@ -194,11 +194,45 @@ object EventStream {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Streaming deduplication: dropDuplicates on event_id with a watermark
+    * bounding the dedup state, then per-type counts — the standard
+    * exactly-once ingestion guard. Oracle: batch distinct counts. */
+  def dedupStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val name = "graft_st_dedup"
+    s.streams.active.find(_.name == name).foreach(_.stop())
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("event_type")
+  }
+
+  val dedupStreamSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value FROM (
+      |  SELECT DISTINCT ON (event_id) event_type, value FROM events ORDER BY event_id
+      |)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> (windowAgg _),
-    "st_sessionize" -> (sessionize _))
+    "st_sessionize" -> (sessionize _),
+    "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> windowAggSql,
-    "st_sessionize" -> sessionizeSql)
+    "st_sessionize" -> sessionizeSql,
+    "st_dedup" -> dedupStreamSql)
 }
