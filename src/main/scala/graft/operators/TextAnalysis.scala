@@ -196,7 +196,56 @@ object TextAnalysis {
       |)
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
 
+  /** Context chunking with overlap (RAG / embedding prep): 200-char
+    * windows at stride 150. explode(sequence) generates chunk rows in
+    * parallel per document — no driver loop, linear in corpus size. */
+  def chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), ((length(col("text")) - 1) / 150).cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        substring(col("text"), (col("chunk_idx") * 150 + 1).cast("int"), lit(200)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(to_binary(col("chunk"), lit("utf-8"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkSql: String =
+    """SELECT doc_id, chunk_idx,
+      | CAST(length(substr(text, CAST(chunk_idx*150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+      | md5(substr(text, CAST(chunk_idx*150 + 1 AS INT), 200)) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, CAST((length(text)-1)//150 AS BIGINT))) AS chunk_idx
+      |  FROM documents
+      |)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Blocklist content filter: whole-token hit counts for a term
+    * blocklist plus a flag — the cheap rule-based safety pass that runs
+    * before model-based filtering. */
+  private val blocklist = Seq("slow", "error")
+
+  def contentFilter(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val nHits = blocklist.map(w => tokenOccurrences(padded, w)).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nHits.as("n_hits"))
+      .withColumn("flagged", (col("n_hits") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val contentFilterSql: String = {
+    val p = "' ' || lower(text) || ' '"
+    val nHits = blocklist.map(w => occurrencesSql(p, s" $w ")).mkString(" + ")
+    s"""SELECT doc_id, $nHits AS n_hits,
+       | CAST(($nHits) > 0 AS INT) AS flagged
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_chunk" -> (chunk _),
+    "t_contentfilter" -> (contentFilter _),
     "t_ngram_freq" -> (ngramFreq _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langid _),
@@ -204,6 +253,8 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_chunk" -> chunkSql,
+    "t_contentfilter" -> contentFilterSql,
     "t_ngram_freq" -> ngramFreqSql,
     "t_token_stats" -> tokenStatsSql,
     "t_langid" -> langidSql,
