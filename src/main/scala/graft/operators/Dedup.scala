@@ -134,6 +134,46 @@ object Dedup {
       |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact set-similarity join via prefix filtering (AllPairs/PPJoin
+    * family): order every shingle by ascending global frequency; a pair
+    * with Jaccard ≥ t MUST share one of each side's first
+    * |X| − ⌈t·|X|⌉ + 1 rarest shingles, so candidates come from a
+    * shuffle join on prefix shingles — provably no false negatives,
+    * no LSH probabilism. Rare-first ordering keeps prefix buckets small.
+    * Produces exactly the same result as [[ngramJaccard]] (both equal the
+    * brute-force oracle); this is the deterministic-guarantee variant,
+    * that one the constant-work-per-doc variant. */
+  def setsimJoin(s: SparkSession, d: String): DataFrame = {
+    val t = 0.5
+    val sh = withShingles(s, d)
+    val tokens = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("f"))
+    // per doc: shingles sorted rare-first, keep the prefix
+    val prefixes = tokens.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("f"), col("shingle")))).as("fs"))
+      .select(col("doc_id"), size(col("fs")).as("n"),
+        expr(s"slice(transform(fs, x -> x.shingle), 1, size(fs) - CAST(ceil($t * size(fs)) AS INT) + 1)")
+          .as("prefix"))
+    val pe = prefixes.select(col("doc_id"), col("n"), explode(col("prefix")).as("shingle"))
+    val a = pe.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = pe.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val cands = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: t·|A| ≤ |B| ≤ |A|/t
+      .filter(col("n_b") >= col("n_a") * t && col("n_b") <= col("n_a") / t)
+      .select("doc_a", "doc_b")
+      .distinct()
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document (token-frequency weighted), plus
@@ -200,10 +240,12 @@ object Dedup {
     "d_minhash_lsh" -> (minhashLsh _),
     "d_simhash" -> (simhash _),
     "d_ngram_jaccard" -> (ngramJaccard _),
+    "d_setsim_join" -> (setsimJoin _),
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
     "d_exact" -> exactSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_setsim_join" -> ngramJaccardSql, // same contract: equals brute force
     "d_embed_dup" -> embedDupSql)
 }

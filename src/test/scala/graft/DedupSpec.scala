@@ -29,6 +29,14 @@ class DedupSpec extends SparkSpec {
     exact.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("prefix-filter setsim join produces the identical pair set to LSH+verify") {
+    val viaLsh = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup.setsimJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix == viaLsh, "two exact algorithms must agree")
+  }
+
   test("simhash pairs have hamming <= 3 and are deduplicated") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
