@@ -8,12 +8,14 @@ class GraftFunctionsSpec extends SparkSpec {
       """SELECT djb2('a') AS h, djb2_partition('spark', 10) AS p,
         | simhash64(array('a', 'b', 'a')) AS sh,
         | dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        | word_shingles(array('a','b','c','b','c'), 2) AS ws,
         | est_jaccard(minhash_sig(array('x y z')), minhash_sig(array('x y z'))) AS ej
         |""".stripMargin).first()
     assert(r.getAs[Long]("h") == 177670L)
     val p = r.getAs[Int]("p")
     assert(p == graft.functions.Djb2.partition("spark".getBytes("UTF-8"), 10))
     assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getSeq[String](r.fieldIndex("ws")) == Seq("a b", "b c", "c b"))
     assert(r.getAs[Double]("ej") == 1.0)
   }
 }
