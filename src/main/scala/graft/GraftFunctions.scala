@@ -23,7 +23,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "djb2" -> (es => Djb2(es.head)),
     "djb2_partition" -> (es => Djb2Partition(es.head, es(1).eval().asInstanceOf[Int])),
-    "word_shingles" -> (es => WordShingles(es.head, es(1).eval().asInstanceOf[Int])),
+    "word_shingles" -> (es => WordShingles(es.head, es(1).eval().asInstanceOf[Int],
+      if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else true)),
     "minhash_sig" -> (es => MinHashSig(es.head)),
     "band_hashes" -> (es => BandHashes(es.head, es(1).eval().asInstanceOf[Int])),
     "est_jaccard" -> (es => EstJaccard(es.head, es(1))),

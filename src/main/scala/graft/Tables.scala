@@ -34,16 +34,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** Nanos-epoch long → microsecond timestamp. MUST be integer division:
+    * `/` on a long column resolves to double division, and epoch nanos
+    * (~1.7e18) exceed double's 53-bit mantissa — measured 1.6% of events
+    * off by 1 µs via the float path. */
+  def nanosToTimestamp(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"timestamp_micros($colName div 1000)")
+
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects. Read nanos as raw long and convert to a microsecond
     * timestamp (Spark's native resolution); sub-microsecond precision is
-    * immaterial for windowing/sessionization semantics.
+    * immaterial for windowing/sessionization semantics. Note the session
+    * conf flip is global: later nanos-parquet reads in the same session
+    * also see LongType (all graft readers go through here or
+    * EventStream's explicit-schema readStream, so that is the contract).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    load(s, d, "events").withColumn("ts", nanosToTimestamp("ts"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -98,15 +98,19 @@ object MinHashImpl {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
-  /** Fraction of equal signature positions — the MinHash Jaccard estimate. */
+  /** Fraction of equal signature positions — the MinHash Jaccard estimate.
+    * Compares over the common prefix so short/mismatched arrays degrade
+    * rather than index out of bounds. */
   def estJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
     var eq = 0
     var i = 0
-    while (i < NumPerms) {
+    while (i < n) {
       if (a.getLong(i) == b.getLong(i)) eq += 1
       i += 1
     }
-    eq.toDouble / NumPerms
+    eq.toDouble / n
   }
 
   /** 64-bit SimHash over the token multiset: each token's 64-bit hash
@@ -207,6 +211,14 @@ object MinHashFns {
 /** (sig_a, sig_b) → fraction of equal positions. */
 case class EstJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"est_jaccard expects two array<bigint>, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     MinHashImpl.estJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

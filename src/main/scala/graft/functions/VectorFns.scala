@@ -21,6 +21,9 @@ import org.apache.spark.sql.types._
 object VectorImpl {
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {

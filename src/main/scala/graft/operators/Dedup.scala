@@ -66,7 +66,10 @@ object Dedup {
     * The signature table is persisted: both sides of the band self-join
     * and the estimate re-joins read it, and it is only 128 longs per doc —
     * recomputing the shingle+sketch chain per consumer measured 4x the
-    * whole operator cost at sf0.1. */
+    * whole operator cost at sf0.1. Entries are deliberately left cached
+    * (not unpersisted): Spark's CacheManager dedupes by logical plan, so
+    * repeated calls per (session, sf) reuse one small entry; callers
+    * owning a long-lived session can `spark.catalog.clearCache()`. */
   private val NumPerms = graft.functions.MinHashImpl.NumPerms
   private def signatures(s: SparkSession, d: String): DataFrame =
     withShingles(s, d)

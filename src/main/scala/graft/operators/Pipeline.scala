@@ -25,12 +25,11 @@ object Pipeline {
 
   /** Oracle: the quality SQL composed with the dedup-canonical window. */
   val curateSql: String = {
-    val p = "' ' || lower(text) || ' '"
-    def occ(needle: String) =
-      s"CAST((length($p) - length(replace($p, '$needle', ''))) / ${needle.length} AS BIGINT)"
+    def tok(word: String) =
+      s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\r]+'), t -> t = '$word')) AS BIGINT)"
     val nTokens = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
     val nPunct = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-    val nStop = Seq("the", "a", "of", "and", "to").map(w => occ(s" $w ")).mkString(" + ")
+    val nStop = Seq("the", "a", "of", "and", "to").map(tok).mkString(" + ")
     s"""WITH scored AS (
        |  SELECT doc_id, text,
        |    $nTokens AS n_tokens,

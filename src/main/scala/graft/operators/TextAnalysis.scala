@@ -16,17 +16,16 @@ import graft.functions.Djb2
   */
 object TextAnalysis {
 
-  /** Occurrences of a literal inside a column via the length-delta trick —
-    * branch-free, codegen-friendly, and exactly reproducible in SQL. */
-  private def occurrences(c: Column, needle: String): Column =
-    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
+  /** Exact whole-token occurrence count: tokenize and filter. (The padded
+    * substring length-trick undercounts adjacent repeats — "the the the"
+    * counts 2, not 3, because consecutive matches share their separator.)
+    * Catalyst's subexpression elimination shares the split across the
+    * per-word counts in one projection. */
+  private def tokenCount(text: Column, word: String): Column =
+    size(filter(split(lower(trim(text)), "[ \t\n\r]+"), t => t === word)).cast("long")
 
-  private def occurrencesSql(expr: String, needle: String): String =
-    s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS BIGINT)"
-
-  /** Whole-token occurrences: pad both text and needle with spaces. */
-  private def tokenOccurrences(padded: Column, word: String): Column =
-    occurrences(padded, s" $word ")
+  private def tokenCountSql(word: String): String =
+    s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\r]+'), t -> t = '$word')) AS BIGINT)"
 
   // ---------------------------------------------------------------- tokens
 
@@ -64,10 +63,9 @@ object TextAnalysis {
   /** Language ID: per-language marker-token counts and argmax prediction
     * with a fixed precedence order (first-listed language wins ties). */
   def langid(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val scored = Tables.documents(s, d).select(
       (col("doc_id") +: markers.map { case (lang, ws) =>
-        ws.map(w => tokenOccurrences(padded, w)).reduce(_ + _).as(s"s_$lang")
+        ws.map(w => tokenCount(col("text"), w)).reduce(_ + _).as(s"s_$lang")
       }): _*)
     // precedence CASE: en >= all → en; else de >= remaining → de; ...
     val langs = markers.map(_._1)
@@ -82,9 +80,8 @@ object TextAnalysis {
   }
 
   val langidSql: String = {
-    val p = "' ' || lower(text) || ' '"
     val score = markers.map { case (lang, ws) =>
-      ws.map(w => occurrencesSql(p, s" $w ")).mkString(" + ") + s" AS s_$lang"
+      ws.map(w => tokenCountSql(w)).mkString(" + ") + s" AS s_$lang"
     }.mkString(",\n ")
     val langs = markers.map(_._1)
     val pred = langs.init.zipWithIndex.map { case (lang, i) =>
@@ -108,10 +105,9 @@ object TextAnalysis {
     * linear combination — the usual cheap pre-filters before expensive
     * model-based scoring. */
   def quality(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val nTokens = size(split(trim(col("text")), "[ \t\n\r]+")).cast("long")
     val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
-    val nStop = stopwords.map(w => tokenOccurrences(padded, w)).reduce(_ + _)
+    val nStop = stopwords.map(w => tokenCount(col("text"), w)).reduce(_ + _)
     Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -127,10 +123,9 @@ object TextAnalysis {
   }
 
   val qualitySql: String = {
-    val p = "' ' || lower(text) || ' '"
     val nTokens = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
     val nPunct = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-    val nStop = stopwords.map(w => occurrencesSql(p, s" $w ")).mkString(" + ")
+    val nStop = stopwords.map(w => tokenCountSql(w)).mkString(" + ")
     s"""SELECT doc_id,
        | $nTokens AS n_tokens,
        | round(CAST($nPunct AS DOUBLE) / length(text), 6) AS punct_ratio,
@@ -145,7 +140,11 @@ object TextAnalysis {
 
   /** Document fingerprinting: md5 of whitespace-normalized lowercase text
     * (content-addressed identity) + the 64-bit djb2 rolling hash (cheap
-    * 8-byte fingerprint; the oracle recomputes djb2 in SQL). */
+    * 8-byte fingerprint; the oracle recomputes djb2 in SQL). The SQL
+    * recomputation folds codepoints (`ord`), the Scala hash folds UTF-8
+    * bytes like the C reference — identical on ASCII (the verified
+    * property of this corpus), divergent on multi-byte text by design:
+    * byte-wise is the reference semantics. */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val normalized = trim(regexp_replace(lower(col("text")), "[ \t\n\r]+", " "))
     Tables.documents(s, d)
@@ -227,8 +226,7 @@ object TextAnalysis {
   private val blocklist = Seq("slow", "error")
 
   def contentFilter(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val nHits = blocklist.map(w => tokenOccurrences(padded, w)).reduce(_ + _)
+    val nHits = blocklist.map(w => tokenCount(col("text"), w)).reduce(_ + _)
     Tables.documents(s, d)
       .select(col("doc_id"), nHits.as("n_hits"))
       .withColumn("flagged", (col("n_hits") > 0).cast("int"))
@@ -236,8 +234,7 @@ object TextAnalysis {
   }
 
   val contentFilterSql: String = {
-    val p = "' ' || lower(text) || ' '"
-    val nHits = blocklist.map(w => occurrencesSql(p, s" $w ")).mkString(" + ")
+    val nHits = blocklist.map(w => tokenCountSql(w)).mkString(" + ")
     s"""SELECT doc_id, $nHits AS n_hits,
        | CAST(($nHits) > 0 AS INT) AS flagged
        |FROM documents ORDER BY doc_id""".stripMargin

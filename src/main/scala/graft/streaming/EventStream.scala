@@ -40,7 +40,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -67,8 +67,11 @@ object EventStream {
 
   /** Session windows per user with a 30-minute inactivity gap, as an
     * explicit per-key ordered state machine (groupByKey + flatMapGroups —
-    * the batch twin of flatMapGroupsWithState; the fold is
-    * incremental, O(1) state per key). */
+    * the batch twin of flatMapGroupsWithState). Note this buffers and
+    * sorts one user's events in memory; for keys with unbounded history
+    * the scale-honest form is a secondary sort
+    * (repartitionAndSortWithinPartitions + run detection, as in
+    * graft.mapreduce.MapReduce) feeding the same fold. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
     val session = s
     import session.implicits._
@@ -118,7 +121,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
@@ -203,7 +206,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .groupBy("event_type")
