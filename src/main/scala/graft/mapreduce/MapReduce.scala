@@ -62,6 +62,48 @@ object MapReduce {
       }
   }
 
+  /** MR_Run with a combiner — the optimization the reference lacks: `merge`
+    * runs map-side per partition before the shuffle, so only one value per
+    * (partition, key) crosses the network instead of every emitted pair.
+    * This is what makes wordcount at 100 TB shuffle the vocabulary, not
+    * the corpus. Requires an associative, commutative `merge`. */
+  def runCombined[T, K: ClassTag: Ordering, V: ClassTag](
+      input: RDD[T],
+      mapper: T => IterableOnce[(K, V)],
+      merge: (V, V) => V,
+      numParts: Int): RDD[(K, V)] =
+    input
+      .flatMap(mapper)
+      .filter { case (k, _) => k != null && k != "" }
+      .reduceByKey(new Djb2Partitioner(numParts), merge)
+
+  /** MR_Run with secondary sort: within each key, `reducer` sees values
+    * ordered by `secondary` — the classic MapReduce pattern for
+    * first/last/transition logic, done by sorting the shuffle files
+    * on the composite key instead of buffering per-key in memory. */
+  def runSorted[T, K: ClassTag: Ordering, S: ClassTag: Ordering, V: ClassTag, O: ClassTag](
+      input: RDD[T],
+      mapper: T => IterableOnce[(K, (S, V))],
+      reducer: (K, Iterator[V]) => O,
+      numParts: Int): RDD[O] = {
+    val emitted = input
+      .flatMap(mapper)
+      .filter { case (k, _) => k != null && k != "" }
+      .map { case (k, (s, v)) => ((k, s), v) }
+    val partitioner = new Partitioner {
+      private val inner = new Djb2Partitioner(numParts)
+      override def numPartitions: Int = numParts
+      override def getPartition(key: Any): Int =
+        inner.getPartition(key.asInstanceOf[(K, S)]._1)
+    }
+    emitted
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions { pairs =>
+        val byKey = pairs.map { case ((k, _), v) => (k, v) }
+        new GroupedRunIterator(byKey).map { case (k, vs) => reducer(k, vs) }
+      }
+  }
+
   /** Streams (key, values-iterator) runs out of a key-sorted iterator —
     * the reduce-side merge of classic MapReduce, O(1) memory per key.
     */

@@ -229,12 +229,46 @@ object EventStream {
       |)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Stream-static enrichment join: the event stream joins the customer
+    * dimension (static, broadcast per micro-batch) and aggregates revenue
+    * by market segment — the canonical streaming-ETL enrichment shape.
+    * Oracle: the batch-equivalent join. */
+  def enrich(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val customers = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val name = "graft_st_enrich"
+    s.streams.active.find(_.name == name).foreach(_.stop())
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
+  val enrichSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value),2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
     "st_sessionize" -> (sessionize _),
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
     "st_dedup" -> dedupStreamSql)

@@ -59,6 +59,32 @@ class MapReduceSpec extends SparkSpec {
     }
   }
 
+  test("combiner run equals the no-combiner run") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("text").as[String]
+    def mapper(line: String) = line.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map((_, 1L))
+    val combined = MapReduce.runCombined[String, String, Long](
+      docs.rdd, mapper, _ + _, numParts = 10).collect().toMap
+    val plain = MapReduce.run[String, String, Long, (String, Long)](
+      docs.rdd, mapper, (k, vs) => (k, vs.sum), numParts = 10).collect().toMap
+    assert(combined == plain)
+  }
+
+  test("secondary sort delivers values ordered within each key") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+    // per customer: first order id when ordered by orderkey
+    val firsts = MapReduce.runSorted[(Long, Long, Double), Long, Long, Long, (Long, Long)](
+      orders.rdd,
+      mapper = { case (c, o, _) => Iterator.single((c, (o, o))) },
+      reducer = (c, os) => (c, os.next()),
+      numParts = 8).collect().toMap
+    val expected = orders.rdd.map { case (c, o, _) => (c, o) }.reduceByKey(math.min).collect().toMap
+    assert(firsts == expected)
+  }
+
   test("mr queries all return rows") {
     MapReduceQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name empty")
