@@ -157,7 +157,29 @@ object RelationalExt {
       |  ON l_quantity >= lo AND l_quantity < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  /** Top-k per group via the custom [[graft.functions.TopKAgg]]
+    * TypedImperativeAggregate: a bounded k-element heap flows through
+    * partial/final aggregation instead of the window formulation's full
+    * per-group shuffle-and-sort. */
+  def q25TopkAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(graft.functions.TopKAgg.topk(col("o_totalprice"), 5).as("arr"))
+      .select(col("o_orderstatus"),
+        array_join(transform(col("arr"), v => round(v, 2).cast("string")), ",").as("top5"))
+      .orderBy("o_orderstatus")
+
+  val q25Sql: String =
+    """SELECT o_orderstatus,
+      | array_to_string(list_transform(l, v -> CAST(round(v, 2) AS VARCHAR)), ',') AS top5
+      |FROM (
+      |  SELECT o_orderstatus, list(o_totalprice ORDER BY o_totalprice DESC)[1:5] AS l
+      |  FROM orders GROUP BY o_orderstatus
+      |)
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_topk_agg" -> (q25TopkAgg _),
     "q23_lag_lead" -> (q23LagLead _),
     "q24_range_join" -> (q24RangeJoin _),
     "q16_like" -> (q16Like _),
@@ -169,6 +191,7 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q25_topk_agg" -> q25Sql,
     "q23_lag_lead" -> q23Sql,
     "q24_range_join" -> q24Sql,
     "q16_like" -> q16Sql,

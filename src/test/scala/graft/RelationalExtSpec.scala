@@ -29,6 +29,22 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("topk aggregate equals window-rank formulation and uses partial aggregation") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = RelationalExt.q25TopkAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
+    val viaWindow = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("o_orderstatus")
+      .agg(array_join(collect_list(round(col("o_totalprice"), 2).cast("string")), ",").as("top5"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaAgg == viaWindow)
+    val plan = RelationalExt.q25TopkAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "typed imperative aggregate should plan as object/sort aggregate")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val salted = RelationalExt.q22SaltedAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Double]("sum_qty"), r.getAs[Long]("n")))
