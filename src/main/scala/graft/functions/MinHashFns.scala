@@ -32,10 +32,12 @@ object MinHashImpl {
     * djb2. Products stay < 2⁶² — exact long arithmetic. */
   def signature(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray) // empty doc: empty sig, est_jaccard -> 0
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = Djb2.hash(shingles.getUTF8String(i).getBytes) & 0x7FFFFFFFL
+      val u = shingles.getUTF8String(i) // null elements hash as empty
+      hs(i) = (if (u == null) 5381L else Djb2.hash(u.getBytes)) & 0x7FFFFFFFL
       i += 1
     }
     val sig = new Array[Long](NumPerms)
@@ -58,6 +60,7 @@ object MinHashImpl {
   /** Band bucket hashes: numBands = 128/bandRows, each band's rows mixed
     * into one 64-bit bucket key. */
   def bands(sig: ArrayData, bandRows: Int): ArrayData = {
+    if (sig.numElements() < NumPerms) return new GenericArrayData(Array.emptyLongArray)
     val numBands = NumPerms / bandRows
     val out = new Array[Long](numBands)
     var b = 0
@@ -91,8 +94,13 @@ object MinHashImpl {
     while (i + k <= n) {
       var s = toks(i)
       var j = 1
-      while (j < k) { s = org.apache.spark.unsafe.types.UTF8String.concat(s, space, toks(i + j)); j += 1 }
-      if (seen == null || seen.add(s)) out.add(s)
+      var hasNull = s == null
+      while (j < k && !hasNull) {
+        if (toks(i + j) == null) hasNull = true
+        else s = org.apache.spark.unsafe.types.UTF8String.concat(s, space, toks(i + j))
+        j += 1
+      }
+      if (!hasNull && (seen == null || seen.add(s))) out.add(s)
       i += 1
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
@@ -120,7 +128,8 @@ object MinHashImpl {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = Djb2.hash(tokens.getUTF8String(i).getBytes) * 0x9E3779B97F4A7C15L // avalanche
+      val u = tokens.getUTF8String(i)
+      val h = (if (u == null) 5381L else Djb2.hash(u.getBytes)) * 0x9E3779B97F4A7C15L // avalanche
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -176,6 +185,13 @@ case class MinHashSig(child: Expression) extends UnaryExpression with ArrayInput
 /** array<long> signature → array<long> band bucket hashes. */
 case class BandHashes(child: Expression, bandRows: Int) extends UnaryExpression with ArrayInputCheck {
   override def expectedElement: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else if (bandRows > 0 && MinHashImpl.NumPerms % bandRows == 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"band_hashes: bandRows must be a positive divisor of ${MinHashImpl.NumPerms}, got $bandRows")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     MinHashImpl.bands(input.asInstanceOf[ArrayData], bandRows)

@@ -148,7 +148,9 @@ object Dedup {
     * that one the constant-work-per-doc variant. */
   def setsimJoin(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
-    val sh = withShingles(s, d)
+    // three consumers (token explode + both verify sides) — persist, or the
+    // scan+shingle chain recomputes per consumer (measured 4x on signatures)
+    val sh = withShingles(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("f"))
     // per doc: shingles sorted rare-first, keep the prefix

@@ -23,19 +23,13 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Oracle: the quality SQL composed with the dedup-canonical window. */
+  /** Oracle: TextAnalysis's shared quality-score SQL fragments composed
+    * with the dedup-canonical window — single source, no formula drift. */
   val curateSql: String = {
-    def tok(word: String) =
-      s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\r]+'), t -> t = '$word')) AS BIGINT)"
-    val nTokens = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
-    val nPunct = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-    val nStop = Seq("the", "a", "of", "and", "to").map(tok).mkString(" + ")
     s"""WITH scored AS (
        |  SELECT doc_id, text,
-       |    $nTokens AS n_tokens,
-       |    round(least(CAST($nTokens AS DOUBLE) / 100.0, 1.0) * 0.5
-       |      + (1.0 - least(CAST($nPunct AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
-       |      + least(CAST($nStop AS DOUBLE) / $nTokens * 5.0, 1.0) * 0.25, 6) AS quality_score
+       |    ${TextAnalysis.nTokensSql} AS n_tokens,
+       |    ${TextAnalysis.qualityScoreSql} AS quality_score
        |  FROM documents
        |), canon AS (
        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM (

@@ -27,6 +27,13 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFns.dot_product(a, b)
 
+  /** Squared L2 via the |a|² − 2⟨a,b⟩ + |b|² expansion — the SAME formula
+    * (and evaluation order) the DuckDB oracles use, so rounded distances
+    * are bit-identical across engines; sum((x-y)²) accumulates different
+    * FP error and can flip argmin ties after rounding. */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
   /** Brute-force cosine top-10 for one query vector (vec_id = 0). The
     * 1-row query side is broadcast; the corpus is scanned once. */
   def annBrute(s: SparkSession, d: String): DataFrame = {
@@ -131,11 +138,9 @@ object Similarity {
     val vs = vectors(s, d)
     val c = vs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
-    val l2 = aggregate(zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
     vs.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("centroid_id"), round(l2, 6).as("dist"))
+      .select(col("vec_id"), col("centroid_id"), round(sqDist(col("v"), col("c_v")), 6).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "centroid_id", "dist")
@@ -167,12 +172,11 @@ object Similarity {
     val vs = vectors(s, d)
     val cents = vs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
-    val l2 = aggregate(zip_with(col("v"), col("c_v"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
     // cell assignment for every vector (same computation as `centroids`)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
     val assigned = vs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"), round(l2, 6).as("dist"))
+      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
+        round(sqDist(col("v"), col("c_v")), 6).as("dist"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "v", "norm", "centroid_id")
@@ -181,8 +185,7 @@ object Similarity {
       .select(col("v").as("q_v0"), col("norm").as("q_norm0"))
       .crossJoin(broadcast(cents))
       .select(col("centroid_id"),
-        round(aggregate(zip_with(col("q_v0"), col("c_v"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x), 6).as("qdist"),
+        round(sqDist(col("q_v0"), col("c_v")), 6).as("qdist"),
         col("q_v0"), col("q_norm0"))
       .orderBy("qdist", "centroid_id")
       .limit(2)

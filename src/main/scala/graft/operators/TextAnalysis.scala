@@ -24,7 +24,7 @@ object TextAnalysis {
   private def tokenCount(text: Column, word: String): Column =
     size(filter(split(lower(trim(text)), "[ \t\n\r]+"), t => t === word)).cast("long")
 
-  private def tokenCountSql(word: String): String =
+  private[operators] def tokenCountSql(word: String): String =
     s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\r]+'), t -> t = '$word')) AS BIGINT)"
 
   // ---------------------------------------------------------------- tokens
@@ -99,7 +99,17 @@ object TextAnalysis {
 
   // --------------------------------------------------------------- quality
 
-  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Shared SQL fragments for the quality score (also composed by the
+    * p_curate oracle — single source so the formulas cannot drift). */
+  private[operators] val nTokensSql = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
+  private[operators] val nPunctSql = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+  private[operators] def nStopSql: String = stopwords.map(tokenCountSql).mkString(" + ")
+  private[operators] def qualityScoreSql: String =
+    s"""round(least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.5
+       |   + (1.0 - least(CAST($nPunctSql AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
+       |   + least(CAST($nStopSql AS DOUBLE) / $nTokensSql * 5.0, 1.0) * 0.25, 6)""".stripMargin
 
   /** Quality scoring: length, punctuation density, stopword ratio, and a
     * linear combination — the usual cheap pre-filters before expensive
@@ -122,19 +132,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val qualitySql: String = {
-    val nTokens = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
-    val nPunct = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-    val nStop = stopwords.map(w => tokenCountSql(w)).mkString(" + ")
+  val qualitySql: String =
     s"""SELECT doc_id,
-       | $nTokens AS n_tokens,
-       | round(CAST($nPunct AS DOUBLE) / length(text), 6) AS punct_ratio,
-       | round(CAST($nStop AS DOUBLE) / $nTokens, 6) AS stopword_ratio,
-       | round(least(CAST($nTokens AS DOUBLE) / 100.0, 1.0) * 0.5
-       |   + (1.0 - least(CAST($nPunct AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
-       |   + least(CAST($nStop AS DOUBLE) / $nTokens * 5.0, 1.0) * 0.25, 6) AS quality_score
+       | $nTokensSql AS n_tokens,
+       | round(CAST($nPunctSql AS DOUBLE) / length(text), 6) AS punct_ratio,
+       | round(CAST($nStopSql AS DOUBLE) / $nTokensSql, 6) AS stopword_ratio,
+       | $qualityScoreSql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
 
   // ----------------------------------------------------------- fingerprint
 

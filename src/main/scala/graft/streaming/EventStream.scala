@@ -115,30 +115,32 @@ object EventStream {
     val session = s
     import session.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val gapMs = 30L * 60 * 1000
+    val gapMicros = 30L * 60 * 1000 * 1000
 
+    // gap math MUST be in microseconds to agree with the batch sessionize
+    // oracle (Timestamp.getTime truncates to ms; 99.9% of events carry
+    // sub-ms components, so boundary decisions would diverge)
     val events = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "1 minute")
-      .select(col("user_id"), col("ts"), col("value"))
-      .as[(Long, java.sql.Timestamp, Double)]
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
 
     val sessions = events
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Double)],
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Double)],
          state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
           var cur = state.getOption
           // events within a micro-batch arrive unordered: sort by event time
-          batch.toSeq.sortBy(e => (e._2.getTime, e._3)).foreach { case (_, ts, v) =>
-            val t = ts.getTime
+          batch.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, _, t, v) =>
             cur match {
-              case Some(st) if t - st.end > gapMs =>
+              case Some(st) if t - st.end > gapMicros =>
                 out += ((userId, st.start, st.end, st.n, st.total))
                 cur = Some(SessionState(t, t, 1, v))
               case Some(st) =>
@@ -153,12 +155,12 @@ object EventStream {
           } else {
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.end + gapMs)
+              state.setTimeoutTimestamp(st.end / 1000 + gapMicros / 1000 + 1) // timeout API is ms
             }
           }
           out.iterator
       }
-      .toDF("user_id", "start_ms", "end_ms", "n_events", "total_raw")
+      .toDF("user_id", "start_us", "end_us", "n_events", "total_raw")
 
     val name = "graft_st_sessionize_stream"
     s.streams.active.find(_.name == name).foreach(_.stop())
@@ -171,8 +173,8 @@ object EventStream {
     finally q.stop()
     s.table(name)
       .select(col("user_id"),
-        date_format(timestamp_millis(col("start_ms")), fmt).as("session_start"),
-        date_format(timestamp_millis(col("end_ms")), fmt).as("session_end"),
+        date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
+        date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
         col("n_events"), round(col("total_raw"), 2).as("total_value"))
       .orderBy("user_id", "session_start")
   }
