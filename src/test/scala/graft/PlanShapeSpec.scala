@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Relational
+
+/** Locks in the scale-posture claims as assertions on executed plans:
+  * pushdown reaching the scan, dimensions broadcast, top-k compiling to
+  * TakeOrderedAndProject — regressions here are silent performance bugs
+  * that correctness checks never see.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: filter and projection are pushed into the parquet scan") {
+    val p = plan(Relational.q2FilterProject(spark, sf))
+    assert(p.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_quantity"),
+      s"expected the query predicates pushed, got:\n${p.take(800)}")
+    assert(p.contains("ReadSchema") && !p.contains("l_tax"),
+      "projection pruning should drop unused columns from the scan")
+  }
+
+  test("q3: dimension joins are broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan(Relational.q3JoinAgg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort must compile to top-k")
+  }
+
+  test("q10: star join broadcasts all dimensions") {
+    val p = plan(Relational.q10StarJoin(spark, sf))
+    val broadcasts = p.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins in the star, saw $broadcasts")
+  }
+
+  test("q1: aggregation is two-phase (partial map-side, final after shuffle)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+}

@@ -33,6 +33,16 @@ class SourcesSpec extends SparkSpec {
       == src.agg(round(sum("s_acctbal"), 2)).first().getDouble(0))
   }
 
+  test("orc round-trip preserves rows and values") {
+    val out = tmp("graft_orc")
+    val src = Tables.part(spark, sf)
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == src.count())
+    assert(back.agg(round(sum("p_retailprice"), 2)).first().getDouble(0)
+      == src.agg(round(sum("p_retailprice"), 2)).first().getDouble(0))
+  }
+
   test("partitioned parquet write prunes partitions at read") {
     val out = tmp("graft_part")
     Tables.orders(spark, sf)
