@@ -179,6 +179,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup clusters: connected components over the exact-Jaccard pair
+    * graph via iterative min-label propagation — the step that turns
+    * pairwise matches into dedup groups (keep min doc per cluster, drop
+    * the rest). Converges in O(diameter) rounds; each round is one join +
+    * partial-agg shuffle, the standard large-scale CC formulation. The
+    * oracle computes the same components by recursive transitive closure.
+    */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbors = edges
+        .join(labels, edges("doc_a") === labels("id"))
+        .select(col("doc_b").as("id"), col("label"))
+      val next = labels.select("id", "label").union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // converged when no label decreased this round
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val dupClustersSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS pa, b.doc_id AS pb
+      |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      |), edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+      |)
+      |SELECT src AS doc_id, min(dst) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document (token-frequency weighted), plus
@@ -246,11 +301,13 @@ object Dedup {
     "d_simhash" -> (simhash _),
     "d_ngram_jaccard" -> (ngramJaccard _),
     "d_setsim_join" -> (setsimJoin _),
+    "d_dup_clusters" -> (dupClusters _),
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
     "d_exact" -> exactSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_setsim_join" -> ngramJaccardSql, // same contract: equals brute force
+    "d_dup_clusters" -> dupClustersSql,
     "d_embed_dup" -> embedDupSql)
 }

@@ -45,6 +45,21 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
 
+  test("dup clusters: every paired doc gets a label, labels are component minima") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(labels.keySet == inPairs, "exactly the paired docs are labeled")
+    // both endpoints of every edge share a cluster
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b), s"pair ($a,$b) split") }
+    // a cluster's label is its smallest member
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("embedding near-dups are symmetric-free upper triangle with cosine in [0.4, 1]") {
     val rows = Dedup.embedDup(spark, sf).collect()
     assert(rows.nonEmpty)
