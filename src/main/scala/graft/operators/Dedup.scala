@@ -192,20 +192,23 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    var converged = false
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only ever decrease, so the label sum strictly decreases until
+    // the fixpoint — a one-aggregate convergence check, no join
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("label")).first().getLong(0)
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (curSum != prevSum && rounds < 50) {
       val viaNeighbors = edges
         .join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("label"))
       val next = labels.select("id", "label").union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // converged when no label decreased this round
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
+      prevSum = curSum
+      curSum = next.agg(sum("label")).first().getLong(0)
+      labels.unpersist()
       labels = next
-      converged = changed == 0
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
