@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,14 +14,30 @@ import graft.Tables
   * materialized result; the DuckDB oracle is the batch-equivalent SQL, so
   * the driver check proves stream/batch consistency — Spark's core
   * streaming guarantee. `sessionize` is the classic stateful operator,
-  * implemented as an explicit per-key state machine (the shape
-  * flatMapGroupsWithState takes on an unbounded stream) and checked
-  * against the gaps-and-islands SQL oracle.
+  * implemented as the declarative gaps-and-islands window plan (its
+  * true-streaming twin is [[sessionizeStream]], a flatMapGroupsWithState
+  * state machine) and checked against the same-shaped SQL oracle.
   */
 object EventStream {
 
-  /** Per-user open-session state for [[sessionizeStream]]. */
-  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  /** Per-user open-session state for [[sessionizeStream]]. `totalMicros`
+    * accumulates the session value in exact millionths (the long twin of
+    * a DECIMAL(18,6) sum), so totals are order-insensitive and agree with
+    * the batch/oracle decimal arithmetic bit-for-bit. */
+  case class SessionState(start: Long, end: Long, n: Long, totalMicros: Long)
+
+  /** Double → exact millionths with the same rounding Spark's
+    * cast(double as decimal(18,6)) applies (valueOf = shortest-repr,
+    * HALF_UP). */
+  private def valueMicros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).movePointRight(6).longValueExact()
+
+  /** Millionths → the rounded-to-cents double the queries emit, matching
+    * round(DECIMAL sum, 2) cast to double. */
+  private def microsToValue(m: Long): Double =
+    java.math.BigDecimal.valueOf(m, 6)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Raw parquet schema of events (ts read as nanos-long, converted after). */
   private val rawSchema = StructType(Seq(
@@ -43,7 +60,8 @@ object EventStream {
       .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_window_agg"
@@ -60,47 +78,41 @@ object EventStream {
 
   val windowAggSql: String =
     """SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
-      | event_type, count(*) AS n, round(sum(value),2) AS total_value
+      | event_type, count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
-  /** Session windows per user with a 30-minute inactivity gap, as an
-    * explicit per-key ordered state machine (groupByKey + flatMapGroups —
-    * the batch twin of flatMapGroupsWithState). Note this buffers and
-    * sorts one user's events in memory; for keys with unbounded history
-    * the scale-honest form is a secondary sort
-    * (repartitionAndSortWithinPartitions + run detection, as in
-    * graft.mapreduce.MapReduce) feeding the same fold. */
+  /** Session windows per user with a 30-minute inactivity gap, as the
+    * declarative gaps-and-islands plan: lag marks a break at every gap,
+    * a running sum of breaks numbers the sessions, one grouped aggregate
+    * closes them. This is a shuffle-sort window — it spills instead of
+    * buffering a whole user in memory, so a key with years of history is
+    * fine at scale — and it mirrors the SQL oracle structurally.
+    * `total_value` is summed as DECIMAL(18,6): exact integer arithmetic,
+    * order-insensitive, identical across engines regardless of partial-
+    * aggregation order. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
-    val session = s
-    import session.implicits._
     val gapMicros = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      .as[(Long, Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (userId, events) =>
-        val ordered = events.toSeq.sortBy(e => (e._3, e._2)) // (ts, event_id)
-        var sessionId = 0L
-        var lastTs = Long.MinValue
-        var start = 0L; var end = 0L; var n = 0L; var total = 0.0
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Double)]
-        def close(): Unit = if (n > 0) out += ((userId, sessionId, start, end, n, total))
-        ordered.foreach { case (_, _, ts, v) =>
-          if (lastTs == Long.MinValue || ts - lastTs > gapMicros) {
-            close(); sessionId += 1; start = ts; n = 0; total = 0.0
-          }
-          lastTs = ts; end = ts; n += 1; total += v
-        }
-        close()
-        out.iterator
-      }
-      .toDF("user_id", "session_id", "start_us", "end_us", "n_events", "total_raw")
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
       .select(col("user_id"), col("session_id"),
         date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
         date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
-        col("n_events"), round(col("total_raw"), 2).as("total_value"))
+        col("n_events"), col("total_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -126,31 +138,35 @@ object EventStream {
       .parquet(d)
       .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "1 minute")
-      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Double)]
 
     val sessions = events
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Long, Double)],
          state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
           var cur = state.getOption
-          // events within a micro-batch arrive unordered: sort by event time
-          batch.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, _, t, v) =>
+          // events within a micro-batch arrive unordered: sort by
+          // (event time, event_id) — the same total order the batch
+          // sessionizer and its oracle fold in
+          batch.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, _, t, _, v) =>
             cur match {
               case Some(st) if t - st.end > gapMicros =>
-                out += ((userId, st.start, st.end, st.n, st.total))
-                cur = Some(SessionState(t, t, 1, v))
+                out += ((userId, st.start, st.end, st.n, microsToValue(st.totalMicros)))
+                cur = Some(SessionState(t, t, 1, valueMicros(v)))
               case Some(st) =>
-                cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1, st.total + v))
+                cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1,
+                  st.totalMicros + valueMicros(v)))
               case None =>
-                cur = Some(SessionState(t, t, 1, v))
+                cur = Some(SessionState(t, t, 1, valueMicros(v)))
             }
           }
           if (state.hasTimedOut) {
-            cur.foreach(st => out += ((userId, st.start, st.end, st.n, st.total)))
+            cur.foreach(st => out += ((userId, st.start, st.end, st.n, microsToValue(st.totalMicros))))
             state.remove()
           } else {
             cur.foreach { st =>
@@ -160,7 +176,7 @@ object EventStream {
           }
           out.iterator
       }
-      .toDF("user_id", "start_us", "end_us", "n_events", "total_raw")
+      .toDF("user_id", "start_us", "end_us", "n_events", "total_value")
 
     val name = "graft_st_sessionize_stream"
     s.streams.active.find(_.name == name).foreach(_.stop())
@@ -175,7 +191,7 @@ object EventStream {
       .select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
         date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
-        col("n_events"), round(col("total_raw"), 2).as("total_value"))
+        col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
   }
 
@@ -188,14 +204,17 @@ object EventStream {
       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM ordered
       |), sess AS (
-      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  -- CAST: DuckDB's windowed sum yields HUGEINT, which pandas would
+      |  -- render as float ("1.0" vs "1") and fail the exact hash gate
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id,
       | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-      | count(*) AS n_events, round(sum(value),2) AS total_value
+      | count(*) AS n_events,
+      | CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
@@ -212,7 +231,8 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
     val name = "graft_st_dedup"
     s.streams.active.find(_.name == name).foreach(_.stop())
     val q = stream.writeStream
@@ -226,7 +246,8 @@ object EventStream {
   }
 
   val dedupStreamSql: String =
-    """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value FROM (
+    """SELECT event_type, count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS total_value FROM (
       |  SELECT DISTINCT ON (event_id) event_type, value FROM events ORDER BY event_id
       |)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -244,7 +265,8 @@ object EventStream {
       .parquet(d)
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
     val name = "graft_st_enrich"
     s.streams.active.find(_.name == name).foreach(_.stop())
     val q = stream.writeStream
@@ -258,7 +280,8 @@ object EventStream {
   }
 
   val enrichSql: String =
-    """SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value),2) AS total_value
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS total_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
