@@ -9,10 +9,9 @@ import graft.Tables
 /** Deduplication family for LLM training-data pipelines (SURVEY.md §2D).
   *
   * Scale posture: every near-dup operator is candidate-generation-by-
-  * hash-bucket (LSH bands / simhash chunks), i.e. a groupBy shuffle on a
-  * short key followed by within-bucket pair joins — never an O(n²) global
-  * cross join. The one exact-threshold query (`d_embed_dup`) is the
-  * verification twin of the LSH path in `Similarity`; see SURVEY.md §5.
+  * blocking (LSH bands / simhash chunks / centroid cells), i.e. a shuffle
+  * on a short key followed by within-block pair joins — never an O(n²)
+  * global cross join. See SURVEY.md §5.
   *
   * Thresholds are calibrated to the driver's synthetic corpus (the
   * generator plants ~25 near-dup pairs at 3-gram Jaccard ≥ 0.5; embeddings
@@ -268,21 +267,63 @@ object Dedup {
   // ------------------------------------------------------------ embedding
 
   /** Embedding near-dup pairs at cosine ≥ 0.4 (synthetic-data calibration;
-    * real corpora use ~0.95). Exact upper-triangle pair join — the
-    * verification twin of the LSH-bucketed path in
-    * [[Similarity.annLsh]]; at 100 TB only the LSH path runs. */
+    * real corpora use ~0.95) — exact, with NO cartesian product.
+    *
+    * Pivot-based metric blocking on the unit sphere: every vector is
+    * assigned to its angularly-nearest centroid cell; by the triangle
+    * inequality on geodesic angle, a cell pair (c₁,c₂) with radii r₁,r₂
+    * can contain a qualifying pair only if
+    * ang(c₁,c₂) − r₁ − r₂ ≤ acos(t). Candidates therefore come from an
+    * equi-join through the tiny admissible-cell-pair table and are
+    * verified exactly — zero false negatives by construction, so the
+    * brute-force SQL oracle is the contract at ANY scale, not a tuned
+    * coincidence. On clustered real-world embeddings radii are small and
+    * most cell pairs prune; on this deliberately-unclustered synthetic
+    * corpus pruning is weak, which costs time but never correctness. */
   def embedDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFns.{dot_product, l2_norm}
+    val t = 0.4
+    val numCells = 32
+    val acosT = math.acos(t)
+    val eps = 1e-6 // FP slack on the prune bound: borderline cells verify instead of pruning
+    def ang(cosine: Column): Column = acos(least(greatest(cosine, lit(-1.0)), lit(1.0)))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2_norm(col("v")))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    a.crossJoin(b)
+    val cents = e.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), col("v").as("c_v"), col("norm").as("c_norm"))
+    // nearest-centroid assignment: broadcast centroids, one corpus scan
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ang"), col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+        ang(dot_product(col("v"), col("c_v")) / (col("norm") * col("c_norm"))).as("ang"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "norm", "cell", "ang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val radii = assigned.groupBy("cell").agg(max("ang").as("r"))
+    // ordered admissible cell pairs (both directions + diagonal), so each
+    // unordered vector pair is emitted exactly once by the vec_a < vec_b
+    // filter below; all of this is O(numCells²) rows — broadcast-sized
+    val ca = cents.select(col("cell").as("cell_a"), col("c_v").as("va"), col("c_norm").as("na"))
+    val cb = cents.select(col("cell").as("cell_b"), col("c_v").as("vb"), col("c_norm").as("nb"))
+    val cellPairs = ca.crossJoin(cb)
+      .select(col("cell_a"), col("cell_b"),
+        ang(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))).as("cc"))
+      .join(radii.select(col("cell").as("cell_a"), col("r").as("r_a")), "cell_a")
+      .join(radii.select(col("cell").as("cell_b"), col("r").as("r_b")), "cell_b")
+      .filter(col("cc") - col("r_a") - col("r_b") <= acosT + eps)
+      .select("cell_a", "cell_b")
+    val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"),
+      col("v").as("v_a"), col("norm").as("n_a"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("v").as("v_b"), col("norm").as("n_b"))
+    a.join(broadcast(cellPairs), "cell_a")
+      .join(b, "cell_b")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= t)
       .orderBy("vec_a", "vec_b")
   }
 

@@ -69,4 +69,24 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.4 && c <= 1.0)
     }
   }
+
+  test("cell-blocked embedDup equals the brute-force cross join exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFns.{dot_product, l2_norm}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2_norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    val brute = a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Dedup.embedDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == brute,
+      s"missing: ${(brute -- blocked).take(3)}; extra: ${(blocked -- brute).take(3)}")
+  }
 }

@@ -38,4 +38,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
       "expected partial+final HashAggregate pair")
   }
+
+  test("d_embed_dup: no cartesian product — candidates flow through cell equi-joins") {
+    val p = plan(graft.operators.Dedup.embedDup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"embedDup must not materialize an O(n²) cartesian product:\n${p.take(800)}")
+  }
 }
