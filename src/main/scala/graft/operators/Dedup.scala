@@ -104,6 +104,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SQL twin of [[minhashLsh]]: every stage of the sketch is
+    * deterministic and SQL-expressible — djb2 base hash (recursive CTE,
+    * same as mr_partition_hist), the 128 affine permutations as literal
+    * coefficient arrays, banding as signature-slice equality. The Spark
+    * side joins on a 64-bit band hash rather than the slice itself;
+    * equal slices always hash equal, and unequal-slice hash collisions
+    * (~2⁻⁶⁴) are removed by the est_jaccard ≥ 0.3 filter, so the results
+    * coincide. */
+  val minhashLshSql: String = {
+    val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
+    val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
+    val bandEq = (1 to 4).map(j => s"a.sig[4*bd+$j] = b.sig[4*bd+$j]").mkString(" AND ")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), docsh AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM docs
+       |), shing AS (SELECT DISTINCT shingle FROM docsh
+       |), h AS (
+       |  SELECT shingle, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM shing
+       |  UNION ALL
+       |  SELECT shingle, i+1,
+       |    (hash*33 + ord(substr(shingle,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(shingle)
+       |), sh31 AS (
+       |  SELECT shingle, CAST(hash % 2147483648 AS BIGINT) AS h31
+       |  FROM h WHERE i = length(shingle)+1
+       |), perms AS (
+       |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
+       |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
+       |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
+       |), sigv AS (
+       |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
+       |  FROM docsh d JOIN sh31 s USING (shingle), perms pm
+       |  GROUP BY d.doc_id, pm.p
+       |), sigs AS (
+       |  SELECT doc_id, list(sv ORDER BY p) AS sig FROM sigv GROUP BY doc_id
+       |)
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_filter(generate_series(1, 128), i -> a.sig[i] = b.sig[i])) / 128.0, 6) AS est_jaccard,
+       |    len(list_filter(generate_series(0, 31), bd -> $bandEq)) AS nbands
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |)
+       |WHERE nbands > 0 AND est_jaccard >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Exact n-gram Jaccard dedup: LSH candidates (64 bands × 2 rows — miss
     * probability at j=0.5 is (1-0.25)^64 ≈ 1e-8, so the result equals the
     * brute-force oracle) verified by exact shingle-set intersection. */
@@ -264,6 +315,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SQL twin of [[simhash]]: djb2 → 64-bit wrapping avalanche multiply
+    * (HUGEINT split arithmetic to stay under int128) → per-bit ±1 votes
+    * weighted by token multiplicity → sign bits → brute-force hamming ≤ 3
+    * pairs. The Spark side's 16-bit chunk blocking is lossless for
+    * hamming ≤ 3 (pigeonhole: 4 chunks, at most 3 differing bits force
+    * one identical chunk), so the blocked result equals this brute
+    * force. */
+  val simhashSql: String = {
+    val avalanche = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val divs = (0 until 64).map(b => (BigInt(1) << b).toString).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE doctok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS token FROM documents
+       |), tokcnt AS (
+       |  SELECT doc_id, token, count(*) AS cnt FROM doctok GROUP BY doc_id, token
+       |), toks AS (SELECT DISTINCT token FROM doctok
+       |), h AS (
+       |  SELECT token, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM toks
+       |  UNION ALL
+       |  SELECT token, i+1,
+       |    (hash*33 + ord(substr(token,i,1))) % $m64
+       |  FROM h WHERE i <= length(token)
+       |), hm AS (
+       |  SELECT token,
+       |    ((((hash // 4294967296) * $avalanche) % $m64) * 4294967296
+       |      + (hash % 4294967296) * $avalanche) % $m64 AS hv
+       |  FROM h WHERE i = length(token)+1
+       |), bits AS (
+       |  SELECT token, list_transform($divs::HUGEINT[], dv ->
+       |    CASE WHEN (hv // dv) % 2 = 1 THEN 1 ELSE -1 END) AS tb
+       |  FROM hm
+       |), votes AS (
+       |  SELECT token, unnest(tb) AS v, unnest(generate_series(1, 64)) AS b FROM bits
+       |), acc AS (
+       |  SELECT t.doc_id, vo.b, sum(t.cnt * vo.v) AS acc
+       |  FROM tokcnt t JOIN votes vo USING (token)
+       |  GROUP BY t.doc_id, vo.b
+       |), dsim AS (
+       |  SELECT doc_id, list(CASE WHEN acc > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+       |  FROM acc GROUP BY doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM dsim a JOIN dsim b ON a.doc_id < b.doc_id
+       |)
+       |WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------------------ embedding
 
   /** Embedding near-dup pairs at cosine ≥ 0.4 (synthetic-data calibration;
@@ -350,6 +452,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_exact" -> exactSql,
+    "d_minhash_lsh" -> minhashLshSql,
+    "d_simhash" -> simhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_setsim_join" -> ngramJaccardSql, // same contract: equals brute force
     "d_dup_clusters" -> dupClustersSql,

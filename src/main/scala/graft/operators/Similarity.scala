@@ -131,6 +131,36 @@ object Similarity {
       .limit(10)
   }
 
+  /** SQL twin of [[annLsh]]: the hyperplanes are deterministic literals
+    * baked into both plans, so every vector's bucket is exactly
+    * computable in DuckDB (`list_inner_product` reproduces
+    * [[graft.functions.DotProduct]]'s left-to-right fold bit-for-bit),
+    * and the multiprobe result has an exact oracle. */
+  val annLshSql: String = {
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val flips = (0 +: (0 until NumPlanes).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), eb AS (
+       |  SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM e
+       |), q AS (SELECT bucket, v AS q_v, nrm AS q_nrm FROM eb WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT xor(q.bucket, f.flip) AS bucket, q.q_v, q.q_nrm
+       |  FROM q, (SELECT unnest($flips) AS flip) f
+       |)
+       |SELECT eb.vec_id, eb.bucket,
+       |  round(list_inner_product(eb.v, p.q_v) / (eb.nrm * p.q_nrm), 6) AS cosine
+       |FROM eb JOIN probes p USING (bucket)
+       |WHERE eb.vec_id <> 0
+       |ORDER BY cosine DESC, eb.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -236,6 +266,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s_ann_brute" -> annBruteSql,
     "s_knn_join" -> knnJoinSql,
+    "s_ann_lsh" -> annLshSql,
     "s_ann_ivf" -> annIvfSql,
     "s_centroids" -> centroidsSql)
 }
