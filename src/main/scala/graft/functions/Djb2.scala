@@ -57,11 +57,14 @@ case class Djb2Partition(child: Expression, numParts: Int) extends UnaryExpressi
 }
 
 object Djb2 {
-  /** Exact C semantics: bytes promoted as signed char, 64-bit wraparound. */
+  /** Exact C semantics: bytes promoted as signed char, 64-bit wraparound,
+    * and — like the reference's `while ((c = *key++))` — the hash stops at
+    * the first NUL byte, so keys with embedded NULs partition identically
+    * to the C library. */
   def hash(bytes: Array[Byte]): Long = {
     var h = 5381L
     var i = 0
-    while (i < bytes.length) {
+    while (i < bytes.length && bytes(i) != 0) {
       h = (h << 5) + h + bytes(i) // h*33 + c, signed-char promotion like C
       i += 1
     }

@@ -44,8 +44,9 @@ object MapReduce {
     * by key into `numParts` djb2 partitions, group each partition's pairs
     * by key, and fold each key's values with `reducer`.
     *
-    * NULL and empty-string keys are dropped, matching `MR_Emit`
-    * (mapreduce.c:204-206).
+    * NULL keys, empty-string keys, AND null values are all dropped,
+    * matching `MR_Emit` exactly (mapreduce.c:205: `key == NULL ||
+    * value == NULL || strlen(key) == 0`).
     */
   def run[T, K: ClassTag: Ordering, V: ClassTag, O: ClassTag](
       input: RDD[T],
@@ -54,7 +55,7 @@ object MapReduce {
       numParts: Int): RDD[O] = {
     val emitted = input
       .flatMap(mapper)
-      .filter { case (k, _) => k != null && k != "" }
+      .filter { case (k, v) => k != null && k != "" && v != null }
     emitted
       .repartitionAndSortWithinPartitions(new Djb2Partitioner(numParts))
       .mapPartitions { pairs =>
@@ -74,7 +75,7 @@ object MapReduce {
       numParts: Int): RDD[(K, V)] =
     input
       .flatMap(mapper)
-      .filter { case (k, _) => k != null && k != "" }
+      .filter { case (k, v) => k != null && k != "" && v != null }
       .reduceByKey(new Djb2Partitioner(numParts), merge)
 
   /** MR_Run with secondary sort: within each key, `reducer` sees values
@@ -88,7 +89,7 @@ object MapReduce {
       numParts: Int): RDD[O] = {
     val emitted = input
       .flatMap(mapper)
-      .filter { case (k, _) => k != null && k != "" }
+      .filter { case (k, sv) => k != null && k != "" && sv != null && sv._2 != null }
       .map { case (k, (s, v)) => ((k, s), v) }
     val partitioner = new Partitioner {
       private val inner = new Djb2Partitioner(numParts)

@@ -19,6 +19,11 @@ class MapReduceSpec extends SparkSpec {
     assert(p == java.lang.Long.remainderUnsigned(Djb2.hash(longKey), 10L).toInt)
   }
 
+  test("djb2 stops at the first NUL byte, like the C reference's while((c=*key++))") {
+    assert(Djb2.hash("a\u0000b".getBytes("UTF-8")) == Djb2.hash("a".getBytes("UTF-8")))
+    assert(Djb2.hash("\u0000anything".getBytes("UTF-8")) == 5381L)
+  }
+
   test("djb2 expression (codegen) agrees with the Scala implementation") {
     import spark.implicits._
     val words = Seq("spark", "join", "a", "windowwindowwindow").toDF("w")
@@ -83,6 +88,25 @@ class MapReduceSpec extends SparkSpec {
       numParts = 8).collect().toMap
     val expected = orders.rdd.map { case (c, o, _) => (c, o) }.reduceByKey(math.min).collect().toMap
     assert(firsts == expected)
+  }
+
+  test("null values are dropped like MR_Emit (mapreduce.c:205)") {
+    val input = spark.sparkContext.parallelize(Seq("a", "b", "a"))
+    // mapper emits one real and one null-valued pair per record, plus
+    // null/empty keys — only the real pairs may reach the reducer
+    val out = MapReduce.run[String, String, String, (String, Long)](
+      input,
+      mapper = k => Iterator((k, "1"), (k, null), (null, "1"), ("", "1")),
+      reducer = (k, vs) => (k, vs.size.toLong),
+      numParts = 4).collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+    val combined = MapReduce.runCombined[String, String, java.lang.Long](
+      input,
+      mapper = k => Iterator((k, java.lang.Long.valueOf(1L)), (k, null)),
+      merge = (a, b) => a + b,
+      numParts = 4)
+    assert(combined.collect().map { case (k, v) => (k, v.longValue) }.toMap
+      == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("mr queries all return rows") {
