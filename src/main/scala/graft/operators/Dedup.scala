@@ -203,14 +203,15 @@ object Dedup {
     val sh = withShingles(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("f"))
-    // per doc: shingles sorted rare-first, keep the prefix
-    val prefixes = tokens.join(freq, "shingle")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("f"), col("shingle")))).as("fs"))
-      .select(col("doc_id"), size(col("fs")).as("n"),
-        expr(s"slice(transform(fs, x -> x.shingle), 1, size(fs) - CAST(ceil($t * size(fs)) AS INT) + 1)")
-          .as("prefix"))
-    val pe = prefixes.select(col("doc_id"), col("n"), explode(col("prefix")).as("shingle"))
+    // per doc: rank shingles rare-first with a window and keep rank ≤
+    // prefix length — no per-doc collect_list + array sort, just one
+    // shuffle-sort by doc that spills instead of buffering
+    val wDoc = Window.partitionBy("doc_id")
+    val pe = tokens.join(freq, "shingle")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rnk", row_number().over(wDoc.orderBy("f", "shingle")))
+      .filter(col("rnk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
+      .select(col("doc_id"), col("n"), col("shingle"))
     val a = pe.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = pe.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("n_b"))
     val cands = a.join(b, "shingle")
@@ -229,41 +230,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Near-dup clusters: connected components over the exact-Jaccard pair
-    * graph via iterative min-label propagation — the step that turns
-    * pairwise matches into dedup groups (keep min doc per cluster, drop
-    * the rest). Converges in O(diameter) rounds; each round is one join +
-    * partial-agg shuffle, the standard large-scale CC formulation. The
-    * oracle computes the same components by recursive transitive closure.
-    */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Connected components over an undirected pair graph by min-label
+    * propagation accelerated with pointer jumping: each round (a) pushes
+    * labels across edges, (b) replaces every label with its label's own
+    * label. Step (b) halves chain depth, so a diameter-D graph converges
+    * in O(log D) rounds instead of O(D) — a 200-hop path closes in ~9
+    * rounds (see DedupSpec). Each round is two equi-join + partial-agg
+    * shuffles; `localCheckpoint` every 5 rounds truncates the otherwise
+    * unboundedly-growing lineage. Labels only ever decrease, so the label
+    * sum strictly decreases until the fixpoint — a one-aggregate
+    * convergence probe, no join. Hitting the round cap without converging
+    * throws (silently-split clusters would be a wrong answer). */
+  private[graft] def connectedComponents(pairsDf: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cols = pairsDf.columns
+    val pairs = pairsDf.select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
+      .persist(mem)
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only ever decrease, so the label sum strictly decreases until
-    // the fixpoint — a one-aggregate convergence check, no join
+      .persist(mem)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("label")).first().getLong(0)
+    var curSum = labelSum(labels)
     var rounds = 0
-    while (curSum != prevSum && rounds < 50) {
+    while (curSum != prevSum && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("label"))
-      val next = labels.select("id", "label").union(viaNeighbors)
+      val prop = labels.select("id", "label").union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: a label is always a live node id, so its own
+      // (smaller-or-equal) label is a valid label for us too. Skipped for
+      // the first rounds — near-dup graphs usually converge in 2-3 rounds
+      // and the extra join would be pure overhead; a graph still moving
+      // by round 4 has real depth and gets the O(log D) acceleration.
+      val jumped =
+        if (rounds < 3) prop
+        else prop.join(
+            prop.select(col("id").as("label"), col("label").as("jlabel")), "label")
+          .select(col("id"), col("jlabel").as("label"))
+      val next =
+        if ((rounds + 1) % 5 == 0) jumped.localCheckpoint()
+        else jumped.persist(mem)
       prevSum = curSum
-      curSum = next.agg(sum("label")).first().getLong(0)
+      curSum = labelSum(next)
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(graph diameter too large for the cap) — refusing to return split clusters")
+    labels
   }
+
+  /** Near-dup clusters: connected components over the exact-Jaccard pair
+    * graph — the step that turns pairwise matches into dedup groups (keep
+    * min doc per cluster, drop the rest). The oracle computes the same
+    * components by recursive transitive closure. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ngramJaccard(s, d).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
 
   val dupClustersSql: String =
     """WITH RECURSIVE docs AS (

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components closes a 200-node path graph (pointer jumping beats O(diameter))") {
+    import spark.implicits._
+    // worst-case diameter: a single chain 0-1-2-...-199
+    val path = (0 until 199).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(path, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "every node must reach the chain minimum")
+  }
+
+  test("connected components refuses to return split clusters at the round cap") {
+    import spark.implicits._
+    val path = (0 until 199).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("embedding near-dups are symmetric-free upper triangle with cosine in [0.4, 1]") {
     val rows = Dedup.embedDup(spark, sf).collect()
     assert(rows.nonEmpty)
