@@ -25,19 +25,27 @@ object Bench {
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must surface as -1, not masquerade as a fast run
-      val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
-      name -> secs
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failures carry -1 per query; the headline total sums successes only
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def timeAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a failed query must surface as -1, not masquerade as a fast run
+        val secs =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        name -> secs
+      }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // first pass = what a driver run pays (cold caches, codegen); second
+    // pass = steady state, so r-over-r regressions are attributable to
+    // plans rather than warm-up noise
+    val cold = timeAll()
+    val steady = timeAll()
+    // failures carry -1 per query; the headline totals sum successes only
+    val total = cold.map(_._2).filter(_ >= 0).sum
+    val steadyTotal = steady.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(cold)},""" +
+      s""""value_steady":$steadyTotal,"queries_steady":${toJson(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
