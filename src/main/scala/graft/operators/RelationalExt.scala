@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -178,7 +179,61 @@ object RelationalExt {
       |)
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** As-of join — each event joined to the same customer's most recent
+    * order at-or-before the event time. Spark has no native ASOF JOIN;
+    * the scale-honest formulation is a single union + running-window max
+    * (one shuffle-sort per key, no range-join pair explosion): orders and
+    * events interleave in one time-ordered stream per customer, a running
+    * `max(order ts)` carries the latest order forward, and a final
+    * equi-join on (customer, order ts) recovers the order key. Date ties
+    * between orders resolve to the max o_orderkey — deterministic. */
+  def q26Asof(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    // one row per (customer, order ts); max orderkey breaks same-day ties
+    val om = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ots"))
+      .agg(max("o_orderkey").as("okey"))
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val u = om.select(col("user_id"), col("ots").as("ts"), lit(0).as("kind"),
+        col("ots"), lit(null).cast("long").as("event_id"))
+      .unionByName(ev.select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("timestamp").as("ots"), col("event_id")))
+    // kind orders before events at equal ts: "at-or-before" is inclusive
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("last_ots", max(when(col("kind") === 0, col("ots"))).over(w))
+      .filter(col("kind") === 1 && col("last_ots").isNotNull)
+      .join(om.withColumnRenamed("ots", "last_ots"), Seq("user_id", "last_ots"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("event_ts"),
+        col("okey").as("o_orderkey"),
+        date_format(col("last_ots"), fmt).as("order_ts"))
+      .orderBy("event_id")
+  }
+
+  val q26Sql: String =
+    """WITH om AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+      |         max(o_orderkey) AS okey
+      |  FROM orders GROUP BY 1, 2
+      |), u AS (
+      |  SELECT user_id, ots AS ts, 0 AS kind, ots, CAST(NULL AS BIGINT) AS event_id FROM om
+      |  UNION ALL
+      |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL, event_id FROM events
+      |), w AS (
+      |  SELECT *, max(CASE WHEN kind = 0 THEN ots END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, kind
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ots
+      |  FROM u
+      |)
+      |SELECT w.event_id, w.user_id, strftime(w.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+      |  om.okey AS o_orderkey, strftime(w.last_ots, '%Y-%m-%d %H:%M:%S') AS order_ts
+      |FROM w JOIN om ON w.user_id = om.user_id AND w.last_ots = om.ots
+      |WHERE w.kind = 1
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_asof" -> (q26Asof _),
     "q25_topk_agg" -> (q25TopkAgg _),
     "q23_lag_lead" -> (q23LagLead _),
     "q24_range_join" -> (q24RangeJoin _),
@@ -191,6 +246,7 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q26_asof" -> q26Sql,
     "q25_topk_agg" -> q25Sql,
     "q23_lag_lead" -> q23Sql,
     "q24_range_join" -> q24Sql,

@@ -244,7 +244,52 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Keyword extraction: top-3 terms per document by TF-IDF. Uses the
+    * ratio idf variant (tf · N / df, no logarithm): tf, N and df are
+    * exact integers and one IEEE division is correctly rounded, so Spark
+    * and DuckDB produce bit-identical scores — `ln` is only guaranteed
+    * within 1 ulp across libm implementations and could flip a rounded
+    * rank. Two-level aggregation (per-doc tf, corpus df) + windowed
+    * top-k; at scale df is a broadcast-sized vocabulary table. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(trim(col("text")), "[ \t\n\r]+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n = toks.select(count_distinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("n") / col("df"), 6).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfSql: String =
+    """WITH doctok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r]+')) AS term
+      |  FROM documents
+      |), tok AS (SELECT doc_id, term FROM doctok WHERE term <> ''
+      |), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tok
+      |), ranked AS (
+      |  SELECT tf.doc_id, tf.term, round(tf.tf * n.n / df.df, 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(tf.tf * n.n / df.df, 6) DESC, tf.term) AS rnk
+      |  FROM tf JOIN df USING (term), n
+      |)
+      |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_tfidf" -> (tfidf _),
     "t_chunk" -> (chunk _),
     "t_contentfilter" -> (contentFilter _),
     "t_ngram_freq" -> (ngramFreq _),
@@ -254,6 +299,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_tfidf" -> tfidfSql,
     "t_chunk" -> chunkSql,
     "t_contentfilter" -> contentFilterSql,
     "t_ngram_freq" -> ngramFreqSql,

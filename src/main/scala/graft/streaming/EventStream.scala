@@ -286,15 +286,68 @@ object EventStream {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Stream-stream event-time interval join: clicks joined to the same
+    * user's purchases within the following 30 minutes. Both sides are
+    * real streams with watermarks bounding the join state — the canonical
+    * attribution join; at scale the watermark is what keeps per-key state
+    * finite. Inner interval joins emit complete results, so the batch
+    * range-join oracle is exact. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = "graft_st_stream_join"
+    s.streams.active.find(_.name == name).foreach(_.stop())
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        date_format(col("click_ts"), fmt).as("click_ts"),
+        date_format(col("purchase_ts"), fmt).as("purchase_ts"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val streamJoinSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      | strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts,
+      | strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
     "st_sessionize" -> (sessionize _),
+    "st_stream_join" -> (streamJoin _),
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
     "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
+    "st_stream_join" -> streamJoinSql,
     "st_dedup" -> dedupStreamSql)
 }

@@ -33,6 +33,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join: every pair is a same-user purchase within 30min of the click") {
+    val rows = graft.streaming.EventStream.streamJoin(spark, sf).collect()
+    assert(rows.nonEmpty, "expected some click→purchase attributions")
+    val pairs = rows.map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+    assert(pairs.distinct.length == pairs.length, "duplicate attribution pairs")
+    rows.foreach { r =>
+      val c = r.getAs[String]("click_ts"); val p = r.getAs[String]("purchase_ts")
+      assert(c <= p, s"purchase before click: $r")
+    }
+  }
+
   test("streaming window agg equals the batch computation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.windowAgg(spark, sf).collect()

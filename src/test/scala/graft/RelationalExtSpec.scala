@@ -12,6 +12,36 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: matched order is at-or-before the event, and is the latest such") {
+    val rows = RelationalExt.q26Asof(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every matched order ts <= event ts
+    rows.foreach { r =>
+      assert(r.getAs[String]("order_ts") <= r.getAs[String]("event_ts"),
+        s"order after event: $r")
+    }
+    // cross-check one user against a brute-force range join
+    val uid = rows.head.getAs[Long]("user_id")
+    import org.apache.spark.sql.functions._
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    // formatted strings compare lexically == chronologically
+    val orders = Tables.orders(spark, sf)
+      .filter(col("o_custkey") === uid)
+      .select(date_format(col("o_orderdate"), fmt).as("ots"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(col("event_id"), date_format(col("ts"), fmt).as("ets")).collect()
+      .flatMap { r =>
+        val cand = orders.filter(_._1 <= r.getString(1))
+        if (cand.isEmpty) None
+        else Some(r.getLong(0) -> cand.max._2)
+      }.toMap
+    val got = rows.filter(_.getAs[Long]("user_id") == uid)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("o_orderkey")).toMap
+    assert(got == expected, "as-of result differs from brute force for sampled user")
+  }
+
   test("approx sketches are within tolerance of exact values") {
     val approx = RelationalExt.q21Approx(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median_price")))
