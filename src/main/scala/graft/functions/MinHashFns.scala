@@ -106,6 +106,22 @@ object MinHashImpl {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Per-element 64-bit hash of a shingle array: djb2 → avalanche
+    * multiply. One generated call per document; the shuffle then carries
+    * 8-byte longs instead of ~25-char strings through candidate
+    * generation (see Dedup.setsimJoin). */
+  def wordHashes(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = shingles.getUTF8String(i)
+      out(i) = (if (u == null) 5381L else Djb2.hash(u.getBytes)) * 0x9E3779B97F4A7C15L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fraction of equal signature positions — the MinHash Jaccard estimate.
     * Compares over the common prefix so short/mismatched arrays degrade
     * rather than index out of bounds. */
@@ -201,6 +217,18 @@ case class BandHashes(child: Expression, bandRows: Int) extends UnaryExpression 
   override def prettyName: String = "band_hashes"
 }
 
+/** array<string> shingles → array<long> per-element 64-bit hashes. */
+case class WordHashes(child: Expression) extends UnaryExpression with ArrayInputCheck {
+  override def expectedElement: DataType = StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.wordHashes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashImpl.wordHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordHashes = copy(child = newChild)
+  override def prettyName: String = "word_hashes"
+}
+
 /** array<string> tokens → 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression with ArrayInputCheck {
   override def expectedElement: DataType = StringType
@@ -219,6 +247,7 @@ object MinHashFns {
   def minhash_sig(c: Column): Column = ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
   def band_hashes(c: Column, bandRows: Int): Column =
     ColumnBridge.column(BandHashes(ColumnBridge.expression(c), bandRows))
+  def word_hashes(c: Column): Column = ColumnBridge.column(WordHashes(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def est_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(EstJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))

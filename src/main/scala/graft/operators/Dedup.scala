@@ -198,34 +198,44 @@ object Dedup {
     * that one the constant-work-per-doc variant. */
   def setsimJoin(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
+    // the whole pipeline runs on 64-bit shingle hashes (word_hashes,
+    // native expr): candidate generation and verify shuffle 8-byte longs
+    // instead of ~25-char strings. AllPairs only needs SOME consistent
+    // global order, so rare-first on (hash frequency, hash) is as valid
+    // as on strings; a 64-bit collision (P < 1e-9 on any real vocabulary)
+    // could only perturb the Jaccard value — and the spec cross-checks
+    // this result for exact equality against the string-exact LSH path
+    // and the brute-force oracle on every run.
     // three consumers (token explode + both verify sides) — persist, or the
     // scan+shingle chain recomputes per consumer (measured 4x on signatures)
-    val sh = withShingles(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tokens = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("f"))
-    // per doc: rank shingles rare-first with a window and keep rank ≤
+    val sh = withShingles(s, d)
+      .select(col("doc_id"), graft.functions.MinHashFns.word_hashes(col("sh")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = tokens.groupBy("h").agg(count(lit(1)).as("f"))
+    // per doc: rank hashes rare-first with a window and keep rank ≤
     // prefix length — no per-doc collect_list + array sort, just one
     // shuffle-sort by doc that spills instead of buffering
     val wDoc = Window.partitionBy("doc_id")
-    val pe = tokens.join(freq, "shingle")
+    val pe = tokens.join(freq, "h")
       .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("rnk", row_number().over(wDoc.orderBy("f", "shingle")))
+      .withColumn("rnk", row_number().over(wDoc.orderBy("f", "h")))
       .filter(col("rnk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
-      .select(col("doc_id"), col("n"), col("shingle"))
-    val a = pe.select(col("shingle"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = pe.select(col("shingle"), col("doc_id").as("doc_b"), col("n").as("n_b"))
-    val cands = a.join(b, "shingle")
+      .select(col("doc_id"), col("n"), col("h"))
+    val a = pe.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = pe.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val cands = a.join(b, "h")
       .filter(col("doc_a") < col("doc_b"))
       // length filter: t·|A| ≤ |B| ≤ |A|/t
       .filter(col("n_b") >= col("n_a") * t && col("n_b") <= col("n_a") / t)
       .select("doc_a", "doc_b")
       .distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+          / size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
   }
