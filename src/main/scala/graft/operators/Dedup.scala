@@ -356,6 +356,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-dataset contamination check — the decontamination pass every
+    * LLM training pipeline runs before trusting an eval set: find eval
+    * documents that are near-duplicates (3-gram Jaccard ≥ 0.5) of any
+    * training document. The synthetic corpus splits by doc_id parity
+    * (even = train, odd = eval). Candidates come from the same 64×2 LSH
+    * banding as [[ngramJaccard]] (miss probability ≈ 1e-8 at j = 0.5, so
+    * the result equals the brute-force cross join the oracle runs),
+    * restricted to cross-split pairs before the exact verify. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = 2)
+      .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(shA, "doc_a").join(shB, "doc_b")
+      .select(
+        when(pmod(col("doc_a"), lit(2)) === 0, col("doc_a")).otherwise(col("doc_b")).as("train_doc"),
+        when(pmod(col("doc_a"), lit(2)) === 1, col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("eval_doc", "train_doc")
+  }
+
+  val contaminationSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |)
+      |SELECT CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id ELSE b.doc_id END AS train_doc,
+      |  CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS eval_doc,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id AND a.doc_id % 2 <> b.doc_id % 2
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      |ORDER BY eval_doc, train_doc""".stripMargin
+
   /** SQL twin of [[simhash]]: djb2 → 64-bit wrapping avalanche multiply
     * (HUGEINT split arithmetic to stay under int128) → per-bit ±1 votes
     * weighted by token multiplicity → sign bits → brute-force hamming ≤ 3
@@ -487,6 +528,7 @@ object Dedup {
     "d_minhash_lsh" -> (minhashLsh _),
     "d_simhash" -> (simhash _),
     "d_ngram_jaccard" -> (ngramJaccard _),
+    "d_contamination" -> (contamination _),
     "d_setsim_join" -> (setsimJoin _),
     "d_dup_clusters" -> (dupClusters _),
     "d_embed_dup" -> (embedDup _))
@@ -496,6 +538,7 @@ object Dedup {
     "d_minhash_lsh" -> minhashLshSql,
     "d_simhash" -> simhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_contamination" -> contaminationSql,
     "d_setsim_join" -> ngramJaccardSql, // same contract: equals brute force
     "d_dup_clusters" -> dupClustersSql,
     "d_embed_dup" -> embedDupSql)

@@ -43,9 +43,51 @@ object Pipeline {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Deterministic mixture sampling — training-mix construction: tier
+    * every document by length, then keep a per-tier fraction selected by
+    * a stable hash of the doc id (djb2, the engine's own partitioner
+    * hash), so the sample is reproducible across runs and engines with
+    * no RNG state to coordinate: short 25%, mid 50%, long 100%. At scale
+    * this is a pure map-side filter — no shuffle at all. */
+  def mix(s: SparkSession, d: String): DataFrame = {
+    val tier = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 350, "mid")
+      .otherwise("long")
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), tier.as("tier"))
+      .withColumn("bucket",
+        graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 100))
+      .filter(col("bucket") <
+        when(col("tier") === "short", 25).when(col("tier") === "mid", 50).otherwise(100))
+      .select("doc_id", "tier", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val mixSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
+      |    CASE WHEN length(text) < 200 THEN 'short'
+      |         WHEN length(text) < 350 THEN 'mid' ELSE 'long' END AS tier
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, tier, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, tier, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, tier, CAST(hash % 100 AS INT) AS bucket
+      |  FROM h WHERE i = length(key)+1
+      |)
+      |SELECT doc_id, tier, bucket FROM b
+      |WHERE bucket < CASE tier WHEN 'short' THEN 25 WHEN 'mid' THEN 50 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p_curate" -> (curate _))
+    "p_curate" -> (curate _),
+    "p_mix" -> (mix _))
 
   val oracles: Map[String, String] = Map(
-    "p_curate" -> curateSql)
+    "p_curate" -> curateSql,
+    "p_mix" -> mixSql)
 }
