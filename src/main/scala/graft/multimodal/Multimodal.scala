@@ -97,6 +97,29 @@ object Multimodal {
     (id, width, height, norm)
   }
 
+  /** SQL twin of [[featureExtract]]: the fake decode is a deterministic
+    * byte histogram (ASCII corpus: chars == bytes) whose L2 norm sums
+    * exact integers — and IEEE sqrt is correctly rounded — so even the
+    * stubbed model call has a bit-exact oracle. When a real codec
+    * replaces `fakeDecode`, this oracle is dropped and the query falls
+    * back to the rows-only check. */
+  val featureExtractSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
+      |), hist AS (
+      |  SELECT doc_id, ord(substr(text, i, 1)) % 8 AS bin, count(*) AS h
+      |  FROM chars GROUP BY 1, 2
+      |), nrm AS (
+      |  SELECT doc_id, round(sqrt(sum(CAST(h AS DOUBLE) * h)), 6) AS feat_norm
+      |  FROM hist GROUP BY doc_id
+      |)
+      |SELECT d.doc_id AS asset_id,
+      |  16 * (1 + (ord(substr(d.text, 1, 1)) % 64)) AS width,
+      |  16 * (1 + ((CASE WHEN length(d.text) > 1 THEN ord(substr(d.text, 2, 1)) ELSE 0 END) % 64)) AS height,
+      |  coalesce(n.feat_norm, 0.0) AS feat_norm
+      |FROM documents d LEFT JOIN nrm n ON d.doc_id = n.doc_id
+      |ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> (binaryMeta _),
     "m_frame_sample" -> (frameSample _),
@@ -104,5 +127,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> binaryMetaSql,
-    "m_frame_sample" -> frameSampleSql)
+    "m_frame_sample" -> frameSampleSql,
+    "m_feature_extract" -> featureExtractSql)
 }
