@@ -57,22 +57,38 @@ case class Djb2Partition(child: Expression, numParts: Int) extends UnaryExpressi
 }
 
 object Djb2 {
-  /** Exact C semantics: bytes promoted as signed char, 64-bit wraparound,
-    * and — like the reference's `while ((c = *key++))` — the hash stops at
-    * the first NUL byte, so keys with embedded NULs partition identically
-    * to the C library. */
+  /** djb2 over ALL bytes (signed-char promotion, 64-bit wraparound) —
+    * the sketch/base-hash variant. The minhash/simhash/p_mix SQL oracles
+    * recompute exactly this (every character, recursive CTE), so this
+    * function must NOT stop early. For the C partitioner's
+    * `while ((c = *key++))` semantics see [[hashC]]. */
   def hash(bytes: Array[Byte]): Long = {
     var h = 5381L
     var i = 0
-    while (i < bytes.length && bytes(i) != 0) {
+    while (i < bytes.length) {
       h = (h << 5) + h + bytes(i) // h*33 + c, signed-char promotion like C
       i += 1
     }
     h
   }
 
+  /** Exact C-string semantics: like the reference's `while ((c = *key++))`
+    * the hash stops at the first NUL byte — keys with embedded NULs
+    * partition identically to the C library. Used only on the MapReduce
+    * parity surface ([[partition]]); NUL-free keys hash identically to
+    * [[hash]]. */
+  def hashC(bytes: Array[Byte]): Long = {
+    var h = 5381L
+    var i = 0
+    while (i < bytes.length && bytes(i) != 0) {
+      h = (h << 5) + h + bytes(i)
+      i += 1
+    }
+    h
+  }
+
   def partition(bytes: Array[Byte], numParts: Int): Int =
-    java.lang.Long.remainderUnsigned(hash(bytes), numParts.toLong).toInt
+    java.lang.Long.remainderUnsigned(hashC(bytes), numParts.toLong).toInt
 
   /** Raw 64-bit djb2 hash of a string column. */
   def djb2_hash(c: Column): Column =

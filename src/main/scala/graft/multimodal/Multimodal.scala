@@ -114,7 +114,8 @@ object Multimodal {
       |  FROM hist GROUP BY doc_id
       |)
       |SELECT d.doc_id AS asset_id,
-      |  16 * (1 + (ord(substr(d.text, 1, 1)) % 64)) AS width,
+      |  -- DuckDB ord('') is -1, not 0: guard both byte reads like fakeDecode's headOption
+      |  16 * (1 + ((CASE WHEN length(d.text) > 0 THEN ord(substr(d.text, 1, 1)) ELSE 0 END) % 64)) AS width,
       |  16 * (1 + ((CASE WHEN length(d.text) > 1 THEN ord(substr(d.text, 2, 1)) ELSE 0 END) % 64)) AS height,
       |  coalesce(n.feat_norm, 0.0) AS feat_norm
       |FROM documents d LEFT JOIN nrm n ON d.doc_id = n.doc_id

@@ -257,15 +257,18 @@ object Dedup {
     val pairs = pairsDf.select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
       .persist(mem)
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    // DECIMAL(38,0) sum: a Long sum of 64-bit labels over billions of
+    // nodes can wrap and fake (or mask) convergence; decimal can't
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist(mem)
-    var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (curSum != prevSum && rounds < maxRounds) {
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("label"))
@@ -284,13 +287,14 @@ object Dedup {
       val next =
         if ((rounds + 1) % 5 == 0) jumped.localCheckpoint()
         else jumped.persist(mem)
-      prevSum = curSum
-      curSum = labelSum(next)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    if (curSum != prevSum)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           "(graph diameter too large for the cap) — refusing to return split clusters")
@@ -491,11 +495,15 @@ object Dedup {
     // filter below; all of this is O(numCells²) rows — broadcast-sized
     val ca = cents.select(col("cell").as("cell_a"), col("c_v").as("va"), col("c_norm").as("na"))
     val cb = cents.select(col("cell").as("cell_b"), col("c_v").as("vb"), col("c_norm").as("nb"))
-    val cellPairs = ca.crossJoin(cb)
+    // explicit broadcasts: the ≤numCells-row sides derive from a full
+    // scan + filter, whose size ESTIMATE exceeds the auto-broadcast
+    // threshold at larger SFs — without hints this 32×32 cross would
+    // plan as a CartesianProduct
+    val cellPairs = ca.crossJoin(broadcast(cb))
       .select(col("cell_a"), col("cell_b"),
         ang(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))).as("cc"))
-      .join(radii.select(col("cell").as("cell_a"), col("r").as("r_a")), "cell_a")
-      .join(radii.select(col("cell").as("cell_b"), col("r").as("r_b")), "cell_b")
+      .join(broadcast(radii.select(col("cell").as("cell_a"), col("r").as("r_a"))), "cell_a")
+      .join(broadcast(radii.select(col("cell").as("cell_b"), col("r").as("r_b"))), "cell_b")
       .filter(col("cc") - col("r_a") - col("r_b") <= acosT + eps)
       .select("cell_a", "cell_b")
     val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"),

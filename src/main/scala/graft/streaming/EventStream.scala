@@ -21,23 +21,47 @@ import graft.Tables
 object EventStream {
 
   /** Per-user open-session state for [[sessionizeStream]]. `totalMicros`
-    * accumulates the session value in exact millionths (the long twin of
-    * a DECIMAL(18,6) sum), so totals are order-insensitive and agree with
-    * the batch/oracle decimal arithmetic bit-for-bit. */
+    * accumulates the session value in exact micros (the long twin of
+    * [[moneySum]]'s integer arithmetic), so totals are order-insensitive
+    * and agree with the batch/oracle arithmetic bit-for-bit. */
   case class SessionState(start: Long, end: Long, n: Long, totalMicros: Long)
 
-  /** Double → exact millionths with the same rounding Spark's
-    * cast(double as decimal(18,6)) applies (valueOf = shortest-repr,
-    * HALF_UP). */
-  private def valueMicros(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).movePointRight(6).longValueExact()
+  /** Exact cross-engine money sum rounded to cents: per-event micros via
+    * round(value·10⁶) — the IEEE multiply and integer rounding agree
+    * bit-for-bit across engines, unlike double→DECIMAL casts, which
+    * Spark derives from the SHORTEST decimal representation and DuckDB
+    * from the exact binary value (they differ for inputs near a
+    * half-micro boundary) — then integer half-away-from-zero cents and
+    * one exact final division by 100. */
+  private def moneySum(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = sum(round(value * lit(1000000L)).cast("decimal(28,0)"))
+    val cents = when(s >= 0, floor((s + lit(5000)) / lit(10000)))
+      .otherwise(-floor((-s + lit(5000)) / lit(10000)))
+    cents.cast("double") / lit(100.0)
+  }
 
-  /** Millionths → the rounded-to-cents double the queries emit, matching
-    * round(DECIMAL sum, 2) cast to double. */
-  private def microsToValue(m: Long): Double =
-    java.math.BigDecimal.valueOf(m, 6)
-      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** SQL twin of [[moneySum]] over a column named `expr`. */
+  private def moneySumSql(expr: String): String = {
+    val s = s"sum(CAST(round(($expr) * 1000000) AS BIGINT))"
+    s"CAST(CASE WHEN $s >= 0 THEN ($s + 5000) // 10000 " +
+      s"ELSE -((-$s + 5000) // 10000) END AS DOUBLE) / 100.0"
+  }
+
+  /** Double → exact micros, matching Spark's round(value·10⁶) (HALF_UP
+    * on the shortest representation — identical to DuckDB's binary-value
+    * rounding at integer scale, where the only boundary cases are exact
+    * .5 values, which are binary-representable and round away-from-zero
+    * in both). */
+  private def valueMicros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1000000L)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Micros → the rounded-to-cents double the queries emit, matching
+    * [[moneySum]]'s integer arithmetic. */
+  private def microsToValue(m: Long): Double = {
+    val cents = if (m >= 0) (m + 5000) / 10000 else -((-m + 5000) / 10000)
+    cents.toDouble / 100.0
+  }
 
   /** Raw parquet schema of events (ts read as nanos-long, converted after). */
   private val rawSchema = StructType(Seq(
@@ -60,8 +84,7 @@ object EventStream {
       .withColumn("ts", Tables.nanosToTimestamp("ts"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_window_agg"
@@ -77,12 +100,12 @@ object EventStream {
   }
 
   val windowAggSql: String =
-    """SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
-      | event_type, count(*) AS n,
-      | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS total_value
-      |FROM events
-      |GROUP BY window_start, event_type
-      |ORDER BY window_start, event_type""".stripMargin
+    s"""SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       | event_type, count(*) AS n,
+       | ${moneySumSql("value")} AS total_value
+       |FROM events
+       |GROUP BY window_start, event_type
+       |ORDER BY window_start, event_type""".stripMargin
 
   /** Session windows per user with a 30-minute inactivity gap, as the
     * declarative gaps-and-islands plan: lag marks a break at every gap,
@@ -90,7 +113,7 @@ object EventStream {
     * closes them. This is a shuffle-sort window — it spills instead of
     * buffering a whole user in memory, so a key with years of history is
     * fine at scale — and it mirrors the SQL oracle structurally.
-    * `total_value` is summed as DECIMAL(18,6): exact integer arithmetic,
+    * `total_value` is summed via [[moneySum]]: exact integer micros,
     * order-insensitive, identical across engines regardless of partial-
     * aggregation order. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
@@ -108,7 +131,7 @@ object EventStream {
         min("ts_us").as("start_us"),
         max("ts_us").as("end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+        moneySum(col("value")).as("total_value"))
       .select(col("user_id"), col("session_id"),
         date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
         date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
@@ -214,9 +237,10 @@ object EventStream {
       | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
       | count(*) AS n_events,
-      | CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+      | MONEY_SUM AS total_value
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+      .replace("MONEY_SUM", moneySumSql("value"))
 
   /** Streaming deduplication: dropDuplicates on event_id with a watermark
     * bounding the dedup state, then per-type counts — the standard
@@ -231,8 +255,7 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_dedup"
     s.streams.active.find(_.name == name).foreach(_.stop())
     val q = stream.writeStream
@@ -246,11 +269,11 @@ object EventStream {
   }
 
   val dedupStreamSql: String =
-    """SELECT event_type, count(*) AS n,
-      | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS total_value FROM (
-      |  SELECT DISTINCT ON (event_id) event_type, value FROM events ORDER BY event_id
-      |)
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+    s"""SELECT event_type, count(*) AS n,
+       | ${moneySumSql("value")} AS total_value FROM (
+       |  SELECT DISTINCT ON (event_id) event_type, value FROM events ORDER BY event_id
+       |)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Stream-static enrichment join: the event stream joins the customer
     * dimension (static, broadcast per micro-batch) and aggregates revenue
@@ -265,8 +288,7 @@ object EventStream {
       .parquet(d)
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_enrich"
     s.streams.active.find(_.name == name).foreach(_.stop())
     val q = stream.writeStream
@@ -280,11 +302,11 @@ object EventStream {
   }
 
   val enrichSql: String =
-    """SELECT c_mktsegment, event_type, count(*) AS n,
-      | CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS total_value
-      |FROM events JOIN customer ON user_id = c_custkey
-      |GROUP BY c_mktsegment, event_type
-      |ORDER BY c_mktsegment, event_type""".stripMargin
+    s"""SELECT c_mktsegment, event_type, count(*) AS n,
+       | ${moneySumSql("value")} AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment, event_type
+       |ORDER BY c_mktsegment, event_type""".stripMargin
 
   /** Stream-stream event-time interval join: clicks joined to the same
     * user's purchases within the following 30 minutes. Both sides are

@@ -19,9 +19,14 @@ class MapReduceSpec extends SparkSpec {
     assert(p == java.lang.Long.remainderUnsigned(Djb2.hash(longKey), 10L).toInt)
   }
 
-  test("djb2 stops at the first NUL byte, like the C reference's while((c=*key++))") {
-    assert(Djb2.hash("a\u0000b".getBytes("UTF-8")) == Djb2.hash("a".getBytes("UTF-8")))
-    assert(Djb2.hash("\u0000anything".getBytes("UTF-8")) == 5381L)
+  test("partitioner hash stops at the first NUL byte like C's while((c=*key++))") {
+    assert(Djb2.hashC("a\u0000b".getBytes("UTF-8")) == Djb2.hashC("a".getBytes("UTF-8")))
+    assert(Djb2.hashC("\u0000anything".getBytes("UTF-8")) == 5381L)
+    assert(Djb2.partition("a\u0000b".getBytes("UTF-8"), 10)
+      == Djb2.partition("a".getBytes("UTF-8"), 10))
+    // the sketch/base hash consumes every byte — its SQL oracles do too
+    assert(Djb2.hash("a\u0000b".getBytes("UTF-8")) != Djb2.hash("a".getBytes("UTF-8")))
+    assert(Djb2.hashC("plain".getBytes("UTF-8")) == Djb2.hash("plain".getBytes("UTF-8")))
   }
 
   test("djb2 expression (codegen) agrees with the Scala implementation") {
