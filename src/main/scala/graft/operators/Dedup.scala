@@ -531,7 +531,37 @@ object Dedup {
       |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Semantic dedup groups: connected components over the embedding
+    * near-dup pair graph ([[embedDup]]) — the composition step real
+    * pipelines run to keep one representative per semantic cluster.
+    * Exactly the [[dupClusters]] machinery applied to the vector space
+    * instead of the n-gram space. */
+  def embedClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(embedDup(s, d).select("vec_a", "vec_b"))
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy("vec_id")
+
+  val embedClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |), edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, g.eb FROM reach r JOIN edges g ON r.dst = g.ea
+      |)
+      |SELECT src AS vec_id, min(dst) AS cluster_id
+      |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
     "d_minhash_lsh" -> (minhashLsh _),
     "d_simhash" -> (simhash _),
@@ -542,6 +572,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,
     "d_minhash_lsh" -> minhashLshSql,
     "d_simhash" -> simhashSql,

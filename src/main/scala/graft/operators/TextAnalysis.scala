@@ -288,7 +288,46 @@ object TextAnalysis {
       |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Language-model-style fluency signal: the fraction of a document's
+    * bigrams (with multiplicity) that are corpus-frequent (count ≥ 3).
+    * The integer-count formulation keeps the score to one exact IEEE
+    * division, so it is bit-identical across engines — the log-prob
+    * variant would inherit libm's ln differences. Two-level aggregation:
+    * corpus bigram model (broadcast-sized vocabulary at scale), then a
+    * per-doc ratio. */
+  def bigramRatio(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(graft.functions.MinHashFns.word_shingles(
+          split(trim(col("text")), "[ \t\n\r]+"), 2, distinct = false)).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    bg.join(corpus, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") >= 3, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("n_common") / col("n_bigrams"), 6).as("common_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val bigramRatioSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(toks)-1, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 2
+      |), corpus AS (
+      |  SELECT bg, count(*) AS c FROM bg GROUP BY bg
+      |)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  round(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) / count(*), 6) AS common_ratio
+      |FROM bg b JOIN corpus USING (bg)
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bigram_ratio" -> (bigramRatio _),
     "t_tfidf" -> (tfidf _),
     "t_chunk" -> (chunk _),
     "t_contentfilter" -> (contentFilter _),
@@ -299,6 +338,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_bigram_ratio" -> bigramRatioSql,
     "t_tfidf" -> tfidfSql,
     "t_chunk" -> chunkSql,
     "t_contentfilter" -> contentFilterSql,
