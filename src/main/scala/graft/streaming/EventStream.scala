@@ -71,6 +71,17 @@ object EventStream {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Stateful streaming operators allocate one state store per shuffle
+    * partition per micro-batch; at the benchmark's corpus volume the
+    * session default (one per core) is pure overhead. Production sizes
+    * this to key cardinality/throughput; these queries size it to the
+    * data. Restores the session conf afterwards. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 5-minute window counts/sums per event type via a real
     * streaming query. Each parquet file is a micro-batch; complete mode +
     * memory sink materializes the final state. At scale the same plan
@@ -89,13 +100,15 @@ object EventStream {
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_window_agg"
     s.streams.active.find(_.name == name).foreach(_.stop())
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).orderBy("window_start", "event_type")
   }
 
@@ -203,13 +216,15 @@ object EventStream {
 
     val name = "graft_st_sessionize_stream"
     s.streams.active.find(_.name == name).foreach(_.stop())
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShuffle(s) {
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
       .select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
@@ -258,13 +273,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_dedup"
     s.streams.active.find(_.name == name).foreach(_.stop())
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).orderBy("event_type")
   }
 
@@ -291,13 +308,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_enrich"
     s.streams.active.find(_.name == name).foreach(_.stop())
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShuffle(s) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).orderBy("c_mktsegment", "event_type")
   }
 
@@ -334,13 +353,15 @@ object EventStream {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
     val name = "graft_st_stream_join"
     s.streams.active.find(_.name == name).foreach(_.stop())
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamShuffle(s) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         date_format(col("click_ts"), fmt).as("click_ts"),

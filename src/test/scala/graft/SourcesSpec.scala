@@ -56,6 +56,40 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == full)
   }
 
+  test("streaming parquet sink: append with checkpoint equals the batch result") {
+    val out = Files.createTempDirectory("st_sink").toString
+    val ckpt = Files.createTempDirectory("st_ckpt").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "streaming parquet sink diverges from batch")
+  }
+
   test("bucketed table write co-locates join keys (no exchange on bucketed join)") {
     val db = "graft_test"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
