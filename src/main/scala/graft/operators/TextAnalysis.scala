@@ -326,7 +326,40 @@ object TextAnalysis {
       |FROM bg b JOIN corpus USING (bg)
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition filter (the C4/Gopher-style quality
+    * rule): the fraction of a document's word 5-grams (with
+    * multiplicity) that are duplicates of an earlier 5-gram, plus a flag
+    * at ratio > 0.3. Pure map-side scan — integer counts and one exact
+    * division, so bit-identical across engines. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val grams = graft.functions.MinHashFns.word_shingles(
+      split(trim(col("text")), "[ \t\n\r]+"), 5, distinct = false)
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), grams.as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), size(col("g")).cast("bigint").as("n_grams"),
+        round(lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")), 6)
+          .as("rep_ratio"))
+      .withColumn("flagged", (col("rep_ratio") > 0.3).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """SELECT doc_id, n_grams, rep_ratio, CAST(rep_ratio > 0.3 AS INT) AS flagged FROM (
+      |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+      |    round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6) AS rep_ratio
+      |  FROM (
+      |    SELECT doc_id, list_transform(
+      |      generate_series(1, greatest(len(toks)-4, 0)),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) AS g
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |    WHERE len(toks) >= 5
+      |  )
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_repetition" -> (repetition _),
     "t_bigram_ratio" -> (bigramRatio _),
     "t_tfidf" -> (tfidf _),
     "t_chunk" -> (chunk _),
@@ -338,6 +371,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_repetition" -> repetitionSql,
     "t_bigram_ratio" -> bigramRatioSql,
     "t_tfidf" -> tfidfSql,
     "t_chunk" -> chunkSql,
