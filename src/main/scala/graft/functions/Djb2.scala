@@ -8,13 +8,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** djb2 string hash as a native Catalyst expression.
-  *
-  * Reproduces the reference's shuffle partitioner
-  * (/root/reference/mapreduce.c:239 `MR_Partitioner`): `h = 5381;
-  * h = h*33 + c` over the key's bytes, accumulated in 64-bit arithmetic
-  * (C `unsigned long` wraparound == Java long wraparound), partition =
-  * unsigned `h % num_partitions`.
+/** djb2 string hash as a native Catalyst expression: `h = 5381;
+  * h = h*33 + c` over ALL of the key's bytes, accumulated in 64-bit
+  * arithmetic (C `unsigned long` wraparound == Java long wraparound).
+  * This is the SKETCH hash — its SQL oracles fold every character. For
+  * C `MR_Partitioner` parity (which stops at the first NUL byte) use
+  * [[Djb2Partition]] / [[Djb2.partition]], which route through
+  * [[Djb2.hashC]].
   *
   * Implemented with `doGenCode` so it participates in whole-stage codegen —
   * hashing a 100 TB key column never leaves the generated loop.

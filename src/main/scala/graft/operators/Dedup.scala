@@ -165,26 +165,27 @@ object Dedup {
     val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
+  private val jaccardSqlExpr = ExactRound.rSql(
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+
   val ngramJaccardSql: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(toks)-2, 0)),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
       |  WHERE len(toks) >= 3
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  $jaccardSqlExpr AS jaccard
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      |WHERE $jaccardSqlExpr >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact set-similarity join via prefix filtering (AllPairs/PPJoin
@@ -234,7 +235,7 @@ object Dedup {
     val shB = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+        ExactRound.r(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
           / size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
@@ -320,8 +321,7 @@ object Dedup {
       |), pairs AS (
       |  SELECT a.doc_id AS pa, b.doc_id AS pb
       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-      |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      |  WHERE JACCARD_EXPR >= 0.5
       |), edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
       |), reach AS (
@@ -331,6 +331,7 @@ object Dedup {
       |)
       |SELECT src AS doc_id, min(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      .replace("JACCARD_EXPR", jaccardSqlExpr)
 
   // -------------------------------------------------------------- simhash
 
@@ -378,27 +379,25 @@ object Dedup {
       .select(
         when(pmod(col("doc_a"), lit(2)) === 0, col("doc_a")).otherwise(col("doc_b")).as("train_doc"),
         when(pmod(col("doc_a"), lit(2)) === 1, col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("eval_doc", "train_doc")
   }
 
   val contaminationSql: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(toks)-2, 0)),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
       |  WHERE len(toks) >= 3
       |)
       |SELECT CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id ELSE b.doc_id END AS train_doc,
       |  CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS eval_doc,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  $jaccardSqlExpr AS jaccard
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id AND a.doc_id % 2 <> b.doc_id % 2
-      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+      |WHERE $jaccardSqlExpr >= 0.5
       |ORDER BY eval_doc, train_doc""".stripMargin
 
   /** SQL twin of [[simhash]]: djb2 → 64-bit wrapping avalanche multiply

@@ -109,17 +109,28 @@ object MapReduceQueries {
       rows.rdd,
       mapper = { case (k, v) => Iterator.single((k, v)) },
       reducer = { (k, vs) =>
-        var sum = 0.0; var n = 0L
-        vs.foreach { v => sum += v; n += 1 }
-        val mean = BigDecimal(sum / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (k, mean, n)
+        // exact integer micros: a double fold's value depends on
+        // accumulation order and a float mean near a rounding boundary
+        // diverges from the oracle's avg(); Σ round(v·10⁶) does not
+        var micros = 0L; var n = 0L
+        vs.foreach { v =>
+          micros += java.math.BigDecimal.valueOf(v * 1000000L)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          n += 1
+        }
+        val mean = micros / (n * 1000000.0)
+        val rounded = java.math.BigDecimal.valueOf(mean * 10000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0
+        (k, rounded, n)
       },
       numParts = 8)
     reduced.toDF("event_type", "avg_value", "n").orderBy("event_type")
   }
 
   val avgByKeySql: String =
-    """SELECT event_type, round(avg(value),4) AS avg_value, count(*) AS n
+    """SELECT event_type,
+      | round(sum(CAST(round(value * 1000000) AS BIGINT)) / (count(*) * 1000000.0) * 10000) / 10000 AS avg_value,
+      | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

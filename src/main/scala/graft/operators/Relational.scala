@@ -22,25 +22,28 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
+        // sums of exact-integer / 2-decimal inputs cannot hit a rounding
+        // boundary; the 4- and 6-decimal PRODUCT sums and the averages go
+        // through exact integer micros (see ExactRound)
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        ExactRound.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        ExactRound.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        ExactRound.r(avg("l_quantity"), 4).as("avg_qty"),
+        ExactRound.avgMicros(col("l_extendedprice"), 4).as("avg_price"),
+        ExactRound.avgMicros(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity),2) AS sum_qty,
       | round(sum(l_extendedprice),2) AS sum_base_price,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-      | round(avg(l_quantity),4) AS avg_qty,
-      | round(avg(l_extendedprice),4) AS avg_price,
-      | round(avg(l_discount),4) AS avg_disc,
+      | ${ExactRound.moneySumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+      | ${ExactRound.moneySumSql("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+      | ${ExactRound.rSql("avg(l_quantity)", 4)} AS avg_qty,
+      | ${ExactRound.avgMicrosSql("l_extendedprice", 4)} AS avg_price,
+      | ${ExactRound.avgMicrosSql("l_discount", 4)} AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -71,14 +74,14 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(ExactRound.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3Sql: String =
-    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+      | ${ExactRound.moneySumSql("l_extendedprice*(1-l_discount)")} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -186,11 +189,11 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(ExactRound.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy("r_name", "n_name")
 
   val q10Sql: String =
-    """SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+    s"""SELECT r_name, n_name, ${ExactRound.moneySumSql("l_extendedprice*(1-l_discount)")} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -274,13 +277,13 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        ExactRound.r(avg("l_quantity"), 4).as("avg_qty"),
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
       .orderBy("l_returnflag")
 
   val q15Sql: String =
-    """SELECT l_returnflag, round(avg(l_quantity),4) AS avg_qty,
+    s"""SELECT l_returnflag, ${ExactRound.rSql("avg(l_quantity)", 4)} AS avg_qty,
       | round(stddev_samp(l_quantity),4) AS sd_qty,
       | round(corr(l_quantity, l_extendedprice),4) AS corr_qp
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

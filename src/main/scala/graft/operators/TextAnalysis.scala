@@ -107,9 +107,10 @@ object TextAnalysis {
   private[operators] val nPunctSql = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
   private[operators] def nStopSql: String = stopwords.map(tokenCountSql).mkString(" + ")
   private[operators] def qualityScoreSql: String =
-    s"""round(least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.5
-       |   + (1.0 - least(CAST($nPunctSql AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
-       |   + least(CAST($nStopSql AS DOUBLE) / $nTokensSql * 5.0, 1.0) * 0.25, 6)""".stripMargin
+    ExactRound.rSql(
+      s"""least(CAST($nTokensSql AS DOUBLE) / 100.0, 1.0) * 0.5
+         |   + (1.0 - least(CAST($nPunctSql AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.25
+         |   + least(CAST($nStopSql AS DOUBLE) / $nTokensSql * 5.0, 1.0) * 0.25""".stripMargin, 6)
 
   /** Quality scoring: length, punctuation density, stopword ratio, and a
     * linear combination — the usual cheap pre-filters before expensive
@@ -122,9 +123,9 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         nTokens.as("n_tokens"),
-        round(nPunct.cast("double") / length(col("text")), 6).as("punct_ratio"),
-        round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
-        round(
+        ExactRound.r(nPunct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+        ExactRound.r(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
+        ExactRound.r(
           least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5
             + (lit(1.0) - least(nPunct.cast("double") / length(col("text")) * 10.0, lit(1.0))) * 0.25
             + least(nStop.cast("double") / nTokens * 5.0, lit(1.0)) * 0.25,
@@ -135,8 +136,8 @@ object TextAnalysis {
   val qualitySql: String =
     s"""SELECT doc_id,
        | $nTokensSql AS n_tokens,
-       | round(CAST($nPunctSql AS DOUBLE) / length(text), 6) AS punct_ratio,
-       | round(CAST($nStopSql AS DOUBLE) / $nTokensSql, 6) AS stopword_ratio,
+       | ${ExactRound.rSql(s"CAST($nPunctSql AS DOUBLE) / length(text)", 6)} AS punct_ratio,
+       | ${ExactRound.rSql(s"CAST($nStopSql AS DOUBLE) / $nTokensSql", 6)} AS stopword_ratio,
        | $qualityScoreSql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -253,10 +254,12 @@ object TextAnalysis {
     * top-k; at scale df is a broadcast-sized vocabulary table. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT persisted: the exploded table is corpus-sized and would pin
+    // executor storage for the session; recomputing the map-side
+    // tokenization per consumer is cheaper than the cache pressure
     val toks = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(trim(col("text")), "[ \t\n\r]+")).as("term"))
       .filter(col("term") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
     val n = toks.select(count_distinct(col("doc_id")).as("n"))
@@ -264,7 +267,7 @@ object TextAnalysis {
     tf.join(df, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * col("n") / col("df"), 6).as("tfidf"))
+        ExactRound.r(col("tf") * col("n") / col("df"), 6).as("tfidf"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("doc_id", "term", "tfidf", "rnk")
@@ -280,13 +283,14 @@ object TextAnalysis {
       |), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
       |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tok
       |), ranked AS (
-      |  SELECT tf.doc_id, tf.term, round(tf.tf * n.n / df.df, 6) AS tfidf,
+      |  SELECT tf.doc_id, tf.term, TFIDF AS tfidf,
       |    row_number() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY round(tf.tf * n.n / df.df, 6) DESC, tf.term) AS rnk
+      |      ORDER BY TFIDF DESC, tf.term) AS rnk
       |  FROM tf JOIN df USING (term), n
       |)
       |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
+      .replace("TFIDF", ExactRound.rSql("tf.tf * n.n / df.df", 6))
 
   /** Language-model-style fluency signal: the fraction of a document's
     * bigrams (with multiplicity) that are corpus-frequent (count ≥ 3).
@@ -296,18 +300,18 @@ object TextAnalysis {
     * corpus bigram model (broadcast-sized vocabulary at scale), then a
     * per-doc ratio. */
   def bigramRatio(s: SparkSession, d: String): DataFrame = {
+    // not persisted — corpus-sized (one row per bigram occurrence); see tfidf
     val bg = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(graft.functions.MinHashFns.word_shingles(
           split(trim(col("text")), "[ \t\n\r]+"), 2, distinct = false)).as("bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = bg.groupBy("bg").agg(count(lit(1)).as("c"))
     bg.join(corpus, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c") >= 3, 1L).otherwise(0L)).as("n_common"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("n_common") / col("n_bigrams"), 6).as("common_ratio"))
+        ExactRound.r(col("n_common") / col("n_bigrams"), 6).as("common_ratio"))
       .orderBy("doc_id")
   }
 
@@ -322,9 +326,11 @@ object TextAnalysis {
       |  SELECT bg, count(*) AS c FROM bg GROUP BY bg
       |)
       |SELECT b.doc_id, count(*) AS n_bigrams,
-      |  round(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) / count(*), 6) AS common_ratio
+      |  COMMON_RATIO AS common_ratio
       |FROM bg b JOIN corpus USING (bg)
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+      .replace("COMMON_RATIO",
+        ExactRound.rSql("sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) / count(*)", 6))
 
   /** Intra-document repetition filter (the C4/Gopher-style quality
     * rule): the fraction of a document's word 5-grams (with
@@ -338,7 +344,7 @@ object TextAnalysis {
       .select(col("doc_id"), grams.as("g"))
       .filter(size(col("g")) > 0)
       .select(col("doc_id"), size(col("g")).cast("bigint").as("n_grams"),
-        round(lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")), 6)
+        ExactRound.r(lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")), 6)
           .as("rep_ratio"))
       .withColumn("flagged", (col("rep_ratio") > 0.3).cast("int"))
       .orderBy("doc_id")
@@ -347,7 +353,7 @@ object TextAnalysis {
   val repetitionSql: String =
     """SELECT doc_id, n_grams, rep_ratio, CAST(rep_ratio > 0.3 AS INT) AS flagged FROM (
       |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
-      |    round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6) AS rep_ratio
+      |    REP_RATIO AS rep_ratio
       |  FROM (
       |    SELECT doc_id, list_transform(
       |      generate_series(1, greatest(len(toks)-4, 0)),
@@ -357,6 +363,8 @@ object TextAnalysis {
       |  )
       |)
       |ORDER BY doc_id""".stripMargin
+      .replace("REP_RATIO",
+        ExactRound.rSql("1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)", 6))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_repetition" -> (repetition _),

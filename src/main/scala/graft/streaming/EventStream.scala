@@ -26,26 +26,13 @@ object EventStream {
     * and agree with the batch/oracle arithmetic bit-for-bit. */
   case class SessionState(start: Long, end: Long, n: Long, totalMicros: Long)
 
-  /** Exact cross-engine money sum rounded to cents: per-event micros via
-    * round(value·10⁶) — the IEEE multiply and integer rounding agree
-    * bit-for-bit across engines, unlike double→DECIMAL casts, which
-    * Spark derives from the SHORTEST decimal representation and DuckDB
-    * from the exact binary value (they differ for inputs near a
-    * half-micro boundary) — then integer half-away-from-zero cents and
-    * one exact final division by 100. */
-  private def moneySum(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s = sum(round(value * lit(1000000L)).cast("decimal(28,0)"))
-    val cents = when(s >= 0, floor((s + lit(5000)) / lit(10000)))
-      .otherwise(-floor((-s + lit(5000)) / lit(10000)))
-    cents.cast("double") / lit(100.0)
-  }
+  /** Exact cross-engine money sum rounded to cents — see
+    * [[graft.operators.ExactRound.moneySum]]. */
+  private def moneySum(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.operators.ExactRound.moneySum(value)
 
-  /** SQL twin of [[moneySum]] over a column named `expr`. */
-  private def moneySumSql(expr: String): String = {
-    val s = s"sum(CAST(round(($expr) * 1000000) AS BIGINT))"
-    s"CAST(CASE WHEN $s >= 0 THEN ($s + 5000) // 10000 " +
-      s"ELSE -((-$s + 5000) // 10000) END AS DOUBLE) / 100.0"
-  }
+  private def moneySumSql(expr: String): String =
+    graft.operators.ExactRound.moneySumSql(expr)
 
   /** Double → exact micros, matching Spark's round(value·10⁶) (HALF_UP
     * on the shortest representation — identical to DuckDB's binary-value
@@ -64,7 +51,7 @@ object EventStream {
   }
 
   /** Raw parquet schema of events (ts read as nanos-long, converted after). */
-  private val rawSchema = StructType(Seq(
+  private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
@@ -73,13 +60,30 @@ object EventStream {
 
   /** Stateful streaming operators allocate one state store per shuffle
     * partition per micro-batch; at the benchmark's corpus volume the
-    * session default (one per core) is pure overhead. Production sizes
-    * this to key cardinality/throughput; these queries size it to the
-    * data. Restores the session conf afterwards. */
+    * session default (one per core) is pure overhead, so these queries
+    * run under a FIXED harness constant of `n` partitions (production
+    * deployments size this to key cardinality/throughput instead — pass
+    * a larger `n`). Restores the session conf afterwards. */
   private def withStreamShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Drains `df` through a named memory sink under the harness shuffle
+    * sizing: stop any same-named predecessor, start, processAllAvailable,
+    * stop. One definition so every streaming query gets all three steps. */
+  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String, mode: String): Unit = {
+    s.streams.active.find(_.name == name).foreach(_.stop())
+    withStreamShuffle(s) {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
   }
 
   /** Tumbling 5-minute window counts/sums per event type via a real
@@ -99,16 +103,7 @@ object EventStream {
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_window_agg"
-    s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    runToMemorySink(s, stream, name, "complete")
     s.table(name).orderBy("window_start", "event_type")
   }
 
@@ -215,16 +210,7 @@ object EventStream {
       .toDF("user_id", "start_us", "end_us", "n_events", "total_value")
 
     val name = "graft_st_sessionize_stream"
-    s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
-      val q = sessions.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    runToMemorySink(s, sessions, name, "append")
     s.table(name)
       .select(col("user_id"),
         date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
@@ -272,16 +258,7 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_dedup"
-    s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    runToMemorySink(s, stream, name, "complete")
     s.table(name).orderBy("event_type")
   }
 
@@ -307,16 +284,7 @@ object EventStream {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_enrich"
-    s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    runToMemorySink(s, stream, name, "complete")
     s.table(name).orderBy("c_mktsegment", "event_type")
   }
 
@@ -352,16 +320,7 @@ object EventStream {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
     val name = "graft_st_stream_join"
-    s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    runToMemorySink(s, joined, name, "append")
     s.table(name)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         date_format(col("click_ts"), fmt).as("click_ts"),

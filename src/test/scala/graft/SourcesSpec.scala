@@ -57,18 +57,11 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("streaming parquet sink: append with checkpoint equals the batch result") {
-    val out = Files.createTempDirectory("st_sink").toString
-    val ckpt = Files.createTempDirectory("st_ckpt").toString
+    val out = tmp("st_sink")
+    val ckpt = tmp("st_ckpt")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     val q = spark.readStream
-      .schema(schema)
+      .schema(graft.streaming.EventStream.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
       .filter(col("event_type") === "purchase")
