@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.ExactRound
 
 /** Multimodal column plumbing (SURVEY.md §2F).
   *
@@ -82,7 +83,7 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "width", "height", "feat_norm")
-      .withColumn("feat_norm", round(col("feat_norm"), 6))
+      .withColumn("feat_norm", ExactRound.r(col("feat_norm"), 6))
       .orderBy("asset_id")
   }
 
@@ -110,7 +111,7 @@ object Multimodal {
       |  SELECT doc_id, ord(substr(text, i, 1)) % 8 AS bin, count(*) AS h
       |  FROM chars GROUP BY 1, 2
       |), nrm AS (
-      |  SELECT doc_id, round(sqrt(sum(CAST(h AS DOUBLE) * h)), 6) AS feat_norm
+      |  SELECT doc_id, round((sqrt(sum(CAST(h AS DOUBLE) * h))) * 1000000) / 1000000 AS feat_norm
       |  FROM hist GROUP BY doc_id
       |)
       |SELECT d.doc_id AS asset_id,

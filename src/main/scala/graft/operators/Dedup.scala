@@ -513,7 +513,7 @@ object Dedup {
       .join(b, "cell_b")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
+        ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= t)
       .orderBy("vec_a", "vec_b")
   }
@@ -525,9 +525,9 @@ object Dedup {
       |  FROM embeddings
       |)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |  round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000) / 1000000 AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |WHERE round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000) / 1000000 >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Semantic dedup groups: connected components over the embedding
@@ -548,7 +548,7 @@ object Dedup {
       |), pairs AS (
       |  SELECT a.vec_id AS pa, b.vec_id AS pb
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |  WHERE round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000) / 1000000 >= 0.4
       |), edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
       |), reach AS (

@@ -113,15 +113,8 @@ object MapReduceQueries {
         // accumulation order and a float mean near a rounding boundary
         // diverges from the oracle's avg(); Σ round(v·10⁶) does not
         var micros = 0L; var n = 0L
-        vs.foreach { v =>
-          micros += java.math.BigDecimal.valueOf(v * 1000000L)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-          n += 1
-        }
-        val mean = micros / (n * 1000000.0)
-        val rounded = java.math.BigDecimal.valueOf(mean * 10000.0)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0
-        (k, rounded, n)
+        vs.foreach { v => micros += ExactRound.valueMicros(v); n += 1 }
+        (k, ExactRound.rScalar(micros / (n * 1000000.0), 4), n)
       },
       numParts = 8)
     reduced.toDF("event_type", "avg_value", "n").orderBy("event_type")

@@ -43,7 +43,7 @@ object Similarity {
     vs.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -54,7 +54,7 @@ object Similarity {
       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings
       |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0)
-      |SELECT e.vec_id, round(list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm), 6) AS cosine
+      |SELECT e.vec_id, round((list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)) * 1000000) / 1000000 AS cosine
       |FROM e, q WHERE e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id
       |LIMIT 10""".stripMargin
@@ -70,7 +70,7 @@ object Similarity {
     vs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("q_id", "vec_id", "cosine", "rnk")
@@ -84,7 +84,7 @@ object Similarity {
       |  FROM embeddings
       |), scored AS (
       |  SELECT q.vec_id AS q_id, e.vec_id,
-      |    round(list_inner_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
+      |    round((list_inner_product(e.v, q.v) / (e.nrm * q.nrm)) * 1000000) / 1000000 AS cosine
       |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
       |), ranked AS (
       |  SELECT q_id, vec_id, cosine,
@@ -126,7 +126,7 @@ object Similarity {
     vs.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("bucket"),
-        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -154,7 +154,7 @@ object Similarity {
        |  FROM q, (SELECT unnest($flips) AS flip) f
        |)
        |SELECT eb.vec_id, eb.bucket,
-       |  round(list_inner_product(eb.v, p.q_v) / (eb.nrm * p.q_nrm), 6) AS cosine
+       |  round((list_inner_product(eb.v, p.q_v) / (eb.nrm * p.q_nrm)) * 1000000) / 1000000 AS cosine
        |FROM eb JOIN probes p USING (bucket)
        |WHERE eb.vec_id <> 0
        |ORDER BY cosine DESC, eb.vec_id
@@ -170,7 +170,7 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
     vs.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("centroid_id"), round(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .select(col("vec_id"), col("centroid_id"), ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "centroid_id", "dist")
@@ -183,8 +183,8 @@ object Similarity {
       |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
       |scored AS (
       |  SELECT e.vec_id, c.centroid_id,
-      |    round(list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
-      |      + list_inner_product(c.c_v, c.c_v), 6) AS dist
+      |    round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |      + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000 AS dist
       |  FROM e, c
       |), ranked AS (
       |  SELECT vec_id, centroid_id, dist,
@@ -206,7 +206,7 @@ object Similarity {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
     val assigned = vs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
-        round(sqDist(col("v"), col("c_v")), 6).as("dist"))
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "v", "norm", "centroid_id")
@@ -215,7 +215,7 @@ object Similarity {
       .select(col("v").as("q_v0"), col("norm").as("q_norm0"))
       .crossJoin(broadcast(cents))
       .select(col("centroid_id"),
-        round(sqDist(col("q_v0"), col("c_v")), 6).as("qdist"),
+        ExactRound.r(sqDist(col("q_v0"), col("c_v")), 6).as("qdist"),
         col("q_v0"), col("q_norm0"))
       .orderBy("qdist", "centroid_id")
       .limit(2)
@@ -223,7 +223,7 @@ object Similarity {
     assigned.join(broadcast(probeCells), "centroid_id")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("centroid_id"),
-        round(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
@@ -238,19 +238,19 @@ object Similarity {
       |  SELECT vec_id, v, nrm, centroid_id FROM (
       |    SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        round(list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
-      |          + list_inner_product(c.c_v, c.c_v), 6), c.centroid_id) AS rn
+      |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
       |    FROM e, c
       |  ) WHERE rn = 1
       |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
       |probe AS (
       |  SELECT c.centroid_id FROM c, q
-      |  ORDER BY round(list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)
-      |    + list_inner_product(c.c_v, c.c_v), 6), c.centroid_id
+      |  ORDER BY round((list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)
+      |    + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id
       |  LIMIT 2
       |)
       |SELECT a.vec_id, a.centroid_id,
-      |  round(list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm), 6) AS cosine
+      |  round((list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm)) * 1000000) / 1000000 AS cosine
       |FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
       |WHERE a.vec_id <> 0
       |ORDER BY cosine DESC, a.vec_id

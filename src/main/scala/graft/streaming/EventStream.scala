@@ -34,14 +34,9 @@ object EventStream {
   private def moneySumSql(expr: String): String =
     graft.operators.ExactRound.moneySumSql(expr)
 
-  /** Double → exact micros, matching Spark's round(value·10⁶) (HALF_UP
-    * on the shortest representation — identical to DuckDB's binary-value
-    * rounding at integer scale, where the only boundary cases are exact
-    * .5 values, which are binary-representable and round away-from-zero
-    * in both). */
+  /** Double → exact micros — see [[graft.operators.ExactRound.valueMicros]]. */
   private def valueMicros(v: Double): Long =
-    java.math.BigDecimal.valueOf(v * 1000000L)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    graft.operators.ExactRound.valueMicros(v)
 
   /** Micros → the rounded-to-cents double the queries emit, matching
     * [[moneySum]]'s integer arithmetic. */
@@ -73,9 +68,10 @@ object EventStream {
   /** Drains `df` through a named memory sink under the harness shuffle
     * sizing: stop any same-named predecessor, start, processAllAvailable,
     * stop. One definition so every streaming query gets all three steps. */
-  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String, mode: String): Unit = {
+  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String, mode: String,
+      shufflePartitions: Int = 8): Unit = {
     s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
+    withStreamShuffle(s, shufflePartitions) {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory")
