@@ -83,11 +83,51 @@ object Pipeline {
       |WHERE bucket < CASE tier WHEN 'short' THEN 25 WHEN 'mid' THEN 50 ELSE 100 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Data-card profiling: per-tier corpus statistics (doc counts, char
+    * totals, exact quartiles of document length) — the summary table a
+    * dataset release ships with. Exact `percentile` (not approx): the
+    * linear interpolation at dyadic fractions (.25/.5/.75) of integer
+    * lengths is IEEE-exact, so the quartiles are bit-identical across
+    * engines with no rounding at all. One partial-agg shuffle at scale
+    * (percentile is a sort-based aggregate — heavier than a sketch, which
+    * is why q21 also ships approx_percentile for the 100 TB path). */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val tier = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 350, "mid")
+      .otherwise("long")
+    graft.Tables.documents(s, d)
+      .select(tier.as("tier"), col("n_chars"))
+      .groupBy("tier")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        expr("percentile(n_chars, 0.25)").as("p25_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"),
+        expr("percentile(n_chars, 0.75)").as("p75_chars"))
+      .orderBy("tier")
+  }
+
+  val profileSql: String =
+    """SELECT tier, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | quantile_cont(n_chars, 0.25) AS p25_chars,
+      | quantile_cont(n_chars, 0.5) AS median_chars,
+      | quantile_cont(n_chars, 0.75) AS p75_chars
+      |FROM (
+      |  SELECT CASE WHEN length(text) < 200 THEN 'short'
+      |              WHEN length(text) < 350 THEN 'mid' ELSE 'long' END AS tier,
+      |         n_chars
+      |  FROM documents
+      |)
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_curate" -> (curate _),
-    "p_mix" -> (mix _))
+    "p_mix" -> (mix _),
+    "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
     "p_curate" -> curateSql,
-    "p_mix" -> mixSql)
+    "p_mix" -> mixSql,
+    "p_profile" -> profileSql)
 }
