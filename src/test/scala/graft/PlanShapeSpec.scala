@@ -44,4 +44,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"embedDup must not materialize an O(n²) cartesian product:\n${p.take(800)}")
   }
+
+  test("q26_asof: one window per key, no cartesian product or range explosion") {
+    val p = plan(graft.operators.RelationalExt.q26Asof(spark, sf))
+    assert(!p.contains("CartesianProduct"), "as-of join must not cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of join must not range-join")
+    assert(p.contains("Window"), "expected the running-max window")
+  }
+
+  test("p_mix: pure map-side sampling — no aggregate or join shuffles") {
+    val p = plan(graft.operators.Pipeline.mix(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"mix must stay map-side:\n${p.take(600)}")
+  }
 }
