@@ -105,13 +105,13 @@ object Multimodal {
     * replaces `fakeDecode`, this oracle is dropped and the query falls
     * back to the rows-only check. */
   val featureExtractSql: String =
-    """WITH chars AS (
+    s"""WITH chars AS (
       |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
       |), hist AS (
       |  SELECT doc_id, ord(substr(text, i, 1)) % 8 AS bin, count(*) AS h
       |  FROM chars GROUP BY 1, 2
       |), nrm AS (
-      |  SELECT doc_id, round((sqrt(sum(CAST(h AS DOUBLE) * h))) * 1000000) / 1000000 AS feat_norm
+      |  SELECT doc_id, ${graft.operators.ExactRound.rSql("sqrt(sum(CAST(h AS DOUBLE) * h))", 6)} AS feat_norm
       |  FROM hist GROUP BY doc_id
       |)
       |SELECT d.doc_id AS asset_id,

@@ -519,15 +519,15 @@ object Dedup {
   }
 
   val embedDupSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings
       |)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000) / 1000000 AS cosine
+      |  ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000) / 1000000 >= 0.4
+      |WHERE ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Semantic dedup groups: connected components over the embedding
@@ -541,14 +541,14 @@ object Dedup {
       .orderBy("vec_id")
 
   val embedClustersSql: String =
-    """WITH RECURSIVE e AS (
+    s"""WITH RECURSIVE e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings
       |), pairs AS (
       |  SELECT a.vec_id AS pa, b.vec_id AS pb
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  WHERE round((list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) * 1000000) / 1000000 >= 0.4
+      |  WHERE ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.4
       |), edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
       |), reach AS (

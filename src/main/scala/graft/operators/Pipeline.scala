@@ -50,8 +50,9 @@ object Pipeline {
     * no RNG state to coordinate: short 25%, mid 50%, long 100%. At scale
     * this is a pure map-side filter — no shuffle at all. */
   def mix(s: SparkSession, d: String): DataFrame = {
-    val tier = when(length(col("text")) < 200, "short")
-      .when(length(col("text")) < 350, "mid")
+    // tier by n_chars (== length(text)) so the scan prunes the text column
+    val tier = when(col("n_chars") < 200, "short")
+      .when(col("n_chars") < 350, "mid")
       .otherwise("long")
     graft.Tables.documents(s, d)
       .select(col("doc_id"), tier.as("tier"))
@@ -66,8 +67,8 @@ object Pipeline {
   val mixSql: String =
     """WITH RECURSIVE ds AS (
       |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
-      |    CASE WHEN length(text) < 200 THEN 'short'
-      |         WHEN length(text) < 350 THEN 'mid' ELSE 'long' END AS tier
+      |    CASE WHEN n_chars < 200 THEN 'short'
+      |         WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS tier
       |  FROM documents
       |), h AS (
       |  SELECT doc_id, key, tier, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
@@ -92,8 +93,10 @@ object Pipeline {
     * (percentile is a sort-based aggregate — heavier than a sketch, which
     * is why q21 also ships approx_percentile for the 100 TB path). */
   def profile(s: SparkSession, d: String): DataFrame = {
-    val tier = when(length(col("text")) < 200, "short")
-      .when(length(col("text")) < 350, "mid")
+    // tier by the materialized n_chars column (== length(text)), so
+    // projection pruning drops the wide text column from the scan
+    val tier = when(col("n_chars") < 200, "short")
+      .when(col("n_chars") < 350, "mid")
       .otherwise("long")
     graft.Tables.documents(s, d)
       .select(tier.as("tier"), col("n_chars"))
@@ -114,8 +117,8 @@ object Pipeline {
       | quantile_cont(n_chars, 0.5) AS median_chars,
       | quantile_cont(n_chars, 0.75) AS p75_chars
       |FROM (
-      |  SELECT CASE WHEN length(text) < 200 THEN 'short'
-      |              WHEN length(text) < 350 THEN 'mid' ELSE 'long' END AS tier,
+      |  SELECT CASE WHEN n_chars < 200 THEN 'short'
+      |              WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS tier,
       |         n_chars
       |  FROM documents
       |)

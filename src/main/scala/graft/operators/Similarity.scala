@@ -49,12 +49,12 @@ object Similarity {
   }
 
   val annBruteSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings
       |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0)
-      |SELECT e.vec_id, round((list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)) * 1000000) / 1000000 AS cosine
+      |SELECT e.vec_id, ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} AS cosine
       |FROM e, q WHERE e.vec_id <> 0
       |ORDER BY cosine DESC, e.vec_id
       |LIMIT 10""".stripMargin
@@ -78,13 +78,13 @@ object Similarity {
   }
 
   val knnJoinSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings
       |), scored AS (
       |  SELECT q.vec_id AS q_id, e.vec_id,
-      |    round((list_inner_product(e.v, q.v) / (e.nrm * q.nrm)) * 1000000) / 1000000 AS cosine
+      |    ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.v) / (e.nrm * q.nrm)", 6)} AS cosine
       |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id <> q.vec_id
       |), ranked AS (
       |  SELECT q_id, vec_id, cosine,
@@ -154,7 +154,7 @@ object Similarity {
        |  FROM q, (SELECT unnest($flips) AS flip) f
        |)
        |SELECT eb.vec_id, eb.bucket,
-       |  round((list_inner_product(eb.v, p.q_v) / (eb.nrm * p.q_nrm)) * 1000000) / 1000000 AS cosine
+       |  ${graft.operators.ExactRound.rSql("list_inner_product(eb.v, p.q_v) / (eb.nrm * p.q_nrm)", 6)} AS cosine
        |FROM eb JOIN probes p USING (bucket)
        |WHERE eb.vec_id <> 0
        |ORDER BY cosine DESC, eb.vec_id
@@ -229,7 +229,7 @@ object Similarity {
   }
 
   val annIvfSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings
@@ -250,7 +250,7 @@ object Similarity {
       |  LIMIT 2
       |)
       |SELECT a.vec_id, a.centroid_id,
-      |  round((list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm)) * 1000000) / 1000000 AS cosine
+      |  ${graft.operators.ExactRound.rSql("list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm)", 6)} AS cosine
       |FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
       |WHERE a.vec_id <> 0
       |ORDER BY cosine DESC, a.vec_id

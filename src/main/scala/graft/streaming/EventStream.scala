@@ -68,10 +68,9 @@ object EventStream {
   /** Drains `df` through a named memory sink under the harness shuffle
     * sizing: stop any same-named predecessor, start, processAllAvailable,
     * stop. One definition so every streaming query gets all three steps. */
-  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String, mode: String,
-      shufflePartitions: Int = 8): Unit = {
+  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String, mode: String): Unit = {
     s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s, shufflePartitions) {
+    withStreamShuffle(s) {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory")
