@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local correctness harness: mimic the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [--exact]
+--exact: hex-level bit-exact value compare (the driver's hash gate is
+exact, so atol-tolerant passes can still fail it — ULP drift, or
+type/format mismatches like HUGEINT->float "1.0" vs "1").
 Reads <out>/<name>/ parquet (Spark results) + <out>/oracle_sql.json,
 runs each SQL in DuckDB with the sf tables registered as views, and
 compares row counts, sorted-column-name value hashes, and cell values.
@@ -19,7 +22,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(out_dir, sf_dir):
+def hexact(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(lambda v: float(v).hex() if pd.notna(v) else "nan")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def main(out_dir, sf_dir, exact=False):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -41,6 +53,9 @@ def main(out_dir, sf_dir):
             print(f"[FAIL] {name}: columns {list(g.columns)} != {list(e.columns)}"); ok = False
         elif len(g) != len(e):
             print(f"[FAIL] {name}: rows {len(g)} != {len(e)}"); ok = False
+        elif exact:
+            if not hexact(got.copy()).equals(hexact(exp.copy())):
+                print(f"[FAIL] {name}: values differ at hex-bit level"); ok = False
         else:
             try:
                 pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
@@ -54,4 +69,4 @@ def main(out_dir, sf_dir):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], exact="--exact" in sys.argv[3:])
