@@ -247,11 +247,23 @@ object Dedup {
     * label. Step (b) halves chain depth, so a diameter-D graph converges
     * in O(log D) rounds instead of O(D) — a 200-hop path closes in ~9
     * rounds (see DedupSpec). Each round is two equi-join + partial-agg
-    * shuffles; `localCheckpoint` every 5 rounds truncates the otherwise
-    * unboundedly-growing lineage. Labels only ever decrease, so the label
-    * sum strictly decreases until the fixpoint — a one-aggregate
-    * convergence probe, no join. Hitting the round cap without converging
-    * throws (silently-split clusters would be a wrong answer). */
+    * shuffles; an EAGER `localCheckpoint` every round truncates the
+    * logical plan to a materialized leaf. This is load-bearing, not an
+    * optimization knob: `persist` caches execution but Spark still
+    * analyzes/canonicalizes/stringifies the FULL logical tree on every
+    * action, and the pointer-jumping self-join embeds two copies of the
+    * previous round's plan — so without per-round truncation the tree
+    * grows ~2^k between checkpoints and the DRIVER (not the executors)
+    * burns minutes per round in plan canonicalization, or OOMs in
+    * `explainString`, on an 11-round graph. The checkpoint costs nothing
+    * extra: the convergence probe materializes every round anyway.
+    * (Local checkpoints forgo lineage recovery on executor loss; a
+    * multi-executor deployment with preemption should set a checkpoint
+    * dir and use reliable `checkpoint()` — same plan-truncation effect.)
+    * Labels only ever decrease, so the label sum strictly decreases
+    * until the fixpoint — a one-aggregate convergence probe, no join.
+    * Hitting the round cap without converging throws (silently-split
+    * clusters would be a wrong answer). */
   private[graft] def connectedComponents(pairsDf: DataFrame, maxRounds: Int = 50): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cols = pairsDf.columns
@@ -285,9 +297,9 @@ object Dedup {
         else prop.join(
             prop.select(col("id").as("label"), col("label").as("jlabel")), "label")
           .select(col("id"), col("jlabel").as("label"))
-      val next =
-        if ((rounds + 1) % 5 == 0) jumped.localCheckpoint()
-        else jumped.persist(mem)
+      // eager: materializes now and replaces the plan with a LogicalRDD
+      // leaf, so round n+1's plan has constant size (see scaladoc above)
+      val next = jumped.localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
@@ -456,66 +468,86 @@ object Dedup {
   /** Embedding near-dup pairs at cosine ≥ 0.4 (synthetic-data calibration;
     * real corpora use ~0.95) — exact, with NO cartesian product.
     *
-    * Pivot-based metric blocking on the unit sphere: every vector is
-    * assigned to its angularly-nearest centroid cell; by the triangle
-    * inequality on geodesic angle, a cell pair (c₁,c₂) with radii r₁,r₂
-    * can contain a qualifying pair only if
-    * ang(c₁,c₂) − r₁ − r₂ ≤ acos(t). Candidates therefore come from an
-    * equi-join through the tiny admissible-cell-pair table and are
-    * verified exactly — zero false negatives by construction, so the
-    * brute-force SQL oracle is the contract at ANY scale, not a tuned
-    * coincidence. On clustered real-world embeddings radii are small and
-    * most cell pairs prune; on this deliberately-unclustered synthetic
-    * corpus pruning is weak, which costs time but never correctness. */
-  def embedDup(s: SparkSession, d: String): DataFrame = {
+    * Pivot-based metric blocking on the unit sphere with PER-VECTOR probe
+    * pruning: every vector v is assigned to its angularly-nearest of
+    * ~√n centroid cells (its "home"); v then probes exactly the cells c
+    * whose centroid it can reach within the threshold through some member,
+    * i.e. ang(v, c) − r_c ≤ acos(t) (triangle inequality through the
+    * partner; r_c = c's member radius). This is strictly tighter than the
+    * cell-pair radii bound (it uses v's actual centroid angles, not the
+    * worst member of v's home cell), and still misses nothing: a
+    * qualifying pair (u,w) satisfies ang(u, cell(w)) ≤ ang(u,w) +
+    * ang(w, cell(w)) ≤ acos(t) + r_{cell(w)} in BOTH directions, so the
+    * one-directional probe⋈home join emits each qualifying pair exactly
+    * once under vec_a < vec_b. Zero false negatives by construction —
+    * the brute-force SQL oracle is the contract at ANY scale, not a
+    * tuned coincidence.
+    *
+    * Scale shape: cells grow as √n, so the (vector, cell) angle table is
+    * O(n^1.5) narrow rows, per-cell membership is O(√n), and on clustered
+    * real-world embeddings (small radii) each vector probes O(1) cells —
+    * verify work ≈ n·√n worst case, ≈ n·k/cluster in practice (the
+    * DedupSpec clustered-corpus test pins probe fraction < 10%). On a
+    * corpus with NO angular structure (like this synthetic one — random
+    * vectors concentrate at 90° with cell radii ≈ 80°) no exact metric
+    * pruning can reject cells, so verify degrades toward blocked
+    * all-pairs; that is information-theoretic, not an implementation
+    * limit, and correctness never depends on pruning. */
+  def embedDup(s: SparkSession, d: String): DataFrame =
+    embedPairBlocks(Tables.embeddings(s, d), t = 0.4)._1
+
+  /** Blocking machinery shared by [[embedDup]] and the DedupSpec pruning
+    * probe: returns (exact qualifying pairs ordered by (vec_a, vec_b),
+    * the (vec_id, cell) probe table whose size measures pruning power).
+    * Input needs (vec_id, embedding). */
+  private[graft] def embedPairBlocks(e0: DataFrame, t: Double): (DataFrame, DataFrame) = {
     import graft.functions.VectorFns.{dot_product, l2_norm}
-    val t = 0.4
-    val numCells = 32
     val acosT = math.acos(t)
     val eps = 1e-6 // FP slack on the prune bound: borderline cells verify instead of pruning
     def ang(cosine: Column): Column = acos(least(greatest(cosine, lit(-1.0)), lit(1.0)))
-    val e = Tables.embeddings(s, d)
+    val e = e0
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2_norm(col("v")))
+    // metadata-only count on parquet inputs; cells ~ √n keeps membership
+    // and probe lists O(√n) as the corpus scales
+    val n = e0.select("vec_id").count()
+    val numCells = math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = e.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell"), col("v").as("c_v"), col("norm").as("c_norm"))
-    // nearest-centroid assignment: broadcast centroids, one corpus scan
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ang"), col("cell"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+    // one narrow (vec, cell, ang) table feeds BOTH the nearest-cell
+    // assignment and the probe pruning — vector arrays never ride
+    // through these shuffles
+    val angles = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
         ang(dot_product(col("v"), col("c_v")) / (col("norm") * col("c_norm"))).as("ang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ang"), col("cell"))
+    val home = angles
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select("vec_id", "v", "norm", "cell", "ang")
+      .select(col("vec_id"), col("cell"), col("ang"))
+    val assigned = home.join(e, "vec_id") // (vec_id, cell, ang, v, norm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val radii = assigned.groupBy("cell").agg(max("ang").as("r"))
-    // ordered admissible cell pairs (both directions + diagonal), so each
-    // unordered vector pair is emitted exactly once by the vec_a < vec_b
-    // filter below; all of this is O(numCells²) rows — broadcast-sized
-    val ca = cents.select(col("cell").as("cell_a"), col("c_v").as("va"), col("c_norm").as("na"))
-    val cb = cents.select(col("cell").as("cell_b"), col("c_v").as("vb"), col("c_norm").as("nb"))
-    // explicit broadcasts: the ≤numCells-row sides derive from a full
-    // scan + filter, whose size ESTIMATE exceeds the auto-broadcast
-    // threshold at larger SFs — without hints this 32×32 cross would
-    // plan as a CartesianProduct
-    val cellPairs = ca.crossJoin(broadcast(cb))
-      .select(col("cell_a"), col("cell_b"),
-        ang(dot_product(col("va"), col("vb")) / (col("na") * col("nb"))).as("cc"))
-      .join(broadcast(radii.select(col("cell").as("cell_a"), col("r").as("r_a"))), "cell_a")
-      .join(broadcast(radii.select(col("cell").as("cell_b"), col("r").as("r_b"))), "cell_b")
-      .filter(col("cc") - col("r_a") - col("r_b") <= acosT + eps)
-      .select("cell_a", "cell_b")
-    val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"),
-      col("v").as("v_a"), col("norm").as("n_a"))
-    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+    // per-vector probes: v reaches cell c only if ang(v,c) − r_c ≤ acos t
+    val probes = angles.join(broadcast(radii), "cell")
+      .filter(col("ang") - col("r") <= acosT + eps)
+      .select(col("vec_id"), col("cell"))
+    val a = probes
+      .join(assigned.select(col("vec_id"), col("v").as("v_a"), col("norm").as("n_a")), "vec_id")
+      .select(col("cell"), col("vec_id").as("vec_a"), col("v_a"), col("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
       col("v").as("v_b"), col("norm").as("n_b"))
-    a.join(broadcast(cellPairs), "cell_a")
-      .join(b, "cell_b")
+    val pairs = a.join(b, "cell")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= t)
+      // no dedup needed: a pair (u,w) is emitted only via u's probe row
+      // for w's unique home cell (probes are unique per (vec, cell)), so
+      // the vec_a < vec_b filter leaves exactly one row per pair
       .orderBy("vec_a", "vec_b")
+    (pairs, probes)
   }
 
   val embedDupSql: String =

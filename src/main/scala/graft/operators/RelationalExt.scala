@@ -84,16 +84,57 @@ object RelationalExt {
       | c_name || '#' || CAST(c_custkey AS VARCHAR) AS tagged
       |FROM customer ORDER BY c_custkey""".stripMargin
 
-  /** Approximate sketches: HLL distinct + approximate quantiles. Sketch
-    * internals differ across engines, so this is a rows-only check; the
-    * spec bounds the estimates against exact values. */
-  def q21Approx(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  /** Approximate sketches: HLL distinct + approximate quantiles, made
+    * machine-checkable. The sketch VALUES are engine-specific (HLL++
+    * register layout, KLL/GK compaction), so they can't be hash-compared
+    * against another engine; what IS portable are the published accuracy
+    * contracts. So the query emits the exact answers plus boolean flags
+    * asserting each sketch met its guarantee —
+    *  - `hll_ok`: |approx − exact| ≤ 3σ with rsd 0.05 (HLL++ standard
+    *    error; 3σ on a deterministic single draw),
+    *  - `median_ok`: the approx median's rank is within the documented
+    *    ε = 1/accuracy rank error of the true median (checked by counting
+    *    rows strictly-below / at-or-below the returned value)
+    * — and the DuckDB oracle computes the same exact side with literal
+    * TRUE flags, turning the sketch contract into a bit-exact row match.
+    * The rank re-check is one extra broadcast-join scan; the sketch
+    * aggregate itself is the usual one-pass partial/final HLL merge. */
+  def q21Approx(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey", "l_extendedprice")
+    val sketch = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rank check: the fraction of rows below the sketch's median estimate
+    // must sit within eps=0.001 (plus slack) of 0.5 on both sides
+    val ranks = li
+      .join(broadcast(sketch.select("l_returnflag", "approx_median")), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+        (sum(when(col("l_extendedprice") < col("approx_median"), 1L).otherwise(0L))
+          / count(lit(1))).as("frac_lt"),
+        (sum(when(col("l_extendedprice") <= col("approx_median"), 1L).otherwise(0L))
+          / count(lit(1))).as("frac_le"))
+    sketch.join(broadcast(ranks), "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.15)).as("hll_ok"),
+        (col("frac_lt") <= 0.51 && col("frac_le") >= 0.49).as("median_ok"))
       .orderBy("l_returnflag")
+  }
+
+  val q21Sql: String =
+    """SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS exact_parts,
+      | CAST(count(*) AS BIGINT) AS n_rows,
+      | TRUE AS hll_ok, TRUE AS median_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Salted two-phase aggregation — the skew pattern: pre-aggregate on
     * (key, salt) to spread a hot key across partitions, then combine.
@@ -255,5 +296,6 @@ object RelationalExt {
     "q18_having_join" -> q18Sql,
     "q19_monthly" -> q19Sql,
     "q20_string_fns" -> q20Sql,
+    "q21_approx" -> q21Sql,
     "q22_salted_agg" -> q22Sql)
 }

@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), "every node must reach the chain minimum")
   }
 
+  test("connected components' logical plan stays constant-size across rounds") {
+    import spark.implicits._
+    // deep graph: needs ~10 pointer-jumping rounds; each round's self-join
+    // embeds two copies of the previous plan, so without per-round eager
+    // localCheckpoint the analyzed tree would hold thousands of nodes
+    // (and the driver would burn minutes canonicalizing it at real SF)
+    val path = (0 until 199).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val result = Dedup.connectedComponents(path, maxRounds = 15)
+    val nodes = result.queryExecution.analyzed.collect { case n => n }.size
+    assert(nodes <= 8, s"analyzed plan has $nodes nodes — per-round plan truncation regressed")
+  }
+
   test("connected components refuses to return split clusters at the round cap") {
     import spark.implicits._
     val path = (0 until 199).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
@@ -77,6 +89,40 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(path, maxRounds = 2).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("per-vector probe pruning rejects most cells on clustered embeddings, stays exact") {
+    import spark.implicits._
+    // the driver corpus is deliberately unclustered (random vectors ⇒ all
+    // angles ≈ 90° ⇒ no exact metric pruning is possible, information-
+    // theoretically); real embedding corpora are clustered, so pruning
+    // power is pinned here on a clustered synthetic: 20 tight clusters,
+    // ids round-robin so the seeded first-√n centroids cover every cluster
+    val rnd = new scala.util.Random(42)
+    val k = 20; val per = 40; val dim = 16
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until k * per).map { i =>
+      val c = centers(i % k)
+      (i.toLong, c.map(x => x + 0.15 * rnd.nextGaussian()).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (pairs, probes) = Dedup.embedPairBlocks(e, t = 0.9)
+    val n = k * per
+    val numCells = math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val frac = probes.count().toDouble / (n.toLong * numCells)
+    assert(frac < 0.2, s"probe fraction $frac — per-vector pruning ineffective on clustered data")
+    // exactness unaffected by pruning: same pair set as scala brute force
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      d / (math.sqrt(a.indices.foldLeft(0.0)((s, i) => s + a(i) * a(i))) *
+        math.sqrt(b.indices.foldLeft(0.0)((s, i) => s + b(i) * b(i))))
+    }
+    val brute = (for {
+      i <- rows.indices; j <- (i + 1) until rows.size
+      if cos(rows(i)._2, rows(j)._2) >= 0.9
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    assert(got == brute, s"pair set mismatch: got ${got.size}, brute ${brute.size}")
   }
 
   test("embedding near-dups are symmetric-free upper triangle with cosine in [0.4, 1]") {
