@@ -54,23 +54,39 @@ object EventStream {
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
   /** Stateful streaming operators allocate one state store per shuffle
-    * partition per micro-batch; at the benchmark's corpus volume the
-    * session default (one per core) is pure overhead, so these queries
-    * run under a FIXED harness constant of `n` partitions (production
-    * deployments size this to key cardinality/throughput instead — pass
-    * a larger `n`). Restores the session conf afterwards. */
-  private def withStreamShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    * partition per micro-batch, so the partition count is sized to the
+    * SOURCE VOLUME (~32 MB of input per store, capped at the session's
+    * parallelism) rather than the batch default of one per core — at
+    * small volume the empty stores are pure overhead, at large volume
+    * the cap keeps stores from outnumbering cores. Deployments with
+    * known key cardinality/throughput can pin `graft.stream.shuffle`
+    * instead. */
+  private[graft] def streamShufflePartitions(s: SparkSession, d: String): Int =
+    s.conf.getOption("graft.stream.shuffle").map(_.toInt).getOrElse {
+      val bytes =
+        try {
+          val p = new org.apache.hadoop.fs.Path(d, "events.parquet")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+        } catch { case _: Throwable => 0L }
+      val targetPerStore = 32L * 1024 * 1024
+      math.max(1, math.min((bytes / targetPerStore + 1).toInt,
+        s.sparkContext.defaultParallelism))
+    }
+
+  /** Restores the session shuffle conf after `body`. */
+  private def withStreamShuffle[T](s: SparkSession, d: String)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s, d).toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Drains `df` through a named memory sink under the harness shuffle
     * sizing: stop any same-named predecessor, start, processAllAvailable,
     * stop. One definition so every streaming query gets all three steps. */
-  private def runToMemorySink(s: SparkSession, df: DataFrame, name: String, mode: String): Unit = {
+  private def runToMemorySink(s: SparkSession, d: String, df: DataFrame,
+      name: String, mode: String): Unit = {
     s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s) {
+    withStreamShuffle(s, d) {
       val q = df.writeStream
         .outputMode(mode)
         .format("memory")
@@ -98,7 +114,7 @@ object EventStream {
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_window_agg"
-    runToMemorySink(s, stream, name, "complete")
+    runToMemorySink(s, d, stream, name, "complete")
     s.table(name).orderBy("window_start", "event_type")
   }
 
@@ -144,11 +160,37 @@ object EventStream {
 
   /** True streaming sessionization: readStream → groupByKey(user) →
     * flatMapGroupsWithState with an explicit per-user session state and
-    * event-time timeout. Sessions emit when the watermark passes their
-    * 30-minute gap. The batch `sessionize` is the semantic oracle; the
-    * spec checks the streamed sessions match the batch result for all
-    * sessions the watermark has closed. */
-  def sessionizeStream(s: SparkSession, d: String): DataFrame = {
+    * event-time timeout. A session emits either when a later event for
+    * the same user opens the next session (`closed_by = 'gap'` — a
+    * deterministic function of the data alone) or when the watermark
+    * passes its 30-minute gap (`closed_by = 'timeout'` — a function of
+    * watermark/trigger timing). The batch `sessionize` is the semantic
+    * oracle; the spec checks the streamed sessions match the batch result
+    * for all sessions the watermark has closed, and the driver-checked
+    * [[sessionizeStreamClosed]] pins the gap-closed subset bit-exactly. */
+  def sessionizeStream(s: SparkSession, d: String): DataFrame =
+    runSessionStream(s, d)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
+        date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Driver-checked slice of [[sessionizeStream]]: only the sessions
+    * closed by a subsequent event (each user's non-final sessions). That
+    * subset is invariant to micro-batch boundaries and watermark timing,
+    * so it hash-matches a pure batch oracle — the gaps-and-islands SQL
+    * restricted to sessions that have a successor. */
+  def sessionizeStreamClosed(s: SparkSession, d: String): DataFrame =
+    runSessionStream(s, d)
+      .filter(col("closed_by") === "gap")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
+        date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  private def runSessionStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val session = s
     import session.implicits._
@@ -170,11 +212,11 @@ object EventStream {
 
     val sessions = events
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Double)](
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long, Double, String)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Long, Double)],
          state: GroupState[SessionState]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double, String)]
           var cur = state.getOption
           // events within a micro-batch arrive unordered: sort by
           // (event time, event_id) — the same total order the batch
@@ -182,7 +224,7 @@ object EventStream {
           batch.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, _, t, _, v) =>
             cur match {
               case Some(st) if t - st.end > gapMicros =>
-                out += ((userId, st.start, st.end, st.n, microsToValue(st.totalMicros)))
+                out += ((userId, st.start, st.end, st.n, microsToValue(st.totalMicros), "gap"))
                 cur = Some(SessionState(t, t, 1, valueMicros(v)))
               case Some(st) =>
                 cur = Some(SessionState(st.start, math.max(st.end, t), st.n + 1,
@@ -192,7 +234,8 @@ object EventStream {
             }
           }
           if (state.hasTimedOut) {
-            cur.foreach(st => out += ((userId, st.start, st.end, st.n, microsToValue(st.totalMicros))))
+            cur.foreach(st =>
+              out += ((userId, st.start, st.end, st.n, microsToValue(st.totalMicros), "timeout")))
             state.remove()
           } else {
             cur.foreach { st =>
@@ -202,17 +245,40 @@ object EventStream {
           }
           out.iterator
       }
-      .toDF("user_id", "start_us", "end_us", "n_events", "total_value")
+      .toDF("user_id", "start_us", "end_us", "n_events", "total_value", "closed_by")
 
     val name = "graft_st_sessionize_stream"
-    runToMemorySink(s, sessions, name, "append")
+    runToMemorySink(s, d, sessions, name, "append")
     s.table(name)
-      .select(col("user_id"),
-        date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
-        date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
-        col("n_events"), col("total_value"))
-      .orderBy("user_id", "session_start")
   }
+
+  /** Oracle for [[sessionizeStreamClosed]]: the batch gaps-and-islands
+    * sessions that have a later session for the same user. */
+  val sessionizeStreamClosedSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM ordered
+      |), sess AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), closed AS (
+      |  SELECT user_id, session_id,
+      |   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |   count(*) AS n_events,
+      |   MONEY_SUM AS total_value,
+      |   max(session_id) OVER (PARTITION BY user_id) AS max_sid
+      |  FROM sess GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, session_start, session_end, n_events, total_value
+      |FROM closed WHERE session_id < max_sid
+      |ORDER BY user_id, session_start""".stripMargin
+      .replace("MONEY_SUM", moneySumSql("value"))
 
   val sessionizeSql: String =
     """WITH ordered AS (
@@ -253,7 +319,7 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_dedup"
-    runToMemorySink(s, stream, name, "complete")
+    runToMemorySink(s, d, stream, name, "complete")
     s.table(name).orderBy("event_type")
   }
 
@@ -279,7 +345,7 @@ object EventStream {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_enrich"
-    runToMemorySink(s, stream, name, "complete")
+    runToMemorySink(s, d, stream, name, "complete")
     s.table(name).orderBy("c_mktsegment", "event_type")
   }
 
@@ -315,7 +381,7 @@ object EventStream {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
     val name = "graft_st_stream_join"
-    runToMemorySink(s, joined, name, "append")
+    runToMemorySink(s, d, joined, name, "append")
     s.table(name)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         date_format(col("click_ts"), fmt).as("click_ts"),
@@ -338,6 +404,7 @@ object EventStream {
     "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
     "st_sessionize" -> (sessionize _),
+    "st_sessionize_stream" -> (sessionizeStreamClosed _),
     "st_stream_join" -> (streamJoin _),
     "st_dedup" -> (dedupStream _))
 
@@ -345,6 +412,7 @@ object EventStream {
     "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
+    "st_sessionize_stream" -> sessionizeStreamClosedSql,
     "st_stream_join" -> streamJoinSql,
     "st_dedup" -> dedupStreamSql)
 }

@@ -27,4 +27,21 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(streamed.subsetOf(all),
       s"streamed sessions not in batch result: ${(streamed -- all).take(3)}")
   }
+
+  test("gap-closed slice equals the batch non-final sessions exactly (driver contract)") {
+    val closed = EventStream.sessionizeStreamClosed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSet
+    val batchAll = EventStream.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val nonFinal = batchAll
+      .filterNot { case (u, sid, _, _, _, _) => lastPerUser(u) == sid }
+      .map { case (u, _, st, en, n, v) => (u, st, en, n, v) }
+      .toSet
+    assert(closed == nonFinal,
+      s"gap-closed slice drifted: extra=${(closed -- nonFinal).take(3)} missing=${(nonFinal -- closed).take(3)}")
+  }
 }
