@@ -106,17 +106,26 @@ object MapReduce {
   }
 
   /** Streams (key, values-iterator) runs out of a key-sorted iterator —
-    * the reduce-side merge of classic MapReduce, O(1) memory per key.
-    */
+    * the reduce-side merge of classic MapReduce.
+    *
+    * SKEW CONTRACT: one key's run IS materialized in memory (the
+    * ArrayBuffer below), so per-key memory is O(values of that key) — a
+    * single pathologically hot key with more values than executor heap
+    * will OOM here, exactly as the reference's per-key linked lists
+    * would (mapreduce.c:203). The memory win over the reference is
+    * per-PARTITION: other keys stream through, and the shuffle sort
+    * spills. For skewed workloads use [[runCombined]] (map-side combine:
+    * one value per (partition, key) crosses the shuffle, so the hot
+    * key's run is num_partitions long, not num_records) or the
+    * declarative `groupBy().agg()` path where Catalyst applies partial
+    * aggregation automatically. MapReduceSpec pins both behaviors on a
+    * deliberately hot key. */
   private final class GroupedRunIterator[K, V](underlying: Iterator[(K, V)])
       extends Iterator[(K, Iterator[V])] {
     private val it = underlying.buffered
     override def hasNext: Boolean = it.hasNext
     override def next(): (K, Iterator[V]) = {
       val key = it.head._1
-      // Materializing a single key's run keeps the contract simple; skewed
-      // hot keys should use the declarative path where partial aggregation
-      // applies.
       val run = scala.collection.mutable.ArrayBuffer.empty[V]
       while (it.hasNext && it.head._1 == key) run += it.next()._2
       (key, run.iterator)

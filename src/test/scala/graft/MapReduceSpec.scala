@@ -80,6 +80,23 @@ class MapReduceSpec extends SparkSpec {
     assert(combined == plain)
   }
 
+  test("hot key: run() materializes one key's run and still reduces; runCombined shrinks it") {
+    // skew contract (GroupedRunIterator scaladoc): a hot key's values are
+    // buffered in memory during its reduce — here 200k values on one key
+    // among 1k cold keys — while runCombined's map-side merge is the
+    // skew-safe path (the hot key crosses the shuffle once per partition)
+    val n = 200000
+    val input = spark.sparkContext.parallelize(1 to n, 16)
+    def mapper(i: Int) = Iterator.single((if (i % 2 == 0) "hot" else s"cold_${i % 1000}", 1L))
+    val plain = MapReduce.run[Int, String, Long, (String, Long)](
+      input, mapper, (k, vs) => (k, vs.sum), numParts = 4).collect().toMap
+    assert(plain("hot") == n / 2)
+    assert(plain.size == 501 && plain("cold_1") == 100L * 2)
+    val combined = MapReduce.runCombined[Int, String, Long](
+      input, mapper, _ + _, numParts = 4).collect().toMap
+    assert(combined == plain)
+  }
+
   test("secondary sort delivers values ordered within each key") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)
