@@ -91,6 +91,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("winnowing: docs sharing a >= K+W-1 substring share a fingerprint; short docs emit none") {
+    import graft.functions.WinnowImpl
+    def fps(s: String): Set[Long] = {
+      val arr = WinnowImpl.fingerprints(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val shared = "the quick brown fox jumps!" // 26 >= K+W-1 = 23
+    val a = s"AAAA left context $shared right tail AAAA"
+    val b = s"completely different prefix $shared and another suffix"
+    assert((fps(a) & fps(b)).nonEmpty, "winnowing theorem violated: no shared fingerprint")
+    // unrelated strings of the same length share nothing
+    val c = "zzzz unrelated words entirely here padddddding zzzzzz"
+    assert((fps(a) & fps(c)).isEmpty)
+    // below the guarantee floor (< K+W-1 chars): no fingerprints at all
+    assert(fps("shorter than 23ch").isEmpty)
+    // determinism
+    assert(fps(a) == fps(a))
+  }
+
+  test("substring dedup finds the planted near-dup pairs via shared fingerprints") {
+    val rows = Dedup.substringDup(spark, sf).collect()
+    assert(rows.nonEmpty, "generator plants near-dups with verbatim runs; pairs expected")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= 4)
+    }
+  }
+
   test("per-vector probe pruning rejects most cells on clustered embeddings, stays exact") {
     import spark.implicits._
     // the driver corpus is deliberately unclustered (random vectors ⇒ all
