@@ -273,7 +273,28 @@ object RelationalExt {
       |WHERE w.kind = 1
       |ORDER BY event_id""".stripMargin
 
+  /** CUBE aggregate: all 2² grouping sets of (status, priority) — the
+    * slice ROLLUP (q12) lacks is (priority) alone. One shuffle: Spark
+    * expands grouping sets map-side and aggregates in a single
+    * partial/final pass, not one pass per set. */
+  def q27Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val q27Sql: String =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      | count(*) AS n, round(sum(o_totalprice),2) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_cube" -> (q27Cube _),
     "q26_asof" -> (q26Asof _),
     "q25_topk_agg" -> (q25TopkAgg _),
     "q23_lag_lead" -> (q23LagLead _),
@@ -287,6 +308,7 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q27_cube" -> q27Sql,
     "q26_asof" -> q26Sql,
     "q25_topk_agg" -> q25Sql,
     "q23_lag_lead" -> q23Sql,

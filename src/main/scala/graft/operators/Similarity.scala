@@ -256,11 +256,109 @@ object Similarity {
       |ORDER BY cosine DESC, a.vec_id
       |LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------------- PQ
+
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace (PqM * PqSub = Dim)
+  private val PqK = 16 // codebook entries per subspace (4-bit codes)
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): each vector is encoded as
+    * PqM=8 4-bit codes (nearest codebook entry per 8-dim subspace), and a
+    * query ranks the corpus by asymmetric distance (ADC) — the sum of 8
+    * precomputed query-to-codebook subdistances looked up by code.
+    *
+    * This is the third ANN scale path next to LSH buckets and IVF cells,
+    * and the one that changes the MEMORY story at 100 TB: ranking scans
+    * the 8-byte code table (64× smaller than the float vectors), the ADC
+    * lookup table is PqM×PqK = 128 broadcast longs per query, and no
+    * vector array moves through a shuffle until the final 10-row re-rank
+    * join. Codebooks are seeded corpus vectors (vec_id < PqK, the
+    * `s_centroids` convention) so the whole pipeline is deterministic —
+    * encode, ADC, and ranking all replay exactly in SQL, giving a full
+    * bit-exact oracle. Subdistances sum as exact integer micros
+    * (order-free — a double sum would depend on partial-agg order). */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val jays = explode(array((0 until PqM).map(lit): _*)).as("j")
+    // per-subspace slices; the codebook (PqM×PqK = 128 rows) broadcasts
+    val subs = vs.select(col("vec_id"), jays, col("v"))
+      .select(col("vec_id"), col("j"), slice(col("v"), col("j") * PqSub + 1, lit(PqSub)).as("sub"))
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("j"), col("sub").as("c_sub"))
+    // encode: nearest codebook entry per (vector, subspace), micros-exact
+    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("cd"), col("code"))
+    val codes = subs.join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        round(sqDist(col("sub"), col("c_sub")) * lit(1000000L)).cast("long").as("cd"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select("vec_id", "j", "code")
+    // ADC table: query (vec_id = 0) subvector to every codebook entry
+    val adc = subs.filter(col("vec_id") === 0)
+      .join(broadcast(cb), "j")
+      .select(col("j"), col("code"),
+        round(sqDist(col("sub"), col("c_sub")) * lit(1000000L)).cast("long").as("qd"))
+    val approx = codes.join(broadcast(adc), Seq("j", "code"))
+      .groupBy("vec_id").agg(sum("qd").as("approx_micros"))
+    val top = approx.filter(col("vec_id") =!= 0)
+      .orderBy("approx_micros", "vec_id").limit(10)
+    // exact re-rank columns for the emitted rows only (10-row join)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    broadcast(top)
+      .join(vs.select("vec_id", "v", "norm"), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("approx_micros"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy("approx_micros", "vec_id")
+  }
+
+  /** SQL twin of [[annPq]]: slices via 1-based inclusive list ranges,
+    * the same |a|²−2⟨a,b⟩+|b|² subdistances in integer micros, the same
+    * (distance, code) tie-break, BIGINT ADC sums. */
+  val annPqSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(round((list_inner_product($a, $a) - 2*list_inner_product($a, $b)" +
+        s" + list_inner_product($b, $b)) * 1000000) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, j, v[j*$PqSub+1 : j*$PqSub+$PqSub] AS sub
+       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS j)
+       |), cb AS (
+       |  SELECT vec_id AS code, j, sub AS c_sub FROM sub WHERE vec_id < $PqK
+       |), codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT s.vec_id, s.j, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY ${sq("s.sub", "c.c_sub")}, c.code) AS rn
+       |    FROM sub s JOIN cb c USING (j)
+       |  ) WHERE rn = 1
+       |), adc AS (
+       |  SELECT c.j, c.code, ${sq("s.sub", "c.c_sub")} AS qd
+       |  FROM sub s JOIN cb c USING (j) WHERE s.vec_id = 0
+       |), approx AS (
+       |  SELECT codes.vec_id, CAST(sum(adc.qd) AS BIGINT) AS approx_micros
+       |  FROM codes JOIN adc USING (j, code) GROUP BY codes.vec_id
+       |), top AS (
+       |  SELECT vec_id, approx_micros FROM approx WHERE vec_id <> 0
+       |  ORDER BY approx_micros, vec_id LIMIT 10
+       |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0)
+       |SELECT t.vec_id, t.approx_micros,
+       |  ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} AS cosine
+       |FROM top t JOIN e USING (vec_id), q
+       |ORDER BY approx_micros, vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_ann_brute" -> (annBrute _),
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
     "s_ann_ivf" -> (annIvf _),
+    "s_ann_pq" -> (annPq _),
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
@@ -268,5 +366,6 @@ object Similarity {
     "s_knn_join" -> knnJoinSql,
     "s_ann_lsh" -> annLshSql,
     "s_ann_ivf" -> annIvfSql,
+    "s_ann_pq" -> annPqSql,
     "s_centroids" -> centroidsSql)
 }

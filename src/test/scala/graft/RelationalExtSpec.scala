@@ -59,6 +59,17 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("cube covers all four grouping sets and agrees with rollup on shared slices") {
+    val cube = RelationalExt.q27Cube(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rollup = graft.operators.Relational.q12Rollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // rollup's sets are a subset of cube's, with identical values
+    rollup.foreach { case (k, v) => assert(cube(k) == v, s"cube/rollup disagree at $k") }
+    // cube additionally has the priority-only slice
+    assert(cube.keys.exists { case (st, pr) => st == "ALL" && pr != "ALL" })
+  }
+
   test("topk aggregate equals window-rank formulation and uses partial aggregation") {
     import org.apache.spark.sql.expressions.Window
     val viaAgg = RelationalExt.q25TopkAgg(spark, sf).collect()

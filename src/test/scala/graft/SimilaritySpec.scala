@@ -39,6 +39,20 @@ class SimilaritySpec extends SparkSpec {
     assert(cos.sameElements(cos.sorted(Ordering[Double].reverse)))
   }
 
+  test("PQ ANN: 10 rows in ascending ADC order, beats chance at finding true neighbors") {
+    val rows = Similarity.annPq(spark, sf).collect()
+    assert(rows.length == 10)
+    val adc = rows.map(_.getAs[Long]("approx_micros"))
+    assert(adc.sameElements(adc.sorted), "rows must ascend by ADC distance")
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0))
+    // quantized ranking must correlate with the true one: the PQ top-10
+    // should recover some of the exact top-10 (chance overlap on 500
+    // vectors is ~0.2 ids)
+    val exact = Similarity.annBrute(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & got).nonEmpty, "PQ found none of the true top-10 — encode/ADC broken")
+  }
+
   test("pipeline curate output is canonical, above threshold, and a subset of docs") {
     val rows = graft.operators.Pipeline.curate(spark, sf).collect()
     assert(rows.nonEmpty)
