@@ -124,13 +124,60 @@ object Pipeline {
       |)
       |GROUP BY tier ORDER BY tier""".stripMargin
 
+  /** Mixture-drift monitoring — the check a production pipeline runs per
+    * ingest batch: is each source's length-tier distribution drifting
+    * from the corpus mixture? Emits one row per (source, tier) with the
+    * chi-square contribution ((observed − expected)²/expected, expected =
+    * n_source·n_tier/N). Deliberately NO cross-row double sum: each term
+    * is a fixed-order IEEE expression over exact integer counts, so every
+    * cell is bit-portable; consumers threshold or sum terms downstream.
+    * Four low-cardinality partial-agg shuffles at any scale. */
+  def drift(s: SparkSession, d: String): DataFrame = {
+    val tier = when(col("n_chars") < 200, "short")
+      .when(col("n_chars") < 350, "mid")
+      .otherwise("long")
+    val docs = graft.Tables.documents(s, d).select(col("source"), tier.as("tier"))
+    val st = docs.groupBy("source", "tier").agg(count(lit(1)).as("n_docs"))
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val byTier = docs.groupBy("tier").agg(count(lit(1)).as("n_t"))
+    val total = docs.agg(count(lit(1)).as("n_all"))
+    val expected = col("n_s").cast("double") * col("n_t") / col("n_all")
+    st.join(broadcast(bySource), "source")
+      .join(broadcast(byTier), "tier")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("tier"), col("n_docs"),
+        ExactRound.r(expected, 4).as("expected"),
+        ExactRound.r((col("n_docs") - expected) * (col("n_docs") - expected) / expected, 6)
+          .as("chi2_term"))
+      .orderBy("source", "tier")
+  }
+
+  val driftSql: String = {
+    val expected = "CAST(n_s AS DOUBLE) * n_t / n_all"
+    s"""WITH d AS (
+       |  SELECT source, CASE WHEN n_chars < 200 THEN 'short'
+       |                      WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS tier
+       |  FROM documents
+       |), st AS (SELECT source, tier, count(*) AS n_docs FROM d GROUP BY 1, 2),
+       |s AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+       |t AS (SELECT tier, count(*) AS n_t FROM d GROUP BY 1),
+       |a AS (SELECT count(*) AS n_all FROM d)
+       |SELECT st.source, st.tier, st.n_docs,
+       |  ${ExactRound.rSql(expected, 4)} AS expected,
+       |  ${ExactRound.rSql(s"(st.n_docs - $expected) * (st.n_docs - $expected) / ($expected)", 6)} AS chi2_term
+       |FROM st JOIN s USING (source) JOIN t USING (tier), a
+       |ORDER BY source, tier""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_curate" -> (curate _),
     "p_mix" -> (mix _),
+    "p_drift" -> (drift _),
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
     "p_curate" -> curateSql,
     "p_mix" -> mixSql,
+    "p_drift" -> driftSql,
     "p_profile" -> profileSql)
 }
