@@ -57,4 +57,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Join"),
       s"mix must stay map-side:\n${p.take(600)}")
   }
+
+  test("d_substring: candidates flow through a fingerprint equi-join, no cartesian") {
+    val p = plan(graft.operators.Dedup.substringDup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must block on fingerprints, not cross-join:\n${p.take(800)}")
+  }
+
+  test("s_ann_pq: codebook and ADC are broadcast, ranking never shuffles vector arrays") {
+    val p = plan(graft.operators.Similarity.annPq(spark, sf))
+    assert(!p.contains("CartesianProduct"), "PQ must not cross-join the corpus")
+    assert(p.contains("BroadcastHashJoin"), "codebook/ADC joins must broadcast")
+  }
 }
