@@ -122,13 +122,37 @@ object Multimodal {
       |FROM documents d LEFT JOIN nrm n ON d.doc_id = n.doc_id
       |ORDER BY asset_id""".stripMargin
 
+  /** Binary-asset exact dedup — the image/audio dedup pass every
+    * multimodal pipeline runs before decode: canonical assignment by
+    * content checksum. Identical scale shape to text `d_exact` (shuffle
+    * on a 16-byte key, no pair join), but over the OPAQUE binary column:
+    * no decode needed to kill byte-identical copies. */
+  def assetDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("checksum")
+    assets(s, d)
+      .select(col("asset_id"), md5(col("media")).as("checksum"))
+      .select(col("asset_id"), col("checksum"),
+        min("asset_id").over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("asset_id")
+  }
+
+  val assetDedupSql: String =
+    """SELECT asset_id, checksum,
+      | min(asset_id) OVER (PARTITION BY checksum) AS canonical_id,
+      | count(*) OVER (PARTITION BY checksum) AS group_size
+      |FROM (SELECT doc_id AS asset_id, md5(text) AS checksum FROM documents)
+      |ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> (binaryMeta _),
     "m_frame_sample" -> (frameSample _),
+    "m_dedup" -> (assetDedup _),
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" -> binaryMetaSql,
     "m_frame_sample" -> frameSampleSql,
+    "m_dedup" -> assetDedupSql,
     "m_feature_extract" -> featureExtractSql)
 }
