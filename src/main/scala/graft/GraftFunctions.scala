@@ -54,6 +54,7 @@ object GraftFunctions {
     "band_hashes" -> (es => BandHashes(es.head, foldInt("band_hashes", "bandRows", es(1)))),
     "est_jaccard" -> (es => EstJaccard(es.head, es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
+    "winnow_fingerprints" -> (es => WinnowFingerprints(es.head)),
     "dot_product" -> (es => DotProduct(es.head, es(1))))
 
   def register(spark: SparkSession): Unit =

@@ -275,9 +275,14 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .persist(mem)
+    // seed labels with min(id, min neighbor): the distinct() this replaces
+    // is a groupBy anyway, so round 1's propagation comes free in the init
+    // aggregate — one fewer join round. least(id, min nb) is a node of the
+    // same component, so the pointer-jumping invariant (labels are live
+    // component ids, only ever decreasing) holds from the start.
+    var labels = edges.groupBy("doc_a").agg(min("doc_b").as("mn"))
+      .select(col("doc_a").as("id"), least(col("doc_a"), col("mn")).as("label"))
+      .localCheckpoint()
     var curSum = labelSum(labels)
     var converged = false
     var rounds = 0
