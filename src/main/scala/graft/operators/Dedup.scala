@@ -265,10 +265,16 @@ object Dedup {
     * Hitting the round cap without converging throws (silently-split
     * clusters would be a wrong answer). */
   private[graft] def connectedComponents(pairsDf: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // materialize the (possibly scan/window-heavy) pair-producing plan
+    // once, eagerly: the checkpoint keeps that big plan out of every
+    // round's analysis, and rounds re-read the cached blocks
     val cols = pairsDf.columns
     val pairs = pairsDf.select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
-      .persist(mem)
+      .localCheckpoint()
+    connectedComponentsLoop(pairs, maxRounds)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxRounds: Int): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     // DECIMAL(38,0) sum: a Long sum of 64-bit labels over billions of
     // nodes can wrap and fake (or mask) convergence; decimal can't
@@ -293,18 +299,16 @@ object Dedup {
       val prop = labels.select("id", "label").union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
       // pointer jumping: a label is always a live node id, so its own
-      // (smaller-or-equal) label is a valid label for us too. Skipped only
-      // for round 0 (labels are identity — the jump would be a no-op);
-      // from round 1 on, the extra equi-join halves chain depth per round
-      // and, with every round eagerly checkpointed, costs one small
-      // AQE-coalesced shuffle — measured net-faster at sf0.1 than
-      // deferring the jump to round 3 (5.1 s vs 5.6 s on the embed graph,
-      // +0.25 s on the shallow n-gram graph).
-      val jumped =
-        if (rounds < 1) prop
-        else prop.join(
-            prop.select(col("id").as("label"), col("label").as("jlabel")), "label")
-          .select(col("id"), col("jlabel").as("label"))
+      // (smaller-or-equal) label is a valid label for us too. The extra
+      // equi-join halves chain depth per round (O(log D) total) and, with
+      // every round eagerly checkpointed, costs one small AQE-coalesced
+      // shuffle — measured net-faster at sf0.1 than deferring the jump
+      // to round 3 (5.1 s vs 5.6 s on the embed graph). Applied from
+      // round 0 because labels are already min-neighbor-seeded, never
+      // identity, so the first jump does real work too.
+      val jumped = prop
+        .join(prop.select(col("id").as("label"), col("label").as("jlabel")), "label")
+        .select(col("id"), col("jlabel").as("label"))
       // eager: materializes now and replaces the plan with a LogicalRDD
       // leaf, so round n+1's plan has constant size (see scaladoc above)
       val next = jumped.localCheckpoint()
