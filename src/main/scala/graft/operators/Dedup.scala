@@ -677,7 +677,79 @@ object Dedup {
       |SELECT src AS vec_id, min(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
 
+  /** Bloom-filter decontamination pre-filter — the membership sketch a
+    * 100 TB pipeline consults BEFORE paying any join: train-split
+    * fingerprints set k=3 positions (salted djb2, the engine's own
+    * partitioner hash) in an m=8192-bit space; an eval doc whose 3
+    * positions aren't all set is GUARANTEED not an exact duplicate of
+    * any train doc and skips the exact-verify join entirely. Emits per
+    * eval doc: hit count, the bloom verdict, and the ground-truth
+    * membership — so the result itself certifies the no-false-negative
+    * invariant (is_member = 1 ⇒ maybe_member = 1; the oracle recomputes
+    * both sides). At production scale the m-bit filter is built by
+    * partial aggregation and broadcast as a bitset (Spark ships
+    * `bloom_filter_agg`/`might_contain` for exactly this; the explicit
+    * positions formulation here is the same math with engine-portable
+    * hashes), and only bloom-positive docs — here deliberately all docs,
+    * to exhibit the false-positive rate — take the exact join. Sized
+    * m/n ≈ 33 bits/key at sf0.01, k=3 → FP rate ≈ (1-e^(-3n/m))³ ≈ 0.1%;
+    * production sizes m to the train-split cardinality the same way. */
+  def bloom(s: SparkSession, d: String): DataFrame = {
+    val m = 8192
+    val fp = md5(to_binary(trim(regexp_replace(lower(col("text")), WS, " ")), lit("utf-8")))
+    val docs = Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
+    val positions = docs.select(col("doc_id"), col("fp"),
+      explode(array((0 until 3).map(i =>
+        graft.functions.Djb2.djb2_partition(concat(lit(s"$i:"), col("fp")), m)
+          .cast("bigint")): _*)).as("pos"))
+    val bits = positions.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("pos").distinct().withColumn("hit", lit(1L))
+    val trainFps = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("fp").distinct().withColumn("im", lit(1))
+    positions.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id", "fp")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(broadcast(trainFps), Seq("fp"), "left")
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === 3).cast("int").as("maybe_member"),
+        coalesce(col("im"), lit(0)).as("is_member"))
+      .orderBy("doc_id")
+  }
+
+  val bloomSql: String =
+    """WITH RECURSIVE norm AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), keys AS (
+      |  SELECT doc_id, fp, CAST(i AS VARCHAR) || ':' || fp AS key
+      |  FROM norm, (SELECT unnest([0, 1, 2]) AS i)
+      |), h AS (
+      |  SELECT doc_id, fp, key, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM keys
+      |  UNION ALL
+      |  SELECT doc_id, fp, key, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), pos AS (
+      |  SELECT doc_id, fp, CAST(hash % 8192 AS BIGINT) AS pos
+      |  FROM h WHERE i = length(key)+1
+      |), bits AS (
+      |  SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0
+      |), evalhits AS (
+      |  SELECT p.doc_id, p.fp,
+      |    CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM pos p LEFT JOIN bits b ON p.pos = b.pos
+      |  WHERE p.doc_id % 2 = 1 GROUP BY 1, 2
+      |), trainfp AS (
+      |  SELECT DISTINCT fp FROM norm WHERE doc_id % 2 = 0
+      |)
+      |SELECT e.doc_id, e.n_hits, CAST(e.n_hits = 3 AS INT) AS maybe_member,
+      |  CAST(t.fp IS NOT NULL AS INT) AS is_member
+      |FROM evalhits e LEFT JOIN trainfp t USING (fp)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_bloom" -> (bloom _),
     "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
     "d_minhash_lsh" -> (minhashLsh _),
@@ -690,6 +762,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_bloom" -> bloomSql,
     "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,
     "d_minhash_lsh" -> minhashLshSql,

@@ -126,7 +126,40 @@ object MapReduceQueries {
       | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Distributed total-order sort with exact global rank — the TeraSort
+    * two-phase shape, MapReduce's classic third benchmark after word
+    * count and grep: (1) range-bucket every row by key, (2) count rows
+    * per bucket and turn the (tiny) per-bucket counts into cumulative
+    * offsets, (3) broadcast the offsets back and add a within-bucket
+    * `row_number`. No single-partition global window anywhere: the only
+    * full-order sort is over the bucket-count table (one row per bucket),
+    * and ranking parallelizes across buckets. Production would draw
+    * split points by sampling (RangePartitioner); fixed-width buckets
+    * keep this deterministic and oracle-able — the skew they admit is
+    * exactly what AQE's skew handling absorbs. */
+  def sortRank(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", floor(col("n_chars") / 25).cast("long"))
+    val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(
+        sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "offset")
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("rank", col("offset") + row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("n_chars", "doc_id")))
+      .select("rank", "doc_id", "n_chars")
+      .orderBy("rank")
+  }
+
+  val sortRankSql: String =
+    """SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rank, doc_id, n_chars
+      |FROM documents ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_sort" -> (sortRank _),
     "mr_wordcount" -> (wordcount _),
     "mr_grep" -> (grep _),
     "mr_inverted_index" -> (invertedIndex _),
@@ -134,6 +167,7 @@ object MapReduceQueries {
     "mr_avg_by_key" -> (avgByKey _))
 
   val oracles: Map[String, String] = Map(
+    "mr_sort" -> sortRankSql,
     "mr_wordcount" -> wordcountSql,
     "mr_grep" -> grepSql,
     "mr_inverted_index" -> invertedIndexSql,

@@ -169,13 +169,63 @@ object Pipeline {
        |ORDER BY source, tier""".stripMargin
   }
 
+  /** Sequence packing — the step between curation and the trainer:
+    * concatenate documents in a deterministic order and cut the stream
+    * into fixed token-budget training sequences (GPT-style concat-and-
+    * chunk; a doc may straddle two sequences). The stream is sharded
+    * into hash buckets and each bucket packs independently via a
+    * bucket-partitioned running sum — sequences never cross buckets, so
+    * at 100 TB packing parallelizes to as many buckets as the cluster
+    * has cores, with no global order and no single-partition window.
+    * Emits one row per packed sequence (its doc span and token count);
+    * all arithmetic is integer, so cross-engine exactness is free. */
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val nBuckets = 16
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("doc_id")
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "[ \t\n\r]+")).cast("long").as("n_tok"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets)).cast("long"))
+      .withColumn("start_tok", coalesce(
+        sum("n_tok").over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("seq_id", floor(col("start_tok") / budget).cast("long"))
+      .groupBy("bucket", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("bucket", "seq_id")
+  }
+
+  val packSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT) AS n_tok,
+      |    doc_id % 16 AS bucket
+      |  FROM documents
+      |), cum AS (
+      |  SELECT doc_id, n_tok, bucket,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |  FROM toks
+      |)
+      |SELECT bucket, CAST(start_tok // 512 AS BIGINT) AS seq_id,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum GROUP BY bucket, seq_id ORDER BY bucket, seq_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_pack" -> (pack _),
     "p_curate" -> (curate _),
     "p_mix" -> (mix _),
     "p_drift" -> (drift _),
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_pack" -> packSql,
     "p_curate" -> curateSql,
     "p_mix" -> mixSql,
     "p_drift" -> driftSql,

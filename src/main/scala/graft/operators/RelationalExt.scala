@@ -293,7 +293,37 @@ object RelationalExt {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Semi-structured extraction: parse the events `props` JSON column
+    * with an explicit schema (`from_json` — one typed parse per row,
+    * pruned to the referenced field) and aggregate the extracted value.
+    * At 100 TB the explicit schema matters twice: the parser skips
+    * unreferenced fields, and the result is a typed struct column the
+    * rest of the plan treats as ordinary relational data (no re-parse
+    * per consumer, unlike chained `get_json_object` calls). */
+  def q28Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("event_type")
+
+  val q28Sql: String =
+    """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+      | CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      | CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_json" -> (q28Json _),
     "q27_cube" -> (q27Cube _),
     "q26_asof" -> (q26Asof _),
     "q25_topk_agg" -> (q25TopkAgg _),
@@ -308,6 +338,7 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q28_json" -> q28Sql,
     "q27_cube" -> q27Sql,
     "q26_asof" -> q26Sql,
     "q25_topk_agg" -> q25Sql,

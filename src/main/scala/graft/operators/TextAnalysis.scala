@@ -366,7 +366,54 @@ object TextAnalysis {
       .replace("REP_RATIO",
         ExactRound.rSql("1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)", 6))
 
+  /** Cross-document duplicate n-gram coverage — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" signal
+    * at n-gram granularity (vs [[repetition]], which is intra-document):
+    * for each document, the fraction of its DISTINCT word 5-grams that
+    * also occur in at least one other document. High coverage marks
+    * boilerplate/template docs that survive exact and near-dup passes.
+    * Two shuffles at any scale: count documents per gram (map-side
+    * partial agg does the heavy lifting — gram frequency is Zipfian),
+    * then re-join the per-gram doc counts and aggregate per doc. At
+    * 100 TB the join key would be xxhash64(gram) to bound shuffle key
+    * width; the raw-string key here keeps the oracle engine-portable,
+    * and a 64-bit collision (~n²/2⁶⁴) only perturbs a ratio, never
+    * membership. */
+  def dupNgrams(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), explode(graft.functions.MinHashFns.word_shingles(
+        split(trim(col("text")), "[ \t\n\r]+"), 5, distinct = true)).as("g"))
+    val docsPerGram = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    grams.join(docsPerGram, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        ExactRound.r(col("n_shared").cast("double") / col("n_grams"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val dupNgramsSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-4, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 5
+      |), counts AS (
+      |  SELECT g, count(*) AS nd FROM grams GROUP BY g
+      |)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  DUP_RATIO AS dup_ratio
+      |FROM grams JOIN counts USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replace("DUP_RATIO",
+        ExactRound.rSql("CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dup_ngrams" -> (dupNgrams _),
     "t_repetition" -> (repetition _),
     "t_bigram_ratio" -> (bigramRatio _),
     "t_tfidf" -> (tfidf _),
@@ -379,6 +426,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_dup_ngrams" -> dupNgramsSql,
     "t_repetition" -> repetitionSql,
     "t_bigram_ratio" -> bigramRatioSql,
     "t_tfidf" -> tfidfSql,

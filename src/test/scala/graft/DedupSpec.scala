@@ -182,4 +182,16 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute,
       s"missing: ${(brute -- blocked).take(3)}; extra: ${(blocked -- brute).take(3)}")
   }
+
+  test("bloom: membership sketch has zero false negatives") {
+    val rows = Dedup.bloom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 3)
+      if (r.getAs[Int]("is_member") == 1)
+        assert(r.getAs[Int]("maybe_member") == 1,
+          s"bloom false negative on eval doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }

@@ -136,4 +136,15 @@ class MapReduceSpec extends SparkSpec {
       assert(fn(spark, sf).count() > 0, s"$name empty")
     }
   }
+
+  test("mr_sort: bucket-offset two-phase rank is exactly the global sort order") {
+    val rows = MapReduceQueries.sortRank(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("rank")).toSet == (1L to n).toSet, "rank is not a permutation")
+    val sorted = rows.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i + 1,
+        s"doc ${r.getAs[Long]("doc_id")} ranked ${r.getAs[Long]("rank")}, expected ${i + 1}")
+    }
+  }
 }

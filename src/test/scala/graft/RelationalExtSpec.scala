@@ -86,6 +86,16 @@ class RelationalExtSpec extends SparkSpec {
       "typed imperative aggregate should plan as object/sort aggregate")
   }
 
+  test("q28_json: typed extraction parses every props row, aggregates consistent") {
+    val rows = RelationalExt.q28Json(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("n_with_k"), "a props row failed to parse")
+      assert(r.getAs[Long]("min_k") * r.getAs[Long]("n") <= r.getAs[Long]("sum_k"))
+      assert(r.getAs[Long]("sum_k") <= r.getAs[Long]("max_k") * r.getAs[Long]("n"))
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val salted = RelationalExt.q22SaltedAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Double]("sum_qty"), r.getAs[Long]("n")))

@@ -33,4 +33,23 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[String]("md5_fp").matches("[0-9a-f]{32}")))
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
   }
+
+  test("dup_ngrams: ratios bounded, exact-duplicate docs have full 5-gram coverage") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.dupNgrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_grams"))
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // a doc with an exact duplicate shares every one of its 5-grams
+    val dupIds = graft.operators.Dedup.exact(spark, sf)
+      .filter(col("group_size") >= 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.filter(r => dupIds.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Double]("dup_ratio") == 1.0,
+        s"exact-dup doc ${r.getAs[Long]("doc_id")} has ratio ${r.getAs[Double]("dup_ratio")}")
+    }
+  }
 }
