@@ -55,6 +55,7 @@ object GraftFunctions {
     "est_jaccard" -> (es => EstJaccard(es.head, es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "winnow_fingerprints" -> (es => WinnowFingerprints(es.head)),
+    "cdc_boundaries" -> (es => CdcBoundaries(es.head)),
     "dot_product" -> (es => DotProduct(es.head, es(1))))
 
   def register(spark: SparkSession): Unit =

@@ -144,13 +144,100 @@ object Multimodal {
       |FROM (SELECT doc_id AS asset_id, md5(text) AS checksum FROM documents)
       |ORDER BY asset_id""".stripMargin
 
+  /** Content-defined chunking for dedup storage — how object stores
+    * dedupe large media blobs ACROSS assets that are similar but not
+    * byte-identical (re-encoded uploads, appended metadata): split each
+    * blob at content-determined boundaries ([[graft.functions.CdcImpl]]:
+    * rolling-hash mask, expected 64-byte chunks), address chunks by
+    * content hash, and count bytes shared with any other chunk
+    * occurrence. Unlike fixed-size blocks, an insertion shifts at most
+    * one boundary, so shared runs keep their chunk identity. The
+    * boundary scan is one codegen'd O(n) expression pass; chunk
+    * extraction (substr + md5) stays declarative; then one partial-agg
+    * shuffle on the 16-byte chunk hash and one re-join — the same scale
+    * shape as `d_exact`, applied at sub-asset granularity. Emits per
+    * asset: chunk count, bytes, bytes in shared chunks, dedup ratio. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id").as("asset_id"), col("text"),
+        graft.functions.CdcFns.cdc_boundaries(col("text")).as("bounds"))
+    val chunks = docs
+      .select(col("asset_id"), col("text"),
+        explode(zip_with(
+          concat(array(lit(0)), col("bounds")),
+          concat(col("bounds"), array(length(col("text")))),
+          (a, b) => struct(a.as("off"), (b - a).as("len")))).as("c"))
+      .select(col("asset_id"), col("c.len").cast("long").as("len"),
+        md5(to_binary(expr("substr(text, c.off + 1, c.len)"), lit("utf-8"))).as("chunk_hash"))
+    val refs = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("refs"))
+    chunks.join(refs, "chunk_hash")
+      .groupBy("asset_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("n_bytes"),
+        sum(when(col("refs") >= 2, col("len")).otherwise(0L)).as("dup_bytes"))
+      .select(col("asset_id"), col("n_chunks"), col("n_bytes"), col("dup_bytes"),
+        ExactRound.r(col("dup_bytes").cast("double") / col("n_bytes"), 6).as("dup_ratio"))
+      .orderBy("asset_id")
+  }
+
+  /** SQL twin of [[cdcChunks]]: the same K=16 polynomial rolling hash as
+    * the winnow oracle (recursive CTE, HUGEINT mod 2⁶⁴), boundaries where
+    * hash % 64 = 0, chunk reassembly via lockstep unnest of the
+    * prepend(0)/append(len) offset lists. */
+  val cdcChunksSql: String = {
+    val K = graft.functions.CdcImpl.K
+    val B = graft.functions.CdcImpl.B
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val bpk1 = java.lang.Long.toUnsignedString(graft.functions.WinnowImpl.bpow(K - 1))
+    val bpLits = (0 until K)
+      .map(j => java.lang.Long.toUnsignedString(graft.functions.WinnowImpl.bpow(j)))
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, text, greatest(length(text) - ${K - 1}, 0) AS m FROM documents
+       |), roll AS (
+       |  SELECT doc_id, text, m, 1 AS i,
+       |    CAST(list_sum(list_transform(generate_series(1, $K),
+       |      j -> ord(substr(text, j, 1)) * ($bpLits::HUGEINT[])[$K + 1 - j])) AS HUGEINT) % $m64 AS h
+       |  FROM docs WHERE m >= 2
+       |  UNION ALL
+       |  SELECT doc_id, text, m, i + 1,
+       |    ((((h - ord(substr(text, i, 1)) * CAST('$bpk1' AS HUGEINT)) % $m64 + $m64) % $m64)
+       |      * $B + ord(substr(text, i + $K, 1))) % $m64
+       |  FROM roll WHERE i < m
+       |), bounds AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos FROM roll WHERE i >= 2 AND h % 64 = 0
+       |), blist AS (
+       |  SELECT doc_id, list(pos ORDER BY pos) AS bs FROM bounds GROUP BY doc_id
+       |), chunkdef AS (
+       |  SELECT d.doc_id, d.text,
+       |    list_prepend(CAST(0 AS BIGINT), coalesce(b.bs, CAST([] AS BIGINT[]))) AS offs,
+       |    list_append(coalesce(b.bs, CAST([] AS BIGINT[])), CAST(length(d.text) AS BIGINT)) AS ends
+       |  FROM docs d LEFT JOIN blist b USING (doc_id)
+       |), ch AS (
+       |  SELECT doc_id, md5(substr(text, off + 1, e - off)) AS chunk_hash, e - off AS len
+       |  FROM (SELECT doc_id, text, unnest(offs) AS off, unnest(ends) AS e FROM chunkdef)
+       |), refs AS (
+       |  SELECT chunk_hash, count(*) AS refs FROM ch GROUP BY 1
+       |)
+       |SELECT doc_id AS asset_id, count(*) AS n_chunks,
+       |  CAST(sum(len) AS BIGINT) AS n_bytes,
+       |  CAST(sum(CASE WHEN refs >= 2 THEN len ELSE 0 END) AS BIGINT) AS dup_bytes,
+       |  ${graft.operators.ExactRound.rSql(
+            "CAST(sum(CASE WHEN refs >= 2 THEN len ELSE 0 END) AS DOUBLE) / sum(len)", 6)} AS dup_ratio
+       |FROM ch JOIN refs USING (chunk_hash)
+       |GROUP BY doc_id ORDER BY asset_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_cdc_chunks" -> (cdcChunks _),
     "m_binary_meta" -> (binaryMeta _),
     "m_frame_sample" -> (frameSample _),
     "m_dedup" -> (assetDedup _),
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_cdc_chunks" -> cdcChunksSql,
     "m_binary_meta" -> binaryMetaSql,
     "m_frame_sample" -> frameSampleSql,
     "m_dedup" -> assetDedupSql,

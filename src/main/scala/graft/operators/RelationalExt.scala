@@ -322,7 +322,41 @@ object RelationalExt {
       |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time-RANGE window frame: each order's trailing-30-day order count
+    * and spend for the same customer — the rolling-retention metric
+    * ROWS frames can't express (peers are picked by key distance, not
+    * row position). One shuffle-sort per customer key at any scale.
+    * The frame sum is over integer cents (`round(price·100)` per row):
+    * a RANGE frame admits same-day peers in nondeterministic order, so
+    * a double running sum could differ between engines; integer sums
+    * cannot. */
+  def q29RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        count(lit(1)).over(w).as("n_trail30"),
+        (sum("cents").over(w).cast("double") / 100.0).as("spend_trail30"))
+      .orderBy("o_orderkey")
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderkey, o_custkey, day,
+      |  count(*) OVER w AS n_trail30,
+      |  CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS spend_trail30
+      |FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_range_frame" -> (q29RangeFrame _),
     "q28_json" -> (q28Json _),
     "q27_cube" -> (q27Cube _),
     "q26_asof" -> (q26Asof _),
@@ -338,6 +372,7 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q29_range_frame" -> q29Sql,
     "q28_json" -> q28Sql,
     "q27_cube" -> q27Sql,
     "q26_asof" -> q26Sql,

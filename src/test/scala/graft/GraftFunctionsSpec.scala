@@ -33,4 +33,39 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("must be a literal integer"),
       s"expected a descriptive error, got: ${err.getMessage}")
   }
+
+  test("cdc_boundaries: chunks tile the text, and an insertion shifts at most one boundary region") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // non-periodic text (a periodic one collapses to few distinct chunks)
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(400)("abcdefghijklmnopqrstuvwxyz".charAt(rnd.nextInt(26)).toString * (1 + rnd.nextInt(3)))
+      .mkString(" ")
+    val edited = "INSERTED-PREFIX-BYTES " + base
+    def chunkHashes(text: String): Seq[String] = {
+      val row = Seq(text).toDF("text")
+        .selectExpr("cdc_boundaries(text) AS bs", "text")
+        .selectExpr("bs", "length(text) AS n")
+        .first()
+      val bs = row.getSeq[Int](0)
+      val n = row.getInt(1)
+      val offs = 0 +: bs
+      val ends = bs :+ n
+      // chunk lengths tile the text exactly
+      assert(offs.zip(ends).map { case (a, b) => b - a }.sum == n)
+      assert(offs.zip(ends).forall { case (a, b) => b > a }, "empty chunk produced")
+      offs.zip(ends).map { case (a, b) => text.substring(a, b) }
+        .map(s => java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    val h1 = chunkHashes(base)
+    val h2 = chunkHashes(edited)
+    // content-defined boundaries re-synchronize after the insertion: all
+    // but the first chunk(s) keep their identity (fixed-size blocks would
+    // lose every block's identity to the 22-char shift)
+    val distinct1 = h1.toSet
+    val shared = distinct1.intersect(h2.toSet).size
+    assert(shared >= distinct1.size - 2,
+      s"insertion destroyed chunk identity: ${distinct1.size} distinct chunks, only $shared shared")
+  }
 }

@@ -33,6 +33,20 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: chunk bytes tile every asset; dup bytes bounded by total") {
+    val rows = Multimodal.cdcChunks(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val totalChars = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bytes")).sum == totalChars, "chunks must tile the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= 1)
+      assert(r.getAs[Long]("dup_bytes") <= r.getAs[Long]("n_bytes"))
+    }
+  }
+
   test("stream-stream join: every pair is a same-user purchase within 30min of the click") {
     val rows = graft.streaming.EventStream.streamJoin(spark, sf).collect()
     assert(rows.nonEmpty, "expected some click→purchase attributions")

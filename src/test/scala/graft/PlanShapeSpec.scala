@@ -69,4 +69,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "PQ must not cross-join the corpus")
     assert(p.contains("BroadcastHashJoin"), "codebook/ADC joins must broadcast")
   }
+
+  test("mr_sort: offsets broadcast back, ranking window parallelizes per bucket") {
+    val p = plan(graft.operators.MapReduceQueries.sortRank(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast, not shuffle the data side")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"per-bucket ranking window must partition by bucket:\n${p.take(800)}")
+  }
+
+  test("d_bloom: bitset and train fingerprints broadcast, no cartesian") {
+    val p = plan(graft.operators.Dedup.bloom(spark, sf))
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2,
+      "bloom positions and exact-verify joins must broadcast the small side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p_pack: packing windows partition by bucket — no global single-partition pass over the data") {
+    val p = plan(graft.operators.Pipeline.pack(spark, sf))
+    assert(p.contains("hashpartitioning(bucket"),
+      s"running-sum window must partition by bucket:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"),
+      s"no stage of packing may collapse the data to one partition:\n${p.take(800)}")
+  }
 }
