@@ -17,7 +17,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.RelationalExt.queries ++
       operators.MapReduceQueries.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.Pipeline.queries ++
+      operators.Pipeline.queries ++ operators.Graph.queries ++
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.EventStream.queries
 
@@ -27,7 +27,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
       operators.MapReduceQueries.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
-      operators.Pipeline.oracles ++
+      operators.Pipeline.oracles ++ operators.Graph.oracles ++
       operators.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.EventStream.oracles
 }

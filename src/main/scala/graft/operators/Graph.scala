@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over pair graphs (SURVEY.md §2D adjunct):
+  * PageRank over the near-dup graph — "which documents sit at the center
+  * of a duplication cluster" — with the same per-round eager
+  * `localCheckpoint` discipline as [[Dedup.connectedComponents]] (the
+  * round-2 lesson: iterative self-joins double the logical plan per
+  * round unless each round truncates to a materialized leaf).
+  *
+  * Every quantity is an INTEGER (rank in micros, exact integer division
+  * by degree, damping 0.85 as ·17 div 20): long sums are
+  * accumulation-order-free, so the result is bit-identical across
+  * engines, partitionings and cluster sizes — no floating-point
+  * PageRank ever is. The ~1-micro-per-op downward rounding loss is the
+  * price, identical on both sides of the oracle.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank (d = 0.85) over the UNDIRECTED
+    * pair graph: r₀ = ⌊10⁶/N⌋; rₜ₊₁(v) = ⌊0.15·10⁶/N⌋ +
+    * ⌊17·Σ_{u~v}⌊rₜ(u)/deg(u)⌋ / 20⌋. Per round: one equi-join of the
+    * (checkpointed) degree-annotated edge list against the rank table +
+    * one partial-agg shuffle — the standard Pregel-style formulation,
+    * never materializing anything wider than (node, rank). */
+  private[graft] def pagerankLoop(pairsDf: DataFrame, iters: Int): DataFrame = {
+    val cols = pairsDf.columns
+    val pairs = pairsDf.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) materialized once: every round re-reads these blocks
+    val ewd = edges.join(deg, "src").localCheckpoint()
+    val nodes = deg.select(col("src").as("id")).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty pair graph")
+    val base = 150000L / n
+    var r = nodes.select(col("id"), lit(1000000L / n).as("r")).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contrib = ewd.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(coalesce(contrib, 0) * 17) div 20")).as("r"))
+        .localCheckpoint()
+      r.unpersist()
+      r = next
+      it += 1
+    }
+    r
+  }
+
+  /** Driver query: 5 PageRank rounds over the exact 3-gram-Jaccard
+    * near-dup graph (the same edges [[Dedup.dupClusters]] clusters). */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankLoop(Dedup.ngramJaccard(s, d).select("doc_a", "doc_b"), iters = 5)
+      .select(col("id").as("doc_id"), col("r").as("pr_micros"))
+      .orderBy("doc_id")
+
+  /** SQL twin: same pair graph, 5 unrolled iterations of the identical
+    * integer recurrence (DuckDB `//` = Spark `div` on non-negative
+    * BIGINT). */
+  val pagerankSql: String = {
+    val shingles =
+      """SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3""".stripMargin
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    val iterations = (1 to 5).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id, sum(t${k - 1}.r // d.deg) AS contrib
+         |  FROM edges e JOIN t${k - 1} ON e.src = t${k - 1}.id JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst
+         |), t$k AS (
+         |  SELECT nd.id, (150000 // nc.n) + (coalesce(c.contrib, 0) * 17) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c$k c USING (id), nc
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH docs AS (
+       |  $shingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jac >= 0.5
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT src AS id FROM deg
+       |), nc AS (
+       |  SELECT count(*) AS n FROM nodes
+       |), t0 AS (
+       |  SELECT id, 1000000 // nc.n AS r FROM nodes, nc
+       |), $iterations
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr_micros
+       |FROM t5 ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_pagerank" -> (pagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "g_pagerank" -> pagerankSql)
+}

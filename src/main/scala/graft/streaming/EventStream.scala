@@ -400,7 +400,54 @@ object EventStream {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Streaming windowed top-k ("trending items"): tumbling 1-hour counts
+    * per event type maintained by a genuine streaming aggregation
+    * (watermark-bounded state), with the top-2 rank computed over the
+    * materialized sink — the stream-then-serve split every trending
+    * dashboard uses. Ranking on the stream itself is deliberately NOT
+    * attempted: per-window top-k over updating state is not expressible
+    * as a streaming window function, and doesn't need to be — the ranked
+    * layer reads the compacted aggregate (cardinality = windows ×
+    * types, tiny at any scale), not the raw stream. At 100 TB/day the
+    * serve query costs seconds; the heavy lifting (event counting)
+    * happens incrementally in the stream with partial aggregation. */
+  def topkStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), fmt).as("window_start"),
+        col("event_type"), col("n"))
+    val name = "graft_st_topk"
+    runToMemorySink(s, d, stream, name, "complete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("event_type"))
+    s.table(name)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .orderBy("window_start", "rank")
+  }
+
+  val topkStreamSql: String =
+    """SELECT window_start, event_type, n, rank FROM (
+      |  SELECT window_start, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS rank
+      |  FROM (
+      |    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |      event_type, count(*) AS n
+      |    FROM events GROUP BY 1, 2
+      |  )
+      |)
+      |WHERE rank <= 2
+      |ORDER BY window_start, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_topk" -> (topkStream _),
     "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
     "st_sessionize" -> (sessionize _),
@@ -409,6 +456,7 @@ object EventStream {
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "st_topk" -> topkStreamSql,
     "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,

@@ -1,0 +1,26 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+
+class GraphSpec extends SparkSpec {
+
+  test("pagerank equals an exact in-memory integer replay of the recurrence") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "generator plants near-dups; pair graph expected")
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (u, v) => contrib(v) += r(u) / deg(u) }
+      r = nodes.map(v => v -> (150000L / n + contrib(v) * 17 / 20)).toMap
+    }
+    val got = Graph.pagerank(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == r,
+      s"distributed pagerank diverges from replay on ${got.toSet.diff(r.toSet).take(3)}")
+  }
+}

@@ -58,6 +58,20 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("st_topk: at most 2 ranks per window, counts non-increasing with rank") {
+    val rows = EventStream.topkStream(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("window_start")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.length <= 2)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("n") >= b.getAs[Long]("n")
+        case _ => true
+      })
+    }
+  }
+
   test("streaming window agg equals the batch computation") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.windowAgg(spark, sf).collect()
