@@ -104,9 +104,90 @@ object Graph {
        |FROM t5 ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-node triangle counts over the near-dup graph — triangles mark
+    * tightly-knit duplication cliques (every pair similar), a stronger
+    * signal than mere connectivity. Degree-ordered orientation (edge
+    * points from (deg, id)-smaller to larger endpoint), the standard
+    * hub-safe formulation: wedges are enumerated only at each edge's
+    * LOWER-degree endpoint, so a degree-D hub generates O(sum of its
+    * lower-degree neighbors') wedge pairs instead of O(D²) — the
+    * difference between feasible and not on a power-law graph at 100 TB.
+    * Each triangle has exactly one source-of-both-oriented-edges vertex,
+    * so the wedge ⋈ oriented-edge join counts it exactly once. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val e = pairs
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
+    val wedges = e.join(e.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") < col("w"))
+    // {v,w} closes the triangle in exactly one orientation; probing both
+    // keeps the wedge enumeration free of per-pair orientation checks
+    val closing = e.select(col("u").as("v"), col("v").as("w"))
+      .union(e.select(col("v").as("v"), col("u").as("w")))
+    val tri = wedges.join(closing, Seq("v", "w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("c"))
+    deg.select(col("id")).join(perNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("c"), lit(0L)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin of [[triangles]] on the same pair graph. */
+  val trianglesSql: String = {
+    val shingles =
+      """SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3""".stripMargin
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    s"""WITH docs AS (
+       |  $shingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jac >= 0.5
+       |), deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT pa AS id FROM pairs UNION ALL SELECT pb FROM pairs
+       |  ) GROUP BY id
+       |), e AS (
+       |  SELECT CASE WHEN (da.deg, p.pa) < (db.deg, p.pb) THEN p.pa ELSE p.pb END AS u,
+       |         CASE WHEN (da.deg, p.pa) < (db.deg, p.pb) THEN p.pb ELSE p.pa END AS v
+       |  FROM pairs p JOIN deg da ON da.id = p.pa JOIN deg db ON db.id = p.pb
+       |), wedges AS (
+       |  SELECT e1.u, e1.v, e2.v AS w
+       |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+       |), closing AS (
+       |  SELECT u AS v, v AS w FROM e UNION ALL SELECT v, u FROM e
+       |), tri AS (
+       |  SELECT wg.u, wg.v, wg.w FROM wedges wg JOIN closing c ON wg.v = c.v AND wg.w = c.w
+       |), pernode AS (
+       |  SELECT id, count(*) AS c FROM (
+       |    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+       |  ) GROUP BY id
+       |)
+       |SELECT d.id AS doc_id, coalesce(p.c, 0) AS n_triangles
+       |FROM deg d LEFT JOIN pernode p USING (id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g_pagerank" -> (pagerank _))
+    "g_pagerank" -> (pagerank _),
+    "g_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
-    "g_pagerank" -> pagerankSql)
+    "g_pagerank" -> pagerankSql,
+    "g_triangles" -> trianglesSql)
 }

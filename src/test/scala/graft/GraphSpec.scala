@@ -23,4 +23,23 @@ class GraphSpec extends SparkSpec {
     assert(got == r,
       s"distributed pagerank diverges from replay on ${got.toSet.diff(r.toSet).take(3)}")
   }
+
+  test("triangles equals a brute-force in-memory count") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size.toLong
+    }.toMap
+    val got = Graph.triangles(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == expected,
+      s"triangle counts diverge: ${got.toSet.diff(expected.toSet).take(3)}")
+  }
 }
