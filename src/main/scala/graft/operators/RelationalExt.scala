@@ -355,7 +355,54 @@ object RelationalExt {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** MERGE / upsert (SCD-style dimension maintenance) without a table
+    * format: the update feed (per-user purchase totals from the event
+    * stream) is applied to a target dimension (even-keyed customers — a
+    * scale-independent split, so the feed covers keys the target lacks
+    * and both MERGE branches fire at every sf). Full-outer join on the key, then one projection
+    * decides per row: matched → balance updated, source-only → inserted,
+    * target-only → kept. This is exactly the join Delta/Iceberg MERGE
+    * plans under the hood; at scale both sides shuffle once on the merge
+    * key (or zero times if the target is bucketed on it). Balances move
+    * in integer cents — matched-row addition is exact, never FP. */
+  def q30MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val updates = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("key"))
+      .agg(ExactRound.moneySum(col("value")).as("delta"))
+    val target = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("key"), col("c_name"), col("c_acctbal"))
+    target.join(updates, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("c_name"), concat(lit("Customer#new-"), col("key"))).as("name"),
+        ((coalesce(round(col("c_acctbal") * 100), lit(0L)) +
+          coalesce(round(col("delta") * 100), lit(0L))).cast("long").cast("double") / 100.0)
+          .as("balance"),
+        when(col("c_acctbal").isNotNull && col("delta").isNotNull, "updated")
+          .when(col("c_acctbal").isNull, "inserted")
+          .otherwise("kept").as("status"))
+      .orderBy("key")
+  }
+
+  val q30Sql: String =
+    s"""WITH updates AS (
+       |  SELECT user_id AS key, ${graft.operators.ExactRound.moneySumSql("value")} AS delta
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+       |), target AS (
+       |  SELECT c_custkey AS key, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+       |)
+       |SELECT coalesce(t.key, u.key) AS key,
+       |  coalesce(t.c_name, 'Customer#new-' || coalesce(t.key, u.key)) AS name,
+       |  CAST(CAST(coalesce(round(t.c_acctbal * 100), 0) + coalesce(round(u.delta * 100), 0) AS BIGINT) AS DOUBLE) / 100.0 AS balance,
+       |  CASE WHEN t.c_acctbal IS NOT NULL AND u.delta IS NOT NULL THEN 'updated'
+       |       WHEN t.c_acctbal IS NULL THEN 'inserted'
+       |       ELSE 'kept' END AS status
+       |FROM target t FULL OUTER JOIN updates u ON t.key = u.key
+       |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_merge_upsert" -> (q30MergeUpsert _),
     "q29_range_frame" -> (q29RangeFrame _),
     "q28_json" -> (q28Json _),
     "q27_cube" -> (q27Cube _),
@@ -372,6 +419,7 @@ object RelationalExt {
     "q22_salted_agg" -> (q22SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q30_merge_upsert" -> q30Sql,
     "q29_range_frame" -> q29Sql,
     "q28_json" -> q28Sql,
     "q27_cube" -> q27Sql,

@@ -353,7 +353,75 @@ object Similarity {
        |ORDER BY approx_micros, vec_id""".stripMargin
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack'09 —
+    * what production search stacks run): a lexical retriever (term
+    * frequency of "spark" over documents) and a vector retriever
+    * (cosine to query vec 0) each produce their top-20, and candidates
+    * are fused by Σ 1/(60 + rank). Ranks are integers and the fusion is
+    * a fixed-order two-term IEEE expression, so the result is
+    * bit-portable — no tf-idf float scores cross engines. Scale shape:
+    * each retriever is an independent top-k (TakeOrderedAndProject /
+    * ANN index at 100 TB — NEVER a global rank over the corpus); the
+    * rank windows run on the 20-row candidate lists, and the fusion
+    * join touches ≤ 2k rows regardless of corpus size. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val tw = Window.orderBy(col("tscore").desc, col("id"))
+    val textTop = graft.Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        size(filter(split(lower(trim(col("text"))), "[ \t\n\r]+"), t => t === "spark"))
+          .cast("long").as("tscore"))
+      .filter(col("tscore") > 0)
+      .orderBy(col("tscore").desc, col("id")).limit(k)
+      .withColumn("rt", row_number().over(tw).cast("long"))
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    val vw = Window.orderBy(col("cosine").desc, col("id"))
+    val vecTop = vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id")).limit(k)
+      .withColumn("rv", row_number().over(vw).cast("long"))
+    textTop.select("id", "rt").join(vecTop.select("id", "rv"), Seq("id"), "full_outer")
+      .select(col("id"), col("rt"), col("rv"),
+        ExactRound.r(
+          coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH tt AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r]+'), t -> t = 'spark')) AS BIGINT) AS tscore
+      |  FROM documents
+      |), ttop AS (
+      |  SELECT id, row_number() OVER (ORDER BY tscore DESC, id) AS rt
+      |  FROM (SELECT id, tscore FROM tt WHERE tscore > 0 ORDER BY tscore DESC, id LIMIT 20)
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), qv AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0
+      |), vtop AS (
+      |  SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rv
+      |  FROM (
+      |    SELECT e.vec_id AS id,
+      |      ${graft.operators.ExactRound.rSql("list_inner_product(e.v, qv.q_v) / (e.nrm * qv.q_nrm)", 6)} AS cosine
+      |    FROM e, qv WHERE e.vec_id <> 0
+      |    ORDER BY cosine DESC, id LIMIT 20
+      |  )
+      |)
+      |SELECT coalesce(t.id, v.id) AS id, t.rt, v.rv,
+      |  ${graft.operators.ExactRound.rSql(
+           "coalesce(CAST(1 AS DOUBLE) / (60 + t.rt), 0) + coalesce(CAST(1 AS DOUBLE) / (60 + v.rv), 0)", 9)} AS rrf
+      |FROM ttop t FULL OUTER JOIN vtop v ON t.id = v.id
+      |ORDER BY rrf DESC, id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_hybrid_rrf" -> (hybridRrf _),
     "s_ann_brute" -> (annBrute _),
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
@@ -362,6 +430,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_hybrid_rrf" -> hybridRrfSql,
     "s_ann_brute" -> annBruteSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_lsh" -> annLshSql,

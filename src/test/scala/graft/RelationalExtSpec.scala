@@ -96,6 +96,19 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("q30_merge_upsert: statuses partition rows, balances move by exact cents") {
+    val rows = RelationalExt.q30MergeUpsert(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byStatus = rows.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus.keySet.subsetOf(Set("updated", "inserted", "kept")))
+    assert(byStatus.getOrElse("inserted", 0) > 0, "feed keys beyond the target must insert")
+    assert(byStatus.getOrElse("kept", 0) > 0, "target keys without updates must be kept")
+    rows.foreach { r =>
+      val cents = math.round(r.getAs[Double]("balance") * 100)
+      assert(math.abs(r.getAs[Double]("balance") - cents / 100.0) < 1e-9, "balance not cent-exact")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val salted = RelationalExt.q22SaltedAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Double]("sum_qty"), r.getAs[Long]("n")))

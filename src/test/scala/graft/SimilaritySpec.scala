@@ -60,6 +60,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length <= Tables.documents(spark, sf).count())
   }
 
+  test("hybrid RRF: fused scores decompose into the rank formula, both retrievers represented") {
+    val rows = graft.operators.Similarity.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      val rt = Option(r.getAs[java.lang.Long]("rt")).map(_.toLong)
+      val rv = Option(r.getAs[java.lang.Long]("rv")).map(_.toLong)
+      assert(rt.nonEmpty || rv.nonEmpty)
+      val expected = rt.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-9)
+    }
+    // descending fused order with id tie-break
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (fa, fb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+        assert(fa > fb || (fa == fb && a.getAs[Long]("id") < b.getAs[Long]("id")))
+      case _ => ()
+    }
+  }
+
   test("centroid assignment is total and deterministic") {
     val rows = Similarity.centroids(spark, sf).collect()
     assert(rows.length == Tables.embeddings(spark, sf).count())
