@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Third tranche of relational coverage (SURVEY.md §2B continued):
+  * GROUPING SETS, retention/new-user curves, ordered list aggregation,
+  * and time-grid densification (gap fill).
+  */
+object RelationalExt2 {
+
+  /** GROUPING SETS beyond ROLLUP/CUBE: the two single-axis slices plus
+    * the grand total in ONE pass (CUBE would also compute the 2-axis
+    * cells; ROLLUP only nests). Spark expands grouping sets into a
+    * single Expand + partial/final aggregate — one scan, one shuffle,
+    * regardless of how many sets are requested. The aggregation level
+    * is derived from key nullness on both engines (the raw keys are
+    * never null) so no engine-specific GROUPING_ID bit order leaks
+    * into the result. */
+  def q31GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), ExactRound.moneySum(col("o_totalprice")).as("sales"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        (when(col("o_orderstatus").isNull, 1).otherwise(0) +
+          when(col("o_orderpriority").isNull, 2).otherwise(0)).as("lvl"),
+        col("n"), col("sales"))
+      .orderBy("status", "priority")
+
+  val q31Sql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  (CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END +
+       |   CASE WHEN o_orderpriority IS NULL THEN 2 ELSE 0 END) AS lvl,
+       |  count(*) AS n, ${ExactRound.moneySumSql("o_totalprice")} AS sales
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY status, priority""".stripMargin
+
+  /** New-vs-active user curve per event type: distinct actives per day,
+    * first-appearance ("new") count per day, and the cumulative distinct
+    * user count — the standard growth-accounting query. The cumulative
+    * distinct NEVER re-scans history: first-seen day per (type, user) is
+    * one partial-agg shuffle, and the running total is a window over the
+    * tiny (type, day) table. At 100 TB the same plan holds — the window
+    * input is bounded by types × days, not by events. */
+  def q32NewUsers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("n_active"))
+    val firstSeen = e.groupBy("event_type", "user_id")
+      .agg(min("day").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .orderBy("event_type", "day")
+  }
+
+  val q32Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+      |), daily AS (
+      |  SELECT event_type, day, count(DISTINCT user_id) AS n_active
+      |  FROM e GROUP BY event_type, day
+      |), firstseen AS (
+      |  SELECT event_type, min(day) AS day, user_id FROM e GROUP BY event_type, user_id
+      |), news AS (
+      |  SELECT event_type, day, count(*) AS n_new FROM firstseen GROUP BY event_type, day
+      |)
+      |SELECT d.event_type, d.day, d.n_active,
+      |  coalesce(n.n_new, 0) AS n_new,
+      |  CAST(sum(coalesce(n.n_new, 0)) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cum_users
+      |FROM daily d LEFT JOIN news n ON d.event_type = n.event_type AND d.day = n.day
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  /** Ordered list aggregation: each customer's order-status sequence in
+    * (date, key) order as one string, plus order and distinct-status
+    * counts. `collect_list` is shuffle-order-nondeterministic, so the
+    * struct list is sorted AFTER collection (array_sort on (date, key,
+    * status) structs — unique key makes the order total) — the
+    * deterministic-listagg pattern. State per group is the group's own
+    * rows, same as any engine's string_agg. */
+  def q33ListAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct("o_orderstatus").as("n_statuses"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+              col("o_orderstatus")))),
+            x => x.getField("o_orderstatus")), "").as("status_seq"))
+      .orderBy("custkey")
+
+  val q33Sql: String =
+    """SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |  count(DISTINCT o_orderstatus) AS n_statuses,
+      |  string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS status_seq
+      |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin
+
+  /** Time-grid densification (gap fill): hourly event counts and integer-
+    * cents value per type over the FULL hour grid — absent hours emitted
+    * as zero — plus a running cumulative count. The grid is
+    * types × hours built from one `sequence`/`explode` over the global
+    * bounds (two scalar aggregates, broadcast): grid size is bounded by
+    * the time span, not the data, so densification costs the same at
+    * 100 TB as at 100 MB; the left join back to the hourly partial
+    * aggregate is the only data-sized shuffle. */
+  def q34GapFill(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val hours = bounds.select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val grid = e.select("event_type").distinct().crossJoin(broadcast(hours))
+    val actual = e.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(actual, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("cum_n", sum("n").over(w))
+      .orderBy("event_type", "hour")
+  }
+
+  val q34Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), bounds AS (
+      |  SELECT min(hour) AS h0, max(hour) AS h1 FROM e
+      |), hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+      |), grid AS (
+      |  SELECT t.event_type, h.hour FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours h
+      |), actual AS (
+      |  SELECT event_type, hour, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM e GROUP BY event_type, hour
+      |)
+      |SELECT g.event_type, g.hour,
+      |  coalesce(a.n, 0) AS n, coalesce(a.cents, 0) AS cents,
+      |  CAST(sum(coalesce(a.n, 0)) OVER (PARTITION BY g.event_type ORDER BY g.hour) AS BIGINT) AS cum_n
+      |FROM grid g LEFT JOIN actual a ON g.event_type = a.event_type AND g.hour = a.hour
+      |ORDER BY g.event_type, g.hour""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_grouping_sets" -> (q31GroupingSets _),
+    "q32_new_users" -> (q32NewUsers _),
+    "q33_listagg" -> (q33ListAgg _),
+    "q34_gapfill" -> (q34GapFill _))
+
+  val oracles: Map[String, String] = Map(
+    "q31_grouping_sets" -> q31Sql,
+    "q32_new_users" -> q32Sql,
+    "q33_listagg" -> q33Sql,
+    "q34_gapfill" -> q34Sql)
+}

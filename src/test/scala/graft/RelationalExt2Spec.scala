@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalExt2
+
+class RelationalExt2Spec extends SparkSpec {
+
+  test("all RelationalExt2 queries return rows at sf0.001") {
+    RelationalExt2.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name empty")
+    }
+  }
+
+  test("grouping sets: slice totals each sum to the row count; grand total present") {
+    val rows = RelationalExt2.q31GroupingSets(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    val grand = rows.filter(r => r.getAs[Int]("lvl") == 3)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == total)
+    // status slice (lvl=2: priority aggregated away) sums to total
+    val bySlice = rows.groupBy(_.getAs[Int]("lvl")).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    assert(bySlice(2) == total && bySlice(1) == total)
+  }
+
+  test("new users: cumulative count matches distinct users through each day") {
+    val df = RelationalExt2.q32NewUsers(spark, sf)
+    val rows = df.filter(col("event_type") === "purchase").orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // last cumulative value = total distinct purchase users
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == expected)
+    // cum is nondecreasing and >= n_active's new component
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_users") ==
+          a.getAs[Long]("cum_users") + b.getAs[Long]("n_new"))
+      case _ =>
+    }
+  }
+
+  test("listagg: sequence length equals order count and is date-ordered") {
+    val rows = RelationalExt2.q33ListAgg(spark, sf).limit(50).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("status_seq").length == r.getAs[Long]("n_orders"))
+    }
+    // cross-check one customer against an explicit sort
+    val ck = rows.head.getAs[Long]("custkey")
+    val expected = Tables.orders(spark, sf).filter(col("o_custkey") === ck)
+      .orderBy("o_orderdate", "o_orderkey")
+      .select("o_orderstatus").collect().map(_.getString(0)).mkString
+    assert(rows.head.getAs[String]("status_seq") == expected)
+  }
+
+  test("gap fill: full hour grid, zero-filled, cumulative equals per-type event count") {
+    val df = RelationalExt2.q34GapFill(spark, sf)
+    val rows = df.collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val perType = rows.groupBy(_.getAs[String]("event_type"))
+    // every type covers the same (global) hour grid
+    val gridSizes = perType.values.map(_.length).toSet
+    assert(gridSizes.size == 1, s"uneven grids: $gridSizes")
+    // zero-filled rows exist (the grid is denser than the data at sf0.001)
+    assert(rows.exists(_.getAs[Long]("n") == 0L))
+    // last cumulative value equals the type's event count
+    val counts = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    types.foreach { t =>
+      val last = perType(t).maxBy(_.getAs[java.sql.Timestamp]("hour").getTime)
+      assert(last.getAs[Long]("cum_n") == counts(t), s"cum mismatch for $t")
+    }
+  }
+}
