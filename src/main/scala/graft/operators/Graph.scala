@@ -183,11 +183,71 @@ object Graph {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Link prediction over the EMBEDDING near-dup graph: for every
+    * NON-adjacent pair with ≥1 common neighbor, the common-neighbor
+    * count and the resource-allocation index Σ_w 1/deg(w) in integer
+    * micros (Zhou'09; integer so the sum is order-free and cross-engine
+    * exact) — "these two vectors are probably near-dups the cosine
+    * threshold missed". The embedding graph (not the n-gram one, whose
+    * dup clusters are cliques with no open wedges to predict) is sparse
+    * enough that the prediction is non-trivial. Wedge enumeration at
+    * the common neighbor (each center w contributes deg(w)² wedge
+    * pairs — the u<v filter halves it), then one left-anti join against
+    * the edge list. Same O(Σ deg²) envelope as triangle counting; a
+    * production run would cap hub degree first. */
+  def linkpred(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embedDup(s, d)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = edges.join(deg, "src").select(col("src").as("w"), col("dst").as("u"), col("deg"))
+    val cand = ew.join(ew.select(col("w"), col("u").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div deg")).as("ra_micros"))
+    cand.join(pairs, cand("u") === pairs("a") && cand("v") === pairs("b"), "left_anti")
+      .select(col("u").as("vec_a"), col("v").as("vec_b"), col("cn"), col("ra_micros"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** SQL twin of [[linkpred]] on the same pair graph (brute-force cosine
+    * pairs — identical to [[Dedup.embedDupSql]]'s formulation). */
+  val linkpredSql: String = {
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.4
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), ew AS (
+       |  SELECT e.src AS w, e.dst AS u, d.deg FROM edges e JOIN deg d USING (src)
+       |), cand AS (
+       |  SELECT e1.u AS u, e2.u AS v, count(*) AS cn,
+       |    CAST(sum(1000000 // e1.deg) AS BIGINT) AS ra_micros
+       |  FROM ew e1 JOIN ew e2 ON e1.w = e2.w AND e1.u < e2.u
+       |  GROUP BY e1.u, e2.u
+       |)
+       |SELECT u AS vec_a, v AS vec_b, cn, ra_micros FROM cand c
+       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.pa = c.u AND p.pb = c.v)
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> (pagerank _),
+    "g_linkpred" -> (linkpred _),
     "g_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> pagerankSql,
+    "g_linkpred" -> linkpredSql,
     "g_triangles" -> trianglesSql)
 }

@@ -217,7 +217,45 @@ object Pipeline {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM cum GROUP BY bucket, seq_id ORDER BY bucket, seq_id""".stripMargin
 
+  /** Stratified train/val/test split: every document is assigned a split
+    * by a stable hash of its id (djb2 bucket: <90 train, <95 val, else
+    * test) — reproducible across runs, engines and repartitionings, with
+    * no RNG state — and the report shows the realized per-source
+    * stratification (doc and char counts per (source, split)). The
+    * assignment is pure map-side; only the tiny report aggregates. At
+    * 100 TB the same hash assigns the same split to the same doc on
+    * every executor — the property sampling-based splitters lose. */
+  def stratSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 100)
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source", "split")
+  }
+
+  val splitSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, source, n_chars FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, source, n_chars, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, source, n_chars, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, source, n_chars, CAST(hash % 100 AS INT) AS bucket
+      |  FROM h WHERE i = length(key)+1
+      |)
+      |SELECT source,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
     "p_curate" -> (curate _),
     "p_mix" -> (mix _),
@@ -225,6 +263,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_split" -> splitSql,
     "p_pack" -> packSql,
     "p_curate" -> curateSql,
     "p_mix" -> mixSql,

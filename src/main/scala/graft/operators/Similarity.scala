@@ -420,7 +420,48 @@ object Similarity {
       |FROM ttop t FULL OUTER JOIN vtop v ON t.id = v.id
       |ORDER BY rrf DESC, id""".stripMargin
 
+  /** Index-quality evaluation: recall@10 of each ANN scale path (LSH
+    * multiprobe, IVF nProbe=2) against the brute-force ground truth for
+    * the same query — the measurement that decides whether an index's
+    * speed/recall trade is acceptable before pointing it at 100 TB. The
+    * three retrievals are the existing operators unchanged; the eval
+    * itself joins 10-row results, so its cost is the retrievals' cost.
+    * recall = hits/10.0 is a dyadic-exact division — bit-portable with
+    * no rounding. */
+  def recallEval(s: SparkSession, d: String): DataFrame = {
+    val truth = annBrute(s, d).select(col("vec_id")).withColumn("hit", lit(1L))
+    def evalOf(name: String, approx: DataFrame): DataFrame =
+      approx.select("vec_id").join(truth, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_retrieved"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall_at_10"))
+    evalOf("lsh", annLsh(s, d)).union(evalOf("ivf", annIvf(s, d)))
+      .orderBy("method")
+  }
+
+  /** Oracle: the three retrieval SQL twins composed as CTEs, same joins. */
+  val recallEvalSql: String = {
+    def one(name: String, cte: String): String =
+      s"""SELECT '$name' AS method, count(*) AS n_retrieved,
+         |  CAST(coalesce(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 END), 0) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM $cte a LEFT JOIN brute b ON a.vec_id = b.vec_id""".stripMargin
+    s"""WITH brute AS (
+       |$annBruteSql
+       |), lsh AS (
+       |$annLshSql
+       |), ivf AS (
+       |$annIvfSql
+       |)
+       |${one("ivf", "ivf")}
+       |UNION ALL
+       |${one("lsh", "lsh")}
+       |ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_recall_eval" -> (recallEval _),
     "s_hybrid_rrf" -> (hybridRrf _),
     "s_ann_brute" -> (annBrute _),
     "s_knn_join" -> (knnJoin _),
@@ -430,6 +471,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_recall_eval" -> recallEvalSql,
     "s_hybrid_rrf" -> hybridRrfSql,
     "s_ann_brute" -> annBruteSql,
     "s_knn_join" -> knnJoinSql,

@@ -412,7 +412,52 @@ object TextAnalysis {
       .replace("DUP_RATIO",
         ExactRound.rSql("CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6))
 
+  /** PII / sensitive-content scrub: count pattern hits (emails, IPv4,
+    * a sensitive-term dictionary), redact them, and fingerprint the
+    * redacted text — the standard pre-training privacy pass. Pure
+    * map-side (one projection, no shuffle) at any scale. The regexes
+    * stay within the syntax Java's engine and RE2 interpret identically
+    * (char classes, `\b`, bounded repetition — no backrefs/lookaround),
+    * so the oracle matches bit-for-bit; on this synthetic corpus the
+    * email/IP counts are legitimately zero (negative control) while the
+    * term dictionary hits. */
+  def scrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val term = "\\b(customer|user|key)\\b"
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          ip, "<IP>"),
+        term, "<TERM>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(ip)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(term)).cast("long").as("n_term"),
+        md5(to_binary(redacted, lit("utf-8"))).as("clean_hash"))
+      .withColumn("is_clean", (col("n_email") + col("n_ip") + col("n_term")) === 0)
+      .orderBy("doc_id")
+  }
+
+  val scrubSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val term = "\\b(customer|user|key)\\b"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(text, '$term')) AS BIGINT) AS n_term,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$term', '<TERM>', 'g')) AS clean_hash,
+       |  (len(regexp_extract_all(text, '$email')) + len(regexp_extract_all(text, '$ip'))
+       |    + len(regexp_extract_all(text, '$term'))) = 0 AS is_clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
     "t_repetition" -> (repetition _),
     "t_bigram_ratio" -> (bigramRatio _),
@@ -426,6 +471,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,
     "t_repetition" -> repetitionSql,
     "t_bigram_ratio" -> bigramRatioSql,

@@ -42,4 +42,20 @@ class GraphSpec extends SparkSpec {
     assert(got == expected,
       s"triangle counts diverge: ${got.toSet.diff(expected.toSet).take(3)}")
   }
+  test("linkpred: pairs are non-adjacent, share >= 1 neighbor, cn verified in-memory") {
+    import org.apache.spark.sql.functions.col
+    val edges = Dedup.embedDup(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Graph.linkpred(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")), r.getAs[Long]("cn"))).toMap
+    val expected = (for {
+      (u, nu) <- adj.toSeq; (v, nv) <- adj.toSeq
+      if u < v && !nu.contains(v)
+      cn = (nu intersect nv).size if cn > 0
+    } yield (u, v) -> cn.toLong).toMap
+    assert(got == expected, s"linkpred diverges: got ${got.size}, expected ${expected.size}")
+  }
+
 }

@@ -30,4 +30,16 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+  test("p_split: splits partition the corpus and all three splits appear") {
+    val rows = Pipeline.stratSplit(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    // hash split is roughly 90/5/5: train strictly dominates per source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val bySplit = rs.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    }
+  }
+
 }

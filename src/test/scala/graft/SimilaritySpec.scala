@@ -92,4 +92,14 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_.getAs[Long]("vec_id") < 10)
       .foreach(r => assert(r.getAs[Long]("centroid_id") == r.getAs[Long]("vec_id")))
   }
+  test("recall eval: one row per index, hits bounded by retrieved and by k") {
+    val rows = Similarity.recallEval(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSet == Set("lsh", "ivf"))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= r.getAs[Long]("n_retrieved") && hits <= 10)
+      assert(r.getAs[Double]("recall_at_10") == hits / 10.0)
+    }
+  }
+
 }

@@ -52,4 +52,16 @@ class TextAnalysisSpec extends SparkSpec {
         s"exact-dup doc ${r.getAs[Long]("doc_id")} has ratio ${r.getAs[Double]("dup_ratio")}")
     }
   }
+  test("t_scrub: negative controls zero, term dictionary hits, flag consistent") {
+    val rows = TextAnalysis.scrub(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_email") == 0L))
+    assert(rows.forall(_.getAs[Long]("n_ip") == 0L))
+    assert(rows.exists(_.getAs[Long]("n_term") > 0L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("clean_hash").matches("[0-9a-f]{32}"))
+      assert(r.getAs[Boolean]("is_clean") ==
+        (r.getAs[Long]("n_email") + r.getAs[Long]("n_ip") + r.getAs[Long]("n_term") == 0L))
+    }
+  }
+
 }
