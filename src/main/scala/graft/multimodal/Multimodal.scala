@@ -229,7 +229,57 @@ object Multimodal {
        |GROUP BY doc_id ORDER BY asset_id""".stripMargin
   }
 
+  /** Container-format sniffing by magic bytes — the first pass over any
+    * crawled media corpus (file extensions lie; the header doesn't):
+    * compare each blob's leading bytes against a broadcast magic table
+    * (PNG/JPEG/RIFF here) and aggregate per detected format. Pure
+    * map-side scan + broadcast join at any scale. Headers are
+    * synthesized per source (container constraint — the corpus is text);
+    * one source group gets NO header, exercising the `unknown`
+    * fallback. The hex-prefix compare (`substr(hex(media), 1, 8)`) is
+    * byte-exact in both engines. */
+  def sniff(s: SparkSession, d: String): DataFrame = {
+    val grp = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int") % 4
+    val hdr = when(grp === 0, lit("89504E47")).when(grp === 1, lit("FFD8FFE0"))
+      .when(grp === 2, lit("52494646")).otherwise(lit(""))
+    val media = concat(unhex(hdr), to_binary(col("text"), lit("utf-8")))
+    val magic = Seq(("89504E47", "png"), ("FFD8FFE0", "jpeg"), ("52494646", "riff"))
+    val dim = s.createDataFrame(magic).toDF("magic_hex", "format")
+    Tables.documents(s, d)
+      .select(col("doc_id").as("asset_id"), col("source"), media.as("media"))
+      .withColumn("prefix", substring(hex(col("media")), 1, 8))
+      .join(broadcast(dim), col("prefix") === col("magic_hex"), "left")
+      .select(coalesce(col("format"), lit("unknown")).as("format"),
+        col("source"), length(col("media")).as("nbytes"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_assets"), sum("nbytes").as("total_bytes"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("format")
+  }
+
+  val sniffSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, source,
+      |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4 AS g,
+      |    encode(text) AS body
+      |  FROM documents
+      |), m AS (
+      |  SELECT source,
+      |    (CASE g WHEN 0 THEN unhex('89504E47') WHEN 1 THEN unhex('FFD8FFE0')
+      |            WHEN 2 THEN unhex('52494646') ELSE unhex('') END) || body AS media
+      |  FROM a
+      |), sn AS (
+      |  SELECT source, substr(hex(media), 1, 8) AS prefix, octet_length(media) AS nbytes FROM m
+      |), f(magic_hex, fmt) AS (
+      |  VALUES ('89504E47', 'png'), ('FFD8FFE0', 'jpeg'), ('52494646', 'riff')
+      |)
+      |SELECT coalesce(fmt, 'unknown') AS format, count(*) AS n_assets,
+      |  CAST(sum(nbytes) AS BIGINT) AS total_bytes, count(DISTINCT source) AS n_sources
+      |FROM sn LEFT JOIN f ON prefix = magic_hex
+      |GROUP BY 1 ORDER BY format""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_sniff" -> (sniff _),
     "m_cdc_chunks" -> (cdcChunks _),
     "m_binary_meta" -> (binaryMeta _),
     "m_frame_sample" -> (frameSample _),
@@ -237,6 +287,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_sniff" -> sniffSql,
     "m_cdc_chunks" -> cdcChunksSql,
     "m_binary_meta" -> binaryMetaSql,
     "m_frame_sample" -> frameSampleSql,

@@ -158,7 +158,43 @@ object MapReduceQueries {
     """SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rank, doc_id, n_chars
       |FROM documents ORDER BY rank""".stripMargin
 
+  /** Secondary sort through the facade ([[MapReduce.runSorted]]): each
+    * user's first and last event type in (ts, event_id) order, plus the
+    * event count — the classic MR first/last pattern where the shuffle
+    * files are sorted on the composite (key, secondary) key so the
+    * reducer streams values in order with NO per-key buffering (the
+    * reducer below holds two strings and a counter regardless of run
+    * length — what distinguishes this from collect-and-sort). */
+  def firstLast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val reduced = MapReduce.runSorted[
+        (Long, Long, Long, String), Long, (Long, Long), String, (Long, String, String, Long)](
+      rows.rdd,
+      mapper = { case (u, ts, eid, et) => Iterator.single((u, ((ts, eid), et))) },
+      reducer = { (u, vs) =>
+        var first: String = null; var last: String = null; var n = 0L
+        vs.foreach { v => if (first == null) first = v; last = v; n += 1 }
+        (u, first, last, n)
+      },
+      numParts = 8)
+    reduced.toDF("user_id", "first_type", "last_type", "n_events").orderBy("user_id")
+  }
+
+  /** `CAST(ts AS TIMESTAMP)` truncates DuckDB's nanos to Spark's micro
+    * resolution so equal-micro ties break on event_id in BOTH engines. */
+  val firstLastSql: String =
+    """SELECT user_id,
+      |  first(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS first_type,
+      |  last(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS last_type,
+      |  count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_first_last" -> (firstLast _),
     "mr_sort" -> (sortRank _),
     "mr_wordcount" -> (wordcount _),
     "mr_grep" -> (grep _),
@@ -167,6 +203,7 @@ object MapReduceQueries {
     "mr_avg_by_key" -> (avgByKey _))
 
   val oracles: Map[String, String] = Map(
+    "mr_first_last" -> firstLastSql,
     "mr_sort" -> sortRankSql,
     "mr_wordcount" -> wordcountSql,
     "mr_grep" -> grepSql,

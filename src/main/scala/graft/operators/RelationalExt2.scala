@@ -159,13 +159,51 @@ object RelationalExt2 {
       |FROM grid g LEFT JOIN actual a ON g.event_type = a.event_type AND g.hour = a.hour
       |ORDER BY g.event_type, g.hour""".stripMargin
 
+  /** Equi-width histogram of order totals in 20 buckets between the
+    * global min/max — the profiling primitive behind query planners'
+    * column stats and data-quality dashboards. All-integer: prices in
+    * cents, bucket = (cents−min)·20 / (max−min+1) by integer division,
+    * so bucket edges are bit-portable (a double-width formulation can
+    * put a boundary value on different sides per engine). Two scans
+    * (bounds, then bucketing) with the 1-row bounds broadcast; the
+    * histogram aggregate is partial — 20 rows cross the shuffle per
+    * partition at any scale. */
+  def q35Histogram(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val o = Tables.orders(s, d).select(cents.as("cents"))
+    val bounds = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(expr("((cents - lo) * 20) div (hi - lo + 1)").as("bucket"),
+        col("lo"), col("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("lo").as("lo0"), max("hi").as("hi0"))
+      .select(col("bucket"),
+        (expr("lo0 + (hi0 - lo0 + 1) * bucket div 20").cast("double") / 100.0).as("bucket_lo"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  val q35Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+      |), b AS (
+      |  SELECT min(cents) AS lo, max(cents) AS hi FROM o
+      |)
+      |SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bucket,
+      |  CAST(min(lo) + (max(hi) - min(lo) + 1) * (((cents - lo) * 20) // (hi - lo + 1)) // 20 AS DOUBLE) / 100.0 AS bucket_lo,
+      |  count(*) AS n
+      |FROM o, b
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_histogram" -> (q35Histogram _),
     "q31_grouping_sets" -> (q31GroupingSets _),
     "q32_new_users" -> (q32NewUsers _),
     "q33_listagg" -> (q33ListAgg _),
     "q34_gapfill" -> (q34GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "q35_histogram" -> q35Sql,
     "q31_grouping_sets" -> q31Sql,
     "q32_new_users" -> q32Sql,
     "q33_listagg" -> q33Sql,

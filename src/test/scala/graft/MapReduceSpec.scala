@@ -147,4 +147,20 @@ class MapReduceSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")} ranked ${r.getAs[Long]("rank")}, expected ${i + 1}")
     }
   }
+  test("mr_first_last: matches a declarative window first/last on the same ordering") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.MapReduceQueries.firstLast(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+    val expected = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        first("event_type").over(w).as("f"),
+        last("event_type").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("l"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+      .groupBy("user_id").agg(first("f").as("f"), first("l").as("l"), first("n").as("n"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
 }

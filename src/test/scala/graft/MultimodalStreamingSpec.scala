@@ -102,4 +102,14 @@ class MultimodalStreamingSpec extends SparkSpec {
       }
     }
   }
+  test("m_sniff: all four formats detected, asset count conserved") {
+    val rows = graft.multimodal.Multimodal.sniff(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("format")).toSet == Set("png", "jpeg", "riff", "unknown"))
+    assert(rows.map(_.getAs[Long]("n_assets")).sum == Tables.documents(spark, sf).count())
+    // headered formats carry the 4 magic bytes on every asset
+    rows.filter(_.getAs[String]("format") != "unknown").foreach { r =>
+      assert(r.getAs[Long]("total_bytes") >= r.getAs[Long]("n_assets") * 4)
+    }
+  }
+
 }

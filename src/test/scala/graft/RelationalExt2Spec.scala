@@ -71,4 +71,13 @@ class RelationalExt2Spec extends SparkSpec {
       assert(last.getAs[Long]("cum_n") == counts(t), s"cum mismatch for $t")
     }
   }
+  test("q35_histogram: buckets cover all rows, bounds monotone, bucket ids in range") {
+    val rows = RelationalExt2.q35Histogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    val ids = rows.map(_.getAs[Long]("bucket"))
+    assert(ids.forall(b => b >= 0 && b < 20))
+    val los = rows.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("bucket_lo"))
+    assert(los.zip(los.tail).forall { case (a, b) => a < b })
+  }
+
 }
