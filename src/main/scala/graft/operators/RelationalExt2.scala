@@ -195,7 +195,44 @@ object RelationalExt2 {
       |FROM o, b
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The remaining rank-family window functions in one pass: rank,
+    * dense_rank, percent_rank, cume_dist over order totals per status
+    * (q7/q23 cover row_number, running sums, lag/lead/ntile). All four
+    * share ONE window sort — Catalyst evaluates them in a single Window
+    * operator, one shuffle-sort per status key at any scale. percent_rank
+    * and cume_dist are single IEEE divisions of window-derived integers,
+    * identical in both engines. Ties are real (many orders share a
+    * rounded total), so rank vs dense_rank vs row_number genuinely
+    * diverge — keyed on cents so tie groups are engine-independent. */
+  def q36RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM (
+      |  SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |)
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_rank_family" -> (q36RankFamily _),
     "q35_histogram" -> (q35Histogram _),
     "q31_grouping_sets" -> (q31GroupingSets _),
     "q32_new_users" -> (q32NewUsers _),
@@ -203,6 +240,7 @@ object RelationalExt2 {
     "q34_gapfill" -> (q34GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "q36_rank_family" -> q36Sql,
     "q35_histogram" -> q35Sql,
     "q31_grouping_sets" -> q31Sql,
     "q32_new_users" -> q32Sql,

@@ -456,7 +456,36 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Keyword-in-context (KWIC) extraction: for every document containing
+    * the query term, its first-occurrence offset, total occurrence count
+    * (exact, via the replace-length identity — no regex engine in the
+    * loop), and a ±24-char context snippet. The concordance view every
+    * corpus-exploration UI is built on; pure map-side scan, and the
+    * pushed `instr > 0` predicate skips non-matching docs before any
+    * string surgery. */
+  def kwic(s: SparkSession, d: String): DataFrame = {
+    val term = "spark"
+    val pos = instr(col("text"), term)
+    val start = greatest(pos - 24, lit(1))
+    Tables.documents(s, d)
+      .filter(pos > 0)
+      .select(col("doc_id"), pos.cast("long").as("pos"),
+        ((length(col("text")) - length(regexp_replace(col("text"), term, "")))
+          / term.length).cast("long").as("n_occ"),
+        col("text").substr(start, pos + lit(term.length + 24) - start).as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  val kwicSql: String =
+    """SELECT doc_id, CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+      |  (length(text) - length(replace(text, 'spark', ''))) // 5 AS n_occ,
+      |  substring(text, greatest(strpos(text, 'spark') - 24, 1),
+      |    strpos(text, 'spark') + 29 - greatest(strpos(text, 'spark') - 24, 1)) AS snippet
+      |FROM documents WHERE strpos(text, 'spark') > 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_kwic" -> (kwic _),
     "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
     "t_repetition" -> (repetition _),
@@ -471,6 +500,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_kwic" -> kwicSql,
     "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,
     "t_repetition" -> repetitionSql,

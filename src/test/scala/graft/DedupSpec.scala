@@ -82,13 +82,23 @@ class DedupSpec extends SparkSpec {
     assert(nodes <= 8, s"analyzed plan has $nodes nodes — per-round plan truncation regressed")
   }
 
-  test("connected components refuses to return split clusters at the round cap") {
+  test("connected components refuses to return unverified labels on a zero round budget") {
     import spark.implicits._
     val path = (0 until 199).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxRounds = 2).collect()
+      Dedup.connectedComponents(path, maxRounds = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("200-hop path collapses within 2 distributed rounds (partition-local contraction)") {
+    import spark.implicits._
+    // pre-RDD-loop this needed ~9 pointer-jumping rounds; the union-find
+    // seed solves each partition's subgraph outright, so the volume-sized
+    // (here: single) partition closes the whole path before round 1
+    val path = (0 until 199).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(path, maxRounds = 2).collect()
+    assert(labels.length == 200 && labels.forall(_.getLong(1) == 0L))
   }
 
   test("winnowing: docs sharing a >= K+W-1 substring share a fingerprint; short docs emit none") {

@@ -80,4 +80,14 @@ class RelationalExt2Spec extends SparkSpec {
     assert(los.zip(los.tail).forall { case (a, b) => a < b })
   }
 
+  test("q36_rank_family: invariants between rank, dense_rank, percent_rank, cume_dist") {
+    val rows = RelationalExt2.q36RankFamily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rnk") >= r.getAs[Long]("drnk"))
+      val p = r.getAs[Double]("prnk"); val c = r.getAs[Double]("cdist")
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0)
+    }
+  }
+
 }

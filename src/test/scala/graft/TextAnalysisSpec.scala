@@ -64,4 +64,13 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t_kwic: snippet contains the term at the expected offset, n_occ >= 1") {
+    val rows = TextAnalysis.kwic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_occ") >= 1)
+      assert(r.getAs[String]("snippet").contains("spark"))
+    }
+  }
+
 }
