@@ -26,32 +26,49 @@ object Graph {
     * one partial-agg shuffle — the standard Pregel-style formulation,
     * never materializing anything wider than (node, rank). */
   private[graft] def pagerankLoop(pairsDf: DataFrame, iters: Int): DataFrame = {
+    val spark = pairsDf.sparkSession
+    import spark.implicits._
     val cols = pairsDf.columns
-    val pairs = pairsDf.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    // iterate on co-partitioned RDDs (same rationale as
+    // Dedup.connectedComponentsLoop): the degree-annotated edge list is
+    // hash-partitioned ONCE and stays put — each round's contribution
+    // join is narrow on the edge side, only the (node, rank) table
+    // moves, and there is no per-round Catalyst/AQE planning. With a
+    // fixed small iteration count the lineage stays shallow, so no
+    // per-round checkpoint is needed at all.
+    val pairs = pairsDf.select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
       .localCheckpoint()
-    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) materialized once: every round re-reads these blocks
-    val ewd = edges.join(deg, "src").localCheckpoint()
-    val nodes = deg.select(col("src").as("id")).localCheckpoint()
+    val prs = pairs.as[(Long, Long)].rdd
+    val nEdges = pairs.count()
+    val partitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(prs.getNumPartitions, ((nEdges + 499999L) / 500000L).toInt)))
+    val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(partitioner)
+    val deg = edges.mapValues(_ => 1L).reduceByKey(partitioner, _ + _)
+    // (src, (dst, deg)) materialized once: every round re-reads these blocks
+    val ewd = edges.join(deg, partitioner)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.mapValues(_ => ()).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pagerank over an empty pair graph")
     val base = 150000L / n
-    var r = nodes.select(col("id"), lit(1000000L / n).as("r")).localCheckpoint()
+    var r = nodes.mapValues(_ => 1000000L / n)
     var it = 0
     while (it < iters) {
-      val contrib = ewd.join(r.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), expr("r div deg").as("c"))
-        .groupBy("id").agg(sum("c").as("contrib"))
-      val next = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(coalesce(contrib, 0) * 17) div 20")).as("r"))
-        .localCheckpoint()
-      r.unpersist()
-      r = next
+      val contrib = ewd.join(r, partitioner)
+        .map { case (_, ((dst, dg), rank)) => (dst, rank / dg) }
+        .reduceByKey(partitioner, _ + _)
+      r = nodes.leftOuterJoin(contrib, partitioner)
+        .mapValues { case (_, c) => base + c.getOrElse(0L) * 17 / 20 }
       it += 1
     }
-    r
+    val out = r.toDF("id", "r")
+    val result = out.localCheckpoint()
+    ewd.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    pairs.unpersist()
+    result
   }
 
   /** Driver query: 5 PageRank rounds over the exact 3-gram-Jaccard
