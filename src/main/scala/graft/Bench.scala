@@ -32,6 +32,13 @@ object Bench {
         val secs =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        // every query starts with an empty CacheManager: a query's persisted
+        // frames are ITS cost (timed above), and without the clear every
+        // later query pays a canonicalization tax proportional to the
+        // accumulated cached-plan set (measured ~2x on document-family
+        // queries by the 95-query steady pass) — contaminated numbers,
+        // not steady-state ones
+        spark.catalog.clearCache()
         name -> secs
       }
     def toJson(rs: Seq[(String, Double)]): String =
