@@ -231,7 +231,60 @@ object RelationalExt2 {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Last-observation-carried-forward imputation over the q34 time grid:
+    * gap hours inherit the most recent observed hourly cents (IGNORE
+    * NULLS window), plus the gap age in hours — the imputation step
+    * between densification and any downstream model. Same single
+    * window-sort per type as the gap fill; `last(_, ignoreNulls)` over
+    * integer cents carries exact values, so LOCF is bit-portable. */
+  def q37Locf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = e.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val hours = bounds.select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val grid = e.select("event_type").distinct().crossJoin(broadcast(hours))
+    val actual = e.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(actual, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        col("cents").isNotNull.as("observed"),
+        last("cents", ignoreNulls = true).over(w).as("cents_locf"),
+        last(when(col("cents").isNotNull, col("hour")), ignoreNulls = true).over(w)
+          .as("last_obs_hour"))
+      .select(col("event_type"), col("hour"), col("observed"), col("cents_locf"),
+        (unix_timestamp(col("hour")) - unix_timestamp(col("last_obs_hour")))
+          .cast("long").as("gap_secs"))
+      .orderBy("event_type", "hour")
+  }
+
+  val q37Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), bounds AS (
+      |  SELECT min(hour) AS h0, max(hour) AS h1 FROM e
+      |), hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+      |), grid AS (
+      |  SELECT t.event_type, h.hour FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours h
+      |), actual AS (
+      |  SELECT event_type, hour, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM e GROUP BY event_type, hour
+      |)
+      |SELECT g.event_type, g.hour,
+      |  a.cents IS NOT NULL AS observed,
+      |  last_value(a.cents IGNORE NULLS) OVER w AS cents_locf,
+      |  CAST(epoch(g.hour) - epoch(last_value(CASE WHEN a.cents IS NOT NULL THEN g.hour END IGNORE NULLS) OVER w) AS BIGINT) AS gap_secs
+      |FROM grid g LEFT JOIN actual a ON g.event_type = a.event_type AND g.hour = a.hour
+      |WINDOW w AS (PARTITION BY g.event_type ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY g.event_type, g.hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_locf" -> (q37Locf _),
     "q36_rank_family" -> (q36RankFamily _),
     "q35_histogram" -> (q35Histogram _),
     "q31_grouping_sets" -> (q31GroupingSets _),
@@ -240,6 +293,7 @@ object RelationalExt2 {
     "q34_gapfill" -> (q34GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "q37_locf" -> q37Sql,
     "q36_rank_family" -> q36Sql,
     "q35_histogram" -> q35Sql,
     "q31_grouping_sets" -> q31Sql,

@@ -460,7 +460,38 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  /** Radius (range) search — the similarity family's other query shape:
+    * ALL vectors within cosine ≥ 0.35 of the query, not a fixed top-k
+    * (dedup thresholds, "find everything this similar" audits). Same
+    * broadcast-query/one-scan plan as [[annBrute]] with the threshold
+    * pushed into the scan filter — result size is data-dependent, so no
+    * TakeOrdered; at 100 TB the LSH/IVF blocking paths bound the scan
+    * exactly as for top-k. */
+  def radius(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  val radiusSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id, ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} AS cosine
+      |FROM e, q WHERE e.vec_id <> 0
+      |  AND ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} >= 0.35
+      |ORDER BY cosine DESC, e.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_radius" -> (radius _),
     "s_recall_eval" -> (recallEval _),
     "s_hybrid_rrf" -> (hybridRrf _),
     "s_ann_brute" -> (annBrute _),
@@ -471,6 +502,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_radius" -> radiusSql,
     "s_recall_eval" -> recallEvalSql,
     "s_hybrid_rrf" -> hybridRrfSql,
     "s_ann_brute" -> annBruteSql,

@@ -90,4 +90,20 @@ class RelationalExt2Spec extends SparkSpec {
     }
   }
 
+  test("q37_locf: observed rows carry their own value, gaps carry the last observed one") {
+    val rows = RelationalExt2.q37Locf(spark, sf)
+      .filter(col("event_type") === "purchase").orderBy("hour").collect()
+    assert(rows.nonEmpty)
+    var lastSeen: Option[Long] = None
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("observed")) {
+        lastSeen = Some(r.getAs[Long]("cents_locf"))
+        assert(r.getAs[Long]("gap_secs") == 0L)
+      } else if (lastSeen.isDefined) {
+        assert(r.getAs[Long]("cents_locf") == lastSeen.get)
+        assert(r.getAs[Long]("gap_secs") > 0L)
+      }
+    }
+  }
+
 }

@@ -102,4 +102,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("radius search: every hit is above threshold and is a superset check vs brute top-k") {
+    val hits = Similarity.radius(spark, sf).collect()
+    assert(hits.forall(_.getAs[Double]("cosine") >= 0.35))
+    // any brute top-10 neighbor above the threshold must be in the radius set
+    val ids = hits.map(_.getAs[Long]("vec_id")).toSet
+    Similarity.annBrute(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.35)
+      .foreach(r => assert(ids.contains(r.getAs[Long]("vec_id"))))
+  }
+
 }
