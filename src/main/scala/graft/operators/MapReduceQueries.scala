@@ -193,7 +193,53 @@ object MapReduceQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Reduce-side join through the facade — the one relational operation
+    * classic MapReduce users actually wrote by hand: tag tuples by
+    * source relation, shuffle on the join key with the tag as the
+    * SECONDARY sort key so each reducer run streams the (single)
+    * dimension tuple first, then the fact tuples — O(1) reducer state,
+    * no buffering either side (the textbook repartition join,
+    * White's "Hadoop: The Definitive Guide" ch. 9 pattern). Emits per
+    * customer: name, order count, total spend in integer cents
+    * (left-join semantics: order-less customers kept). The declarative
+    * twin is one `join`+`groupBy` — shown bit-equal by the oracle. */
+  def mrJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custs = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      .rdd.map { case (k, name) => (k, (0, name, 0L)) }
+    val ords = Tables.orders(s, d)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)]
+      .rdd.map { case (k, cents) => (k, (1, "", cents)) }
+    val joined = MapReduce.runSorted[
+        (Long, (Int, String, Long)), Long, Int, (Int, String, Long),
+        (Long, String, Long, Long)](
+      custs.union(ords),
+      mapper = { case (k, (tag, name, cents)) => Iterator.single((k, (tag, (tag, name, cents)))) },
+      reducer = { (k, vs) =>
+        var name: String = null; var n = 0L; var cents = 0L
+        vs.foreach {
+          case (0, nm, _) => name = nm
+          case (_, _, c) => n += 1; cents += c
+        }
+        (k, name, n, cents)
+      },
+      numParts = 8)
+    joined.toDF("custkey", "name", "n_orders", "cents")
+      .filter(col("name").isNotNull) // orders with no customer row (none here) would be dangling
+      .orderBy("custkey")
+  }
+
+  val mrJoinSql: String =
+    """SELECT c_custkey AS custkey, c_name AS name,
+      |  count(o_custkey) AS n_orders,
+      |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_join" -> (mrJoin _),
     "mr_first_last" -> (firstLast _),
     "mr_sort" -> (sortRank _),
     "mr_wordcount" -> (wordcount _),
@@ -203,6 +249,7 @@ object MapReduceQueries {
     "mr_avg_by_key" -> (avgByKey _))
 
   val oracles: Map[String, String] = Map(
+    "mr_join" -> mrJoinSql,
     "mr_first_last" -> firstLastSql,
     "mr_sort" -> sortRankSql,
     "mr_wordcount" -> wordcountSql,

@@ -163,4 +163,17 @@ class MapReduceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mr_join: equals the declarative join+groupBy bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.MapReduceQueries.mrJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count("o_custkey").as("n"),
+        coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L)).as("cents"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
 }
