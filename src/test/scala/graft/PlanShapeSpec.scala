@@ -91,4 +91,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"no stage of packing may collapse the data to one partition:\n${p.take(800)}")
   }
+  test("q34_gapfill: the hour grid is broadcast — densification never shuffles on grid size") {
+    val p = plan(graft.operators.RelationalExt2.q34GapFill(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "hour-grid cross join must broadcast the tiny grid side")
+    assert(!p.contains("CartesianProduct"), "no cartesian product in gap fill")
+  }
+
+  test("t_kwic: match predicate is evaluated before snippet surgery (filter below project)") {
+    val p = plan(graft.operators.TextAnalysis.kwic(spark, sf))
+    assert(p.contains("PushedFilters") || p.indexOf("Filter") > p.indexOf("Project"),
+      "instr predicate should gate the row before substring work")
+  }
+
+  test("q35_histogram: bounds broadcast, histogram aggregate is two-phase") {
+    val p = plan(graft.operators.RelationalExt2.q35Histogram(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row bounds must broadcast")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "bucket counts must partial-aggregate map-side")
+  }
+
+  test("s_radius: threshold filter applies in the scan-side projection, no sort-based top-k") {
+    val p = plan(graft.operators.Similarity.radius(spark, sf))
+    assert(!p.contains("CartesianProduct"), "query side must broadcast")
+    assert(p.contains("Filter"), "threshold must be a filter, not a limit")
+  }
+
 }
