@@ -490,7 +490,64 @@ object Similarity {
       |  AND ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} >= 0.35
       |ORDER BY cosine DESC, e.vec_id""".stripMargin
 
+  /** Scalar (int8) quantization — the OTHER standard vector-compression
+    * path next to PQ (FAISS SQ8): per-dimension global [min, max] bounds
+    * (one posexplode partial agg), each component quantized to a 0..255
+    * code, 4× memory over float32 with per-component error ≤ half a
+    * step. Emits the code vector (csv — portable across engines) and
+    * the squared reconstruction error in exact pico units (integer sum,
+    * order-free). The bounds table is 64 rows broadcast; quantization is
+    * map-side. Integer-scale `round` is the one rounding form both
+    * engines compute bit-identically (see ExactRound). */
+  def sq8(s: SparkSession, d: String): DataFrame = {
+    val vs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = vs.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+    val bounds = dims.agg(
+      array_sort(collect_list(struct(col("i"), col("lo")))).as("los"),
+      array_sort(collect_list(struct(col("i"), col("hi")))).as("his"))
+      .select(transform(col("los"), x => x.getField("lo")).as("lo"),
+        transform(col("his"), x => x.getField("hi")).as("hi"))
+    vs.crossJoin(broadcast(bounds))
+      .withColumn("codes", expr(
+        "transform(sequence(0, size(v)-1), i -> CAST(round((v[i] - lo[i]) * 255 / (hi[i] - lo[i])) AS INT))"))
+      .withColumn("err_pico", expr(
+        """aggregate(sequence(0, size(v)-1), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + CAST(round((v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / 255))
+          |    * (v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / 255)) * 1000000000000) AS BIGINT))""".stripMargin))
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')").as("codes_csv"),
+        col("err_pico"))
+      .orderBy("vec_id")
+  }
+
+  /** SQL twin (DuckDB lists are 1-based; the Spark side is 0-based —
+    * both walk the same components in the same order). */
+  val sq8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), dims AS (
+      |  SELECT u.i, min(v[u.i]) AS lo, max(v[u.i]) AS hi
+      |  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+      |  GROUP BY u.i
+      |), b AS (
+      |  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM dims
+      |), q AS (
+      |  SELECT vec_id, v, lo, hi,
+      |    list_transform(generate_series(1, len(v)),
+      |      i -> CAST(round((v[i] - lo[i]) * 255 / (hi[i] - lo[i])) AS INT)) AS codes
+      |  FROM e, b
+      |)
+      |SELECT vec_id,
+      |  array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes_csv,
+      |  CAST(list_sum(list_transform(generate_series(1, len(v)), i ->
+      |    CAST(round((v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / 255))
+      |      * (v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / 255)) * 1000000000000) AS BIGINT))) AS BIGINT) AS err_pico
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_sq8" -> (sq8 _),
     "s_radius" -> (radius _),
     "s_recall_eval" -> (recallEval _),
     "s_hybrid_rrf" -> (hybridRrf _),
@@ -502,6 +559,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_sq8" -> sq8Sql,
     "s_radius" -> radiusSql,
     "s_recall_eval" -> recallEvalSql,
     "s_hybrid_rrf" -> hybridRrfSql,

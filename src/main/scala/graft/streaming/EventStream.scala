@@ -446,7 +446,51 @@ object EventStream {
       |WHERE rank <= 2
       |ORDER BY window_start, rank""".stripMargin
 
+  /** SLIDING-window streaming aggregation (30-minute windows every 10
+    * minutes): each event lands in 3 overlapping windows — the
+    * trailing-rate shape tumbling windows cannot express (a tumbling
+    * user sees a spike up to a full window late; a slide bounds that lag
+    * to the hop). Spark assigns each row its window set in the same
+    * Expand-style projection the batch twin spells out, then the
+    * watermarked streaming aggregate proceeds exactly as in
+    * [[windowAgg]] — state is windows × types, bounded by the watermark
+    * at any scale. */
+  def slidingAgg(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), fmt).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+    val name = "graft_st_sliding"
+    runToMemorySink(s, d, stream, name, "complete")
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** Batch twin: every event joins its 3 covering window starts
+    * (hop-bucket minus 0/10/20 minutes — the same epoch-aligned starts
+    * Spark's `window(ts, 30m, 10m)` assigns). */
+  val slidingAggSql: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+       |), wins AS (
+       |  SELECT time_bucket(INTERVAL '10 minutes', ts) - o.off AS wstart, event_type, value
+       |  FROM ev, (SELECT unnest([INTERVAL '0 minutes', INTERVAL '10 minutes', INTERVAL '20 minutes']) AS off) o
+       |)
+       |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       | event_type, count(*) AS n,
+       | ${moneySumSql("value")} AS total_value
+       |FROM wins
+       |GROUP BY window_start, event_type
+       |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_sliding" -> (slidingAgg _),
     "st_topk" -> (topkStream _),
     "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
@@ -456,6 +500,7 @@ object EventStream {
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "st_sliding" -> slidingAggSql,
     "st_topk" -> topkStreamSql,
     "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,

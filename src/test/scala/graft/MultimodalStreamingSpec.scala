@@ -112,4 +112,13 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("st_sliding: each tumbling count appears in 3 overlapping windows' totals") {
+    import graft.streaming.EventStream
+    val sliding = EventStream.slidingAgg(spark, sf).collect()
+    assert(sliding.nonEmpty)
+    // sum over sliding windows counts each event exactly 3 times
+    val total = Tables.events(spark, sf).count()
+    assert(sliding.map(_.getAs[Long]("n")).sum == total * 3)
+  }
+
 }

