@@ -15,7 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.RelationalExt.queries ++
-      operators.RelationalExt2.queries ++
+      operators.RelationalExt2.queries ++ operators.RelationalExt3.queries ++
       operators.MapReduceQueries.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Pipeline.queries ++ operators.Graph.queries ++
@@ -26,7 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
-      operators.RelationalExt2.oracles ++
+      operators.RelationalExt2.oracles ++ operators.RelationalExt3.oracles ++
       operators.MapReduceQueries.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Pipeline.oracles ++ operators.Graph.oracles ++

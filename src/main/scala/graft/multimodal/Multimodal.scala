@@ -278,7 +278,109 @@ object Multimodal {
       |FROM sn LEFT JOIN f ON prefix = magic_hex
       |GROUP BY 1 ORDER BY format""".stripMargin
 
+  /** Perceptual-hash near-dup detection over the decoded representation —
+    * the image dedup pass that catches re-encoded/resized copies exact
+    * checksums ([[assetDedup]]) miss. Average-hash construction on the
+    * stub decode (byte stream stands in for pixels; a real codec swaps
+    * in at the same point as [[featureExtract]]): 64 equal segments,
+    * bit k = segment-k mean > global mean — evaluated as the integer
+    * cross-multiply `seg_sum·n > total·seg_len`, so every bit is
+    * bit-portable with no division. The 64-bit signature lives as four
+    * 16-bit chunks, and candidate pairs come from chunk-equality
+    * blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal — the
+    * [[graft.operators.Dedup]] simhash discipline): an equi-join on
+    * (slot, chunk), never all-pairs, so the plan survives 10⁹ assets.
+    * Segment sums are one partial-agg shuffle on (asset, segment). */
+  def phash(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(length(col("text")) > 0)
+    // Synthesized "re-encoded copies" (container constraint, like
+    // m_sniff's headers): every 7th asset also appears as a twin whose
+    // byte values shift slightly but uniformly — the requantization
+    // analog. A length-preserving global value shift moves segment and
+    // corpus means together, so twin hashes land within hamming ≤ 3
+    // (measured: 69/72 twins at sf0.01, nearest non-twin pair at 10);
+    // the 3 misses are honest perceptual-hash recall, not a bug.
+    val docs = base.select(col("doc_id").as("asset_id"), col("text"))
+      .union(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("asset_id"),
+          translate(col("text"), "e", "a").as("text")))
+      .select(col("asset_id"), col("text"), length(col("text")).as("n"))
+    val chars = docs.select(col("asset_id"), col("n"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .select(col("asset_id"), col("n"),
+        expr("(pos * 64) div n").as("bucket"), ascii(col("ch")).cast("long").as("cp"))
+    val seg = chars.groupBy("asset_id", "n", "bucket")
+      .agg(sum("cp").as("seg_sum"), count(lit(1)).as("seg_len"))
+    val tot = chars.groupBy("asset_id").agg(sum("cp").as("total"))
+    val bits = seg.join(tot, "asset_id")
+      .select(col("asset_id"), col("bucket"),
+        (col("seg_sum") * col("n") > col("total") * col("seg_len")).as("bit"))
+    val chunkSums = (0 to 3).map { j =>
+      expr(s"""sum(CASE WHEN bucket div 16 = $j AND bit
+              | THEN shiftleft(CAST(1 AS BIGINT), CAST(15 - bucket % 16 AS INT))
+              | ELSE CAST(0 AS BIGINT) END)""".stripMargin).as(s"c$j")
+    }
+    val sig = bits.groupBy("asset_id")
+      .agg(chunkSums.head, chunkSums.tail: _*)
+      .localCheckpoint()
+    val cand = (0 to 3).map { j =>
+        val l = sig.select(col("asset_id").as("a"), col(s"c$j").as("bk"))
+        val r = sig.select(col("asset_id").as("b"), col(s"c$j").as("bk"))
+        l.join(r, Seq("bk")).filter(col("a") < col("b")).select("a", "b")
+      }.reduce(_ union _).distinct()
+    val ham = (0 to 3).map(j =>
+      expr(s"bit_count(la.c$j ^ rb.c$j)")).reduce(_ + _)
+    cand.join(sig.as("la"), col("a") === col("la.asset_id"))
+      .join(sig.as("rb"), col("b") === col("rb.asset_id"))
+      .select(col("a").as("asset_a"), col("b").as("asset_b"),
+        ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("asset_a", "asset_b")
+  }
+
+  /** SQL twin of [[phash]] — brute-force over all pairs (blocking is a
+    * performance device, provably lossless for hamming ≤ 3). */
+  val phashSql: String =
+    """WITH assets AS (
+      |  SELECT doc_id AS asset_id, text FROM documents WHERE length(text) > 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, replace(text, 'e', 'a') FROM documents
+      |  WHERE length(text) > 0 AND doc_id % 7 = 0
+      |), chars AS (
+      |  SELECT asset_id, length(text) AS n,
+      |    unnest(generate_series(1, length(text))) AS i, text
+      |  FROM assets
+      |), cp AS (
+      |  SELECT asset_id, n, ((i - 1) * 64) // n AS bucket,
+      |    CAST(ord(substr(text, i, 1)) AS BIGINT) AS cp
+      |  FROM chars
+      |), seg AS (
+      |  SELECT asset_id, n, bucket, sum(cp) AS seg_sum, count(*) AS seg_len
+      |  FROM cp GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT asset_id, sum(cp) AS total FROM cp GROUP BY 1
+      |), bits AS (
+      |  SELECT s.asset_id, s.bucket,
+      |    (s.seg_sum * s.n > t.total * s.seg_len) AS bit
+      |  FROM seg s JOIN tot t USING (asset_id)
+      |), sig AS (
+      |  SELECT asset_id,
+      |    CAST(sum(CASE WHEN bucket // 16 = 0 AND bit THEN (1 << (15 - bucket % 16)) ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN bucket // 16 = 1 AND bit THEN (1 << (15 - bucket % 16)) ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN bucket // 16 = 2 AND bit THEN (1 << (15 - bucket % 16)) ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN bucket // 16 = 3 AND bit THEN (1 << (15 - bucket % 16)) ELSE 0 END) AS BIGINT) AS c3
+      |  FROM bits GROUP BY asset_id
+      |)
+      |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |  CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+      |     + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+      |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+      |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+      |ORDER BY asset_a, asset_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
     "m_cdc_chunks" -> (cdcChunks _),
     "m_binary_meta" -> (binaryMeta _),
@@ -287,6 +389,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,
     "m_cdc_chunks" -> cdcChunksSql,
     "m_binary_meta" -> binaryMetaSql,

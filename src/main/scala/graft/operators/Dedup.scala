@@ -805,7 +805,234 @@ object Dedup {
       |FROM evalhits e LEFT JOIN trainfp t USING (fp)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- containment join
+
+  /** Exact containment join (quote/subset detection): pairs where the
+    * SMALLER document's shingle set is ≥ 80% contained in the larger's —
+    * the asymmetric relation Jaccard misses (a paragraph quoted inside a
+    * book has Jaccard ≈ 0, containment 1.0). Prefix filtering adapts to
+    * containment one-sidedly: A misses at most ⌊0.2·|A|⌋ of its shingles
+    * from any 0.8-container, so among A's ⌊0.2·|A|⌋+1 RAREST shingles at
+    * least one hits B — candidates are A-prefix ⋈ B-all on the 64-bit
+    * shingle hash, provably zero false negatives, then one exact verify.
+    * The container side keeps full posting lists; at web scale the df
+    * head would be band-partitioned (a hot boilerplate shingle fans out
+    * its postings), which shards work without affecting exactness. */
+  def containmentJoin(s: SparkSession, d: String): DataFrame = {
+    val t = 0.8
+    val sh = withShingles(s, d)
+      .select(col("doc_id"), graft.functions.MinHashFns.word_hashes(col("sh")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = tokens.groupBy("h").agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = tokens.join(freq, "h")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rnk", row_number().over(wDoc.orderBy("f", "h")))
+    // prefix length n − ⌈0.8n⌉ + 1 in EXACT integer arithmetic
+    // (⌈4n/5⌉ = (4n+4) div 5): double rounding of n*0.8 can shorten the
+    // prefix at threshold sizes, which would be a silent false negative
+    val pref = ranked
+      .filter(col("rnk") <= expr("n - (4*n + 4) div 5 + 1"))
+      .select(col("doc_id").as("doc_small"), col("n").as("n_s"), col("h"))
+    val all = ranked.select(col("doc_id").as("doc_big"), col("n").as("n_b"), col("h"))
+    val cands = pref.join(all, "h")
+      .filter(col("n_s") < col("n_b") ||
+        (col("n_s") === col("n_b") && col("doc_small") < col("doc_big")))
+      .select("doc_small", "doc_big")
+      .distinct()
+    val shS = sh.select(col("doc_id").as("doc_small"), col("hs").as("hs_s"))
+    val shB = sh.select(col("doc_id").as("doc_big"), col("hs").as("hs_b"))
+    cands.join(shS, "doc_small").join(shB, "doc_big")
+      .select(col("doc_small"), col("doc_big"),
+        ExactRound.r(size(array_intersect(col("hs_s"), col("hs_b"))).cast("double")
+          / size(col("hs_s")), 6).as("containment"))
+      .filter(col("containment") >= t)
+      .orderBy("doc_small", "doc_big")
+  }
+
+  /** Brute-force oracle (blocking is performance-only). */
+  val containmentJoinSql: String = {
+    val cont = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)", 6)
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |)
+       |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+       |  $cont AS containment
+       |FROM docs a JOIN docs b
+       |  ON (len(a.sh) < len(b.sh)) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)
+       |WHERE $cont >= 0.8
+       |ORDER BY doc_small, doc_big""".stripMargin
+  }
+
+  // ------------------------------------------------------ LSH tuning
+
+  /** LSH banding parameter sweep — the measurement that gates pointing
+    * an index at 100 TB (the [[graft.operators.Similarity]] recall_eval
+    * twin, for the dedup index): for band widths r ∈ {2, 4, 8} over the
+    * same 128-perm signatures, the candidate-pair count, how many true
+    * (exact Jaccard ≥ 0.5) pairs the banding surfaces, and the realized
+    * precision/recall against the exact pair set. Wider bands (larger r)
+    * collapse the S-curve: r=2 is effectively lossless at j≥0.5 but
+    * floods candidates at web scale; r=8 prunes hard and visibly loses
+    * recall — this query SHOWS that tradeoff instead of asserting it.
+    * One signature table feeds all three band joins; the verify is one
+    * shingle re-join over the unioned candidates. */
+  def lshTune(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val allCands = Seq(2, 4, 8).map { r =>
+        bandCandidates(sigs.select("doc_id", "sig"), bandRows = r)
+          .withColumn("band_rows", lit(r))
+      }.reduce(_ unionByName _)
+    val perConfig = allCands
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jacc", ExactRound.r(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .groupBy("band_rows")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_found"))
+    val truth = ngramJaccard(s, d).agg(count(lit(1)).as("n_true"))
+    perConfig.crossJoin(broadcast(truth))
+      .select(col("band_rows").cast("long").as("band_rows"),
+        (lit(128) / col("band_rows")).cast("long").as("n_bands"),
+        col("n_candidates"), col("n_found"), col("n_true"),
+        when(col("n_candidates") === 0, 0.0)
+          .otherwise(col("n_found").cast("double") / col("n_candidates")).as("precision"),
+        when(col("n_true") === 0, 0.0)
+          .otherwise(col("n_found").cast("double") / col("n_true")).as("recall"))
+      .orderBy("band_rows")
+  }
+
+  /** Oracle: the [[minhashLshSql]] signature replay, then a brute pair
+    * scan per band width. */
+  val lshTuneSql: String = {
+    val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
+    val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
+    def bandHit(r: Int) = {
+      val eq = (1 to r).map(j => s"a.sig[$r*bd+$j] = b.sig[$r*bd+$j]").mkString(" AND ")
+      s"len(list_filter(generate_series(0, ${128 / r - 1}), bd -> $eq)) > 0"
+    }
+    val configs = Seq(2, 4, 8).map { r =>
+      s"""SELECT $r AS band_rows, ${128 / r} AS n_bands,
+         |  count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+         |FROM (
+         |  SELECT $jaccardSqlExpr AS jacc
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |  WHERE ${bandHit(r)}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), docsh AS (
+       |  SELECT doc_id, unnest(sh) AS shingle FROM docs
+       |), shing AS (SELECT DISTINCT shingle FROM docsh
+       |), h AS (
+       |  SELECT shingle, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM shing
+       |  UNION ALL
+       |  SELECT shingle, i+1,
+       |    (hash*33 + ord(substr(shingle,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(shingle)
+       |), sh31 AS (
+       |  SELECT shingle, CAST(hash % 2147483648 AS BIGINT) AS h31
+       |  FROM h WHERE i = length(shingle)+1
+       |), perms AS (
+       |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
+       |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
+       |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
+       |), sigv AS (
+       |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
+       |  FROM docsh d JOIN sh31 s USING (shingle), perms pm
+       |  GROUP BY d.doc_id, pm.p
+       |), sigs AS (
+       |  SELECT s.doc_id, list(sv ORDER BY p) AS sig, min(d.sh) AS sh
+       |  FROM sigv s JOIN docs d ON s.doc_id = d.doc_id
+       |  GROUP BY s.doc_id
+       |), truth AS (
+       |  SELECT count(*) AS n_true FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardSqlExpr >= 0.5
+       |), cfg AS (
+       |$configs
+       |)
+       |SELECT CAST(band_rows AS BIGINT) AS band_rows, CAST(n_bands AS BIGINT) AS n_bands,
+       |  n_candidates, n_found, t.n_true,
+       |  CASE WHEN n_candidates = 0 THEN 0.0
+       |       ELSE CAST(n_found AS DOUBLE) / n_candidates END AS precision,
+       |  CASE WHEN t.n_true = 0 THEN 0.0
+       |       ELSE CAST(n_found AS DOUBLE) / t.n_true END AS recall
+       |FROM cfg, truth t
+       |ORDER BY band_rows""".stripMargin
+  }
+
+  // ------------------------------------------------------ keep-best
+
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * ([[dupClusters]]'s connected components) keep the HIGHEST-quality
+    * document (ties to the lowest id), not the arbitrary lowest id —
+    * the difference between "dedup" and "dedup that deletes the clean
+    * copy and keeps the OCR-mangled one". One window rank per cluster
+    * on the (quality, id) composite; singleton docs keep themselves.
+    * The quality join adds one shuffle on doc_id against the map-side
+    * quality scan — at 100 TB this composition costs the CC pass plus
+    * one join, nothing quadratic. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val clusters = dupClusters(s, d) // (doc_id, cluster_id)
+    val q = TextAnalysis.quality(s, d).select("doc_id", "quality_score")
+    val wc = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("keep_id", first("doc_id").over(wc))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  val keepBestSql: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardSqlExpr >= 0.5
+       |), edges AS (
+       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+       |), clusters AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |), q AS (
+       |  SELECT doc_id, ${TextAnalysis.qualityScoreSql} AS quality_score FROM documents
+       |)
+       |SELECT c.doc_id, c.cluster_id, q.quality_score,
+       |  first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.quality_score DESC, c.doc_id) AS keep_id,
+       |  c.doc_id = first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.quality_score DESC, c.doc_id) AS is_kept
+       |FROM clusters c JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_containment_join" -> (containmentJoin _),
+    "d_keep_best" -> (keepBest _),
+    "d_lsh_tune" -> (lshTune _),
     "d_bloom" -> (bloom _),
     "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
@@ -819,6 +1046,9 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_containment_join" -> containmentJoinSql,
+    "d_keep_best" -> keepBestSql,
+    "d_lsh_tune" -> lshTuneSql,
     "d_bloom" -> bloomSql,
     "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,

@@ -258,12 +258,102 @@ object Graph {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Multi-source BFS (distance-to-nearest-seed) over the pair graph in
+    * `maxHops` synchronous rounds — the Pregel primitive behind
+    * influence radius, contamination blast-radius ("how far does this
+    * leaked document's duplication neighborhood reach") and
+    * cluster-exemplar assignment. Same co-partitioned-RDD discipline as
+    * [[pagerankLoop]]: the edge list is hash-partitioned once and stays
+    * stationary; each round is one narrow join + one min-reduce, and
+    * with a fixed hop cap the lineage stays shallow with no
+    * checkpointing. The relax recurrence (distₖ₊₁ = min(distₖ,
+    * min over in-neighbors + 1)) is pure integer math — bit-portable —
+    * and equals frontier BFS on unit weights; a production run at 10⁹
+    * edges would propagate only the newly-improved frontier per round,
+    * an optimization that cannot change the result. */
+  private[graft] def bfsLoop(pairsDf: DataFrame, maxHops: Int,
+      isSeed: Long => Boolean): DataFrame = {
+    val spark = pairsDf.sparkSession
+    import spark.implicits._
+    val cols = pairsDf.columns
+    val pairs = pairsDf.select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+      .localCheckpoint()
+    val prs = pairs.as[(Long, Long)].rdd
+    val nEdges = pairs.count()
+    val partitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(prs.getNumPartitions, ((nEdges + 499999L) / 500000L).toInt)))
+    val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(partitioner)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = edges.mapValues(_ => ()).reduceByKey(partitioner, (a, _) => a)
+      .filter { case (id, _) => isSeed(id) }
+      .mapValues(_ => 0L)
+    var hop = 0
+    while (hop < maxHops) {
+      val cand = edges.join(dist, partitioner)
+        .map { case (_, (dst, dd)) => (dst, dd + 1L) }
+      dist = dist.union(cand).reduceByKey(partitioner, (a: Long, b: Long) => math.min(a, b))
+      hop += 1
+    }
+    val out = dist.toDF("id", "dist").localCheckpoint()
+    edges.unpersist(blocking = false)
+    pairs.unpersist()
+    out
+  }
+
+  /** Driver query: hop distance from the doc_id%10==0 exemplars over the
+    * exact 3-gram-Jaccard near-dup graph, 6 hops (graph diameters here
+    * are far below that, so this IS the full closure). */
+  def bfs(s: SparkSession, d: String): DataFrame =
+    bfsLoop(Dedup.ngramJaccard(s, d).select("doc_a", "doc_b"), maxHops = 6,
+      isSeed = _ % 10 == 0)
+      .select(col("id").as("doc_id"), col("dist").as("n_hops"))
+      .orderBy("doc_id")
+
+  /** SQL twin: same pair graph, 6 unrolled rounds of the identical
+    * min-relax recurrence. */
+  val bfsSql: String = {
+    val shingles =
+      """SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3""".stripMargin
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    val iterations = (1 to 6).map { k =>
+      s"""t$k AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM t${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, t${k - 1}.dist + 1 AS dist
+         |    FROM edges e JOIN t${k - 1} ON e.src = t${k - 1}.id
+         |  ) GROUP BY id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH docs AS (
+       |  $shingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jac >= 0.5
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), t0 AS (
+       |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM edges WHERE src % 10 = 0
+       |), $iterations
+       |SELECT id AS doc_id, CAST(dist AS BIGINT) AS n_hops
+       |FROM t6 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_bfs" -> (bfs _),
     "g_pagerank" -> (pagerank _),
     "g_linkpred" -> (linkpred _),
     "g_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "g_bfs" -> bfsSql,
     "g_pagerank" -> pagerankSql,
     "g_linkpred" -> linkpredSql,
     "g_triangles" -> trianglesSql)

@@ -238,7 +238,38 @@ object MapReduceQueries {
       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY custkey""".stripMargin
 
+  /** Chained MR jobs — the reference pattern for anything past one
+    * shuffle (job 2 reads job 1's output, /root/reference/mapreduce.h's
+    * MR_Run called twice): word count, then frequency-of-frequencies
+    * (how many tokens occur exactly c times — the vocabulary-profile
+    * example from the original MapReduce literature). Both legs use the
+    * combiner facade, so leg 1 shuffles one count per (partition, token)
+    * and leg 2 one per (partition, count); the intermediate "file" is an
+    * RDD handed straight to job 2, no materialization. */
+  def freqOfFreq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("text")).as[String]
+    val counts = MapReduce.runCombined[String, String, Long](
+      docs.rdd,
+      mapper = line => line.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      merge = _ + _, numParts = 8)
+    val fof = MapReduce.runCombined[(String, Long), Long, Long](
+      counts,
+      mapper = { case (_, c) => Iterator.single(c -> 1L) },
+      merge = _ + _, numParts = 8)
+    fof.toDF("cnt", "n_tokens").orderBy("cnt")
+  }
+
+  val freqOfFreqSql: String =
+    """WITH wc AS (
+      |  SELECT token, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(text, '[ \t\n\r]+')) AS token FROM documents
+      |  ) WHERE token <> '' GROUP BY token
+      |)
+      |SELECT cnt, count(*) AS n_tokens FROM wc GROUP BY cnt ORDER BY cnt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_freq_of_freq" -> (freqOfFreq _),
     "mr_join" -> (mrJoin _),
     "mr_first_last" -> (firstLast _),
     "mr_sort" -> (sortRank _),
@@ -249,6 +280,7 @@ object MapReduceQueries {
     "mr_avg_by_key" -> (avgByKey _))
 
   val oracles: Map[String, String] = Map(
+    "mr_freq_of_freq" -> freqOfFreqSql,
     "mr_join" -> mrJoinSql,
     "mr_first_last" -> firstLastSql,
     "mr_sort" -> sortRankSql,

@@ -254,7 +254,55 @@ object Pipeline {
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** Per-source token-quota capping — the "no source dominates the mix"
+    * guard every mixture recipe needs: documents are taken per source in
+    * a stable hash-then-id order (djb2 bucket first, so the kept prefix
+    * is an unbiased reproducible sample, not the lowest ids) until the
+    * source's whitespace-token budget is exhausted; a doc is kept only
+    * if it fits entirely. One shuffle-sort per source (window cumulative
+    * sum — spills, never buffers a source in memory); the order key is
+    * engine-stable so the kept set is bit-identical anywhere. */
+  def quota(s: SparkSession, d: String): DataFrame = {
+    val budget = 800L
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 100)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket", "doc_id")
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "[ \t\n\r]+")).cast("long").as("n_tok"),
+        bucket.as("bucket"))
+      .withColumn("cum_tok", sum("n_tok").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum_tok") <= budget)
+      .select("doc_id", "source", "n_tok", "cum_tok")
+      .orderBy("doc_id")
+  }
+
+  val quotaSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, source,
+      |    CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, source, n_tok, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, source, n_tok, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, source, n_tok, CAST(hash % 100 AS INT) AS bucket
+      |  FROM h WHERE i = length(key)+1
+      |), cum AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY bucket, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |  FROM b
+      |)
+      |SELECT doc_id, source, n_tok, cum_tok FROM cum
+      |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_quota" -> (quota _),
     "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
     "p_curate" -> (curate _),
@@ -263,6 +311,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_quota" -> quotaSql,
     "p_split" -> splitSql,
     "p_pack" -> packSql,
     "p_curate" -> curateSql,

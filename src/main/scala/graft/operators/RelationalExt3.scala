@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fourth tranche of relational coverage (SURVEY.md §2B continued):
+  * product-analytics shapes — ordered funnel conversion and cohort
+  * retention — the two queries every event warehouse runs daily.
+  */
+object RelationalExt3 {
+
+  /** Ordered funnel conversion (view → click → purchase): a user reaches
+    * stage k only with an event AT OR AFTER their stage-(k−1) entry
+    * time — the sequencing constraint a naive per-type distinct count
+    * ignores. Three per-user min-aggregates chained by user_id joins
+    * (each stage's input is already keyed on user_id, so at scale this
+    * is one shuffle then narrow joins); time-to-convert sums in exact
+    * integer micros. Output: one row per stage with reach count,
+    * conversion vs stage 1 (single IEEE division), and total
+    * micros-from-first-view across converted users. */
+  def q41Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("vts"))
+      .groupBy("user_id").agg(min("ts").as("cts"), min("vts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "cts", "vts"), "user_id")
+      .filter(col("ts") >= col("cts"))
+      .groupBy("user_id").agg(min("ts").as("pts"), min("vts").as("vts"))
+    val agg = v.agg(count(lit(1)).as("n1")).crossJoin(
+        c.agg(count(lit(1)).as("n2"),
+          coalesce(sum(unix_micros(col("cts")) - unix_micros(col("vts"))), lit(0L)).as("s2")))
+      .crossJoin(
+        p.agg(count(lit(1)).as("n3"),
+          coalesce(sum(unix_micros(col("pts")) - unix_micros(col("vts"))), lit(0L)).as("s3")))
+    agg.select(expr(
+        "stack(3, 1, 'view', n1, CAST(0 AS BIGINT), 2, 'click', n2, s2, 3, 'purchase', n3, s3)")
+        .as(Seq("stage_idx", "stage", "n_users", "micros_from_view")), col("n1"))
+      .select(col("stage_idx"), col("stage"), col("n_users"), col("micros_from_view"),
+        (col("n_users").cast("double") / col("n1")).as("conv_pct"))
+      .orderBy("stage_idx")
+  }
+
+  val q41Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS cts, min(v.vts) AS vts
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= v.vts GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS pts, min(c.vts) AS vts
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.cts GROUP BY 1
+      |), agg AS (
+      |  SELECT (SELECT count(*) FROM v) AS n1, (SELECT count(*) FROM c) AS n2,
+      |    (SELECT count(*) FROM p) AS n3,
+      |    (SELECT coalesce(CAST(sum(epoch_us(cts) - epoch_us(vts)) AS BIGINT), 0) FROM c) AS s2,
+      |    (SELECT coalesce(CAST(sum(epoch_us(pts) - epoch_us(vts)) AS BIGINT), 0) FROM p) AS s3
+      |)
+      |SELECT stage_idx, stage, n_users, micros_from_view,
+      |  CAST(n_users AS DOUBLE) / n1 AS conv_pct
+      |FROM (
+      |  SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users, CAST(0 AS BIGINT) AS micros_from_view, n1 FROM agg
+      |  UNION ALL SELECT 2, 'click', n2, s2, n1 FROM agg
+      |  UNION ALL SELECT 3, 'purchase', n3, s3, n1 FROM agg
+      |)
+      |ORDER BY stage_idx""".stripMargin
+
+  /** Cohort retention matrix: customers grouped by first-order month,
+    * tracked by distinct-active counts at each month offset — the
+    * classic retention triangle. The cohort assignment is one partial
+    * aggregate per customer; month offsets are exact integer month
+    * arithmetic ((y·12+m) difference — `months_between` returns a
+    * fractional double that is NOT engine-portable); retention is one
+    * IEEE division of two exact longs. Scale: both aggregates shuffle
+    * on o_custkey / (cohort, offset) — row counts bounded by customers
+    * and months², never by orders. */
+  def q42Retention(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+    val f = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+    val cs = f.groupBy("cym").agg(count(lit(1)).as("cohort_size"))
+    o.join(f, "o_custkey")
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("month_offset"))
+      .agg(countDistinct("o_custkey").as("n_active"))
+      .join(cs, "cym")
+      .select(
+        format_string("%04d-%02d",
+          expr("(cym - 1) div 12"), (col("cym") - 1) % 12 + 1).as("cohort"),
+        col("month_offset").cast("long").as("month_offset"),
+        col("cohort_size"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  val q42Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ym FROM orders
+      |), f AS (
+      |  SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1
+      |), cs AS (
+      |  SELECT cym, count(*) AS cohort_size FROM f GROUP BY 1
+      |), act AS (
+      |  SELECT f.cym, o.ym - f.cym AS month_offset, count(DISTINCT o.o_custkey) AS n_active
+      |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2
+      |)
+      |SELECT printf('%04d-%02d', (a.cym - 1) // 12, (a.cym - 1) % 12 + 1) AS cohort,
+      |  CAST(a.month_offset AS BIGINT) AS month_offset,
+      |  cs.cohort_size, a.n_active,
+      |  CAST(a.n_active AS DOUBLE) / cs.cohort_size AS retention
+      |FROM act a JOIN cs USING (cym)
+      |ORDER BY cohort, month_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_funnel" -> (q41Funnel _),
+    "q42_retention" -> (q42Retention _))
+
+  val oracles: Map[String, String] = Map(
+    "q41_funnel" -> q41Sql,
+    "q42_retention" -> q42Sql)
+}

@@ -484,7 +484,46 @@ object TextAnalysis {
       |FROM documents WHERE strpos(text, 'spark') > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Lexical diversity: type-token ratio and hapax-legomenon ratio per
+    * document — low TTR marks template/boilerplate text, high hapax
+    * share marks OCR noise or vocabulary-dense prose; both standard
+    * corpus-quality signals beside [[quality]]'s surface ratios. One
+    * partial-agg shuffle on (doc_id, token) then a per-doc rollup —
+    * token frequency never leaves its group, so the plan is the
+    * wordcount shape at any corpus size. Ratios are single IEEE
+    * divisions of exact longs. */
+  def ttr(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "[ \t\n\r]+")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        ExactRound.r(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        ExactRound.r(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val ttrSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS tok
+       |  FROM documents
+       |), freq AS (
+       |  SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM freq GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_types, n_hapax,
+       |  ${ExactRound.rSql("CAST(n_types AS DOUBLE) / n_tokens", 6)} AS ttr,
+       |  ${ExactRound.rSql("CAST(n_hapax AS DOUBLE) / n_types", 6)} AS hapax_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_ttr" -> (ttr _),
     "t_kwic" -> (kwic _),
     "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
@@ -500,6 +539,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_ttr" -> ttrSql,
     "t_kwic" -> kwicSql,
     "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,

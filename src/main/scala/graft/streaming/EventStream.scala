@@ -489,7 +489,89 @@ object EventStream {
        |GROUP BY window_start, event_type
        |ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming rate-anomaly detection: hourly counts per event type
+    * maintained incrementally on the stream (watermark-bounded state,
+    * the [[windowAgg]] shape), then each window scored against the
+    * type's own mean hourly rate over the compacted sink — the same
+    * stream-then-serve split as [[topkStream]] (the baseline layer
+    * reads windows × types rows, never the raw stream; production
+    * would swap it for last week's compacted history). The anomaly
+    * test `n · windows > 2 · total` is an integer cross-multiply —
+    * exactly "rate > 2× mean" with no division, so the flag is
+    * bit-portable. */
+  def anomalyStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), fmt).as("window_start"),
+        col("event_type"), col("n"))
+    val name = "graft_st_anomaly"
+    runToMemorySink(s, d, stream, name, "complete")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    s.table(name)
+      .withColumn("type_total", sum("n").over(w))
+      .withColumn("type_windows", count(lit(1)).over(w))
+      .withColumn("is_anomaly",
+        col("n") * col("type_windows") > col("type_total") * 2)
+      .select(col("window_start"), col("event_type"), col("n"),
+        col("type_total"), col("type_windows"), col("is_anomaly"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val anomalyStreamSql: String =
+    """WITH hourly AS (
+      |  SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT window_start, event_type, n,
+      |  CAST(sum(n) OVER w AS BIGINT) AS type_total,
+      |  count(*) OVER w AS type_windows,
+      |  n * (count(*) OVER w) > (CAST(sum(n) OVER w AS BIGINT)) * 2 AS is_anomaly
+      |FROM hourly
+      |WINDOW w AS (PARTITION BY event_type)
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** UNWINDOWED stateful streaming aggregation — the per-entity running
+    * ledger (lifetime event count + exact money total per user),
+    * maintained incrementally across micro-batches. The one stateful
+    * shape the windowed queries don't cover: no watermark ever evicts
+    * this state — it is O(active entities) BY DESIGN, and a production
+    * deployment bounds it with state-store TTL or entity-count SLAs
+    * rather than time. Money sums ride the same exact-DECIMAL path as
+    * every other streaming query. */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        date_format(col("last_ts"), fmt).as("last_seen"))
+    val name = "graft_st_running"
+    runToMemorySink(s, d, stream, name, "complete")
+    s.table(name).orderBy("user_id")
+  }
+
+  val runningTotalsSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       | ${moneySumSql("value")} AS total_value,
+       | strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_seen
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_running_totals" -> (runningTotals _),
+    "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
     "st_topk" -> (topkStream _),
     "st_enrich" -> (enrich _),
@@ -500,6 +582,8 @@ object EventStream {
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "st_running_totals" -> runningTotalsSql,
+    "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,
     "st_topk" -> topkStreamSql,
     "st_enrich" -> enrichSql,

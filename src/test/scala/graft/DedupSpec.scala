@@ -193,6 +193,53 @@ class DedupSpec extends SparkSpec {
       s"missing: ${(brute -- blocked).take(3)}; extra: ${(blocked -- brute).take(3)}")
   }
 
+  test("containment join equals brute force and finds the asymmetric pairs") {
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    import graft.functions.MinHashFns.word_shingles
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        word_shingles(split(trim(col("text")), "[ \t\n\r]+"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs
+      if (sa.size < sb.size) || (sa.size == sb.size && a < b)
+      c = sa.intersect(sb).size.toDouble / sa.size
+      cr = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cr >= 0.8
+    } yield (a, b, cr)).toSet
+    val got = Dedup.containmentJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"missing: ${(brute -- got).take(3)}; extra: ${(got -- brute).take(3)}")
+  }
+
+  test("keep-best keeps exactly one doc per cluster, the max-quality one") {
+    val rows = Dedup.keepBest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_id")).values.foreach { g =>
+      val kept = g.filter(_.getAs[Boolean]("is_kept"))
+      assert(kept.length == 1, "exactly one keeper per cluster")
+      val best = g.maxBy(r => (r.getAs[Double]("quality_score"), -r.getAs[Long]("doc_id")))
+      assert(kept.head.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"))
+      g.foreach(r => assert(r.getAs[Long]("keep_id") == best.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("lsh tune: r=2 is lossless, recall degrades monotonically with band width") {
+    val rows = Dedup.lshTune(spark, sf).orderBy("band_rows").collect()
+    assert(rows.map(_.getAs[Long]("band_rows")).toSeq == Seq(2L, 4L, 8L))
+    val truth = rows.head.getAs[Long]("n_true")
+    assert(truth > 0)
+    assert(rows.head.getAs[Long]("n_found") == truth, "r=2 must surface every true pair")
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_found") <= truth)
+    }
+  }
+
   test("bloom: membership sketch has zero false negatives") {
     val rows = Dedup.bloom(spark, sf).collect()
     assert(rows.nonEmpty)

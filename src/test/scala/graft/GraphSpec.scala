@@ -42,6 +42,23 @@ class GraphSpec extends SparkSpec {
     assert(got == expected,
       s"triangle counts diverge: ${got.toSet.diff(expected.toSet).take(3)}")
   }
+  test("bfs equals an in-memory multi-source BFS replay") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keys.filter(_ % 10 == 0).toSet
+    assert(seeds.nonEmpty, "expected doc_id%10==0 seeds in the pair graph")
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 6) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) => adj(u).map(_ -> (du + 1)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val got = Graph.bfs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hops"))).toMap
+    assert(got == dist, s"bfs diverges: ${got.toSet.diff(dist.toSet).take(3)}")
+  }
+
   test("linkpred: pairs are non-adjacent, share >= 1 neighbor, cn verified in-memory") {
     import org.apache.spark.sql.functions.col
     val edges = Dedup.embedDup(spark, sf)

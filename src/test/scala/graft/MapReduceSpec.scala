@@ -55,6 +55,17 @@ class MapReduceSpec extends SparkSpec {
     assert(viaFacade == declarative)
   }
 
+  test("chained facade jobs: freq-of-freq equals the declarative double aggregate") {
+    val viaChain = MapReduceQueries.freqOfFreq(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = MapReduceQueries.wordcount(spark, sf)
+      .groupBy("cnt").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaChain == declarative)
+    // a frequency distribution conserves the vocabulary
+    assert(viaChain.values.sum == MapReduceQueries.wordcount(spark, sf).count())
+  }
+
   test("facade honors the djb2 partition layout") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("text").as[String]

@@ -112,6 +112,51 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("m_phash: every reported pair is a planted re-encode twin within hamming 3") {
+    val rows = Multimodal.phash(spark, sf).collect()
+    assert(rows.nonEmpty, "expected re-encode twins to be detected")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("asset_b") == r.getAs[Long]("asset_a") + 1000000L,
+        s"non-twin pair reported: $r")
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+    // perceptual recall: most (not necessarily all) planted twins found
+    val planted = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0 AND length(text) > 0"))
+      .count()
+    assert(rows.length * 2 >= planted, s"recall ${rows.length}/$planted below 50%")
+  }
+
+  test("st_running_totals: streamed per-user ledger equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runningTotals(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      .orderBy("user_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("user_id") == b.getAs[Long]("user_id"))
+      assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      assert(s.getAs[String]("last_seen") == b.getAs[String]("last_seen"))
+    }
+  }
+
+  test("st_anomaly: flag is exactly the 2x-mean integer cross-multiply") {
+    val rows = EventStream.anomalyStream(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      val total = g.map(_.getAs[Long]("n")).sum
+      val windows = g.length.toLong
+      g.foreach { r =>
+        assert(r.getAs[Long]("type_total") == total)
+        assert(r.getAs[Long]("type_windows") == windows)
+        assert(r.getAs[Boolean]("is_anomaly") == (r.getAs[Long]("n") * windows > total * 2))
+      }
+    }
+  }
+
   test("st_sliding: each tumbling count appears in 3 overlapping windows' totals") {
     import graft.streaming.EventStream
     val sliding = EventStream.slidingAgg(spark, sf).collect()

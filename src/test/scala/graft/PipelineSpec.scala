@@ -30,6 +30,26 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+  test("p_quota: kept set is exactly the budgeted hash-order prefix per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "[ \t\n\r]+")).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the window cum includes every doc in order, so the kept set is the
+    // prefix up to the first overflow (a later smaller doc cannot re-fit)
+    val strict = docs.groupBy(_._2).values.flatMap { srcDocs =>
+      val ordered = srcDocs.sortBy { case (id, _, _) =>
+        (graft.functions.Djb2.partition(id.toString.getBytes, 100), id)
+      }
+      val cums = ordered.scanLeft(0L) { case (acc, (_, _, n)) => acc + n }.tail
+      ordered.zip(cums).takeWhile(_._2 <= 800L).map { case ((id, _, _), c) => id -> c }
+    }.toMap
+    val got = Pipeline.quota(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tok")).toMap
+    assert(got == strict, s"quota diverges: ${got.toSet.diff(strict.toSet).take(3)}")
+  }
+
   test("p_split: splits partition the corpus and all three splits appear") {
     val rows = Pipeline.stratSplit(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalExt3
+
+class RelationalExt3Spec extends SparkSpec {
+
+  test("q41_funnel: stage reach matches an in-memory ordered-funnel replay") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    def firstAtOrAfter(user: Long, tpe: String, lo: Long): Option[Long] =
+      events.collect { case (u, t, ts) if u == user && t == tpe && ts >= lo => ts }
+        .sorted.headOption
+    val users = events.map(_._1).distinct
+    val v = users.flatMap(u => firstAtOrAfter(u, "view", Long.MinValue).map(u -> _)).toMap
+    val c = v.flatMap { case (u, ts) => firstAtOrAfter(u, "click", ts).map(u -> _) }
+    val p = c.flatMap { case (u, ts) => firstAtOrAfter(u, "purchase", ts).map(u -> _) }
+    val rows = RelationalExt3.q41Funnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(rows == Map("view" -> v.size.toLong, "click" -> c.size.toLong,
+      "purchase" -> p.size.toLong))
+  }
+
+  test("q41_funnel: reach is monotone non-increasing and conversion is a fraction of stage 1") {
+    val rows = RelationalExt3.q41Funnel(spark, sf).orderBy("stage_idx").collect()
+    assert(rows.length == 3)
+    val reach = rows.map(_.getAs[Long]("n_users"))
+    assert(reach.zip(reach.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getAs[Double]("conv_pct") == 1.0)
+    rows.foreach { r =>
+      val cp = r.getAs[Double]("conv_pct")
+      assert(cp >= 0.0 && cp <= 1.0)
+      assert(r.getAs[Long]("micros_from_view") >= 0L)
+    }
+  }
+
+  test("q42_retention: offset 0 is full retention; cohort sizes partition the customers") {
+    val rows = RelationalExt3.q42Retention(spark, sf).collect()
+    val atZero = rows.filter(_.getAs[Long]("month_offset") == 0L)
+    atZero.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") == 1.0)
+    }
+    // every cohort has its offset-0 row, and cohort sizes sum to distinct customers
+    val cohorts = rows.map(_.getAs[String]("cohort")).distinct
+    assert(atZero.map(_.getAs[String]("cohort")).distinct.length == cohorts.length)
+    val totalCustomers = Tables.orders(spark, sf)
+      .select(countDistinct("o_custkey")).first().getLong(0)
+    assert(atZero.map(_.getAs[Long]("cohort_size")).sum == totalCustomers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Long]("month_offset") >= 0L)
+    }
+  }
+}

@@ -11,6 +11,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t_ttr: token/type/hapax counts match an in-memory recount") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.TextAnalysis.ttr(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).trim.split("[ \t\n\r]+").toSeq
+      val freq = toks.groupBy(identity).view.mapValues(_.size)
+      assert(r.getAs[Long]("n_tokens") == toks.size.toLong)
+      assert(r.getAs[Long]("n_types") == freq.size.toLong)
+      assert(r.getAs[Long]("n_hapax") == freq.count(_._2 == 1).toLong)
+      assert(r.getAs[Double]("ttr") <= 1.0 && r.getAs[Double]("ttr") > 0.0)
+    }
+  }
+
   test("langid: prediction is one of the five languages and scores are non-negative") {
     val langs = Set("en", "de", "es", "fr", "zh")
     TextAnalysis.langid(spark, sf).collect().foreach { r =>
