@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~120 queries of whole-stage codegen emit enough JIT-compiled classes
+  // to fill the default 240m code cache mid-run (observed: the profiled
+  // segment at 75/118m and climbing halfway through a bench pass);
+  // flushing/sweeping churn then starves C2 and queries drop to
+  // C1/interpreted speed nondeterministically. 512m keeps every
+  // generated class resident.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -116,11 +116,62 @@ object RelationalExt3 {
       |FROM act a JOIN cs USING (cym)
       |ORDER BY cohort, month_offset""".stripMargin
 
+  /** Trailing 7-day rolling distinct actives (DAU/WAU) per day — the
+    * engagement curve whose "distinct over a sliding window" shape
+    * defeats naive window functions (you cannot sum daily distincts).
+    * The scale-safe formulation: dedupe to (day, user) pairs first (one
+    * partial-agg shuffle — the raw event volume never goes further),
+    * then each pair votes into the ≤7 calendar days it covers via
+    * `explode(sequence(day, day+6))` — a bounded ×7 expansion of the
+    * already-tiny pair set — and one countDistinct per day closes it.
+    * At 100 TB the pair set is users × days, orders of magnitude below
+    * the events, and no day ever re-scans history. */
+  def q43TrailingDau(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val bounds = pairs.agg(max("day").as("dmax"))
+    val votes = pairs
+      .select(explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
+        col("user_id"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("dmax"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    votes.join(dau, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  val q43Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), bounds AS (
+      |  SELECT max(day) AS dmax FROM pairs
+      |), votes AS (
+      |  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |           CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS vday,
+      |    user_id
+      |  FROM pairs
+      |), wau AS (
+      |  SELECT vday AS day, count(DISTINCT user_id) AS wau
+      |  FROM votes, bounds WHERE vday <= dmax GROUP BY 1
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM pairs GROUP BY 1
+      |)
+      |SELECT strftime(w.day, '%Y-%m-%d') AS day,
+      |  coalesce(d.dau, 0) AS dau, w.wau
+      |FROM wau w LEFT JOIN dau d USING (day)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_funnel" -> (q41Funnel _),
-    "q42_retention" -> (q42Retention _))
+    "q42_retention" -> (q42Retention _),
+    "q43_trailing_dau" -> (q43TrailingDau _))
 
   val oracles: Map[String, String] = Map(
     "q41_funnel" -> q41Sql,
-    "q42_retention" -> q42Sql)
+    "q42_retention" -> q42Sql,
+    "q43_trailing_dau" -> q43Sql)
 }

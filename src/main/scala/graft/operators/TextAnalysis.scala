@@ -522,7 +522,47 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(n_hapax AS DOUBLE) / n_types", 6)} AS hapax_ratio
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation statistics: sentence count, mean/max sentence
+    * length — the readability-profile precursor (long-sentence tails mark
+    * legalese/boilerplate; a mean near the max marks single-run text).
+    * Splitting on `[.!?]+` runs is deliberately simple and engine-
+    * portable; empty segments are filtered AFTER trim on both engines
+    * because Java's split drops trailing empties while DuckDB keeps
+    * them. Explode + partial agg keeps the plan the wordcount shape —
+    * no per-doc buffering, sentences spill through the shuffle. */
+  def sentences(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), "[.!?]+")).as("seg"))
+      .select(col("doc_id"), col("n_chars"), length(trim(col("seg"))).cast("long").as("slen"))
+      .filter(col("slen") > 0)
+    segs.groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("slen").as("sent_chars"),
+        max("slen").as("max_sent_chars"))
+      .select(col("doc_id"), col("n_chars"), col("n_sentences"), col("max_sent_chars"),
+        ExactRound.r(col("sent_chars").cast("double") / col("n_sentences"), 6)
+          .as("mean_sent_chars"))
+      .orderBy("doc_id")
+  }
+
+  val sentencesSql: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(trim(seg)) AS BIGINT) AS slen
+       |  FROM (
+       |    SELECT doc_id, text, unnest(string_split_regex(text, '[.!?]+')) AS seg
+       |    FROM documents
+       |  )
+       |  WHERE length(trim(seg)) > 0
+       |)
+       |SELECT doc_id, n_chars, count(*) AS n_sentences,
+       |  max(slen) AS max_sent_chars,
+       |  ${ExactRound.rSql("CAST(sum(slen) AS DOUBLE) / count(*)", 6)} AS mean_sent_chars
+       |FROM segs GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_sentences" -> (sentences _),
     "t_ttr" -> (ttr _),
     "t_kwic" -> (kwic _),
     "t_scrub" -> (scrub _),
@@ -539,6 +579,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_sentences" -> sentencesSql,
     "t_ttr" -> ttrSql,
     "t_kwic" -> kwicSql,
     "t_scrub" -> scrubSql,

@@ -36,6 +36,27 @@ class RelationalExt3Spec extends SparkSpec {
     }
   }
 
+  test("q43_trailing_dau: wau equals an in-memory trailing-7-day distinct recount") {
+    val pairs = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val maxDay = pairs.map(_._1).maxBy(_.toEpochDay)
+    val got = RelationalExt3.q43TrailingDau(spark, sf).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+    assert(got.nonEmpty)
+    got.foreach { case (dayStr, dau, wau) =>
+      val day = java.time.LocalDate.parse(dayStr)
+      assert(!day.isAfter(maxDay))
+      val expDau = pairs.count(_._1 == day).toLong
+      val expWau = pairs.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+      assert(dau == expDau, s"dau mismatch on $dayStr")
+      assert(wau == expWau, s"wau mismatch on $dayStr")
+      assert(wau >= dau)
+    }
+  }
+
   test("q42_retention: offset 0 is full retention; cohort sizes partition the customers") {
     val rows = RelationalExt3.q42Retention(spark, sf).collect()
     val atZero = rows.filter(_.getAs[Long]("month_offset") == 0L)

@@ -11,6 +11,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t_sentences: counts match an in-memory resegmentation") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.TextAnalysis.sentences(spark, sf).collect()
+    rows.foreach { r =>
+      val segs = texts(r.getAs[Long]("doc_id")).split("[.!?]+")
+        .map(_.trim).filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_sentences") == segs.length.toLong)
+      assert(r.getAs[Long]("max_sent_chars") == segs.map(_.length).max.toLong)
+      assert(r.getAs[Long]("max_sent_chars") <= r.getAs[Long]("n_chars"))
+    }
+  }
+
   test("t_ttr: token/type/hapax counts match an in-memory recount") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
