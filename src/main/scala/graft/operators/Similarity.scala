@@ -59,6 +59,96 @@ object Similarity {
       |ORDER BY cosine DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell'98): greedy
+    * selection of 5 results from the top-20 cosine candidates, each step
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7 — the
+    * re-ranking layer between ANN retrieval and serving that stops five
+    * near-identical documents from filling the result page. All scores
+    * live as integer micros (sim micros = round(r(cos,6)·10⁶), the score
+    * ×10 as `7·simq − 3·maxpen` deci-micros — no integer division, whose
+    * floor-vs-truncate semantics diverge across engines on negatives),
+    * so the greedy argmax is bit-portable. Fully declarative: the
+    * retrieval is the [[annBrute]] broadcast scan, and each greedy round
+    * is an anti-join + a broadcast penalty max + a 1-row top — five
+    * fixed tiny jobs over a localCheckpointed 20-row candidate table,
+    * never a driver-side loop over collected vectors. The empty-set
+    * penalty is cos = −1 (−10⁶ micros), so one formula covers round 1. */
+  def mmr(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    val simqMicros = round(ExactRound.r(
+      dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6) * 1e6).cast("long")
+    val cand = vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("norm"), simqMicros.as("simq_micros"))
+      .orderBy(col("simq_micros").desc, col("vec_id"))
+      .limit(20)
+      .localCheckpoint()
+    def pickNext(selected: DataFrame, rank: Int): DataFrame = {
+      val remaining = cand.join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+      val sel = selected.select(col("v").as("s_v"), col("norm").as("s_norm"))
+      val simS = round(ExactRound.r(
+        dot(col("v"), col("s_v")) / (col("norm") * col("s_norm")), 6) * 1e6).cast("long")
+      remaining.crossJoin(broadcast(sel))
+        .select(col("vec_id"), col("v"), col("norm"), col("simq_micros"), simS.as("sim_s"))
+        .groupBy("vec_id", "v", "norm", "simq_micros")
+        .agg(max("sim_s").as("maxpen_micros"))
+        .select(col("vec_id"), col("v"), col("norm"), col("simq_micros"),
+          (col("simq_micros") * 7 - col("maxpen_micros") * 3).as("mmr_decimicros"))
+        .orderBy(col("mmr_decimicros").desc, col("vec_id"))
+        .limit(1)
+        .withColumn("rank", lit(rank.toLong))
+    }
+    val first = cand
+      .select(col("vec_id"), col("v"), col("norm"), col("simq_micros"),
+        (col("simq_micros") * 7 + lit(3000000L)).as("mmr_decimicros"))
+      .orderBy(col("mmr_decimicros").desc, col("vec_id"))
+      .limit(1)
+      .withColumn("rank", lit(1L))
+    val selected = (2 to 5).foldLeft(first) { (sel, k) =>
+      sel.union(pickNext(sel, k)).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("simq_micros"), col("mmr_decimicros"))
+      .orderBy("rank")
+  }
+
+  /** SQL twin: same candidates, four unrolled greedy steps. */
+  val mmrSql: String = {
+    val simMicros = (a: String, b: String) => "CAST(round(" +
+      ExactRound.rSql(s"list_inner_product($a.v, $b.v) / ($a.nrm * $b.nrm)", 6) +
+      " * 1e6) AS BIGINT)"
+    val steps = (2 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT c.vec_id, c.v, c.nrm, c.simq_micros,
+         |    c.simq_micros * 7 - max(${simMicros("c", "s")}) * 3 AS mmr_decimicros,
+         |    CAST($k AS BIGINT) AS rank
+         |  FROM cand c, sel${k - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY c.vec_id, c.v, c.nrm, c.simq_micros
+         |  ORDER BY mmr_decimicros DESC, c.vec_id LIMIT 1
+         |), sel$k AS (
+         |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), q AS (SELECT v, nrm FROM e WHERE vec_id = 0
+       |), cand AS (
+       |  SELECT e.vec_id, e.v, e.nrm, ${simMicros("e", "q")} AS simq_micros
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY simq_micros DESC, e.vec_id LIMIT 20
+       |), sel1 AS (
+       |  SELECT vec_id, v, nrm, simq_micros,
+       |    simq_micros * 7 + 3000000 AS mmr_decimicros, CAST(1 AS BIGINT) AS rank
+       |  FROM cand ORDER BY mmr_decimicros DESC, vec_id LIMIT 1
+       |), $steps
+       |SELECT rank, vec_id, simq_micros, mmr_decimicros
+       |FROM sel5 ORDER BY rank""".stripMargin
+  }
+
   /** k-NN join: top-5 cosine neighbors for each of the first 10 vectors.
     * Query side (10 rows) broadcast; ranking by windowed row_number over
     * the rounded cosine for cross-engine determinism. */
@@ -547,6 +637,7 @@ object Similarity {
       |FROM q ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_mmr" -> (mmr _),
     "s_sq8" -> (sq8 _),
     "s_radius" -> (radius _),
     "s_recall_eval" -> (recallEval _),
@@ -559,6 +650,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_mmr" -> mmrSql,
     "s_sq8" -> sq8Sql,
     "s_radius" -> radiusSql,
     "s_recall_eval" -> recallEvalSql,

@@ -112,6 +112,38 @@ class SimilaritySpec extends SparkSpec {
       .foreach(r => assert(ids.contains(r.getAs[Long]("vec_id"))))
   }
 
+  test("s_mmr equals an in-memory greedy MMR replay") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ExactRound
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    def simMicros(a: Array[Double], b: Array[Double]): Long =
+      math.round(ExactRound.rScalar(dot(a, b) / (norm(a) * norm(b)), 6) * 1e6)
+    val qv = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, simMicros(v, qv)) }
+      .sortBy { case (id, _, sq) => (-sq, id) }.take(20)
+    var selected = Vector.empty[(Long, Long, Long)] // (id, simq, score)
+    for (k <- 1 to 5) {
+      val pick = cand.filter(c => !selected.exists(_._1 == c._1)).map { case (id, v, sq) =>
+        val pen = if (selected.isEmpty) -1000000L
+          else selected.map(s => simMicros(v, vecs(s._1))).max
+        (id, sq, sq * 7 - pen * 3)
+      }.sortBy { case (id, _, sc) => (-sc, id) }.head
+      selected :+= pick
+    }
+    val got = graft.operators.Similarity.mmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("simq_micros"),
+        r.getAs[Long]("mmr_decimicros"))).toVector
+    assert(got == selected, s"mmr diverges:\n got $got\n exp $selected")
+  }
+
   test("sq8: codes in [0,255], bounds dims hit 0 and 255, recon error below half-step bound") {
     val rows = Similarity.sq8(spark, sf).collect()
     assert(rows.nonEmpty)
