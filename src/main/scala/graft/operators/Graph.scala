@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Iterative graph analytics over pair graphs (SURVEY.md §2D adjunct):
   * PageRank over the near-dup graph — "which documents sit at the center
@@ -346,13 +349,105 @@ object Graph {
        |FROM t6 ORDER BY doc_id""".stripMargin
   }
 
+  /** Semi-supervised label propagation over the embedding near-dup
+    * graph: seed nodes (vec_id % 5 == 0) keep their known class label;
+    * every other node takes the MODE of its neighbors' current labels
+    * each synchronous round (ties to the smallest label — the
+    * determinism knob plain LPA lacks), 3 rounds. This is how sparse
+    * human labels get extended across a near-dup graph ("this doc is
+    * spam, so its near-dups probably are"). Each round is one
+    * edge-to-label join + one count aggregate + one window argmax —
+    * all integer, bit-portable; per-round `localCheckpoint` keeps the
+    * loop's logical plan flat (the [[graft.operators.Dedup]] CC
+    * lesson). Unreached nodes stay unlabeled and are emitted with
+    * label −1. */
+  def community(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embedDup(s, d)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("label")), "id")
+      .filter(col("id") % 5 === 0)
+      .select(col("id"), col("label").cast("long").as("label"))
+      .localCheckpoint()
+    var labels = seeds
+    for (_ <- 1 to 3) {
+      val votes = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("id").orderBy(col("n").desc, col("label"))
+      val modes = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label"))
+      // seeds are clamped; non-seeds take this round's mode
+      labels = seeds.union(
+          modes.join(seeds.select("id"), Seq("id"), "left_anti"))
+        .localCheckpoint()
+    }
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("label"), lit(-1L)).as("pred_label"),
+        (col("id") % 5 === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
+  /** SQL twin: same graph, 3 unrolled mode-propagation rounds. */
+  val communitySql: String = {
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    val rounds = (1 to 3).map { k =>
+      s"""v$k AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS n
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.label
+         |), m$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+         |    FROM v$k
+         |  ) WHERE rn = 1
+         |), l$k AS (
+         |  SELECT * FROM seeds
+         |  UNION ALL
+         |  SELECT m.id, m.label FROM m$k m WHERE m.id NOT IN (SELECT id FROM seeds)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+       |         label
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb
+       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.4
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM edges
+       |), seeds AS (
+       |  SELECT n.id, CAST(e0.label AS BIGINT) AS label
+       |  FROM nodes n JOIN e0 ON e0.vec_id = n.id
+       |  WHERE n.id % 5 = 0
+       |), l0 AS (SELECT * FROM seeds
+       |), $rounds
+       |SELECT n.id AS vec_id, coalesce(l.label, -1) AS pred_label,
+       |  n.id % 5 = 0 AS is_seed
+       |FROM nodes n LEFT JOIN l3 l USING (id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_community" -> (community _),
     "g_bfs" -> (bfs _),
     "g_pagerank" -> (pagerank _),
     "g_linkpred" -> (linkpred _),
     "g_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "g_community" -> communitySql,
     "g_bfs" -> bfsSql,
     "g_pagerank" -> pagerankSql,
     "g_linkpred" -> linkpredSql,

@@ -149,6 +149,64 @@ object Similarity {
        |FROM sel5 ORDER BY rank""".stripMargin
   }
 
+  /** IVF index-health report: per-cell population, corpus share, and
+    * exact integer-micros quantization error (sum of assigned-vector
+    * distances to the centroid) over the same cell assignment
+    * [[annIvf]] probes — the dashboard that tells an operator whether
+    * the inverted file is balanced BEFORE pointing queries at it (one
+    * hot cell = one hot probe; empty cells = wasted memory). One
+    * broadcast assignment scan + a 10-row aggregate; share and mean are
+    * single IEEE divisions of exact integers. */
+  def ivfStats(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    val total = vs.agg(count(lit(1)).as("n_total"))
+    assigned
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("dist") * 1e6).cast("long")).as("sum_dist_micros"))
+      .crossJoin(broadcast(total))
+      .select(col("centroid_id"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("share"),
+        col("sum_dist_micros"),
+        ExactRound.r(col("sum_dist_micros").cast("double") / col("n_vectors") / 1e6, 6)
+          .as("mean_dist"))
+      .orderBy("centroid_id")
+  }
+
+  val ivfStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS selfdot
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, v AS c_v, selfdot AS c_selfdot FROM e WHERE vec_id < 10
+       |), assigned AS (
+       |  SELECT vec_id, centroid_id, dist FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      ${ExactRound.rSql(
+            "e.selfdot - 2.0 * list_inner_product(e.v, c.c_v) + c.c_selfdot", 6)} AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${ExactRound.rSql(
+            "e.selfdot - 2.0 * list_inner_product(e.v, c.c_v) + c.c_selfdot", 6)}, c.centroid_id) AS rn
+       |    FROM e, cents c
+       |  ) WHERE rn = 1
+       |), t AS (SELECT count(*) AS n_total FROM e)
+       |SELECT centroid_id, count(*) AS n_vectors,
+       |  CAST(count(*) AS DOUBLE) / t.n_total AS share,
+       |  CAST(sum(CAST(round(dist * 1e6) AS BIGINT)) AS BIGINT) AS sum_dist_micros,
+       |  ${ExactRound.rSql(
+          "CAST(sum(CAST(round(dist * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_dist
+       |FROM assigned, t
+       |GROUP BY centroid_id, t.n_total ORDER BY centroid_id""".stripMargin
+
   /** k-NN join: top-5 cosine neighbors for each of the first 10 vectors.
     * Query side (10 rows) broadcast; ranking by windowed row_number over
     * the rounded cosine for cross-engine determinism. */
@@ -638,6 +696,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_mmr" -> (mmr _),
+    "s_ivf_stats" -> (ivfStats _),
     "s_sq8" -> (sq8 _),
     "s_radius" -> (radius _),
     "s_recall_eval" -> (recallEval _),
@@ -651,6 +710,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s_mmr" -> mmrSql,
+    "s_ivf_stats" -> ivfStatsSql,
     "s_sq8" -> sq8Sql,
     "s_radius" -> radiusSql,
     "s_recall_eval" -> recallEvalSql,

@@ -561,7 +561,48 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(sum(slen) AS DOUBLE) / count(*)", 6)} AS mean_sent_chars
        |FROM segs GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin
 
+  /** Flesch-style readability score per document: words/sentence and
+    * syllables/word (vowel-run proxy — the standard dictionary-free
+    * approximation) folded as 206.835 − 1.015·wps − 84.6·spw. All three
+    * raw counts are exact integers from one map-side projection
+    * (sentence runs, whitespace tokens, `[aeiouyAEIOUY]+` runs); the
+    * score is a fixed-order IEEE expression over them, identical across
+    * engines, rounded once at the end. The cheap pre-filter between
+    * [[quality]]'s surface ratios and model-based scoring. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val nSent = size(filter(split(col("text"), "[.!?]+"), p => length(trim(p)) > 0))
+      .cast("long")
+    val nWords = size(split(trim(col("text")), "[ \t\n\r]+")).cast("long")
+    val nSyll = size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+      .cast("long")
+    val score = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / greatest(col("n_sentences"), lit(1L))) -
+      lit(84.6) * (col("n_syllables").cast("double") / greatest(col("n_words"), lit(1L)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nSent.as("n_sentences"), nWords.as("n_words"),
+        nSyll.as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        ExactRound.r(score, 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  val readabilitySql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+       |      p -> length(trim(p)) > 0)) AS BIGINT) AS n_sentences,
+       |    $nTokensSql AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_sentences, n_words, n_syllables,
+       |  ${ExactRound.rSql(
+          """206.835 - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+            |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1))""".stripMargin, 4)} AS flesch
+       |FROM counts ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_readability" -> (readability _),
     "t_sentences" -> (sentences _),
     "t_ttr" -> (ttr _),
     "t_kwic" -> (kwic _),
@@ -579,6 +620,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_readability" -> readabilitySql,
     "t_sentences" -> sentencesSql,
     "t_ttr" -> ttrSql,
     "t_kwic" -> kwicSql,

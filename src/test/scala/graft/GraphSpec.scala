@@ -59,6 +59,33 @@ class GraphSpec extends SparkSpec {
     assert(got == dist, s"bfs diverges: ${got.toSet.diff(dist.toSet).take(3)}")
   }
 
+  test("community: labels match an in-memory 3-round clamped mode-propagation replay") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Dedup.embedDup(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val trueLabels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val seeds = adj.keys.filter(_ % 5 == 0).map(id => id -> trueLabels(id)).toMap
+    var labels = seeds
+    for (_ <- 1 to 3) {
+      val modes = adj.flatMap { case (id, nbrs) =>
+        val votes = nbrs.flatMap(labels.get).groupBy(identity).view.mapValues(_.size)
+        if (votes.isEmpty) None
+        else Some(id -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1)
+      }
+      labels = seeds ++ modes.filterNot { case (id, _) => seeds.contains(id) }
+    }
+    val got = Graph.community(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pred_label")).toMap
+    val expected = adj.keys.map(id => id -> labels.getOrElse(id, -1L)).toMap
+    assert(got == expected,
+      s"community diverges: ${got.toSet.diff(expected.toSet).take(3)}")
+    // propagation reached beyond the seeds
+    assert(got.exists { case (id, l) => id % 5 != 0 && l != -1L })
+  }
+
   test("linkpred: pairs are non-adjacent, share >= 1 neighbor, cn verified in-memory") {
     import org.apache.spark.sql.functions.col
     val edges = Dedup.embedDup(spark, sf)

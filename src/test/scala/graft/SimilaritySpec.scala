@@ -144,6 +144,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got == selected, s"mmr diverges:\n got $got\n exp $selected")
   }
 
+  test("s_ivf_stats: cells partition the corpus, centroids sit in their own cell") {
+    val rows = Similarity.ivfStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("centroid_id")).toSet == (0L to 9L).toSet)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total, "cells must partition")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") >= 1L) // the centroid itself at dist 0
+      assert(r.getAs[Long]("sum_dist_micros") >= 0L)
+      assert(r.getAs[Double]("share") > 0.0 && r.getAs[Double]("share") < 1.0)
+      assert(r.getAs[Double]("mean_dist") >= 0.0)
+    }
+  }
+
   test("sq8: codes in [0,255], bounds dims hit 0 and 255, recon error below half-step bound") {
     val rows = Similarity.sq8(spark, sf).collect()
     assert(rows.nonEmpty)

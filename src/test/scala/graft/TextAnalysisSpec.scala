@@ -11,6 +11,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t_readability: raw counts match an in-memory recount, score in sane band") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.TextAnalysis.readability(spark, sf).collect()
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val sents = text.split("[.!?]+").count(_.trim.nonEmpty)
+      val words = text.trim.split("[ \t\n\r]+").length
+      val sylls = "[aeiouyAEIOUY]+".r.findAllIn(text).length
+      assert(r.getAs[Long]("n_sentences") == sents.toLong)
+      assert(r.getAs[Long]("n_words") == words.toLong)
+      assert(r.getAs[Long]("n_syllables") == sylls.toLong)
+      val f = r.getAs[Double]("flesch")
+      assert(f > -300 && f < 207, s"flesch out of band: $f")
+    }
+  }
+
   test("t_sentences: counts match an in-memory resegmentation") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
