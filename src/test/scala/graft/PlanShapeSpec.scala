@@ -112,6 +112,35 @@ class PlanShapeSpec extends SparkSpec {
       "bucket counts must partial-aggregate map-side")
   }
 
+  test("d_containment_join: candidates flow through the shingle-hash equi-join, no cartesian") {
+    val p = plan(graft.operators.Dedup.containmentJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment join must block on prefix-shingle hashes:\n${p.take(800)}")
+  }
+
+  test("m_phash: pairs come from chunk-equality blocking, never all-pairs") {
+    val p = plan(graft.multimodal.Multimodal.phash(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash must block on 16-bit chunks:\n${p.take(800)}")
+  }
+
+  test("q43_trailing_dau: WAU votes partial-aggregate; the max-day bound is broadcast") {
+    val p = plan(graft.operators.RelationalExt3.q43TrailingDau(spark, sf))
+    assert(!p.contains("CartesianProduct"), "trailing-DAU must not cross-join")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "distinct-vote counting must be two-phase")
+  }
+
+  test("d_lsh_tune: band configs flow through equi-joins; only the 1-row truth count crosses") {
+    val p = plan(graft.operators.Dedup.lshTune(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"band sweep must join on (band_idx, band_hash):\n${p.take(800)}")
+    // the single BroadcastNestedLoopJoin is the broadcast 1-row truth
+    // aggregate against the 3 config rows — constant-size by construction
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "candidate generation must never nested-loop")
+  }
+
   test("s_radius: threshold filter applies in the scan-side projection, no sort-based top-k") {
     val p = plan(graft.operators.Similarity.radius(spark, sf))
     assert(!p.contains("CartesianProduct"), "query side must broadcast")
