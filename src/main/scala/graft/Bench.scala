@@ -42,6 +42,15 @@ object Bench {
         // queries by the 95-query steady pass) — contaminated numbers,
         // not steady-state ones
         spark.catalog.clearCache()
+        // ... and an empty block manager: clearCache only drops
+        // catalog-cached plans, while localCheckpoint blocks and
+        // RDD-level persists linger until GC + ContextCleaner get to
+        // them. Across ~250 query executions the zombies crowd the
+        // storage pool and persist-dependent queries (the RDD-loop
+        // family) degrade 10x late in a pass (measured: d_embed_clusters
+        // 2.6 s -> 32 s in the steady pass of one run, cold pass fine).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> secs
       }
     def toJson(rs: Seq[(String, Double)]): String =
