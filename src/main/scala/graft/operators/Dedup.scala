@@ -870,6 +870,65 @@ object Dedup {
        |ORDER BY doc_small, doc_big""".stripMargin
   }
 
+  // -------------------------------------------------- cluster report
+
+  /** Dedup savings report — the number a data lead actually asks for
+    * ("what does running near-dup dedup buy us"): cluster-size
+    * distribution of [[dupClusters]]'s components with, per size, the
+    * cluster count, total/redundant document counts and the exact
+    * characters removed if each cluster keeps its min-id canonical.
+    * One join of the CC labels against the doc-length column and two
+    * tiny aggregates; at 100 TB this is the CC pass plus a partial-agg
+    * rollup. */
+  def clusterStats(s: SparkSession, d: String): DataFrame = {
+    val labeled = dupClusters(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+    val perCluster = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"),
+        sum("n_chars").as("total_chars"),
+        min(struct(col("doc_id"), col("n_chars"))).as("keeper"))
+      .select(col("cluster_id"), col("size"), col("total_chars"),
+        (col("total_chars") - col("keeper.n_chars")).as("redundant_chars"))
+    perCluster.groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("size")).as("n_docs"),
+        sum(col("size") - 1).as("redundant_docs"),
+        sum("redundant_chars").as("redundant_chars"))
+      .orderBy("size")
+  }
+
+  val clusterStatsSql: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardSqlExpr >= 0.5
+       |), edges AS (
+       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+       |), clusters AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |), percluster AS (
+       |  SELECT c.cluster_id, count(*) AS size,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(d.n_chars) - min_by(d.n_chars, c.doc_id) AS BIGINT) AS redundant_chars
+       |  FROM clusters c JOIN documents d USING (doc_id)
+       |  GROUP BY c.cluster_id
+       |)
+       |SELECT size, count(*) AS n_clusters,
+       |  CAST(sum(size) AS BIGINT) AS n_docs,
+       |  CAST(sum(size - 1) AS BIGINT) AS redundant_docs,
+       |  CAST(sum(redundant_chars) AS BIGINT) AS redundant_chars
+       |FROM percluster GROUP BY size ORDER BY size""".stripMargin
+
   // ------------------------------------------------------ LSH tuning
 
   /** LSH banding parameter sweep — the measurement that gates pointing
@@ -1033,6 +1092,7 @@ object Dedup {
     "d_containment_join" -> (containmentJoin _),
     "d_keep_best" -> (keepBest _),
     "d_lsh_tune" -> (lshTune _),
+    "d_cluster_stats" -> (clusterStats _),
     "d_bloom" -> (bloom _),
     "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
@@ -1049,6 +1109,7 @@ object Dedup {
     "d_containment_join" -> containmentJoinSql,
     "d_keep_best" -> keepBestSql,
     "d_lsh_tune" -> lshTuneSql,
+    "d_cluster_stats" -> clusterStatsSql,
     "d_bloom" -> bloomSql,
     "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,

@@ -439,7 +439,65 @@ object Graph {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Degree profile of the near-dup graph — the first thing an operator
+    * looks at before running anything iterative on 100 TB of pairs
+    * (a power-law tail means salting/hub-capping; assortativity predicts
+    * whether wedge-based algorithms blow up): per degree value, the node
+    * count and the mean neighbor degree (sum over all edge endpoints of
+    * the other end's degree / the edge-endpoint count — exact longs, one
+    * IEEE division at the end). Two partial-agg shuffles over the edge
+    * list, nothing touches the documents. */
+  def degreeStats(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withNbrDeg = edges
+      .join(deg.select(col("src").as("dst"), col("deg").as("nbr_deg")), "dst")
+      .join(deg, "src")
+    withNbrDeg.groupBy("deg")
+      .agg(countDistinct("src").as("n_nodes"),
+        count(lit(1)).as("n_endpoints"),
+        sum("nbr_deg").as("sum_nbr_deg"))
+      .select(col("deg").as("degree"), col("n_nodes"),
+        col("sum_nbr_deg"),
+        ExactRound.r(col("sum_nbr_deg").cast("double") / col("n_endpoints"), 6)
+          .as("avg_nbr_degree"))
+      .orderBy("degree")
+  }
+
+  /** SQL twin on the same pair graph. */
+  val degreeStatsSql: String = {
+    val shingles =
+      """SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3""".stripMargin
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    s"""WITH docs AS (
+       |  $shingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jac >= 0.5
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |)
+       |SELECT d.deg AS degree, count(DISTINCT e.src) AS n_nodes,
+       |  CAST(sum(nd.deg) AS BIGINT) AS sum_nbr_deg,
+       |  ${ExactRound.rSql("CAST(sum(nd.deg) AS DOUBLE) / count(*)", 6)} AS avg_nbr_degree
+       |FROM edges e JOIN deg d ON d.src = e.src JOIN deg nd ON nd.src = e.dst
+       |GROUP BY d.deg ORDER BY degree""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_degree_stats" -> (degreeStats _),
     "g_community" -> (community _),
     "g_bfs" -> (bfs _),
     "g_pagerank" -> (pagerank _),
@@ -447,6 +505,7 @@ object Graph {
     "g_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "g_degree_stats" -> degreeStatsSql,
     "g_community" -> communitySql,
     "g_bfs" -> bfsSql,
     "g_pagerank" -> pagerankSql,

@@ -240,6 +240,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster stats: savings report is conserved against the cluster labels") {
+    val clusters = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val bySize = clusters.groupBy(_._2).values.groupBy(_.size)
+    val rows = Dedup.clusterStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == clusters.length)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("size").toInt
+      assert(r.getAs[Long]("n_clusters") == bySize(size).size.toLong)
+      assert(r.getAs[Long]("redundant_docs") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("redundant_chars") >= 0L)
+    }
+  }
+
   test("bloom: membership sketch has zero false negatives") {
     val rows = Dedup.bloom(spark, sf).collect()
     assert(rows.nonEmpty)

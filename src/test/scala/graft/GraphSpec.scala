@@ -59,6 +59,20 @@ class GraphSpec extends SparkSpec {
     assert(got == dist, s"bfs diverges: ${got.toSet.diff(dist.toSet).take(3)}")
   }
 
+  test("degree stats: histogram and neighbor-degree sums match an in-memory recount") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = edges.groupBy { case (src, _) => deg(src) }.map { case (d, es) =>
+      d -> (es.map(_._1).distinct.length.toLong, es.map { case (_, dst) => deg(dst) }.sum)
+    }
+    val got = Graph.degreeStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("degree") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("sum_nbr_deg")))).toMap
+    assert(got == expected, s"degree stats diverge: $got vs $expected")
+  }
+
   test("community: labels match an in-memory 3-round clamped mode-propagation replay") {
     import org.apache.spark.sql.functions.col
     val pairs = Dedup.embedDup(spark, sf)
