@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // C1/interpreted speed nondeterministically. 512m keeps every
   // generated class resident.
   "-XX:ReservedCodeCacheSize=512m",
+  // Batch-throughput GC. Under G1, Tungsten's 16-64 MB on-heap pages
+  // are humongous objects (8g heap => 4 MB regions); humongous
+  // allocation failures degenerate into repeated full collections and
+  // ONE random query per bench pass stalled 20-40x (observed
+  // d_setsim_join 2.7 s -> 109 s, d_embed_clusters 2.6 s -> 32 s,
+  // executor threads idle while >70% of CPU sat in GC threads).
+  // ParallelGC's contiguous, compacting old gen has no humongous
+  // pathology and is the standard choice for throughput-bound Spark.
+  "-XX:+UseParallelGC",
 )
