@@ -301,7 +301,53 @@ object Pipeline {
       |SELECT doc_id, source, n_tok, cum_tok FROM cum
       |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
 
+  /** Deterministic shard manifest — the reproducibility artifact a
+    * dataset release ships beside the data: documents assigned to 16
+    * shards by the stable djb2 bucket, and per shard a doc count, char
+    * total, and a CONTENT HASH (md5 over the (doc_id, fingerprint)
+    * list in doc_id order) that changes iff any member document
+    * changes. Consumers diff manifests to detect silent corpus drift
+    * without re-reading the data. The per-shard list is sorted AFTER
+    * collection (the q33 deterministic-listagg discipline), so the
+    * manifest hash is independent of shuffle order and partitioning —
+    * the property that makes it a usable integrity check at all. */
+  def manifest(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), bucket.as("shard"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        md5(to_binary(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("fp")))),
+            x => concat(x.getField("doc_id").cast("string"), lit(":"), x.getField("fp"))),
+          ","), lit("utf-8"))).as("manifest_md5"))
+      .orderBy("shard")
+  }
+
+  val manifestSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, n_chars, md5(text) AS fp
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, n_chars, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, n_chars, fp, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, n_chars, fp, CAST(hash % 16 AS INT) AS shard
+      |  FROM h WHERE i = length(key)+1
+      |)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, ',' ORDER BY doc_id)) AS manifest_md5
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_manifest" -> (manifest _),
     "p_quota" -> (quota _),
     "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
@@ -311,6 +357,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_manifest" -> manifestSql,
     "p_quota" -> quotaSql,
     "p_split" -> splitSql,
     "p_pack" -> packSql,

@@ -50,6 +50,17 @@ class PipelineSpec extends SparkSpec {
     assert(got == strict, s"quota diverges: ${got.toSet.diff(strict.toSet).take(3)}")
   }
 
+  test("p_manifest: shard hashes are stable across runs and change with membership") {
+    val a = Pipeline.manifest(spark, sf).collect()
+    val b = Pipeline.manifest(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "manifest must be independent of shuffle order")
+    assert(a.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    val hashes = a.map(_.getAs[String]("manifest_md5"))
+    assert(hashes.distinct.length == hashes.length, "shard hashes must differ")
+    hashes.foreach(h => assert(h.matches("[0-9a-f]{32}")))
+  }
+
   test("p_split: splits partition the corpus and all three splits appear") {
     val rows = Pipeline.stratSplit(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
