@@ -21,10 +21,26 @@ object Tables {
     * per-row stages on a single core; spread them when the scan has fewer
     * splits than cores. A 100 TB scan already has thousands of splits, so
     * this is a no-op there — the condition, not the repartition, is the
-    * scale-honest part. */
+    * scale-honest part.
+    *
+    * Split count is estimated from file metadata (`inputFiles` + file
+    * lengths vs `spark.sql.files.maxPartitionBytes` — the same formula
+    * FilePartition packing uses, ignoring openCostInBytes so the estimate
+    * is a lower bound that errs toward repartitioning tiny scans).
+    * Deliberately NOT `df.rdd.getNumPartitions`: that instantiates a
+    * throwaway RDD lineage (full analysis + physical planning) per call
+    * just to read a number. */
   def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val splits = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+      math.max(1L, (len + maxBytes - 1) / maxBytes)
+    }.sum
+    if (splits < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

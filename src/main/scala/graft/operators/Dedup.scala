@@ -96,7 +96,7 @@ object Dedup {
     val sigs = signatures(s, d).select("doc_id", "sig")
     val sigA = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sigB = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    bandCandidates(sigs, bandRows = 4)
+    bandCandidates(sigs, bandRows = graft.GraftConf.lshBandRowsCandidates)
       .join(sigA, "doc_a").join(sigB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(graft.functions.MinHashFns.est_jaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
@@ -160,7 +160,7 @@ object Dedup {
     * brute-force oracle) verified by exact shingle-set intersection. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
-    val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = 2).select("doc_a", "doc_b")
+    val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify).select("doc_a", "doc_b")
     val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cands.join(shA, "doc_a").join(shB, "doc_b")
@@ -294,18 +294,17 @@ object Dedup {
     import spark.implicits._
     val prs = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
-    // loop fan-out sized to EDGE VOLUME (~500k edges/partition), not to
-    // the upstream scan width: the pair table is already materialized,
-    // so the count is a cheap cached-block pass. A small graph contracts
-    // inside one union-find partition (zero iterative rounds beyond the
-    // convergence probe); a 100 TB pair graph fans out to thousands of
-    // partitions. Over-partitioning a small graph is what makes the
-    // iteration scheduling-bound — partitions must follow the data.
-    val targetEdgesPerPartition = 500000L
+    // loop fan-out sized to EDGE VOLUME (GraftConf.edgesPerPartition),
+    // not to the upstream scan width: the pair table is already
+    // materialized, so the count is a cheap cached-block pass. A small
+    // graph contracts inside one union-find partition (zero iterative
+    // rounds beyond the convergence probe); a 100 TB pair graph fans out
+    // to thousands of partitions. Over-partitioning a small graph is
+    // what makes the iteration scheduling-bound — partitions must
+    // follow the data.
     val nEdges = pairs.count()
     val partitioner = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(prs.getNumPartitions,
-        ((nEdges + targetEdgesPerPartition - 1) / targetEdgesPerPartition).toInt)))
+      graft.GraftConf.partitionsForEdges(nEdges, prs.getNumPartitions))
     val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(partitioner)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -452,7 +451,7 @@ object Dedup {
     * restricted to cross-split pairs before the exact verify. */
   def contamination(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
-    val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = 2)
+    val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify)
       .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
     val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -654,7 +653,7 @@ object Dedup {
     // metadata-only count on parquet inputs; cells ~ √n keeps membership
     // and probe lists O(√n) as the corpus scales
     val n = e0.select("vec_id").count()
-    val numCells = math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val numCells = math.max(graft.GraftConf.minEmbedCells, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = e.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell"), col("v").as("c_v"), col("norm").as("c_norm"))
     // one narrow (vec, cell, ang) table feeds BOTH the nearest-cell
@@ -815,6 +814,11 @@ object Dedup {
     * from any 0.8-container, so among A's ⌊0.2·|A|⌋+1 RAREST shingles at
     * least one hits B — candidates are A-prefix ⋈ B-all on the 64-bit
     * shingle hash, provably zero false negatives, then one exact verify.
+    * "Exact" is over the 64-BIT word_hashes, not the shingle strings the
+    * oracle intersects: an xxhash64 collision between distinct shingles
+    * can only INFLATE an intersection (a false positive admitted with
+    * probability ≈ n_A·n_B·2⁻⁶⁴ per pair — the same collision argument
+    * [[minhashLshSql]] documents; false negatives remain impossible).
     * The container side keeps full posting lists; at web scale the df
     * head would be band-partitioned (a hot boilerplate shingle fans out
     * its postings), which shards work without affecting exactness. */
@@ -941,7 +945,16 @@ object Dedup {
     * floods candidates at web scale; r=8 prunes hard and visibly loses
     * recall — this query SHOWS that tradeoff instead of asserting it.
     * One signature table feeds all three band joins; the verify is one
-    * shingle re-join over the unioned candidates. */
+    * shingle re-join over the unioned candidates.
+    *
+    * Candidates come from 64-BIT band-hash equality while the oracle
+    * compares the signature slices themselves; unlike [[minhashLsh]]
+    * there is no downstream estimate filter to drop collision-only
+    * candidates, so n_candidates can in principle exceed the oracle's by
+    * a hash collision between unequal slices (probability ≈ 2⁻⁶⁴ per
+    * slice pair — the same accepted-collision argument documented at
+    * [[minhashLshSql]]; equal slices always collide, so recall is
+    * unaffected). */
   def lshTune(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
     val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -1042,7 +1055,12 @@ object Dedup {
     * document (ties to the lowest id), not the arbitrary lowest id —
     * the difference between "dedup" and "dedup that deletes the clean
     * copy and keeps the OCR-mangled one". One window rank per cluster
-    * on the (quality, id) composite; singleton docs keep themselves.
+    * on the (quality, id) composite. Only CLUSTERED docs appear:
+    * [[dupClusters]] emits nodes of the near-dup pair graph, so a
+    * document with no near-dup edge is absent from the output entirely
+    * (rather than present with is_kept=true) — callers wanting the full
+    * keep-list union the unclustered remainder back in, all of which is
+    * kept by definition.
     * The quality join adds one shuffle on doc_id against the map-side
     * quality scan — at 100 TB this composition costs the CC pass plus
     * one join, nothing quadratic. */

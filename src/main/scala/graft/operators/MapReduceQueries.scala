@@ -116,7 +116,7 @@ object MapReduceQueries {
         vs.foreach { v => micros += ExactRound.valueMicros(v); n += 1 }
         (k, ExactRound.rScalar(micros / (n * 1000000.0), 4), n)
       },
-      numParts = 8)
+      numParts = graft.GraftConf.mrNumParts)
     reduced.toDF("event_type", "avg_value", "n").orderBy("event_type")
   }
 
@@ -180,7 +180,7 @@ object MapReduceQueries {
         vs.foreach { v => if (first == null) first = v; last = v; n += 1 }
         (u, first, last, n)
       },
-      numParts = 8)
+      numParts = graft.GraftConf.mrNumParts)
     reduced.toDF("user_id", "first_type", "last_type", "n_events").orderBy("user_id")
   }
 
@@ -225,7 +225,7 @@ object MapReduceQueries {
         }
         (k, name, n, cents)
       },
-      numParts = 8)
+      numParts = graft.GraftConf.mrNumParts)
     joined.toDF("custkey", "name", "n_orders", "cents")
       .filter(col("name").isNotNull) // orders with no customer row (none here) would be dangling
       .orderBy("custkey")
@@ -252,11 +252,11 @@ object MapReduceQueries {
     val counts = MapReduce.runCombined[String, String, Long](
       docs.rdd,
       mapper = line => line.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map(_ -> 1L),
-      merge = _ + _, numParts = 8)
+      merge = _ + _, numParts = graft.GraftConf.mrNumParts)
     val fof = MapReduce.runCombined[(String, Long), Long, Long](
       counts,
       mapper = { case (_, c) => Iterator.single(c -> 1L) },
-      merge = _ + _, numParts = 8)
+      merge = _ + _, numParts = graft.GraftConf.mrNumParts)
     fof.toDF("cnt", "n_tokens").orderBy("cnt")
   }
 

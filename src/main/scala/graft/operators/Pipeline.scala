@@ -311,10 +311,15 @@ object Pipeline {
     * collection (the q33 deterministic-listagg discipline), so the
     * manifest hash is independent of shuffle order and partitioning —
     * the property that makes it a usable integrity check at all. */
-  def manifest(s: SparkSession, d: String): DataFrame = {
-    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
-    graft.Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), bucket.as("shard"),
+  /** Per-shard manifest aggregation over (doc_id, n_chars, shard, text):
+    * doc count, char total, order-independent content hash. Shared by
+    * [[manifest]] (computed straight off the table scan) and
+    * [[shardWrite]] (computed off re-read partitioned files) — one
+    * definition, so equality between the two queries is a statement
+    * about the WRITE PATH, not about two aggregations agreeing. */
+  private def manifestAgg(rows: DataFrame): DataFrame =
+    rows
+      .select(col("doc_id"), col("n_chars"), col("shard"),
         md5(to_binary(col("text"), lit("utf-8"))).as("fp"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -325,6 +330,47 @@ object Pipeline {
             x => concat(x.getField("doc_id").cast("string"), lit(":"), x.getField("fp"))),
           ","), lit("utf-8"))).as("manifest_md5"))
       .orderBy("shard")
+
+  def manifest(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    manifestAgg(graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard")))
+  }
+
+  /** The WRITE path behind a correctness gate: the reference's visible
+    * output is partitioned files (distwc.c appends `key: count` to
+    * `result-<p>.txt`, one file per partition) — this is that capability
+    * on the engine's sink. The 16 djb2 shards are written as
+    * `partitionBy(shard)` parquet (hive-style shard=N directories, the
+    * cluster-scale layout: each shard independently listable/readable),
+    * the files are READ BACK, and the manifest of [[manifestAgg]] is
+    * computed from the re-read rows. The oracle is [[manifestSql]] —
+    * p_manifest's — so a green entry certifies the round-trip end to
+    * end: no row loss or duplication, partition-column recovery from
+    * directory names, byte-exact text fidelity (any corruption flips a
+    * shard's md5). The re-read is materialized (localCheckpoint) so the
+    * scratch directory can be deleted eagerly instead of leaking a copy
+    * of the corpus per invocation; the rows still COME from the files —
+    * the checkpoint happens strictly after the parquet scan. */
+  def shardWrite(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_write_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val back = s.read.parquet(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      manifestAgg(back)
+    } finally {
+      val dir = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 
   val manifestSql: String =
@@ -348,6 +394,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_manifest" -> (manifest _),
+    "p_shard_write" -> (shardWrite _),
     "p_quota" -> (quota _),
     "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
@@ -358,6 +405,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "p_manifest" -> manifestSql,
+    "p_shard_write" -> manifestSql,
     "p_quota" -> quotaSql,
     "p_split" -> splitSql,
     "p_pack" -> packSql,

@@ -62,14 +62,13 @@ object EventStream {
     * known key cardinality/throughput can pin `graft.stream.shuffle`
     * instead. */
   private[graft] def streamShufflePartitions(s: SparkSession, d: String): Int =
-    s.conf.getOption("graft.stream.shuffle").map(_.toInt).getOrElse {
+    s.conf.getOption(graft.GraftConf.streamShuffleKey).map(_.toInt).getOrElse {
       val bytes =
         try {
           val p = new org.apache.hadoop.fs.Path(d, "events.parquet")
           p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
         } catch { case _: Throwable => 0L }
-      val targetPerStore = 32L * 1024 * 1024
-      math.max(1, math.min((bytes / targetPerStore + 1).toInt,
+      math.max(1, math.min((bytes / graft.GraftConf.streamBytesPerStore + 1).toInt,
         s.sparkContext.defaultParallelism))
     }
 
@@ -99,8 +98,11 @@ object EventStream {
 
   /** Tumbling 5-minute window counts/sums per event type via a real
     * streaming query. Each parquet file is a micro-batch; complete mode +
-    * memory sink materializes the final state. At scale the same plan
-    * runs continuously with the watermark bounding state. */
+    * memory sink materializes the final state — and in complete mode the
+    * watermark is a no-op (state holds all windows, late data is never
+    * evicted). A continuous deployment runs the same plan in
+    * append/update mode against a changelog sink, where the watermark
+    * genuinely bounds state. */
   def windowAgg(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream
@@ -490,8 +492,12 @@ object EventStream {
        |ORDER BY window_start, event_type""".stripMargin
 
   /** Streaming rate-anomaly detection: hourly counts per event type
-    * maintained incrementally on the stream (watermark-bounded state,
-    * the [[windowAgg]] shape), then each window scored against the
+    * maintained incrementally on the stream (the [[windowAgg]] shape;
+    * NOTE this harness run uses `complete` output mode, where the
+    * watermark is a no-op — state holds ALL windows and late data is
+    * never evicted. Watermark eviction binds only in append/update
+    * modes, which is what a continuous deployment would run with a
+    * changelog sink), then each window scored against the
     * type's own mean hourly rate over the compacted sink — the same
     * stream-then-serve split as [[topkStream]] (the baseline layer
     * reads windows × types rows, never the raw stream; production

@@ -24,6 +24,37 @@ class GraphSpec extends SparkSpec {
       s"distributed pagerank diverges from replay on ${got.toSet.diff(r.toSet).take(3)}")
   }
 
+  test("pagerank residual probe: deep chain stops early, ranks within eps of the long run") {
+    import spark.implicits._
+    // 200-node chain — the deep-diameter shape where a fixed small round
+    // count under-iterates. The integer floors never reach residual 0
+    // (boundary nodes cycle with amplitude 4 micros — verified by exact
+    // replay), so eps is a tolerance: at eps=4 the transient has decayed
+    // to the cycle amplitude (~round 30 of a 150 cap) and every rank is
+    // within ~eps of the round-150 state.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val (probed, rounds) =
+      Graph.pagerankLoopWithRounds(chain, iters = 150, residualEpsMicros = 4L)
+    assert(rounds < 50, s"probe never fired early: ran $rounds rounds")
+    assert(rounds > 10, s"suspiciously fast convergence ($rounds rounds) for a 200-chain")
+    val full = Graph.pagerankLoop(chain, iters = 150)
+    val p = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val f = full.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(p.keySet == f.keySet)
+    val maxDist = p.keys.map(k => math.abs(p(k) - f(k))).max
+    assert(maxDist <= 4L, s"early-stopped ranks $maxDist micros from the long run (> eps)")
+  }
+
+  test("pagerank driver query is byte-identical with the probe code in place (eps disabled)") {
+    val a = Graph.pagerank(spark, sf).collect().toSeq
+    val b = Graph.pagerankLoop(
+      Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b"), iters = 5, residualEpsMicros = -1L)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.col("r").as("pr_micros"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("triangles equals a brute-force in-memory count") {
     val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
