@@ -10,15 +10,66 @@ import graft.operators.ExactRound
   *
   * Media are opaque `binary` columns with typed metadata beside them —
   * the layout a 100 TB image/audio corpus uses (bytes in parquet,
-  * decode at point of use). The decode/feature-extract step itself is
-  * STUBBED with a deterministic byte-level fake (no image/audio codecs in
-  * this container); everything around it — schema, batching, partition
-  * behavior — is real and is what the engine owns.
+  * decode at point of use). The image path is REAL: assets are genuine
+  * PNGs (encoded with the JDK's `javax.imageio` — zero external deps)
+  * and [[featureExtract]]/[[phash]] run `ImageIO.read` on executor
+  * threads inside the batched `mapPartitions`, computing features over
+  * the DECODED PIXELS. Because the synthesized pixels are a known
+  * function of `documents.text` and PNG is lossless, the decoded values
+  * are analytically replayable — so even the real-codec path keeps a
+  * bit-exact DuckDB oracle (a corpus of external images would drop to
+  * the rows-only check, with the same plans).
   *
   * The testdata has no binary table, so assets are synthesized
-  * deterministically from `documents.text` (UTF-8 bytes as the "blob").
+  * deterministically from `documents.text` (UTF-8 bytes as the "blob";
+  * for the image queries, as grayscale pixel data).
   */
 object Multimodal {
+
+  /** Fixed image width for synthesized PNGs: text bytes fill a 64-wide
+    * grayscale raster row-major, zero-padded to the last row. */
+  private val ImgW = 64
+
+  // keep ImageIO fully in-memory on executors (its default stream cache
+  // spills through temp FILES — a per-image disk round trip)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Text → real PNG bytes at the given raster width: pixel p
+    * (row-major) = byte p of the UTF-8 text for p < n, else 0 (zero
+    * padding in the last row); height = ⌈n/w⌉ (min 1). `width = n`
+    * yields a padding-free single-scanline image. PNG is lossless, so
+    * `decodeGray(encodePng(t, w))` returns exactly these values — the
+    * identity the oracles replay. */
+  private[graft] def encodePng(text: String, width: Int = ImgW): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val w = math.max(1, width)
+    val h = math.max(1, (n + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      raster.setSample(p % w, p / w, 0, if (p < n) bytes(p) & 0xff else 0)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode via the JDK: (width, height, gray samples in
+    * row-major order). Works for any grayscale-decodable image, not
+    * just the synthesized ones. */
+  private[graft] def decodeGray(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var p = 0
+    while (p < px.length) { px(p) = raster.getSample(p % w, p / w, 0); p += 1 }
+    (w, h, px)
+  }
 
   /** documents → (asset_id, media: binary, n_chars metadata). */
   def assets(s: SparkSession, d: String): DataFrame =
@@ -63,23 +114,31 @@ object Multimodal {
       |)
       |ORDER BY asset_id, frame_idx""".stripMargin
 
-  /** Stubbed batched feature extractor. The mapPartitions + fixed-size
-    * batch shape is exactly how a real model decode runs (amortize model
-    * init per partition, bounded batch memory); only `fakeDecode` would
-    * be swapped for a codec/model call. Deterministic: features are a
-    * byte-value histogram over 8 bins plus fake width/height from the
-    * first bytes. */
+  /** Real-decode batched feature extractor: encode each document as a
+    * genuine PNG, then `ImageIO.read` it back on the executor and
+    * compute features over the DECODED pixels — true image dimensions
+    * plus the L2 norm of an 8-bin pixel-value histogram. The
+    * mapPartitions + fixed-size batch shape is how a model decode runs
+    * at scale (amortize codec/model init per partition, bounded batch
+    * memory); swapping the gray histogram for a CNN forward pass
+    * changes only the function applied to `px`. */
   def featureExtract(s: SparkSession, d: String): DataFrame = {
     val session = s
     import session.implicits._
     val batchSize = 64
-    assets(s, d)
-      .select(col("asset_id"), col("media"))
+    imageAssets(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // one "model init" per partition, then fixed-size batches
+        // one "codec init" per partition, then fixed-size batches
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+          batch.map { case (id, png) =>
+            val (w, h, px) = decodeGray(png)
+            val hist = new Array[Long](8)
+            var i = 0
+            while (i < px.length) { hist(px(i) % 8) += 1; i += 1 }
+            val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
+            (id, w, h, norm)
+          }
         }
       }
       .toDF("asset_id", "width", "height", "feat_norm")
@@ -87,39 +146,48 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
-  /** Deterministic stand-in for a codec/model call. */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): (Long, Int, Int, Double) = {
-    val hist = new Array[Long](8)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) % 8) += 1; i += 1 }
-    val norm = math.sqrt(hist.map(h => h.toDouble * h).sum)
-    val width = 16 * (1 + ((bytes.headOption.getOrElse(0: Byte) & 0xff) % 64))
-    val height = 16 * (1 + ((if (bytes.length > 1) bytes(1) else 0: Byte) & 0xff) % 64)
-    (id, width, height, norm)
+  /** documents → (asset_id, real PNG bytes), the binary column the image
+    * queries decode. Encoded in a mapPartitions (the codec is imperative
+    * per-row work, exactly what mapPartitions is for). */
+  private def imageAssets(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encodePng(text)) })
+      .toDF("asset_id", "media")
   }
 
-  /** SQL twin of [[featureExtract]]: the fake decode is a deterministic
-    * byte histogram (ASCII corpus: chars == bytes) whose L2 norm sums
-    * exact integers — and IEEE sqrt is correctly rounded — so even the
-    * stubbed model call has a bit-exact oracle. When a real codec
-    * replaces `fakeDecode`, this oracle is dropped and the query falls
-    * back to the rows-only check. */
+  /** SQL twin of [[featureExtract]]: PNG is lossless, so decoded pixels
+    * are text bytes (ASCII corpus: chars == bytes) plus `64·⌈n/64⌉ − n`
+    * zero-padding pixels in the last row — both analytically replayable.
+    * Counts are exact integers and IEEE sqrt is correctly rounded, so
+    * the real-codec path keeps a bit-exact oracle. */
   val featureExtractSql: String =
-    s"""WITH chars AS (
+    s"""WITH dims AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    greatest((length(text) + 63) // 64, 1) AS h
+      |  FROM documents
+      |), chars AS (
       |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
       |), hist AS (
-      |  SELECT doc_id, ord(substr(text, i, 1)) % 8 AS bin, count(*) AS h
+      |  SELECT doc_id, ord(substr(text, i, 1)) % 8 AS bin, count(*) AS cnt
       |  FROM chars GROUP BY 1, 2
+      |), histp AS (
+      |  SELECT doc_id, bin, cnt FROM hist
+      |  UNION ALL
+      |  -- the zero-padding pixels of the last row land in bin 0
+      |  SELECT doc_id, 0 AS bin, 64 * h - n AS cnt FROM dims WHERE 64 * h - n > 0
+      |), hh AS (
+      |  SELECT doc_id, bin, sum(cnt) AS cnt FROM histp GROUP BY 1, 2
       |), nrm AS (
-      |  SELECT doc_id, ${graft.operators.ExactRound.rSql("sqrt(sum(CAST(h AS DOUBLE) * h))", 6)} AS feat_norm
-      |  FROM hist GROUP BY doc_id
+      |  SELECT doc_id, ${graft.operators.ExactRound.rSql("sqrt(sum(CAST(cnt AS DOUBLE) * cnt))", 6)} AS feat_norm
+      |  FROM hh GROUP BY doc_id
       |)
-      |SELECT d.doc_id AS asset_id,
-      |  -- DuckDB ord('') is -1, not 0: guard both byte reads like fakeDecode's headOption
-      |  16 * (1 + ((CASE WHEN length(d.text) > 0 THEN ord(substr(d.text, 1, 1)) ELSE 0 END) % 64)) AS width,
-      |  16 * (1 + ((CASE WHEN length(d.text) > 1 THEN ord(substr(d.text, 2, 1)) ELSE 0 END) % 64)) AS height,
-      |  coalesce(n.feat_norm, 0.0) AS feat_norm
-      |FROM documents d LEFT JOIN nrm n ON d.doc_id = n.doc_id
+      |SELECT d.doc_id AS asset_id, 64 AS width, CAST(d.h AS INT) AS height,
+      |  n.feat_norm
+      |FROM dims d JOIN nrm n USING (doc_id)
       |ORDER BY asset_id""".stripMargin
 
   /** Binary-asset exact dedup — the image/audio dedup pass every
@@ -278,13 +346,13 @@ object Multimodal {
       |FROM sn LEFT JOIN f ON prefix = magic_hex
       |GROUP BY 1 ORDER BY format""".stripMargin
 
-  /** Perceptual-hash near-dup detection over the decoded representation —
-    * the image dedup pass that catches re-encoded/resized copies exact
-    * checksums ([[assetDedup]]) miss. Average-hash construction on the
-    * stub decode (byte stream stands in for pixels; a real codec swaps
-    * in at the same point as [[featureExtract]]): 64 equal segments,
-    * bit k = segment-k mean > global mean — evaluated as the integer
-    * cross-multiply `seg_sum·n > total·seg_len`, so every bit is
+  /** Perceptual-hash near-dup detection over the DECODED image — the
+    * image dedup pass that catches re-encoded/resized copies exact
+    * checksums ([[assetDedup]]) miss. Average-hash construction on real
+    * pixels (`ImageIO.read` of the PNG assets, same decode as
+    * [[featureExtract]]): 64 equal segments of the row-major pixel
+    * stream, bit k = segment-k mean > global mean — evaluated as the
+    * integer cross-multiply `seg_sum·n > total·seg_len`, so every bit is
     * bit-portable with no division. The 64-bit signature lives as four
     * 16-bit chunks, and candidate pairs come from chunk-equality
     * blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks equal — the
@@ -292,23 +360,36 @@ object Multimodal {
     * (slot, chunk), never all-pairs, so the plan survives 10⁹ assets.
     * Segment sums are one partial-agg shuffle on (asset, segment). */
   def phash(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
     val base = Tables.documents(s, d).filter(length(col("text")) > 0)
-    // Synthesized "re-encoded copies" (container constraint, like
-    // m_sniff's headers): every 7th asset also appears as a twin whose
-    // byte values shift slightly but uniformly — the requantization
-    // analog. A length-preserving global value shift moves segment and
-    // corpus means together, so twin hashes land within hamming ≤ 3
-    // (measured: 69/72 twins at sf0.01, nearest non-twin pair at 10);
-    // the 3 misses are honest perceptual-hash recall, not a bug.
+    // Synthesized "re-encoded copies" (like m_sniff's headers): every
+    // 7th asset also appears as a twin whose byte values shift slightly
+    // but uniformly — the requantization analog. A length-preserving
+    // global value shift moves segment and corpus means together, so
+    // twin hashes land within hamming ≤ 3 (sub-100% by design — the
+    // misses are honest perceptual-hash recall, not a bug).
     val docs = base.select(col("doc_id").as("asset_id"), col("text"))
       .union(base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("asset_id"),
           translate(col("text"), "e", "a").as("text")))
-      .select(col("asset_id"), col("text"), length(col("text")).as("n"))
-    val chars = docs.select(col("asset_id"), col("n"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+    // REAL codec round trip: encode to PNG, decode with ImageIO; the
+    // hash consumes what the decoder hands back, never the source text.
+    // Scanline encoding (width = n): zero-padding a fixed-width raster
+    // would dominate short documents' hashes and collide unrelated
+    // assets (measured: 69 → 5531 pairs at sf0.01), the phash analog of
+    // letterboxing — a production image phash resizes to a fixed tiny
+    // raster first, which is the same "no dead pixels" discipline.
+    val pixels = docs.as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (w, h, px) = decodeGray(encodePng(text, width = text.length))
+        (id, (w * h).toLong, px)
+      })
+      .toDF("asset_id", "n", "px")
+    val chars = pixels.select(col("asset_id"), col("n"),
+        posexplode(col("px")).as(Seq("pos", "pv")))
       .select(col("asset_id"), col("n"),
-        expr("(pos * 64) div n").as("bucket"), ascii(col("ch")).cast("long").as("cp"))
+        expr("(pos * 64) div n").as("bucket"), col("pv").cast("long").as("cp"))
     val seg = chars.groupBy("asset_id", "n", "bucket")
       .agg(sum("cp").as("seg_sum"), count(lit(1)).as("seg_len"))
     val tot = chars.groupBy("asset_id").agg(sum("cp").as("total"))
@@ -339,7 +420,9 @@ object Multimodal {
   }
 
   /** SQL twin of [[phash]] — brute-force over all pairs (blocking is a
-    * performance device, provably lossless for hamming ≤ 3). */
+    * performance device, provably lossless for hamming ≤ 3). The pixel
+    * stream is replayed analytically: the scanline PNG is lossless and
+    * padding-free, so pixel i is exactly byte i of the text. */
   val phashSql: String =
     """WITH assets AS (
       |  SELECT doc_id AS asset_id, text FROM documents WHERE length(text) > 0

@@ -23,6 +23,22 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("PNG codec round trip: ImageIO decode returns the synthesized pixels exactly") {
+    val text = "The quick brown fox jumps over the lazy dog 0123456789" * 3
+    // 2D raster (featureExtract's shape): padding zeros in the last row
+    val (w, h, px) = Multimodal.decodeGray(Multimodal.encodePng(text))
+    assert(w == 64 && h == (text.length + 63) / 64)
+    val bytes = text.getBytes("UTF-8")
+    px.zipWithIndex.foreach { case (v, p) =>
+      val want = if (p < bytes.length) bytes(p) & 0xff else 0
+      assert(v == want, s"pixel $p: decoded $v != source $want")
+    }
+    // scanline raster (phash's shape): padding-free, pixel i == byte i
+    val (w1, h1, px1) = Multimodal.decodeGray(Multimodal.encodePng(text, width = text.length))
+    assert(w1 == text.length && h1 == 1)
+    assert(px1.sameElements(bytes.map(_ & 0xff)))
+  }
+
   test("feature extract is deterministic across runs and partitionings") {
     val a = Multimodal.featureExtract(spark, sf).collect()
     val b = Multimodal.featureExtract(spark, sf).collect()
