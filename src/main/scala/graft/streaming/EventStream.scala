@@ -192,6 +192,29 @@ object EventStream {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
+  /** Driver-checked TIMEOUT slice of [[sessionizeStream]] — the
+    * complement of [[sessionizeStreamClosed]]: sessions closed because
+    * the event-time watermark passed their gap, i.e. each user's FINAL
+    * session when its timeout timestamp fell behind the end-of-stream
+    * watermark. Under the harness execution (file source with no
+    * maxFilesPerTrigger → all data in one micro-batch, then a timeout
+    * batch at watermark = max event time − 1 min) this slice is a
+    * deterministic function of the data, so it gets a bit-exact oracle:
+    * final sessions with `⌊end_µs/1000⌋ + 30·60·1000 + 1 <
+    * ⌊max_µs/1000⌋ − 60·1000` (the exact integer-ms arithmetic of
+    * `setTimeoutTimestamp` and Spark's µs→ms watermark floor; strict `<`
+    * is Spark's timeout comparison). This pins the
+    * `flatMapGroupsWithState` TIMEOUT path — state removal and
+    * emit-on-timeout — which the gap slice never exercises. */
+  def sessionizeStreamFinal(s: SparkSession, d: String): DataFrame =
+    runSessionStream(s, d)
+      .filter(col("closed_by") === "timeout")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), fmt).as("session_start"),
+        date_format(timestamp_micros(col("end_us")), fmt).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   private def runSessionStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val session = s
@@ -279,6 +302,42 @@ object EventStream {
       |)
       |SELECT user_id, session_start, session_end, n_events, total_value
       |FROM closed WHERE session_id < max_sid
+      |ORDER BY user_id, session_start""".stripMargin
+      .replace("MONEY_SUM", moneySumSql("value"))
+
+  /** Oracle for [[sessionizeStreamFinal]]: batch final sessions whose
+    * timeout timestamp (end ms + gap ms + 1) is strictly below the
+    * end-of-stream watermark (max event ms − 60 000), all in the same
+    * integer-ms floors the streaming engine uses. */
+  val sessionizeStreamFinalSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM ordered
+      |), sess AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, session_id,
+      |   min(ts) AS start_ts, max(ts) AS end_ts,
+      |   count(*) AS n_events,
+      |   MONEY_SUM AS total_value,
+      |   max(session_id) OVER (PARTITION BY user_id) AS max_sid
+      |  FROM sess GROUP BY user_id, session_id
+      |), wm AS (
+      |  SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) - 60000 AS wm_ms FROM events
+      |)
+      |SELECT user_id,
+      | strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+      | strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+      | n_events, total_value
+      |FROM agg, wm
+      |WHERE session_id = max_sid
+      |  AND (epoch_us(end_ts) // 1000) + 1800001 < wm_ms
       |ORDER BY user_id, session_start""".stripMargin
       .replace("MONEY_SUM", moneySumSql("value"))
 
@@ -584,6 +643,7 @@ object EventStream {
     "st_window_agg" -> (windowAgg _),
     "st_sessionize" -> (sessionize _),
     "st_sessionize_stream" -> (sessionizeStreamClosed _),
+    "st_sessionize_final" -> (sessionizeStreamFinal _),
     "st_stream_join" -> (streamJoin _),
     "st_dedup" -> (dedupStream _))
 
@@ -596,6 +656,7 @@ object EventStream {
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
     "st_sessionize_stream" -> sessionizeStreamClosedSql,
+    "st_sessionize_final" -> sessionizeStreamFinalSql,
     "st_stream_join" -> streamJoinSql,
     "st_dedup" -> dedupStreamSql)
 }

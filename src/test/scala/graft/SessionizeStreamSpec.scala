@@ -28,6 +28,38 @@ class SessionizeStreamSpec extends SparkSpec {
       s"streamed sessions not in batch result: ${(streamed -- all).take(3)}")
   }
 
+  test("timeout slice equals final sessions behind the end-of-stream watermark (driver contract)") {
+    import org.apache.spark.sql.functions._
+    val timedOut = EventStream.sessionizeStreamFinal(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSet
+    assert(timedOut.nonEmpty, "expected timeout-closed sessions")
+    // replay the timeout arithmetic: final watermark = max event ms - 60s;
+    // a final session times out iff end_ms + gap_ms + 1 < watermark (the
+    // strict comparison Spark applies to setTimeoutTimestamp values)
+    val maxUs = Tables.events(spark, sf)
+      .select(max(unix_micros(col("ts")))).first().getLong(0)
+    val wmMs = maxUs / 1000 - 60000
+    // the final session's end is the user's max event time — take it in
+    // MICROS from the raw events (session_end strings are second-
+    // resolution, too coarse for the ms-exact timeout inequality)
+    val userMaxUs = Tables.events(spark, sf)
+      .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchAll = EventStream.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batchAll
+      .filter { case (u, sid, _, _, _, _) => lastPerUser(u) == sid }
+      .filter { case (u, _, _, _, _, _) => userMaxUs(u) / 1000 + 1800001 < wmMs }
+      .map { case (u, _, st, en, n, v) => (u, st, en, n, v) }
+      .toSet
+    assert(timedOut == expected,
+      s"timeout slice drifted: extra=${(timedOut -- expected).take(3)} missing=${(expected -- timedOut).take(3)}")
+  }
+
   test("gap-closed slice equals the batch non-final sessions exactly (driver contract)") {
     val closed = EventStream.sessionizeStreamClosed(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
