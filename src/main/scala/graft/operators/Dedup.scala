@@ -53,10 +53,22 @@ object Dedup {
     * [[graft.functions.WordShingles]] expression (the interpreted
     * higher-order-function chain measured ~1.6 ms/doc). */
   private def withShingles(s: SparkSession, d: String): DataFrame =
-    Tables.parallelize(Tables.documents(s, d))
+    withShinglesOf(Tables.parallelize(Tables.documents(s, d)))
+
+  /** Shingle extraction over an arbitrary (doc_id, text) frame — the
+    * driver queries go through [[withShingles]]; tests (the hot-key
+    * stress corpus) inject their own. */
+  private[graft] def withShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.MinHashFns.word_shingles(split(trim(col("text")), WS), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** [[signatures]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    withShinglesOf(docs)
+      .withColumn("sig", graft.functions.MinHashFns.minhash_sig(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** 128-permutation MinHash signature via the native [[graft.functions.MinHashSig]]
     * expression — one generated static call per document over primitive
@@ -75,19 +87,65 @@ object Dedup {
       .withColumn("sig", graft.functions.MinHashFns.minhash_sig(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Candidate pairs only -- signatures are NOT carried through the band
-    * join (they'd multiply shuffle width by 128); callers re-join the few
-    * surviving pairs against the persisted signature/shingle table. */
-  private def bandCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
+  /** Signature-identity groups: each doc labeled with the min doc_id
+    * among docs carrying an IDENTICAL 128-perm signature (`rep`). The
+    * hot-cluster guard's unit of work — see [[bandCandidates]]. */
+  private[graft] def sigGroups(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Band-bucket candidate pairs over one REPRESENTATIVE per signature
+    * group. This is the join a hot key would otherwise blow up; its
+    * input is bounded by the number of DISTINCT signatures. */
+  private[graft] def bandCandidateReps(groups: DataFrame, bandRows: Int): DataFrame = {
+    val reps = groups.filter(col("doc_id") === col("rep")).select("doc_id", "sig")
+    val banded = reps.select(col("doc_id"),
       posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), bandRows)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("rep_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("rep_b"))
     a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b")
+      .distinct()
+  }
+
+  /** Candidate pairs only -- signatures are NOT carried through the band
+    * join (they'd multiply shuffle width by 128); callers re-join the few
+    * surviving pairs against the persisted signature/shingle table.
+    *
+    * CANONICALIZE-BEFORE-PAIR (the hot-key pair-explosion guard): the
+    * band self-join runs over ONE representative per identical-signature
+    * group, then representative pairs expand back to member pairs and
+    * intra-group pairs are appended directly (identical signatures share
+    * every band, so they are always candidates). The result SET is
+    * provably identical to banding all docs — identical signatures are
+    * interchangeable in every band bucket — but a document duplicated
+    * k times contributes 1 row to the join instead of k²: the 100 TB
+    * failure mode (10k-copy boilerplate doc → 10⁸ join rows PER BUCKET,
+    * one straggler partition) becomes a single representative. The
+    * intra-group expansion is output-cardinality-bound (a k-clique IS
+    * k(k−1)/2 pairs if the caller demands all pairs); a production
+    * pipeline bounds that too by running [[exact]] dedup first so
+    * byte-identical copies never reach the sketch — the composition
+    * [[graft.operators.Pipeline.curate]] uses. Spec-pinned in DedupSpec
+    * ("hot-key stress"). */
+  private[graft] def bandCandidates(sigs: DataFrame, bandRows: Int): DataFrame = {
+    val groups = sigGroups(sigs)
+    val members = groups.select(col("rep"), col("doc_id"))
+    val cross = bandCandidateReps(groups, bandRows)
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("a")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("b")), "rep_b")
+      .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"))
+    val intra = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
+    // disjoint by construction (cross pairs span two groups, intra pairs
+    // stay inside one) and each unordered pair occurs exactly once, so
+    // no distinct() is needed over the union
+    cross.union(intra)
   }
 
   /** MinHash+LSH near-dup candidates with signature-estimated Jaccard.

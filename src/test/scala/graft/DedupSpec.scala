@@ -266,4 +266,55 @@ class DedupSpec extends SparkSpec {
           s"bloom false negative on eval doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("hot-key stress: a 2000-copy document enters the band join as ONE representative") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hotText = "the same boilerplate footer text repeated across the whole crawl corpus"
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val hot = (0 until 2000).map(i => (1000000L + i, hotText)).toDF("doc_id", "text")
+    val sigs = Dedup.signaturesOf(base.union(hot))
+    val groups = Dedup.sigGroups(sigs.select("doc_id", "sig"))
+    // the whole hot cluster collapses to one signature group
+    val hotReps = groups.filter(col("doc_id") >= 1000000L)
+      .select("rep").distinct().count()
+    assert(hotReps == 1L, s"hot cluster split into $hotReps signature groups")
+    // the join input is one row per distinct signature: rep-level pair
+    // count is bounded by the DISTINCT corpus, not by the 2000 copies
+    val repPairs = Dedup.bandCandidateReps(groups, bandRows = 4).count()
+    val nBase = base.count()
+    assert(repPairs <= nBase * nBase,
+      s"rep pairs $repPairs not bounded by distinct corpus ($nBase docs)")
+    // the expanded candidate set still honors the all-pairs contract:
+    // the hot clique alone is 2000*1999/2 pairs — output-cardinality-
+    // bound work, not join work (the policy: run d_exact first if intra-
+    // identical pairs are not wanted)
+    val expanded = Dedup.bandCandidates(sigs.select("doc_id", "sig"), bandRows = 4).count()
+    assert(expanded >= 2000L * 1999 / 2,
+      s"expanded candidates $expanded missing the hot clique")
+    sigs.unpersist(); groups.unpersist()
+  }
+
+  test("canonicalize-before-pair candidate set equals naive all-docs banding") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    // plant a small identical cluster so the collapse actually engages
+    val copies = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val sigs = Dedup.signaturesOf(base.union(copies)).select("doc_id", "sig")
+    val got = Dedup.bandCandidates(sigs, bandRows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference: band every doc directly, no representative collapse
+    val banded = sigs.select(col("doc_id"),
+      posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), 4)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val naive = banded.as("x").join(banded.as("y"), Seq("band_idx", "band_hash"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive,
+      s"candidate sets diverge: extra=${(got -- naive).take(3)} missing=${(naive -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
 }
