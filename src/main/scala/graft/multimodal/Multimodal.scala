@@ -190,6 +190,36 @@ object Multimodal {
       |FROM dims d JOIN nrm n USING (doc_id)
       |ORDER BY asset_id""".stripMargin
 
+  /** REAL container parsing over the binary column: the PNG IHDR fields
+    * (width, height, bit depth, color type) read straight out of the
+    * blob's header bytes — signature check on bytes 1-8, big-endian
+    * 32-bit ints at offsets 17/21, depth/color at 25/26 (PNG spec layout:
+    * 8-byte signature, 4-byte chunk length, "IHDR", then the fields).
+    * All declarative column ops (`substring` on binary + hex/conv), so
+    * the parse is codegen'd and map-side — the metadata pass that runs
+    * BEFORE any decode at 100 TB (a corrupt header never reaches the
+    * codec). Oracle: the assets are [[encodePng]]'s own output, so every
+    * field is an analytic function of the document length. */
+  def pngMeta(s: SparkSession, d: String): DataFrame = {
+    def be32(off: Int) = conv(hex(substring(col("media"), off, 4)), 16, 10).cast("int")
+    def be8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("int")
+    imageAssets(s, d)
+      .select(col("asset_id"),
+        (hex(substring(col("media"), 1, 8)) === "89504E470D0A1A0A").as("valid_sig"),
+        be32(17).as("width"), be32(21).as("height"),
+        be8(25).as("bit_depth"), be8(26).as("color_type"))
+      .orderBy("asset_id")
+  }
+
+  /** The synthesized rasters are 64-wide, ⌈n/64⌉-high (min 1), 8-bit
+    * grayscale (PNG color type 0) — the IHDR must say exactly that. */
+  val pngMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_sig,
+      |  64 AS width,
+      |  CAST(greatest((length(text) + 63) // 64, 1) AS INT) AS height,
+      |  8 AS bit_depth, 0 AS color_type
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   /** Binary-asset exact dedup — the image/audio dedup pass every
     * multimodal pipeline runs before decode: canonical assignment by
     * content checksum. Identical scale shape to text `d_exact` (shuffle
@@ -469,6 +499,7 @@ object Multimodal {
     "m_binary_meta" -> (binaryMeta _),
     "m_frame_sample" -> (frameSample _),
     "m_dedup" -> (assetDedup _),
+    "m_png_meta" -> (pngMeta _),
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +509,6 @@ object Multimodal {
     "m_binary_meta" -> binaryMetaSql,
     "m_frame_sample" -> frameSampleSql,
     "m_dedup" -> assetDedupSql,
+    "m_png_meta" -> pngMetaSql,
     "m_feature_extract" -> featureExtractSql)
 }

@@ -1164,9 +1164,44 @@ object Dedup {
        |FROM clusters c JOIN q USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** The FULL keep-list — [[keepBest]] plus the unclustered remainder:
+    * documents with no near-dup edge form their own singleton "cluster"
+    * (cluster_id = keep_id = doc_id, is_kept = true). This is the frame
+    * a curation job actually filters on (`WHERE is_kept`): exactly one
+    * kept doc per near-dup cluster AND every untouched doc, totalling
+    * one row per corpus document. Costs [[keepBest]] plus one left-anti
+    * join against the (small) clustered-id set — nothing quadratic. */
+  def keepAll(s: SparkSession, d: String): DataFrame = {
+    val clustered = dupClusters(s, d) // (doc_id, cluster_id)
+    val q = TextAnalysis.quality(s, d).select("doc_id", "quality_score")
+    val wc = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val best = clustered.join(q, "doc_id")
+      .withColumn("keep_id", first("doc_id").over(wc))
+      .select("doc_id", "cluster_id", "quality_score", "keep_id")
+    val singles = q.join(clustered.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        col("quality_score"), col("doc_id").as("keep_id"))
+    best.unionByName(singles)
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  /** [[keepBestSql]] with the singleton remainder unioned in. */
+  val keepAllSql: String =
+    keepBestSql.replace(
+      "ORDER BY doc_id",
+      """UNION ALL
+        |SELECT q.doc_id, q.doc_id AS cluster_id, q.quality_score,
+        |  q.doc_id AS keep_id, TRUE AS is_kept
+        |FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_containment_join" -> (containmentJoin _),
     "d_keep_best" -> (keepBest _),
+    "d_keep_all" -> (keepAll _),
     "d_lsh_tune" -> (lshTune _),
     "d_cluster_stats" -> (clusterStats _),
     "d_bloom" -> (bloom _),
@@ -1184,6 +1219,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d_containment_join" -> containmentJoinSql,
     "d_keep_best" -> keepBestSql,
+    "d_keep_all" -> keepAllSql,
     "d_lsh_tune" -> lshTuneSql,
     "d_cluster_stats" -> clusterStatsSql,
     "d_bloom" -> bloomSql,

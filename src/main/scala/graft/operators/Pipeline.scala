@@ -373,6 +373,71 @@ object Pipeline {
     }
   }
 
+  /** Manifest DIFF — the consumer side of [[manifest]]'s drift story,
+    * operationalized: compare the shard manifest of the full corpus
+    * against the corpus after exact-dedup canonicalization (the
+    * [[graft.operators.Dedup.exact]] keep-set) and report, per shard,
+    * the document/char deltas and whether the content hash moved. At
+    * 100 TB this is how releases are audited — two 16-row manifests diff
+    * in milliseconds; nobody re-reads the data. Same scale shape as
+    * [[manifest]] twice (one partial-agg pass per version) plus one
+    * 16-row join. */
+  def datasetDiff(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val nfp = md5(to_binary(trim(regexp_replace(lower(col("text")), "[ \t\n\r]+", " ")), lit("utf-8")))
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"), nfp.as("nfp"))
+      .withColumn("is_canon", col("doc_id") === min("doc_id").over(Window.partitionBy("nfp")))
+    val full = manifestAgg(docs)
+      .select(col("shard"), col("n_docs").as("n_docs_full"),
+        col("total_chars").as("chars_full"), col("manifest_md5").as("h_full"))
+    val dedup = manifestAgg(docs.filter(col("is_canon")))
+      .select(col("shard"), col("n_docs").as("n_docs_dedup"),
+        col("total_chars").as("chars_dedup"), col("manifest_md5").as("h_dedup"))
+    full.join(dedup, "shard")
+      .select(col("shard"), col("n_docs_full"), col("n_docs_dedup"),
+        (col("n_docs_full") - col("n_docs_dedup")).as("docs_removed"),
+        (col("chars_full") - col("chars_dedup")).as("chars_removed"),
+        (col("h_full") =!= col("h_dedup")).as("changed"))
+      .orderBy("shard")
+  }
+
+  val datasetDiffSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, n_chars,
+      |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS nfp,
+      |    md5(text) AS fp
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, n_chars, nfp, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, n_chars, nfp, fp, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, n_chars, nfp, fp, CAST(hash % 16 AS INT) AS shard
+      |  FROM h WHERE i = length(key)+1
+      |), keep AS (
+      |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY nfp) AS is_canon FROM b
+      |), fullm AS (
+      |  SELECT shard, count(*) AS n_docs_full,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars_full,
+      |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, ',' ORDER BY doc_id)) AS h_full
+      |  FROM keep GROUP BY shard
+      |), dedupm AS (
+      |  SELECT shard, count(*) AS n_docs_dedup,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars_dedup,
+      |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, ',' ORDER BY doc_id)) AS h_dedup
+      |  FROM keep WHERE is_canon GROUP BY shard
+      |)
+      |SELECT f.shard, f.n_docs_full, d.n_docs_dedup,
+      |  f.n_docs_full - d.n_docs_dedup AS docs_removed,
+      |  f.chars_full - d.chars_dedup AS chars_removed,
+      |  f.h_full <> d.h_dedup AS changed
+      |FROM fullm f JOIN dedupm d ON f.shard = d.shard
+      |ORDER BY f.shard""".stripMargin
+
   val manifestSql: String =
     """WITH RECURSIVE ds AS (
       |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, n_chars, md5(text) AS fp
@@ -395,6 +460,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_manifest" -> (manifest _),
     "p_shard_write" -> (shardWrite _),
+    "p_dataset_diff" -> (datasetDiff _),
     "p_quota" -> (quota _),
     "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
@@ -406,6 +472,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "p_manifest" -> manifestSql,
     "p_shard_write" -> manifestSql,
+    "p_dataset_diff" -> datasetDiffSql,
     "p_quota" -> quotaSql,
     "p_split" -> splitSql,
     "p_pack" -> packSql,
