@@ -694,7 +694,105 @@ object Similarity {
       |      * (v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / 255)) * 1000000000000) AS BIGINT))) AS BIGINT) AS err_pico
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** IVF probe-count tuning sweep — the [[graft.operators.Dedup.lshTune]]
+    * analog for the vector index, and the measurement that decides
+    * nProbe before a 100 TB deployment: for nProbe ∈ {1, 2, 4}, the
+    * exact number (and corpus fraction) of vectors scanned and the
+    * realized recall@10 against the brute-force ground truth. More
+    * probes buy recall linearly in scan cost; this query SHOWS the curve
+    * for this corpus instead of asserting it. One cell-assignment pass
+    * (checkpointed) feeds all three configs; every count is exact and
+    * every ranking uses the same rounded-micros cosine + id tie-break as
+    * [[annIvf]], so the whole sweep replays bit-exactly in SQL. */
+  def ivfProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "norm", "centroid_id")
+      .localCheckpoint()
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    val cellRank = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        ExactRound.r(sqDist(col("q_v"), col("c_v")), 6).as("qdist"))
+      .orderBy("qdist", "centroid_id")
+    val truth = annBrute(s, d).select("vec_id")
+    val totals = assigned.filter(col("vec_id") =!= 0)
+      .agg(count(lit(1)).as("n_total"))
+    Seq(1, 2, 4).map { np =>
+      val probe = cellRank.limit(np).select("centroid_id")
+      val cand = assigned.join(broadcast(probe), "centroid_id")
+        .filter(col("vec_id") =!= 0)
+      val top = cand.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+      cand.agg(count(lit(1)).as("n_scanned"))
+        .crossJoin(broadcast(top.join(truth, "vec_id").agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(totals))
+        .select(lit(np).cast("long").as("n_probe"), col("n_scanned"),
+          ExactRound.r(col("n_scanned").cast("double") / col("n_total"), 6).as("scan_frac"),
+          col("n_hits"),
+          ExactRound.r(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("n_probe")
+  }
+
+  /** Full replay: shared assignment/ground-truth CTEs, then per-nProbe
+    * probe → candidate → top-10 chains with scalar-subquery counts. */
+  val ivfProbeSweepSql: String = {
+    val cos = graft.operators.ExactRound.rSql(
+      "list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm)", 6)
+    val qd = "round((list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v) + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000"
+    val perNp = Seq(1, 2, 4).map { np =>
+      s"""probe$np AS (
+         |  SELECT c.centroid_id FROM c, q ORDER BY $qd, c.centroid_id LIMIT $np
+         |), cand$np AS (
+         |  SELECT a.* FROM assigned a JOIN probe$np p ON a.centroid_id = p.centroid_id
+         |  WHERE a.vec_id <> 0
+         |), top$np AS (
+         |  SELECT a.vec_id FROM cand$np a, q ORDER BY $cos DESC, a.vec_id LIMIT 10
+         |)""".stripMargin
+    }.mkString(", ")
+    val rows = Seq(1, 2, 4).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe,
+         |  (SELECT count(*) FROM cand$np) AS n_scanned,
+         |  ${graft.operators.ExactRound.rSql(s"CAST((SELECT count(*) FROM cand$np) AS DOUBLE) / (SELECT count(*) FROM assigned WHERE vec_id <> 0)", 6)} AS scan_frac,
+         |  (SELECT count(*) FROM top$np t JOIN truth USING (vec_id)) AS n_hits,
+         |  ${graft.operators.ExactRound.rSql(s"CAST((SELECT count(*) FROM top$np t JOIN truth USING (vec_id)) AS DOUBLE) / 10.0", 6)} AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, centroid_id FROM (
+       |    SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+       |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+       |    FROM e, c
+       |  ) WHERE rn = 1
+       |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |truth AS (
+       |  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} DESC, e.vec_id
+       |  LIMIT 10
+       |), $perNp
+       |$rows
+       |ORDER BY n_probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ivf_probe_sweep" -> (ivfProbeSweep _),
     "s_mmr" -> (mmr _),
     "s_ivf_stats" -> (ivfStats _),
     "s_sq8" -> (sq8 _),
@@ -709,6 +807,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_ivf_probe_sweep" -> ivfProbeSweepSql,
     "s_mmr" -> mmrSql,
     "s_ivf_stats" -> ivfStatsSql,
     "s_sq8" -> sq8Sql,

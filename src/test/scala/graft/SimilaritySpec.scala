@@ -166,4 +166,20 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("err_pico") >= 0L))
   }
 
+  test("ivf probe sweep: scan cost strictly grows with nProbe, recall is monotone") {
+    val rows = Similarity.ivfProbeSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("n_scanned"),
+        r.getAs[Double]("scan_frac"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(1L, 2L, 4L)))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._2, s"scanned count must grow with probes: $a vs $b")
+      assert(a._4 <= b._4, s"recall must be monotone in probes: $a vs $b")
+    }
+    rows.foreach { case (_, scanned, frac, hits, recall) =>
+      assert(hits >= 0 && hits <= 10 && recall == hits / 10.0)
+      assert(frac > 0.0 && frac < 1.0, s"probing a few cells must scan a strict subset ($frac)")
+      assert(scanned > 0)
+    }
+  }
 }
