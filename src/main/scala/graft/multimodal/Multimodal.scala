@@ -71,6 +71,46 @@ object Multimodal {
     (w, h, px)
   }
 
+  /** Text → real WAV bytes (16-bit signed PCM, mono, 8 kHz): sample i =
+    * (byte i − 64)·256 — a deterministic, exactly-invertible map of the
+    * ASCII range onto the 16-bit amplitude range. Encoded through
+    * `javax.sound.sampled.AudioSystem` (RIFF/WAVE container, the format
+    * [[sniff]]'s magic table already recognizes); PCM is lossless, so
+    * decode returns these exact samples. */
+  private[graft] def encodeWav(text: String): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pcm = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val sample = ((bytes(i) & 0xff) - 64) * 256
+      pcm(2 * i) = (sample & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio decode via the JDK: 16-bit signed little-endian PCM
+    * samples out of any WAV the `AudioSystem` reader accepts. */
+  private[graft] def decodePcm(wav: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val raw = ais.readAllBytes()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
   /** documents → (asset_id, media: binary, n_chars metadata). */
   def assets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -219,6 +259,73 @@ object Multimodal {
       |  CAST(greatest((length(text) + 63) // 64, 1) AS INT) AS height,
       |  8 AS bit_depth, 0 AS color_type
       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Real-decode audio stats: encode each document as genuine 16-bit PCM
+    * WAV, decode it back with `javax.sound.sampled.AudioSystem` on the
+    * executor (same batched-mapPartitions shape as [[featureExtract]] —
+    * the codec is the only imperative step), and report exact sample
+    * statistics: count, duration, peak amplitude and total energy
+    * (Σ sample², exact in a long — an 8 kHz corpus of hour-long clips
+    * stays under 2⁶³). The silence-trim fraction (leading/trailing
+    * |sample| ≤ 512 run) is the standard pre-tokenization audio filter.
+    * PCM losslessness keeps the oracle bit-exact, like the PNG path. */
+  def wavEnergy(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val batchSize = 64
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, text) =>
+            val px = decodePcm(encodeWav(text))
+            var sumSq = 0L; var peak = 0L
+            var lead = 0; var trail = 0
+            var i = 0
+            while (i < px.length) {
+              val v = px(i).toLong
+              sumSq += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            while (lead < px.length && math.abs(px(lead)) <= 512) lead += 1
+            while (trail < px.length - lead && math.abs(px(px.length - 1 - trail)) <= 512) trail += 1
+            (id, px.length.toLong, sumSq, peak, (lead + trail).toLong)
+          }
+        }
+      }
+      .toDF("asset_id", "n_samples", "energy", "peak", "n_silent_edge")
+      .orderBy("asset_id")
+  }
+
+  /** PCM replay: sample i = (ord(char i) − 64)·256; silence |s| ≤ 512 ⇔
+    * byte value in [62, 66] ('>' .. 'B' — space (32) is NOT silent,
+    * keeping the trim nontrivial on this corpus). */
+  val wavEnergySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
+      |), s AS (
+      |  SELECT doc_id, i, CAST((ord(substr(text, i, 1)) - 64) * 256 AS BIGINT) AS v,
+      |    length(text) AS n
+      |  FROM chars
+      |), edge AS (
+      |  SELECT doc_id,
+      |    coalesce(min(CASE WHEN abs(v) > 512 THEN i END) - 1, max(n)) AS lead,
+      |    coalesce(max(n) - max(CASE WHEN abs(v) > 512 THEN i END), 0) AS trail,
+      |    max(CASE WHEN abs(v) > 512 THEN 1 ELSE 0 END) AS has_loud
+      |  FROM s GROUP BY doc_id
+      |)
+      |SELECT s.doc_id AS asset_id,
+      |  CAST(max(s.n) AS BIGINT) AS n_samples,
+      |  CAST(sum(s.v * s.v) AS BIGINT) AS energy,
+      |  CAST(max(abs(s.v)) AS BIGINT) AS peak,
+      |  CAST(CASE WHEN max(e.has_loud) = 1 THEN max(e.lead) + max(e.trail)
+      |            ELSE max(s.n) END AS BIGINT) AS n_silent_edge
+      |FROM s JOIN edge e ON s.doc_id = e.doc_id
+      |GROUP BY s.doc_id
+      |ORDER BY asset_id""".stripMargin
 
   /** Binary-asset exact dedup — the image/audio dedup pass every
     * multimodal pipeline runs before decode: canonical assignment by
@@ -500,6 +607,7 @@ object Multimodal {
     "m_frame_sample" -> (frameSample _),
     "m_dedup" -> (assetDedup _),
     "m_png_meta" -> (pngMeta _),
+    "m_wav_energy" -> (wavEnergy _),
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +618,6 @@ object Multimodal {
     "m_frame_sample" -> frameSampleSql,
     "m_dedup" -> assetDedupSql,
     "m_png_meta" -> pngMetaSql,
+    "m_wav_energy" -> wavEnergySql,
     "m_feature_extract" -> featureExtractSql)
 }

@@ -39,6 +39,18 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(px1.sameElements(bytes.map(_ & 0xff)))
   }
 
+  test("WAV codec round trip: AudioSystem decode returns the synthesized PCM exactly") {
+    val text = "mixed CASE text with spaces and 0123456789 plus @A>B? silence-band chars"
+    val wav = Multimodal.encodeWav(text)
+    // a real RIFF/WAVE container — the same magic m_sniff keys on
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val samples = Multimodal.decodePcm(wav)
+    val expected = text.getBytes("UTF-8").map(b => ((b & 0xff) - 64) * 256)
+    assert(samples.sameElements(expected),
+      s"PCM mismatch at ${samples.zip(expected).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("feature extract is deterministic across runs and partitionings") {
     val a = Multimodal.featureExtract(spark, sf).collect()
     val b = Multimodal.featureExtract(spark, sf).collect()
