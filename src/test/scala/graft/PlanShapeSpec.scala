@@ -147,4 +147,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Filter"), "threshold must be a filter, not a limit")
   }
 
+  test("m_png_meta: header parse is one map-side scan — no shuffle, no join") {
+    val p = plan(graft.multimodal.Multimodal.pngMeta(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"IHDR parsing must stay map-side:\n${p.take(600)}")
+  }
+
+  test("d_minhash_lsh: candidates flow through band equi-joins after rep collapse") {
+    val p = plan(graft.operators.Dedup.minhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must equi-join:\n${p.take(800)}")
+  }
+
+  test("s_ivf_probe_sweep: probe tables broadcast; the corpus is never nested-looped") {
+    val p = plan(graft.operators.Similarity.ivfProbeSweep(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"probe sweep must not cross-join the corpus:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "probe cell lists must broadcast")
+  }
+
+  test("p_dataset_diff: two manifest aggregations and one 16-row join, nothing quadratic") {
+    val p = plan(graft.operators.Pipeline.datasetDiff(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"manifest diff must stay linear:\n${p.take(600)}")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "per-shard manifests must partial-aggregate")
+  }
+
 }
