@@ -124,6 +124,61 @@ object Pipeline {
       |)
       |GROUP BY tier ORDER BY tier""".stripMargin
 
+  /** Curriculum staging — order-by-difficulty preparation for curriculum
+    * training: documents are assigned to 5 stages by exact quality-score
+    * quintiles and each stage reports its doc/token mass and score
+    * range. Scores live as integer MICROS (quality_score is already
+    * 6-dp-rounded, so ·10⁶ is exact), which keeps the quantile edges on
+    * the long-typed `percentile` path p_profile proved bit-portable —
+    * double interpolation of integer order statistics. NO global sort or
+    * rank window: the edge row broadcasts and assignment is a map-side
+    * comparison, so the shape survives any corpus size (at 100 TB the
+    * exact percentile — which buffers the group — would swap for
+    * approx_percentile with a documented rank-error bound; the staging
+    * mechanics are unchanged). */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality_score") * 1000000).cast("long").as("sm"))
+    val edges = q.agg(expr("percentile(sm, array(0.2D, 0.4D, 0.6D, 0.8D))").as("es"))
+      .select((1 to 4).map(k => element_at(col("es"), k).as(s"e$k")): _*)
+    val stage = (1 to 4).map(k => (col("sm") > col(s"e$k")).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
+    q.crossJoin(broadcast(edges))
+      .select(col("doc_id"), col("n_tokens"), col("sm"), stage.as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("sm").as("min_score_micros"),
+        max("sm").as("max_score_micros"),
+        (round(sum("sm") / (count(lit(1)) * 1000000.0) * 10000) / 10000).as("avg_score"))
+      .orderBy("stage")
+  }
+
+  val curriculumSql: String = {
+    val score = graft.operators.TextAnalysis.qualityScoreSql
+    val nTok = "CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT)"
+    s"""WITH q AS (
+       |  SELECT doc_id, $nTok AS n_tokens,
+       |    CAST(round(($score) * 1000000) AS BIGINT) AS sm
+       |  FROM documents
+       |), e AS (
+       |  SELECT quantile_cont(sm, 0.2) AS e1, quantile_cont(sm, 0.4) AS e2,
+       |         quantile_cont(sm, 0.6) AS e3, quantile_cont(sm, 0.8) AS e4
+       |  FROM q
+       |), st AS (
+       |  SELECT q.doc_id, q.n_tokens, q.sm,
+       |    CAST(1 + CAST(q.sm > e.e1 AS INT) + CAST(q.sm > e.e2 AS INT)
+       |           + CAST(q.sm > e.e3 AS INT) + CAST(q.sm > e.e4 AS INT) AS BIGINT) AS stage
+       |  FROM q, e
+       |)
+       |SELECT stage, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  min(sm) AS min_score_micros, max(sm) AS max_score_micros,
+       |  round(sum(sm) / (count(*) * 1000000.0) * 10000) / 10000 AS avg_score
+       |FROM st GROUP BY stage ORDER BY stage""".stripMargin
+  }
+
   /** Mixture-drift monitoring — the check a production pipeline runs per
     * ingest batch: is each source's length-tier distribution drifting
     * from the corpus mixture? Emits one row per (source, tier) with the
@@ -461,6 +516,7 @@ object Pipeline {
     "p_manifest" -> (manifest _),
     "p_shard_write" -> (shardWrite _),
     "p_dataset_diff" -> (datasetDiff _),
+    "p_curriculum" -> (curriculum _),
     "p_quota" -> (quota _),
     "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
@@ -473,6 +529,7 @@ object Pipeline {
     "p_manifest" -> manifestSql,
     "p_shard_write" -> manifestSql,
     "p_dataset_diff" -> datasetDiffSql,
+    "p_curriculum" -> curriculumSql,
     "p_quota" -> quotaSql,
     "p_split" -> splitSql,
     "p_pack" -> packSql,

@@ -522,6 +522,47 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(n_hapax AS DOUBLE) / n_types", 6)} AS hapax_ratio
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Character-diversity quality signal WITHOUT logarithms: Simpson
+    * index 1 − Σp_i² over the document's character distribution, plus
+    * the top-character fraction and distinct-character count — the
+    * random-garbage / run-amok-repetition detector entropy usually
+    * serves, in purely rational arithmetic (Σn_i² and n² are exact
+    * longs; ONE final IEEE division per metric, so every value is
+    * bit-portable — the engine-wide no-log discipline, same reason
+    * t_tfidf uses ratio idf). Shape: explode chars → (doc, char) partial
+    * agg → per-doc rollup — t_ttr at character granularity, wordcount-
+    * shaped at any corpus size. */
+  def charDiversity(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+        sum(col("n") * col("n")).as("sum_sq"), max("n").as("top_n"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        ExactRound.r((col("n_chars") * col("n_chars") - col("sum_sq")).cast("double")
+          / (col("n_chars") * col("n_chars")), 6).as("simpson"),
+        ExactRound.r(col("top_n").cast("double") / col("n_chars"), 6).as("top_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  val charDiversitySql: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+       |  FROM documents WHERE length(text) > 0
+       |), freq AS (
+       |  SELECT doc_id, substr(text, i, 1) AS ch, count(*) AS n FROM chars GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars, count(*) AS n_distinct_chars,
+       |    CAST(sum(n * n) AS BIGINT) AS sum_sq, CAST(max(n) AS BIGINT) AS top_n
+       |  FROM freq GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_chars, n_distinct_chars,
+       |  ${ExactRound.rSql("CAST(n_chars * n_chars - sum_sq AS DOUBLE) / (n_chars * n_chars)", 6)} AS simpson,
+       |  ${ExactRound.rSql("CAST(top_n AS DOUBLE) / n_chars", 6)} AS top_char_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Sentence segmentation statistics: sentence count, mean/max sentence
     * length — the readability-profile precursor (long-sentence tails mark
     * legalese/boilerplate; a mean near the max marks single-run text).
@@ -605,6 +646,7 @@ object TextAnalysis {
     "t_readability" -> (readability _),
     "t_sentences" -> (sentences _),
     "t_ttr" -> (ttr _),
+    "t_char_diversity" -> (charDiversity _),
     "t_kwic" -> (kwic _),
     "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
@@ -623,6 +665,7 @@ object TextAnalysis {
     "t_readability" -> readabilitySql,
     "t_sentences" -> sentencesSql,
     "t_ttr" -> ttrSql,
+    "t_char_diversity" -> charDiversitySql,
     "t_kwic" -> kwicSql,
     "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,
