@@ -541,11 +541,31 @@ object Multimodal {
     val sig = bits.groupBy("asset_id")
       .agg(chunkSums.head, chunkSums.tail: _*)
       .localCheckpoint()
-    val cand = (0 to 3).map { j =>
-        val l = sig.select(col("asset_id").as("a"), col(s"c$j").as("bk"))
-        val r = sig.select(col("asset_id").as("b"), col(s"c$j").as("bk"))
-        l.join(r, Seq("bk")).filter(col("a") < col("b")).select("a", "b")
+    // canonicalize-before-pair (the Dedup.bandCandidates hot-key guard):
+    // assets with an identical 64-bit hash are interchangeable in every
+    // chunk bucket — block one representative per signature, expand
+    // representative pairs to member pairs after, append intra-group
+    // pairs (hamming 0) directly; identical result set, a k-copy hot
+    // asset contributes 1 join row instead of k² per bucket
+    val wSig = org.apache.spark.sql.expressions.Window
+      .partitionBy("c0", "c1", "c2", "c3")
+    val groups = sig.withColumn("rep", min("asset_id").over(wSig))
+    val reps = groups.filter(col("asset_id") === col("rep"))
+    val repPairs = (0 to 3).map { j =>
+        val l = reps.select(col("asset_id").as("ra"), col(s"c$j").as("bk"))
+        val r = reps.select(col("asset_id").as("rb"), col(s"c$j").as("bk"))
+        l.join(r, Seq("bk")).filter(col("ra") < col("rb")).select("ra", "rb")
       }.reduce(_ union _).distinct()
+    val members = groups.select(col("rep"), col("asset_id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("asset_id").as("ma")), "ra")
+      .join(members.select(col("rep").as("rb"), col("asset_id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("a"), greatest(col("ma"), col("mb")).as("b"))
+    val intra = members.select(col("rep"), col("asset_id").as("a"))
+      .join(members.select(col("rep"), col("asset_id").as("b")), "rep")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cand = cross.union(intra)
     val ham = (0 to 3).map(j =>
       expr(s"bit_count(la.c$j ^ rb.c$j)")).reduce(_ + _)
     cand.join(sig.as("la"), col("a") === col("la.asset_id"))

@@ -482,17 +482,36 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.MinHashFns.simhash64(split(trim(col("text")), WS)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunks = sims.select(col("doc_id"), col("simhash"),
+    // canonicalize-before-pair (the [[bandCandidates]] hot-key guard,
+    // same argument): docs with an IDENTICAL 64-bit signature are
+    // interchangeable in every chunk bucket, so the chunk join runs
+    // over one representative per signature and pairs expand after —
+    // identical result set, k-copy hot doc contributes 1 join row
+    val groups = sims.withColumn("rep", min("doc_id").over(Window.partitionBy("simhash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.filter(col("doc_id") === col("rep")).select("doc_id", "simhash")
+    val chunks = reps.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), i -> struct(i AS chunk_idx, " +
         "shiftright(simhash, CAST(i*16 AS INT)) & 65535 AS chunk_val))")).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk_val"))
-    val a = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_val"))
+    val a = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("rep_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("rep_b"))
+    val repPairs = a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("rep_a") < col("rep_b"))
+      .dropDuplicates("rep_a", "rep_b")
+    val members = groups.select(col("rep"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("ma")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("mb")), "rep_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"), greatest(col("ma"), col("mb")).as("doc_b"))
+    val intra = members.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(members.select(col("rep"), col("doc_id").as("doc_b")), "rep")
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b")
+    val simA = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val simB = sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    cross.union(intra)
+      .join(simA, "doc_a").join(simB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
