@@ -128,6 +128,55 @@ object EventStream {
        |GROUP BY window_start, event_type
        |ORDER BY window_start, event_type""".stripMargin
 
+  /** The same tumbling-window aggregation in APPEND mode — the
+    * production shape where the watermark genuinely EVICTS: a window row
+    * is emitted (exactly once) only after the watermark passes the
+    * window end, and its state is dropped. Under the harness execution
+    * (all files in one batch, then a finalization batch at watermark =
+    * max event time − 10 min) the emitted set is a deterministic
+    * function of the data — windows with `end ≤ watermark` — so this
+    * pins the eviction contract bit-exactly: which windows flush, which
+    * stay open (the tail windows are ABSENT from the output by design).
+    * Complements [[windowAgg]] (complete mode, everything visible) and
+    * [[sessionizeStreamFinal]] (the same watermark arithmetic for
+    * timeout state). */
+  def appendWindows(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), fmt).as("window_start"),
+        date_format(col("window.end"), fmt).as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+    val name = "graft_st_append_windows"
+    runToMemorySink(s, d, stream, name, "append")
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
+  /** Batch replay of the eviction predicate: emitted windows are those
+    * whose end (ms) ≤ the end-of-stream watermark `⌊max_µs/1000⌋ −
+    * 600 000` — the same integer-ms floors as [[sessionizeStreamFinalSql]]. */
+  val appendWindowsSql: String =
+    s"""WITH w AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+       |    event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
+       |  FROM events
+       |  GROUP BY wstart, event_type
+       |), wm AS (
+       |  SELECT (epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) - 600000 AS wm_ms FROM events
+       |)
+       |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       | strftime(wstart + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+       | event_type, n, total_value
+       |FROM w, wm
+       |WHERE epoch_us(wstart + INTERVAL '5 minutes') // 1000 <= wm_ms
+       |ORDER BY window_start, event_type""".stripMargin
+
   /** Session windows per user with a 30-minute inactivity gap, as the
     * declarative gaps-and-islands plan: lag marks a break at every gap,
     * a running sum of breaks numbers the sessions, one grouped aggregate
@@ -641,6 +690,7 @@ object EventStream {
     "st_topk" -> (topkStream _),
     "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
+    "st_append_windows" -> (appendWindows _),
     "st_sessionize" -> (sessionize _),
     "st_sessionize_stream" -> (sessionizeStreamClosed _),
     "st_sessionize_final" -> (sessionizeStreamFinal _),
@@ -654,6 +704,7 @@ object EventStream {
     "st_topk" -> topkStreamSql,
     "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,
+    "st_append_windows" -> appendWindowsSql,
     "st_sessionize" -> sessionizeSql,
     "st_sessionize_stream" -> sessionizeStreamClosedSql,
     "st_sessionize_final" -> sessionizeStreamFinalSql,
