@@ -535,7 +535,93 @@ object Graph {
        |GROUP BY d.deg ORDER BY degree""".stripMargin
   }
 
+  /** 2-core peeling over the near-dup graph — separates dense
+    * duplication HUBS (nodes that survive repeated removal of degree-1
+    * nodes) from chain/pendant structure: a doc that stays in the 2-core
+    * sits inside a cluster with redundant similarity paths (template
+    * families), while pendant docs hang off a single match. 4 synchronous
+    * peeling rounds, each one degree count + one semi-join on the
+    * surviving subgraph with per-round `localCheckpoint` (the
+    * [[Dedup.connectedComponents]] lineage discipline); the emitted
+    * `converged` flag (round 4 removed nobody) certifies the answer IS
+    * the true 2-core rather than an iteration cap artifact — round
+    * count follows graph depth, and pendant CHAINS peel one hop per
+    * round. Per node: survives flag + final degree within the core. */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val allNodes = pairs.select(col("a").as("id")).union(pairs.select(col("b").as("id"))).distinct()
+    var edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var removedInLast = 0L
+    var round = 0
+    while (round < 4) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select(col("src").as("k"))
+      val next = edges
+        .join(keep.withColumnRenamed("k", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("k", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      removedInLast = edges.count() - next.count()
+      edges = next
+      round += 1
+    }
+    val coreDeg = edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
+    allNodes.join(coreDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        col("core_degree").isNotNull.as("in_2core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        lit(removedInLast == 0L).as("converged"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: 4 unrolled peeling rounds over the same pair graph; the
+    * convergence flag compares round-3 and round-4 edge counts. */
+  val kcoreSql: String = {
+    val shingles =
+      """SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3""".stripMargin
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    val rounds = (1 to 4).map { k =>
+      s"""d$k AS (
+         |  SELECT src, count(*) AS deg FROM e${k - 1} GROUP BY src
+         |), e$k AS (
+         |  SELECT e.src, e.dst FROM e${k - 1} e
+         |  JOIN d$k ks ON ks.src = e.src AND ks.deg >= 2
+         |  JOIN d$k kd ON kd.src = e.dst AND kd.deg >= 2
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH docs AS (
+       |  $shingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jac >= 0.5
+       |), e0 AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM e0
+       |), $rounds, core AS (
+       |  SELECT src, count(*) AS core_degree FROM e4 GROUP BY src
+       |), conv AS (
+       |  SELECT (SELECT count(*) FROM e3) = (SELECT count(*) FROM e4) AS converged
+       |)
+       |SELECT n.id AS doc_id, c.src IS NOT NULL AS in_2core,
+       |  CAST(coalesce(c.core_degree, 0) AS BIGINT) AS core_degree,
+       |  v.converged
+       |FROM nodes n LEFT JOIN core c ON c.src = n.id, conv v
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_kcore" -> (kcore _),
     "g_degree_stats" -> (degreeStats _),
     "g_community" -> (community _),
     "g_bfs" -> (bfs _),
@@ -544,6 +630,7 @@ object Graph {
     "g_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "g_kcore" -> kcoreSql,
     "g_degree_stats" -> degreeStatsSql,
     "g_community" -> communitySql,
     "g_bfs" -> bfsSql,

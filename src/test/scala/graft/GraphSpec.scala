@@ -131,6 +131,35 @@ class GraphSpec extends SparkSpec {
     assert(got.exists { case (id, l) => id % 5 != 0 && l != -1L })
   }
 
+  test("kcore: survives/degree flags match a 4-round synchronous peeling replay") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val allNodes = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+    var edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSeq
+    var removedInLast = 0L
+    for (_ <- 1 to 4) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter { case (u, v) => keep(u) && keep(v) }
+      removedInLast = edges.length.toLong - next.length.toLong
+      edges = next
+    }
+    val coreDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val converged = removedInLast == 0L
+    val got = Graph.kcore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("in_2core"), r.getAs[Long]("core_degree"),
+          r.getAs[Boolean]("converged")))).toMap
+    val expected = allNodes.map(id =>
+      id -> ((coreDeg.contains(id), coreDeg.getOrElse(id, 0L), converged))).toMap
+    assert(got == expected,
+      s"kcore diverges: ${got.toSet.diff(expected.toSet).take(3)}")
+    // the planted near-dup clusters give a non-trivial core AND some peeled pendants
+    assert(got.values.exists(_._1) && got.values.exists(!_._1),
+      "expected both core and non-core docs in the fixture graph")
+  }
+
   test("linkpred: pairs are non-adjacent, share >= 1 neighbor, cn verified in-memory") {
     import org.apache.spark.sql.functions.col
     val edges = Dedup.embedDup(spark, sf)
