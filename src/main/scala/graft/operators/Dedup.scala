@@ -1217,7 +1217,76 @@ object Dedup {
         |WHERE c.doc_id IS NULL
         |ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------------ threshold sweep
+
+  /** Dedup-aggressiveness curve: for each Jaccard threshold t in
+    * {0.5 … 0.9}, the surviving near-dup pair count, the number of
+    * documents those pairs touch, and that count as a fraction of the
+    * corpus — the measurement that picks the threshold BEFORE a 100 TB
+    * dedup run (too low deletes distinct docs, too high keeps template
+    * families). Pairs come from the exact [[ngramJaccard]] table (zero
+    * false negatives at j ≥ 0.5), computed once; each pair votes into
+    * every threshold ≤ its jaccard via a 5-literal explode (map-side,
+    * ≤5× fan-out), so the pair table is never re-scanned per threshold.
+    * Counts are exact longs; dup_rate is one IEEE division per
+    * threshold row over the broadcast corpus-count scalar. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = ngramJaccard(s, d)
+    val voted = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(ts.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val np = voted.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = voted
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("threshold").agg(countDistinct(col("doc")).as("n_dup_docs"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    ts.toDF("threshold")
+      .join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        ExactRound.r(coalesce(col("n_dup_docs"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+      .orderBy("threshold")
+  }
+
+  /** SQL twin: brute-force pair table ≥ 0.5, threshold votes via an
+    * unnested DOUBLE literal list, same rounded division. */
+  val thresholdSweepSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, $jaccardSqlExpr AS j
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardSqlExpr >= 0.5
+       |), th AS (
+       |  SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold
+       |), hits AS (
+       |  SELECT t.threshold, p.da, p.db FROM th t JOIN pairs p ON p.j >= t.threshold
+       |), np AS (
+       |  SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY threshold
+       |), nd AS (
+       |  SELECT threshold, count(DISTINCT doc) AS n_dup_docs
+       |  FROM (SELECT threshold, unnest([da, db]) AS doc FROM hits) GROUP BY threshold
+       |), tot AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT t.threshold,
+       |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(nd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       |  ${ExactRound.rSql("CAST(coalesce(nd.n_dup_docs, 0) AS DOUBLE) / tot.n_docs", 6)} AS dup_rate
+       |FROM th t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold), tot
+       |ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_threshold_sweep" -> (thresholdSweep _),
     "d_containment_join" -> (containmentJoin _),
     "d_keep_best" -> (keepBest _),
     "d_keep_all" -> (keepAll _),
@@ -1236,6 +1305,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_threshold_sweep" -> thresholdSweepSql,
     "d_containment_join" -> containmentJoinSql,
     "d_keep_best" -> keepBestSql,
     "d_keep_all" -> keepAllSql,

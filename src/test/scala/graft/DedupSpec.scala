@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(viaPrefix == viaLsh, "two exact algorithms must agree")
   }
 
+  test("threshold sweep: counts replay exactly from the pair table and are monotone") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    val got = Dedup.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_dup_docs"), r.getAs[Double]("dup_rate")))
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    got.foreach { case (t, np, nd, rate) =>
+      val hits = pairs.filter(_._3 >= t)
+      val docs = hits.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(np == hits.length.toLong, s"n_pairs at $t")
+      assert(nd == docs.size.toLong, s"n_dup_docs at $t")
+      assert(rate == math.round(docs.size.toDouble / nDocs * 1e6) / 1e6, s"dup_rate at $t")
+    }
+    // the curve is monotone non-increasing in the threshold
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.head._2 > 0, "fixture plants near-dups at j >= 0.5")
+  }
+
   test("simhash pairs have hamming <= 3 and are deduplicated") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
