@@ -642,7 +642,70 @@ object TextAnalysis {
             |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1))""".stripMargin, 4)} AS flesch
        |FROM counts ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary concentration (Zipf head-coverage): what fraction of all
+    * token occurrences the top-k most frequent tokens cover, for
+    * k ∈ {1, 10, 100, 1000} — the corpus-health check before tokenizer
+    * training or quality filtering (a template-polluted crawl shows
+    * head coverage far above natural-language Zipf). The frequency table
+    * is one wordcount-shape partial agg; the global top-1000 comes from
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition heaps, never
+    * a global sort), so vocabulary size never hits a single partition;
+    * each top token then votes into every k ≥ its rank via a 4-literal
+    * explode. Counts exact longs, coverage one rounded IEEE division. */
+  def zipf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(1L, 10L, 100L, 1000L)
+    val tf = graft.Tables.parallelize(Tables.documents(s, d))
+      .select(explode(split(trim(col("text")), "[ \t\n\r]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = tf.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val top = tf.orderBy(col("cnt").desc, col("token")).limit(1000)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("token"))))
+    val head = top
+      .select(col("cnt"), col("rnk"), explode(array(ks.map(lit): _*)).as("k"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy("k").agg(sum(col("cnt")).as("head_tokens"))
+    ks.toDF("k")
+      .join(head, Seq("k"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("k"),
+        coalesce(col("head_tokens"), lit(0L)).as("head_tokens"),
+        col("total_tokens"), col("vocab_size"),
+        ExactRound.r(coalesce(col("head_tokens"), lit(0L)).cast("double")
+          / col("total_tokens"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
+  /** SQL twin: same frequency table, rank via row_number with the
+    * identical (cnt DESC, token) tie-break, BIGINT casts on the sums
+    * (DuckDB sums BIGINT into HUGEINT). */
+  val zipfSql: String =
+    s"""WITH tf AS (
+       |  SELECT token, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS token FROM documents
+       |  ) WHERE token <> '' GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens, count(*) AS vocab_size FROM tf
+       |), top AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+       |  FROM tf ORDER BY cnt DESC, token LIMIT 1000
+       |), ks AS (
+       |  SELECT unnest([1, 10, 100, 1000]::BIGINT[]) AS k
+       |), head AS (
+       |  SELECT ks.k, CAST(sum(t.cnt) AS BIGINT) AS head_tokens
+       |  FROM ks JOIN top t ON t.rnk <= ks.k GROUP BY ks.k
+       |)
+       |SELECT ks.k, coalesce(h.head_tokens, 0) AS head_tokens,
+       |  tot.total_tokens, tot.vocab_size,
+       |  ${ExactRound.rSql("CAST(coalesce(h.head_tokens, 0) AS DOUBLE) / tot.total_tokens", 6)} AS coverage
+       |FROM ks LEFT JOIN head h USING (k), tot
+       |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_zipf" -> (zipf _),
     "t_readability" -> (readability _),
     "t_sentences" -> (sentences _),
     "t_ttr" -> (ttr _),
@@ -662,6 +725,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_zipf" -> zipfSql,
     "t_readability" -> readabilitySql,
     "t_sentences" -> sentencesSql,
     "t_ttr" -> ttrSql,

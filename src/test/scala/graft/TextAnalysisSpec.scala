@@ -118,4 +118,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t_zipf: head coverage replays from an in-memory frequency table, monotone in k") {
+    val freqs = Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").trim.split("[ \t\n\r]+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = freqs.values.sum
+    val ranked = freqs.toSeq.sortBy { case (t, c) => (-c, t) }
+    val got = TextAnalysis.zipf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("head_tokens"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("vocab_size"),
+        r.getAs[Double]("coverage")))
+    assert(got.map(_._1).toSeq == Seq(1L, 10L, 100L, 1000L))
+    got.foreach { case (k, head, tot, vocab, cov) =>
+      val expHead = ranked.take(k.toInt).map(_._2).sum
+      assert(head == expHead, s"head_tokens at k=$k")
+      assert(tot == total && vocab == freqs.size.toLong)
+      assert(cov == math.round(expHead.toDouble / total * 1e6) / 1e6, s"coverage at k=$k")
+    }
+    // coverage is monotone non-decreasing in k and bounded by 1
+    val covs = got.map(_._5).toSeq
+    assert(covs == covs.sorted && covs.forall(_ <= 1.0))
+  }
+
 }
