@@ -35,6 +35,13 @@ object GraftConf {
     math.max(1, math.min(cap,
       ((nEdges + edgesPerPartition - 1) / edgesPerPartition).toInt))
 
+  /** Per-user admission cap per tumbling UTC day for the streaming rate
+    * throttle ([[graft.streaming.EventStream.throttle]]). COUPLED TO THE
+    * ORACLE (the cap appears as a literal in the SQL twin); production
+    * deployments retune per abuse-policy, with window width a code
+    * change for the same reason. */
+  val throttleCapPerDay: Long = 3L
+
   /** Conf key overriding streaming shuffle sizing: stateful streaming
     * allocates one state store per shuffle partition per micro-batch,
     * so deployments with known key cardinality pin this. */

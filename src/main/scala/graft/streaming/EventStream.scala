@@ -26,6 +26,12 @@ object EventStream {
     * and agree with the batch/oracle arithmetic bit-for-bit. */
   case class SessionState(start: Long, end: Long, n: Long, totalMicros: Long)
 
+  /** Per-user throttle state for [[throttle]]: the open day window and
+    * how many events it has seen. ONE pair per active user — event-time
+    * ordering within the group means an older window can never receive
+    * another event, so the counter is overwritten, not accumulated. */
+  case class ThrottleState(dayUs: Long, n: Long)
+
   /** Exact cross-engine money sum rounded to cents — see
     * [[graft.operators.ExactRound.moneySum]]. */
   private def moneySum(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -414,6 +420,91 @@ object EventStream {
       |ORDER BY user_id, session_id""".stripMargin
       .replace("MONEY_SUM", moneySumSql("value"))
 
+  /** Streaming admission control (per-user rate cap): at most
+    * [[graft.GraftConf.throttleCapPerDay]] events per user per tumbling
+    * UTC day are admitted, in (event-time, event_id) order; EVERY event
+    * gets a decision row (append stream) carrying its within-window
+    * rank — the quota/abuse-control operator an ingestion edge runs,
+    * with the audit trail of what was dropped. State is one
+    * (window, count) pair per active user ([[ThrottleState]]): events
+    * are processed in event-time order within the group, so opening a
+    * later window overwrites the old counter, and event-time timeout
+    * removes a user's state one minute past its window end — bounded
+    * state at any stream length. Late events behind the watermark are
+    * dropped by the engine in production; under the harness's
+    * single-batch execution the decision table is a pure function of
+    * the data, so it carries a bit-exact batch oracle
+    * (row_number ≤ cap per (user, day)). */
+  def throttle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val session = s
+    import session.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cap = graft.GraftConf.throttleCapPerDay
+    val dayUs = 86400L * 1000 * 1000
+    val events = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+    val decisions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ThrottleState, (Long, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[ThrottleState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
+          var cur = state.getOption
+          // same total order as the batch oracle: (event time, event_id)
+          batch.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, _, t, id) =>
+            val day = math.floorDiv(t, dayUs) * dayUs
+            val n = cur match {
+              case Some(st) if st.dayUs == day => st.n + 1
+              case _                           => 1L
+            }
+            cur = Some(ThrottleState(day, n))
+            out += ((userId, id, day, n, n <= cap))
+          }
+          if (state.hasTimedOut) state.remove()
+          else cur.foreach { st =>
+            state.update(st)
+            // evict one minute past the window end (timeout API is ms)
+            state.setTimeoutTimestamp((st.dayUs + dayUs) / 1000 + 60000)
+          }
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "window_us", "rnk", "admitted")
+    val name = "graft_st_throttle"
+    runToMemorySink(s, d, decisions, name, "append")
+    s.table(name)
+      .select(col("user_id"), col("event_id"),
+        date_format(timestamp_micros(col("window_us")), fmt).as("window_start"),
+        col("rnk"), col("admitted"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Oracle for [[throttle]]: rank per (user, UTC day) in the identical
+    * (ts, event_id) order; DuckDB's 1-day time_bucket is epoch-midnight
+    * aligned, matching the engine's `floorDiv(ts_us, day)` bucketing. */
+  val throttleSql: String =
+    s"""WITH b AS (
+       |  SELECT user_id, event_id,
+       |    time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS w,
+       |    row_number() OVER (
+       |      PARTITION BY user_id, time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events
+       |)
+       |SELECT user_id, event_id,
+       |  strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  CAST(rn AS BIGINT) AS rnk,
+       |  rn <= ${graft.GraftConf.throttleCapPerDay} AS admitted
+       |FROM b
+       |ORDER BY user_id, event_id""".stripMargin
+
   /** Streaming deduplication: dropDuplicates on event_id with a watermark
     * bounding the dedup state, then per-type counts — the standard
     * exactly-once ingestion guard. Oracle: batch distinct counts. */
@@ -695,6 +786,7 @@ object EventStream {
     "st_sessionize_stream" -> (sessionizeStreamClosed _),
     "st_sessionize_final" -> (sessionizeStreamFinal _),
     "st_stream_join" -> (streamJoin _),
+    "st_throttle" -> (throttle _),
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
@@ -709,5 +801,6 @@ object EventStream {
     "st_sessionize_stream" -> sessionizeStreamClosedSql,
     "st_sessionize_final" -> sessionizeStreamFinalSql,
     "st_stream_join" -> streamJoinSql,
+    "st_throttle" -> throttleSql,
     "st_dedup" -> dedupStreamSql)
 }

@@ -76,4 +76,28 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(closed == nonFinal,
       s"gap-closed slice drifted: extra=${(closed -- nonFinal).take(3)} missing=${(nonFinal -- closed).take(3)}")
   }
+
+  test("throttle: decisions replay from an in-memory (user, day) rank; cap actually fires") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val dayUs = 86400L * 1000 * 1000
+    val cap = GraftConf.throttleCapPerDay
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.toSeq
+      .groupBy { case (u, _, t) => (u, math.floorDiv(t, dayUs)) }
+      .toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._3, e._2)).zipWithIndex.map { case ((u, id, _), i) =>
+          (u, id) -> ((i + 1).toLong, (i + 1).toLong <= cap)
+        }
+      }
+    val got = EventStream.throttle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        ((r.getAs[Long]("rnk"), r.getAs[Boolean]("admitted")))).toMap
+    assert(got.size == events.length, "one decision row per event")
+    assert(got == expected.toMap,
+      s"throttle diverges: ${got.toSet.diff(expected.toSet).take(3)}")
+    assert(got.values.exists(!_._2), "fixture has user-days over the cap; drops expected")
+    assert(got.values.count(_._2) > got.values.count(!_._2), "most events admitted")
+  }
 }
