@@ -791,7 +791,53 @@ object Similarity {
        |ORDER BY n_probe""".stripMargin
   }
 
+  /** Embedding-table health audit per label — the data-quality gate run
+    * BEFORE building any vector index: vector count, dimension min/max
+    * (a ragged dim breaks every downstream dot product), and the L2-norm
+    * profile (min/max/mean). A norm collapse to ~0 flags dead encoder
+    * outputs; wild norm spread flags a missing normalization step that
+    * would skew IVF cell assignment. Pure map-side partial aggregation —
+    * one wordcount-shape shuffle of 10 label rows at any corpus size.
+    * The mean norm follows the engine's exact-money discipline: per-row
+    * integer micros (`round(norm·10⁶)`), order-insensitive long sum, ONE
+    * IEEE division at the end — a double sum would be accumulation-order
+    * dependent and not cross-engine reproducible. */
+  def normStats(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+      .select(col("label").cast("long").as("label"),
+        size(col("v")).cast("long").as("dim"),
+        col("norm"),
+        round(col("norm") * lit(1000000L)).cast("long").as("norm_us"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        ExactRound.r(min(col("norm")), 6).as("norm_min"),
+        ExactRound.r(max(col("norm")), 6).as("norm_max"),
+        ExactRound.r(sum(col("norm_us")).cast("double") / count(lit(1)) / lit(1000000.0), 6)
+          .as("norm_mean"))
+      .orderBy("label")
+
+  /** SQL twin: `list_inner_product` on DOUBLE[] matches the native
+    * DotProduct fold, sqrt is IEEE-exact on both engines, and the mean
+    * replays the identical micros-sum arithmetic. */
+  val normStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    CAST(len(embedding) AS BIGINT) AS dim,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT label, count(*) AS n_vecs,
+       |  min(dim) AS dim_min, max(dim) AS dim_max,
+       |  ${ExactRound.rSql("min(nrm)", 6)} AS norm_min,
+       |  ${ExactRound.rSql("max(nrm)", 6)} AS norm_max,
+       |  ${ExactRound.rSql(
+            "CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0", 6)} AS norm_mean
+       |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_norm_stats" -> (normStats _),
     "s_ivf_probe_sweep" -> (ivfProbeSweep _),
     "s_mmr" -> (mmr _),
     "s_ivf_stats" -> (ivfStats _),
@@ -807,6 +853,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_norm_stats" -> normStatsSql,
     "s_ivf_probe_sweep" -> ivfProbeSweepSql,
     "s_mmr" -> mmrSql,
     "s_ivf_stats" -> ivfStatsSql,

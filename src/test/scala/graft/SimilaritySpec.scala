@@ -182,4 +182,29 @@ class SimilaritySpec extends SparkSpec {
       assert(scanned > 0)
     }
   }
+
+  test("norm stats: per-label profile replays from collected vectors; dims uniform") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label").toLong,
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)))
+    val expected = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      val norms = vs.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+      val meanUs = norms.map(n => math.round(n * 1e6)).sum.toDouble / norms.size / 1e6
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      lbl -> ((vs.size.toLong, r6(norms.min), r6(norms.max), r6(meanUs)))
+    }
+    val got = Similarity.normStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("norm_min"),
+          r.getAs[Double]("norm_max"), r.getAs[Double]("norm_mean")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (lbl, (n, mn, mx, mean)) =>
+      val (en, emn, emx, emean) = expected(lbl)
+      assert(n == en && mn == emn && mx == emx && mean == emean, s"label $lbl drifted")
+      assert(mn <= mean && mean <= mx)
+    }
+    val dims = Similarity.normStats(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim_min"), r.getAs[Long]("dim_max")))
+    assert(dims.forall { case (a, b) => a == 64L && b == 64L }, "fixture dims are uniform 64")
+  }
 }
