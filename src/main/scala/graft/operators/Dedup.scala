@@ -1285,7 +1285,62 @@ object Dedup {
        |FROM th t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold), tot
        |ORDER BY threshold""".stripMargin
 
+  // ------------------------------------------------------ source overlap
+
+  /** Cross-source duplication matrix: near-dup pair counts per
+    * unordered (source, source) cell — the measurement that identifies
+    * MIRROR/scraper sources (an off-diagonal hot cell means two crawl
+    * sources carry the same content; the diagonal is within-source
+    * boilerplate). Feeds the keep-which-source policy decision that
+    * plain doc-level dedup can't inform. The exact pair table
+    * ([[ngramJaccard]]) joins `documents.source` twice on doc_id —
+    * two hash joins against a map-side projection, then one partial-agg
+    * rollup; the pair ordering is normalized with least/greatest
+    * (binary string order on both engines) so the matrix is
+    * upper-triangle. pair_share is one rounded IEEE division over the
+    * broadcast total-pair scalar. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val labeled = ngramJaccard(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val tot = labeled.agg(count(lit(1)).as("n_total"))
+    labeled.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        ExactRound.r(col("n_pairs").cast("double") / col("n_total"), 6).as("pair_share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** SQL twin: brute-force pair table, two source joins, same
+    * least/greatest normalization and rounded share. */
+  val sourceOverlapSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |), pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardSqlExpr >= 0.5
+       |), lab AS (
+       |  SELECT least(x.source, y.source) AS source_a,
+       |         greatest(x.source, y.source) AS source_b
+       |  FROM pairs p JOIN documents x ON p.da = x.doc_id
+       |               JOIN documents y ON p.db = y.doc_id
+       |), tot AS (SELECT count(*) AS n_total FROM lab)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  ${ExactRound.rSql("CAST(count(*) AS DOUBLE) / t.n_total", 6)} AS pair_share
+       |FROM lab, tot t
+       |GROUP BY source_a, source_b, t.n_total
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_source_overlap" -> (sourceOverlap _),
     "d_threshold_sweep" -> (thresholdSweep _),
     "d_containment_join" -> (containmentJoin _),
     "d_keep_best" -> (keepBest _),
@@ -1305,6 +1360,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_source_overlap" -> sourceOverlapSql,
     "d_threshold_sweep" -> thresholdSweepSql,
     "d_containment_join" -> containmentJoinSql,
     "d_keep_best" -> keepBestSql,

@@ -57,6 +57,29 @@ class DedupSpec extends SparkSpec {
     assert(got.head._2 > 0, "fixture plants near-dups at j >= 0.5")
   }
 
+  test("source overlap: matrix replays from the pair table, shares sum to 1") {
+    val srcOf = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("pair_share")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, share)) =>
+      assert(n == expected(k), s"n_pairs at $k")
+      assert(share == math.round(n.toDouble / pairs.length * 1e6) / 1e6, s"share at $k")
+      assert(k._1 <= k._2, "matrix is upper-triangle")
+    }
+    assert(got.values.map(_._1).sum == pairs.length.toLong, "cells partition the pairs")
+  }
+
   test("simhash pairs have hamming <= 3 and are deduplicated") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
