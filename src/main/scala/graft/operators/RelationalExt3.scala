@@ -165,12 +165,80 @@ object RelationalExt3 {
       |FROM wau w LEFT JOIN dau d USING (day)
       |ORDER BY day""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the SAME
+    * user's latest click at-or-before it, within a 7-day lookback — the
+    * marketing-attribution query (q41's funnel aggregates conversion;
+    * this emits the per-conversion credit assignment an ads pipeline
+    * joins spend against). The as-of machinery is q26's: a per-(user,
+    * ts) click map (max event_id breaks same-instant ties), one union +
+    * running-window max to find each purchase's last click instant
+    * (kind sorts clicks first, so at-or-before is inclusive), one
+    * equi-join back for the click id — one shuffle-sort per user, no
+    * range-join explosion. Purchases with no click in the window are
+    * excluded (unattributed). time_to_convert_us is exact long micros. */
+  def q44Attribution(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val lookbackUs = 7L * 86400 * 1000 * 1000
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val cm = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("click_id"))
+    val u = cm.select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "kind")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    u.withColumn("last_cts", max(when(col("kind") === 0, col("ts_us"))).over(w))
+      .filter(col("kind") === 1 && col("last_cts").isNotNull
+        && col("ts_us") - col("last_cts") <= lookbackUs)
+      .join(cm.withColumnRenamed("ts_us", "last_cts"), Seq("user_id", "last_cts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        date_format(timestamp_micros(col("ts_us")), fmt).as("purchase_ts"),
+        col("click_id"),
+        date_format(timestamp_micros(col("last_cts")), fmt).as("click_ts"),
+        (col("ts_us") - col("last_cts")).as("time_to_convert_us"))
+      .orderBy("purchase_id")
+  }
+
+  val q44Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), cm AS (
+      |  SELECT user_id, ts_us, max(event_id) AS click_id
+      |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+      |), u AS (
+      |  SELECT user_id, ts_us, 0 AS kind, CAST(NULL AS BIGINT) AS event_id FROM cm
+      |  UNION ALL
+      |  SELECT user_id, ts_us, 1, event_id FROM ev WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT *, max(CASE WHEN kind = 0 THEN ts_us END) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us, kind
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_cts
+      |  FROM u
+      |)
+      |SELECT w.event_id AS purchase_id, w.user_id,
+      |  strftime(make_timestamp(w.ts_us), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  cm.click_id,
+      |  strftime(make_timestamp(w.last_cts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  w.ts_us - w.last_cts AS time_to_convert_us
+      |FROM w JOIN cm ON w.user_id = cm.user_id AND w.last_cts = cm.ts_us
+      |WHERE w.kind = 1 AND w.ts_us - w.last_cts <= 604800000000
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_funnel" -> (q41Funnel _),
     "q42_retention" -> (q42Retention _),
-    "q43_trailing_dau" -> (q43TrailingDau _))
+    "q43_trailing_dau" -> (q43TrailingDau _),
+    "q44_attribution" -> (q44Attribution _))
 
   val oracles: Map[String, String] = Map(
+    "q44_attribution" -> q44Sql,
     "q41_funnel" -> q41Sql,
     "q42_retention" -> q42Sql,
     "q43_trailing_dau" -> q43Sql)

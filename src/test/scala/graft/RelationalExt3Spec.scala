@@ -75,4 +75,33 @@ class RelationalExt3Spec extends SparkSpec {
       assert(r.getAs[Long]("month_offset") >= 0L)
     }
   }
+
+  test("q44_attribution: credit replays from an in-memory last-click scan") {
+    import org.apache.spark.sql.functions.unix_micros
+    val lookbackUs = 7L * 86400 * 1000 * 1000
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val expected = ev.filter(_._3 == "purchase").flatMap { case (pid, u, _, pts) =>
+      val cands = clicksByUser.getOrElse(u, Array.empty)
+        .filter(c => c._4 <= pts && pts - c._4 <= lookbackUs)
+      if (cands.isEmpty) None
+      else {
+        // latest click instant; max event_id breaks same-instant ties
+        val best = cands.maxBy(c => (c._4, c._1))
+        Some(pid -> ((best._1, pts - best._4)))
+      }
+    }.toMap
+    val got = RelationalExt3.q44Attribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        ((r.getAs[Long]("click_id"), r.getAs[Long]("time_to_convert_us")))).toMap
+    assert(got == expected,
+      s"attribution diverges: ${got.toSet.diff(expected.toSet).take(3)}")
+    assert(got.nonEmpty && got.values.forall(_._2 >= 0L))
+    // some purchases fall outside the 7-day lookback and stay unattributed
+    assert(got.size < ev.count(_._3 == "purchase"), "lookback must exclude someone")
+  }
 }
