@@ -512,7 +512,53 @@ object Pipeline {
       |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, ',' ORDER BY doc_id)) AS manifest_md5
       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Training-mix epoch planning: given a token budget equal to the
+    * corpus total and a UNIFORM per-source mixture, how many epochs of
+    * each source the sampler must run — the data-mix plan (à la
+    * published LLM recipes: small high-value sources repeat, huge
+    * sources are undersampled) computed from exact token counts, not
+    * estimates. Per source: doc count, token count, uniform target,
+    * epochs = ⌈target/n_tokens⌉ in pure integer arithmetic (no FP
+    * rounding at any step), and the oversample flag. One map-side token
+    * count + a 20-row per-source agg + a broadcast totals scalar; the
+    * budget/weights are policy inputs a deployment edits in code, the
+    * shape stays two tiny aggregations at any corpus size. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val perDoc = graft.Tables.parallelize(graft.Tables.documents(s, d))
+      .select(col("source"),
+        size(split(trim(col("text")), "[ \t\n\r]+")).cast("long").as("n_toks"))
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val tot = perSrc.agg(sum("n_tokens").as("budget"), count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("budget div n_sources"))
+      .withColumn("epochs", expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("epochs"), (col("epochs") > 1L).as("oversampled"))
+      .orderBy("source")
+  }
+
+  /** SQL twin: identical integer ceil-division; BIGINT casts because
+    * DuckDB sums BIGINT into HUGEINT. */
+  val tokenBudgetSql: String =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(trim(text), '[ \t\n\r]+')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |), persrc AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |  FROM perdoc GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS budget, count(*) AS n_sources FROM persrc
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  budget // n_sources AS target_tokens,
+      |  (budget // n_sources + n_tokens - 1) // n_tokens AS epochs,
+      |  ((budget // n_sources + n_tokens - 1) // n_tokens) > 1 AS oversampled
+      |FROM persrc, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_token_budget" -> (tokenBudget _),
     "p_manifest" -> (manifest _),
     "p_shard_write" -> (shardWrite _),
     "p_dataset_diff" -> (datasetDiff _),
@@ -526,6 +572,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_token_budget" -> tokenBudgetSql,
     "p_manifest" -> manifestSql,
     "p_shard_write" -> manifestSql,
     "p_dataset_diff" -> datasetDiffSql,

@@ -836,7 +836,57 @@ object Similarity {
             "CAST(sum(CAST(round(nrm * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0", 6)} AS norm_mean
        |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  /** Pairwise-cosine histogram over a deterministic pair sample — the
+    * embedding-COLLAPSE check that complements [[normStats]]: healthy
+    * embeddings put unrelated pairs near 0 cosine; a distribution piled
+    * against 1.0 means the encoder collapsed and every ANN structure
+    * built on it is garbage. The sample pairs each vector with its
+    * id-successor (ids are assigned independently of embedding space,
+    * so adjacent-id pairs are as unbiased as random ones — and
+    * deterministic, so the histogram carries a bit-exact oracle). 20
+    * equal buckets over [−1, 1]; one narrow self-join on the id, one
+    * 20-row rollup, share via the broadcast pair-count scalar. */
+  def cosHist(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val a = vs.select(col("vec_id").as("ida"), col("v").as("va"), col("norm").as("na"))
+    val b = vs.select((col("vec_id") - 1L).as("ida"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = a.join(b, "ida")
+      .select(ExactRound.r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("c"))
+    val tot = pairs.agg(count(lit(1)).as("n_total"))
+    pairs
+      .select(least(floor((col("c") + lit(1.0)) * lit(10.0)).cast("long"), lit(19L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (lit(-1.0) + col("bucket").cast("double") * lit(0.1)).as("lo"),
+        col("n_pairs"),
+        ExactRound.r(col("n_pairs").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("bucket")
+  }
+
+  /** SQL twin: same successor pairing, rounded cosine, and identical
+    * IEEE bucket arithmetic (the floor sees the same product bits). */
+  val cosHistSql: String = {
+    val cos = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT $cos AS c FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+       |), tot AS (SELECT count(*) AS n_total FROM pairs
+       |), hist AS (
+       |  SELECT least(CAST(floor((c + 1.0) * 10.0) AS BIGINT), 19) AS bucket,
+       |    count(*) AS n_pairs
+       |  FROM pairs GROUP BY 1
+       |)
+       |SELECT bucket, -1.0 + CAST(bucket AS DOUBLE) * 0.1 AS lo, n_pairs,
+       |  ${ExactRound.rSql("CAST(n_pairs AS DOUBLE) / t.n_total", 6)} AS share
+       |FROM hist, tot t ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cos_hist" -> (cosHist _),
     "s_norm_stats" -> (normStats _),
     "s_ivf_probe_sweep" -> (ivfProbeSweep _),
     "s_mmr" -> (mmr _),
@@ -853,6 +903,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_cos_hist" -> cosHistSql,
     "s_norm_stats" -> normStatsSql,
     "s_ivf_probe_sweep" -> ivfProbeSweepSql,
     "s_mmr" -> mmrSql,

@@ -73,4 +73,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("token budget: epochs replay from exact token counts; realized >= target") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("[ \t\n\r]+").length.toLong))
+    val perSrc = docs.groupBy(_._1).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._2).sum)).toMap
+    val budget = perSrc.values.map(_._2).sum
+    val target = budget / perSrc.size
+    val got = Pipeline.tokenBudget(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs"),
+          r.getAs[Boolean]("oversampled")))).toMap
+    assert(got.keySet == perSrc.keySet)
+    got.foreach { case (src, (nd, nt, tgt, ep, over)) =>
+      val (end, ent) = perSrc(src)
+      assert(nd == end && nt == ent, s"counts at $src")
+      assert(tgt == target)
+      assert(ep == (target + nt - 1) / nt, s"epochs at $src")
+      assert(ep * nt >= target, "realized tokens cover the target")
+      assert((ep - 1) * nt < target, "epochs is the MINIMAL cover")
+      assert(over == (ep > 1L))
+    }
+  }
+
 }

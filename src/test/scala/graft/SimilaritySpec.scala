@@ -207,4 +207,33 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("dim_min"), r.getAs[Long]("dim_max")))
     assert(dims.forall { case (a, b) => a == 64L && b == 64L }, "fixture dims are uniform 64")
   }
+
+  test("cos hist: buckets replay from successor-pair cosines, shares sum to 1") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val cosines = vecs.keys.toSeq.flatMap { id =>
+      vecs.get(id + 1).map { w =>
+        val v = vecs(id)
+        val c = dot(v, w) / (math.sqrt(dot(v, v)) * math.sqrt(dot(w, w)))
+        // HALF_UP away from zero — math.round would differ on negative ties
+        BigDecimal(c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+      }
+    }
+    val expected = cosines
+      .map(c => math.min(math.floor((c + 1.0) * 10.0).toLong, 19L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Similarity.cosHist(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("share")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (bkt, (n, share)) =>
+      assert(n == expected(bkt), s"count at bucket $bkt")
+      assert(share == math.round(n.toDouble / cosines.size * 1e6) / 1e6)
+    }
+    assert(got.values.map(_._1).sum == cosines.size.toLong)
+    // synthetic embeddings are not collapsed: no single bucket holds everything
+    assert(got.size > 1)
+  }
 }
