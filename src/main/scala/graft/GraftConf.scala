@@ -66,6 +66,13 @@ object GraftConf {
   val lshBandRowsCandidates: Int = 4
   val lshBandRowsVerify: Int = 2
 
+  /** Prefix length (whitespace tokens) for prefix-duplicate detection
+    * ([[graft.operators.Dedup.prefixDup]]). Long enough that chance
+    * collisions vanish on natural text, short enough to catch
+    * truncation twins and shared boilerplate heads that diverge later.
+    * COUPLED TO THE ORACLE (the SQL twin slices the same count). */
+  val prefixDupTokens: Int = 8
+
   /** Floor on the angular-cell count for exact embedding near-dup
     * blocking (cells scale as ⌈√n⌉ above it). Below ~32 cells the
     * per-cell populations are so large that blocking stops pruning. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftConf, Tables}
 
 /** Deduplication family for LLM training-data pipelines (SURVEY.md §2D).
   *
@@ -46,6 +46,49 @@ object Dedup {
       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fp
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
+
+  /** Prefix-duplicate groups: documents whose normalized first
+    * [[GraftConf.prefixDupTokens]] tokens are IDENTICAL — the
+    * truncation-twin / shared-boilerplate-head relation that full-content
+    * hashing ([[exact]]) misses (the tails differ) and Jaccard underrates
+    * (8 shared tokens out of hundreds is far below any near-dup
+    * threshold). One row per group of ≥ 2: canonical id, size, how many
+    * sources it spans (boilerplate heads usually span several), and the
+    * head itself for triage.
+    *
+    * Shape: map-side prefix extraction, then ONE two-phase aggregation
+    * keyed on the ≤ 8-token string (the shuffle rows are already
+    * group-reduced by the partial agg; the distinct-source count rides
+    * the same shuffle as a partial `collect_set`-style distinct). At
+    * 100 TB the only retune is keying on `xxhash64(pfx)` and carrying
+    * `min(pfx)` to shrink shuffle keys — same plan shape. */
+  def prefixDup(s: SparkSession, d: String): DataFrame = {
+    val pfx = array_join(
+      slice(split(trim(lower(col("text"))), WS), 1, GraftConf.prefixDupTokens), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), pfx.as("pfx"))
+      .groupBy("pfx")
+      .agg(
+        min("doc_id").as("canonical_id"),
+        count(lit(1)).as("group_size"),
+        countDistinct("source").as("n_sources"))
+      .filter(col("group_size") > 1)
+      .select(col("canonical_id"), col("group_size"), col("n_sources"), col("pfx"))
+      .orderBy("canonical_id")
+  }
+
+  /** SQL twin: identical token slice and grouping. */
+  val prefixDupSql: String =
+    s"""SELECT min(doc_id) AS canonical_id, count(*) AS group_size,
+       |  count(DISTINCT source) AS n_sources, pfx
+       |FROM (
+       |  SELECT doc_id, source,
+       |    array_to_string(list_slice(
+       |      string_split_regex(trim(lower(text)), '[ \\t\\n\\r]+'),
+       |      1, ${GraftConf.prefixDupTokens}), ' ') AS pfx
+       |  FROM documents)
+       |GROUP BY pfx HAVING count(*) > 1
+       |ORDER BY canonical_id""".stripMargin
 
   // ------------------------------------------------------------- shingles
 
@@ -1340,6 +1383,7 @@ object Dedup {
        |ORDER BY source_a, source_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_prefix_dup" -> (prefixDup _),
     "d_source_overlap" -> (sourceOverlap _),
     "d_threshold_sweep" -> (thresholdSweep _),
     "d_containment_join" -> (containmentJoin _),
@@ -1360,6 +1404,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_prefix_dup" -> prefixDupSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_threshold_sweep" -> thresholdSweepSql,
     "d_containment_join" -> containmentJoinSql,

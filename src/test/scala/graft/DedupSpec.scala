@@ -360,4 +360,22 @@ class DedupSpec extends SparkSpec {
       s"candidate sets diverge: extra=${(got -- naive).take(3)} missing=${(naive -- got).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("prefix dup: groups replay from an in-memory prefix index, all >= 2 docs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map { r =>
+        val pfx = r.getAs[String]("text").trim.toLowerCase
+          .split("[ \t\n\r]+").take(GraftConf.prefixDupTokens).mkString(" ")
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), pfx)
+      }
+    val expected = docs.groupBy(_._3).filter(_._2.length > 1).map { case (pfx, ds) =>
+      ds.map(_._1).min -> ((ds.length.toLong, ds.map(_._2).distinct.length.toLong, pfx))
+    }
+    val got = Dedup.prefixDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("canonical_id") ->
+        ((r.getAs[Long]("group_size"), r.getAs[Long]("n_sources"),
+          r.getAs[String]("pfx")))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.forall(_._1 >= 2L))
+  }
 }
