@@ -231,13 +231,79 @@ object RelationalExt3 {
       |WHERE w.kind = 1 AND w.ts_us - w.last_cts <= 604800000000
       |ORDER BY purchase_id""".stripMargin
 
+  /** Revenue-concentration audit (Lorenz/Pareto deciles): customers
+    * bucketed into 10 revenue deciles, per decile the customer count,
+    * exact revenue, revenue share, and cumulative share — "do 10 % of
+    * customers carry 50 % of revenue?" answered exactly. Per-customer
+    * revenue sums in integer micros (order-free); decile edges come from
+    * ONE 9-value percentile aggregate broadcast back for map-side
+    * assignment (the p_curriculum discipline — NO global rank/ntile
+    * window, which would funnel every customer through one partition;
+    * threshold assignment keys the same answer at any scale). The
+    * cumulative window runs over exactly 10 rows. */
+  def q45Pareto(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * lit(1000000L)).cast("long")).as("rev_us"))
+    val qs = (1 to 9).map(k => s"0.${k}D").mkString(", ")
+    val edges = rev.agg(expr(s"percentile(rev_us, array($qs))").as("es"))
+      .select((1 to 9).map(k => element_at(col("es"), k).as(s"e$k")): _*)
+    val decile = (1 to 9).map(k => (col("rev_us") > col(s"e$k")).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
+    val byDec = rev.crossJoin(broadcast(edges))
+      .select(col("rev_us"), decile.as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev_us").as("dec_us"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = byDec.agg(sum("dec_us").as("tot_us"))
+    byDec.withColumn("cum_us", sum("dec_us").over(wd))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        ExactRound.r(col("dec_us").cast("double") / lit(1000000.0), 2).as("revenue_total"),
+        ExactRound.r(col("dec_us").cast("double") / col("tot_us"), 6).as("share"),
+        ExactRound.r(col("cum_us").cast("double") / col("tot_us"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val q45Sql: String = {
+    val es = (1 to 9).map(k => s"quantile_cont(rev_us, 0.$k) AS e$k").mkString(", ")
+    val dec = (1 to 9).map(k => s"CAST(rev_us > e$k AS INT)").mkString(" + ")
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us
+       |  FROM orders GROUP BY 1
+       |), e AS (
+       |  SELECT $es FROM rev
+       |), dec AS (
+       |  SELECT rev_us, CAST(1 + $dec AS BIGINT) AS decile FROM rev, e
+       |), byd AS (
+       |  SELECT decile, count(*) AS n_customers, CAST(sum(rev_us) AS BIGINT) AS dec_us
+       |  FROM dec GROUP BY 1
+       |), c AS (
+       |  SELECT decile, n_customers, dec_us,
+       |    CAST(sum(dec_us) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_us,
+       |    CAST(sum(dec_us) OVER () AS BIGINT) AS tot_us
+       |  FROM byd
+       |)
+       |SELECT decile, n_customers,
+       |  ${ExactRound.rSql("CAST(dec_us AS DOUBLE) / 1000000.0", 2)} AS revenue_total,
+       |  ${ExactRound.rSql("CAST(dec_us AS DOUBLE) / tot_us", 6)} AS share,
+       |  ${ExactRound.rSql("CAST(cum_us AS DOUBLE) / tot_us", 6)} AS cum_share
+       |FROM c ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_funnel" -> (q41Funnel _),
     "q42_retention" -> (q42Retention _),
     "q43_trailing_dau" -> (q43TrailingDau _),
-    "q44_attribution" -> (q44Attribution _))
+    "q44_attribution" -> (q44Attribution _),
+    "q45_pareto" -> (q45Pareto _))
 
   val oracles: Map[String, String] = Map(
+    "q45_pareto" -> q45Sql,
     "q44_attribution" -> q44Sql,
     "q41_funnel" -> q41Sql,
     "q42_retention" -> q42Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.RelationalExt3
+import graft.operators.{ExactRound, RelationalExt3}
 
 class RelationalExt3Spec extends SparkSpec {
 
@@ -103,5 +103,25 @@ class RelationalExt3Spec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(_._2 >= 0L))
     // some purchases fall outside the 7-day lookback and stay unattributed
     assert(got.size < ev.count(_._3 == "purchase"), "lookback must exclude someone")
+  }
+
+  test("q45_pareto: deciles conserve customers and revenue; cum_share ends at 1") {
+    val rows = RelationalExt3.q45Pareto(spark, sf).collect()
+    val revs = Tables.orders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ExactRound.valueMicros(r.getAs[Double]("o_totalprice")))
+      .groupBy(_._1).map { case (_, vs) => vs.map(_._2).sum }.toSeq
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == revs.size.toLong,
+      "deciles partition the customer set")
+    val totalRevenue = ExactRound.rScalar(revs.sum.toDouble / 1000000.0, 2)
+    assert(ExactRound.rScalar(
+      rows.map(_.getAs[Double]("revenue_total")).sum, 1) ==
+      ExactRound.rScalar(totalRevenue, 1), "revenue is conserved")
+    val cums = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("cum_share"))
+    assert(cums.last == 1.0, "cumulative share ends at exactly 1")
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, "cum_share strictly increases")
+    // concentration is real: the top decile outweighs the bottom one
+    val byDec = rows.map(r => r.getAs[Long]("decile") -> r.getAs[Double]("share")).toMap
+    assert(byDec(10L) > byDec(1L), "top revenue decile carries more share")
   }
 }
