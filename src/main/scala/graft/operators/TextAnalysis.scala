@@ -704,7 +704,63 @@ object TextAnalysis {
        |FROM ks LEFT JOIN head h USING (k), tot
        |ORDER BY k""".stripMargin
 
+  /** Cross-source vocabulary overlap: per unordered source pair, the
+    * Jaccard of the two sources' DISTINCT token vocabularies — the
+    * domain-shift signal mixture planners read (two web sources sharing
+    * 80 % of their vocabulary are near-interchangeable; a code source
+    * overlapping 15 % with news is genuinely novel mass). Complements
+    * [[graft.operators.Dedup.sourceOverlap]], which relates sources by
+    * shared near-dup DOCUMENTS: vocabularies can converge while no
+    * single document is duplicated.
+    *
+    * Shape: one distinct over (source, token) — vocabulary-sized, not
+    * corpus-sized — then a self-equi-join ON TOKEN whose per-token
+    * fan-out is bounded by source-pair count (≤ k² pairs for k sources,
+    * never corpus rows), a pair-count aggregate, and two broadcast
+    * joins against the k-row vocab-size table. Every shuffle is keyed
+    * on token or the 2-source pair; nothing scales with document
+    * count beyond the initial scan. */
+  def vocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.parallelize(Tables.documents(s, d))
+      .select(col("source"), explode(split(trim(lower(col("text"))), "[ \t\n\r]+")).as("tok"))
+      .distinct()
+    val sizes = tok.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = tok.as("a").join(tok.as("b"), "tok")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("v").as("v_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("v").as("v_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"), col("n_shared"),
+        ExactRound.r(col("n_shared").cast("double") / (col("v_a") + col("v_b") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** SQL twin: identical tokenization, distinct, and pair arithmetic. */
+  val vocabOverlapSql: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source,
+       |      unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r]+')) AS tok
+       |    FROM documents)
+       |), sizes AS (
+       |  SELECT source, count(*) AS v FROM tok GROUP BY source
+       |), inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source_a, source_b, sa.v AS v_a, sb.v AS v_b, n_shared,
+       |  ${ExactRound.rSql("CAST(n_shared AS DOUBLE) / (sa.v + sb.v - n_shared)", 6)} AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_vocab_overlap" -> (vocabOverlap _),
     "t_zipf" -> (zipf _),
     "t_readability" -> (readability _),
     "t_sentences" -> (sentences _),
@@ -725,6 +781,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_vocab_overlap" -> vocabOverlapSql,
     "t_zipf" -> zipfSql,
     "t_readability" -> readabilitySql,
     "t_sentences" -> sentencesSql,

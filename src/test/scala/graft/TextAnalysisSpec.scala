@@ -141,4 +141,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covs == covs.sorted && covs.forall(_ <= 1.0))
   }
 
+  test("vocab overlap: pair table replays from in-memory per-source vocabularies") {
+    val vocab = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, rows) =>
+        src -> rows.flatMap(_.getAs[String]("text").trim.toLowerCase
+          .split("[ \t\n\r]+")).toSet
+      }
+    val srcs = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = srcs(i); b = srcs(j)
+      inter = (vocab(a) & vocab(b)).size.toLong
+    } yield (a, b) -> ((vocab(a).size.toLong, vocab(b).size.toLong, inter))).toMap
+    val got = TextAnalysis.vocabOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("v_a"), r.getAs[Long]("v_b"), r.getAs[Long]("n_shared")))).toMap
+    assert(got == expected.filter(_._2._3 > 0L))
+    // jaccard is the exact ratio of the replayed integers
+    TextAnalysis.vocabOverlap(spark, sf).collect().foreach { r =>
+      val (va, vb, n) = (r.getAs[Long]("v_a"), r.getAs[Long]("v_b"), r.getAs[Long]("n_shared"))
+      assert(r.getAs[Double]("jaccard") ==
+        graft.operators.ExactRound.rScalar(n.toDouble / (va + vb - n), 6))
+    }
+  }
+
 }
