@@ -295,17 +295,113 @@ object RelationalExt3 {
        |FROM c ORDER BY decile""".stripMargin
   }
 
+  /** Year-over-year growth: monthly order revenue joined against the
+    * same calendar month one year earlier. Months key as exact integers
+    * (`year·12 + month − 1`, the q42_retention discipline —
+    * `add_months`/`months_between` round-trip through engine-specific
+    * date arithmetic); revenue sums as integer micros so the deltas and
+    * the growth ratio are bit-portable. The monthly rollup is one
+    * partial/final aggregate (raw orders never cross the shuffle); the
+    * YoY self-join runs over the ~80-row month table, so at 100 TB the
+    * only data-sized work is the scan + partial agg. Months without a
+    * prior-year counterpart (the first 12) are inner-joined away —
+    * growth against nothing is undefined, not zero. */
+  def q46Yoy(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")) - lit(1))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * lit(1000000L)).cast("long")).as("rev_us"))
+    val cur = monthly.select(col("ym"), col("n_orders"), col("rev_us"))
+    val prev = monthly.select((col("ym") + lit(12L)).as("ym"),
+      col("rev_us").as("prev_rev_us"))
+    cur.join(prev, "ym")
+      .select(
+        concat(format_string("%04d", (col("ym") / lit(12)).cast("int")), lit("-"),
+          format_string("%02d", (col("ym") % lit(12) + lit(1)).cast("int"))).as("month"),
+        col("n_orders"),
+        ExactRound.r(col("rev_us").cast("double") / lit(1000000.0), 2).as("revenue"),
+        ExactRound.r(col("prev_rev_us").cast("double") / lit(1000000.0), 2).as("prev_revenue"),
+        ExactRound.r((col("rev_us") - col("prev_rev_us")).cast("double") / lit(1000000.0), 2)
+          .as("yoy_delta"),
+        ExactRound.r(col("rev_us").cast("double") / col("prev_rev_us"), 6).as("yoy_ratio"))
+      .orderBy("month")
+  }
+
+  /** SQL twin: identical integer month keys, micros sums, and rounded
+    * divisions. */
+  val q46Sql: String =
+    s"""WITH monthly AS (
+       |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+       |    count(*) AS n_orders,
+       |    CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT printf('%04d-%02d', CAST(c.ym // 12 AS INT), CAST(c.ym % 12 + 1 AS INT)) AS month,
+       |  c.n_orders,
+       |  ${ExactRound.rSql("CAST(c.rev_us AS DOUBLE) / 1000000.0", 2)} AS revenue,
+       |  ${ExactRound.rSql("CAST(p.rev_us AS DOUBLE) / 1000000.0", 2)} AS prev_revenue,
+       |  ${ExactRound.rSql("CAST(c.rev_us - p.rev_us AS DOUBLE) / 1000000.0", 2)} AS yoy_delta,
+       |  ${ExactRound.rSql("CAST(c.rev_us AS DOUBLE) / p.rev_us", 6)} AS yoy_ratio
+       |FROM monthly c JOIN monthly p ON c.ym = p.ym + 12
+       |ORDER BY month""".stripMargin
+
+  /** Market-basket co-occurrence: top-20 unordered part-brand pairs by
+    * the number of orders containing BOTH brands, with support vs all
+    * orders. The pair generation is a self-join of the distinct
+    * (order, brand) table ON THE ORDER KEY — fan-out per order is
+    * bounded by the order's distinct-brand count (≤ line count, ~7 in
+    * TPC-H shape), never corpus-sized, and the part dimension is a
+    * broadcast join. Top-20 with a total-order tie-break compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort). The
+    * support denominator is one count aggregate broadcast as a scalar. */
+  def q47Basket(s: SparkSession, d: String): DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct()
+    val totals = ob.select("l_orderkey").distinct().agg(count(lit(1)).as("n_total_orders"))
+    ob.as("a").join(ob.as("b"), "l_orderkey")
+      .filter(col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(totals))
+      .select(col("brand_a"), col("brand_b"), col("n_orders"),
+        ExactRound.r(col("n_orders").cast("double") / col("n_total_orders"), 6).as("support"))
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  /** SQL twin: identical distinct, pair join, and tie-break. */
+  val q47Sql: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey, p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), tot AS (
+       |  SELECT count(DISTINCT l_orderkey) AS n_total_orders FROM ob
+       |)
+       |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders,
+       |  ${ExactRound.rSql("CAST(count(*) AS DOUBLE) / any_value(tot.n_total_orders)", 6)} AS support
+       |FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand, tot
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_funnel" -> (q41Funnel _),
     "q42_retention" -> (q42Retention _),
     "q43_trailing_dau" -> (q43TrailingDau _),
     "q44_attribution" -> (q44Attribution _),
-    "q45_pareto" -> (q45Pareto _))
+    "q45_pareto" -> (q45Pareto _),
+    "q46_yoy" -> (q46Yoy _),
+    "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
     "q45_pareto" -> q45Sql,
     "q44_attribution" -> q44Sql,
     "q41_funnel" -> q41Sql,
     "q42_retention" -> q42Sql,
-    "q43_trailing_dau" -> q43Sql)
+    "q43_trailing_dau" -> q43Sql,
+    "q46_yoy" -> q46Sql,
+    "q47_basket" -> q47Sql)
 }

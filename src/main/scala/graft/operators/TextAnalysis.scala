@@ -60,42 +60,94 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "les"),
     "zh" -> Seq("的", "了", "是"))
 
-  /** Language ID: per-language marker-token counts and argmax prediction
-    * with a fixed precedence order (first-listed language wins ties). */
-  def langid(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.documents(s, d).select(
-      (col("doc_id") +: markers.map { case (lang, ws) =>
-        ws.map(w => tokenCount(col("text"), w)).reduce(_ + _).as(s"s_$lang")
-      }): _*)
+  /** Marker-score columns (`s_en` … `s_zh`) for a documents scan. */
+  private def markerScores: Seq[Column] = markers.map { case (lang, ws) =>
+    ws.map(w => tokenCount(col("text"), w)).reduce(_ + _).as(s"s_$lang")
+  }
+
+  /** Argmax over the marker scores with a fixed precedence order
+    * (first-listed language wins ties) — shared by langid and its
+    * confusion-matrix eval so the prediction cannot drift. */
+  private def predExpr: Column = {
     // precedence CASE: en >= all → en; else de >= remaining → de; ...
     val langs = markers.map(_._1)
-    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lang, i), rest) =>
+    langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lang, i), rest) =>
       val later = langs.drop(i + 1)
       if (later.isEmpty) rest
       else when(later.map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _), lang).otherwise(rest)
     }
-    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Language ID: per-language marker-token counts and argmax prediction
+    * with a fixed precedence order (first-listed language wins ties). */
+  def langid(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id") +: markerScores: _*)
+    scored.withColumn("pred_lang", predExpr)
       .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", "pred_lang")
       .orderBy("doc_id")
   }
 
-  val langidSql: String = {
-    val score = markers.map { case (lang, ws) =>
-      ws.map(w => tokenCountSql(w)).mkString(" + ") + s" AS s_$lang"
-    }.mkString(",\n ")
+  private def markerScoresSql: String = markers.map { case (lang, ws) =>
+    ws.map(w => tokenCountSql(w)).mkString(" + ") + s" AS s_$lang"
+  }.mkString(",\n ")
+
+  private def predCaseSql: String = {
     val langs = markers.map(_._1)
-    val pred = langs.init.zipWithIndex.map { case (lang, i) =>
+    val arms = langs.init.zipWithIndex.map { case (lang, i) =>
       val later = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
       s"WHEN $later THEN '$lang'"
     }.mkString(" ")
+    s"CASE $arms ELSE '${langs.last}' END"
+  }
+
+  val langidSql: String =
     s"""WITH scored AS (
-       |  SELECT doc_id, $score
+       |  SELECT doc_id, $markerScoresSql
        |  FROM documents
        |)
        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-       | CASE $pred ELSE '${langs.last}' END AS pred_lang
+       | $predCaseSql AS pred_lang
        |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Confusion matrix for the language-ID operator: labeled `lang` ×
+    * predicted `pred_lang` cell counts with the per-labeled-lang share —
+    * the operator-quality audit run before trusting a heuristic
+    * classifier to route a 100 TB corpus (the s_recall_eval discipline
+    * applied to langid). Scoring is the same shared map-side projection
+    * as `t_langid`; the matrix is a ≤|langs|² cell aggregate and the
+    * per-lang totals join is a broadcast of a |langs|-row table, so
+    * nothing beyond the scan scales with the corpus. */
+  def langidEval(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id") :: col("lang") :: markerScores.toList: _*)
+    val cells = scored.withColumn("pred_lang", predExpr)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("lang").agg(sum("n_docs").as("lang_total"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        col("lang_total").cast("long").as("lang_total"),
+        ExactRound.r(col("n_docs").cast("double") / col("lang_total"), 6).as("share"),
+        (col("lang") === col("pred_lang")).as("is_correct"))
+      .orderBy("lang", "pred_lang")
   }
+
+  /** SQL twin: same scoring CTE with the labeled lang retained. */
+  val langidEvalSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $markerScoresSql
+       |  FROM documents
+       |), pred AS (
+       |  SELECT lang, $predCaseSql AS pred_lang FROM scored
+       |), cells AS (
+       |  SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total FROM cells GROUP BY 1
+       |)
+       |SELECT c.lang, c.pred_lang, c.n_docs, t.lang_total,
+       |  ${ExactRound.rSql("CAST(c.n_docs AS DOUBLE) / t.lang_total", 6)} AS share,
+       |  c.lang = c.pred_lang AS is_correct
+       |FROM cells c JOIN totals t ON c.lang = t.lang
+       |ORDER BY c.lang, c.pred_lang""".stripMargin
 
   // --------------------------------------------------------------- quality
 
@@ -761,6 +813,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_vocab_overlap" -> (vocabOverlap _),
+    "t_langid_eval" -> (langidEval _),
     "t_zipf" -> (zipf _),
     "t_readability" -> (readability _),
     "t_sentences" -> (sentences _),
@@ -782,6 +835,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_vocab_overlap" -> vocabOverlapSql,
+    "t_langid_eval" -> langidEvalSql,
     "t_zipf" -> zipfSql,
     "t_readability" -> readabilitySql,
     "t_sentences" -> sentencesSql,

@@ -124,4 +124,49 @@ class RelationalExt3Spec extends SparkSpec {
     val byDec = rows.map(r => r.getAs[Long]("decile") -> r.getAs[Double]("share")).toMap
     assert(byDec(10L) > byDec(1L), "top revenue decile carries more share")
   }
+
+  test("q46_yoy: rows match an in-memory monthly micros replay") {
+    val monthly = Tables.orders(spark, sf).select("o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val dt = r.getAs[java.time.LocalDateTime](0).toLocalDate
+        (dt.getYear.toLong * 12 + dt.getMonthValue - 1,
+          ExactRound.valueMicros(r.getDouble(1)))
+      }
+      .groupBy(_._1).map { case (ym, vs) => ym -> (vs.size.toLong, vs.map(_._2).sum) }
+    val expected = monthly.keys.filter(ym => monthly.contains(ym - 12)).map { ym =>
+      val (n, rev) = monthly(ym)
+      val (_, prev) = monthly(ym - 12)
+      f"${ym / 12}%04d-${ym % 12 + 1}%02d" ->
+        ((n, ExactRound.rScalar(rev.toDouble / 1e6, 2),
+          ExactRound.rScalar(rev.toDouble / prev, 6)))
+    }.toMap
+    val got = RelationalExt3.q46Yoy(spark, sf).collect()
+      .map(r => r.getAs[String]("month") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("yoy_ratio")))).toMap
+    assert(got == expected, s"yoy diverges: ${got.toSet.diff(expected.toSet).take(3)}")
+    assert(got.nonEmpty && got.size < monthly.size, "first 12 months have no prior year")
+  }
+
+  test("q47_basket: pair counts match in-memory brute force; top-20 order deterministic") {
+    val brand = Tables.part(spark, sf).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orderBrands = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> brand(r.getLong(1)))
+      .groupBy(_._1).map { case (o, vs) => o -> vs.map(_._2).toSet }
+    val counts = orderBrands.values.toSeq
+      .flatMap(bs => bs.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, vs) => p -> vs.size.toLong }
+    val expectedTop = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val rows = RelationalExt3.q47Basket(spark, sf).collect()
+    assert(rows.map(r => ((r.getAs[String]("brand_a"), r.getAs[String]("brand_b")),
+      r.getAs[Long]("n_orders"))).toSeq == expectedTop)
+    val total = orderBrands.size.toDouble
+    rows.foreach { r =>
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+      assert(r.getAs[Double]("support") ==
+        ExactRound.rScalar(r.getAs[Long]("n_orders") / total, 6))
+    }
+  }
 }

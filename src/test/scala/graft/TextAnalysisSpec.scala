@@ -166,4 +166,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langid_eval: matrix cells recount t_langid's predictions exactly") {
+    val pred = TextAnalysis.langid(spark, sf).select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labeled = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = labeled.toSeq.map { case (id, lang) => (lang, pred(id)) }
+      .groupBy(identity).map { case (c, vs) => c -> vs.size.toLong }
+    val byLang = labeled.values.toSeq.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    val rows = TextAnalysis.langidEval(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) ->
+      r.getAs[Long]("n_docs")).toMap == cells)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lang_total") == byLang(r.getAs[String]("lang")))
+      assert(r.getAs[Boolean]("is_correct") ==
+        (r.getAs[String]("lang") == r.getAs[String]("pred_lang")))
+      assert(r.getAs[Double]("share") == graft.operators.ExactRound.rScalar(
+        r.getAs[Long]("n_docs").toDouble / r.getAs[Long]("lang_total"), 6))
+    }
+    // every labeled doc lands in exactly one cell
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == labeled.size.toLong)
+  }
+
 }
