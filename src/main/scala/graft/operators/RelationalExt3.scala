@@ -387,7 +387,69 @@ object RelationalExt3 {
        |GROUP BY 1, 2
        |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20""".stripMargin
 
+  /** Revenue-quintile transition matrix (customer mobility): each
+    * customer's order revenue is split at 1998 into a before/after
+    * period, quintiles are assigned INDEPENDENTLY per period via
+    * broadcast percentile edges (the q45 discipline — no global ntile
+    * window), and the matrix counts customers per (before, after) cell.
+    * Quintile 0 means absent from that period, so churned and newly
+    * acquired customers appear as the 0-row and 0-column instead of
+    * silently vanishing. Scale shape: one partial/final rollup to
+    * (customer, period) revenue, two 4-double edge tables broadcast, a
+    * full-outer self-join keyed on the customer, and a ≤36-cell
+    * aggregate — past the scan, nothing grows with order volume. */
+  def q48DecileMoves(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        (year(col("o_orderdate")) >= lit(1998)).cast("int").as("period"))
+      .agg(sum(round(col("o_totalprice") * lit(1000000L)).cast("long")).as("rev_us"))
+    def quint(p: Int, out: String): DataFrame = {
+      val pr = rev.filter(col("period") === p)
+      val qs = (1 to 4).map(k => s"0.${2 * k}D").mkString(", ")
+      val edges = pr.agg(expr(s"percentile(rev_us, array($qs))").as("es"))
+        .select((1 to 4).map(k => element_at(col("es"), k).as(s"e$k")): _*)
+      val q = (1 to 4).map(k => (col("rev_us") > col(s"e$k")).cast("long"))
+        .foldLeft(lit(1L))(_ + _)
+      pr.crossJoin(broadcast(edges)).select(col("o_custkey"), q.as(out))
+    }
+    val joined = quint(0, "qb").join(quint(1, "qa"), Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("qb"), lit(0L)).as("q_before"),
+        coalesce(col("qa"), lit(0L)).as("q_after"))
+    val tot = joined.agg(count(lit(1)).as("n_total"))
+    joined.groupBy("q_before", "q_after").agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("q_before"), col("q_after"), col("n_customers"),
+        ExactRound.r(col("n_customers").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("q_before", "q_after")
+  }
+
+  /** SQL twin: identical per-period quantile_cont edges, absent-as-0
+    * coalesce, and share arithmetic. */
+  val q48Sql: String = {
+    def es(p: Int) = (1 to 4).map(k => s"quantile_cont(rev_us, 0.${2 * k}) AS e$k")
+      .mkString(", ")
+    val q = (1 to 4).map(k => s"CAST(rev_us > e$k AS INT)").mkString(" + ")
+    s"""WITH rev AS (
+       |  SELECT o_custkey, CAST(year(o_orderdate) >= 1998 AS INT) AS period,
+       |    CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us
+       |  FROM orders GROUP BY 1, 2
+       |), e0 AS (SELECT ${es(0)} FROM rev WHERE period = 0
+       |), e1 AS (SELECT ${es(1)} FROM rev WHERE period = 1
+       |), q0 AS (
+       |  SELECT o_custkey, CAST(1 + $q AS BIGINT) AS qb FROM rev, e0 WHERE period = 0
+       |), q1 AS (
+       |  SELECT o_custkey, CAST(1 + $q AS BIGINT) AS qa FROM rev, e1 WHERE period = 1
+       |), j AS (
+       |  SELECT coalesce(qb, 0) AS q_before, coalesce(qa, 0) AS q_after
+       |  FROM q0 FULL OUTER JOIN q1 USING (o_custkey)
+       |), t AS (SELECT count(*) AS n_total FROM j)
+       |SELECT q_before, q_after, count(*) AS n_customers,
+       |  ${ExactRound.rSql("CAST(count(*) AS DOUBLE) / any_value(t.n_total)", 6)} AS share
+       |FROM j, t GROUP BY 1, 2 ORDER BY q_before, q_after""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_decile_moves" -> (q48DecileMoves _),
     "q41_funnel" -> (q41Funnel _),
     "q42_retention" -> (q42Retention _),
     "q43_trailing_dau" -> (q43TrailingDau _),
@@ -397,6 +459,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q48_decile_moves" -> q48Sql,
     "q45_pareto" -> q45Sql,
     "q44_attribution" -> q44Sql,
     "q41_funnel" -> q41Sql,

@@ -885,7 +885,55 @@ object Similarity {
        |FROM hist, tot t ORDER BY bucket""".stripMargin
   }
 
+  /** Per-dimension embedding health audit — the DEAD-DIMENSION check
+    * that complements [[normStats]] (per-label norms) and [[cosHist]]
+    * (pairwise collapse): a dimension whose values all sit near zero
+    * carries no signal and silently wastes index bytes in every ANN
+    * structure built downstream; one whose range is 10× the others
+    * dominates L2 and breaks IVF cell balance. Shape: posexplode to
+    * (dim, val) — a 64× map-side fan-out, no corpus-sized state — then
+    * ONE partial/final aggregate keyed by the 64 dims. Mean is an
+    * order-insensitive integer-micros sum with a single IEEE division
+    * (the engine-wide discipline — a double sum is accumulation-order
+    * dependent); min/max are exact; `frac_small` counts |val| < 0.05
+    * against the broadcast-free per-dim count. Output is |dims| rows
+    * regardless of corpus size. */
+  def dimStats(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+      .select(posexplode(col("v")).as(Seq("dim", "val")))
+      .select(col("dim").cast("long").as("dim"), col("val"),
+        round(col("val") * lit(1000000L)).cast("long").as("val_us"),
+        (abs(col("val")) < lit(0.05)).cast("long").as("small"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vals"),
+        ExactRound.r(min(col("val")), 6).as("val_min"),
+        ExactRound.r(max(col("val")), 6).as("val_max"),
+        ExactRound.r(sum(col("val_us")).cast("double") / count(lit(1)) / lit(1000000.0), 6)
+          .as("val_mean"),
+        ExactRound.r(sum(col("small")).cast("double") / count(lit(1)), 6).as("frac_small"))
+      .orderBy("dim")
+
+  /** SQL twin: generate_subscripts/unnest zip to the same (dim, val)
+    * pairs; identical micros-mean arithmetic. */
+  val dimStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS val
+       |  FROM embeddings
+       |)
+       |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n_vals,
+       |  ${ExactRound.rSql("min(val)", 6)} AS val_min,
+       |  ${ExactRound.rSql("max(val)", 6)} AS val_max,
+       |  ${ExactRound.rSql(
+            "CAST(sum(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0",
+            6)} AS val_mean,
+       |  ${ExactRound.rSql(
+            "CAST(sum(CASE WHEN abs(val) < 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+            6)} AS frac_small
+       |FROM e GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_dim_stats" -> (dimStats _),
     "s_cos_hist" -> (cosHist _),
     "s_norm_stats" -> (normStats _),
     "s_ivf_probe_sweep" -> (ivfProbeSweep _),
@@ -903,6 +951,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_dim_stats" -> dimStatsSql,
     "s_cos_hist" -> cosHistSql,
     "s_norm_stats" -> normStatsSql,
     "s_ivf_probe_sweep" -> ivfProbeSweepSql,

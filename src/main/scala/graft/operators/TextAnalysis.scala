@@ -811,7 +811,63 @@ object TextAnalysis {
        |JOIN sizes sb ON sb.source = source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Cross-document template-sentence detection — the sentence-level
+    * boilerplate remover (C4 removes repeated LINES; these docs are
+    * single-line, so the sentence is the natural unit): a normalized
+    * (lowercased, trimmed) sentence appearing in ≥ 3 DISTINCT documents
+    * is template text (cookie banners, footers, generated headers), and
+    * each doc reports how much of it is template. Complements
+    * [[dupNgrams]] (fixed-width 5-grams can straddle sentence bounds and
+    * dilute the signal) and d_prefix_dup (heads only). Shape: sentence
+    * explode → dedupe to (sentence, doc) pairs → doc-frequency partial
+    * agg keyed by sentence (Zipf-safe: hot template sentences combine
+    * map-side) → one re-join on the sentence key → per-doc rollup.
+    * Nothing is ever buffered per doc; the sentence key-space is
+    * corpus-vocabulary-sized, not corpus-sized. */
+  def templateSentences(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("seg"))
+      .select(col("doc_id"), lower(trim(col("seg"))).as("sent"))
+      .filter(length(col("sent")) > 0)
+    val df = segs.select("doc_id", "sent").distinct()
+      .groupBy("sent").agg(count(lit(1)).as("doc_freq"))
+    segs.join(df, "sent")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum((col("doc_freq") >= 3).cast("long")).as("n_template"),
+        max(col("doc_freq")).as("max_doc_freq"))
+      .select(col("doc_id"), col("n_sentences"), col("n_template"), col("max_doc_freq"),
+        ExactRound.r(col("n_template").cast("double") / col("n_sentences"), 6)
+          .as("template_ratio"),
+        (col("n_template") * lit(2) >= col("n_sentences")).as("is_templated"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: same split/trim/empty-filter discipline as t_sentences,
+    * same distinct-doc frequency and ≥3-doc template threshold. */
+  val templateSentencesSql: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, lower(trim(seg)) AS sent
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS seg
+       |    FROM documents
+       |  )
+       |  WHERE length(trim(seg)) > 0
+       |), df AS (
+       |  SELECT sent, count(DISTINCT doc_id) AS doc_freq FROM segs GROUP BY sent
+       |)
+       |SELECT s.doc_id, count(*) AS n_sentences,
+       |  CAST(sum(CASE WHEN f.doc_freq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_template,
+       |  max(f.doc_freq) AS max_doc_freq,
+       |  ${ExactRound.rSql(
+            "CAST(sum(CASE WHEN f.doc_freq >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+            6)} AS template_ratio,
+       |  sum(CASE WHEN f.doc_freq >= 3 THEN 1 ELSE 0 END) * 2 >= count(*) AS is_templated
+       |FROM segs s JOIN df f ON s.sent = f.sent
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_template_sentences" -> (templateSentences _),
     "t_vocab_overlap" -> (vocabOverlap _),
     "t_langid_eval" -> (langidEval _),
     "t_zipf" -> (zipf _),
@@ -834,6 +890,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_template_sentences" -> templateSentencesSql,
     "t_vocab_overlap" -> vocabOverlapSql,
     "t_langid_eval" -> langidEvalSql,
     "t_zipf" -> zipfSql,

@@ -148,6 +148,29 @@ class RelationalExt3Spec extends SparkSpec {
     assert(got.nonEmpty && got.size < monthly.size, "first 12 months have no prior year")
   }
 
+  test("q48_decile_moves: matrix conserves customers; quintiles balanced within periods") {
+    val rows = RelationalExt3.q48DecileMoves(spark, sf).collect()
+    val cells = rows.map(r => (r.getAs[Long]("q_before"), r.getAs[Long]("q_after")) ->
+      r.getAs[Long]("n_customers")).toMap
+    // no customer can be absent from both periods
+    assert(!cells.contains((0L, 0L)))
+    assert(cells.keys.forall { case (a, b) => a >= 0 && a <= 5 && b >= 0 && b <= 5 })
+    // total customers = distinct custkeys with any order
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(cells.values.sum == nCust)
+    // shares are the exact rounded ratios and sum to ~1
+    val total = cells.values.sum.toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share") ==
+        math.round(r.getAs[Long]("n_customers") / total * 1e6) / 1e6)
+    }
+    // each period's present-quintiles are ~equal by construction (percentile edges)
+    val byBefore = cells.collect { case ((a, _), n) if a > 0 => a -> n }
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).sum }
+    assert(byBefore.values.max - byBefore.values.min <=
+      byBefore.values.max / 2, s"quintiles wildly unbalanced: $byBefore")
+  }
+
   test("q47_basket: pair counts match in-memory brute force; top-20 order deterministic") {
     val brand = Tables.part(spark, sf).select("p_partkey", "p_brand").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -236,4 +236,29 @@ class SimilaritySpec extends SparkSpec {
     // synthetic embeddings are not collapsed: no single bucket holds everything
     assert(got.size > 1)
   }
+
+  test("dim stats: per-dimension profile replays from collected vectors") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val rows = Similarity.dimStats(spark, sf).collect()
+    assert(rows.length == dims)
+    // HALF_UP away from zero — math.round rounds toward +inf and flips negative ties
+    def r6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt
+      val vals = vecs.map(_(d))
+      assert(r.getAs[Long]("n_vals") == vecs.length.toLong)
+      assert(r.getAs[Double]("val_min") == r6(vals.min))
+      assert(r.getAs[Double]("val_max") == r6(vals.max))
+      val us = vals.map(v =>
+        BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      assert(r.getAs[Double]("val_mean") == r6(us.toDouble / vals.length / 1e6))
+      val small = vals.count(v => math.abs(v) < 0.05).toLong
+      assert(r.getAs[Double]("frac_small") == r6(small.toDouble / vals.length))
+    }
+    // synthetic dims all carry signal: none is fully dead, none saturated
+    assert(rows.forall(r => r.getAs[Double]("frac_small") < 1.0))
+  }
 }

@@ -188,4 +188,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == labeled.size.toLong)
   }
 
+  test("template sentences: per-doc counts replay from an in-memory doc-frequency table") {
+    val segs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[.!?]+")
+        .map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+    val docFreq = segs.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s2, vs) => s2 -> vs.length.toLong }
+    val rows = TextAnalysis.templateSentences(spark, sf).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    segs.filter(_._2.nonEmpty).foreach { case (id, ss) =>
+      val r = byDoc(id)
+      assert(r.getAs[Long]("n_sentences") == ss.length.toLong)
+      val nTemplate = ss.count(docFreq(_) >= 3).toLong
+      assert(r.getAs[Long]("n_template") == nTemplate, s"doc $id")
+      assert(r.getAs[Long]("max_doc_freq") == ss.map(docFreq).max)
+      assert(r.getAs[Boolean]("is_templated") == (nTemplate * 2 >= ss.length))
+      assert(r.getAs[Double]("template_ratio") ==
+        math.round(nTemplate.toDouble / ss.length * 1e6) / 1e6)
+    }
+    assert(rows.length == segs.count(_._2.nonEmpty))
+  }
+
 }
