@@ -173,7 +173,10 @@ object Graph {
     * difference between feasible and not on a power-law graph at 100 TB.
     * Each triangle has exactly one source-of-both-oriented-edges vertex,
     * so the wedge ⋈ oriented-edge join counts it exactly once. */
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  /** Per-node (id, deg, n_tri) over the n-gram near-dup graph — the
+    * shared degree-ordered wedge enumeration behind [[triangles]] and
+    * [[clustCoef]]. */
+  private def triangleCounts(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.ngramJaccard(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint()
@@ -196,13 +199,37 @@ object Graph {
     val tri = wedges.join(closing, Seq("v", "w"))
     val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("c"))
-    deg.select(col("id")).join(perNode, Seq("id"), "left")
-      .select(col("id").as("doc_id"), coalesce(col("c"), lit(0L)).as("n_triangles"))
-      .orderBy("doc_id")
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("c"), lit(0L)).as("n_tri"))
   }
 
+  def triangles(s: SparkSession, d: String): DataFrame =
+    triangleCounts(s, d)
+      .select(col("id").as("doc_id"), col("n_tri").as("n_triangles"))
+      .orderBy("doc_id")
+
+  /** Per-node local clustering coefficient 2·T(v)/(deg(v)·(deg(v)−1))
+    * over the near-dup graph — "is this doc's duplication neighborhood a
+    * clique (one tight template family) or a star (a hub stitching
+    * unrelated docs)?". Near-1 coefficients confirm clean cluster
+    * structure; low-coefficient high-degree nodes are the bridge docs
+    * that make single-linkage dedup over-merge, exactly the ones to
+    * inspect before canonicalizing at 100 TB. Same O(Σ deg²)
+    * wedge-enumeration envelope as [[triangles]]; the coefficient is one
+    * IEEE division per node, rounded. */
+  def clustCoef(s: SparkSession, d: String): DataFrame =
+    triangleCounts(s, d)
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        col("n_tri").as("n_triangles"),
+        when(col("deg") >= 2,
+          ExactRound.r(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clust_coef"))
+      .orderBy("doc_id")
+
   /** SQL twin of [[triangles]] on the same pair graph. */
-  val trianglesSql: String = {
+  /** Shared WITH-prefix (docs → pairs → deg → e → wedges → closing →
+    * tri → pernode) for the triangle-family oracles. */
+  private val triangleCoreSql: String = {
     val shingles =
       """SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, greatest(len(toks)-2, 0)),
@@ -236,11 +263,24 @@ object Graph {
        |  SELECT id, count(*) AS c FROM (
        |    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
        |  ) GROUP BY id
-       |)
+       |)""".stripMargin
+  }
+
+  val trianglesSql: String =
+    s"""$triangleCoreSql
        |SELECT d.id AS doc_id, coalesce(p.c, 0) AS n_triangles
        |FROM deg d LEFT JOIN pernode p USING (id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** SQL twin of [[clustCoef]]: identical wedge core, one rounded IEEE
+    * division per node. */
+  val clustCoefSql: String =
+    s"""$triangleCoreSql
+       |SELECT d.id AS doc_id, d.deg AS degree, coalesce(p.c, 0) AS n_triangles,
+       |  CASE WHEN d.deg >= 2 THEN ${ExactRound.rSql(
+             "2.0 * coalesce(p.c, 0) / (d.deg * (d.deg - 1))", 6)} ELSE 0.0 END AS clust_coef
+       |FROM deg d LEFT JOIN pernode p USING (id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Link prediction over the EMBEDDING near-dup graph: for every
     * NON-adjacent pair with ≥1 common neighbor, the common-neighbor
@@ -627,7 +667,8 @@ object Graph {
     "g_bfs" -> (bfs _),
     "g_pagerank" -> (pagerank _),
     "g_linkpred" -> (linkpred _),
-    "g_triangles" -> (triangles _))
+    "g_triangles" -> (triangles _),
+    "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
     "g_kcore" -> kcoreSql,
@@ -636,5 +677,6 @@ object Graph {
     "g_bfs" -> bfsSql,
     "g_pagerank" -> pagerankSql,
     "g_linkpred" -> linkpredSql,
-    "g_triangles" -> trianglesSql)
+    "g_triangles" -> trianglesSql,
+    "g_clustcoef" -> clustCoefSql)
 }

@@ -557,7 +557,78 @@ object Pipeline {
       |  ((budget // n_sources + n_tokens - 1) // n_tokens) > 1 AS oversampled
       |FROM persrc, tot ORDER BY source""".stripMargin
 
+  /** Deterministic per-epoch training-order shuffle, audited at the
+    * shard level: each epoch e permutes the corpus by
+    * `djb2("e:doc_id")`, docs route to `hash mod 32` shards, and within
+    * a shard the read order is (hash, doc_id). This is the
+    * shard-then-local-sort formulation a distributed data loader
+    * actually uses — NO global sort, no global row_number: position
+    * assignment is a window per (epoch, shard), 96 independent
+    * partitions each sorting its own slice (spilling, never buffering
+    * the corpus). Different epochs get uncorrelated permutations from
+    * the same RNG-free hash, reproducible across engines, partitionings
+    * and reruns — the property that makes a training run resumable.
+    * Output per (epoch, shard): doc count, char mass (load-balance
+    * audit — a skewed shard starves the loader), the first doc, and an
+    * order-SENSITIVE checksum Σ doc_id·pos that pins the entire
+    * permutation bit-exactly. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    val key = concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))
+    val keyed = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+      .select(col("doc_id"), col("n_chars"), col("epoch"),
+        graft.functions.Djb2.djb2_hash(key).as("h"),
+        graft.functions.Djb2.djb2_partition(key, 32).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        max(when(col("pos") === 1L, col("doc_id"))).as("first_doc"),
+        sum(col("doc_id") * col("pos")).as("order_checksum"))
+      .select(col("epoch"), col("shard"), col("n_docs"),
+        col("total_chars").cast("long").as("total_chars"), col("first_doc"),
+        col("order_checksum").cast("long").as("order_checksum"))
+      .orderBy("epoch", "shard")
+  }
+
+  /** SQL twin: recursive-CTE djb2 over the same "e:doc_id" keys;
+    * unsigned mod for the shard, signed-BIGINT hash order for the
+    * in-shard position (Spark orders the signed 64-bit hash). */
+  val epochShuffleSql: String = {
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""WITH RECURSIVE ds AS (
+       |  SELECT doc_id, n_chars, e.epoch,
+       |    CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS key
+       |  FROM documents, (SELECT unnest([0, 1, 2]) AS epoch) e
+       |), h AS (
+       |  SELECT doc_id, n_chars, epoch, key, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+       |  UNION ALL
+       |  SELECT doc_id, n_chars, epoch, key, i + 1,
+       |    (hash * 33 + ord(substr(key, i, 1))) % $m64
+       |  FROM h WHERE i <= length(key)
+       |), k AS (
+       |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, n_chars,
+       |    CAST(hash % 32 AS INT) AS shard,
+       |    CAST(CASE WHEN hash >= $half THEN hash - $m64 ELSE hash END AS BIGINT) AS hs
+       |  FROM h WHERE i = length(key) + 1
+       |), p AS (
+       |  SELECT epoch, shard, doc_id, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hs, doc_id) AS BIGINT) AS pos
+       |  FROM k
+       |)
+       |SELECT epoch, shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+       |  CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum
+       |FROM p GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_epoch_shuffle" -> (epochShuffle _),
     "p_token_budget" -> (tokenBudget _),
     "p_manifest" -> (manifest _),
     "p_shard_write" -> (shardWrite _),
@@ -572,6 +643,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_epoch_shuffle" -> epochShuffleSql,
     "p_token_budget" -> tokenBudgetSql,
     "p_manifest" -> manifestSql,
     "p_shard_write" -> manifestSql,

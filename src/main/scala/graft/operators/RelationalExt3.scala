@@ -448,7 +448,68 @@ object RelationalExt3 {
        |FROM j, t GROUP BY 1, 2 ORDER BY q_before, q_after""".stripMargin
   }
 
+  /** Return-rate audit by market segment: per c_mktsegment, returned
+    * line share and returned-revenue share — the quality-of-business
+    * slice behind TPC-H Q10's "who returned things" question. Scale
+    * shape: lineitem pre-aggregates TO THE ORDER KEY before any join
+    * (map-side-combinable, shrinks the big table ~4× ahead of the
+    * shuffle — aggregate-before-join is the rule when the join is
+    * fan-in), then one co-keyed join to orders, one custkey join to the
+    * customer projection (NOT broadcast: 15 B customers at 100 TB), and
+    * a 5-row final rollup. Revenue in exact integer micros throughout. */
+  def q49Returns(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("long").as("ret"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000L))
+          .cast("long").as("rev_us"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("ret").as("n_ret"),
+        sum(when(col("ret") === 1L, col("rev_us")).otherwise(lit(0L))).as("ret_us"),
+        sum("rev_us").as("tot_us"))
+    li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum("n_lines").as("n_lines"), sum("n_ret").as("n_returned"),
+        sum("ret_us").as("ret_us"), sum("tot_us").as("tot_us"))
+      .select(col("c_mktsegment"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_returned").cast("long").as("n_returned"),
+        ExactRound.r(col("n_returned").cast("double") / col("n_lines"), 6)
+          .as("return_rate"),
+        ExactRound.r(col("ret_us").cast("double") / lit(1000000.0), 2)
+          .as("returned_revenue"),
+        ExactRound.r(col("ret_us").cast("double") / col("tot_us"), 6)
+          .as("revenue_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** SQL twin: identical micros revenue, pre-agg, and rounded shares. */
+  val q49Sql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, count(*) AS n_lines,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_ret,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R'
+       |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS ret_us,
+       |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS tot_us
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT c.c_mktsegment,
+       |  CAST(sum(li.n_lines) AS BIGINT) AS n_lines,
+       |  CAST(sum(li.n_ret) AS BIGINT) AS n_returned,
+       |  ${ExactRound.rSql("CAST(sum(li.n_ret) AS DOUBLE) / sum(li.n_lines)", 6)} AS return_rate,
+       |  ${ExactRound.rSql("CAST(sum(li.ret_us) AS DOUBLE) / 1000000.0", 2)} AS returned_revenue,
+       |  ${ExactRound.rSql("CAST(sum(li.ret_us) AS DOUBLE) / sum(li.tot_us)", 6)} AS revenue_share
+       |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_returns" -> (q49Returns _),
     "q48_decile_moves" -> (q48DecileMoves _),
     "q41_funnel" -> (q41Funnel _),
     "q42_retention" -> (q42Retention _),
@@ -459,6 +520,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q49_returns" -> q49Sql,
     "q48_decile_moves" -> q48Sql,
     "q45_pareto" -> q45Sql,
     "q44_attribution" -> q44Sql,

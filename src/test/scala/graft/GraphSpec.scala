@@ -176,4 +176,26 @@ class GraphSpec extends SparkSpec {
     assert(got == expected, s"linkpred diverges: got ${got.size}, expected ${expected.size}")
   }
 
+  test("clustcoef: coefficient recomputes from g_triangles and degrees; bounds hold") {
+    val tri = Graph.triangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    val deg = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Graph.clustCoef(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == tri.keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("degree") == deg(id))
+      assert(r.getAs[Long]("n_triangles") == tri(id))
+      val c = r.getAs[Double]("clust_coef")
+      assert(c >= 0.0 && c <= 1.0, s"coef out of bounds at $id")
+      if (deg(id) >= 2)
+        assert(c == math.round(2.0 * tri(id) / (deg(id) * (deg(id) - 1)) * 1e6) / 1e6)
+      else { assert(c == 0.0); assert(tri(id) == 0L) }
+    }
+    // dup clusters are cliques: some node must sit in a fully-closed neighborhood
+    assert(rows.exists(_.getAs[Double]("clust_coef") == 1.0))
+  }
+
 }

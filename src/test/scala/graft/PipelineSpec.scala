@@ -98,4 +98,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: shards partition the corpus, checksums replay, epochs differ") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val rows = graft.operators.Pipeline.epochShuffle(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+      assert(rs.map(_.getAs[Long]("total_chars")).sum == docs.map(_._2).sum)
+    }
+    // replay one epoch's permutation in memory via the same djb2 routing
+    val e0 = docs.map { case (id, _) =>
+      val h = graft.functions.Djb2.hash(s"0:$id".getBytes("UTF-8"))
+      (java.lang.Long.remainderUnsigned(h, 32L).toInt, h, id)
+    }.groupBy(_._1).map { case (shard, vs) =>
+      val ordered = vs.sortBy { case (_, h, id) => (h, id) }.map(_._3)
+      shard -> ((ordered.head,
+        ordered.zipWithIndex.map { case (id, i) => id * (i + 1L) }.sum))
+    }
+    byEpoch(0L).foreach { r =>
+      val (first, cks) = e0(r.getAs[Int]("shard"))
+      assert(r.getAs[Long]("first_doc") == first, s"shard ${r.getAs[Int]("shard")}")
+      assert(r.getAs[Long]("order_checksum") == cks)
+    }
+    // different epochs yield genuinely different permutations
+    val cks = byEpoch.map { case (e, rs) =>
+      e -> rs.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("order_checksum")).toMap
+    }
+    assert(cks(0L) != cks(1L) && cks(1L) != cks(2L))
+  }
+
 }

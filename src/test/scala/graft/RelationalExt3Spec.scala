@@ -148,6 +148,34 @@ class RelationalExt3Spec extends SparkSpec {
     assert(got.nonEmpty && got.size < monthly.size, "first 12 months have no prior year")
   }
 
+  test("q49_returns: per-segment return rates replay from collected tables") {
+    val seg = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordSeg = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> seg(r.getLong(1))).toMap
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        val us = BigDecimal(r.getDouble(2) * (1.0 - r.getDouble(3)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (ordSeg(r.getLong(0)), r.getString(1) == "R", us)
+      }
+    val expected = lines.groupBy(_._1).map { case (s2, vs) =>
+      s2 -> ((vs.length.toLong, vs.count(_._2).toLong,
+        vs.filter(_._2).map(_._3).sum, vs.map(_._3).sum))
+    }
+    val rows = RelationalExt3.q49Returns(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("c_mktsegment")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (n, nr, retUs, totUs) = expected(r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(r.getAs[Long]("n_returned") == nr)
+      assert(r.getAs[Double]("return_rate") == math.round(nr.toDouble / n * 1e6) / 1e6)
+      assert(r.getAs[Double]("revenue_share") ==
+        math.round(retUs.toDouble / totUs * 1e6) / 1e6)
+    }
+  }
+
   test("q48_decile_moves: matrix conserves customers; quintiles balanced within periods") {
     val rows = RelationalExt3.q48DecileMoves(spark, sf).collect()
     val cells = rows.map(r => (r.getAs[Long]("q_before"), r.getAs[Long]("q_after")) ->
