@@ -50,24 +50,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** Nanos-epoch long → microsecond timestamp. MUST be integer division:
-    * `/` on a long column resolves to double division, and epoch nanos
-    * (~1.7e18) exceed double's 53-bit mantissa — measured 1.6% of events
-    * off by 1 µs via the float path. */
-  def nanosToTimestamp(colName: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr(s"timestamp_micros($colName div 1000)")
+  /** Normalize `ts` to a session-timezone TIMESTAMP regardless of how the
+    * generator wrote it. Historical layouts seen from the driver:
+    *   - TIMESTAMP(NANOS): rejected by Spark's reader, so it arrives as a
+    *     raw nanos-epoch long under `nanosAsLong` — convert with INTEGER
+    *     division (`/` on a long column is double division, and epoch
+    *     nanos ~1.7e18 exceed double's 53-bit mantissa — measured 1.6% of
+    *     events off by 1 µs via the float path);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP (identical instant under the
+    *     UTC session timezone every graft entrypoint pins);
+    *   - TIMESTAMP: already canonical. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as raw long and convert to a microsecond
-    * timestamp (Spark's native resolution); sub-microsecond precision is
-    * immaterial for windowing/sessionization semantics. Note the session
-    * conf flip is global: later nanos-parquet reads in the same session
-    * also see LongType (all graft readers go through here or
-    * EventStream's explicit-schema readStream, so that is the contract).
-    */
+  /** events.parquet: read and normalize `ts` (see [[normalizeTs]]). The
+    * legacy nanosAsLong flag stays set so a NANOS-typed file degrades to
+    * the long path instead of a reader error; the conf flip is global to
+    * the session (all graft readers go through here or EventStream's
+    * explicit-schema readStream, so that is the contract). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", nanosToTimestamp("ts"))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

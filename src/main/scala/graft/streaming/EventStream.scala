@@ -51,9 +51,14 @@ object EventStream {
     cents.toDouble / 100.0
   }
 
-  /** Raw parquet schema of events (ts read as nanos-long, converted after). */
+  /** Raw parquet schema of events. `ts` is declared TIMESTAMP directly:
+    * the generator writes TIMESTAMP(MICROS, isAdjustedToUTC=false) and an
+    * explicit user schema reads it as an instant (identical wall-clock
+    * under the pinned UTC session timezone). A `.transform(Tables
+    * .normalizeTs)` after each read keeps the legacy nanos-long and NTZ
+    * layouts working through the same call sites. */
   private[graft] val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -115,7 +120,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -152,7 +157,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -284,7 +289,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
@@ -446,7 +451,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long, Long)]
@@ -514,7 +519,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .groupBy("event_type")
@@ -569,7 +574,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "10 minutes")
@@ -618,7 +623,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -662,7 +667,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -710,7 +715,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -757,7 +762,7 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", Tables.nanosToTimestamp("ts"))
+      .transform(Tables.normalizeTs)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"),
         max(col("ts")).as("last_ts"))
