@@ -660,7 +660,85 @@ object Graph {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Degree assortativity of the near-dup graph — the Newman r
+    * coefficient: Pearson correlation of endpoint degrees over the
+    * directed edge list. Positive r = hubs link to hubs (template
+    * families duplicating each other); negative r = star/hub-and-spoke
+    * duplication. All five moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * LONG sums of integer degrees — accumulation-order-free, so the one
+    * final float expression (two casts, one sqrt, one divide, fixed
+    * order) is bit-identical across engines; a naive `corr()` double
+    * aggregate is accumulation-order-dependent and cross-engine
+    * unstable. Scale: one degree count + two narrow joins + a 5-long
+    * partial agg; moments fit in long up to ~10⁶-degree hubs at 10⁹
+    * edges (beyond that, swap the sums to decimal(38) — same plan). */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+      .select(col("deg").as("x"), col("y"))
+    val mom = xy.agg(count(lit(1)).as("m"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val r = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        (col("m") * col("syy") - col("sy") * col("sy")).cast("double"))
+    mom.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), (col("m") / lit(2L)).cast("long").as("n_edges"),
+        ExactRound.r(r, 6).as("assortativity"))
+  }
+
+  /** SQL twin: same pair graph, same exact-long moments, same
+    * fixed-order float tail. */
+  val assortativitySql: String = {
+    val shingles =
+      """SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+        |  WHERE len(toks) >= 3""".stripMargin
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    s"""WITH docs AS (
+       |  $shingles
+       |), pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE $jac >= 0.5
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), xy AS (
+       |  SELECT d.deg AS x, nd.deg AS y
+       |  FROM edges e JOIN deg d ON d.src = e.src JOIN deg nd ON nd.src = e.dst
+       |), mom AS (
+       |  SELECT count(*) AS m,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM xy
+       |), nn AS (SELECT count(*) AS n_nodes FROM deg)
+       |SELECT nn.n_nodes, CAST(mom.m / 2 AS BIGINT) AS n_edges,
+       |  ${ExactRound.rSql(
+            "CAST(mom.m * mom.sxy - mom.sx * mom.sy AS DOUBLE) / " +
+              "sqrt(CAST(mom.m * mom.sxx - mom.sx * mom.sx AS DOUBLE) * " +
+              "CAST(mom.m * mom.syy - mom.sy * mom.sy AS DOUBLE))", 6)} AS assortativity
+       |FROM mom, nn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_assortativity" -> (assortativity _),
     "g_kcore" -> (kcore _),
     "g_degree_stats" -> (degreeStats _),
     "g_community" -> (community _),
@@ -671,6 +749,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_assortativity" -> assortativitySql,
     "g_kcore" -> kcoreSql,
     "g_degree_stats" -> degreeStatsSql,
     "g_community" -> communitySql,

@@ -508,7 +508,81 @@ object RelationalExt3 {
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** RFM segmentation over purchase events — the classic CRM cut:
+    * per-user Recency (days since last purchase, vs the corpus-max
+    * purchase date), Frequency (purchase count) and Monetary (exact
+    * integer-micros revenue), each scored 1–5 by quintile, rolled up to
+    * segment counts. Quintile assignment follows the q48/q45 pattern —
+    * `percentile` edges broadcast as one tiny row, score = 1 + Σ(x > eₖ)
+    * — NOT a global ntile window, which would total-sort every user on
+    * one partition at 100 TB. Recency score is inverted (recent = 5).
+    * All three metrics are exact integers, so quintile edges
+    * (interpolated doubles) compare bit-identically across engines;
+    * revenue stays in BIGINT micros end-to-end. Scale shape: one
+    * shuffle to per-user grain, three single-row edge tables, then a
+    * map-side score + one segment rollup. */
+  def q50Rfm(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val refTs = p.agg(max("ts").as("ref_ts"))
+    val perUser = p.groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("f"),
+        sum(round(col("value") * lit(1000000L)).cast("long")).as("m_us"))
+      .crossJoin(broadcast(refTs))
+      .select(col("user_id"),
+        datediff(to_date(col("ref_ts")), to_date(col("last_ts"))).cast("long").as("r_days"),
+        col("f"), col("m_us"))
+    val qs = (1 to 4).map(k => s"0.${2 * k}D").mkString(", ")
+    val edges = perUser.agg(
+      expr(s"percentile(r_days, array($qs))").as("re"),
+      expr(s"percentile(f, array($qs))").as("fe"),
+      expr(s"percentile(m_us, array($qs))").as("me"))
+      .select(
+        (1 to 4).map(k => element_at(col("re"), k).as(s"re$k")) ++
+          (1 to 4).map(k => element_at(col("fe"), k).as(s"fe$k")) ++
+          (1 to 4).map(k => element_at(col("me"), k).as(s"me$k")): _*)
+    def score(c: String, e: String): org.apache.spark.sql.Column =
+      (1 to 4).map(k => (col(c) > col(s"$e$k")).cast("long")).foldLeft(lit(1L))(_ + _)
+    perUser.crossJoin(broadcast(edges))
+      .select(col("user_id"), col("m_us"),
+        (lit(6L) - score("r_days", "re")).as("r_score"),
+        score("f", "fe").as("f_score"),
+        score("m_us", "me").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m_us").as("rev_us"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** SQL twin: same quantile_cont edges, same >-edge scoring, BIGINT
+    * micros revenue. */
+  val q50Sql: String = {
+    def es(c: String, e: String) =
+      (1 to 4).map(k => s"quantile_cont($c, 0.${2 * k}) AS $e$k").mkString(", ")
+    def sc(c: String, e: String) =
+      "1 + " + (1 to 4).map(k => s"CAST($c > $e$k AS INT)").mkString(" + ")
+    s"""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'
+       |), ref AS (SELECT max(ts) AS ref_ts FROM p
+       |), u AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day', CAST(max(p.ts) AS DATE), CAST(any_value(ref.ref_ts) AS DATE)) AS BIGINT) AS r_days,
+       |    count(*) AS f,
+       |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS m_us
+       |  FROM p, ref GROUP BY user_id
+       |), e AS (
+       |  SELECT ${es("r_days", "re")}, ${es("f", "fe")}, ${es("m_us", "me")} FROM u
+       |), scored AS (
+       |  SELECT user_id, m_us,
+       |    CAST(6 - (${sc("r_days", "re")}) AS BIGINT) AS r_score,
+       |    CAST(${sc("f", "fe")} AS BIGINT) AS f_score,
+       |    CAST(${sc("m_us", "me")} AS BIGINT) AS m_score
+       |  FROM u, e
+       |)
+       |SELECT r_score, f_score, m_score, count(*) AS n_users,
+       |  CAST(sum(m_us) AS BIGINT) AS rev_us
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_rfm" -> (q50Rfm _),
     "q49_returns" -> (q49Returns _),
     "q48_decile_moves" -> (q48DecileMoves _),
     "q41_funnel" -> (q41Funnel _),
@@ -520,6 +594,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q50_rfm" -> q50Sql,
     "q49_returns" -> q49Sql,
     "q48_decile_moves" -> q48Sql,
     "q45_pareto" -> q45Sql,

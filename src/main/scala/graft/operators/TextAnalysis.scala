@@ -866,7 +866,73 @@ object TextAnalysis {
        |FROM segs s JOIN df f ON s.sent = f.sent
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** BM25 lexical ranking: top-10 documents for the two-term query
+    * {spark, window} under Okapi BM25 (k1 = 1.2, b = 0.75). Uses the
+    * log-free RATIO idf (N − df + 0.5)/(df + 0.5) — the same reasoning
+    * as [[tfidf]]: `ln` is only guaranteed within 1 ulp across libm
+    * implementations and could flip a rounded rank, while a fixed-order
+    * chain of IEEE ops over exact integers (tf, df, dl, N) is
+    * bit-identical in both engines. Per-term scores are rounded to 6
+    * decimals BEFORE the per-doc sum; with ≤ 2 query terms the sum is a
+    * single commutative IEEE add, so accumulation order cannot matter.
+    * Scale shape: the tf table is filtered to the query terms AT THE
+    * TOKENIZER (the big exploded stream never shuffles untargeted
+    * terms), df/avgdl are broadcast scalars, and the final ranking is a
+    * TakeOrdered top-10 — the per-query cost of a 100 TB corpus is one
+    * token scan, which an inverted index (the tf table materialized and
+    * bucketed by term) turns into a posting-list lookup. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "window")
+    val toks = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(trim(col("text")), "[ \t\n\r]+")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("total"))
+      .select(col("nd"), (col("total").cast("double") / col("nd")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfPart = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), ExactRound.r(idf * tfPart, 6).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), ExactRound.r(sum("sc"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** SQL twin: identical operator order in every float expression. */
+  val bm25Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS term
+       |    FROM documents
+       |  ) WHERE term <> ''
+       |), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ('spark', 'window') GROUP BY 1, 2
+       |), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT t.doc_id,
+       |    ${ExactRound.rSql(
+             "((s.nd - f.df + 0.5) / (f.df + 0.5)) * " +
+               "((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))", 6)} AS sc
+       |  FROM tf t JOIN df f USING (term) JOIN dl l USING (doc_id), stats s
+       |)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  ${ExactRound.rSql("sum(sc)", 6)} AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bm25" -> (bm25 _),
     "t_template_sentences" -> (templateSentences _),
     "t_vocab_overlap" -> (vocabOverlap _),
     "t_langid_eval" -> (langidEval _),
@@ -890,6 +956,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_bm25" -> bm25Sql,
     "t_template_sentences" -> templateSentencesSql,
     "t_vocab_overlap" -> vocabOverlapSql,
     "t_langid_eval" -> langidEvalSql,

@@ -198,4 +198,25 @@ class GraphSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("clust_coef") == 1.0))
   }
 
+  test("assortativity: r replays from exact in-memory moments; bounds hold") {
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xy = edges.map { case (u, v) => (deg(u), deg(v)) }
+    val m = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val syy = xy.map(p => p._2 * p._2).sum
+    val expected = graft.operators.ExactRound.rScalar(
+      (m * sxy - sx * sy).toDouble /
+        math.sqrt((m * sxx - sx * sx).toDouble * (m * syy - sy * sy).toDouble), 6)
+    val row = Graph.assortativity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("n_edges") == pairs.length.toLong)
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, s"assortativity out of [-1,1]: $r")
+    assert(r == expected, s"assortativity $r != replay $expected")
+  }
+
 }

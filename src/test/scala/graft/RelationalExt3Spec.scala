@@ -220,4 +220,25 @@ class RelationalExt3Spec extends SparkSpec {
         ExactRound.rScalar(r.getAs[Long]("n_orders") / total, 6))
     }
   }
+
+  test("q50_rfm: segments conserve purchasers and revenue; scores in 1..5") {
+    val rows = RelationalExt3.q50Rfm(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "value").collect()
+      .map(r => r.getAs[Long]("user_id") -> ExactRound.valueMicros(r.getAs[Double]("value")))
+    assert(rows.map(_.getAs[Long]("n_users")).sum ==
+      purchases.map(_._1).distinct.length.toLong, "segments partition the purchaser set")
+    assert(rows.map(_.getAs[Long]("rev_us")).sum == purchases.map(_._2).sum,
+      "micros revenue is conserved across segments")
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 1L && v <= 5L, s"$c out of range: $v")
+      }
+      assert(r.getAs[Long]("n_users") > 0L)
+    }
+    // quintile scoring must actually spread: more than one segment cell
+    assert(rows.length > 1, "RFM collapsed to a single segment")
+  }
 }

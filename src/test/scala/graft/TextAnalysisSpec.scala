@@ -209,4 +209,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length == segs.count(_._2.nonEmpty))
   }
 
+  test("bm25: top-10 replays from an in-memory scorer with the same float order") {
+    import graft.operators.ExactRound
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("[ \t\n\r]+").filter(_.nonEmpty))
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val nd = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nd
+    val terms = Seq("spark", "window")
+    val tf = (for ((id, ts) <- docs; t <- terms; c = ts.count(_ == t) if c > 0)
+      yield (id, t) -> c.toLong).toMap
+    val dfq = terms.map(t => t -> tf.keys.count(_._2 == t).toLong).toMap
+    val scored = tf.toSeq.map { case ((id, t), f) =>
+      val idf = (nd - dfq(t) + 0.5) / (dfq(t) + 0.5)
+      val tfp = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+      id -> ExactRound.rScalar(idf * tfp, 6)
+    }
+    val perDoc = scored.groupBy(_._1).view
+      .mapValues(vs => ExactRound.rScalar(vs.map(_._2).sum, 6)).toMap
+    val expected = perDoc.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.bm25(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toSeq
+    assert(got == expected, s"bm25 diverges: got ${got.take(3)} expected ${expected.take(3)}")
+  }
+
 }
