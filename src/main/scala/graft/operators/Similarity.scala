@@ -932,7 +932,66 @@ object Similarity {
             6)} AS frac_small
        |FROM e GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** 1-NN label agreement — the class-separability audit of an
+    * embedding space: for a deterministic 1-in-50 sample of vectors,
+    * find each one's nearest neighbor by cosine (self excluded) and
+    * report, per label, how often the neighbor shares the label. High
+    * agreement = the space clusters semantically (ANN retrieval and
+    * embedding dedup will behave); low agreement on one label = that
+    * class is smeared (complements s_norm_stats/s_cos_hist, which
+    * audit geometry without labels). Counts are integers, accuracy is
+    * one rounded division; the argmax is a rank-1 window with a
+    * deterministic (cosine desc, vec_id) tie-break. Scale shape: the
+    * sampled query side broadcasts against one corpus scan (the
+    * annBrute plan, k queries at a time); at 100 TB the same eval runs
+    * against the IVF/LSH candidates instead of the full scan, and
+    * s_recall_eval bounds what that substitution loses. */
+  def knnAcc(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_v"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val nn = vs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+    nn.groupBy("q_label")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum((col("label") === col("q_label")).cast("long")).as("n_match"))
+      .select(col("q_label").as("label"), col("n_sampled"), col("n_match"),
+        ExactRound.r(col("n_match").cast("double") / col("n_sampled"), 6).as("acc_1nn"))
+      .orderBy("label")
+  }
+
+  /** SQL twin: same sample, same rank-1 window and tie-break. */
+  val knnAccSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, v AS q_v, nrm AS q_nrm
+       |  FROM e WHERE vec_id % 50 = 0
+       |), nn AS (
+       |  SELECT q_id, q_label, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ${ExactRound.rSql("list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)} DESC,
+       |      e.vec_id) AS rnk
+       |  FROM e, q WHERE e.vec_id <> q.q_id
+       |)
+       |SELECT q_label AS label, count(*) AS n_sampled,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  ${ExactRound.rSql(
+            "CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+            6)} AS acc_1nn
+       |FROM nn WHERE rnk = 1
+       |GROUP BY q_label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_knn_acc" -> (knnAcc _),
     "s_dim_stats" -> (dimStats _),
     "s_cos_hist" -> (cosHist _),
     "s_norm_stats" -> (normStats _),
@@ -951,6 +1010,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_knn_acc" -> knnAccSql,
     "s_dim_stats" -> dimStatsSql,
     "s_cos_hist" -> cosHistSql,
     "s_norm_stats" -> normStatsSql,

@@ -931,7 +931,60 @@ object TextAnalysis {
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Bigram language-model head: for the 20 highest-mass contexts w₁,
+    * the top-3 next tokens with conditional probability c(w₁,w₂)/c(w₁·)
+    * — the n-gram LM estimation step (and the table a speculative-
+    * decoding draft or an autocomplete serves), kept bit-exact because
+    * every quantity is an integer count and the probability is one
+    * rounded IEEE division. Scale shape: bigram counts partial-agg
+    * map-side (wordcount shape), context mass is a second partial agg
+    * over the BIGRAM VOCABULARY (not the corpus), the context cut is a
+    * TakeOrdered top-20, and the rank window runs on the ≤20-context
+    * slice after a broadcast semi-join — no global window anywhere. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pair = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(graft.functions.MinHashFns.word_shingles(
+        split(trim(col("text")), "[ \t\n\r]+"), 2, distinct = false)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val cnt = pair.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val top = cnt.groupBy("w1").agg(sum("c").as("ctx_total"))
+      .orderBy(col("ctx_total").desc, col("w1")).limit(20)
+    val w = Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))
+    cnt.join(broadcast(top), "w1")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("w1"), col("rnk"), col("w2"), col("c").as("n_occ"),
+        ExactRound.r(col("c").cast("double") / col("ctx_total"), 6).as("prob"))
+      .orderBy("w1", "rnk")
+  }
+
+  /** SQL twin: same shingle split, same top-20/top-3 tie-breaks. */
+  val bigramLmSql: String =
+    s"""WITH bg AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, greatest(len(toks)-1, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM (SELECT string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |  WHERE len(toks) >= 2
+       |), pair AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bg
+       |), cnt AS (SELECT w1, w2, count(*) AS c FROM pair GROUP BY 1, 2
+       |), top AS (
+       |  SELECT w1, CAST(sum(c) AS BIGINT) AS ctx_total FROM cnt GROUP BY 1
+       |  ORDER BY ctx_total DESC, w1 LIMIT 20
+       |), ranked AS (
+       |  SELECT c.w1, c.w2, c.c, t.ctx_total,
+       |    row_number() OVER (PARTITION BY c.w1 ORDER BY c.c DESC, c.w2) AS rnk
+       |  FROM cnt c JOIN top t USING (w1)
+       |)
+       |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, c AS n_occ,
+       |  ${ExactRound.rSql("CAST(c AS DOUBLE) / ctx_total", 6)} AS prob
+       |FROM ranked WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bigram_lm" -> (bigramLm _),
     "t_bm25" -> (bm25 _),
     "t_template_sentences" -> (templateSentences _),
     "t_vocab_overlap" -> (vocabOverlap _),
@@ -956,6 +1009,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_bigram_lm" -> bigramLmSql,
     "t_bm25" -> bm25Sql,
     "t_template_sentences" -> templateSentencesSql,
     "t_vocab_overlap" -> vocabOverlapSql,

@@ -261,4 +261,35 @@ class SimilaritySpec extends SparkSpec {
     // synthetic dims all carry signal: none is fully dead, none saturated
     assert(rows.forall(r => r.getAs[Double]("frac_small") < 1.0))
   }
+
+  test("knn_acc: per-label agreement replays from an in-memory 1-NN scan") {
+    import graft.operators.ExactRound
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ExactRound.rScalar(ab / (math.sqrt(aa) * math.sqrt(bb)), 6)
+    }
+    val sample = vecs.filter(_._1 % 50 == 0)
+    val agree = sample.map { case (qid, qlab, qv) =>
+      val nn = vecs.filter(_._1 != qid)
+        .map { case (id, lab, v) => (id, lab, cos(v, qv)) }
+        .minBy { case (id, _, c) => (-c, id) }
+      qlab -> (nn._2 == qlab)
+    }
+    val expected = agree.groupBy(_._1).map { case (lab, xs) =>
+      lab -> ((xs.length.toLong, xs.count(_._2).toLong))
+    }
+    val got = Similarity.knnAcc(spark, sf).collect().map { r =>
+      r.getAs[Int]("label") -> ((r.getAs[Long]("n_sampled"), r.getAs[Long]("n_match")))
+    }.toMap
+    assert(got == expected, s"knn_acc diverges: $got vs $expected")
+    Similarity.knnAcc(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("acc_1nn") == ExactRound.rScalar(
+        r.getAs[Long]("n_match").toDouble / r.getAs[Long]("n_sampled"), 6))
+    }
+  }
 }

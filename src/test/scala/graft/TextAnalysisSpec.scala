@@ -234,4 +234,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected, s"bm25 diverges: got ${got.take(3)} expected ${expected.take(3)}")
   }
 
+  test("bigram_lm: table replays from in-memory bigram counts; probs partition") {
+    import graft.operators.ExactRound
+    val bigrams = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split("[ \t\n\r]+").filter(_.nonEmpty))
+      .flatMap(ts => ts.zip(ts.drop(1)))
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = cnt.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val top20 = ctx.toSeq.sortBy { case (w, c) => (-c, w) }.take(20).toMap
+    val expected = (for {
+      ((w1, w2), c) <- cnt.toSeq if top20.contains(w1)
+    } yield (w1, w2, c)).groupBy(_._1).toSeq.flatMap { case (w1, rows) =>
+      rows.sortBy { case (_, w2, c) => (-c, w2) }.take(3).zipWithIndex.map {
+        case ((_, w2, c), i) =>
+          (w1, (i + 1).toLong, w2, c, ExactRound.rScalar(c.toDouble / top20(w1), 6))
+      }
+    }.sortBy { case (w1, rnk, _, _, _) => (w1, rnk) }
+    val got = TextAnalysis.bigramLm(spark, sf).collect().map(r =>
+      (r.getAs[String]("w1"), r.getAs[Long]("rnk"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_occ"), r.getAs[Double]("prob"))).toSeq
+    assert(got == expected, s"bigram_lm diverges: ${got.take(2)} vs ${expected.take(2)}")
+    // per-context ranks are 1..k and probabilities never exceed 1
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted == (1L to rows.length).toSeq)
+      assert(rows.map(_._5).forall(p => p > 0.0 && p <= 1.0))
+    }
+  }
+
 }
