@@ -619,7 +619,61 @@ object Multimodal {
       |    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
       |ORDER BY asset_a, asset_b""".stripMargin
 
+  /** documents → (asset_id, media: real WAV bytes) via the JDK encoder —
+    * the batched-mapPartitions codec step, after which everything is
+    * declarative column work on the binary. */
+  private def wavAssets(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeWav(t)) }))
+      .toDF("asset_id", "media")
+  }
+
+  /** RIFF/WAVE container header parse — the audio twin of [[pngMeta]]:
+    * magic validation plus the fmt-chunk fields (PCM tag, channels,
+    * sample rate, bit depth) and the data-chunk byte count, all
+    * extracted DECLARATIVELY from the binary column (substring + hex +
+    * conv, codegen'd — no codec on this path). RIFF integers are
+    * little-endian, so each field is reassembled from per-byte extracts
+    * (hex/conv reads big-endian); n_samples = data_bytes / block_align.
+    * The codec appears only in the [[wavAssets]] encode step; a corpus
+    * whose WAVs already sit in the binary column runs this as ONE
+    * scan-only metadata pass — the cheap audit before any decode-heavy
+    * job (compare [[wavEnergy]], which decodes every sample). */
+  def wavMeta(s: SparkSession, d: String): DataFrame = {
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def le32(off: Int) = u8(off) + u8(off + 1) * 256L + u8(off + 2) * 65536L +
+      u8(off + 3) * 16777216L
+    def le16(off: Int) = u8(off) + u8(off + 1) * 256L
+    wavAssets(s, d)
+      .select(col("asset_id"),
+        (hex(substring(col("media"), 1, 4)) === "52494646" &&
+          hex(substring(col("media"), 9, 4)) === "57415645" &&
+          hex(substring(col("media"), 37, 4)) === "64617461").as("valid_riff"),
+        le32(5).as("riff_size"),
+        le16(21).as("audio_format"), le16(23).as("channels"),
+        le32(25).as("sample_rate"), le16(35).as("bits_per_sample"),
+        le32(41).as("data_bytes"),
+        (le32(41) / le16(33)).cast("long").as("n_samples"))
+      .orderBy("asset_id")
+  }
+
+  /** The encoder writes canonical 44-byte-header PCM WAVs: 16-bit mono
+    * 8 kHz, data = 2 bytes/char, riff_size = 36 + data. */
+  val wavMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_riff,
+      |  CAST(36 + 2 * length(text) AS BIGINT) AS riff_size,
+      |  CAST(1 AS BIGINT) AS audio_format, CAST(1 AS BIGINT) AS channels,
+      |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(2 * length(text) AS BIGINT) AS data_bytes,
+      |  CAST(length(text) AS BIGINT) AS n_samples
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_wav_meta" -> (wavMeta _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
     "m_cdc_chunks" -> (cdcChunks _),
@@ -631,6 +685,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_wav_meta" -> wavMetaSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,
     "m_cdc_chunks" -> cdcChunksSql,

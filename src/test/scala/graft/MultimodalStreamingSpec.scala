@@ -194,4 +194,23 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(sliding.map(_.getAs[Long]("n")).sum == total * 3)
   }
 
+  test("m_wav_meta: declarative header parse agrees with the JDK audio reader") {
+    val rows = graft.multimodal.Multimodal.wavMeta(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("valid_riff"))
+      val wav = graft.multimodal.Multimodal.encodeWav(texts(r.getAs[Long]("asset_id")))
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(wav)).getFormat
+      assert(r.getAs[Long]("channels") == fmt.getChannels.toLong)
+      assert(r.getAs[Long]("sample_rate") == fmt.getSampleRate.toLong)
+      assert(r.getAs[Long]("bits_per_sample") == fmt.getSampleSizeInBits.toLong)
+      assert(r.getAs[Long]("audio_format") == 1L)
+      assert(r.getAs[Long]("riff_size") == wav.length.toLong - 8L)
+      assert(r.getAs[Long]("n_samples") * 2L == r.getAs[Long]("data_bytes"))
+    }
+  }
+
 }
