@@ -174,4 +174,47 @@ class PlanShapeSpec extends SparkSpec {
       "per-shard manifests must partial-aggregate")
   }
 
+  test("t_bm25: df/avgdl scalars broadcast; ranking compiles to top-k") {
+    val p = plan(graft.operators.TextAnalysis.bm25(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "corpus statistics must broadcast, not shuffle the token stream")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must compile to top-k")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the scoring join")
+  }
+
+  test("t_bigram_lm: context cut is top-k; the rank window runs after a broadcast join") {
+    val p = plan(graft.operators.TextAnalysis.bigramLm(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 contexts must compile to top-k")
+    assert(p.contains("BroadcastHashJoin"), "context slice must broadcast-semi-join")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "bigram counts must partial-aggregate map-side")
+  }
+
+  test("q50_rfm: quintile edges broadcast; no global sort window") {
+    val p = plan(graft.operators.RelationalExt3.q50Rfm(spark, sf))
+    assert(!p.contains("Window"), "scoring must use broadcast edges, not an ntile window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row edge tables must broadcast")
+  }
+
+  test("g_assortativity: moments partial-aggregate; degree joins are equi-joins") {
+    val p = plan(graft.operators.Graph.assortativity(spark, sf))
+    assert(!p.contains("CartesianProduct"), "only the 1-row moment/count tables may cross")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "moment sums must partial-aggregate")
+  }
+
+  test("s_knn_acc: sampled queries broadcast against one corpus scan") {
+    val p = plan(graft.operators.Similarity.knnAcc(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the sampled query side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must never shuffle for the scan join")
+  }
+
+  test("m_wav_meta: header parse is map-side after the codec step — no join, no agg") {
+    val p = plan(graft.multimodal.Multimodal.wavMeta(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"RIFF parsing must stay map-side:\n${p.take(600)}")
+  }
+
 }
