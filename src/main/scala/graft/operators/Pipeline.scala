@@ -627,7 +627,45 @@ object Pipeline {
        |FROM p GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
   }
 
+  /** Low-resource upsampling — the mixture-rebalancing complement of
+    * [[quota]] (which CAPS over-represented slices): every document in
+    * an under-represented language is replicated ⌊max_lang_docs /
+    * lang_docs⌋ times (exact integer division on both engines — `div`,
+    * not `/`, which would round a huge-count ratio through a double),
+    * emitting one row per replica with a deterministic replica index.
+    * This is how multilingual pretraining mixes raise low-resource
+    * epochs (data-repetition factors) without RNG: the factor is a
+    * pure function of the per-language counts, so the expanded corpus
+    * is reproducible across engines and partitionings. Scale shape:
+    * per-language counts are a vocabulary-sized partial agg broadcast
+    * back; the expansion is a map-side explode(sequence) — the output
+    * is bounded by factor × corpus and nothing else shuffles. */
+  def upsample(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val mx = cnt.agg(max("n_docs").as("max_docs"))
+    docs.join(broadcast(cnt), "lang")
+      .crossJoin(broadcast(mx))
+      .withColumn("n_rep", expr("max_docs div n_docs"))
+      .select(col("doc_id"), col("lang"), col("n_rep"),
+        explode(sequence(lit(1L), col("n_rep"))).as("replica_idx"))
+      .orderBy("doc_id", "replica_idx")
+  }
+
+  /** SQL twin: same floor division, same generate_series expansion. */
+  val upsampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |m AS (SELECT max(n_docs) AS max_docs FROM c),
+      |r AS (
+      |  SELECT d.doc_id, d.lang, CAST(m.max_docs // c.n_docs AS BIGINT) AS n_rep
+      |  FROM documents d JOIN c ON d.lang = c.lang, m
+      |)
+      |SELECT doc_id, lang, n_rep,
+      |  unnest(generate_series(1, n_rep)) AS replica_idx
+      |FROM r ORDER BY doc_id, replica_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_upsample" -> (upsample _),
     "p_epoch_shuffle" -> (epochShuffle _),
     "p_token_budget" -> (tokenBudget _),
     "p_manifest" -> (manifest _),
@@ -643,6 +681,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_upsample" -> upsampleSql,
     "p_epoch_shuffle" -> epochShuffleSql,
     "p_token_budget" -> tokenBudgetSql,
     "p_manifest" -> manifestSql,

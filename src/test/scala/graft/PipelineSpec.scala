@@ -129,4 +129,27 @@ class PipelineSpec extends SparkSpec {
     assert(cks(0L) != cks(1L) && cks(1L) != cks(2L))
   }
 
+  test("p_upsample: replication factors replay from language counts; balance improves") {
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang"))
+    val cnt = langs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mx = cnt.values.max
+    val rows = graft.operators.Pipeline.upsample(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == langs.map(_._1).toSet, "every doc appears")
+    byDoc.foreach { case (id, rs) =>
+      val lang = langs.find(_._1 == id).get._2
+      val expected = mx / cnt(lang)
+      assert(rs.length.toLong == expected, s"doc $id: ${rs.length} != $expected replicas")
+      assert(rs.map(_.getAs[Long]("replica_idx")).sorted.sameElements(1L to expected))
+      assert(rs.forall(_.getAs[Long]("n_rep") == expected))
+    }
+    // post-expansion counts are within one source-count of the max language
+    val post = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong)
+    post.foreach { case (lang, n) =>
+      assert(n > mx - cnt(lang), s"$lang under-replicated: $n")
+      assert(n <= mx, s"$lang over-replicated past the majority: $n")
+    }
+  }
+
 }
