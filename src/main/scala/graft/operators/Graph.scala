@@ -737,7 +737,117 @@ object Graph {
        |FROM mom, nn""".stripMargin
   }
 
+  /** Newman modularity Q of the [[community]] partition over the same
+    * embed-dup graph — the "are these communities real" score (Q > 0:
+    * denser inside than a degree-preserving random graph; Q ≈ 0: label
+    * propagation found noise). Per community: internal-edge count,
+    * degree mass, and the Q contribution (m2·L₂ᶜ − Dᶜ²)/m2² kept as an
+    * exact-integer NUMERATOR until one final division — the naive
+    * Σ(Lᶜ/m − (Dᶜ/2m)²) float sum is accumulation-order-dependent
+    * across communities, the integer numerator sum is not. q_total is
+    * repeated per row (constant column) so the one-pass result carries
+    * both grains. Unlabeled nodes (pred_label −1) count as one
+    * community, by construction of the propagation output. Scale: two
+    * narrow label joins on the edge list + community-sized aggs;
+    * numerators fit longs to ~10⁹ directed edges (then decimal(38)). */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val lab = community(s, d)
+      .select(col("vec_id").as("id"), col("pred_label").as("com"))
+      .localCheckpoint()
+    val pairs = Dedup.embedDup(s, d)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val withCom = edges
+      .join(lab.select(col("id").as("src"), col("com").as("com_s")), "src")
+      .join(lab.select(col("id").as("dst"), col("com").as("com_d")), "dst")
+    val lc = withCom.filter(col("com_s") === col("com_d"))
+      .groupBy(col("com_s").as("com")).agg(count(lit(1)).as("l_in2"))
+    val dc = withCom.groupBy(col("com_s").as("com"))
+      .agg(count(lit(1)).as("d_tot"), countDistinct("src").as("n_nodes"))
+    val m2df = edges.agg(count(lit(1)).as("m2"))
+    val per = dc.join(lc, Seq("com"), "left")
+      .select(col("com"), col("n_nodes"),
+        coalesce(col("l_in2"), lit(0L)).as("l_in2"), col("d_tot"))
+      .crossJoin(broadcast(m2df))
+      .withColumn("num", col("m2") * col("l_in2") - col("d_tot") * col("d_tot"))
+      .localCheckpoint()
+    val tot = per.agg(sum("num").as("num_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("com"), col("n_nodes"),
+        (col("l_in2") / lit(2L)).cast("long").as("l_in"), col("d_tot"),
+        ExactRound.r(col("num").cast("double") / (col("m2") * col("m2")).cast("double"), 6)
+          .as("contrib"),
+        ExactRound.r(col("num_tot").cast("double") / (col("m2") * col("m2")).cast("double"), 6)
+          .as("q_total"))
+      .orderBy("com")
+  }
+
+  /** SQL twin: the communitySql CTE chain re-emitted, then the same
+    * exact-integer modularity tail. */
+  val modularitySql: String = {
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    val rounds = (1 to 3).map { k =>
+      s"""v$k AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS n
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.label
+         |), m$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+         |    FROM v$k
+         |  ) WHERE rn = 1
+         |), l$k AS (
+         |  SELECT * FROM seeds
+         |  UNION ALL
+         |  SELECT m.id, m.label FROM m$k m WHERE m.id NOT IN (SELECT id FROM seeds)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+       |         label
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb
+       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.4
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM edges
+       |), seeds AS (
+       |  SELECT n.id, CAST(e0.label AS BIGINT) AS label
+       |  FROM nodes n JOIN e0 ON e0.vec_id = n.id
+       |  WHERE n.id % 5 = 0
+       |), l0 AS (SELECT * FROM seeds
+       |), $rounds, lab AS (
+       |  SELECT n.id, coalesce(l.label, -1) AS com
+       |  FROM nodes n LEFT JOIN l3 l USING (id)
+       |), wc AS (
+       |  SELECT la.com AS com_s, lb.com AS com_d, e.src
+       |  FROM edges e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+       |), lc AS (
+       |  SELECT com_s AS com, count(*) AS l_in2 FROM wc WHERE com_s = com_d GROUP BY 1
+       |), dc AS (
+       |  SELECT com_s AS com, count(*) AS d_tot, count(DISTINCT src) AS n_nodes
+       |  FROM wc GROUP BY 1
+       |), m2t AS (SELECT count(*) AS m2 FROM edges
+       |), per AS (
+       |  SELECT dc.com, dc.n_nodes, coalesce(lc.l_in2, 0) AS l_in2, dc.d_tot,
+       |    m2t.m2, CAST(m2t.m2 * coalesce(lc.l_in2, 0) - dc.d_tot * dc.d_tot AS BIGINT) AS num
+       |  FROM dc LEFT JOIN lc USING (com), m2t
+       |), tot AS (SELECT CAST(sum(num) AS BIGINT) AS num_tot FROM per)
+       |SELECT per.com, per.n_nodes,
+       |  CAST(per.l_in2 // 2 AS BIGINT) AS l_in, per.d_tot,
+       |  ${ExactRound.rSql("CAST(per.num AS DOUBLE) / CAST(per.m2 * per.m2 AS DOUBLE)", 6)} AS contrib,
+       |  ${ExactRound.rSql("CAST(tot.num_tot AS DOUBLE) / CAST(per.m2 * per.m2 AS DOUBLE)", 6)} AS q_total
+       |FROM per, tot ORDER BY com""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_modularity" -> (modularity _),
     "g_assortativity" -> (assortativity _),
     "g_kcore" -> (kcore _),
     "g_degree_stats" -> (degreeStats _),
@@ -749,6 +859,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_modularity" -> modularitySql,
     "g_assortativity" -> assortativitySql,
     "g_kcore" -> kcoreSql,
     "g_degree_stats" -> degreeStatsSql,

@@ -990,7 +990,64 @@ object Similarity {
        |FROM nn WHERE rnk = 1
        |GROUP BY q_label ORDER BY label""".stripMargin
 
+  /** Label-outlier audit — the mislabel/OOD detector: every vector's
+    * squared distance to its own label's MEAN centroid, top-20 worst
+    * (the rows a curation pass sends to re-labeling). The centroid mean
+    * is the bit-exactness hazard here — a float sum over corpus rows is
+    * accumulation-order-dependent — so components are quantized to
+    * integer micros and summed as longs (order-free, the moneySum
+    * discipline applied per dimension), and the per-component mean is
+    * one exact division. The (label, dim) sum table is |labels|·|dims|
+    * rows at ANY corpus size; centroid arrays broadcast back and the
+    * distance pass is one scan. Complements [[knnAcc]] (is the space
+    * separable) with WHICH vectors violate it. */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val comp = vs.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x") * lit(1000000L)).cast("long").as("x_us"))
+    val cent = comp.groupBy("label", "dim")
+      .agg(sum("x_us").as("s_us"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s_us").cast("double") / (col("n") * lit(1000000.0))).as("c"))
+      .groupBy("label")
+      .agg(collect_list(struct(col("dim"), col("c"))).as("dc"))
+      .select(col("label"),
+        transform(array_sort(col("dc")), t => t.getField("c")).as("c_v"))
+    vs.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("sq_dist"))
+      .orderBy(col("sq_dist").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** SQL twin: same micros-exact component sums, same fixed-order
+    * |a|²−2⟨a,b⟩+|b|² distance. */
+  val outliersSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), comp AS (
+       |  SELECT label, unnest(generate_series(1, len(v))) AS j, v FROM e
+       |), cmp AS (
+       |  SELECT label, j, CAST(round(v[j] * 1000000) AS BIGINT) AS x_us FROM comp
+       |), cent AS (
+       |  SELECT label, j,
+       |    CAST(sum(x_us) AS BIGINT) AS s_us, count(*) AS n
+       |  FROM cmp GROUP BY 1, 2
+       |), carr AS (
+       |  SELECT label,
+       |    list(CAST(s_us AS DOUBLE) / (n * 1000000.0) ORDER BY j) AS c_v
+       |  FROM cent GROUP BY label
+       |)
+       |SELECT e.vec_id, e.label,
+       |  ${ExactRound.rSql(
+            "list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, c.c_v)" +
+              " + list_inner_product(c.c_v, c.c_v)", 6)} AS sq_dist
+       |FROM e JOIN carr c ON e.label = c.label
+       |ORDER BY sq_dist DESC, e.vec_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_outliers" -> (outliers _),
     "s_knn_acc" -> (knnAcc _),
     "s_dim_stats" -> (dimStats _),
     "s_cos_hist" -> (cosHist _),
@@ -1010,6 +1067,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_outliers" -> outliersSql,
     "s_knn_acc" -> knnAccSql,
     "s_dim_stats" -> dimStatsSql,
     "s_cos_hist" -> cosHistSql,

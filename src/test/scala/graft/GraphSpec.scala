@@ -219,4 +219,34 @@ class GraphSpec extends SparkSpec {
     assert(r == expected, s"assortativity $r != replay $expected")
   }
 
+  test("modularity: Q replays from exact integer numerators; bounds hold") {
+    import graft.operators.ExactRound
+    val com = Graph.community(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pred_label")).toMap
+    val pairs = Dedup.embedDup(spark, sf).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val m2 = edges.length.toLong
+    val lIn2 = edges.filter { case (u, v) => com(u) == com(v) }
+      .groupBy { case (u, _) => com(u) }.view.mapValues(_.length.toLong).toMap
+    val dTot = edges.groupBy { case (u, _) => com(u) }.view.mapValues(_.length.toLong).toMap
+    val nums = dTot.map { case (c, d) => c -> (m2 * lIn2.getOrElse(c, 0L) - d * d) }
+    val qExpected = ExactRound.rScalar(
+      nums.values.sum.toDouble / (m2 * m2).toDouble, 6)
+    val rows = Graph.modularity(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("com")).toSet == dTot.keySet)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("com")
+      assert(r.getAs[Long]("l_in") == lIn2.getOrElse(c, 0L) / 2)
+      assert(r.getAs[Long]("d_tot") == dTot(c))
+      assert(r.getAs[Double]("contrib") ==
+        ExactRound.rScalar(nums(c).toDouble / (m2 * m2).toDouble, 6))
+      assert(r.getAs[Double]("q_total") == qExpected)
+    }
+    val q = rows.head.getAs[Double]("q_total")
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of bounds: $q")
+    // label propagation on planted near-dup clusters must beat random
+    assert(q > 0.0, s"community partition shows no structure: Q=$q")
+  }
+
 }

@@ -217,4 +217,18 @@ class PlanShapeSpec extends SparkSpec {
       s"RIFF parsing must stay map-side:\n${p.take(600)}")
   }
 
+  test("s_outliers: centroid table broadcasts back; component sums partial-aggregate") {
+    val p = plan(graft.operators.Similarity.outliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "label centroids must broadcast")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "micros component sums must partial-aggregate")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must compile to top-k")
+  }
+
+  test("g_modularity: label joins are equi-joins; only 1-row totals cross") {
+    val p = plan(graft.operators.Graph.modularity(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast scalars may cross:\n${p.take(800)}")
+  }
+
 }

@@ -292,4 +292,31 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Long]("n_match").toDouble / r.getAs[Long]("n_sampled"), 6))
     }
   }
+
+  test("s_outliers: distances replay from micros-exact in-memory centroids") {
+    import graft.operators.ExactRound
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    }
+    val cent = vecs.groupBy(_._2).view.mapValues { vs =>
+      val dims = vs.head._3.length
+      Array.tabulate(dims) { j =>
+        val us = vs.map(v => BigDecimal(v._3(j) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+        us.toDouble / (vs.length * 1000000.0)
+      }
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var s = 0.0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expected = vecs.map { case (id, lab, v) =>
+      val c = cent(lab)
+      (id, ExactRound.rScalar(dot(v, v) - 2.0 * dot(v, c) + dot(c, c), 6))
+    }.sortBy { case (id, sd) => (-sd, id) }.take(20)
+    val got = Similarity.outliers(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sq_dist"))).toSeq
+    assert(got == expected.toSeq, s"outliers diverge: ${got.take(3)} vs ${expected.take(3)}")
+  }
 }
