@@ -1382,7 +1382,126 @@ object Dedup {
        |GROUP BY source_a, source_b, t.n_total
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Shard-local vs global dedup audit — the 100 TB DESIGN question
+    * this table answers: if each of 16 shards dedups independently,
+    * what fraction of duplicate pairs does it even SEE? One row per
+    * duplicate relation:
+    *   - `exact`: pairs inside normalized-fingerprint groups, counted
+    *     per (group, shard) as Σ k(k−1)/2 — never a pair join, so a
+    *     10k-copy hot document costs one count row. Under id-hash
+    *     sharding (p_manifest's djb2(doc_id) layout) copies scatter
+    *     (caught ≈ 1/16); under CONTENT-hash sharding every copy
+    *     co-locates by construction (caught = 1, COMPUTED not
+    *     asserted).
+    *   - `near`: the verified n-gram-Jaccard pair list. Content-hash
+    *     sharding does NOT co-locate near-dups (different texts,
+    *     different fingerprints — caught ≈ 1/16 again): the measured
+    *     gap that forces band-key routing (d_minhash_lsh's join key)
+    *     for shard-local NEAR-dedup at 100 TB.
+    * Fractions are NULL when a relation has no pairs at this SF (the
+    * generator plants exact dups only at sf ≥ 0.1). */
+  def crossShard(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(to_binary(trim(regexp_replace(lower(col("text")), WS, " ")), lit("utf-8")))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"), col("fp"),
+        graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16).as("shard_id"),
+        graft.functions.Djb2.djb2_partition(col("fp"), 16).as("shard_content"))
+      .localCheckpoint()
+    val groups = docs.groupBy("fp").agg(count(lit(1)).as("k")).filter(col("k") > 1)
+    val dup = docs.join(groups.select("fp"), "fp")
+    def pairsBy(shardCol: String, out: String) = dup.groupBy(col("fp"), col(shardCol))
+      .agg(count(lit(1)).as("ks"))
+      .agg(coalesce(sum(expr("(ks * (ks - 1)) div 2")), lit(0L)).as(out))
+    val exactRow = groups
+      .agg(coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L)).as("n_pairs"))
+      .crossJoin(broadcast(pairsBy("shard_id", "same_id")))
+      .crossJoin(broadcast(pairsBy("shard_content", "same_content")))
+      .select(lit("exact").as("relation"), col("n_pairs"), col("same_id"), col("same_content"))
+    val near = ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("shard_id").as("sa_id"), col("shard_content").as("sa_c")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("shard_id").as("sb_id"), col("shard_content").as("sb_c")), "doc_b")
+    val nearRow = near.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum((col("sa_id") === col("sb_id")).cast("long")), lit(0L)).as("same_id"),
+        coalesce(sum((col("sa_c") === col("sb_c")).cast("long")), lit(0L)).as("same_content"))
+      .select(lit("near").as("relation"), col("n_pairs"), col("same_id"), col("same_content"))
+    exactRow.union(nearRow)
+      .select(col("relation"), col("n_pairs"), col("same_id"), col("same_content"),
+        when(col("n_pairs") > 0,
+          ExactRound.r(col("same_id").cast("double") / col("n_pairs"), 6))
+          .as("frac_caught_id"),
+        when(col("n_pairs") > 0,
+          ExactRound.r(col("same_content").cast("double") / col("n_pairs"), 6))
+          .as("frac_caught_content"))
+      .orderBy("relation")
+  }
+
+  /** SQL twin: djb2 via the recursive-CTE replication (the manifestSql
+    * pattern) over both the id key and the 32-hex fingerprint key;
+    * near pairs via the exact shingle-Jaccard brute force. */
+  val crossShardSql: String = {
+    val jac = ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    s"""WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
+      |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, fp, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), hc AS (
+      |  SELECT doc_id, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, fp, i+1,
+      |    (hash*33 + ord(substr(fp,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM hc WHERE i <= length(fp)
+      |), docs AS (
+      |  SELECT h.doc_id, h.fp,
+      |    CAST(h.hash % 16 AS INT) AS shard_id,
+      |    CAST(c.hash % 16 AS INT) AS shard_content
+      |  FROM h JOIN (SELECT doc_id, hash FROM hc WHERE i = length(fp)+1) c USING (doc_id)
+      |  WHERE h.i = length(h.key)+1
+      |), groups AS (
+      |  SELECT fp, count(*) AS k FROM docs GROUP BY fp HAVING count(*) > 1
+      |), dup AS (SELECT d.* FROM docs d JOIN groups USING (fp)
+      |), exact_row AS (
+      |  SELECT 'exact' AS relation,
+      |    (SELECT CAST(coalesce(sum((k * (k - 1)) // 2), 0) AS BIGINT) FROM groups) AS n_pairs,
+      |    (SELECT CAST(coalesce(sum((ks * (ks - 1)) // 2), 0) AS BIGINT) FROM (
+      |       SELECT count(*) AS ks FROM dup GROUP BY fp, shard_id)) AS same_id,
+      |    (SELECT CAST(coalesce(sum((ks * (ks - 1)) // 2), 0) AS BIGINT) FROM (
+      |       SELECT count(*) AS ks FROM dup GROUP BY fp, shard_content)) AS same_content
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), np AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE $jac >= 0.5
+      |), near_row AS (
+      |  SELECT 'near' AS relation, count(*) AS n_pairs,
+      |    CAST(coalesce(sum(CASE WHEN da.shard_id = db.shard_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS same_id,
+      |    CAST(coalesce(sum(CASE WHEN da.shard_content = db.shard_content THEN 1 ELSE 0 END), 0) AS BIGINT) AS same_content
+      |  FROM np JOIN docs da ON np.doc_a = da.doc_id JOIN docs db ON np.doc_b = db.doc_id
+      |), u AS (SELECT * FROM exact_row UNION ALL SELECT * FROM near_row)
+      |SELECT relation, n_pairs, same_id, same_content,
+      |  CASE WHEN n_pairs > 0 THEN
+      |    ${ExactRound.rSql("CAST(same_id AS DOUBLE) / n_pairs", 6)} END AS frac_caught_id,
+      |  CASE WHEN n_pairs > 0 THEN
+      |    ${ExactRound.rSql("CAST(same_content AS DOUBLE) / n_pairs", 6)} END AS frac_caught_content
+      |FROM u ORDER BY relation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cross_shard" -> (crossShard _),
     "d_prefix_dup" -> (prefixDup _),
     "d_source_overlap" -> (sourceOverlap _),
     "d_threshold_sweep" -> (thresholdSweep _),
@@ -1404,6 +1523,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_cross_shard" -> crossShardSql,
     "d_prefix_dup" -> prefixDupSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_threshold_sweep" -> thresholdSweepSql,

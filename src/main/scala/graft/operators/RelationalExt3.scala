@@ -581,7 +581,70 @@ object RelationalExt3 {
        |FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
   }
 
+  /** Cohort LTV curves — [[q42Retention]]'s revenue twin: per signup
+    * cohort (first-order month) and month offset, the CUMULATIVE
+    * revenue and per-member LTV. Revenue accumulates as BIGINT micros
+    * through the cumulative window (integer window sums are
+    * accumulation-order-free, so the running total is bit-portable
+    * where a double running sum is not); the only float is the final
+    * per-user division. Scale shape: one shuffle to customer grain for
+    * cohort assignment, one (cohort, offset) agg — cohort×offset is
+    * bounded by months², not customers — and the cumulative window
+    * runs per cohort on that tiny table. */
+  def q51CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+      round(col("o_totalprice") * lit(1000000L)).cast("long").as("rev_us"))
+    val f = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+    val cs = f.groupBy("cym").agg(count(lit(1)).as("cohort_size"))
+    val monthly = o.join(f, "o_custkey")
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("month_offset"))
+      .agg(sum("rev_us").as("rev_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cym").orderBy("month_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    monthly.withColumn("cum_rev_us", sum("rev_us").over(w))
+      .join(cs, "cym")
+      .select(
+        format_string("%04d-%02d",
+          expr("(cym - 1) div 12"), (col("cym") - 1) % 12 + 1).as("cohort"),
+        col("month_offset").cast("long").as("month_offset"),
+        col("cohort_size"), col("cum_rev_us"),
+        ExactRound.r(col("cum_rev_us").cast("double") /
+          (col("cohort_size") * lit(1000000.0)), 4).as("ltv_per_user"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  /** SQL twin: same micros window accumulation, same cohort labels. */
+  val q51Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+       |    CAST(round(o_totalprice * 1000000) AS BIGINT) AS rev_us
+       |  FROM orders
+       |), f AS (
+       |  SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1
+       |), cs AS (
+       |  SELECT cym, count(*) AS cohort_size FROM f GROUP BY 1
+       |), monthly AS (
+       |  SELECT f.cym, o.ym - f.cym AS month_offset,
+       |    CAST(sum(o.rev_us) AS BIGINT) AS rev_us
+       |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT cym, month_offset,
+       |    CAST(sum(rev_us) OVER (PARTITION BY cym ORDER BY month_offset
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_us
+       |  FROM monthly
+       |)
+       |SELECT printf('%04d-%02d', (c.cym - 1) // 12, (c.cym - 1) % 12 + 1) AS cohort,
+       |  CAST(c.month_offset AS BIGINT) AS month_offset,
+       |  cs.cohort_size, c.cum_rev_us,
+       |  ${ExactRound.rSql(
+            "CAST(c.cum_rev_us AS DOUBLE) / (cs.cohort_size * 1000000.0)", 4)} AS ltv_per_user
+       |FROM cum c JOIN cs USING (cym)
+       |ORDER BY cohort, month_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_cohort_ltv" -> (q51CohortLtv _),
     "q50_rfm" -> (q50Rfm _),
     "q49_returns" -> (q49Returns _),
     "q48_decile_moves" -> (q48DecileMoves _),
@@ -594,6 +657,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q51_cohort_ltv" -> q51Sql,
     "q50_rfm" -> q50Sql,
     "q49_returns" -> q49Sql,
     "q48_decile_moves" -> q48Sql,

@@ -378,4 +378,29 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty && got.values.forall(_._1 >= 2L))
   }
+
+  test("d_cross_shard: near-pair shard hits replay from in-memory djb2 routing") {
+    val rows = Dedup.crossShard(spark, sf).collect()
+      .map(r => r.getAs[String]("relation") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("same_id"),
+          r.getAs[Long]("same_content")))).toMap
+    assert(rows.keySet == Set("exact", "near"))
+    val fps = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val norm = r.getAs[String]("text").toLowerCase.replaceAll("[ \t\n\r]+", " ").trim
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      r.getAs[Long]("doc_id") -> md
+    }.toMap
+    def shardOf(s: String) = graft.functions.Djb2.partition(s.getBytes("UTF-8"), 16)
+    val near = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameId = near.count { case (a, b) => shardOf(a.toString) == shardOf(b.toString) }
+    val sameC = near.count { case (a, b) => shardOf(fps(a)) == shardOf(fps(b)) }
+    assert(rows("near") == ((near.length.toLong, sameId.toLong, sameC.toLong)))
+    // exact groups: replay pair counts from fingerprint multiplicities
+    val ks = fps.values.toSeq.groupBy(identity).values.map(_.size.toLong).filter(_ > 1)
+    assert(rows("exact")._1 == ks.map(k => k * (k - 1) / 2).sum)
+    // id sharding must not magically co-locate: caught <= seen pairs
+    assert(rows("near")._2 <= rows("near")._1 && rows("near")._3 <= rows("near")._1)
+  }
 }

@@ -241,4 +241,40 @@ class RelationalExt3Spec extends SparkSpec {
     // quintile scoring must actually spread: more than one segment cell
     assert(rows.length > 1, "RFM collapsed to a single segment")
   }
+
+  test("q51_cohort_ltv: cumulative micros replay; LTV is monotone per cohort") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect().map { r =>
+        val d = r.getAs[Any]("o_orderdate") match {
+          case d: java.sql.Date => d.toLocalDate
+          case t: java.time.LocalDateTime => t.toLocalDate
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case t: java.time.LocalDate => t
+        }
+        (r.getAs[Long]("o_custkey"), d.getYear * 12 + d.getMonthValue,
+          ExactRound.valueMicros(r.getAs[Double]("o_totalprice")))
+      }
+    val cym = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val monthly = orders.groupBy(o => (cym(o._1), o._2 - cym(o._1)))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val rows = RelationalExt3.q51CohortLtv(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getAs[String]("cohort"))
+    byCohort.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("month_offset"))
+      val cums = sorted.map(_.getAs[Long]("cum_rev_us"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+        "cumulative revenue must strictly increase")
+      val ltvs = sorted.map(_.getAs[Double]("ltv_per_user"))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => a <= b })
+    }
+    // spot-replay every row's cumulative against the in-memory micros table
+    rows.foreach { r =>
+      val Array(y, m) = r.getAs[String]("cohort").split("-").map(_.toInt)
+      val c = y * 12 + m
+      val off = r.getAs[Long]("month_offset")
+      val expected = (0L to off).map(o => monthly.getOrElse((c, o.toInt), 0L)).sum
+      assert(r.getAs[Long]("cum_rev_us") == expected,
+        s"cohort $c offset $off: ${r.getAs[Long]("cum_rev_us")} != $expected")
+    }
+  }
 }
