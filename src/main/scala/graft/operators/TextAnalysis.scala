@@ -983,7 +983,49 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(c AS DOUBLE) / ctx_total", 6)} AS prob
        |FROM ranked WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin
 
+  /** First BPE merge step — tokenizer training at corpus scale: the 20
+    * most frequent ADJACENT CHARACTER pairs, weighted by word
+    * frequency. The scale trick is the real BPE one: aggregate the
+    * corpus to its VOCABULARY first (word, count), then enumerate char
+    * pairs over distinct words only — pair extraction cost is
+    * vocabulary-sized, not corpus-sized, and the corpus contributes
+    * through the integer weight. Pure counts + TakeOrdered top-20, so
+    * bit-exact trivially. (A full BPE trainer iterates this with a
+    * merge applied per round; round 1 is the representative kernel —
+    * each subsequent round is the same plan over a re-segmented
+    * vocabulary.) */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(split(trim(col("text")), "[ \t\n\r]+")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    vocab.filter(length(col("term")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("n").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** SQL twin: same vocabulary-first weighting, same top-20 tie-break. */
+  val bpePairsSql: String =
+    """WITH tok AS (
+      |  SELECT term FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '[ \t\n\r]+')) AS term
+      |    FROM documents
+      |  ) WHERE term <> ''
+      |), vocab AS (SELECT term, count(*) AS n FROM tok GROUP BY 1
+      |), pairs AS (
+      |  SELECT n, unnest(list_transform(
+      |    generate_series(1, length(term) - 1), i -> substr(term, i, 2))) AS pair
+      |  FROM vocab WHERE length(term) >= 2
+      |)
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ
+      |FROM pairs GROUP BY pair
+      |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_pairs" -> (bpePairs _),
     "t_bigram_lm" -> (bigramLm _),
     "t_bm25" -> (bm25 _),
     "t_template_sentences" -> (templateSentences _),
@@ -1009,6 +1051,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_pairs" -> bpePairsSql,
     "t_bigram_lm" -> bigramLmSql,
     "t_bm25" -> bm25Sql,
     "t_template_sentences" -> templateSentencesSql,

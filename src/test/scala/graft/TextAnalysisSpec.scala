@@ -261,4 +261,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpe_pairs: top-20 replays from an in-memory vocabulary-weighted count") {
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.split("[ \t\n\r]+").filter(_.nonEmpty))
+    val vocab = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val counts = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    vocab.foreach { case (w, n) =>
+      (0 until w.length - 1).foreach(i => counts(w.substring(i, i + 2)) += n)
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n_occ")).toSeq
+    assert(got == expected, s"bpe_pairs diverges: ${got.take(3)} vs ${expected.take(3)}")
+  }
+
 }
