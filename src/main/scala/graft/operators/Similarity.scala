@@ -585,6 +585,7 @@ object Similarity {
         .select(lit(name).as("method"), col("n_retrieved"), col("n_hits"),
           (col("n_hits").cast("double") / lit(10.0)).as("recall_at_10"))
     evalOf("lsh", annLsh(s, d)).union(evalOf("ivf", annIvf(s, d)))
+      .union(evalOf("pq", annPq(s, d)))
       .orderBy("method")
   }
 
@@ -601,10 +602,14 @@ object Similarity {
        |$annLshSql
        |), ivf AS (
        |$annIvfSql
+       |), pq AS (
+       |$annPqSql
        |)
        |${one("ivf", "ivf")}
        |UNION ALL
        |${one("lsh", "lsh")}
+       |UNION ALL
+       |${one("pq", "pq")}
        |ORDER BY method""".stripMargin
   }
 

@@ -94,7 +94,7 @@ class SimilaritySpec extends SparkSpec {
   }
   test("recall eval: one row per index, hits bounded by retrieved and by k") {
     val rows = Similarity.recallEval(spark, sf).collect()
-    assert(rows.map(_.getAs[String]("method")).toSet == Set("lsh", "ivf"))
+    assert(rows.map(_.getAs[String]("method")).toSet == Set("lsh", "ivf", "pq"))
     rows.foreach { r =>
       val hits = r.getAs[Long]("n_hits")
       assert(hits >= 0 && hits <= r.getAs[Long]("n_retrieved") && hits <= 10)
