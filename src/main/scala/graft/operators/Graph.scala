@@ -440,10 +440,16 @@ object Graph {
     * loop's logical plan flat (the [[graft.operators.Dedup]] CC
     * lesson). Unreached nodes stay unlabeled and are emitted with
     * label −1. */
-  def community(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.embedDup(s, d)
+  def community(s: SparkSession, d: String): DataFrame =
+    communityFromPairs(s, d, Dedup.embedDup(s, d)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
-      .localCheckpoint()
+      .localCheckpoint())
+
+  /** [[community]] over a pre-built (and checkpointed) pair table —
+    * lets [[modularity]] audit the SAME candidate graph without paying
+    * the embed-dup candidate build twice. */
+  private[graft] def communityFromPairs(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
@@ -751,11 +757,11 @@ object Graph {
     * narrow label joins on the edge list + community-sized aggs;
     * numerators fit longs to ~10⁹ directed edges (then decimal(38)). */
   def modularity(s: SparkSession, d: String): DataFrame = {
-    val lab = community(s, d)
-      .select(col("vec_id").as("id"), col("pred_label").as("com"))
-      .localCheckpoint()
     val pairs = Dedup.embedDup(s, d)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val lab = communityFromPairs(s, d, pairs)
+      .select(col("vec_id").as("id"), col("pred_label").as("com"))
       .localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
