@@ -779,7 +779,63 @@ object EventStream {
        | strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_seen
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming parquet SINK + checkpoint behind the correctness gate —
+    * the streaming twin of p_shard_write (which gated the BATCH
+    * partitioned sink): the purchase stream is written through a real
+    * `writeStream.format("parquet")` with a checkpoint directory (the
+    * exactly-once file-sink commit protocol — _spark_metadata manifest +
+    * WAL), the files are READ BACK, and the re-read rows must aggregate
+    * to the batch oracle. Any dropped/duplicated/corrupted row flips a
+    * count or a micros-exact sum. The scratch dirs are deleted eagerly
+    * (the re-read is checkpointed first); the emitted result COMES from
+    * the files, not the stream. */
+  def sinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft_st_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ckpt_").toString
+    try {
+      val q = withStreamShuffle(s, d) {
+        s.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .transform(Tables.normalizeTs)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+      }
+      try q.processAllAvailable()
+      finally q.stop()
+      val back = s.read.parquet(out).localCheckpoint()
+      back.groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct("event_id").as("n_distinct_events"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy("user_id")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(out)); rm(new java.io.File(ckpt))
+    }
+  }
+
+  /** Batch oracle: if the sink lost or duplicated anything,
+    * n_purchases ≠ n_distinct_events or a sum flips. */
+  val sinkRoundtripSql: String =
+    s"""SELECT user_id, count(*) AS n_purchases,
+       | count(DISTINCT event_id) AS n_distinct_events,
+       | ${moneySumSql("value")} AS total_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_sink_roundtrip" -> (sinkRoundtrip _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
@@ -795,6 +851,7 @@ object EventStream {
     "st_dedup" -> (dedupStream _))
 
   val oracles: Map[String, String] = Map(
+    "st_sink_roundtrip" -> sinkRoundtripSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,
