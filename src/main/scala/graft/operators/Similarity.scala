@@ -1051,7 +1051,87 @@ object Similarity {
        |FROM e JOIN carr c ON e.label = c.label
        |ORDER BY sq_dist DESC, e.vec_id LIMIT 20""".stripMargin
 
+  /** BATCHED IVF retrieval — the serving-scale pattern [[annIvf]]'s
+    * single query can't show: a whole query batch (1-in-100 sample)
+    * rides ONE cell-assignment pass and ONE bucket equi-join. Per
+    * query: 2 probe cells (rank window over the broadcast centroid
+    * table), then top-5 by cosine within its probed cells. The corpus
+    * is scanned once regardless of batch size — per-query marginal
+    * cost is the probed-cell fraction, the amortization that makes an
+    * IVF index serve thousands of queries per pass at 100 TB; all
+    * ranking windows partition by query id over candidate slices, so
+    * no global sort anywhere. */
+  def ivfBatch(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "norm", "centroid_id")
+    val queries = vs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qdist"), col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_v"), col("q_norm"), col("centroid_id"),
+        ExactRound.r(sqDist(col("q_v"), col("c_v")), 6).as("qdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select("q_id", "q_v", "q_norm", "centroid_id")
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("centroid_id"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "vec_id", "centroid_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** SQL twin: same assignment, same per-query probe/rank windows. */
+  val ivfBatchSql: String = {
+    def sq(a: String, b: String) = ExactRound.rSql(
+      s"list_inner_product($a, $a) - 2*list_inner_product($a, $b) + list_inner_product($b, $b)", 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10
+       |), assigned AS (
+       |  SELECT vec_id, v, nrm, centroid_id FROM (
+       |    SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sq("e.v", "c.c_v")}, c.centroid_id) AS rn
+       |    FROM e, cents c
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM e WHERE vec_id % 100 = 0
+       |), probes AS (
+       |  SELECT q_id, q_v, q_nrm, centroid_id FROM (
+       |    SELECT q.q_id, q.q_v, q.q_nrm, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sq("q.q_v", "c.c_v")}, c.centroid_id) AS rn
+       |    FROM q, cents c
+       |  ) WHERE rn <= 2
+       |)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, centroid_id, cosine FROM (
+       |  SELECT p.q_id, a.vec_id, a.centroid_id,
+       |    ${ExactRound.rSql("list_inner_product(a.v, p.q_v) / (a.nrm * p.q_nrm)", 6)} AS cosine,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |      ${ExactRound.rSql("list_inner_product(a.v, p.q_v) / (a.nrm * p.q_nrm)", 6)} DESC,
+       |      a.vec_id) AS rnk
+       |  FROM assigned a JOIN probes p USING (centroid_id)
+       |  WHERE a.vec_id <> p.q_id
+       |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ivf_batch" -> (ivfBatch _),
     "s_outliers" -> (outliers _),
     "s_knn_acc" -> (knnAcc _),
     "s_dim_stats" -> (dimStats _),
@@ -1072,6 +1152,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_ivf_batch" -> ivfBatchSql,
     "s_outliers" -> outliersSql,
     "s_knn_acc" -> knnAccSql,
     "s_dim_stats" -> dimStatsSql,

@@ -319,4 +319,17 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sq_dist"))).toSeq
     assert(got == expected.toSeq, s"outliers diverge: ${got.take(3)} vs ${expected.take(3)}")
   }
+
+  test("ivf_batch: per-query ranks are 1..k from probed cells; no self-match") {
+    val rows = Similarity.ivfBatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+      assert(rs.map(_.getAs[Long]("centroid_id")).distinct.length <= 2,
+        s"query $q drew from more than its 2 probe cells")
+      assert(!rs.map(_.getAs[Long]("vec_id")).contains(q), "self-match must be excluded")
+      val cos = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
