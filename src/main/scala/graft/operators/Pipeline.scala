@@ -664,7 +664,120 @@ object Pipeline {
       |  unnest(generate_series(1, n_rep)) AS replica_idx
       |FROM r ORDER BY doc_id, replica_idx""".stripMargin
 
+  /** Train/val/test LEAKAGE audit over [[stratSplit]]'s assignment —
+    * the split-time decontamination check an eval pipeline runs before
+    * trusting held-out numbers: for every duplicate pair (exact
+    * normalized-fingerprint groups AND the verified near-dup Jaccard
+    * pairs), which split pair did its endpoints land in? Cross-split
+    * rows (train,val / train,test / val,test) are leaks — a val doc
+    * whose near-twin sits in train is contaminated even though ids
+    * differ, which is why the near relation matters and id-hash
+    * splitting cannot prevent it (the d_cross_shard lesson applied to
+    * splits; the fix is dedup-then-split, p_curate's ordering). Exact
+    * pairs are counted from per-(group, split) sizes — within-split as
+    * C(kₛ,2), cross-split via a ≤3-rows-per-group self-join on the
+    * AGGREGATED table, so a 10k-copy hot group costs ≤3 count rows,
+    * never a pair join. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 100)
+    val splitCol = when(col("bucket") < 90, "train")
+      .when(col("bucket") < 95, "val").otherwise("test")
+    val fp = md5(to_binary(trim(regexp_replace(lower(col("text")), "[ \t\n\r]+", " ")),
+      lit("utf-8")))
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fp"), bucket.as("bucket"))
+      .select(col("doc_id"), col("fp"), splitCol.as("split"))
+      .localCheckpoint()
+    val nearRows = graft.operators.Dedup.ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .select(lit("near").as("relation"), col("split_a"), col("split_b"), col("n_pairs"))
+    val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("k")).filter(col("k") > 1)
+    val ksp = docs.join(dupFps.select("fp"), "fp")
+      .groupBy("fp", "split").agg(count(lit(1)).as("ks"))
+      .localCheckpoint()
+    val exactSame = ksp.filter(col("ks") > 1)
+      .select(col("split").as("split_a"), col("split").as("split_b"),
+        expr("(ks * (ks - 1)) div 2").as("n"))
+      .groupBy("split_a", "split_b").agg(sum("n").as("n_pairs"))
+    val exactCross = ksp.as("x").join(ksp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.split") < col("y.split"))
+      .select(col("x.split").as("split_a"), col("y.split").as("split_b"),
+        (col("x.ks") * col("y.ks")).as("n"))
+      .groupBy("split_a", "split_b").agg(sum("n").as("n_pairs"))
+    val exactRows = exactSame.union(exactCross)
+      .select(lit("exact").as("relation"), col("split_a"), col("split_b"), col("n_pairs"))
+    nearRows.union(exactRows)
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .orderBy("relation", "split_a", "split_b")
+  }
+
+  /** SQL twin: same djb2 split buckets (recursive CTE), same exact
+    * shingle-Jaccard near pairs, same per-(group, split) pair math. */
+  val splitLeakageSql: String = {
+    val jac = graft.operators.ExactRound.rSql(
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    s"""WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
+      |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, fp, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), docs AS (
+      |  SELECT doc_id, fp,
+      |    CASE WHEN CAST(hash % 100 AS INT) < 90 THEN 'train'
+      |         WHEN CAST(hash % 100 AS INT) < 95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM h WHERE i = length(key)+1
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3
+      |), np AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE $jac >= 0.5
+      |), near_rows AS (
+      |  SELECT 'near' AS relation,
+      |    least(da.split, db.split) AS split_a,
+      |    greatest(da.split, db.split) AS split_b,
+      |    count(*) AS n_pairs
+      |  FROM np JOIN docs da ON np.doc_a = da.doc_id JOIN docs db ON np.doc_b = db.doc_id
+      |  GROUP BY 2, 3
+      |), dupfp AS (SELECT fp FROM docs GROUP BY fp HAVING count(*) > 1
+      |), ksp AS (
+      |  SELECT d.fp, d.split, count(*) AS ks
+      |  FROM docs d JOIN dupfp USING (fp) GROUP BY 1, 2
+      |), exact_same AS (
+      |  SELECT 'exact' AS relation, split AS split_a, split AS split_b,
+      |    CAST(sum((ks * (ks - 1)) // 2) AS BIGINT) AS n_pairs
+      |  FROM ksp WHERE ks > 1 GROUP BY 2, 3
+      |), exact_cross AS (
+      |  SELECT 'exact' AS relation, x.split AS split_a, y.split AS split_b,
+      |    CAST(sum(x.ks * y.ks) AS BIGINT) AS n_pairs
+      |  FROM ksp x JOIN ksp y ON x.fp = y.fp AND x.split < y.split
+      |  GROUP BY 2, 3
+      |), u AS (
+      |  SELECT * FROM near_rows UNION ALL
+      |  SELECT * FROM exact_same UNION ALL SELECT * FROM exact_cross
+      |)
+      |SELECT relation, split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  split_a <> split_b AS is_leak
+      |FROM u ORDER BY relation, split_a, split_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_split_leakage" -> (splitLeakage _),
     "p_upsample" -> (upsample _),
     "p_epoch_shuffle" -> (epochShuffle _),
     "p_token_budget" -> (tokenBudget _),
@@ -681,6 +794,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_split_leakage" -> splitLeakageSql,
     "p_upsample" -> upsampleSql,
     "p_epoch_shuffle" -> epochShuffleSql,
     "p_token_budget" -> tokenBudgetSql,
