@@ -62,6 +62,7 @@ object Bench {
       // generated-class cache and re-compiles plans every pass
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -137,6 +138,18 @@ object Bench {
     val gcOf = (rs: Seq[(String, Sample)]) => rs.map { case (k, s) => k -> s.gcMs }
     val jitOf = (rs: Seq[(String, Sample)]) => rs.map { case (k, s) => k -> s.jitMs }
 
+    // host-environment snapshot: the r4 driver run's gc_total of 106 s
+    // (vs 11.5 s on a quiet host) was only attributable after a local
+    // rerun; recording heap/GC/cores/loadavg makes host pressure
+    // readable from the artifact alone
+    val rt = Runtime.getRuntime
+    val loadAvg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    val gcNames = gcBeans.map(_.getName).mkString("+")
+    val env = s""""env":{"heap_max_mb":${rt.maxMemory / (1 << 20)},""" +
+      s""""processors":${rt.availableProcessors},"gc":"$gcNames","loadavg":"$loadAvg"}"""
+
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${jsonNum(secsOf(cold))},""" +
       s""""value_steady":${total(steady)},"queries_steady":${jsonNum(secsOf(steady))},""" +
       s""""gc_ms":${jsonLong(gcOf(cold))},"gc_ms_steady":${jsonLong(gcOf(steady))},""" +
@@ -146,7 +159,16 @@ object Bench {
       s""""jit_ms_steady_first":${jsonLong(jitOf(retried.toSeq))},""" +
       s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},""" +
       s""""codecache_mb_cold":$codeCacheAfterCold,"codecache_mb_steady":$codeCacheAfterSteady,""" +
-      s""""sf":"$sfDir"}""")
+      s"""$env,"sf":"$sfDir"}""")
+    // tail-safe summary: the driver stores only the stdout TAIL and the
+    // ~15 KB line above truncates its leading headline fields out of
+    // every round's artifact; a compact LAST line survives any tail cut
+    val worstSteady = steady.filter(_._2.secs >= 0).maxByOption(_._2.secs)
+    println(s"""{"metric":"summary","value":${total(cold)},"value_steady":${total(steady)},""" +
+      s""""n_queries":${cold.size},"n_failed":${cold.count(_._2.secs < 0) + steady.count(_._2.secs < 0)},""" +
+      s""""worst_steady":"${worstSteady.map(_._1).getOrElse("")}",""" +
+      s""""worst_steady_sec":${worstSteady.map(_._2.secs).getOrElse(-1.0)},""" +
+      s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

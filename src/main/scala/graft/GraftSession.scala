@@ -24,6 +24,10 @@ object GraftSession {
       // generated-class cache and re-compiles plans every pass
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
+      // constant reader semantics for the whole session (see
+      // Tables.ensureLegacyNanos): a NANOS-layout events file infers
+      // as long + normalizeTs instead of a reader error
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

@@ -71,13 +71,22 @@ object Tables {
     }
   }
 
-  /** events.parquet: read and normalize `ts` (see [[normalizeTs]]). The
-    * legacy nanosAsLong flag stays set so a NANOS-typed file degrades to
-    * the long path instead of a reader error; the conf flip is global to
-    * the session (all graft readers go through here or EventStream's
-    * explicit-schema readStream, so that is the contract). */
+  /** Monotonic per-session reader-conf init: enable `nanosAsLong` the
+    * first time a graft events reader touches the session and never
+    * flip it back, so parquet-reader semantics are CONSTANT for the
+    * session's lifetime instead of depending on which query ran last.
+    * The flag only changes how a NANOS-typed `ts` is INFERRED (long
+    * instead of a reader error); micros/NTZ layouts are unaffected,
+    * and [[normalizeTs]] canonicalizes all three. GraftSession/Bench
+    * set it at build time, making this a no-op there; it exists for
+    * externally-built sessions handed to the query maps. */
+  def ensureLegacyNanos(s: SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events.parquet: read and normalize `ts` (see [[normalizeTs]]). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureLegacyNanos(s)
     normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

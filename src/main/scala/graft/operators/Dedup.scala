@@ -272,20 +272,16 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val jaccardSqlExpr = ExactRound.rSql(
-    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+  // all Jaccard-pair twins build on the shared explode/hash-join
+  // overlap fragment — see [[OracleCtes]] for the cost story (the
+  // round-4 183-CPU-minute sweep) and the bit-parity argument
+  private val jaccardSqlExpr = OracleCtes.ngramJaccardExpr
 
   val ngramJaccardSql: String =
-    s"""WITH docs AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(toks)-2, 0)),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-      |  WHERE len(toks) >= 3
-      |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    s"""WITH ${OracleCtes.ngramOverlap}
+      |SELECT pa AS doc_a, pb AS doc_b,
       |  $jaccardSqlExpr AS jaccard
-      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |FROM ng_pair
       |WHERE $jaccardSqlExpr >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -493,17 +489,7 @@ object Dedup {
       .orderBy("doc_id")
 
   val dupClustersSql: String =
-    """WITH RECURSIVE docs AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(toks)-2, 0)),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-      |  WHERE len(toks) >= 3
-      |), pairs AS (
-      |  SELECT a.doc_id AS pa, b.doc_id AS pb
-      |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-      |  WHERE JACCARD_EXPR >= 0.5
-      |), edges AS (
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
       |), reach AS (
       |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
@@ -512,7 +498,6 @@ object Dedup {
       |)
       |SELECT src AS doc_id, min(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-      .replace("JACCARD_EXPR", jaccardSqlExpr)
 
   // -------------------------------------------------------------- simhash
 
@@ -586,18 +571,12 @@ object Dedup {
   }
 
   val contaminationSql: String =
-    s"""WITH docs AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(toks)-2, 0)),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-      |  WHERE len(toks) >= 3
-      |)
-      |SELECT CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id ELSE b.doc_id END AS train_doc,
-      |  CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS eval_doc,
+    s"""WITH ${OracleCtes.ngramOverlap}
+      |SELECT CASE WHEN pa % 2 = 0 THEN pa ELSE pb END AS train_doc,
+      |  CASE WHEN pa % 2 = 1 THEN pa ELSE pb END AS eval_doc,
       |  $jaccardSqlExpr AS jaccard
-      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id AND a.doc_id % 2 <> b.doc_id % 2
-      |WHERE $jaccardSqlExpr >= 0.5
+      |FROM ng_pair
+      |WHERE pa % 2 <> pb % 2 AND $jaccardSqlExpr >= 0.5
       |ORDER BY eval_doc, train_doc""".stripMargin
 
   /** SQL twin of [[simhash]]: djb2 → 64-bit wrapping avalanche multiply
@@ -975,21 +954,19 @@ object Dedup {
       .orderBy("doc_small", "doc_big")
   }
 
-  /** Brute-force oracle (blocking is performance-only). */
+  /** Brute-force oracle (blocking is performance-only). The directed
+    * small→big orientation ((n, doc_id)-lexicographic) is recovered
+    * from the undirected ng_pair row: pa is the small side exactly
+    * when na ≤ nb (ties break to the lower id, which pa already is);
+    * the denominator least(na, nb) is the small side's shingle count —
+    * the same two IEEE operands as len(list_intersect)/len(a.sh). */
   val containmentJoinSql: String = {
-    val cont = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)", 6)
-    s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |)
-       |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+    val cont = ExactRound.rSql("CAST(isz AS DOUBLE) / least(na, nb)", 6)
+    s"""WITH ${OracleCtes.ngramOverlap}
+       |SELECT CASE WHEN na <= nb THEN pa ELSE pb END AS doc_small,
+       |  CASE WHEN na <= nb THEN pb ELSE pa END AS doc_big,
        |  $cont AS containment
-       |FROM docs a JOIN docs b
-       |  ON (len(a.sh) < len(b.sh)) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)
+       |FROM ng_pair
        |WHERE $cont >= 0.8
        |ORDER BY doc_small, doc_big""".stripMargin
   }
@@ -1022,17 +999,7 @@ object Dedup {
   }
 
   val clusterStatsSql: String =
-    s"""WITH RECURSIVE docs AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jaccardSqlExpr >= 0.5
-       |), edges AS (
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
        |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
        |), reach AS (
        |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
@@ -1108,53 +1075,60 @@ object Dedup {
   val lshTuneSql: String = {
     val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
     val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
-    def bandHit(r: Int) = {
-      val eq = (1 to r).map(j => s"a.sig[$r*bd+$j] = b.sig[$r*bd+$j]").mkString(" AND ")
-      s"len(list_filter(generate_series(0, ${128 / r - 1}), bd -> $eq)) > 0"
-    }
+    // band candidates via slice-explode + equi-join (one bands table
+    // per r, hash join on (band, slice) — DuckDB lists hash/compare
+    // structurally), NOT the old O(n²) nested-loop bandHit filter:
+    // slice-list equality IS elementwise equality of the r slice
+    // positions, so the candidate set is identical; DISTINCT collapses
+    // multi-band hits to one row exactly as the per-pair EXISTS did.
+    // Candidate jaccard comes from a LEFT JOIN against ng_pair —
+    // a candidate absent there shares zero shingles, jaccard 0.0.
+    val bands = Seq(2, 4, 8).map { r =>
+      s"""bands$r AS MATERIALIZED (
+         |  SELECT doc_id, bd, sig[$r*bd+1 : $r*bd+$r] AS slice FROM (
+         |    SELECT doc_id, sig, unnest(generate_series(0, ${128 / r - 1})) AS bd FROM sigs
+         |  )
+         |), cand$r AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM bands$r a JOIN bands$r b
+         |    ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id
+         |)""".stripMargin
+    }.mkString(", ")
+    val jacOnPair = ExactRound.rSql("CAST(p.isz AS DOUBLE) / (p.na + p.nb - p.isz)", 6)
     val configs = Seq(2, 4, 8).map { r =>
       s"""SELECT $r AS band_rows, ${128 / r} AS n_bands,
          |  count(*) AS n_candidates,
          |  CAST(sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_found
          |FROM (
-         |  SELECT $jaccardSqlExpr AS jacc
-         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-         |  WHERE ${bandHit(r)}
+         |  SELECT coalesce($jacOnPair, 0.0) AS jacc
+         |  FROM cand$r c LEFT JOIN ng_pair p ON p.pa = c.pa AND p.pb = c.pb
          |)""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE docs AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |), docsh AS (
-       |  SELECT doc_id, unnest(sh) AS shingle FROM docs
-       |), shing AS (SELECT DISTINCT shingle FROM docsh
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, docsh AS MATERIALIZED (
+       |  SELECT doc_id, g AS shingle FROM ng_grams
+       |), shing AS MATERIALIZED (SELECT DISTINCT shingle FROM docsh
        |), h AS (
        |  SELECT shingle, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM shing
        |  UNION ALL
        |  SELECT shingle, i+1,
        |    (hash*33 + ord(substr(shingle,i,1))) % CAST('18446744073709551616' AS HUGEINT)
        |  FROM h WHERE i <= length(shingle)
-       |), sh31 AS (
+       |), sh31 AS MATERIALIZED (
        |  SELECT shingle, CAST(hash % 2147483648 AS BIGINT) AS h31
        |  FROM h WHERE i = length(shingle)+1
-       |), perms AS (
+       |), perms AS MATERIALIZED (
        |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
        |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
        |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
-       |), sigv AS (
+       |), sigv AS MATERIALIZED (
        |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
        |  FROM docsh d JOIN sh31 s USING (shingle), perms pm
        |  GROUP BY d.doc_id, pm.p
-       |), sigs AS (
-       |  SELECT s.doc_id, list(sv ORDER BY p) AS sig, min(d.sh) AS sh
-       |  FROM sigv s JOIN docs d ON s.doc_id = d.doc_id
-       |  GROUP BY s.doc_id
-       |), truth AS (
-       |  SELECT count(*) AS n_true FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jaccardSqlExpr >= 0.5
+       |), sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(sv ORDER BY p) AS sig
+       |  FROM sigv GROUP BY doc_id
+       |), $bands, truth AS (
+       |  SELECT count(*) AS n_true FROM ng_pair WHERE $jaccardSqlExpr >= 0.5
        |), cfg AS (
        |$configs
        |)
@@ -1197,17 +1171,7 @@ object Dedup {
   }
 
   val keepBestSql: String =
-    s"""WITH RECURSIVE docs AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jaccardSqlExpr >= 0.5
-       |), edges AS (
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
        |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
        |), reach AS (
        |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
@@ -1301,16 +1265,9 @@ object Dedup {
   /** SQL twin: brute-force pair table ≥ 0.5, threshold votes via an
     * unnested DOUBLE literal list, same rounded division. */
   val thresholdSweepSql: String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |), pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, $jaccardSqlExpr AS j
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jaccardSqlExpr >= 0.5
+    s"""WITH ${OracleCtes.ngramOverlap}, pairs AS MATERIALIZED (
+       |  SELECT pa AS da, pb AS db, $jaccardSqlExpr AS j
+       |  FROM ng_pair WHERE $jaccardSqlExpr >= 0.5
        |), th AS (
        |  SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold
        |), hits AS (
@@ -1360,16 +1317,8 @@ object Dedup {
   /** SQL twin: brute-force pair table, two source joins, same
     * least/greatest normalization and rounded share. */
   val sourceOverlapSql: String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-       |  WHERE len(toks) >= 3
-       |), pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jaccardSqlExpr >= 0.5
+    s"""WITH ${OracleCtes.ngramOverlap}, pairs AS MATERIALIZED (
+       |  SELECT pa AS da, pb AS db FROM ng_pair WHERE $jaccardSqlExpr >= 0.5
        |), lab AS (
        |  SELECT least(x.source, y.source) AS source_a,
        |         greatest(x.source, y.source) AS source_b
@@ -1442,8 +1391,7 @@ object Dedup {
     * pattern) over both the id key and the 32-hex fingerprint key;
     * near pairs via the exact shingle-Jaccard brute force. */
   val crossShardSql: String = {
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    val jac = OracleCtes.ngramJaccardExpr
     s"""WITH RECURSIVE ds AS (
       |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
       |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
@@ -1476,16 +1424,8 @@ object Dedup {
       |       SELECT count(*) AS ks FROM dup GROUP BY fp, shard_id)) AS same_id,
       |    (SELECT CAST(coalesce(sum((ks * (ks - 1)) // 2), 0) AS BIGINT) FROM (
       |       SELECT count(*) AS ks FROM dup GROUP BY fp, shard_content)) AS same_content
-      |), sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(toks)-2, 0)),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-      |  WHERE len(toks) >= 3
-      |), np AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE $jac >= 0.5
+      |), ${OracleCtes.ngramOverlap}, np AS (
+      |  SELECT pa AS doc_a, pb AS doc_b FROM ng_pair WHERE $jac >= 0.5
       |), near_row AS (
       |  SELECT 'near' AS relation, count(*) AS n_pairs,
       |    CAST(coalesce(sum(CASE WHEN da.shard_id = db.shard_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS same_id,

@@ -124,39 +124,29 @@ object Graph {
     * integer recurrence (DuckDB `//` = Spark `div` on non-negative
     * BIGINT). */
   val pagerankSql: String = {
-    val shingles =
-      """SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-        |  WHERE len(toks) >= 3""".stripMargin
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    // every member MATERIALIZED: DuckDB re-evaluates plain CTEs per
+    // reference, and each unrolled round references its predecessor
+    // twice — without the hint the pair build re-ran combinatorially
+    // (see OracleCtes for the round-4 sweep-cost story)
     val iterations = (1 to 5).map { k =>
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT e.dst AS id, sum(t${k - 1}.r // d.deg) AS contrib
          |  FROM edges e JOIN t${k - 1} ON e.src = t${k - 1}.id JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst
-         |), t$k AS (
+         |), t$k AS MATERIALIZED (
          |  SELECT nd.id, (150000 // nc.n) + (coalesce(c.contrib, 0) * 17) // 20 AS r
          |  FROM nodes nd LEFT JOIN c$k c USING (id), nc
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH docs AS (
-       |  $shingles
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jac >= 0.5
-       |), edges AS (
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS deg FROM edges GROUP BY src
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT src AS id FROM deg
-       |), nc AS (
+       |), nc AS MATERIALIZED (
        |  SELECT count(*) AS n FROM nodes
-       |), t0 AS (
+       |), t0 AS MATERIALIZED (
        |  SELECT id, 1000000 // nc.n AS r FROM nodes, nc
        |), $iterations
        |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr_micros
@@ -229,42 +219,27 @@ object Graph {
   /** SQL twin of [[triangles]] on the same pair graph. */
   /** Shared WITH-prefix (docs → pairs → deg → e → wedges → closing →
     * tri → pernode) for the triangle-family oracles. */
-  private val triangleCoreSql: String = {
-    val shingles =
-      """SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-        |  WHERE len(toks) >= 3""".stripMargin
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
-    s"""WITH docs AS (
-       |  $shingles
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jac >= 0.5
-       |), deg AS (
+  private val triangleCoreSql: String =
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, deg AS MATERIALIZED (
        |  SELECT id, count(*) AS deg FROM (
        |    SELECT pa AS id FROM pairs UNION ALL SELECT pb FROM pairs
        |  ) GROUP BY id
-       |), e AS (
+       |), e AS MATERIALIZED (
        |  SELECT CASE WHEN (da.deg, p.pa) < (db.deg, p.pb) THEN p.pa ELSE p.pb END AS u,
        |         CASE WHEN (da.deg, p.pa) < (db.deg, p.pb) THEN p.pb ELSE p.pa END AS v
        |  FROM pairs p JOIN deg da ON da.id = p.pa JOIN deg db ON db.id = p.pb
-       |), wedges AS (
+       |), wedges AS MATERIALIZED (
        |  SELECT e1.u, e1.v, e2.v AS w
        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-       |), closing AS (
+       |), closing AS MATERIALIZED (
        |  SELECT u AS v, v AS w FROM e UNION ALL SELECT v, u FROM e
-       |), tri AS (
+       |), tri AS MATERIALIZED (
        |  SELECT wg.u, wg.v, wg.w FROM wedges wg JOIN closing c ON wg.v = c.v AND wg.w = c.w
-       |), pernode AS (
+       |), pernode AS MATERIALIZED (
        |  SELECT id, count(*) AS c FROM (
        |    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
        |  ) GROUP BY id
        |)""".stripMargin
-  }
 
   val trianglesSql: String =
     s"""$triangleCoreSql
@@ -395,16 +370,8 @@ object Graph {
   /** SQL twin: same pair graph, 6 unrolled rounds of the identical
     * min-relax recurrence. */
   val bfsSql: String = {
-    val shingles =
-      """SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-        |  WHERE len(toks) >= 3""".stripMargin
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
     val iterations = (1 to 6).map { k =>
-      s"""t$k AS (
+      s"""t$k AS MATERIALIZED (
          |  SELECT id, min(dist) AS dist FROM (
          |    SELECT id, dist FROM t${k - 1}
          |    UNION ALL
@@ -413,15 +380,9 @@ object Graph {
          |  ) GROUP BY id
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH docs AS (
-       |  $shingles
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jac >= 0.5
-       |), edges AS (
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
-       |), t0 AS (
+       |), t0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM edges WHERE src % 10 = 0
        |), $iterations
        |SELECT id AS doc_id, CAST(dist AS BIGINT) AS n_hops
@@ -555,23 +516,9 @@ object Graph {
 
   /** SQL twin on the same pair graph. */
   val degreeStatsSql: String = {
-    val shingles =
-      """SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-        |  WHERE len(toks) >= 3""".stripMargin
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
-    s"""WITH docs AS (
-       |  $shingles
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jac >= 0.5
-       |), edges AS (
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS deg FROM edges GROUP BY src
        |)
        |SELECT d.deg AS degree, count(DISTINCT e.src) AS n_nodes,
@@ -627,32 +574,18 @@ object Graph {
   /** SQL twin: 4 unrolled peeling rounds over the same pair graph; the
     * convergence flag compares round-3 and round-4 edge counts. */
   val kcoreSql: String = {
-    val shingles =
-      """SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-        |  WHERE len(toks) >= 3""".stripMargin
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
     val rounds = (1 to 4).map { k =>
-      s"""d$k AS (
+      s"""d$k AS MATERIALIZED (
          |  SELECT src, count(*) AS deg FROM e${k - 1} GROUP BY src
-         |), e$k AS (
+         |), e$k AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e${k - 1} e
          |  JOIN d$k ks ON ks.src = e.src AND ks.deg >= 2
          |  JOIN d$k kd ON kd.src = e.dst AND kd.deg >= 2
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH docs AS (
-       |  $shingles
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jac >= 0.5
-       |), e0 AS (
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, e0 AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT DISTINCT src AS id FROM e0
        |), $rounds, core AS (
        |  SELECT src, count(*) AS core_degree FROM e4 GROUP BY src
@@ -698,31 +631,24 @@ object Graph {
     val r = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
       sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
         (col("m") * col("syy") - col("sy") * col("sy")).cast("double"))
+    // r is undefined when either endpoint-degree variance is zero (an
+    // empty or degree-regular pair graph — real at tiny SFs): the raw
+    // expression would emit NaN/Infinity while a SQL engine may emit
+    // NULL, an oracle-parity landmine. The guard is an exact LONG
+    // comparison, so both engines take the same branch bit-for-bit.
+    val varX = col("m") * col("sxx") - col("sx") * col("sx")
+    val varY = col("m") * col("syy") - col("sy") * col("sy")
     mom.crossJoin(broadcast(nNodes))
       .select(col("n_nodes"), (col("m") / lit(2L)).cast("long").as("n_edges"),
-        ExactRound.r(r, 6).as("assortativity"))
+        when(varX > 0 && varY > 0, ExactRound.r(r, 6)).as("assortativity"))
   }
 
   /** SQL twin: same pair graph, same exact-long moments, same
     * fixed-order float tail. */
   val assortativitySql: String = {
-    val shingles =
-      """SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
-        |  WHERE len(toks) >= 3""".stripMargin
-    val jac = ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
-    s"""WITH docs AS (
-       |  $shingles
-       |), pairs AS (
-       |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE $jac >= 0.5
-       |), edges AS (
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
-       |), deg AS (
+       |), deg AS MATERIALIZED (
        |  SELECT src, count(*) AS deg FROM edges GROUP BY src
        |), xy AS (
        |  SELECT d.deg AS x, nd.deg AS y
@@ -736,10 +662,13 @@ object Graph {
        |  FROM xy
        |), nn AS (SELECT count(*) AS n_nodes FROM deg)
        |SELECT nn.n_nodes, CAST(mom.m / 2 AS BIGINT) AS n_edges,
+       |  CASE WHEN mom.m * mom.sxx - mom.sx * mom.sx > 0
+       |        AND mom.m * mom.syy - mom.sy * mom.sy > 0 THEN
        |  ${ExactRound.rSql(
             "CAST(mom.m * mom.sxy - mom.sx * mom.sy AS DOUBLE) / " +
               "sqrt(CAST(mom.m * mom.sxx - mom.sx * mom.sx AS DOUBLE) * " +
-              "CAST(mom.m * mom.syy - mom.sy * mom.sy AS DOUBLE))", 6)} AS assortativity
+              "CAST(mom.m * mom.syy - mom.sy * mom.sy AS DOUBLE))", 6)}
+       |  END AS assortativity
        |FROM mom, nn""".stripMargin
   }
 
@@ -780,12 +709,18 @@ object Graph {
       .withColumn("num", col("m2") * col("l_in2") - col("d_tot") * col("d_tot"))
       .localCheckpoint()
     val tot = per.agg(sum("num").as("num_tot"))
+    // per rows only exist when the edge list is nonempty (m2 ≥ 1), but
+    // the zero-denominator guard costs nothing and keeps the contract
+    // NULL-not-NaN should a degenerate graph ever reach here — exact
+    // LONG condition, mirrored in the SQL twin
     per.crossJoin(broadcast(tot))
       .select(col("com"), col("n_nodes"),
         (col("l_in2") / lit(2L)).cast("long").as("l_in"), col("d_tot"),
-        ExactRound.r(col("num").cast("double") / (col("m2") * col("m2")).cast("double"), 6)
+        when(col("m2") > 0,
+          ExactRound.r(col("num").cast("double") / (col("m2") * col("m2")).cast("double"), 6))
           .as("contrib"),
-        ExactRound.r(col("num_tot").cast("double") / (col("m2") * col("m2")).cast("double"), 6)
+        when(col("m2") > 0,
+          ExactRound.r(col("num_tot").cast("double") / (col("m2") * col("m2")).cast("double"), 6))
           .as("q_total"))
       .orderBy("com")
   }
@@ -847,8 +782,8 @@ object Graph {
        |), tot AS (SELECT CAST(sum(num) AS BIGINT) AS num_tot FROM per)
        |SELECT per.com, per.n_nodes,
        |  CAST(per.l_in2 // 2 AS BIGINT) AS l_in, per.d_tot,
-       |  ${ExactRound.rSql("CAST(per.num AS DOUBLE) / CAST(per.m2 * per.m2 AS DOUBLE)", 6)} AS contrib,
-       |  ${ExactRound.rSql("CAST(tot.num_tot AS DOUBLE) / CAST(per.m2 * per.m2 AS DOUBLE)", 6)} AS q_total
+       |  CASE WHEN per.m2 > 0 THEN ${ExactRound.rSql("CAST(per.num AS DOUBLE) / CAST(per.m2 * per.m2 AS DOUBLE)", 6)} END AS contrib,
+       |  CASE WHEN per.m2 > 0 THEN ${ExactRound.rSql("CAST(tot.num_tot AS DOUBLE) / CAST(per.m2 * per.m2 AS DOUBLE)", 6)} END AS q_total
        |FROM per, tot ORDER BY com""".stripMargin
   }
 

@@ -1,0 +1,73 @@
+package graft.operators
+
+/** Shared DuckDB-oracle CTE fragments.
+  *
+  * The round-4 driver CORRECTNESS artifact came back empty, and
+  * profiling the oracle sweep (tools/oracle_times.py) showed why that
+  * was plausible: 183 CPU-minutes at sf0.01, ~94% of it in twins that
+  * (a) built the near-dup pair table as an O(n²) nested-loop
+  * `list_intersect` Jaccard over full shingle lists, and (b)
+  * referenced that CTE from iterative rounds — DuckDB inlines CTEs
+  * (re-evaluating them per reference) unless MATERIALIZED, so e.g.
+  * g_kcore's four peeling rounds re-ran the quadratic pair build
+  * combinatorially many times (measured: 5963 CPU-s / 226 s wall for
+  * that one oracle).
+  *
+  * [[ngramOverlap]] computes the SAME pair table as an explode + hash
+  * join on individual shingles: only pairs sharing ≥ 1 shingle are
+  * touched, the intersection size arrives from a count aggregate, and
+  * every member is MATERIALIZED (evaluated exactly once). Bit parity:
+  * jaccard = isz/(na+nb−isz) over exact integer counts is the same
+  * two-operand IEEE division as len(list_intersect)/len(list_distinct
+  * (list_concat)), hence identical doubles and identical rounding —
+  * verified hex-exact on sf0.01 (the d_ngram_jaccard twin: 8.1 s →
+  * 0.04 s, identical 25 rows).
+  *
+  * Emitted CTEs (prefix `ng_` to stay clear of consumer names):
+  *   - `ng_grams(doc_id, g)`: distinct 3-token shingles per document
+  *     (same tokenization and concat as the Spark side: whitespace
+  *     split of trim(text), toks[i] ' ' toks[i+1] ' ' toks[i+2],
+  *     docs with < 3 tokens absent);
+  *   - `ng_sz(doc_id, n)`: distinct-shingle count per document;
+  *   - `ng_pair(pa, pb, isz, na, nb)`: pa < pb, isz ≥ 1 shared
+  *     shingles, plus both docs' shingle counts.
+  * A pair with ZERO shared shingles has jaccard/containment exactly 0
+  * and is deliberately absent — every consumer thresholds above 0.
+  * The fragment is legal inside a `WITH RECURSIVE` list (only the
+  * genuinely recursive member must stay un-MATERIALIZED).
+  */
+private[graft] object OracleCtes {
+
+  /** See object doc. Splice as `WITH $ngramOverlap, ...` or
+    * `WITH RECURSIVE $ngramOverlap, ...`. */
+  val ngramOverlap: String =
+    """ng_grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g FROM (
+      |      SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-2, 0))) AS i
+      |      FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |      WHERE len(toks) >= 3
+      |    )
+      |  )
+      |), ng_sz AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n FROM ng_grams GROUP BY doc_id
+      |), ng_pair AS MATERIALIZED (
+      |  SELECT g.pa, g.pb, g.isz, sa.n AS na, sb.n AS nb
+      |  FROM (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS isz
+      |        FROM ng_grams a JOIN ng_grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2) g
+      |  JOIN ng_sz sa ON sa.doc_id = g.pa JOIN ng_sz sb ON sb.doc_id = g.pb
+      |)""".stripMargin
+
+  /** Exact rounded Jaccard over `ng_pair` columns — bit-identical to
+    * the list_intersect/list_concat form (see object doc). */
+  val ngramJaccardExpr: String =
+    ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)
+
+  /** The j ≥ 0.5 near-dup pair list as CTE `pairs(pa, pb)` — the form
+    * every graph / clustering twin consumes. */
+  val ngramPairs05: String =
+    s"""pairs AS MATERIALIZED (
+       |  SELECT pa, pb FROM ng_pair WHERE $ngramJaccardExpr >= 0.5
+       |)""".stripMargin
+}

@@ -719,8 +719,7 @@ object Pipeline {
   /** SQL twin: same djb2 split buckets (recursive CTE), same exact
     * shingle-Jaccard near pairs, same per-(group, split) pair math. */
   val splitLeakageSql: String = {
-    val jac = graft.operators.ExactRound.rSql(
-      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh)))", 6)
+    val jac = OracleCtes.ngramJaccardExpr
     s"""WITH RECURSIVE ds AS (
       |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key,
       |    md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS fp
@@ -737,16 +736,8 @@ object Pipeline {
       |         WHEN CAST(hash % 100 AS INT) < 95 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM h WHERE i = length(key)+1
-      |), sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, greatest(len(toks)-2, 0)),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
-      |  WHERE len(toks) >= 3
-      |), np AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE $jac >= 0.5
+      |), ${OracleCtes.ngramOverlap}, np AS (
+      |  SELECT pa AS doc_a, pb AS doc_b FROM ng_pair WHERE $jac >= 0.5
       |), near_rows AS (
       |  SELECT 'near' AS relation,
       |    least(da.split, db.split) AS split_a,

@@ -51,16 +51,43 @@ object EventStream {
     cents.toDouble / 100.0
   }
 
-  /** Raw parquet schema of events. `ts` is declared TIMESTAMP directly:
-    * the generator writes TIMESTAMP(MICROS, isAdjustedToUTC=false) and an
-    * explicit user schema reads it as an instant (identical wall-clock
-    * under the pinned UTC session timezone). A `.transform(Tables
-    * .normalizeTs)` after each read keeps the legacy nanos-long and NTZ
-    * layouts working through the same call sites. */
-  private[graft] val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw parquet schema of events, parameterized by the `ts` type the
+    * FILE actually carries. Streaming reads require an explicit user
+    * schema, and Spark's parquet reader cannot convert an
+    * INT64/TIMESTAMP(NANOS) column into an explicit TimestampType field
+    * — `nanosAsLong` affects schema INFERENCE only — so pinning
+    * TimestampType here would break every streaming query the moment
+    * the driver regenerates testdata back to the round-3 NANOS layout
+    * (batch paths survive via inference + [[Tables.normalizeTs]]). The
+    * streaming read therefore declares whatever batch inference reports
+    * ([[probeTsType]]) and normalizes after. */
+  private[graft] def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The `ts` type batch inference reports for `<d>/events.parquet` —
+    * LongType (NANOS layout under the legacy flag), TIMESTAMP_NTZ
+    * (MICROS, isAdjustedToUTC=false) or TIMESTAMP. Footer-only read:
+    * no data scan, negligible next to running the query. */
+  private[graft] def probeTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType =
+    Tables.load(s, d, "events").schema("ts").dataType
+
+  /** THE streaming events source: explicit file-matching schema
+    * (probed, see [[rawSchema]]), then [[Tables.normalizeTs]] so every
+    * downstream operator sees one canonical session-UTC TIMESTAMP `ts`
+    * regardless of the generator's layout. Reader conf is initialized
+    * once per session in [[Tables.events]]'s `ensureLegacyNanos`, not
+    * mutated per query. */
+  private[graft] def eventStream(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureLegacyNanos(s)
+    s.readStream
+      .schema(rawSchema(probeTsType(s, d)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .transform(Tables.normalizeTs)
+  }
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -115,12 +142,7 @@ object EventStream {
     * append/update mode against a changelog sink, where the watermark
     * genuinely bounds state. */
   def windowAgg(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -152,12 +174,7 @@ object EventStream {
     * [[sessionizeStreamFinal]] (the same watermark arithmetic for
     * timeout state). */
   def appendWindows(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -279,17 +296,12 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val session = s
     import session.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapMicros = 30L * 60 * 1000 * 1000
 
     // gap math MUST be in microseconds to agree with the batch sessionize
     // oracle (Timestamp.getTime truncates to ms; 99.9% of events carry
     // sub-ms components, so boundary decisions would diverge)
-    val events = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val events = eventStream(s, d)
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
@@ -444,14 +456,9 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val session = s
     import session.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cap = graft.GraftConf.throttleCapPerDay
     val dayUs = 86400L * 1000 * 1000
-    val events = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val events = eventStream(s, d)
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long, Long)]
@@ -514,12 +521,7 @@ object EventStream {
     * bounding the dedup state, then per-type counts — the standard
     * exactly-once ingestion guard. Oracle: batch distinct counts. */
   def dedupStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .groupBy("event_type")
@@ -541,12 +543,8 @@ object EventStream {
     * by market segment — the canonical streaming-ETL enrichment shape.
     * Oracle: the batch-equivalent join. */
   def enrich(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val customers = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val stream = eventStream(s, d)
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -569,12 +567,7 @@ object EventStream {
     * finite. Inner interval joins emit complete results, so the batch
     * range-join oracle is exact. */
   def streamJoin(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    def src = eventStream(s, d)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "10 minutes")
@@ -618,12 +611,7 @@ object EventStream {
     * serve query costs seconds; the heavy lifting (event counting)
     * happens incrementally in the stream with partial aggregation. */
   def topkStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -662,12 +650,7 @@ object EventStream {
     * [[windowAgg]] — state is windows × types, bounded by the watermark
     * at any scale. */
   def slidingAgg(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
@@ -710,12 +693,7 @@ object EventStream {
     * exactly "rate > 2× mean" with no division, so the flag is
     * bit-portable. */
   def anomalyStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -757,12 +735,7 @@ object EventStream {
     * rather than time. Money sums ride the same exact-DECIMAL path as
     * every other streaming query. */
   def runningTotals(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .transform(Tables.normalizeTs)
+    val stream = eventStream(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"),
         max(col("ts")).as("last_ts"))
@@ -790,16 +763,11 @@ object EventStream {
     * (the re-read is checkpointed first); the emitted result COMES from
     * the files, not the stream. */
   def sinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft_st_sink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ckpt_").toString
     try {
       val q = withStreamShuffle(s, d) {
-        s.readStream
-          .schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .transform(Tables.normalizeTs)
+        eventStream(s, d)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("value"))
           .writeStream
@@ -811,7 +779,12 @@ object EventStream {
       }
       try q.processAllAvailable()
       finally q.stop()
-      val back = s.read.parquet(out).localCheckpoint()
+      // eager = true is LOAD-BEARING, not a default we happen to rely
+      // on: the finally below deletes the files the frame was read
+      // from, so every block must be materialized before this call
+      // returns (and a lost block afterward is unrecoverable — the
+      // price of eagerly deleting scratch; the aggregate is tiny)
+      val back = s.read.parquet(out).localCheckpoint(eager = true)
       back.groupBy("user_id")
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct("event_id").as("n_distinct_events"),

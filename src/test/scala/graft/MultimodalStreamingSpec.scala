@@ -39,6 +39,92 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(px1.sameElements(bytes.map(_ & 0xff)))
   }
 
+  test("mixed PNG+JPEG corpus: one decode path, exact dims both, exact pixels PNG, bounded error JPEG") {
+    import spark.implicits._
+    // even ids PNG, odd ids JPEG — the shape of a real crawl, where the
+    // reader can't assume a codec and the lossy path must be bounded
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().take(40)
+    val decoded = spark.sparkContext.parallelize(docs.toSeq, 4)
+      .map { case (id, text) =>
+        val media =
+          if (id % 2 == 0) Multimodal.encodePng(text) else Multimodal.encodeJpeg(text)
+        val (w, h, px) = Multimodal.decodeGray(media) // codec-agnostic JDK decode
+        (id, text, w, h, px)
+      }.collect()
+    assert(decoded.length == 40)
+    decoded.foreach { case (id, text, w, h, px) =>
+      val bytes = text.getBytes("UTF-8")
+      // container-level fields are exact regardless of codec
+      assert(w == 64 && h == math.max(1, (bytes.length + 63) / 64), s"dims wrong for $id")
+      val want = (0 until w * h).map(p => if (p < bytes.length) bytes(p) & 0xff else 0)
+      if (id % 2 == 0) {
+        // PNG lossless: bit-exact pixels
+        assert(px.toSeq == want, s"PNG pixels diverge for $id")
+      } else {
+        // JPEG lossy: pixels NOT analytic — bound the reconstruction
+        // error instead (default-quality baseline on byte-texture
+        // rasters; mean |err| stays low even though maxima can spike
+        // at block edges)
+        val meanErr = px.toSeq.zip(want).map { case (a, b) => math.abs(a - b) }.sum.toDouble / px.length
+        assert(meanErr < 32.0, s"JPEG mean abs pixel error $meanErr too high for $id")
+      }
+    }
+  }
+
+  test("m_jpeg_meta: declarative SOF0 parse agrees with the JDK image reader") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.queries("m_jpeg_meta")(spark, sf)
+      .filter(col("asset_id") < 20).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeJpeg(texts(id))))
+      assert(r.getBoolean(1), s"valid_sof false for $id")
+      assert(r.getInt(4) == img.getWidth && r.getInt(3) == img.getHeight,
+        s"SOF dims (${r.getInt(4)}x${r.getInt(3)}) != decoded (${img.getWidth}x${img.getHeight})")
+      assert(r.getInt(2) == 8 && r.getInt(5) == 1)
+    }
+  }
+
+  test("m_frames_meta: idx1 offsets point at real '00db' frame chunks") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.queries("m_frames_meta")(spark, sf)
+      .filter(col("asset_id") < 10).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 10).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byAsset = rows.groupBy(_.getLong(0))
+    byAsset.foreach { case (id, frames) =>
+      val avi = Multimodal.encodeAvi(texts(id))
+      // locate 'movi' fourcc: the idx1 offsets are relative to it
+      val movi = avi.sliding(4).indexWhere(_.sameElements("movi".getBytes("US-ASCII")))
+      assert(movi > 0)
+      frames.foreach { f =>
+        assert(f.getBoolean(1), s"valid_avi false for $id")
+        val off = movi + f.getLong(9).toInt // frame_offset from 'movi' fourcc
+        val ckid = new String(avi.slice(off, off + 4), "US-ASCII")
+        assert(ckid == "00db", s"offset ${f.getLong(9)} of asset $id points at '$ckid'")
+        val size = (avi(off + 4) & 0xff) | ((avi(off + 5) & 0xff) << 8) |
+          ((avi(off + 6) & 0xff) << 16) | ((avi(off + 7) & 0xff) << 24)
+        assert(size == f.getLong(10).toInt && size == 64)
+      }
+      // frame payload bytes are the text slice (container is lossless)
+      val bytes = texts(id).getBytes("UTF-8")
+      val f0 = frames.minBy(_.getLong(6))
+      val d0 = movi + f0.getLong(9).toInt + 8
+      val want = (0 until 64).map(p => if (p < bytes.length) bytes(p) else 0: Byte)
+      assert(avi.slice(d0, d0 + 64).toSeq == want, s"frame-0 payload diverges for $id")
+    }
+  }
+
   test("WAV codec round trip: AudioSystem decode returns the synthesized PCM exactly") {
     val text = "mixed CASE text with spaces and 0123456789 plus @A>B? silence-band chars"
     val wav = Multimodal.encodeWav(text)

@@ -59,11 +59,7 @@ class SourcesSpec extends SparkSpec {
   test("streaming parquet sink: append with checkpoint equals the batch result") {
     val out = tmp("st_sink")
     val ckpt = tmp("st_ckpt")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val q = spark.readStream
-      .schema(graft.streaming.EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
+    val q = graft.streaming.EventStream.eventStream(spark, sf)
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")
       .writeStream
