@@ -428,6 +428,104 @@ object Pipeline {
     }
   }
 
+  /** Escape text so one document is exactly one line of a plain-text
+    * file: URL-style, '%' hoisted first so decoding is unambiguous in a
+    * fixed replace order ('%25' can never be followed by a sequence that
+    * decodes early — after escaping, every '%' starts one of the four
+    * codes, so the three structure bytes decode before '%25' without
+    * ever manufacturing a false match). All four rewrites are plain
+    * (non-regex) `replace`, codegen'd. Line-atomic records are the whole
+    * 100 TB point: newline-framed text splits on block boundaries, so a
+    * shard is readable by ANY line-oriented tool (the reference's own
+    * mappers read lines — distwc.c) and Spark scans it with one split
+    * per 128 MB instead of one reader per file. */
+  private[graft] def escLine(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(replace(replace(replace(c,
+      lit("%"), lit("%25")),
+      lit("\n"), lit("%0A")),
+      lit("\r"), lit("%0D")),
+      lit("\t"), lit("%09"))
+
+  /** Inverse of [[escLine]]: structure bytes first, '%25' last. */
+  private[graft] def unescLine(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(replace(replace(replace(c,
+      lit("%0A"), lit("\n")),
+      lit("%0D"), lit("\r")),
+      lit("%09"), lit("\t")),
+      lit("%25"), lit("%"))
+
+  /** PLAIN-TEXT round-trip behind the manifest gate — the reference's
+    * actual I/O format (distwc.c mappers read lines of text files) as a
+    * first-class source/sink: documents serialized one-per-line as
+    * `doc_id<TAB>n_chars<TAB>escaped_text` into 16 djb2-sharded text
+    * files (`partitionBy(shard)`, hive-style dirs), READ BACK with
+    * `spark.read.text`, decoded DECLARATIVELY (one `split` on the two
+    * structural tabs + [[unescLine]] — all codegen'd, no UDF), and the
+    * [[manifestAgg]] of the re-read rows must hash-equal [[manifestSql]]
+    * computed straight off parquet. A green entry certifies byte-exact
+    * text fidelity through escape → write → split-discovery → decode.
+    * Scale shape: records are line-atomic ([[escLine]]), so at 100 TB
+    * the text shards split per-block like parquet does — unlike
+    * multiLine CSV/JSON, which force one reader per file. */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_text_rt_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(concat(col("doc_id").cast("string"), lit("\t"),
+            col("n_chars").cast("string"), lit("\t"),
+            escLine(col("text"))).as("value"),
+          bucket.as("shard"))
+        .write.mode("overwrite").partitionBy("shard").text(out)
+      val parts = split(col("value"), "\t", 3)
+      val back = s.read.text(out)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).cast("long").as("n_chars"),
+          unescLine(parts.getItem(2)).as("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      manifestAgg(back)
+    } finally {
+      val dir = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  /** JSON-LINES round-trip behind the manifest gate — the interchange
+    * format LLM corpora actually ship in (one JSON object per line):
+    * documents written as djb2-sharded `.json` (Spark's JSON sink is
+    * line-delimited, so records stay line-atomic and the shards stay
+    * block-splittable at 100 TB), read back with an EXPLICIT schema —
+    * at scale, schema inference is a full extra pass over the corpus,
+    * so a production reader always pins the schema — and manifest-
+    * hash-compared against [[manifestSql]]. JSON string escaping (`\n`,
+    * `\t`, `\uXXXX`) is exercised by the sink/source pair itself; the
+    * green hash says Spark's JSON writer and reader agree byte-for-byte
+    * with the parquet original. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_rt_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+        .write.mode("overwrite").partitionBy("shard").json(out)
+      val back = s.read.schema("doc_id LONG, n_chars LONG, text STRING").json(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      manifestAgg(back)
+    } finally {
+      val dir = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   /** Manifest DIFF — the consumer side of [[manifest]]'s drift story,
     * operationalized: compare the shard manifest of the full corpus
     * against the corpus after exact-dedup canonicalization (the
@@ -774,6 +872,8 @@ object Pipeline {
     "p_token_budget" -> (tokenBudget _),
     "p_manifest" -> (manifest _),
     "p_shard_write" -> (shardWrite _),
+    "p_text_roundtrip" -> (textRoundtrip _),
+    "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "p_dataset_diff" -> (datasetDiff _),
     "p_curriculum" -> (curriculum _),
     "p_quota" -> (quota _),
@@ -791,6 +891,8 @@ object Pipeline {
     "p_token_budget" -> tokenBudgetSql,
     "p_manifest" -> manifestSql,
     "p_shard_write" -> manifestSql,
+    "p_text_roundtrip" -> manifestSql,
+    "p_jsonl_roundtrip" -> manifestSql,
     "p_dataset_diff" -> datasetDiffSql,
     "p_curriculum" -> curriculumSql,
     "p_quota" -> quotaSql,

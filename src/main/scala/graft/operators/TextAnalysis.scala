@@ -464,6 +464,63 @@ object TextAnalysis {
       .replace("DUP_RATIO",
         ExactRound.rSql("CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6))
 
+  /** C4-style duplicate-SPAN removal at corpus level — the REMOVAL
+    * counterpart of [[dupNgrams]]'s statistic (C4 drops any three-
+    * sentence span occurring more than once in the corpus; this corpus
+    * is unpunctuated single-line text, so the span unit is a TUMBLING
+    * 10-word block — non-overlapping, which is what makes "remove the
+    * duplicated span" well-defined where sliding n-grams overlap).
+    * Every doc is cut into consecutive 10-word blocks; a block whose
+    * lowercased form appears in ≥2 distinct documents is boilerplate
+    * and dropped; the output is per-doc removal accounting plus an
+    * md5 of the kept text (blocks rejoined in original order via the
+    * q33 sorted-collect discipline — shuffle-order-proof). Scale
+    * shape: the block table is corpus_tokens/10 rows and partial-
+    * aggregates map-side on the block key (wordcount shape); the
+    * distinct-doc count per block key hits Zipf so the frequency
+    * table is small; one re-join tags blocks, and reconstruction is
+    * per-doc bounded. At 100 TB the join key would be xxhash64(blk)
+    * — raw strings keep the oracle engine-portable ([[dupNgrams]]'s
+    * note). */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val blocks = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), split(trim(col("text")), "[ \t\n\r]+").as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(tk)-1) div 10), i -> array_join(slice(tk, i*10+1, 10), ' '))"))
+        .as(Seq("pos", "blk")))
+      .withColumn("k", lower(col("blk")))
+    val freq = blocks.groupBy("k").agg(countDistinct("doc_id").as("nd"))
+    blocks.join(freq, "k")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("nd") >= 2, length(col("blk")).cast("long")).otherwise(0L))
+          .as("chars_removed"),
+        md5(to_binary(array_join(transform(array_sort(
+          collect_list(when(col("nd") < 2, struct(col("pos"), col("blk"))))),
+          x => x.getField("blk")), " "), lit("utf-8"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val spanDedupSql: String =
+    """WITH blocks AS (
+      |  SELECT doc_id, u.pos AS pos, u.blk AS blk, lower(u.blk) AS k
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(0, CAST((len(tk)-1)//10 AS BIGINT)),
+      |      i -> struct_pack(pos := i, blk := array_to_string(tk[i*10+1 : i*10+10], ' ')))) AS u
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS tk FROM documents)
+      |  )
+      |), freq AS (
+      |  SELECT k, count(DISTINCT doc_id) AS nd FROM blocks GROUP BY k
+      |)
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN length(blk) ELSE 0 END) AS BIGINT) AS chars_removed,
+      |  md5(coalesce(string_agg(CASE WHEN nd < 2 THEN blk END, ' ' ORDER BY pos), '')) AS kept_md5
+      |FROM blocks JOIN freq USING (k)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** PII / sensitive-content scrub: count pattern hits (emails, IPv4,
     * a sensitive-term dictionary), redact them, and fingerprint the
     * redacted text — the standard pre-training privacy pass. Pure
@@ -1039,6 +1096,7 @@ object TextAnalysis {
     "t_kwic" -> (kwic _),
     "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
+    "t_span_dedup" -> (spanDedup _),
     "t_repetition" -> (repetition _),
     "t_bigram_ratio" -> (bigramRatio _),
     "t_tfidf" -> (tfidf _),
@@ -1065,6 +1123,7 @@ object TextAnalysis {
     "t_kwic" -> kwicSql,
     "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,
+    "t_span_dedup" -> spanDedupSql,
     "t_repetition" -> repetitionSql,
     "t_bigram_ratio" -> bigramRatioSql,
     "t_tfidf" -> tfidfSql,

@@ -97,4 +97,30 @@ class SourcesSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $db.orders_bucketed")
     }
   }
+
+  test("escLine/unescLine: adversarial strings round-trip, escaped form is line-atomic") {
+    import operators.Pipeline.{escLine, unescLine}
+    val cases = Seq(
+      "plain", "", "%", "%%", "%25", "%0A", "%%0A", "%250A", "a\nb", "a\tb\rc",
+      "\n\r\t%", "tab\tnl\npct%pct%09end", "%0", "25%09", "ünïcødé\n%25\t")
+    val df = spark.createDataFrame(
+      cases.zipWithIndex.map { case (t, i) => (i, t) }).toDF("i", "t")
+    val out = df.select(col("i"), col("t"), escLine(col("t")).as("e"))
+      .select(col("i"), col("t"), col("e"), unescLine(col("e")).as("back"))
+      .collect().sortBy(_.getInt(0))
+    out.zip(cases).foreach { case (r, orig) =>
+      assert(r.getAs[String]("back") == orig, s"round-trip broke for <$orig>")
+      val e = r.getAs[String]("e")
+      assert(!e.exists(c => c == '\n' || c == '\r' || c == '\t'),
+        s"escaped form not line-atomic for <$orig>: <$e>")
+    }
+  }
+
+  test("p_text_roundtrip and p_jsonl_roundtrip hash-equal p_manifest") {
+    val want = operators.Pipeline.manifest(spark, sf).collect().map(_.toSeq).toSeq
+    val text = operators.Pipeline.textRoundtrip(spark, sf).collect().map(_.toSeq).toSeq
+    val json = operators.Pipeline.jsonlRoundtrip(spark, sf).collect().map(_.toSeq).toSeq
+    assert(text == want, "text round-trip manifest drifted from the parquet manifest")
+    assert(json == want, "jsonl round-trip manifest drifted from the parquet manifest")
+  }
 }

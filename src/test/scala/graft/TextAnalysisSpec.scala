@@ -275,4 +275,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected, s"bpe_pairs diverges: ${got.take(3)} vs ${expected.take(3)}")
   }
 
+  test("span_dedup: replays an in-memory tumbling-block removal, kept text hash-stable") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val blocks = docs.toSeq.flatMap { case (id, text) =>
+      text.trim.split("[ \t\n\r]+").grouped(10).zipWithIndex
+        .map { case (b, i) => (id, i, b.mkString(" ")) }
+    }
+    val docsPerKey = blocks.groupBy(_._3.toLowerCase).view.mapValues(_.map(_._1).distinct.size)
+    val expected = blocks.groupBy(_._1).map { case (id, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val removed = sorted.filter(b => docsPerKey(b._3.toLowerCase) >= 2)
+      (id, sorted.size.toLong, removed.size.toLong,
+        removed.map(_._3.length.toLong).sum,
+        md5hex(sorted.filter(b => docsPerKey(b._3.toLowerCase) < 2).map(_._3).mkString(" ")))
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.spanDedup(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("chars_removed"), r.getAs[String]("kept_md5"))).toSeq
+    assert(got == expected, s"span_dedup diverges: ${got.take(2)} vs ${expected.take(2)}")
+    // a corpus with boilerplate planted across docs must remove something at sf0.01+
+    assert(got.map(_._2).sum > 0)
+  }
+
 }
