@@ -643,7 +643,52 @@ object RelationalExt3 {
        |FROM cum c JOIN cs USING (cym)
        |ORDER BY cohort, month_offset""".stripMargin
 
+  /** Salted SKEW JOIN — the join twin of q22's salted aggregation, and
+    * the other half of the 100 TB skew toolkit: events join a per-type
+    * dimension on `event_type`, a catastrophically hot key (a handful
+    * of distinct values over the whole fact table — every shuffle
+    * partition of a plain repartition join would receive one key's
+    * entire volume). The cure when the dimension is too big to
+    * broadcast: replicate each dim row ×8 (explode over the salt
+    * range), salt the fact deterministically (`event_id % 8` — no RNG,
+    * reproducible), and join on (key, salt) so one hot key spreads
+    * over 8 partitions. `shuffle_hash` hint keeps the demo honest —
+    * without it Catalyst would broadcast this tiny dim and hide the
+    * skew entirely (which IS the right plan when the dim fits; AQE's
+    * skew-join split is the runtime fallback when it doesn't). The
+    * result provably equals the unsalted join — the oracle computes
+    * that directly. Money stays integer micros through the join and
+    * sum (order-free). */
+  def q52SkewJoin(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+    val dimExp = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    val fact = ev.withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
+      .withColumn("v_micros", round(col("value") * lit(1000000L)).cast("long"))
+    fact.join(dimExp.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_micros") * col("type_weight")).as("weighted_micros"))
+      .orderBy("event_type")
+  }
+
+  val q52Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_weight
+      |  FROM events
+      |)
+      |SELECT e.event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(e.value * 1000000) AS BIGINT) * d.type_weight) AS BIGINT)
+      |    AS weighted_micros
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_skew_join" -> (q52SkewJoin _),
     "q51_cohort_ltv" -> (q51CohortLtv _),
     "q50_rfm" -> (q50Rfm _),
     "q49_returns" -> (q49Returns _),
@@ -657,6 +702,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q52_skew_join" -> q52Sql,
     "q51_cohort_ltv" -> q51Sql,
     "q50_rfm" -> q50Sql,
     "q49_returns" -> q49Sql,

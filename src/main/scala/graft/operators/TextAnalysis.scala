@@ -521,6 +521,57 @@ object TextAnalysis {
       |FROM blocks JOIN freq USING (k)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Token-concentration Gini coefficient per document — the log-free
+    * twin of token entropy (entropy needs ln, whose last-ULP differs
+    * across engines; Gini is Σᵢ(2i−n−1)cᵢ / (n·Σcᵢ) on rank-sorted
+    * counts — ALL-INTEGER numerator and denominator, one IEEE division
+    * at the end, bit-portable). High Gini = a few tokens dominate
+    * (template/spam/keyword-stuffed text); low = flat vocabulary. The
+    * rank weight is tie-invariant (permuting equal counts leaves the
+    * sum unchanged), so the (count, token) tiebreak is for determinism
+    * of the PLAN, not the value. Scale shape: wordcount partial-agg to
+    * (doc, token) counts, then the rank window partitions BY DOC — the
+    * sort is per-document vocabulary, never corpus-global. */
+  def tokenGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "[ \t\n\r]+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id")
+    val ranked = cnts
+      .withColumn("i", row_number().over(w.orderBy(col("c"), col("tok"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.groupBy("doc_id")
+      .agg(max("n").as("n_types"),
+        sum("c").as("n_tokens"),
+        sum((lit(2L) * col("i") - col("n") - 1L) * col("c")).as("gini_num"))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"), col("gini_num"),
+        ExactRound.r(col("gini_num").cast("double") /
+          (col("n_types").cast("double") * col("n_tokens").cast("double")), 6).as("gini"))
+      .orderBy("doc_id")
+  }
+
+  val tokenGiniSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\r]+')) AS tok
+       |  FROM documents
+       |), cnts AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+       |), ranked AS (
+       |  SELECT doc_id, c,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c, tok) AS i,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM cnts
+       |)
+       |SELECT doc_id,
+       |  CAST(max(n) AS BIGINT) AS n_types,
+       |  CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(sum((2*i - n - 1) * c) AS BIGINT) AS gini_num,
+       |  ${ExactRound.rSql(
+             "CAST(sum((2*i - n - 1) * c) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * CAST(sum(c) AS DOUBLE))", 6)} AS gini
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** PII / sensitive-content scrub: count pattern hits (emails, IPv4,
     * a sensitive-term dictionary), redact them, and fingerprint the
     * redacted text — the standard pre-training privacy pass. Pure
@@ -1097,6 +1148,7 @@ object TextAnalysis {
     "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
     "t_span_dedup" -> (spanDedup _),
+    "t_token_gini" -> (tokenGini _),
     "t_repetition" -> (repetition _),
     "t_bigram_ratio" -> (bigramRatio _),
     "t_tfidf" -> (tfidf _),
@@ -1124,6 +1176,7 @@ object TextAnalysis {
     "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,
     "t_span_dedup" -> spanDedupSql,
+    "t_token_gini" -> tokenGiniSql,
     "t_repetition" -> repetitionSql,
     "t_bigram_ratio" -> bigramRatioSql,
     "t_tfidf" -> tfidfSql,

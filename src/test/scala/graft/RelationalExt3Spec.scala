@@ -277,4 +277,27 @@ class RelationalExt3Spec extends SparkSpec {
         s"cohort $c offset $off: ${r.getAs[Long]("cum_rev_us")} != $expected")
     }
   }
+
+  test("q52_skew_join: salted join equals the unsalted join, and the salted plan shuffle-joins") {
+    val q = RelationalExt3.q52SkewJoin(spark, sf)
+    val got = q.collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("weighted_micros"))).toSeq
+    // unsalted twin computed inline
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+    val want = ev.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * lit(1000000L)).cast("long") * col("type_weight")).as("wm"))
+      .collect().map(r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("wm")))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"salted join diverges from unsalted: ${got.take(2)} vs ${want.take(2)}")
+    // the hot-key join must be a real shuffle join (not broadcast, never cartesian)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected a shuffle-hash join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.{ExactRound, TextAnalysis}
 
 class TextAnalysisSpec extends SparkSpec {
 
@@ -299,6 +299,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected, s"span_dedup diverges: ${got.take(2)} vs ${expected.take(2)}")
     // a corpus with boilerplate planted across docs must remove something at sf0.01+
     assert(got.map(_._2).sum > 0)
+  }
+
+  test("token_gini: replays in-memory, bounded in [0,1), tie-order invariant") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val counts = text.trim.toLowerCase.split("[ \t\n\r]+")
+        .groupBy(identity).values.map(_.length.toLong).toSeq.sorted
+      val n = counts.size.toLong
+      val total = counts.sum
+      val num = counts.zipWithIndex.map { case (c, i0) => (2L * (i0 + 1) - n - 1) * c }.sum
+      (id, n, total, num,
+        ExactRound.rScalar(num.toDouble / (n.toDouble * total.toDouble), 6))
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.tokenGini(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("gini_num"), r.getAs[Double]("gini"))).toSeq
+    assert(got == expected, s"token_gini diverges: ${got.take(2)} vs ${expected.take(2)}")
+    assert(got.forall(g => g._5 >= 0.0 && g._5 < 1.0))
   }
 
 }
