@@ -762,6 +762,121 @@ object EventStream {
     * count or a micros-exact sum. The scratch dirs are deleted eagerly
     * (the re-read is checkpointed first); the emitted result COMES from
     * the files, not the stream. */
+  /** Late-data accounting under a REAL advancing watermark — the one
+    * watermark behavior a single-file stream can never exercise: with
+    * the whole table in micro-batch 0 the watermark is still at its
+    * initial −∞ while every row is processed, so nothing is ever late.
+    * Here the table is split deterministically into an on-time batch
+    * (even event_ids), a one-row TICK batch (the odd row with max
+    * (ts, event_id)), and a straggler batch (the remaining odd ids),
+    * written as three scratch parquet files with forced modification
+    * times and streamed with `maxFilesPerTrigger=1`. The tick batch
+    * exists because the watermark LAGS one micro-batch behind the
+    * data that produced it (measured on this engine, and Spark's
+    * documented multi-batch propagation): the value computed from
+    * batch N's event times takes effect for batch N+2's input filter,
+    * so without the tick the stragglers would arrive while the filter
+    * still sits at its initial −∞ and nothing would ever be late. With
+    * it, the stragglers in batch 2 are filtered against exactly
+    * `max(even ts)ms − 10 min`: rows whose 5-minute window end ≤ that
+    * watermark (the same boundary [[appendWindows]] pins for emission)
+    * are DROPPED by the stateful aggregation; the rest update live
+    * state. The update-mode memory sink records each key's count after
+    * every batch; max(n) per key is the final count. The result joins
+    * streamed counts against the batch totals: `n_late_dropped =
+    * n_total − n_kept` is the per-window accounting a production
+    * pipeline alerts on (data loss to watermark eviction, the #1
+    * silent-wrongness source in streaming aggs). Everything is
+    * deterministic — the split is id-parity, the tick is an argmax,
+    * the watermark is a pure function of the even half — so the DuckDB
+    * twin reproduces the drop rule exactly. */
+  def lateData(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_late_").toString
+    try {
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$scratch/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dataDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      val tick = odd.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .localCheckpoint(eager = true)
+      // FileStreamSource orders by (mtime, path): force strictly older
+      // mtimes so batch 0 = evens, batch 1 = tick, batch 2 = stragglers
+      val t0 = System.currentTimeMillis()
+      writeBatch(ev.filter(col("event_id") % 2 === 0), "0-ontime", t0 - 120000)
+      writeBatch(tick, "1-tick", t0 - 60000)
+      writeBatch(odd.join(tick.select("event_id"), Seq("event_id"), "left_anti"),
+        "2-late", t0)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+      val agg = src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), fmt).as("window_start"),
+          col("event_type"), col("n"))
+      val name = "graft_st_late_data"
+      runToMemorySink(s, dataDir.toString, agg, name, "update")
+      val kept = s.table(name).groupBy("window_start", "event_type")
+        .agg(max("n").as("n_kept")).localCheckpoint(eager = true)
+      val total = ev.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_total"))
+        .select(date_format(col("window.start"), fmt).as("window_start"),
+          col("event_type"), col("n_total"))
+      total.join(kept, Seq("window_start", "event_type"), "left")
+        .select(col("window_start"), col("event_type"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_late_dropped"))
+        .orderBy("window_start", "event_type")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+
+  /** SQL twin: the drop rule is a pure function of the even half's max
+    * event time — kept = even rows, plus the tick row, plus stragglers
+    * whose window end (ms) is strictly above `max(even ts) − 10 min`
+    * (the [[appendWindowsSql]] boundary, flipped from emission to
+    * admission). */
+  val lateDataSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |), tick AS (
+      |  SELECT event_id FROM ev WHERE event_id % 2 = 1
+      |  ORDER BY ts DESC, event_id DESC LIMIT 1
+      |), wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000) - 600000 AS wm_ms FROM ev WHERE event_id % 2 = 0
+      |), w AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type, event_id FROM ev
+      |), tot AS (
+      |  SELECT wstart, event_type, count(*) AS n_total FROM w GROUP BY 1, 2
+      |), kept AS (
+      |  SELECT wstart, event_type, count(*) AS n_kept
+      |  FROM w, wm
+      |  WHERE event_id % 2 = 0
+      |     OR event_id IN (SELECT event_id FROM tick)
+      |     OR epoch_us(wstart + INTERVAL '5 minutes') // 1000 > wm_ms
+      |  GROUP BY 1, 2
+      |)
+      |SELECT strftime(t.wstart, '%Y-%m-%d %H:%M:%S') AS window_start, t.event_type,
+      |  t.n_total, coalesce(k.n_kept, 0) AS n_kept,
+      |  t.n_total - coalesce(k.n_kept, 0) AS n_late_dropped
+      |FROM tot t LEFT JOIN kept k USING (wstart, event_type)
+      |ORDER BY window_start, event_type""".stripMargin
+
   def sinkRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_st_sink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ckpt_").toString
@@ -809,6 +924,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sink_roundtrip" -> (sinkRoundtrip _),
+    "st_late_data" -> (lateData _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
@@ -825,6 +941,7 @@ object EventStream {
 
   val oracles: Map[String, String] = Map(
     "st_sink_roundtrip" -> sinkRoundtripSql,
+    "st_late_data" -> lateDataSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,

@@ -100,4 +100,24 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(got.values.exists(!_._2), "fixture has user-days over the cap; drops expected")
     assert(got.values.count(_._2) > got.values.count(!_._2), "most events admitted")
   }
+
+  test("late_data: stragglers behind the even-half watermark are dropped; accounting balances") {
+    import graft.streaming.EventStream
+    val rows = EventStream.lateData(spark, sf).collect()
+    val evTotal = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == evTotal,
+      "per-window totals must tile the whole table")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_late_dropped")
+        == r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_kept") >= 0 && r.getAs[Long]("n_late_dropped") >= 0)
+    }
+    // the straggler batch sits far behind max(even ts) - 10min: real drops must occur
+    assert(rows.map(_.getAs[Long]("n_late_dropped")).sum > 0,
+      "no late rows were dropped - the watermark never took effect")
+    // and the even half plus the tick row always survives
+    val keptSum = rows.map(_.getAs[Long]("n_kept")).sum
+    val evens = Tables.events(spark, sf).filter(org.apache.spark.sql.functions.expr("event_id % 2 = 0")).count()
+    assert(keptSum >= evens + 1, s"kept $keptSum < evens+tick ${evens + 1}")
+  }
 }
