@@ -526,6 +526,50 @@ object Pipeline {
     }
   }
 
+  /** Incremental partial-aggregate MAINTENANCE — the materialized-view
+    * pattern every 100 TB batch pipeline lives on: history is never
+    * rescanned; each run aggregates only the new partition and MERGES
+    * the partials into the stored state. Simulated deterministically
+    * here: orders split at 1997-01-01 into a "history" slice (its
+    * monthly partial aggregate plays the stored state table) and a
+    * "new arrivals" slice (the day's increment); the merge is a
+    * full-outer join on the month key + coalesced integer sums — the
+    * q30 MERGE shape — and the result must equal the direct one-shot
+    * aggregate over everything (the oracle computes that directly).
+    * This works BECAUSE the aggregate is decomposable (counts and
+    * integer-micros sums are associative/commutative partials — the
+    * same property Spark's own partial/final aggregation exploits
+    * inside one job, lifted across runs). Revenue stays BIGINT micros
+    * end-to-end, so merge order can't perturb a cent. Scale shape:
+    * the scan is bounded by the increment, the merge by the state
+    * table (months, not rows). */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * lit(1000000L)).cast("long").as("price_us"))
+    def partial(df: DataFrame, n: String, r: String): DataFrame =
+      df.groupBy("month").agg(count(lit(1)).as(n), sum("price_us").as(r))
+    val hist = partial(o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+      "n_h", "rev_h")
+    val fresh = partial(o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")),
+      "n_f", "rev_f")
+    hist.join(fresh, Seq("month"), "full")
+      .select(col("month"),
+        (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_f"), lit(0L))).as("n_orders"),
+        (coalesce(col("rev_h"), lit(0L)) + coalesce(col("rev_f"), lit(0L))).as("rev_us"))
+      .orderBy("month")
+  }
+
+  /** Oracle: the DIRECT one-shot aggregate — equality certifies the
+    * incremental merge loses/dups nothing. */
+  val incrementalSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us
+      |FROM orders
+      |GROUP BY month ORDER BY month""".stripMargin
+
   /** Manifest DIFF — the consumer side of [[manifest]]'s drift story,
     * operationalized: compare the shard manifest of the full corpus
     * against the corpus after exact-dedup canonicalization (the
@@ -874,6 +918,7 @@ object Pipeline {
     "p_shard_write" -> (shardWrite _),
     "p_text_roundtrip" -> (textRoundtrip _),
     "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "p_incremental" -> (incremental _),
     "p_dataset_diff" -> (datasetDiff _),
     "p_curriculum" -> (curriculum _),
     "p_quota" -> (quota _),
@@ -893,6 +938,7 @@ object Pipeline {
     "p_shard_write" -> manifestSql,
     "p_text_roundtrip" -> manifestSql,
     "p_jsonl_roundtrip" -> manifestSql,
+    "p_incremental" -> incrementalSql,
     "p_dataset_diff" -> datasetDiffSql,
     "p_curriculum" -> curriculumSql,
     "p_quota" -> quotaSql,

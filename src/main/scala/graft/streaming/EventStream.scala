@@ -790,21 +790,29 @@ object EventStream {
     * deterministic — the split is id-parity, the tick is an argmax,
     * the watermark is a pure function of the even half — so the DuckDB
     * twin reproduces the drop rule exactly. */
+  /** Write `df` as a single parquet file `<dataDir>/<name>.parquet`
+    * with a forced modification time — the deterministic-micro-batch
+    * building block: FileStreamSource orders new files by (mtime,
+    * path), so explicit mtimes pin the batch sequence. */
+  private def scratchFile(df: DataFrame, scratch: String,
+      dataDir: java.io.File, name: String, mtime: Long): Unit = {
+    val tmp = s"$scratch/tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(dataDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(mtime); ()
+  }
+
   def lateData(s: SparkSession, d: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_st_late_").toString
     try {
       val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
         .localCheckpoint(eager = true)
       val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
-      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = s"$scratch/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(dataDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime); ()
-      }
+      def writeBatch(df: DataFrame, name: String, mtime: Long): Unit =
+        scratchFile(df, scratch, dataDir, name, mtime)
       val odd = ev.filter(col("event_id") % 2 === 1)
       val tick = odd.orderBy(col("ts").desc, col("event_id").desc).limit(1)
         .localCheckpoint(eager = true)
@@ -922,8 +930,70 @@ object EventStream {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** CHECKPOINT-RECOVERY behind the gate — the exactly-once story
+    * streaming actually sells, exercised end to end: a file-sink query
+    * processes the first half of events, is STOPPED (a simulated
+    * executor/driver loss: the query object is discarded), a NEW query
+    * is started from the SAME checkpoint after the second half lands,
+    * and the sink's final contents must equal the batch aggregate over
+    * everything. Recovery correctness is two-sided and this pins both:
+    * the restarted source must not REPLAY half 1 (the checkpoint's
+    * file-offset log — replay would double every count and flip the
+    * oracle hash) and must not SKIP half 2; the parquet sink's
+    * `_spark_metadata` commit manifest is what makes the re-read see
+    * exactly the committed files. All events pass through (no filter)
+    * so the certificate covers the whole table. The aggregation
+    * happens AFTER the re-read, batch-side — the stream is a pure
+    * pass-through sink, the recovery is what's under test. */
+  def restartRecovery(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_restart_").toString
+    try {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val out = s"$scratch/sink"; val ckpt = s"$scratch/ckpt"
+      def runOnce(): Unit = withStreamShuffle(s, dataDir.toString) {
+        val q = s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .parquet(dataDir.toString)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 60000)
+      runOnce()                 // run 1: half 1 committed, then the query dies
+      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0)
+      runOnce()                 // run 2: fresh query, same checkpoint
+      val back = s.read.parquet(out).localCheckpoint(eager = true)
+      back.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("event_id").as("n_distinct_events"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+
+  /** Oracle: the whole table's per-type aggregate — any replayed or
+    * skipped half flips a count, a distinct count, or a micros sum. */
+  val restartRecoverySql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       | count(DISTINCT event_id) AS n_distinct_events,
+       | ${moneySumSql("value")} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sink_roundtrip" -> (sinkRoundtrip _),
+    "st_restart_recovery" -> (restartRecovery _),
     "st_late_data" -> (lateData _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
@@ -941,6 +1011,7 @@ object EventStream {
 
   val oracles: Map[String, String] = Map(
     "st_sink_roundtrip" -> sinkRoundtripSql,
+    "st_restart_recovery" -> restartRecoverySql,
     "st_late_data" -> lateDataSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,

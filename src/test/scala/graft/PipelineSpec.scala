@@ -152,4 +152,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p_incremental: merged partials equal the one-shot aggregate; both slices contribute") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Pipeline.incremental(spark, sf).collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("rev_us"))).toSeq
+    val want = Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * lit(1000000L)).cast("long")).as("rev"))
+      .collect().map(r => (r.getAs[String]("month"), r.getAs[Long]("n"),
+        r.getAs[Long]("rev"))).sortBy(_._1).toSeq
+    assert(got == want, s"incremental merge diverges: ${got.take(3)} vs ${want.take(3)}")
+    // the split point must fall inside the data, or the merge is vacuous
+    assert(got.exists(_._1 < "1997-01"), "no history slice")
+    assert(got.exists(_._1 >= "1997-01"), "no increment slice")
+  }
 }

@@ -120,4 +120,18 @@ class SessionizeStreamSpec extends SparkSpec {
     val evens = Tables.events(spark, sf).filter(org.apache.spark.sql.functions.expr("event_id % 2 = 0")).count()
     assert(keptSum >= evens + 1, s"kept $keptSum < evens+tick ${evens + 1}")
   }
+
+  test("restart_recovery: a new query on the same checkpoint neither replays nor skips") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    val got = EventStream.restartRecovery(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_distinct_events"))).toSeq
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("event_id").as("nd"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("nd"))).sortBy(_._1).toSeq
+    assert(got == want,
+      s"recovered sink diverges from batch (replay doubles, skip loses): $got vs $want")
+  }
 }
