@@ -231,4 +231,26 @@ class PlanShapeSpec extends SparkSpec {
       s"only broadcast scalars may cross:\n${p.take(800)}")
   }
 
+  test("t_span_dedup: block-frequency join is a hash join, never cartesian") {
+    val p = plan(graft.operators.TextAnalysis.spanDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must equi-join on the block key:\n${p.take(800)}")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "block-frequency count must partial-aggregate map-side")
+  }
+
+  test("t_token_gini: rank window partitions by doc, never a global sort") {
+    val p = plan(graft.operators.TextAnalysis.tokenGini(spark, sf))
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"gini rank window must partition by doc_id:\n${p.take(800)}")
+  }
+
+  test("p_incremental: merge is an outer hash join over two partial aggregates") {
+    val p = plan(graft.operators.Pipeline.incremental(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"expected the full-outer merge join:\n${p.take(800)}")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 4,
+      "both slices must partial-aggregate before the merge")
+  }
 }
