@@ -404,6 +404,79 @@ object Similarity {
       |ORDER BY cosine DESC, a.vec_id
       |LIMIT 10""".stripMargin
 
+  /** FILTERED ANN — metadata-constrained vector search (the "top-k
+    * nearest where label = X" query every retrieval stack grows into;
+    * RAG with source/tenant/language filters is this). Strategy is
+    * PRE-FILTER inside the probed cells: the label predicate applies to
+    * the posting lists BEFORE scoring, so scan cost is the filtered
+    * subset of the probed cells, not the whole cells — and because a
+    * filter thins every cell, the probe count is WIDENED 2 → 4 (the
+    * standard filtered-search adjustment: selectivity s roughly divides
+    * per-cell yield, so nprobe scales ~1/s to restore candidate count;
+    * post-filtering top-k instead would return < k rows whenever the
+    * filter eats the unfiltered top-k). Same IVF machinery as
+    * [[annIvf]]: broadcast centroids, one assignment pass, bucket
+    * equi-join — the filter is one pushed predicate, which is the whole
+    * point: filtered search at 100 TB is a PARTITION-PRUNED scan, not a
+    * new index. Exact cosine within probed cells keeps the oracle
+    * bit-exact. */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "v", "norm", "centroid_id")
+    val probeCells = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v0"), col("norm").as("q_norm0"), col("label").as("q_label0"))
+      .crossJoin(broadcast(cents))
+      .select(col("centroid_id"),
+        ExactRound.r(sqDist(col("q_v0"), col("c_v")), 6).as("qdist"),
+        col("q_v0"), col("q_norm0"), col("q_label0"))
+      .orderBy("qdist", "centroid_id")
+      .limit(4)
+      .select(col("centroid_id"), col("q_v0").as("q_v"),
+        col("q_norm0").as("q_norm"), col("q_label0").as("q_label"))
+    assigned.join(broadcast(probeCells), "centroid_id")
+      .filter(col("vec_id") =!= 0 && col("label") === col("q_label"))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val annFilteredSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, label, v, nrm, centroid_id FROM (
+      |    SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+      |    FROM e, c
+      |  ) WHERE rn = 1
+      |), q AS (SELECT v AS q_v, nrm AS q_nrm, label AS q_label FROM e WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT c.centroid_id FROM c, q
+      |  ORDER BY round((list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)
+      |    + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id
+      |  LIMIT 4
+      |)
+      |SELECT a.vec_id, a.label, a.centroid_id,
+      |  ${graft.operators.ExactRound.rSql("list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm)", 6)} AS cosine
+      |FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id, q
+      |WHERE a.vec_id <> 0 AND a.label = q.q_label
+      |ORDER BY cosine DESC, a.vec_id
+      |LIMIT 5""".stripMargin
+
   // ------------------------------------------------------------------- PQ
 
   private val PqM = 8 // subspaces
@@ -1148,6 +1221,7 @@ object Similarity {
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
     "s_ann_ivf" -> (annIvf _),
+    "s_ann_filtered" -> (annFiltered _),
     "s_ann_pq" -> (annPq _),
     "s_centroids" -> (centroids _))
 
@@ -1169,6 +1243,7 @@ object Similarity {
     "s_knn_join" -> knnJoinSql,
     "s_ann_lsh" -> annLshSql,
     "s_ann_ivf" -> annIvfSql,
+    "s_ann_filtered" -> annFilteredSql,
     "s_ann_pq" -> annPqSql,
     "s_centroids" -> centroidsSql)
 }

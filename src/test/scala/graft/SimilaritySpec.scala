@@ -332,4 +332,17 @@ class SimilaritySpec extends SparkSpec {
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ann_filtered: every hit carries the query's label; scores sorted; query excluded") {
+    import org.apache.spark.sql.functions._
+    val qLabel = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("label").first().getInt(0)
+    val rows = Similarity.annFiltered(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.forall(_.getAs[Int]("label") == qLabel),
+      "filter must hold on every returned row")
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L), "query must not match itself")
+    val cos = rows.map(_.getAs[Double]("cosine")).toSeq
+    assert(cos == cos.sorted.reverse, "results must be sorted by cosine desc")
+  }
 }
