@@ -526,6 +526,45 @@ object Pipeline {
     }
   }
 
+  /** Small-file COMPACTION behind the manifest gate — the #1
+    * operational disease of 100 TB ingest (every micro-batch/task
+    * leaves a file; a million 1 MB files make listing, scheduling, and
+    * open() the bottleneck long before bytes do). Simulated end to
+    * end: documents are first written FRAGMENTED (64 write tasks →
+    * 64 small parquet files — the post-ingest state), then compacted
+    * by reading the fragments back and rewriting `repartition(4)` —
+    * the standard bin-packing rewrite; at scale the 4 would be
+    * `total_bytes / target_file_size` and the repartition a
+    * rebalance-by-size, but the invariant under test is identical —
+    * and the MANIFEST of the compacted copy must hash-equal
+    * [[manifestSql]] off the original parquet: compaction must move
+    * BYTES, never data. The spec pins the file-count collapse; the
+    * oracle pins zero row loss/dup/corruption through two complete
+    * write-read cycles. */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$out/fragments")
+      s.read.parquet(s"$out/fragments")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$out/compacted")
+      val back = s.read.parquet(s"$out/compacted")
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+        .localCheckpoint(eager = true)
+      manifestAgg(back)
+    } finally {
+      val dir = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   /** Incremental partial-aggregate MAINTENANCE — the materialized-view
     * pattern every 100 TB batch pipeline lives on: history is never
     * rescanned; each run aggregates only the new partition and MERGES
@@ -919,6 +958,7 @@ object Pipeline {
     "p_text_roundtrip" -> (textRoundtrip _),
     "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "p_incremental" -> (incremental _),
+    "p_compaction" -> (compaction _),
     "p_dataset_diff" -> (datasetDiff _),
     "p_curriculum" -> (curriculum _),
     "p_quota" -> (quota _),
@@ -939,6 +979,7 @@ object Pipeline {
     "p_text_roundtrip" -> manifestSql,
     "p_jsonl_roundtrip" -> manifestSql,
     "p_incremental" -> incrementalSql,
+    "p_compaction" -> manifestSql,
     "p_dataset_diff" -> datasetDiffSql,
     "p_curriculum" -> curriculumSql,
     "p_quota" -> quotaSql,

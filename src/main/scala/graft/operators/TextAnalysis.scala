@@ -464,6 +464,49 @@ object TextAnalysis {
       .replace("DUP_RATIO",
         ExactRound.rSql("CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6))
 
+  /** NOVELTY scoring — each document's marginal contribution to the
+    * corpus: the fraction of its distinct 5-grams whose FIRST
+    * occurrence (by doc_id, the ingestion order) is this document.
+    * The data-curation dual of [[dupNgrams]]: dup_ratio asks "how much
+    * of me exists elsewhere", novelty asks "how much did I add when I
+    * arrived" — the signal behind contribution-ordered curricula and
+    * crawl-frontier pruning (re-crawls of boilerplate-heavy sites
+    * score ≈ 0 and get dropped before tokenization). Same wordcount
+    * scale shape: gram table partial-aggregates to min(doc_id) per
+    * gram (an associative min — one shuffle), one re-join tags each
+    * doc's grams first-seen-here or not. */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), explode(graft.functions.MinHashFns.word_shingles(
+        split(trim(col("text")), "[ \t\n\r]+"), 5, distinct = true)).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        ExactRound.r(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val noveltySql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-4, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS toks FROM documents)
+      |  WHERE len(toks) >= 5
+      |), fs AS (
+      |  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+      |)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  NOVELTY AS novelty
+      |FROM grams JOIN fs USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replace("NOVELTY",
+        ExactRound.rSql("CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6))
+
   /** C4-style duplicate-SPAN removal at corpus level — the REMOVAL
     * counterpart of [[dupNgrams]]'s statistic (C4 drops any three-
     * sentence span occurring more than once in the corpus; this corpus
@@ -1148,6 +1191,7 @@ object TextAnalysis {
     "t_scrub" -> (scrub _),
     "t_dup_ngrams" -> (dupNgrams _),
     "t_span_dedup" -> (spanDedup _),
+    "t_novelty" -> (novelty _),
     "t_token_gini" -> (tokenGini _),
     "t_repetition" -> (repetition _),
     "t_bigram_ratio" -> (bigramRatio _),
@@ -1176,6 +1220,7 @@ object TextAnalysis {
     "t_scrub" -> scrubSql,
     "t_dup_ngrams" -> dupNgramsSql,
     "t_span_dedup" -> spanDedupSql,
+    "t_novelty" -> noveltySql,
     "t_token_gini" -> tokenGiniSql,
     "t_repetition" -> repetitionSql,
     "t_bigram_ratio" -> bigramRatioSql,

@@ -168,4 +168,27 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists(_._1 < "1997-01"), "no history slice")
     assert(got.exists(_._1 >= "1997-01"), "no increment slice")
   }
+
+  test("p_compaction: file count collapses 64 -> 4; manifest survives both rewrites") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_compact_spec_").toString
+    try {
+      Tables.documents(spark, sf).select("doc_id", "n_chars", "text")
+        .repartition(64).write.mode("overwrite").parquet(s"$out/fragments")
+      spark.read.parquet(s"$out/fragments").repartition(4)
+        .write.mode("overwrite").parquet(s"$out/compacted")
+      def nFiles(dir: String): Int = new java.io.File(dir).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(nFiles(s"$out/fragments") == 64, "fragmented state must be 64 files")
+      assert(nFiles(s"$out/compacted") == 4, "compacted state must be 4 files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+    val got = operators.Pipeline.compaction(spark, sf).collect().map(_.toSeq).toSeq
+    val want = operators.Pipeline.manifest(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want, "compaction must move bytes, never data")
+  }
 }

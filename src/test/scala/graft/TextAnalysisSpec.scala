@@ -320,4 +320,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(g => g._5 >= 0.0 && g._5 < 1.0))
   }
 
+  test("t_novelty: replays from an in-memory first-seen table; doc 0 is fully novel") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split("[ \t\n\r]+")
+      if (toks.length < 5) Set.empty
+      else (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val firstSeen = collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      grams(t).foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val expected = docs.sortBy(_._1).flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None
+      else Some((id, gs.size.toLong, gs.count(firstSeen(_) == id).toLong))
+    }.toSeq
+    val got = TextAnalysis.novelty(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toSeq
+    assert(got == expected, s"novelty diverges: ${got.take(3)} vs ${expected.take(3)}")
+    // the lowest doc_id in the result is by construction fully novel
+    assert(got.head._2 == got.head._3)
+  }
 }
