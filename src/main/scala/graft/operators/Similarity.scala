@@ -477,6 +477,114 @@ object Similarity {
       |ORDER BY cosine DESC, a.vec_id
       |LIMIT 5""".stripMargin
 
+  /** The measurement BEHIND [[annFiltered]]'s probe-widening claim:
+    * filtered recall@5 at nprobe 2 vs 4 against the brute-force
+    * same-label ground truth. The claim — a selective filter thins
+    * every probed cell, so the unwidened probe under-delivers — is a
+    * quantitative statement; this emits the numbers (candidate count
+    * and recall per probe width) instead of asserting it in prose,
+    * the [[recallEval]]/[[Dedup]] `d_lsh_tune` discipline: every
+    * approximate path ships with its own measured quality curve. One
+    * assignment pass serves both widths (checkpointed — the sweep
+    * replays the PROBE, never the index build). */
+  def filteredRecall(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "v", "norm", "centroid_id")
+      .localCheckpoint()
+    val qRow = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"), col("label").as("q_label"))
+    // query-to-centroid rank: 10 rows, the unpartitioned window is bounded
+    val cellRank = qRow.crossJoin(broadcast(cents))
+      .select(col("centroid_id"),
+        ExactRound.r(sqDist(col("q_v"), col("c_v")), 6).as("qdist"))
+      .withColumn("crn", row_number().over(
+        Window.orderBy(col("qdist"), col("centroid_id"))))
+      .localCheckpoint()
+    val truth = vs.filter(col("vec_id") =!= 0).crossJoin(broadcast(qRow))
+      .filter(col("label") === col("q_label"))
+      .select(col("vec_id"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(5)
+      .select("vec_id")
+    val cand = Seq(2, 4).map { np =>
+      assigned
+        .join(broadcast(cellRank.filter(col("crn") <= np).select("centroid_id")), "centroid_id")
+        .crossJoin(broadcast(qRow))
+        .filter(col("vec_id") =!= 0 && col("label") === col("q_label"))
+        .select(lit(np.toLong).as("n_probe"), col("vec_id"),
+          ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+    }.reduce(_ union _)
+    val top = cand.withColumn("rn", row_number().over(
+        Window.partitionBy("n_probe").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+    val hits = top.join(truth, Seq("vec_id"), "left_semi")
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    cand.groupBy("n_probe").agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("n_probe"), "left")
+      .select(col("n_probe"), col("n_candidates"),
+        ExactRound.r(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0), 6)
+          .as("recall5"))
+      .orderBy("n_probe")
+  }
+
+  val filteredRecallSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, label, v, nrm, centroid_id FROM (
+      |    SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+      |    FROM e, c
+      |  ) WHERE rn = 1
+      |), q AS (SELECT v AS q_v, nrm AS q_nrm, label AS q_label FROM e WHERE vec_id = 0),
+      |cellrank AS (
+      |  SELECT c.centroid_id, row_number() OVER (ORDER BY
+      |    round((list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)
+      |      + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS crn
+      |  FROM c, q
+      |), truth AS (
+      |  SELECT e2.vec_id FROM e e2, q
+      |  WHERE e2.vec_id <> 0 AND e2.label = q.q_label
+      |  ORDER BY ${graft.operators.ExactRound.rSql(
+             "list_inner_product(e2.v, q.q_v) / (e2.nrm * q.q_nrm)", 6)} DESC, e2.vec_id
+      |  LIMIT 5
+      |), cand AS MATERIALIZED (
+      |  SELECT p.n_probe, a.vec_id,
+      |    ${graft.operators.ExactRound.rSql(
+             "list_inner_product(a.v, q.q_v) / (a.nrm * q.q_nrm)", 6)} AS cosine
+      |  FROM (SELECT unnest([2, 4]::BIGINT[]) AS n_probe) p
+      |  JOIN cellrank rc ON rc.crn <= p.n_probe
+      |  JOIN assigned a ON a.centroid_id = rc.centroid_id, q
+      |  WHERE a.vec_id <> 0 AND a.label = q.q_label
+      |), top AS (
+      |  SELECT n_probe, vec_id FROM (
+      |    SELECT n_probe, vec_id,
+      |      row_number() OVER (PARTITION BY n_probe ORDER BY cosine DESC, vec_id) AS rn
+      |    FROM cand
+      |  ) WHERE rn <= 5
+      |), hits AS (
+      |  SELECT n_probe, count(*) AS n_hits FROM top
+      |  WHERE vec_id IN (SELECT vec_id FROM truth) GROUP BY n_probe
+      |)
+      |SELECT nc.n_probe, nc.n_candidates,
+      |  ${graft.operators.ExactRound.rSql("CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0", 6)} AS recall5
+      |FROM (SELECT n_probe, count(*) AS n_candidates FROM cand GROUP BY n_probe) nc
+      |LEFT JOIN hits h USING (n_probe)
+      |ORDER BY n_probe""".stripMargin
+
   // ------------------------------------------------------------------- PQ
 
   private val PqM = 8 // subspaces
@@ -1222,6 +1330,7 @@ object Similarity {
     "s_ann_lsh" -> (annLsh _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_filtered" -> (annFiltered _),
+    "s_filtered_recall" -> (filteredRecall _),
     "s_ann_pq" -> (annPq _),
     "s_centroids" -> (centroids _))
 
@@ -1244,6 +1353,7 @@ object Similarity {
     "s_ann_lsh" -> annLshSql,
     "s_ann_ivf" -> annIvfSql,
     "s_ann_filtered" -> annFilteredSql,
+    "s_filtered_recall" -> filteredRecallSql,
     "s_ann_pq" -> annPqSql,
     "s_centroids" -> centroidsSql)
 }

@@ -345,4 +345,16 @@ class SimilaritySpec extends SparkSpec {
     val cos = rows.map(_.getAs[Double]("cosine")).toSeq
     assert(cos == cos.sorted.reverse, "results must be sorted by cosine desc")
   }
+
+  test("filtered_recall: recall and candidate count are monotone in probe width") {
+    val rows = Similarity.filteredRecall(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Double]("recall5"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L))
+    assert(rows(0)._2 <= rows(1)._2, "wider probe must scan at least as many candidates")
+    assert(rows(0)._3 <= rows(1)._3, "wider probe must not lose recall")
+    rows.foreach { case (_, nc, r5) =>
+      assert(nc > 0); assert(r5 >= 0.0 && r5 <= 1.0)
+    }
+  }
 }
