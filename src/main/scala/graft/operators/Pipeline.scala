@@ -526,6 +526,104 @@ object Pipeline {
     }
   }
 
+  /** SCHEMA EVOLUTION across writer generations — the reality of any
+    * corpus that lives longer than its ingest code: generation-1 files
+    * carry (doc_id, n_chars, text), generation-2 files add (lang,
+    * source), and a reader must see ONE unified schema with NULLs
+    * where the old writer had no column. Exercised end to end: the two
+    * generations are written into `gen=1/` / `gen=2/` partitions
+    * (id-parity split, deterministic), read back with
+    * `mergeSchema=true` (schema reconciliation is a FOOTER-only
+    * operation — at 100 TB the merge reads n_files footers, never
+    * data), and rolled up per (gen, lang) with the missing dimension
+    * coalesced to a sentinel. The oracle reproduces the rollup from
+    * the original table, so a green entry certifies no row loss, the
+    * partition column's recovery, and NULL-correct column absence. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_schema_evo_").toString
+    try {
+      val docs = graft.Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      val back = s.read.option("mergeSchema", "true").parquet(out)
+        .localCheckpoint(eager = true)
+      back.groupBy(col("gen").cast("long").as("gen"),
+          coalesce(col("lang"), lit("(missing)")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("gen", "lang")
+    } finally {
+      val dir = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT gen, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 2 = 1 THEN lang ELSE '(missing)' END AS lang,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS gen
+      |  FROM documents
+      |)
+      |GROUP BY gen, lang ORDER BY gen, lang""".stripMargin
+
+  /** CORRUPT-RECORD accounting — crawled corpora always contain broken
+    * lines, and a 100 TB reader must QUARANTINE them, not die
+    * (FAILFAST) or silently drop them. Exercised with planted,
+    * deterministic corruption: every doc_id % 50 == 0 document is
+    * serialized as a truncated JSON object (unterminated string —
+    * unparseable by construction), the rest as valid JSON lines; the
+    * file is read back in PERMISSIVE mode with an explicit
+    * `_corrupt_record` column, and the result is the quarantine
+    * ledger: total/good/corrupt counts and the good rows' exact char
+    * mass. The oracle knows exactly which rows were corrupted (the
+    * planting rule is pure), so any reader that drops a good row or
+    * passes a bad one flips a count. */
+  def corruptRecords(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_corrupt_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(when(col("doc_id") % 50 === 0,
+            concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+              lit(",\"text\":\"unterminated")))
+          .otherwise(to_json(struct(col("doc_id"), col("n_chars"), col("text"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val back = s.read
+        .schema("doc_id LONG, n_chars LONG, text STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .localCheckpoint(eager = true)
+      back.agg(count(lit(1)).as("n_total"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars")).otherwise(0L))
+            .as("chars_good"))
+    } finally {
+      val dir = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  val corruptRecordsSql: String =
+    """SELECT count(*) AS n_total,
+      |  CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_good
+      |FROM documents""".stripMargin
+
   /** Small-file COMPACTION behind the manifest gate — the #1
     * operational disease of 100 TB ingest (every micro-batch/task
     * leaves a file; a million 1 MB files make listing, scheduling, and
@@ -959,6 +1057,8 @@ object Pipeline {
     "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
+    "p_schema_evolution" -> (schemaEvolution _),
+    "p_corrupt_records" -> (corruptRecords _),
     "p_dataset_diff" -> (datasetDiff _),
     "p_curriculum" -> (curriculum _),
     "p_quota" -> (quota _),
@@ -980,6 +1080,8 @@ object Pipeline {
     "p_jsonl_roundtrip" -> manifestSql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,
+    "p_schema_evolution" -> schemaEvolutionSql,
+    "p_corrupt_records" -> corruptRecordsSql,
     "p_dataset_diff" -> datasetDiffSql,
     "p_curriculum" -> curriculumSql,
     "p_quota" -> quotaSql,

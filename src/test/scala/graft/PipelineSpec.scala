@@ -191,4 +191,26 @@ class PipelineSpec extends SparkSpec {
     val want = operators.Pipeline.manifest(spark, sf).collect().map(_.toSeq).toSeq
     assert(got == want, "compaction must move bytes, never data")
   }
+
+  test("p_schema_evolution: gen-1 rows surface the added column as the sentinel only") {
+    val rows = operators.Pipeline.schemaEvolution(spark, sf).collect()
+    val byGen = rows.groupBy(_.getAs[Long]("gen"))
+    assert(byGen(1L).map(_.getAs[String]("lang")).toSet == Set("(missing)"),
+      "old-writer rows must see NULL->sentinel for the added column")
+    assert(byGen(2L).forall(_.getAs[String]("lang") != "(missing)"),
+      "new-writer rows must carry their real lang")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(), "no row may be lost in the merge")
+  }
+
+  test("p_corrupt_records: quarantine counts match the planting rule exactly") {
+    import org.apache.spark.sql.functions._
+    val r = operators.Pipeline.corruptRecords(spark, sf).first()
+    val docs = Tables.documents(spark, sf)
+    val planted = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(r.getAs[Long]("n_total") == docs.count())
+    assert(r.getAs[Long]("n_corrupt") == planted, "every planted row must be quarantined")
+    assert(r.getAs[Long]("n_good") == docs.count() - planted,
+      "no good row may be dropped")
+  }
 }
