@@ -272,6 +272,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MODALITY-AGREEMENT audit — the measured answer to "can I dedup on
+    * embeddings alone?": every TEXT near-dup pair ([[ngramJaccard]],
+    * j ≥ 0.5) scored by its documents' embedding cosine against
+    * [[embedDup]]'s own 0.4 threshold (`caught` = the embedding path
+    * would have found this pair). The per-pair table is what an
+    * operator reads before switching dedup modalities — a low caught
+    * rate means embedding dedup silently loses textual near-dups (the
+    * d_cross_shard style of evidence: compute the gap, don't assume
+    * it). Scale shape: the text-pair table is tiny after its j ≥ 0.5
+    * filter, so the two embedding joins are id equi-joins that prune
+    * to the pair list; vector arrays never shuffle beyond it. */
+  def modalAgreement(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns.{dot_product, l2_norm}
+    val tp = ngramJaccard(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2_norm(col("v")))
+    val ea = e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na"))
+    val eb = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb"))
+    tp.join(ea, "doc_a").join(eb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        ExactRound.r(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .withColumn("caught", col("cosine") >= 0.4)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // all Jaccard-pair twins build on the shared explode/hash-join
   // overlap fragment — see [[OracleCtes]] for the cost story (the
   // round-4 183-CPU-minute sweep) and the bit-parity argument
@@ -284,6 +311,25 @@ object Dedup {
       |FROM ng_pair
       |WHERE $jaccardSqlExpr >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SQL twin of [[modalAgreement]]: the shared overlap fragment's
+    * j ≥ 0.5 pairs joined to per-id embedding cosines. */
+  val modalAgreementSql: String = {
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""WITH ${OracleCtes.ngramOverlap}, tp AS MATERIALIZED (
+      |  SELECT pa, pb, $jaccardSqlExpr AS jaccard
+      |  FROM ng_pair WHERE $jaccardSqlExpr >= 0.5
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT tp.pa AS doc_a, tp.pb AS doc_b, tp.jaccard,
+      |  $cosine AS cosine,
+      |  $cosine >= 0.4 AS caught
+      |FROM tp JOIN e a ON a.vec_id = tp.pa JOIN e b ON b.vec_id = tp.pb
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Exact set-similarity join via prefix filtering (AllPairs/PPJoin
     * family): order every shingle by ascending global frequency; a pair
@@ -1456,6 +1502,7 @@ object Dedup {
     "d_minhash_lsh" -> (minhashLsh _),
     "d_simhash" -> (simhash _),
     "d_ngram_jaccard" -> (ngramJaccard _),
+    "d_modal_agreement" -> (modalAgreement _),
     "d_contamination" -> (contamination _),
     "d_setsim_join" -> (setsimJoin _),
     "d_dup_clusters" -> (dupClusters _),
@@ -1478,6 +1525,7 @@ object Dedup {
     "d_minhash_lsh" -> minhashLshSql,
     "d_simhash" -> simhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_modal_agreement" -> modalAgreementSql,
     "d_contamination" -> contaminationSql,
     "d_setsim_join" -> ngramJaccardSql, // same contract: equals brute force
     "d_dup_clusters" -> dupClustersSql,

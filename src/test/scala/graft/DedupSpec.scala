@@ -403,4 +403,16 @@ class DedupSpec extends SparkSpec {
     // id sharding must not magically co-locate: caught <= seen pairs
     assert(rows("near")._2 <= rows("near")._1 && rows("near")._3 <= rows("near")._1)
   }
+
+  test("modal_agreement: one row per text near-dup pair; caught tracks the 0.4 threshold") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val rows = Dedup.modalAgreement(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == pairs,
+      "audit must cover exactly the text near-dup pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("caught") == (r.getAs[Double]("cosine") >= 0.4))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
 }
