@@ -437,6 +437,60 @@ object EventStream {
       |ORDER BY user_id, session_id""".stripMargin
       .replace("MONEY_SUM", moneySumSql("value"))
 
+  /** The BUILT-IN session-window aggregation — Spark's native
+    * `session_window(ts, gap)` run as a real streaming query, covering
+    * the declarative third of the sessionization triangle (batch
+    * gaps-and-islands [[sessionize]], hand-rolled state machine
+    * [[sessionizeStream]], and this: the operator Spark itself ships
+    * for the job, with merging session state inside the aggregation —
+    * the engine-preference order says use THIS before writing
+    * flatMapGroupsWithState). Semantics differ from gaps-and-islands
+    * at exactly one point, pinned here: a session's END is
+    * last_event + gap (the window's extent), not the last event's
+    * timestamp, and a gap of EXACTLY 30 minutes starts a new session
+    * (windows are half-open, so touching endpoints don't merge; the
+    * island formulation's `> gap` keeps them together — the oracle
+    * twin uses `>=` accordingly). Complete mode materializes final
+    * merged state; one micro-batch means the watermark never evicts,
+    * so the result is a pure function of the data. */
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val stream = eventStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmt).as("session_start"),
+        date_format(col("session_window.end"), fmt).as("session_end"),
+        col("n_events"), col("total_value"))
+    val name = "graft_st_session_window"
+    runToMemorySink(s, d, stream, name, "complete")
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
+  /** SQL twin: gaps-and-islands with the two session_window deltas —
+    * `>=` break (touching windows don't merge) and end = max + gap. */
+  val sessionWindowAggSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM ordered
+      |), sess AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      | count(*) AS n_events,
+      | MONEY_SUM AS total_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+      .replace("MONEY_SUM", moneySumSql("value"))
+
   /** Streaming admission control (per-user rate cap): at most
     * [[graft.GraftConf.throttleCapPerDay]] events per user per tumbling
     * UTC day are admitted, in (event-time, event_id) order; EVERY event
@@ -995,6 +1049,7 @@ object EventStream {
     "st_sink_roundtrip" -> (sinkRoundtrip _),
     "st_restart_recovery" -> (restartRecovery _),
     "st_late_data" -> (lateData _),
+    "st_session_window" -> (sessionWindowAgg _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
@@ -1013,6 +1068,7 @@ object EventStream {
     "st_sink_roundtrip" -> sinkRoundtripSql,
     "st_restart_recovery" -> restartRecoverySql,
     "st_late_data" -> lateDataSql,
+    "st_session_window" -> sessionWindowAggSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,

@@ -134,4 +134,18 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(got == want,
       s"recovered sink diverges from batch (replay doubles, skip loses): $got vs $want")
   }
+
+  test("session_window: native operator tiles all events; at least as many sessions as islands") {
+    import graft.streaming.EventStream
+    val rows = EventStream.sessionWindowAgg(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count(),
+      "session windows must tile every event exactly once")
+    // the >= break can only split more finely than the islands' > break
+    val perUserNative = rows.groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length)
+    val perUserIslands = EventStream.sessionize(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length)
+    perUserIslands.foreach { case (u, n) =>
+      assert(perUserNative(u) >= n, s"user $u: native ${perUserNative(u)} < islands $n")
+    }
+  }
 }
