@@ -119,4 +119,28 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(got(id) == want, s"est_jaccard mismatch for pair $id")
     }
   }
+
+  test("escLine/unescLine: random strings over the escape alphabet round-trip line-atomically") {
+    import spark.implicits._
+    import graft.operators.Pipeline.{escLine, unescLine}
+    // bias the generator toward the codec's own alphabet: '%', digits,
+    // the three structure bytes, and fragments that LOOK like codes
+    val gen = Gen.listOf(Gen.frequency(
+      4 -> Gen.asciiPrintableChar,
+      2 -> Gen.const('%'),
+      2 -> Gen.oneOf('0', '2', '5', '9', 'A', 'D'),
+      1 -> Gen.oneOf('\n', '\r', '\t'),
+      1 -> Gen.oneOf('é', '中'))).map(_.mkString)
+    val texts = samples(gen, 500, 7L).distinct
+    val out = texts.toDF("t")
+      .select(col("t"), escLine(col("t")).as("e"))
+      .select(col("t"), col("e"), unescLine(col("e")).as("back"))
+      .collect()
+    out.foreach { r =>
+      val (t, e, back) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(back == t, s"codec round-trip broke on ${t.take(30).map(_.toInt)}")
+      assert(!e.exists(c => c == '\n' || c == '\r' || c == '\t'),
+        s"escaped form not line-atomic for ${t.take(30).map(_.toInt)}")
+    }
+  }
 }
