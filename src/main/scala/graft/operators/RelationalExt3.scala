@@ -687,7 +687,43 @@ object RelationalExt3 {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** One-pass COLUMN PROFILER — the `ANALYZE TABLE` shape every engine
+    * needs before cost-based planning and every pipeline needs as a
+    * data-quality gate: per column, row/null/exact-distinct counts.
+    * The naive form is one `count(DISTINCT col)` job PER COLUMN (k
+    * full scans + k shuffles); this melts the row into (column, value)
+    * pairs — a zero-shuffle Expand, the q39 machinery — and profiles
+    * ALL columns in ONE shuffle keyed (column, value): partial-agg
+    * collapses repeats map-side, so what crosses the wire is each
+    * column's distinct values once, not the table k times. Values
+    * profile through their string form, which is fine for COUNTING
+    * (casts are injective per column); min/max are deliberately
+    * omitted — cross-engine string formatting of doubles/timestamps is
+    * not bit-portable, and counts are what the planner gate needs. */
+  def q53ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate")
+    val li = Tables.lineitem(s, d)
+    val melted = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("c"))
+      .select(col("c.column_name").as("column_name"), col("c.v").as("v"))
+    melted.groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct("v").as("n_distinct"))
+      .orderBy("column_name")
+  }
+
+  val q53Sql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate")
+    cols.map(c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_column_profile" -> (q53ColumnProfile _),
     "q52_skew_join" -> (q52SkewJoin _),
     "q51_cohort_ltv" -> (q51CohortLtv _),
     "q50_rfm" -> (q50Rfm _),
@@ -702,6 +738,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q53_column_profile" -> q53Sql,
     "q52_skew_join" -> q52Sql,
     "q51_cohort_ltv" -> q51Sql,
     "q50_rfm" -> q50Sql,

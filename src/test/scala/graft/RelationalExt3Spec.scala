@@ -300,4 +300,29 @@ class RelationalExt3Spec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), s"expected a shuffle-hash join in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q53_column_profile: counts match per-column direct aggregates; one shuffle, not k") {
+    val q = RelationalExt3.q53ColumnProfile(spark, sf)
+    val got = q.collect().map(r => r.getAs[String]("column_name") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct")))).toMap
+    val li = Tables.lineitem(spark, sf)
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_shipdate").foreach { c =>
+      val direct = li.agg(count(lit(1)), sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c))).first()
+      assert(got(c) == ((direct.getLong(0), direct.getLong(1), direct.getLong(2))),
+        s"profile diverges for $c")
+    }
+    // the melt is a zero-shuffle row-local operator (Generate), and the whole
+    // profile takes ONE hash-partitioned aggregation shuffle over (column, value)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode") || plan.contains("Expand"),
+      "melt must compile to a row-local Generate/Expand, not a join or union of scans")
+    // (AQE prints Final + Initial sections; count only the final plan.
+    // count(DISTINCT) lowers to two phases = 2 hash exchanges, regardless
+    // of column count — the per-column-job alternative would show 5+.)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val aggShuffles = finalPlan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(aggShuffles <= 2, s"profiler must not shuffle per column, saw $aggShuffles")
+  }
 }
