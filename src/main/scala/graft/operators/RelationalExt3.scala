@@ -722,7 +722,46 @@ object RelationalExt3 {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** CORRELATED scalar subqueries through Catalyst DECORRELATION — the
+    * classic "orders 50% above this customer's own average" query,
+    * deliberately written on the `spark.sql` surface with TWO
+    * correlated scalar subqueries (per-customer count and sum), so the
+    * optimizer's RewriteCorrelatedScalarSubquery turns them into ONE
+    * aggregate + join instead of a per-row re-scan — the difference
+    * between O(n) and O(n²/k) at 100 TB, and a capability gate for the
+    * SQL surface itself (the 51 prior queries are all DataFrame-built).
+    * The predicate is integer-exact: `p > 1.5·avg` is evaluated as
+    * `2·p_us·cnt > 3·sum_us` over BIGINT micros, so no double
+    * accumulation order can flip a borderline row on either engine. */
+  def q54CorrelatedSub(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_q54_orders")
+    s.sql("""
+      SELECT o_custkey, count(*) AS n_big,
+        CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS big_rev_us
+      FROM graft_q54_orders o
+      WHERE 2 * CAST(round(o.o_totalprice * 1000000) AS BIGINT)
+              * (SELECT count(*) FROM graft_q54_orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (SELECT CAST(sum(CAST(round(o2.o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+                   FROM graft_q54_orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+      GROUP BY o_custkey
+      ORDER BY o_custkey""")
+  }
+
+  val q54Sql: String =
+    """SELECT o_custkey, count(*) AS n_big,
+      |  CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS big_rev_us
+      |FROM orders o
+      |WHERE 2 * CAST(round(o.o_totalprice * 1000000) AS BIGINT)
+      |        * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |      > 3 * (SELECT CAST(sum(CAST(round(o2.o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+      |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_correlated_sub" -> (q54CorrelatedSub _),
     "q53_column_profile" -> (q53ColumnProfile _),
     "q52_skew_join" -> (q52SkewJoin _),
     "q51_cohort_ltv" -> (q51CohortLtv _),
@@ -738,6 +777,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q54_correlated_sub" -> q54Sql,
     "q53_column_profile" -> q53Sql,
     "q52_skew_join" -> q52Sql,
     "q51_cohort_ltv" -> q51Sql,

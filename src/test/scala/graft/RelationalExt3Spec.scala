@@ -325,4 +325,25 @@ class RelationalExt3Spec extends SparkSpec {
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(aggShuffles <= 2, s"profiler must not shuffle per column, saw $aggShuffles")
   }
+
+  test("q54_correlated_sub: decorrelates to aggregate+join; replay matches in-memory") {
+    val q = RelationalExt3.q54CorrelatedSub(spark, sf)
+    // the correlated subqueries must be decorrelated, not executed per row
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SubqueryExec"), "correlated subqueries must decorrelate")
+    assert(plan.contains("Join"), "decorrelation produces an aggregate+join")
+    // in-memory replay of the integer-exact predicate
+    def us(v: Double): Long = graft.operators.ExactRound.valueMicros(v)
+    val orders = Tables.orders(spark, sf).select("o_custkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> us(r.getDouble(1)))
+    val byCust = orders.groupBy(_._1).view
+      .mapValues(os => (os.length.toLong, os.map(_._2).sum)).toMap
+    val expected = orders.filter { case (c, p) =>
+      val (cnt, sum) = byCust(c); 2 * p * cnt > 3 * sum
+    }.groupBy(_._1).view.mapValues(os => (os.length.toLong, os.map(_._2).sum))
+      .toSeq.sortBy(_._1).map { case (c, (n, rev)) => (c, n, rev) }
+    val got = q.collect().map(r => (r.getAs[Long]("o_custkey"),
+      r.getAs[Long]("n_big"), r.getAs[Long]("big_rev_us"))).toSeq
+    assert(got == expected, s"q54 diverges: ${got.take(3)} vs ${expected.take(3)}")
+  }
 }
