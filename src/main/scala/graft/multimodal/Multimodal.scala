@@ -883,7 +883,107 @@ object Multimodal {
       |  CAST(strlen(text) AS BIGINT) AS n_samples
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------------- WARC
+
+  private val WarcVer = "WARC/1.0\r\n"
+  private val WarcType = "WARC-Type: response\r\n"
+  private val WarcIdPre = "WARC-Record-ID: urn:graft:doc-"
+  private val WarcUriPre = "WARC-Target-URI: http://graft.example/doc/"
+  private val WarcClenPre = "Content-Length: "
+
+  /** WARC record synthesis + DECLARATIVE parse — the format the web
+    * corpora LLMs train on actually ship in (Common Crawl is WARC).
+    * The 16 djb2 shards each become one WARC file (records concatenated
+    * in doc_id order — the q33 sorted-collect discipline makes the
+    * file bytes shuffle-order-proof), then the PARSE side recovers
+    * every record from the file text alone: split on the `WARC/1.0`
+    * record marker, header fields via anchored regexp, payload by the
+    * blank-line delimiter, and each record's BYTE OFFSET into its
+    * shard file by a per-shard running sum of record lengths — the
+    * random-access index a 100 TB WARC store is read through (fetch
+    * one document = seek(offset), never scan the shard). The
+    * `length_ok` flag re-verifies the parsed Content-Length header
+    * against the actual payload octets (the q21 self-certifying
+    * pattern: the oracle pins TRUE, so a parse that misaligns by one
+    * byte fails the gate). Scale shape: record-marker framing makes
+    * WARC splittable the way newlines make text splittable; the parse
+    * itself is codegen'd string ops, no UDF. */
+  def warcRecords(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val idStr = col("doc_id").cast("string")
+    val clenStr = octet_length(col("text")).cast("string")
+    val rec = concat(
+      lit(WarcVer), lit(WarcType),
+      lit(WarcIdPre), idStr, lit("\r\n"),
+      lit(WarcUriPre), idStr, lit("\r\n"),
+      lit(WarcClenPre), clenStr, lit("\r\n"), lit("\r\n"),
+      col("text"), lit("\r\n\r\n"))
+    val files = Tables.documents(s, d)
+      .select(bucket.as("shard"), col("doc_id"), rec.as("rec"))
+      .groupBy("shard")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        x => x.getField("rec")), "").as("warc"))
+    val parts = files
+      .select(col("shard"), posexplode(split(col("warc"), "WARC/1\\.0\r\n")).as(Seq("pos", "body")))
+      .filter(length(col("body")) > 0)
+      .withColumn("hstart", instr(col("body"), "\r\n\r\n"))
+      .withColumn("payload",
+        expr("substring(body, hstart + 4, length(body) - hstart - 7)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parts
+      .select(col("shard"), col("pos"),
+        regexp_extract(col("body"), "WARC-Record-ID: urn:graft:doc-([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("body"), "Content-Length: ([0-9]+)", 1)
+          .cast("long").as("content_length"),
+        md5(to_binary(col("payload"), lit("utf-8"))).as("payload_md5"),
+        (octet_length(col("payload")).cast("long") ===
+          regexp_extract(col("body"), "Content-Length: ([0-9]+)", 1).cast("long"))
+          .as("length_ok"),
+        (octet_length(col("body")) + lit(WarcVer.length)).cast("long").as("rec_len"))
+      .withColumn("offset", coalesce(sum("rec_len").over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("offset"), col("content_length"),
+        col("payload_md5"), col("length_ok"))
+      .orderBy("shard", "doc_id")
+  }
+
+  /** SQL twin: record lengths are ARITHMETIC (fixed header octets +
+    * twice the id's digits + the length field's digits + the payload),
+    * so the offset index replays without parsing any bytes. */
+  val warcRecordsSql: String = {
+    val fixed = WarcVer.length + WarcType.length +
+      WarcIdPre.length + 2 + WarcUriPre.length + 2 +
+      WarcClenPre.length + 2 + 2 + 4
+    s"""WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, text FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, text, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, text, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, text, CAST(hash % 16 AS INT) AS shard
+      |  FROM h WHERE i = length(key)+1
+      |), r AS (
+      |  SELECT shard, doc_id, CAST(strlen(text) AS BIGINT) AS content_length,
+      |    md5(text) AS payload_md5,
+      |    CAST($fixed + 2*length(CAST(doc_id AS VARCHAR))
+      |      + length(CAST(strlen(text) AS VARCHAR)) + strlen(text) AS BIGINT) AS rec_len
+      |  FROM b
+      |)
+      |SELECT shard, doc_id,
+      |  CAST(coalesce(sum(rec_len) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+      |  content_length, payload_md5, TRUE AS length_ok
+      |FROM r ORDER BY shard, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_warc_records" -> (warcRecords _),
     "m_wav_meta" -> (wavMeta _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -898,6 +998,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_warc_records" -> warcRecordsSql,
     "m_wav_meta" -> wavMetaSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,

@@ -299,4 +299,24 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("m_warc_records: every doc recovered byte-exactly; offsets strictly increase per shard") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.multimodal.Multimodal.warcRecords(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("m"),
+        octet_length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.length == docs.size, "every document must round-trip through WARC")
+    rows.foreach { r =>
+      val (m, n) = docs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("payload_md5") == m, s"payload drift for ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("content_length") == n)
+      assert(r.getAs[Boolean]("length_ok"))
+    }
+    rows.groupBy(_.getAs[Int]("shard")).values.foreach { rs =>
+      val offs = rs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("offset"))
+      assert(offs.head == 0L, "first record of a shard starts at byte 0")
+      assert(offs.zip(offs.tail).forall { case (a, b) => a < b }, "offsets must increase")
+    }
+  }
 }
