@@ -49,7 +49,32 @@ object Bench {
     pools.map(_.getUsage.getUsed).sum / 1e6
   }
 
-  final case class Sample(secs: Double, gcMs: Long, jitMs: Long)
+  final case class Sample(secs: Double, gcMs: Long, jitMs: Long,
+    shufReadMb: Double = 0, shufWriteMb: Double = 0, spillMb: Double = 0)
+
+  /** Task-metrics accumulator: per-query SHUFFLE VOLUME, the number the
+    * 100 TB argument actually turns on — seconds measure this host,
+    * bytes-moved measures the PLAN (a query that shuffles 10× the
+    * input scales 10× worse no matter the hardware). Snapshots are
+    * taken after [[org.apache.spark.graft.ListenerFlush]] drains the
+    * listener bus, so a query's trailing task-end events can't bleed
+    * into the next query's numbers. */
+  private object ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.LongAdder
+    val read = new LongAdder; val write = new LongAdder; val spill = new LongAdder
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read.add(m.shuffleReadMetrics.totalBytesRead)
+        write.add(m.shuffleWriteMetrics.bytesWritten)
+        spill.add(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def snapshot(sc: org.apache.spark.SparkContext): (Long, Long, Long) = {
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(sc)
+      (read.sum, write.sum, spill.sum)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +91,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(ShuffleMeter)
 
     // warm-up: touch every table once (file listing, footer reads, codegen)
     Tables.all.foreach { t =>
@@ -73,13 +99,16 @@ object Bench {
     }
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val (r0, w0, sp0) = ShuffleMeter.snapshot(spark.sparkContext)
       val gc0 = gcMs(); val jit0 = jitMs()
       val t0 = System.nanoTime()
       // a failed query must surface as -1, not masquerade as a fast run
       val secs =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
-      val s = Sample(secs, gcMs() - gc0, if (jit0 >= 0) jitMs() - jit0 else -1L)
+      val (r1, w1, sp1) = ShuffleMeter.snapshot(spark.sparkContext)
+      val s = Sample(secs, gcMs() - gc0, if (jit0 >= 0) jitMs() - jit0 else -1L,
+        (r1 - r0) / 1e6, (w1 - w0) / 1e6, (sp1 - sp0) / 1e6)
       // every query starts with an empty CacheManager: a query's persisted
       // frames are ITS cost (timed above), and without the clear every
       // later query pays a canonicalization tax proportional to the
@@ -158,6 +187,8 @@ object Bench {
       s""""gc_ms_steady_first":${jsonLong(gcOf(retried.toSeq))},""" +
       s""""jit_ms_steady_first":${jsonLong(jitOf(retried.toSeq))},""" +
       s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},""" +
+      s""""shuffle_write_mb":${jsonNum(steady.map { case (k, s) => k -> s.shufWriteMb })},""" +
+      s""""spilled_mb":${jsonNum(steady.map { case (k, s) => k -> s.spillMb })},""" +
       s""""codecache_mb_cold":$codeCacheAfterCold,"codecache_mb_steady":$codeCacheAfterSteady,""" +
       s"""$env,"sf":"$sfDir"}""")
     // tail-safe summary: the driver stores only the stdout TAIL and the
@@ -168,7 +199,10 @@ object Bench {
       s""""n_queries":${cold.size},"n_failed":${cold.count(_._2.secs < 0) + steady.count(_._2.secs < 0)},""" +
       s""""worst_steady":"${worstSteady.map(_._1).getOrElse("")}",""" +
       s""""worst_steady_sec":${worstSteady.map(_._2.secs).getOrElse(-1.0)},""" +
-      s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},$env,"sf":"$sfDir"}""")
+      s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},""" +
+      s""""shuffle_write_total_mb":${steady.map(_._2.shufWriteMb).sum},""" +
+      s""""shuffle_read_total_mb":${steady.map(_._2.shufReadMb).sum},""" +
+      s""""spilled_total_mb":${steady.map(_._2.spillMb).sum},$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
