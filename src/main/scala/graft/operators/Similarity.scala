@@ -341,6 +341,101 @@ object Similarity {
       |)
       |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Lloyd's k-means — real ITERATIVE centroid refinement (what
+    * [[centroids]]' fixed seeds and [[annIvf]]'s index build both
+    * presuppose someone ran): two full assign→update rounds from the
+    * k = 8 seed vectors, reporting each cell's final membership and how
+    * far its centroid moved in the last update — the convergence signal
+    * an index build monitors. The numerics are the engine's exact-float
+    * discipline end to end: per-dimension means accumulate as INTEGER
+    * micros (order-free long sums — a double sum's value depends on
+    * accumulation order, which no distributed engine reproduces) with
+    * ONE IEEE division per (cell, dim); derived centroids then flow
+    * through the same rounded |a|²−2⟨a,b⟩+|b|² distance as raw vectors,
+    * so even the second round's assignments are bit-identical across
+    * engines. Scale shape per round: one broadcast of k centroids, one
+    * argmin window per vector, one (cell, dim) partial agg — k·dim
+    * rows cross the shuffle, never vectors; rounds are unrolled (k-means
+    * on 100 TB runs a FIXED round budget, checkpointing between). A cell
+    * emptied by reassignment drops out (inner joins — mirrored in the
+    * twin). */
+  def kmeansIter(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d).select("vec_id", "v").localCheckpoint()
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+      vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("centroid_id"),
+          ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "v", "centroid_id")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(round(col("x") * lit(1000000L)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("sx").cast("double") / (col("n") * lit(1000000.0)))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("c_v"))
+    val c0 = vs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val c1 = update(assign(c0)).localCheckpoint()
+    val a1 = assign(c1)
+    val c2 = update(a1).localCheckpoint()
+    val sizes = a1.groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
+    c1.select(col("centroid_id"), col("c_v").as("c_old"))
+      .join(c2.select(col("centroid_id"), col("c_v").as("c_new")), "centroid_id")
+      .join(sizes, "centroid_id")
+      .select(col("centroid_id"), col("n_members"),
+        ExactRound.r(sqDist(col("c_old"), col("c_new")), 6).as("movement"))
+      .orderBy("centroid_id")
+  }
+
+  /** SQL twin: the two rounds unrolled with the identical micros-mean
+    * and rounded-distance arithmetic. */
+  val kmeansIterSql: String = {
+    def assignSql(cTbl: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT e.vec_id, e.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+         |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+         |    FROM e, $cTbl c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def updateSql(aTbl: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT centroid_id, list(m ORDER BY dim) AS c_v FROM (
+         |    SELECT centroid_id, u.dim AS dim,
+         |      CAST(sum(CAST(round(u.x * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0) AS m
+         |    FROM (
+         |      SELECT centroid_id,
+         |        unnest(list_transform(v, (x, i) -> struct_pack(dim := i, x := x))) AS u
+         |      FROM $aTbl
+         |    )
+         |    GROUP BY centroid_id, u.dim
+         |  )
+         |  GROUP BY centroid_id
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c0 AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 8),
+       |${assignSql("c0", "s0")},
+       |${updateSql("s0", "c1")},
+       |${assignSql("c1", "s1")},
+       |${updateSql("s1", "c2")},
+       |sizes AS (SELECT centroid_id, count(*) AS n_members FROM s1 GROUP BY centroid_id)
+       |SELECT c1.centroid_id, sizes.n_members,
+       |  ${graft.operators.ExactRound.rSql(
+            "list_inner_product(c1.c_v, c1.c_v) - 2*list_inner_product(c1.c_v, c2.c_v) " +
+            "+ list_inner_product(c2.c_v, c2.c_v)", 6)} AS movement
+       |FROM c1 JOIN c2 USING (centroid_id) JOIN sizes USING (centroid_id)
+       |ORDER BY c1.centroid_id""".stripMargin
+  }
+
   /** IVF-style ANN: the corpus is partitioned into centroid cells
     * (seeded centroids = vec_id < 10); the query probes its nProbe=2
     * nearest cells and ranks only those vectors — the inverted-file
@@ -1331,6 +1426,7 @@ object Similarity {
     "s_ann_ivf" -> (annIvf _),
     "s_ann_filtered" -> (annFiltered _),
     "s_filtered_recall" -> (filteredRecall _),
+    "s_kmeans_iter" -> (kmeansIter _),
     "s_ann_pq" -> (annPq _),
     "s_centroids" -> (centroids _))
 
@@ -1354,6 +1450,7 @@ object Similarity {
     "s_ann_ivf" -> annIvfSql,
     "s_ann_filtered" -> annFilteredSql,
     "s_filtered_recall" -> filteredRecallSql,
+    "s_kmeans_iter" -> kmeansIterSql,
     "s_ann_pq" -> annPqSql,
     "s_centroids" -> centroidsSql)
 }

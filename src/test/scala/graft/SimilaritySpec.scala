@@ -357,4 +357,20 @@ class SimilaritySpec extends SparkSpec {
       assert(nc > 0); assert(r5 >= 0.0 && r5 <= 1.0)
     }
   }
+
+  test("kmeans_iter: cells partition the corpus; refinement is deterministic and converging") {
+    val a = Similarity.kmeansIter(spark, sf).collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Long]("n_members"),
+        r.getAs[Double]("movement"))).sortBy(_._1)
+    val b = Similarity.kmeansIter(spark, sf).collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Long]("n_members"),
+        r.getAs[Double]("movement"))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "iterative refinement must be run-deterministic")
+    val total = Tables.embeddings(spark, sf).count()
+    assert(a.map(_._2).sum == total, "cells must partition the corpus")
+    a.foreach { case (_, n, mv) =>
+      assert(n > 0, "no cell may be empty at this k and corpus")
+      assert(mv >= 0.0 && mv < 1.0, s"movement out of band: $mv")
+    }
+  }
 }
