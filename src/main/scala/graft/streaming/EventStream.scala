@@ -939,6 +939,88 @@ object EventStream {
       |FROM tot t LEFT JOIN kept k USING (wstart, event_type)
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** `foreachBatch` MERGE-upsert — the streaming-CDC apply pattern (and
+    * the one streaming API surface the other 16 st_* queries don't
+    * touch): each micro-batch reduces to one latest-row-per-user
+    * candidate set, then merges into a persistent parquet STATE TABLE
+    * via full-outer join + greatest-(ts, event_id) pick — exactly what
+    * Delta/Iceberg `MERGE INTO` lowers to, hand-held here because a
+    * plain parquet dir has no transaction log. The stream is split
+    * into two deterministic micro-batches (id parity, pinned mtimes)
+    * to force at least one REAL merge of new batches into non-empty
+    * state; upsert is associative, so the final table provably equals
+    * the batch argmax over all events — the oracle computes that
+    * directly. The overwrite is staged through `localCheckpoint`
+    * (read-your-own-overwrite is the classic self-clobber; the
+    * checkpoint materializes the merge before the dir is replaced).
+    * Scale shape: state is one row per entity, each batch shuffles its
+    * own keys + the state table once — the compact-state alternative
+    * to replaying history. */
+  def foreachUpsert(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_upsert_").toString
+    try {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val stateDir = s"$scratch/state"
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0)
+      def latest(df: DataFrame): DataFrame =
+        df.groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.ts_us").as("ts_us"),
+            col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))
+      val q = withStreamShuffle(s, dataDir.toString) {
+        s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("ts_us", LongType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dataDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cand = latest(batch)
+            val merged =
+              if (new java.io.File(stateDir).exists()) {
+                val state = s.read.parquet(stateDir)
+                // union + argmax IS the merge: greatest (ts, id) per key
+                latest(state.unionByName(cand))
+              } else cand
+            merged.localCheckpoint(eager = true)
+              .write.mode("overwrite").parquet(stateDir)
+            ()
+          }
+          .start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(stateDir)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          date_format(timestamp_micros(col("ts_us")), fmt).as("last_ts"))
+        .orderBy("user_id")
+        .localCheckpoint(eager = true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+
+  /** Oracle: the batch argmax — upsert associativity means the merged
+    * state must equal it for ANY batch split. */
+  val foreachUpsertSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def sinkRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_st_sink_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ckpt_").toString
@@ -1050,6 +1132,7 @@ object EventStream {
     "st_restart_recovery" -> (restartRecovery _),
     "st_late_data" -> (lateData _),
     "st_session_window" -> (sessionWindowAgg _),
+    "st_foreach_upsert" -> (foreachUpsert _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
@@ -1069,6 +1152,7 @@ object EventStream {
     "st_restart_recovery" -> restartRecoverySql,
     "st_late_data" -> lateDataSql,
     "st_session_window" -> sessionWindowAggSql,
+    "st_foreach_upsert" -> foreachUpsertSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,

@@ -148,4 +148,18 @@ class SessionizeStreamSpec extends SparkSpec {
       assert(perUserNative(u) >= n, s"user $u: native ${perUserNative(u)} < islands $n")
     }
   }
+
+  test("foreach_upsert: merged state equals the batch argmax; one row per user") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    val got = EventStream.foreachUpsert(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"))).toSeq
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want, s"upsert state diverges: ${got.take(3)} vs ${want.take(3)}")
+    assert(got.map(_._1).distinct.length == got.length, "state must hold one row per user")
+  }
 }
