@@ -939,6 +939,131 @@ object EventStream {
       |FROM tot t LEFT JOIN kept k USING (wstart, event_type)
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Per-user lifetime ledger state for [[twsLedger]] — exact integer
+    * micros, so merge order across batches can't move a cent. */
+  case class LedgerState(n: Long, totalMicros: Long, minTsUs: Long, maxTsUs: Long)
+  case class LedgerIn(userId: Long, eventId: Long, tsUs: Long, valueMicros: Long)
+  case class LedgerOut(user_id: Long, n_events: Long, total_us: Long,
+    first_ts_us: Long, last_ts_us: Long)
+
+  /** The Spark 4 `StatefulProcessor` behind [[twsLedger]]: one
+    * ValueState[LedgerState] per user, merged with each batch's
+    * order-free partial (count/sum/min/max), current snapshot emitted
+    * per update. */
+  class LedgerProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, LedgerIn, LedgerOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[LedgerState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[LedgerState]("ledger",
+        org.apache.spark.sql.Encoders.product[LedgerState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[LedgerIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LedgerOut] = {
+      var n = 0L; var tot = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      rows.foreach { r =>
+        n += 1; tot += r.valueMicros
+        mn = math.min(mn, r.tsUs); mx = math.max(mx, r.tsUs)
+      }
+      if (n == 0) Iterator.empty
+      else {
+        val merged =
+          if (st.exists()) {
+            val p = st.get()
+            LedgerState(p.n + n, p.totalMicros + tot,
+              math.min(p.minTsUs, mn), math.max(p.maxTsUs, mx))
+          } else LedgerState(n, tot, mn, mx)
+        st.update(merged)
+        Iterator.single(LedgerOut(key, merged.n, merged.totalMicros,
+          merged.minTsUs, merged.maxTsUs))
+      }
+    }
+  }
+
+  /** Save/restore the state-store provider around `body`:
+    * `transformWithState` requires the RocksDB provider (its column-
+    * family state layout), while every other stateful query here runs
+    * on the default HDFS-backed store — the conf must not leak. */
+  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** The Spark 4 ARBITRARY-STATE API (`transformWithState` +
+    * `StatefulProcessor` + typed `ValueState`, over the RocksDB state
+    * store) — the successor to [[sessionizeStream]]'s
+    * flatMapGroupsWithState, covered as its own surface because new
+    * pipelines are steered to it: a per-user lifetime ledger (event
+    * count, exact-micros value total, first/last event time) maintained
+    * across two forced micro-batches, so the RocksDB state genuinely
+    * persists and merges between batches. Every state component is an
+    * order-free integer (counts, long sums, min/max), so batch
+    * boundaries and within-batch iteration order can't change the
+    * result — the final snapshot per user must equal the whole-table
+    * batch aggregate, which is the oracle. */
+  def twsLedger(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_tws_").toString
+    try {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * lit(1000000L)).cast("long").as("v_us"))
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0)
+      import s.implicits._
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType), StructField("ts_us", LongType),
+          StructField("v_us", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("ts_us").as("tsUs"), col("v_us").as("valueMicros"))
+        .as[LedgerIn]
+      val out = src.groupByKey(_.userId)
+        .transformWithState(new LedgerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[LedgerOut])
+        .toDF()
+      val name = "graft_st_tws_ledger"
+      withRocksDbState(s) { runToMemorySink(s, dataDir.toString, out, name, "update") }
+      // update mode emits a snapshot per (user, batch); n_events is
+      // monotone, so the max-n struct per user is the final state
+      s.table(name).groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_us"),
+          col("first_ts_us"), col("last_ts_us"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.total_us").as("total_us"),
+          date_format(timestamp_micros(col("m.first_ts_us")), fmt).as("first_ts"),
+          date_format(timestamp_micros(col("m.last_ts_us")), fmt).as("last_ts"))
+        .orderBy("user_id")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+
+  /** Oracle: the whole-table per-user aggregate — state merged across
+    * any batch split must equal it. */
+  val twsLedgerSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_us,
+      |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** `foreachBatch` MERGE-upsert — the streaming-CDC apply pattern (and
     * the one streaming API surface the other 16 st_* queries don't
     * touch): each micro-batch reduces to one latest-row-per-user
@@ -1133,6 +1258,7 @@ object EventStream {
     "st_late_data" -> (lateData _),
     "st_session_window" -> (sessionWindowAgg _),
     "st_foreach_upsert" -> (foreachUpsert _),
+    "st_tws_ledger" -> (twsLedger _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
@@ -1153,6 +1279,7 @@ object EventStream {
     "st_late_data" -> lateDataSql,
     "st_session_window" -> sessionWindowAggSql,
     "st_foreach_upsert" -> foreachUpsertSql,
+    "st_tws_ledger" -> twsLedgerSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,

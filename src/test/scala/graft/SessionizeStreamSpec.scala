@@ -162,4 +162,21 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(got == want, s"upsert state diverges: ${got.take(3)} vs ${want.take(3)}")
     assert(got.map(_._1).distinct.length == got.length, "state must hold one row per user")
   }
+
+  test("tws_ledger: RocksDB state merges across batches to the exact batch aggregate") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    val got = EventStream.twsLedger(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("total_us"))).toSeq
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * lit(1000000L)).cast("long")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want, s"ledger diverges: ${got.take(3)} vs ${want.take(3)}")
+    // the provider conf must not leak into the session after the query
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty
+      || !spark.conf.get("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"),
+      "state-store provider conf leaked out of twsLedger")
+  }
 }
