@@ -71,7 +71,11 @@ object Bench {
       }
     }
     def snapshot(sc: org.apache.spark.SparkContext): (Long, Long, Long) = {
-      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(sc)
+      // waitUntilEmpty throws TimeoutException after 10 s; a listener-bus
+      // stall on a loaded host must degrade ATTRIBUTION (slightly stale
+      // counters), never abort the pass and lose the whole artifact
+      try org.apache.spark.graft.ListenerFlush.waitUntilEmpty(sc)
+      catch { case _: Throwable => () }
       (read.sum, write.sum, spill.sum)
     }
   }
@@ -188,6 +192,7 @@ object Bench {
       s""""jit_ms_steady_first":${jsonLong(jitOf(retried.toSeq))},""" +
       s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},""" +
       s""""shuffle_write_mb":${jsonNum(steady.map { case (k, s) => k -> s.shufWriteMb })},""" +
+      s""""shuffle_read_mb":${jsonNum(steady.map { case (k, s) => k -> s.shufReadMb })},""" +
       s""""spilled_mb":${jsonNum(steady.map { case (k, s) => k -> s.spillMb })},""" +
       s""""codecache_mb_cold":$codeCacheAfterCold,"codecache_mb_steady":$codeCacheAfterSteady,""" +
       s"""$env,"sf":"$sfDir"}""")

@@ -907,7 +907,14 @@ object Multimodal {
     * pattern: the oracle pins TRUE, so a parse that misaligns by one
     * byte fails the gate). Scale shape: record-marker framing makes
     * WARC splittable the way newlines make text splittable; the parse
-    * itself is codegen'd string ops, no UDF. */
+    * itself is codegen'd string ops, no UDF. PRECONDITION, stated
+    * honestly: marker-split framing assumes payloads don't contain the
+    * literal `WARC/1.0\r\n` bytes (true for this corpus, which has no
+    * CR/LF at all — and length_ok flips false on any violated record,
+    * so the assumption is CHECKED, not trusted). A production reader
+    * over adversarial payloads length-frames sequentially from each
+    * Content-Length instead — per-split from the synchronization
+    * offsets this very index provides. */
   def warcRecords(s: SparkSession, d: String): DataFrame = {
     val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
     val idStr = col("doc_id").cast("string")

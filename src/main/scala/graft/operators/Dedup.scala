@@ -291,11 +291,16 @@ object Dedup {
       .withColumn("norm", l2_norm(col("v")))
     val ea = e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("norm").as("na"))
     val eb = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("norm").as("nb"))
-    tp.join(ea, "doc_a").join(eb, "doc_b")
+    // LEFT joins: a pair whose doc has NO embedding row is precisely a
+    // pair embedding-only dedup cannot catch — it must appear with
+    // caught=false (NULL cosine), not silently shrink the audit's
+    // denominator (the production corpus this audit targets never has
+    // full embedding coverage)
+    tp.join(ea, Seq("doc_a"), "left").join(eb, Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         ExactRound.r(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cosine"))
-      .withColumn("caught", col("cosine") >= 0.4)
+      .withColumn("caught", coalesce(col("cosine") >= 0.4, lit(false)))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -326,8 +331,8 @@ object Dedup {
       |)
       |SELECT tp.pa AS doc_a, tp.pb AS doc_b, tp.jaccard,
       |  $cosine AS cosine,
-      |  $cosine >= 0.4 AS caught
-      |FROM tp JOIN e a ON a.vec_id = tp.pa JOIN e b ON b.vec_id = tp.pb
+      |  coalesce($cosine >= 0.4, FALSE) AS caught
+      |FROM tp LEFT JOIN e a ON a.vec_id = tp.pa LEFT JOIN e b ON b.vec_id = tp.pb
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -420,11 +420,7 @@ object Pipeline {
         .localCheckpoint()
       manifestAgg(back)
     } finally {
-      val dir = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.Scratch.rmTree(out)
     }
   }
 
@@ -486,11 +482,7 @@ object Pipeline {
         .localCheckpoint()
       manifestAgg(back)
     } finally {
-      val dir = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.Scratch.rmTree(out)
     }
   }
 
@@ -518,11 +510,7 @@ object Pipeline {
         .localCheckpoint()
       manifestAgg(back)
     } finally {
-      val dir = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.Scratch.rmTree(out)
     }
   }
 
@@ -556,11 +544,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("gen", "lang")
     } finally {
-      val dir = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.Scratch.rmTree(out)
     }
   }
 
@@ -609,11 +593,7 @@ object Pipeline {
           sum(when(col("_corrupt_record").isNull, col("n_chars")).otherwise(0L))
             .as("chars_good"))
     } finally {
-      val dir = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.Scratch.rmTree(out)
     }
   }
 
@@ -655,11 +635,7 @@ object Pipeline {
         .localCheckpoint(eager = true)
       manifestAgg(back)
     } finally {
-      val dir = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      graft.Scratch.rmTree(out)
     }
   }
 

@@ -734,8 +734,12 @@ object RelationalExt3 {
     * `2·p_us·cnt > 3·sum_us` over BIGINT micros, so no double
     * accumulation order can flip a borderline row on either engine. */
   def q54CorrelatedSub(s: SparkSession, d: String): DataFrame = {
+    // sql() ANALYZES eagerly (the returned frame's plan holds the
+    // resolved relation, not a catalog lookup), so the view can be
+    // dropped in the finally — the query function stays side-effect-
+    // free on the shared session like the other 53
     Tables.orders(s, d).createOrReplaceTempView("graft_q54_orders")
-    s.sql("""
+    try s.sql("""
       SELECT o_custkey, count(*) AS n_big,
         CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS big_rev_us
       FROM graft_q54_orders o
@@ -747,6 +751,7 @@ object RelationalExt3 {
                    WHERE o2.o_custkey = o.o_custkey)
       GROUP BY o_custkey
       ORDER BY o_custkey""")
+    finally s.catalog.dropTempView("graft_q54_orders")
   }
 
   val q54Sql: String =

@@ -382,7 +382,10 @@ object Similarity {
     val c0 = vs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
     val c1 = update(assign(c0)).localCheckpoint()
-    val a1 = assign(c1)
+    // a1 feeds BOTH the second update and the membership report — the
+    // checkpoint keeps the crossJoin+argmin (the round's dominant cost)
+    // from running twice, same discipline as c1/c2
+    val a1 = assign(c1).localCheckpoint()
     val c2 = update(a1).localCheckpoint()
     val sizes = a1.groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
     c1.select(col("centroid_id"), col("c_v").as("c_old"))
@@ -515,8 +518,12 @@ object Similarity {
     * point: filtered search at 100 TB is a PARTITION-PRUNED scan, not a
     * new index. Exact cosine within probed cells keeps the oracle
     * bit-exact. */
-  def annFiltered(s: SparkSession, d: String): DataFrame = {
-    val vs = vectors(s, d)
+  /** Labeled IVF cell assignment shared by [[annFiltered]] and
+    * [[filteredRecall]] (one definition, so an assignment-tiebreak or
+    * rounding change can't diverge the operator from its own
+    * measurement): nearest of the vec_id<10 seed centroids per vector,
+    * rounded-distance argmin, (dist, centroid_id) tiebreak. */
+  private def labeledAssign(vs: DataFrame): (DataFrame, DataFrame) = {
     val cents = vs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
@@ -526,6 +533,28 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "label", "v", "norm", "centroid_id")
+    (assigned, cents)
+  }
+
+  /** SQL twin of [[labeledAssign]] — spliced into both consumers' oracles. */
+  private val labeledAssignCte: String =
+    """e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT vec_id, label, v, nrm, centroid_id FROM (
+      |    SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+      |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+      |    FROM e, c
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = labeledAssign(vectors(s, d))
     val probeCells = assigned.filter(col("vec_id") === 0)
       .select(col("v").as("q_v0"), col("norm").as("q_norm0"), col("label").as("q_label0"))
       .crossJoin(broadcast(cents))
@@ -545,20 +574,8 @@ object Similarity {
   }
 
   val annFilteredSql: String =
-    s"""WITH e AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings
-      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
-      |assigned AS (
-      |  SELECT vec_id, label, v, nrm, centroid_id FROM (
-      |    SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
-      |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
-      |    FROM e, c
-      |  ) WHERE rn = 1
-      |), q AS (SELECT v AS q_v, nrm AS q_nrm, label AS q_label FROM e WHERE vec_id = 0),
+    s"""WITH $labeledAssignCte,
+      |q AS (SELECT v AS q_v, nrm AS q_nrm, label AS q_label FROM e WHERE vec_id = 0),
       |probe AS (
       |  SELECT c.centroid_id FROM c, q
       |  ORDER BY round((list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)
@@ -584,16 +601,8 @@ object Similarity {
     * replays the PROBE, never the index build). */
   def filteredRecall(s: SparkSession, d: String): DataFrame = {
     val vs = vectors(s, d)
-    val cents = vs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
-    val assigned = vs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("centroid_id"),
-        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "label", "v", "norm", "centroid_id")
-      .localCheckpoint()
+    val (assigned0, cents) = labeledAssign(vs)
+    val assigned = assigned0.localCheckpoint()
     val qRow = assigned.filter(col("vec_id") === 0)
       .select(col("v").as("q_v"), col("norm").as("q_norm"), col("label").as("q_label"))
     // query-to-centroid rank: 10 rows, the unpartitioned window is bounded
@@ -617,6 +626,9 @@ object Similarity {
         .select(lit(np.toLong).as("n_probe"), col("vec_id"),
           ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
     }.reduce(_ union _)
+      // cand feeds both the top-k/hit path and the candidate-count agg;
+      // without this the probe joins (and qRow broadcast) execute twice
+      .localCheckpoint()
     val top = cand.withColumn("rn", row_number().over(
         Window.partitionBy("n_probe").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= 5)
@@ -631,20 +643,8 @@ object Similarity {
   }
 
   val filteredRecallSql: String =
-    s"""WITH e AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings
-      |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
-      |assigned AS MATERIALIZED (
-      |  SELECT vec_id, label, v, nrm, centroid_id FROM (
-      |    SELECT e.vec_id, e.label, e.v, e.nrm, c.centroid_id,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
-      |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
-      |    FROM e, c
-      |  ) WHERE rn = 1
-      |), q AS (SELECT v AS q_v, nrm AS q_nrm, label AS q_label FROM e WHERE vec_id = 0),
+    s"""WITH $labeledAssignCte,
+      |q AS (SELECT v AS q_v, nrm AS q_nrm, label AS q_label FROM e WHERE vec_id = 0),
       |cellrank AS (
       |  SELECT c.centroid_id, row_number() OVER (ORDER BY
       |    round((list_inner_product(q.q_v, q.q_v) - 2*list_inner_product(q.q_v, c.c_v)

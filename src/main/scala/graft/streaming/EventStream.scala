@@ -901,10 +901,7 @@ object EventStream {
           (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_late_dropped"))
         .orderBy("window_start", "event_type")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1048,10 +1045,7 @@ object EventStream {
           date_format(timestamp_micros(col("m.last_ts_us")), fmt).as("last_ts"))
         .orderBy("user_id")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1128,10 +1122,7 @@ object EventStream {
         .orderBy("user_id")
         .localCheckpoint(eager = true)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1175,10 +1166,7 @@ object EventStream {
           moneySum(col("value")).as("total_value"))
         .orderBy("user_id")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(out)); rm(new java.io.File(ckpt))
+      graft.Scratch.rmTree(out); graft.Scratch.rmTree(ckpt)
     }
   }
 
@@ -1237,10 +1225,7 @@ object EventStream {
           moneySum(col("value")).as("total_value"))
         .orderBy("event_type")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.Scratch.rmTree(scratch)
     }
   }
 
