@@ -765,7 +765,61 @@ object RelationalExt3 {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** `Dataset.observe` — in-flight data-quality metrics, the API a
+    * production job uses to monitor what it processed WITHOUT a second
+    * scan (the metrics ride the main job's rows; at 100 TB a separate
+    * validation query doubles the read bill). A lineitem pass computes
+    * its business result (shipped-line count) while observe
+    * accumulates row count, exact-micros revenue, and quantity bounds
+    * on the SAME scan; the observed row is collected through a
+    * QueryExecutionListener (delivered on the listener bus — flushed
+    * via the same shim the bench uses, because the events are async)
+    * and RETURNED as the query result, so the oracle gate certifies
+    * the observe path end to end: a dropped or double-counted
+    * observation flips the hash. Observe aggregates must be
+    * deterministic and distinct-free (the API's contract) — count,
+    * integer-micros sum, min/max all qualify. */
+  def q55Observe(s: SparkSession, d: String): DataFrame = {
+    val metricsName = "graft_q55_metrics"
+    @volatile var captured: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(metricsName).foreach(r => captured = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val observed = Tables.lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+        .observe(metricsName,
+          count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * lit(1000000L)).cast("long")).as("rev_us"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      val shipped = observed.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .count()
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(s.sparkContext)
+      val m = captured.getOrElse(
+        throw new IllegalStateException("observe metrics were not delivered"))
+      import s.implicits._
+      Seq((m.getAs[Long]("n_rows"), m.getAs[Long]("rev_us"),
+          m.getAs[Double]("min_qty"), m.getAs[Double]("max_qty"), shipped))
+        .toDF("n_rows", "rev_us", "min_qty", "max_qty", "n_shipped_95")
+    } finally s.listenerManager.unregister(listener)
+  }
+
+  val q55Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shipped_95
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_observe" -> (q55Observe _),
     "q54_correlated_sub" -> (q54CorrelatedSub _),
     "q53_column_profile" -> (q53ColumnProfile _),
     "q52_skew_join" -> (q52SkewJoin _),
@@ -782,6 +836,7 @@ object RelationalExt3 {
     "q47_basket" -> (q47Basket _))
 
   val oracles: Map[String, String] = Map(
+    "q55_observe" -> q55Sql,
     "q54_correlated_sub" -> q54Sql,
     "q53_column_profile" -> q53Sql,
     "q52_skew_join" -> q52Sql,

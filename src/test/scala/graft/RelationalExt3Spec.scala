@@ -346,4 +346,18 @@ class RelationalExt3Spec extends SparkSpec {
       r.getAs[Long]("n_big"), r.getAs[Long]("big_rev_us"))).toSeq
     assert(got == expected, s"q54 diverges: ${got.take(3)} vs ${expected.take(3)}")
   }
+
+  test("q55_observe: observed metrics equal direct aggregates; repeated runs don't cross-talk") {
+    val r1 = RelationalExt3.q55Observe(spark, sf).first()
+    val direct = Tables.lineitem(spark, sf).agg(count(lit(1)),
+      sum(round(col("l_extendedprice") * lit(1000000L)).cast("long")),
+      min(col("l_quantity")), max(col("l_quantity"))).first()
+    assert(r1.getAs[Long]("n_rows") == direct.getLong(0))
+    assert(r1.getAs[Long]("rev_us") == direct.getLong(1))
+    assert(r1.getAs[Double]("min_qty") == direct.getDouble(2))
+    assert(r1.getAs[Double]("max_qty") == direct.getDouble(3))
+    // a second invocation must capture ITS OWN metrics, not a stale row
+    val r2 = RelationalExt3.q55Observe(spark, sf).first()
+    assert(r2 == r1, "observe must be idempotent across invocations")
+  }
 }
