@@ -514,6 +514,125 @@ object Pipeline {
     }
   }
 
+  /** RESHARD-COST measurement — the quantified argument for consistent
+    * hashing: when a 16-shard corpus grows to 20 shards, mod-N
+    * assignment (`hash % n`) moves almost EVERY document (any doc with
+    * `h%16 ≠ h%20` reshuffles — ~95 %), while a hash RING (each node
+    * owns the arc before its point; docs go to the nearest node
+    * clockwise) moves only docs captured by the 4 new nodes (~20 %, the
+    * 4/20 theory value). At 100 TB that difference is the whole
+    * migration bill, and this emits the exact counts instead of citing
+    * the paper (the d_cross_shard discipline: compute the gap on YOUR
+    * corpus). Ring positions live on a 10⁶ ring via the engine's own
+    * djb2-mod expression (C-parity unsigned arithmetic, portable to the
+    * oracle's CTE) — over the REVERSED key: djb2 is LINEAR in the last
+    * character (h·33 + c), so sequential keys ("node-16"/"node-17",
+    * doc ids) land on consecutive ring points and the ring degenerates
+    * to two clumps (measured: the 4 new nodes captured 0 of 500 docs).
+    * Reversing the key puts the varying character at the HIGH-order
+    * 33-power, scattering positions — the avalanche step every real
+    * ring hash has, bought here with one portable `reverse`. Second
+    * measured failure mode: bare doc-id keys are 1–3 chars, and a
+    * ≤3-char djb2 never wraps the 10⁶ modulus, so positions collapse
+    * into per-length bands (~11 k wide — and 0/500 docs moved again);
+    * the `doc-` prefix pushes every key past the wrap so positions
+    * actually mix (measured 24.2 % moved ≈ the 4/20 theory value).
+    * The nearest-node argmin is a 20-row broadcast + per-doc min —
+    * map-side at any corpus size. */
+  def reshardCost(s: SparkSession, d: String): DataFrame = {
+    val Ring = 1000000
+    def rpos(key: org.apache.spark.sql.Column) =
+      graft.functions.Djb2.djb2_partition(reverse(key), Ring).cast("long")
+    def nodeRing(s2: SparkSession, n: Int): DataFrame = {
+      import s2.implicits._
+      (0 until n).map(j => (j.toLong, s"node-$j")).toDF("node", "nkey")
+        .select(col("node"), rpos(col("nkey")).as("npos"))
+    }
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+          .cast("long").as("m16"),
+        graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 20)
+          .cast("long").as("m20"),
+        rpos(concat(lit("doc-"), col("doc_id").cast("string"))).as("dpos"))
+    def ringOwner(nodes: DataFrame, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("cwdist"), col("node"))
+      docs.select(col("doc_id"), col("dpos")).crossJoin(broadcast(nodes))
+        .select(col("doc_id"), col("node"),
+          pmod(col("npos") - col("dpos"), lit(Ring.toLong)).as("cwdist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("node").as(out))
+    }
+    val own16 = ringOwner(nodeRing(s, 16), "r16")
+    val own20 = ringOwner(nodeRing(s, 20), "r20")
+    docs.join(own16, "doc_id").join(own20, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("m16") =!= col("m20"), 1L).otherwise(0L)).as("moved_mod"),
+        sum(when(col("r16") =!= col("r20"), 1L).otherwise(0L)).as("moved_ring"))
+      .select(col("n_docs"), col("moved_mod"), col("moved_ring"),
+        ExactRound.r(col("moved_mod").cast("double") / col("n_docs"), 6).as("frac_mod"),
+        ExactRound.r(col("moved_ring").cast("double") / col("n_docs"), 6).as("frac_ring"))
+  }
+
+  /** SQL twin: the djb2 CTE over doc keys AND the 20 node keys, same
+    * ring arithmetic. */
+  val reshardCostSql: String = {
+    val fracMod = ExactRound.rSql("CAST(sum(CASE WHEN m16 <> m20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)
+    val fracRing = ExactRound.rSql("CAST(sum(CASE WHEN r16 <> r20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)
+    """WITH RECURSIVE keys AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS key, 'doc-' || doc_id AS rkey,
+      |    doc_id, TRUE AS is_doc
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'node-' || j, 'node-' || j, j, FALSE FROM generate_series(0, 19) t(j)
+      |), h AS (
+      |  SELECT key, rkey, doc_id, is_doc, 1 AS i,
+      |    CAST(5381 AS HUGEINT) AS hash, CAST(5381 AS HUGEINT) AS rhash
+      |  FROM keys
+      |  UNION ALL
+      |  SELECT key, rkey, doc_id, is_doc, i+1,
+      |    CASE WHEN i <= length(key)
+      |      THEN (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |      ELSE hash END,
+      |    CASE WHEN i <= length(rkey)
+      |      THEN (rhash*33 + ord(substr(reverse(rkey),i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |      ELSE rhash END
+      |  FROM h WHERE i <= greatest(length(key), length(rkey))
+      |), hashed AS (
+      |  SELECT key, doc_id, is_doc, hash, rhash FROM h
+      |  WHERE i = greatest(length(key), length(rkey)) + 1
+      |), docs AS (
+      |  SELECT doc_id, CAST(hash % 16 AS BIGINT) AS m16, CAST(hash % 20 AS BIGINT) AS m20,
+      |    CAST(rhash % 1000000 AS BIGINT) AS dpos
+      |  FROM hashed WHERE is_doc
+      |), nodes AS (
+      |  SELECT doc_id AS node, CAST(rhash % 1000000 AS BIGINT) AS npos
+      |  FROM hashed WHERE NOT is_doc
+      |), own16 AS (
+      |  SELECT doc_id, node AS r16 FROM (
+      |    SELECT d.doc_id, n.node,
+      |      row_number() OVER (PARTITION BY d.doc_id
+      |        ORDER BY (n.npos - d.dpos + 1000000) % 1000000, n.node) AS rn
+      |    FROM docs d, nodes n WHERE n.node < 16
+      |  ) WHERE rn = 1
+      |), own20 AS (
+      |  SELECT doc_id, node AS r20 FROM (
+      |    SELECT d.doc_id, n.node,
+      |      row_number() OVER (PARTITION BY d.doc_id
+      |        ORDER BY (n.npos - d.dpos + 1000000) % 1000000, n.node) AS rn
+      |    FROM docs d, nodes n
+      |  ) WHERE rn = 1
+      |)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN m16 <> m20 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+      |  CAST(sum(CASE WHEN r16 <> r20 THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
+      |  FRAC_MOD AS frac_mod,
+      |  FRAC_RING AS frac_ring
+      |FROM docs JOIN own16 USING (doc_id) JOIN own20 USING (doc_id)""".stripMargin
+      .replace("FRAC_MOD", fracMod).replace("FRAC_RING", fracRing)
+  }
+
   /** SCHEMA EVOLUTION across writer generations — the reality of any
     * corpus that lives longer than its ingest code: generation-1 files
     * carry (doc_id, n_chars, text), generation-2 files add (lang,
@@ -1034,6 +1153,7 @@ object Pipeline {
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
     "p_schema_evolution" -> (schemaEvolution _),
+    "p_reshard_cost" -> (reshardCost _),
     "p_corrupt_records" -> (corruptRecords _),
     "p_dataset_diff" -> (datasetDiff _),
     "p_curriculum" -> (curriculum _),
@@ -1057,6 +1177,7 @@ object Pipeline {
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,
     "p_schema_evolution" -> schemaEvolutionSql,
+    "p_reshard_cost" -> reshardCostSql,
     "p_corrupt_records" -> corruptRecordsSql,
     "p_dataset_diff" -> datasetDiffSql,
     "p_curriculum" -> curriculumSql,

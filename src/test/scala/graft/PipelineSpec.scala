@@ -213,4 +213,17 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_good") == docs.count() - planted,
       "no good row may be dropped")
   }
+
+  test("p_reshard_cost: ring movement is bounded by new-node share; mod-N moves most") {
+    val r = operators.Pipeline.reshardCost(spark, sf).first()
+    val n = r.getAs[Long]("n_docs")
+    assert(n == Tables.documents(spark, sf).count())
+    val fracMod = r.getAs[Double]("frac_mod")
+    val fracRing = r.getAs[Double]("frac_ring")
+    // mod-N reshuffles most docs; the ring only what the 4 new nodes capture
+    assert(fracMod > 0.5, s"mod-N resharding should move most docs, got $fracMod")
+    assert(fracRing > 0.0 && fracRing < fracMod,
+      s"ring must move strictly less than mod-N: $fracRing vs $fracMod")
+    assert(fracRing < 0.5, s"ring movement should stay near the 4/20 share, got $fracRing")
+  }
 }
