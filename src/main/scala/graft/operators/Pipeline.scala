@@ -537,36 +537,40 @@ object Pipeline {
     * into per-length bands (~11 k wide — and 0/500 docs moved again);
     * the `doc-` prefix pushes every key past the wrap so positions
     * actually mix (measured 24.2 % moved ≈ the 4/20 theory value).
-    * The nearest-node argmin is a 20-row broadcast + per-doc min —
-    * map-side at any corpus size. */
+    * The nearest-node argmin is GENUINELY map-side: the 20 node
+    * positions are deterministic constants (the same C-parity djb2,
+    * computed once on the driver — no collect, no node table, no
+    * join), folded into one `least(...)` projection over the encoded
+    * (clockwise-distance · 100 + node) keys — per doc, zero shuffle;
+    * only the final 1-row aggregate crosses the wire, at any corpus
+    * size. */
   def reshardCost(s: SparkSession, d: String): DataFrame = {
-    val Ring = 1000000
-    def rpos(key: org.apache.spark.sql.Column) =
-      graft.functions.Djb2.djb2_partition(reverse(key), Ring).cast("long")
-    def nodeRing(s2: SparkSession, n: Int): DataFrame = {
-      import s2.implicits._
-      (0 until n).map(j => (j.toLong, s"node-$j")).toDF("node", "nkey")
-        .select(col("node"), rpos(col("nkey")).as("npos"))
+    val Ring = 1000000L
+    // scalar twin of the Djb2 expression (C parity: h·33 + signed byte,
+    // 64-bit wrap; keys here are ASCII, no NUL) — node keys are
+    // compile-time constants, so their ring positions are too
+    def djb2(str: String): Long = {
+      var h = 5381L; str.getBytes("UTF-8").foreach(b => h = h * 33 + b); h
     }
-    val docs = graft.Tables.documents(s, d)
+    val nodes: Seq[(Long, Long)] = (0 until 20).map { j =>
+      j.toLong -> java.lang.Long.remainderUnsigned(djb2(s"node-$j".reverse), Ring)
+    }
+    // argmin by (clockwise distance, node) via min over encoded keys
+    def ownerCol(upTo: Int): org.apache.spark.sql.Column =
+      least(nodes.take(upTo).map { case (node, np) =>
+        pmod(lit(np) - col("dpos"), lit(Ring)) * lit(100L) + lit(node)
+      }: _*) % 100L
+    def rpos(key: org.apache.spark.sql.Column) =
+      graft.functions.Djb2.djb2_partition(reverse(key), Ring.toInt).cast("long")
+    graft.Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
           .cast("long").as("m16"),
         graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 20)
           .cast("long").as("m20"),
         rpos(concat(lit("doc-"), col("doc_id").cast("string"))).as("dpos"))
-    def ringOwner(nodes: DataFrame, out: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("cwdist"), col("node"))
-      docs.select(col("doc_id"), col("dpos")).crossJoin(broadcast(nodes))
-        .select(col("doc_id"), col("node"),
-          pmod(col("npos") - col("dpos"), lit(Ring.toLong)).as("cwdist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("node").as(out))
-    }
-    val own16 = ringOwner(nodeRing(s, 16), "r16")
-    val own20 = ringOwner(nodeRing(s, 20), "r20")
-    docs.join(own16, "doc_id").join(own20, "doc_id")
+      .select(col("m16"), col("m20"),
+        ownerCol(16).as("r16"), ownerCol(20).as("r20"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("m16") =!= col("m20"), 1L).otherwise(0L)).as("moved_mod"),
         sum(when(col("r16") =!= col("r20"), 1L).otherwise(0L)).as("moved_ring"))
@@ -609,27 +613,23 @@ object Pipeline {
       |), nodes AS (
       |  SELECT doc_id AS node, CAST(rhash % 1000000 AS BIGINT) AS npos
       |  FROM hashed WHERE NOT is_doc
-      |), own16 AS (
-      |  SELECT doc_id, node AS r16 FROM (
-      |    SELECT d.doc_id, n.node,
-      |      row_number() OVER (PARTITION BY d.doc_id
-      |        ORDER BY (n.npos - d.dpos + 1000000) % 1000000, n.node) AS rn
-      |    FROM docs d, nodes n WHERE n.node < 16
-      |  ) WHERE rn = 1
-      |), own20 AS (
-      |  SELECT doc_id, node AS r20 FROM (
-      |    SELECT d.doc_id, n.node,
-      |      row_number() OVER (PARTITION BY d.doc_id
-      |        ORDER BY (n.npos - d.dpos + 1000000) % 1000000, n.node) AS rn
-      |    FROM docs d, nodes n
-      |  ) WHERE rn = 1
+      |), own AS (
+      |  -- argmin by (clockwise distance, node) via min over encoded keys,
+      |  -- same encoding as the Spark side's least(...) projection
+      |  SELECT d.doc_id, d.m16, d.m20,
+      |    CAST(min(CASE WHEN n.node < 16
+      |      THEN ((n.npos - d.dpos + 1000000) % 1000000) * 100 + n.node END) % 100
+      |      AS BIGINT) AS r16,
+      |    CAST(min(((n.npos - d.dpos + 1000000) % 1000000) * 100 + n.node) % 100
+      |      AS BIGINT) AS r20
+      |  FROM docs d, nodes n GROUP BY d.doc_id, d.m16, d.m20
       |)
       |SELECT count(*) AS n_docs,
       |  CAST(sum(CASE WHEN m16 <> m20 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
       |  CAST(sum(CASE WHEN r16 <> r20 THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
       |  FRAC_MOD AS frac_mod,
       |  FRAC_RING AS frac_ring
-      |FROM docs JOIN own16 USING (doc_id) JOIN own20 USING (doc_id)""".stripMargin
+      |FROM own""".stripMargin
       .replace("FRAC_MOD", fracMod).replace("FRAC_RING", fracRing)
   }
 

@@ -800,7 +800,10 @@ object RelationalExt3 {
           max(col("l_quantity")).as("max_qty"))
       val shipped = observed.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
         .count()
-      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(s.sparkContext)
+      // flush times out after 10 s on a loaded host — degrade to whatever
+      // has been delivered (normally everything), never abort the query
+      try org.apache.spark.graft.ListenerFlush.waitUntilEmpty(s.sparkContext)
+      catch { case _: Throwable => () }
       val m = captured.getOrElse(
         throw new IllegalStateException("observe metrics were not delivered"))
       import s.implicits._

@@ -253,4 +253,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("HashAggregate")) >= 4,
       "both slices must partial-aggregate before the merge")
   }
+
+  test("p_reshard_cost: ring ownership folds into one projection — no window, no join") {
+    val p = plan(graft.operators.Pipeline.reshardCost(spark, sf))
+    assert(!p.contains("Window"), s"ring argmin must not window-shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"node table must fold into the projection:\n${p.take(600)}")
+  }
 }
