@@ -360,4 +360,24 @@ class RelationalExt3Spec extends SparkSpec {
     val r2 = RelationalExt3.q55Observe(spark, sf).first()
     assert(r2 == r1, "observe must be idempotent across invocations")
   }
+
+  test("q52 technique under PLANTED skew: one key carrying 50k rows still joins exactly") {
+    import spark.implicits._
+    val salts = 8
+    // 50k rows of one hot key + a tail of 100 cold keys, tiny dim
+    val fact = ((1 to 50000).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"cold$i", i.toLong))).toDF("k", "v")
+    val dim = (Seq("hot") ++ (1 to 100).map(i => s"cold$i"))
+      .map(k => (k, k.length.toLong)).toDF("k", "w")
+    val dimExp = dim.withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    val salted = fact.withColumn("salt", pmod(col("v"), lit(salts.toLong)))
+      .join(dimExp.hint("shuffle_hash"), Seq("k", "salt"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("wv"))
+    val direct = fact.join(dim, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("wv"))
+    val a = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = direct.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "salted join must equal the direct join under real skew")
+    assert(a.find(_._1 == "hot").get._2 == 50000L)
+  }
 }
