@@ -187,4 +187,41 @@ class MapReduceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("combiner MEASURABLY shrinks the shuffle: runCombined moves fewer bytes than run") {
+    import java.util.concurrent.atomic.LongAdder
+    val written = new LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) written.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val lines = Tables.documents(spark, sf).select("text").rdd.map(_.getString(0))
+      def tokens(l: String) = l.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map(_ -> 1L)
+      def measure(body: => Unit): Long = {
+        try org.apache.spark.graft.ListenerFlush.waitUntilEmpty(sc)
+        catch { case _: Throwable => () }
+        val before = written.sum
+        body
+        try org.apache.spark.graft.ListenerFlush.waitUntilEmpty(sc)
+        catch { case _: Throwable => () }
+        written.sum - before
+      }
+      val plain = measure {
+        MapReduce.run[String, String, Long, (String, Long)](
+          lines, tokens, (k, vs) => k -> vs.sum, numParts = 10).count(); ()
+      }
+      val combined = measure {
+        MapReduce.runCombined[String, String, Long](
+          lines, tokens, _ + _, numParts = 10).count(); ()
+      }
+      // corpus >> vocabulary: the combiner must cut shuffle volume hard
+      assert(plain > 0 && combined > 0, s"both paths must shuffle: $plain / $combined")
+      assert(combined * 2 < plain,
+        s"combiner should at least halve shuffle bytes: $combined vs $plain")
+    } finally sc.removeSparkListener(listener)
+  }
 }
