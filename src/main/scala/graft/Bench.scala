@@ -183,7 +183,8 @@ object Bench {
     val env = s""""env":{"heap_max_mb":${rt.maxMemory / (1 << 20)},""" +
       s""""processors":${rt.availableProcessors},"gc":"$gcNames","loadavg":"$loadAvg"}"""
 
-    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${jsonNum(secsOf(cold))},""" +
+    val fullLine =
+      s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${jsonNum(secsOf(cold))},""" +
       s""""value_steady":${total(steady)},"queries_steady":${jsonNum(secsOf(steady))},""" +
       s""""gc_ms":${jsonLong(gcOf(cold))},"gc_ms_steady":${jsonLong(gcOf(steady))},""" +
       s""""jit_ms":${jsonLong(jitOf(cold))},"jit_ms_steady":${jsonLong(jitOf(steady))},""" +
@@ -195,19 +196,36 @@ object Bench {
       s""""shuffle_read_mb":${jsonNum(steady.map { case (k, s) => k -> s.shufReadMb })},""" +
       s""""spilled_mb":${jsonNum(steady.map { case (k, s) => k -> s.spillMb })},""" +
       s""""codecache_mb_cold":$codeCacheAfterCold,"codecache_mb_steady":$codeCacheAfterSteady,""" +
-      s"""$env,"sf":"$sfDir"}""")
+      s"""$env,"sf":"$sfDir"}"""
     // tail-safe summary: the driver stores only the stdout TAIL and the
     // ~15 KB line above truncates its leading headline fields out of
     // every round's artifact; a compact LAST line survives any tail cut
     val worstSteady = steady.filter(_._2.secs >= 0).maxByOption(_._2.secs)
-    println(s"""{"metric":"summary","value":${total(cold)},"value_steady":${total(steady)},""" +
+    val summaryLine =
+      s"""{"metric":"summary","value":${total(cold)},"value_steady":${total(steady)},""" +
       s""""n_queries":${cold.size},"n_failed":${cold.count(_._2.secs < 0) + steady.count(_._2.secs < 0)},""" +
       s""""worst_steady":"${worstSteady.map(_._1).getOrElse("")}",""" +
       s""""worst_steady_sec":${worstSteady.map(_._2.secs).getOrElse(-1.0)},""" +
       s""""gc_total_ms":${cold.map(_._2.gcMs).sum + steady.map(_._2.gcMs).sum},""" +
       s""""shuffle_write_total_mb":${steady.map(_._2.shufWriteMb).sum},""" +
       s""""shuffle_read_total_mb":${steady.map(_._2.shufReadMb).sum},""" +
-      s""""spilled_total_mb":${steady.map(_._2.spillMb).sum},$env,"sf":"$sfDir"}""")
+      s""""spilled_total_mb":${steady.map(_._2.spillMb).sum},$env,"sf":"$sfDir"}"""
+    println(fullLine)
+    println(summaryLine)
+    // DURABLE artifact: the driver keeps only a 2000-char stdout TAIL, so
+    // the per-query half of every round's driver bench died with stdout
+    // (r5's full numbers are unrecoverable). Write BOTH lines to a file
+    // in the repo working tree; the round-close commit preserves it, and
+    // git history keeps one snapshot per round. Timestamped, best-effort
+    // (a read-only cwd must not fail the bench itself).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try {
+      val ts = java.time.Instant.now().toString
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut),
+        s"""{"written_at":"$ts","full":$fullLine,"summary":$summaryLine}\n""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

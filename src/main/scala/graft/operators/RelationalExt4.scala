@@ -1,0 +1,171 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanProbe
+
+import graft.Tables
+
+/** Fifth tranche of relational coverage (SURVEY.md §2B continued): the
+  * STORAGE-LAYOUT levers — the two biggest avoidable costs at 100 TB
+  * that the first 55 queries exercise only at query time, not at
+  * layout time. Both queries carry their layout claim as oracle-pinned
+  * RESULT COLUMNS (measured from the executed plan via
+  * [[PlanProbe]]), so a planner or layout regression flips the
+  * correctness gate, not just a benchmark number:
+  *
+  *   - q56: `bucketBy`-written fact tables joined with ZERO exchange —
+  *     the warehouse workhorse. The reference's own djb2-partitioned
+  *     intermediate lists (mapreduce.c:239, consumed per-partition at
+  *     :258) are exactly this layout: data pre-hashed on the join key
+  *     so the shuffle happens once at WRITE time, not per query.
+  *   - q57: hive-partitioned layout + a partition predicate = files
+  *     never opened. The scan's own `numFiles` metric is the
+  *     certificate: files_read == partitions satisfying the predicate.
+  */
+object RelationalExt4 {
+
+  /** Unique suffix per invocation so concurrent runs on a shared
+    * session can never race on table names (the q54 temp-view lesson —
+    * see ADVICE r5). */
+  private val invocation = new AtomicLong(0L)
+
+  /** BUCKETED-LAYOUT JOIN ELIMINATION. orders and lineitem are written
+    * as parquet tables `bucketBy(8, <orderkey>)` + `sortBy` — each
+    * side `repartition(8, key)`-ed first so every bucket is exactly ONE
+    * file (repartition's HashPartitioning and the bucket id are the
+    * same pmod(murmur3) function, so task i holds precisely bucket i).
+    * The fact-fact join then runs as a sort-merge join whose both
+    * inputs come straight from the bucketed scans: NO shuffle on
+    * either side — at 100 TB this is the difference between
+    * re-shuffling 600 GB of lineitem per query and reading it
+    * pre-placed. The `merge` hint keeps the demo honest (Catalyst
+    * would broadcast a small orders side at test scale — the right
+    * plan when it fits, but then nothing would certify the bucketed
+    * path).
+    *
+    * The certificate is IN the result: `n_shuffles_below_join` counts
+    * [[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]]
+    * nodes strictly below the executed SortMergeJoin (AQE-resolved),
+    * and the oracle pins it to 0. Buckets keep their within-file sort,
+    * but the scan does not advertise it by default (multi-file-bucket
+    * safety), so the cheap per-bucket SortExec stays — a deliberate
+    * non-claim: pinning Sort counts would encode an engine default the
+    * way ADVICE r5 warned against for st_late_data.
+    *
+    * Business result: per-priority line counts + exact-micros revenue
+    * over the joined facts. */
+  def q56BucketJoin(s: SparkSession, d: String): DataFrame = {
+    val id = invocation.incrementAndGet()
+    val tO = s"graft_q56_orders_$id"
+    val tL = s"graft_q56_lineitem_$id"
+    val out = java.nio.file.Files.createTempDirectory("graft_q56_").toString
+    try {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$out/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(tO)
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$out/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tL)
+      val agg = s.table(tO).hint("merge")
+        .join(s.table(tL).hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * lit(1000000L)).cast("long")).as("rev_us"))
+        .orderBy("o_orderpriority")
+      // materialize BEFORE probing (metrics/final plan exist only after
+      // execution) and BEFORE dropping the tables it reads
+      val materialized = agg.localCheckpoint()
+      val (nShuffles, _) = PlanProbe.shufflesAndSortsUnderSmj(agg)
+      materialized.withColumn("n_shuffles_below_join", lit(nShuffles))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tO")
+      s.sql(s"DROP TABLE IF EXISTS $tL")
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val q56Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us,
+      |  CAST(0 AS INTEGER) AS n_shuffles_below_join
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** SCAN-PRUNING CERTIFICATE. events is rewritten hive-partitioned by
+    * day (`partitionBy("day")`, `repartition(col("day"))` first so each
+    * day is exactly one file — one task owns each day), then a
+    * mid-month predicate aggregate runs over the layout and the scan's
+    * own execution metrics are emitted as result columns:
+    *
+    *   - `files_read`  = the filtered scan's `numFiles` (files opened
+    *     AFTER partition pruning),
+    *   - `files_total` = an unpruned scan's `numFiles` over the same
+    *     layout (the denominator — what a naive layout pays),
+    *
+    * and the oracle pins files_read == count(DISTINCT day in range)
+    * and files_total == count(DISTINCT day): the scan opened exactly
+    * the partitions the predicate names and skipped everything else.
+    * BYTES NOT READ is the first lever anyone pulls at 100 TB — a
+    * day-partitioned year holds ~365 partitions and a trailing-7-day
+    * dashboard should pay for 7. The probe also asserts the predicate
+    * reached the scan as a PARTITION filter (metadata skip), not a
+    * post-scan row filter. Business result on the same pass: row count
+    * + exact-cents value sum in the window. */
+  def q57PartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q57_").toString
+    try {
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val lo = "2024-01-10"; val hi = "2024-01-19"
+      val pruned = s.read.parquet(out)
+        .filter(col("day") >= lo && col("day") <= hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(100)).cast("long")).as("value_c"))
+      val row = pruned.collect()(0)
+      if (PlanProbe.scansWithPartitionFilters(pruned) < 1)
+        throw new IllegalStateException(
+          "day predicate did not reach the scan as a partition filter")
+      val filesRead = PlanProbe.scanMetricSum(pruned, "numFiles")
+      val all = s.read.parquet(out).agg(count(lit(1)).as("n"))
+      all.collect()
+      val filesTotal = PlanProbe.scanMetricSum(all, "numFiles")
+      import s.implicits._
+      Seq((row.getAs[Long]("n_rows"), row.getAs[Long]("value_c"), filesRead, filesTotal))
+        .toDF("n_rows", "value_c", "files_read", "files_total")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val q57Sql: String =
+    """WITH e AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events
+      |)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+      |  (SELECT count(DISTINCT day) FROM e
+      |   WHERE day >= '2024-01-10' AND day <= '2024-01-19') AS files_read,
+      |  (SELECT count(DISTINCT day) FROM e) AS files_total
+      |FROM e WHERE day >= '2024-01-10' AND day <= '2024-01-19'""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_bucket_join" -> (q56BucketJoin _),
+    "q57_partition_prune" -> (q57PartitionPrune _))
+
+  val oracles: Map[String, String] = Map(
+    "q56_bucket_join" -> q56Sql,
+    "q57_partition_prune" -> q57Sql)
+}

@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
+
+/** Read-only probes over EXECUTED physical plans, used by the queries
+  * that carry a plan-shape CERTIFICATE in their oracle-gated result
+  * (q56's zero-shuffle bucketed join, q57's files-pruned scan): the
+  * claim "this layout eliminated the shuffle / skipped those files" is
+  * emitted as result columns the DuckDB oracle pins, so a planner
+  * regression flips the correctness gate, not just a benchmark.
+  *
+  * Lives under `org.apache.spark.sql` because AQE wrappers
+  * ([[AdaptiveSparkPlanExec]], [[QueryStageExec]]) hide the final
+  * physical tree behind package-private accessors; like
+  * [[org.apache.spark.graft.ListenerFlush]] this is a compile-time
+  * shim, not reflection — it breaks loudly if the internals move.
+  */
+object PlanProbe {
+
+  /** Children of `p` with AQE wrappers resolved to the plan that
+    * actually ran: an [[AdaptiveSparkPlanExec]] yields its final
+    * executed plan (only meaningful AFTER the frame was materialized),
+    * a [[QueryStageExec]] yields the stage's plan, a reused exchange
+    * its original. */
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec        => Seq(q.plan)
+    case r: ReusedExchangeExec    => Seq(r.child)
+    case other                    => other.children
+  }
+
+  /** All nodes of the executed tree, AQE-resolved, pre-order. */
+  def nodes(plan: SparkPlan): Seq[SparkPlan] =
+    plan +: kids(plan).flatMap(nodes)
+
+  def nodes(df: DataFrame): Seq[SparkPlan] = nodes(df.queryExecution.executedPlan)
+
+  /** (shuffles, sorts) strictly BELOW the first sort-merge join of the
+    * executed plan — the bucketed-layout certificate: both are 0 iff
+    * the join consumed the tables' own bucketing+sort order, i.e. the
+    * storage layout replaced the exchange. Throws if no SMJ is present
+    * (a broadcast fallback would vacuously "pass" — that is a different
+    * plan, not a bucket join). */
+  def shufflesAndSortsUnderSmj(df: DataFrame): (Int, Int) = {
+    val smj = nodes(df)
+      .collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(throw new IllegalStateException(
+        "no SortMergeJoin in executed plan — bucketed-join certificate is vacuous"))
+    val below = kids(smj).flatMap(nodes)
+    (below.count(_.isInstanceOf[ShuffleExchangeLike]),
+      below.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
+  }
+
+  /** True if any join below (or at) the root is something other than a
+    * sort-merge join — used to assert the certificate measured the
+    * intended plan. */
+  def joins(df: DataFrame): Seq[String] =
+    nodes(df).collect { case j: BaseJoinExec => j.getClass.getSimpleName }
+
+  /** Sum of a named SQLMetric over every file-source scan in the
+    * executed plan (e.g. "numFiles" = files read AFTER partition
+    * pruning). Valid only after the frame was materialized — metrics
+    * are filled by execution. */
+  def scanMetricSum(df: DataFrame, metric: String): Long =
+    nodes(df).collect {
+      case s: FileSourceScanExec if s.metrics.contains(metric) =>
+        s.metrics(metric).value
+    }.sum
+
+  /** Number of file-source scans whose partition filters are non-empty
+    * — certifies the pruning predicate reached the scan as a PARTITION
+    * filter (metadata-level skip), not a post-scan row filter. */
+  def scansWithPartitionFilters(df: DataFrame): Int =
+    nodes(df).count {
+      case s: FileSourceScanExec => s.partitionFilters.nonEmpty
+      case _                     => false
+    }
+}
