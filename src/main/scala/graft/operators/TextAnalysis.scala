@@ -1175,7 +1175,107 @@ object TextAnalysis {
       |FROM pairs GROUP BY pair
       |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- bpe_train
+
+  /** Number of BPE merge rounds trained/unrolled by [[bpeTrain]]. */
+  private val BpeRounds = 10
+
+  /** ITERATIVE BPE TRAINING — the real tokenizer-training kernel
+    * ([[bpePairs]] is its first step only): [[BpeRounds]] merge rounds
+    * over the (word, count) vocabulary, each round = count adjacent
+    * symbol pairs weighted by word frequency → pick the top pair
+    * (count desc, then lexicographic — fully deterministic) → apply
+    * the merge to every word. Output: the learned merge table, one row
+    * per round with the merged pair and its weighted frequency.
+    *
+    * Scale shape (the property that matters at 100 TB): after the one
+    * corpus scan that builds the vocabulary, every round's work is
+    * VOCABULARY-sized — the corpus contributes only through the count
+    * weights, and the per-round top pair moves to the merge step as a
+    * broadcast 1-row join, never a collect. Rounds are unrolled with a
+    * `localCheckpoint` per round (the s_kmeans_iter discipline: a
+    * fixed round budget with lineage truncation, not an unbounded
+    * recursive plan).
+    *
+    * Word symbols are token-delimited (`hello` → `<h><e><l><l><o><_>`,
+    * `_` = end-of-word): with every symbol individually bracketed, the
+    * merge is ONE left-to-right non-overlapping string `replace`
+    * (`<l><r>` → `<lr>`) whose semantics Spark and DuckDB share
+    * exactly — including the greedy-BPE behavior on runs
+    * (`aaa`: pair counted twice, merged once). Symbols are `[a-z_]`,
+    * so the `<` `>` delimiters can never collide. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .select(concat(regexp_replace(col("term"), "(.)", "<$1>"), lit("<_>")).as("w"), col("n"))
+    def pairCounts(words: DataFrame): DataFrame =
+      words
+        .select(col("n"), expr("split(substring(w, 2, length(w) - 2), '><')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("n_occ"))
+    var words = vocab.localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val best = pairCounts(words)
+        .orderBy(col("n_occ").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(r).as("round"),
+        col("l").as("left_sym"), col("r").as("right_sym"), col("n_occ"))
+      words = words.crossJoin(broadcast(best))
+        .select(replace(col("w"),
+            concat(lit("<"), col("l"), lit("><"), col("r"), lit(">")),
+            concat(lit("<"), col("l"), col("r"), lit(">"))).as("w"),
+          col("n"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** SQL twin: the identical [[BpeRounds]] rounds unrolled as chained
+    * CTEs — same encoding, same pair weighting, same (count desc,
+    * lexicographic) tie-break, same single-`replace` merge. */
+  val bpeTrainSql: String = {
+    def pairsCte(wTbl: String, out: String): String =
+      s"""$out AS (
+         |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS n_occ FROM (
+         |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+         |        i -> struct_pack(l := s[i], r := s[i+1]))) AS u
+         |    FROM (SELECT string_split(substr(w, 2, length(w) - 2), '><') AS s, n FROM $wTbl)
+         |    WHERE len(s) >= 2
+         |  ) GROUP BY u.l, u.r
+         |)""".stripMargin
+    def bestCte(pTbl: String, out: String): String =
+      s"$out AS (SELECT l, r, n_occ FROM $pTbl ORDER BY n_occ DESC, l, r LIMIT 1)"
+    def mergeCte(wTbl: String, bTbl: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT replace(w,
+         |    '<' || (SELECT l FROM $bTbl) || '><' || (SELECT r FROM $bTbl) || '>',
+         |    '<' || (SELECT l FROM $bTbl) || (SELECT r FROM $bTbl) || '>') AS w, n
+         |  FROM $wTbl
+         |)""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      Seq(pairsCte(s"w${k - 1}", s"p$k"), bestCte(s"p$k", s"b$k")) ++
+        (if (k < BpeRounds) Seq(mergeCte(s"w${k - 1}", s"b$k", s"w$k")) else Nil)
+    }.flatten
+    val finalSelect = (1 to BpeRounds).map { k =>
+      s"SELECT CAST($k AS INTEGER) AS round, l AS left_sym, r AS right_sym, n_occ FROM b$k"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(term, '(.)', '<\\1>', 'g') || '<_>' AS w,
+       |    count(*) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
+       |  GROUP BY 1
+       |),
+       |${rounds.mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_train" -> (bpeTrain _),
     "t_bpe_pairs" -> (bpePairs _),
     "t_bigram_lm" -> (bigramLm _),
     "t_bm25" -> (bm25 _),
@@ -1205,6 +1305,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainSql,
     "t_bpe_pairs" -> bpePairsSql,
     "t_bigram_lm" -> bigramLmSql,
     "t_bm25" -> bm25Sql,

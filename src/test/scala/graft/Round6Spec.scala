@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Pipeline, RelationalExt4, TextAnalysis}
+
+/** Round-6 operators: the storage-layout certificates (bucketed join,
+  * partition pruning), mergeable HLL sketches, and iterative BPE
+  * training. The oracle gate covers value correctness; these pin the
+  * CLAIMS each operator makes about its plan/layout at test scale.
+  */
+class Round6Spec extends SparkSpec {
+
+  test("q56: bucketed SMJ certificate — zero shuffles below the join, 5 priority rows") {
+    val rows = RelationalExt4.q56BucketJoin(spark, sf).collect()
+    assert(rows.length == 5, s"expected 5 priorities, got ${rows.length}")
+    assert(rows.forall(_.getAs[Int]("n_shuffles_below_join") == 0),
+      "bucketed layout must eliminate both join-side shuffles")
+    assert(rows.map(_.getAs[Long]("n_lines")).sum > 0)
+  }
+
+  test("q56: repeated invocations on one session do not collide (unique table names)") {
+    // the q54 lesson from ADVICE r5 — run twice back-to-back; a fixed
+    // table name would fail the second overwrite-into-dropped-table
+    val a = RelationalExt4.q56BucketJoin(spark, sf).collect()
+    val b = RelationalExt4.q56BucketJoin(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("q57: partition pruning reads only the predicate's partitions") {
+    val r = RelationalExt4.q57PartitionPrune(spark, sf).collect()(0)
+    val read = r.getAs[Long]("files_read"); val total = r.getAs[Long]("files_total")
+    assert(read < total, s"pruned scan must skip files: read=$read total=$total")
+    // Jan 10-19 inclusive over a one-file-per-day layout
+    assert(read == 10, s"expected the 10 in-range day files, got $read")
+    assert(r.getAs[Long]("n_rows") > 0)
+  }
+
+  test("p_sketch_incremental: merge is lossless and estimates stay in bounds") {
+    val rows = Pipeline.sketchIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("merge_lossless")),
+      "hll_union_agg over split ingests must equal the single-pass sketch")
+    assert(rows.forall(_.getAs[Boolean]("est_ok")),
+      "merged estimate must stay within ±5% of exact distinct")
+  }
+
+  test("t_bpe_train: 10 deterministic merges, non-increasing pair counts within a run") {
+    val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to 10))
+    // greedy BPE: a later round can never merge a pair more frequent
+    // than an earlier round's choice AT THE TIME it was chosen is not
+    // monotone in general, but counts of the chosen pair must be >0
+    // and the same input must reproduce the same merges
+    assert(rows.forall(_.getAs[Long]("n_occ") > 0))
+    val again = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "BPE training must be deterministic")
+  }
+
+  test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
+    val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
+    val known = scala.collection.mutable.Set[String]()
+    known ++= ('a' to 'z').map(_.toString) += "_"
+    rows.foreach { r =>
+      val l = r.getAs[String]("left_sym"); val rt = r.getAs[String]("right_sym")
+      assert(known.contains(l) || l.forall(c => c.isLetter || c == '_'),
+        s"left symbol $l must be built from base symbols")
+      known += (l + rt)
+    }
+  }
+}
