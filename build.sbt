@@ -42,5 +42,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // executor threads idle while >70% of CPU sat in GC threads).
   // ParallelGC's contiguous, compacting old gen has no humongous
   // pathology and is the standard choice for throughput-bound Spark.
-  "-XX:+UseParallelGC",
+  // Overridable (SPARK_GRAFT_GC=g1) because the humongous argument is
+  // heap-size-dependent — at the driver's 81 GB heap G1's regions are
+  // 32 MB and the pathology may vanish; see BASELINE.md for the
+  // measured comparison at both heap sizes.
+  sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
+    case "g1" => "-XX:+UseG1GC"
+    case _    => "-XX:+UseParallelGC"
+  },
 )

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main (CCProbe's streaming twin): runs one named
+  * SparkEntry query with a StreamingQueryListener attached and prints
+  * per-micro-batch progress — batch duration breakdown, state rows,
+  * watermark — so a slow streaming operator is attributable to a
+  * specific batch/phase instead of a single opaque wall time.
+  * Usage: runMain graft.ProbeStream <query> [sfDir]
+  */
+object ProbeStream {
+  def main(args: Array[String]): Unit = {
+    val query = args.headOption.getOrElse("st_stream_stream_outer")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        System.err.println(s"[probe] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durMs=${p.durationMs} stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
+          s"wm=${p.eventTime.get("watermark")}")
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(query)(spark, sfDir).count()
+    System.err.println(f"[probe] $query total ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
+    spark.stop()
+  }
+}

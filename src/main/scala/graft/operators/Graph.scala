@@ -787,7 +787,61 @@ object Graph {
        |FROM per, tot ORDER BY com""".stripMargin
   }
 
+  /** INCREMENTAL connected components — the graph twin of
+    * [[graft.operators.Pipeline.incremental]]: when new edges arrive on
+    * a graph whose components are already labeled, the update touches
+    * only the CONTRACTED graph (one super-node per existing component
+    * label + the genuinely new nodes), never re-clustering the full
+    * edge set. The near-dup pair graph is split deterministically into
+    * a base (~80 %, (doc_a+doc_b) % 5 ≠ 0) and an increment; base
+    * labels come from the standard min-label CC, increment edges are
+    * rewritten to (label(a), label(b)) super-edges, CC runs on that
+    * contracted graph — bounded by components-touched, not corpus —
+    * and the relabel join maps every affected old label to its merged
+    * min. Exactness: labels are component-min doc ids, every
+    * super-node id IS its component's min, so the contracted min is
+    * the true merged-component min — bit-equal to the full recompute,
+    * which is exactly what the oracle pins ([[Dedup.dupClustersSql]],
+    * the from-scratch transitive closure over ALL edges). At 100 TB
+    * this is the difference between a daily re-cluster of 10¹² pairs
+    * and a join proportional to the day's new pairs. */
+  def wccIncremental(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = pairs.filter((col("doc_a") + col("doc_b")) % 5 =!= 0)
+    val inc = pairs.filter((col("doc_a") + col("doc_b")) % 5 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseLabels = Dedup.connectedComponents(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // contract: each endpoint becomes its existing component label;
+    // endpoints unseen in the base keep their own id (they ARE their
+    // 1-node component's min). Self-loops = already-connected, drop.
+    val la = baseLabels.select(col("id").as("doc_a"), col("label").as("la"))
+    val lb = baseLabels.select(col("id").as("doc_b"), col("label").as("lb"))
+    val contracted = inc
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val fix = Dedup.connectedComponents(contracted)
+      .select(col("id").as("old_label"), col("label").as("new_label"))
+    // relabel the base through the merged super-labels; untouched
+    // components pass through unchanged
+    val updatedBase = baseLabels.join(fix, col("label") === col("old_label"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_label"), col("label")).as("cluster_id"))
+    // nodes that exist ONLY in increment edges get their merged label
+    // directly (their contracted id is their own doc id)
+    val newNodes = inc.select(col("doc_a").as("id"))
+      .union(inc.select(col("doc_b").as("id"))).distinct()
+      .join(baseLabels.select("id"), Seq("id"), "left_anti")
+      .join(fix, col("id") === col("old_label"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("new_label"), col("id")).as("cluster_id"))
+    updatedBase.unionByName(newNodes).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_wcc_incremental" -> (wccIncremental _),
     "g_modularity" -> (modularity _),
     "g_assortativity" -> (assortativity _),
     "g_kcore" -> (kcore _),
@@ -800,6 +854,9 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    // the incremental path must equal the from-scratch clustering of
+    // ALL edges — the full-recompute transitive closure IS its oracle
+    "g_wcc_incremental" -> Dedup.dupClustersSql,
     "g_modularity" -> modularitySql,
     "g_assortativity" -> assortativitySql,
     "g_kcore" -> kcoreSql,

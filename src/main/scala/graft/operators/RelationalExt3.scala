@@ -733,25 +733,31 @@ object RelationalExt3 {
     * The predicate is integer-exact: `p > 1.5·avg` is evaluated as
     * `2·p_us·cnt > 3·sum_us` over BIGINT micros, so no double
     * accumulation order can flip a borderline row on either engine. */
+  /** Per-invocation view-name counter: two concurrent q54 invocations
+    * on the shared session must never clobber each other's view or race
+    * a drop against the other's analysis (ADVICE r5). */
+  private val q54Invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def q54CorrelatedSub(s: SparkSession, d: String): DataFrame = {
     // sql() ANALYZES eagerly (the returned frame's plan holds the
     // resolved relation, not a catalog lookup), so the view can be
     // dropped in the finally — the query function stays side-effect-
     // free on the shared session like the other 53
-    Tables.orders(s, d).createOrReplaceTempView("graft_q54_orders")
-    try s.sql("""
+    val view = s"graft_q54_orders_${q54Invocation.incrementAndGet()}"
+    Tables.orders(s, d).createOrReplaceTempView(view)
+    try s.sql(s"""
       SELECT o_custkey, count(*) AS n_big,
         CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS big_rev_us
-      FROM graft_q54_orders o
+      FROM $view o
       WHERE 2 * CAST(round(o.o_totalprice * 1000000) AS BIGINT)
-              * (SELECT count(*) FROM graft_q54_orders o2
+              * (SELECT count(*) FROM $view o2
                  WHERE o2.o_custkey = o.o_custkey)
             > 3 * (SELECT CAST(sum(CAST(round(o2.o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
-                   FROM graft_q54_orders o2
+                   FROM $view o2
                    WHERE o2.o_custkey = o.o_custkey)
       GROUP BY o_custkey
       ORDER BY o_custkey""")
-    finally s.catalog.dropTempView("graft_q54_orders")
+    finally s.catalog.dropTempView(view)
   }
 
   val q54Sql: String =
@@ -800,12 +806,21 @@ object RelationalExt3 {
           max(col("l_quantity")).as("max_qty"))
       val shipped = observed.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
         .count()
-      // flush times out after 10 s on a loaded host — degrade to whatever
-      // has been delivered (normally everything), never abort the query
-      try org.apache.spark.graft.ListenerFlush.waitUntilEmpty(s.sparkContext)
-      catch { case _: Throwable => () }
+      // the observed row arrives async on the listener bus; flush, then —
+      // because a single flush can time out at 10 s on a loaded host —
+      // POLL for the capture before giving up, so a slow bus degrades to
+      // a short wait instead of aborting a query whose data is fine.
+      // Only if the event never lands within the whole budget is failing
+      // correct: returning without the observed row would silently
+      // certify nothing.
+      var waitedMs = 0
+      while (captured.isEmpty && waitedMs < 30000) {
+        try org.apache.spark.graft.ListenerFlush.waitUntilEmpty(s.sparkContext)
+        catch { case _: Throwable => () }
+        if (captured.isEmpty) { Thread.sleep(100); waitedMs += 100 }
+      }
       val m = captured.getOrElse(
-        throw new IllegalStateException("observe metrics were not delivered"))
+        throw new IllegalStateException("observe metrics were not delivered within 30 s"))
       import s.implicits._
       Seq((m.getAs[Long]("n_rows"), m.getAs[Long]("rev_us"),
           m.getAs[Double]("min_qty"), m.getAs[Double]("max_qty"), shipped))

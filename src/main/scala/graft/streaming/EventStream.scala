@@ -653,6 +653,99 @@ object EventStream {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** LEFT-OUTER stream-stream join — the interval-join semantics
+    * surface [[streamJoin]]'s inner join cannot pin: a click with NO
+    * purchase in its 30-minute attribution window must still be
+    * EMITTED (with null right side) — but only once the watermark
+    * proves no matching purchase can still arrive, which is the
+    * engine behavior this query certifies end to end. State cost is
+    * identical to the inner join (both sides buffered inside the
+    * watermark + interval bound); the null-emission is pure
+    * bookkeeping on eviction.
+    *
+    * The stream is two scratch micro-batches: batch 0 = the whole
+    * events table, batch 1 = two synthetic TICK rows (one per side,
+    * `event_id` −1/−2, `user_id` −1/−2 so they can match nothing) at
+    * max(ts) + 1 hour — they advance BOTH sides' watermarks past every
+    * real click's window so every unmatched click is flushed before
+    * the query stops (the engine runs watermark-advance no-data
+    * batches after the last file; the lateData tick discipline, here
+    * with a data-derived timestamp so the oracle stays a pure LEFT
+    * JOIN over the corpus). Ticks are filtered back out of the sink
+    * output. Null-free result encoding (`purchase_id` −1, empty
+    * `purchase_ts`, `matched` flag) keeps the cross-engine compare
+    * type-stable — a nullable BIGINT decays to float on both pandas
+    * paths. */
+  def streamStreamOuter(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_outer_").toString
+    try {
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val ticks = ev.agg(max("ts").as("mts"))
+        .select(explode(array(
+          struct(lit(-1L).as("event_id"),
+            (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"),
+            lit(-1L).as("user_id"), lit("click").as("event_type")),
+          struct(lit(-2L).as("event_id"),
+            (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"),
+            lit(-2L).as("user_id"), lit("purchase").as("event_type")))).as("r"))
+        .select(col("r.event_id"), col("r.ts"), col("r.user_id"), col("r.event_type"))
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev, scratch, dataDir, "0-data", t0 - 60000)
+      scratchFile(ticks, scratch, dataDir, "1-ticks", t0)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("user_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val name = "graft_st_stream_outer"
+      runToMemorySink(s, dataDir.toString, joined, name, "append")
+      s.table(name)
+        .filter(col("click_id") >= 0)
+        .select(col("click_id"), col("user_id"),
+          date_format(col("click_ts"), fmt).as("click_ts"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(date_format(col("purchase_ts"), fmt), lit("")).as("purchase_ts"),
+          col("purchase_id").isNotNull.as("matched"))
+        .orderBy("click_id", "purchase_id")
+        .localCheckpoint()
+    } finally {
+      graft.Scratch.rmTree(scratch)
+    }
+  }
+
+  val streamStreamOuterSql: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT c.click_id, c.user_id,
+      |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  coalesce(p.purchase_id, -1) AS purchase_id,
+      |  coalesce(strftime(p.pts, '%Y-%m-%d %H:%M:%S'), '') AS purchase_ts,
+      |  p.purchase_id IS NOT NULL AS matched
+      |FROM c LEFT JOIN p
+      |  ON p.user_id = c.user_id
+      | AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Streaming windowed top-k ("trending items"): tumbling 1-hour counts
     * per event type maintained by a genuine streaming aggregation
     * (watermark-bounded state), with the top-2 rank computed over the
@@ -822,20 +915,23 @@ object EventStream {
     * initial −∞ while every row is processed, so nothing is ever late.
     * Here the table is split deterministically into an on-time batch
     * (even event_ids), a one-row TICK batch (the odd row with max
-    * (ts, event_id)), and a straggler batch (the remaining odd ids),
-    * written as three scratch parquet files with forced modification
-    * times and streamed with `maxFilesPerTrigger=1`. The tick batch
-    * exists because the watermark LAGS one micro-batch behind the
-    * data that produced it (measured on this engine, and Spark's
-    * documented multi-batch propagation): the value computed from
-    * batch N's event times takes effect for batch N+2's input filter,
-    * so without the tick the stragglers would arrive while the filter
-    * still sits at its initial −∞ and nothing would ever be late. With
-    * it, the stragglers in batch 2 are filtered against exactly
-    * `max(even ts)ms − 10 min`: rows whose 5-minute window end ≤ that
-    * watermark (the same boundary [[appendWindows]] pins for emission)
-    * are DROPPED by the stateful aggregation; the rest update live
-    * state. The update-mode memory sink records each key's count after
+    * (ts, event_id), its event time REWRITTEN to max(even ts)), and a
+    * straggler batch (the remaining odd ids), written as three scratch
+    * parquet files with forced modification times and streamed with
+    * `maxFilesPerTrigger=1`. The tick batch exists because the
+    * watermark LAGS micro-batches behind the data that produced it
+    * (measured on this engine: batch N's event times take effect for
+    * batch N+2's input filter) — without it the stragglers would
+    * arrive while the filter still sits at its initial −∞ and nothing
+    * would ever be late. The tick's REWRITTEN timestamp is what makes
+    * the oracle engine-portable: batches 0 and 1 then advance the
+    * watermark to the same value, so the batch-2 filter is exactly
+    * `max(even ts)ms − 10 min` whether the engine's propagation lag is
+    * one batch or two — the drop rule is a pure function of the data,
+    * not of scheduler internals (ADVICE r5). Stragglers whose 5-minute
+    * window end ≤ that watermark (the same boundary [[appendWindows]]
+    * pins for emission) are DROPPED by the stateful aggregation; the
+    * rest update live state. The update-mode memory sink records each key's count after
     * every batch; max(n) per key is the final count. The result joins
     * streamed counts against the batch totals: `n_late_dropped =
     * n_total − n_kept` is the per-window accounting a production
@@ -862,20 +958,37 @@ object EventStream {
   def lateData(s: SparkSession, d: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_st_late_").toString
     try {
-      val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
+      val raw = Tables.events(s, d).select("event_id", "ts", "event_type")
         .localCheckpoint(eager = true)
       val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       def writeBatch(df: DataFrame, name: String, mtime: Long): Unit =
         scratchFile(df, scratch, dataDir, name, mtime)
-      val odd = ev.filter(col("event_id") % 2 === 1)
-      val tick = odd.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+      // The tick row CARRIES max(even ts) as its event time, so batches
+      // 0 and 1 advance the watermark to the SAME value and the batch-2
+      // late filter is max(even ts) − 10 min no matter whether the
+      // engine propagates watermarks one or two batches behind (r5's
+      // measured N+2 lag is an engine internal; encoding it into the
+      // oracle made a Spark upgrade able to silently flip this query —
+      // ADVICE r5). The tick is still a real corpus row (the odd id
+      // with max (ts, event_id)) so the oracle can name it; only its
+      // timestamp is rewritten, on both sides identically.
+      val tickId = raw.filter(col("event_id") % 2 === 1)
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("event_id").as("tick_id"))
+      val maxEven = raw.filter(col("event_id") % 2 === 0).agg(max("ts").as("mts"))
+      val ev = raw.crossJoin(broadcast(tickId)).crossJoin(broadcast(maxEven))
+        .select(col("event_id"),
+          when(col("event_id") === col("tick_id"), col("mts")).otherwise(col("ts")).as("ts"),
+          col("event_type"), col("tick_id"))
         .localCheckpoint(eager = true)
+      val odd = ev.filter(col("event_id") % 2 === 1)
       // FileStreamSource orders by (mtime, path): force strictly older
       // mtimes so batch 0 = evens, batch 1 = tick, batch 2 = stragglers
       val t0 = System.currentTimeMillis()
-      writeBatch(ev.filter(col("event_id") % 2 === 0), "0-ontime", t0 - 120000)
-      writeBatch(tick, "1-tick", t0 - 60000)
-      writeBatch(odd.join(tick.select("event_id"), Seq("event_id"), "left_anti"),
+      val cols = Seq("event_id", "ts", "event_type").map(col)
+      writeBatch(ev.filter(col("event_id") % 2 === 0).select(cols: _*), "0-ontime", t0 - 120000)
+      writeBatch(odd.filter(col("event_id") === col("tick_id")).select(cols: _*), "1-tick", t0 - 60000)
+      writeBatch(odd.filter(col("event_id") =!= col("tick_id")).select(cols: _*),
         "2-late", t0)
       val src = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
@@ -909,15 +1022,24 @@ object EventStream {
     * event time — kept = even rows, plus the tick row, plus stragglers
     * whose window end (ms) is strictly above `max(even ts) − 10 min`
     * (the [[appendWindowsSql]] boundary, flipped from emission to
-    * admission). */
+    * admission). `ev2` mirrors the tick's timestamp rewrite, so both
+    * sides account the tick in the max(even ts) window. */
   val lateDataSql: String =
-    """WITH ev AS (
+    """WITH raw AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
       |), tick AS (
-      |  SELECT event_id FROM ev WHERE event_id % 2 = 1
+      |  SELECT event_id FROM raw WHERE event_id % 2 = 1
       |  ORDER BY ts DESC, event_id DESC LIMIT 1
+      |), mts AS (
+      |  SELECT max(ts) AS mts FROM raw WHERE event_id % 2 = 0
+      |), ev AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id IN (SELECT event_id FROM tick)
+      |         THEN (SELECT mts FROM mts) ELSE ts END AS ts,
+      |    event_type
+      |  FROM raw
       |), wm AS (
-      |  SELECT (epoch_us(max(ts)) // 1000) - 600000 AS wm_ms FROM ev WHERE event_id % 2 = 0
+      |  SELECT (epoch_us(mts) // 1000) - 600000 AS wm_ms FROM mts
       |), w AS (
       |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type, event_id FROM ev
       |), tot AS (
@@ -1255,6 +1377,7 @@ object EventStream {
     "st_sessionize_stream" -> (sessionizeStreamClosed _),
     "st_sessionize_final" -> (sessionizeStreamFinal _),
     "st_stream_join" -> (streamJoin _),
+    "st_stream_stream_outer" -> (streamStreamOuter _),
     "st_throttle" -> (throttle _),
     "st_dedup" -> (dedupStream _))
 
@@ -1276,6 +1399,7 @@ object EventStream {
     "st_sessionize_stream" -> sessionizeStreamClosedSql,
     "st_sessionize_final" -> sessionizeStreamFinalSql,
     "st_stream_join" -> streamJoinSql,
+    "st_stream_stream_outer" -> streamStreamOuterSql,
     "st_throttle" -> throttleSql,
     "st_dedup" -> dedupStreamSql)
 }

@@ -189,15 +189,27 @@ class MapReduceSpec extends SparkSpec {
 
   test("combiner MEASURABLY shrinks the shuffle: runCombined moves fewer bytes than run") {
     import java.util.concurrent.atomic.LongAdder
+    // bytes are attributed through a job group -> stage-id filter, so
+    // concurrent jobs on the shared SparkContext (parallel suites,
+    // background streams) can never bleed their shuffle writes into
+    // this test's window (ADVICE r5)
+    val groupId = s"graft-combiner-measure-${System.nanoTime()}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val written = new LongAdder
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            groupId == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => stages.add(id))
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) written.add(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null && stages.contains(te.stageId))
+          written.add(m.shuffleWriteMetrics.bytesWritten)
       }
     }
     val sc = spark.sparkContext
     sc.addSparkListener(listener)
+    sc.setJobGroup(groupId, "combiner shuffle measurement")
     try {
       val lines = Tables.documents(spark, sf).select("text").rdd.map(_.getString(0))
       def tokens(l: String) = l.split("[ \t\n\r]+").iterator.filter(_.nonEmpty).map(_ -> 1L)
@@ -222,6 +234,9 @@ class MapReduceSpec extends SparkSpec {
       assert(plain > 0 && combined > 0, s"both paths must shuffle: $plain / $combined")
       assert(combined * 2 < plain,
         s"combiner should at least halve shuffle bytes: $combined vs $plain")
-    } finally sc.removeSparkListener(listener)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
   }
 }

@@ -59,6 +59,35 @@ class Round6Spec extends SparkSpec {
       "BPE training must be deterministic")
   }
 
+  test("st_stream_stream_outer: unmatched clicks are emitted exactly once, with sentinel right side") {
+    val rows = streaming.EventStream.queries("st_stream_stream_outer")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val unmatched = rows.filter(!_.getAs[Boolean]("matched"))
+    assert(unmatched.nonEmpty, "some clicks must have no purchase in-window")
+    assert(unmatched.forall(r =>
+      r.getAs[Long]("purchase_id") == -1L && r.getAs[String]("purchase_ts") == ""),
+      "unmatched rows must carry the null-free sentinel encoding")
+    // an unmatched click appears exactly once (single null emission)
+    val unmatchedIds = unmatched.map(_.getAs[Long]("click_id"))
+    assert(unmatchedIds.distinct.length == unmatchedIds.length,
+      "watermark eviction must emit each unmatched click once")
+    // no synthetic tick leaks into the result
+    assert(rows.forall(_.getAs[Long]("click_id") >= 0))
+    // matched/unmatched partition the click set
+    val matchedIds = rows.filter(_.getAs[Boolean]("matched")).map(_.getAs[Long]("click_id")).toSet
+    assert(unmatchedIds.forall(!matchedIds.contains(_)),
+      "a click with any match must not also emit a null row")
+  }
+
+  test("g_wcc_incremental: contracted-graph update equals from-scratch clustering") {
+    val incr = operators.Graph.wccIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val full = operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(incr == full,
+      "incremental relabel must be bit-equal to re-clustering all edges")
+  }
+
   test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
     val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
     val known = scala.collection.mutable.Set[String]()
