@@ -121,14 +121,21 @@ object RelationalExt4 {
     * reached the scan as a PARTITION filter (metadata skip), not a
     * post-scan row filter. Business result on the same pass: row count
     * + exact-cents value sum in the window. */
+  /** Write events hive-partitioned by day into `out`, one file per
+    * partition (`repartition(col)` routes each day to exactly one task
+    * before `partitionBy` splits by value) — the layout q57/q58
+    * certify pruning against. */
+  private def writeDayPartitioned(s: SparkSession, d: String, out: String): Unit =
+    Tables.events(s, d)
+      .select(col("event_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+
   def q57PartitionPrune(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_q57_").toString
     try {
-      Tables.events(s, d)
-        .select(col("event_id"), col("value"),
-          date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(out)
+      writeDayPartitioned(s, d, out)
       val lo = "2024-01-10"; val hi = "2024-01-19"
       val pruned = s.read.parquet(out)
         .filter(col("day") >= lo && col("day") <= hi)
@@ -161,11 +168,69 @@ object RelationalExt4 {
       |  (SELECT count(DISTINCT day) FROM e) AS files_total
       |FROM e WHERE day >= '2024-01-10' AND day <= '2024-01-19'""".stripMargin
 
+  /** DYNAMIC partition pruning certificate — q57's runtime twin, and
+    * the star-schema workhorse: the pruning predicate lives on a
+    * DIMENSION (here, a day dimension filtered to day-of-month % 7 ==
+    * 3), not on the fact's partition column, so static pruning can do
+    * nothing — the fact scan must be pruned at RUNTIME from the
+    * broadcast dim's join keys (Spark's DPP: the dim broadcast is
+    * reused as an IN-subquery partition filter). At 100 TB this is
+    * the "sales JOIN selected_dates" query — without DPP it scans the
+    * whole fact table every time. Certificate columns, oracle-pinned
+    * exactly like q57: `files_read` (the fact scan's post-pruning
+    * `numFiles`) must equal the dim's day count, `files_total` the
+    * full partition count; the query also asserts a dynamicpruning
+    * filter is present in the executed fact scan, so a green row can
+    * only come from the DPP path. */
+  def q58DynamicPrune(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q58_").toString
+    try {
+      writeDayPartitioned(s, d, out)
+      val fact = s.read.parquet(out)
+      val dim = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+        .filter(dayofmonth(to_date(col("day"))) % 7 === 3)
+      val joined = fact.join(broadcast(dim), "day")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(100)).cast("long")).as("value_c"))
+      val row = joined.collect()(0)
+      if (!PlanProbe.nodes(joined).exists(_.toString.contains("dynamicpruning")))
+        throw new IllegalStateException(
+          "fact scan is not dynamically pruned — DPP did not engage")
+      // scope the metric to the scratch fact scan: the dim side reads
+      // the original events parquet through its own scan node
+      val filesRead = PlanProbe.scanMetricSumForPath(joined, "numFiles", out)
+      val all = s.read.parquet(out).agg(count(lit(1)).as("n"))
+      all.collect()
+      val filesTotal = PlanProbe.scanMetricSumForPath(all, "numFiles", out)
+      import s.implicits._
+      Seq((row.getAs[Long]("n_rows"), row.getAs[Long]("value_c"), filesRead, filesTotal))
+        .toDF("n_rows", "value_c", "files_read", "files_total")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val q58Sql: String =
+    """WITH e AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events
+      |), dim AS (
+      |  SELECT DISTINCT day FROM e
+      |  WHERE CAST(date_part('day', CAST(day AS DATE)) AS INTEGER) % 7 = 3
+      |)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+      |  (SELECT count(*) FROM dim) AS files_read,
+      |  (SELECT count(DISTINCT day) FROM e) AS files_total
+      |FROM e JOIN dim USING (day)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_bucket_join" -> (q56BucketJoin _),
-    "q57_partition_prune" -> (q57PartitionPrune _))
+    "q57_partition_prune" -> (q57PartitionPrune _),
+    "q58_dynamic_prune" -> (q58DynamicPrune _))
 
   val oracles: Map[String, String] = Map(
     "q56_bucket_join" -> q56Sql,
-    "q57_partition_prune" -> q57Sql)
+    "q57_partition_prune" -> q57Sql,
+    "q58_dynamic_prune" -> q58Sql)
 }

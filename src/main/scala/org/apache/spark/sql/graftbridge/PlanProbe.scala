@@ -71,6 +71,17 @@ object PlanProbe {
         s.metrics(metric).value
     }.sum
 
+  /** [[scanMetricSum]] restricted to scans rooted under a path
+    * containing `pathPart` — for plans that read more than one source
+    * (e.g. a pruned fact plus the dimension that prunes it). */
+  def scanMetricSumForPath(df: DataFrame, metric: String, pathPart: String): Long =
+    nodes(df).collect {
+      case s: FileSourceScanExec
+          if s.metrics.contains(metric) &&
+            s.relation.location.rootPaths.exists(_.toString.contains(pathPart)) =>
+        s.metrics(metric).value
+    }.sum
+
   /** Number of file-source scans whose partition filters are non-empty
     * — certifies the pruning predicate reached the scan as a PARTITION
     * filter (metadata-level skip), not a post-scan row filter. */
