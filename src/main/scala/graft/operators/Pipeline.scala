@@ -514,6 +514,165 @@ object Pipeline {
     }
   }
 
+  /** Bit-interleave expression for [[zorder]]: 8-bit ranks u8/d8 →
+    * 16-bit Morton code, as pure integer arithmetic both engines
+    * evaluate identically. `floorDiv` is "div" (Spark SQL) or "//"
+    * (DuckDB). */
+  private def zExpr(floorDiv: String): String =
+    (0 until 8).map { i =>
+      s"((u8 $floorDiv ${1 << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((d8 $floorDiv ${1 << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** Z-ORDER clustering + MIN/MAX-MANIFEST DATA SKIPPING — the
+    * lakehouse file-skipping lever (Delta/Iceberg "stats + OPTIMIZE
+    * ZORDER") built from primitives, for predicates on columns the
+    * directory layout does NOT partition by (q57/q58 cover that case;
+    * most real predicates aren't on the partition key): events are
+    * clustered into 16 files by the Morton interleave of two dimension
+    * ranks (user_id, day-of-month — each scaled to 8 bits), a per-file
+    * min/max STATS MANIFEST is built (the write-side artifact every
+    * table format keeps), and a 2-D range query is planned FROM THE
+    * MANIFEST — only files whose [min,max] box overlaps the query box
+    * are read. File planning is a driver-side decision over a
+    * files-count-sized manifest — exactly how Delta/Iceberg plan
+    * scans; the data never moves.
+    *
+    * Oracle-pinned certificate columns: the business aggregate over
+    * the PRUNED read must equal DuckDB's full-scan filter (skipping
+    * lost nothing — soundness), measured `files_read` (the scan's
+    * numFiles) must equal the manifest-overlap count the twin computes
+    * from the same integer arithmetic, and `n_overlap_unclustered` —
+    * the same query planned against a round-robin (event_id % 16)
+    * layout's manifest — shows every file overlapping: the measured
+    * argument that CLUSTERING, not the manifest machinery, is what
+    * makes stats tight (the p_reshard_cost discipline: compute the gap
+    * on your corpus). At 100 TB: a 2-D dashboard predicate reads ~⅓ of
+    * a z-ordered table and 100 % of an insertion-ordered one. */
+  def zorder(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    try {
+      val e = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("dom"), col("value"))
+      val umax = e.agg(max("user_id").as("umax"))
+      val ranked = e.crossJoin(broadcast(umax))
+        .withColumn("u8", expr("(user_id * 256) div (umax + 1)"))
+        .withColumn("d8", expr("((dom - 1) * 256) div 31"))
+        .withColumn("zbucket", expr(s"(${zExpr("div")}) div 4096"))
+      ranked.select("event_id", "user_id", "dom", "value", "zbucket")
+        .repartition(col("zbucket"))
+        .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+      // the query box: user ∈ [(umax+1)/4, (umax+1)/2], dom ∈ [8, 15]
+      val box = umax.select(expr("(umax + 1) div 4").as("lo_u"),
+        expr("(umax + 1) div 2").as("hi_u")).collect()(0)
+      val (loU, hiU) = (box.getAs[Long]("lo_u"), box.getAs[Long]("hi_u"))
+      // manifest build: per-file min/max stats (the write-side artifact;
+      // here recomputed from the layout, which doubles as a read-back check)
+      val layout = s.read.option("basePath", out).parquet(out)
+      val manifest = layout.groupBy("zbucket")
+        .agg(min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+          min("dom").as("mn_d"), max("dom").as("mx_d"))
+        .localCheckpoint()
+      // FILE PLANNING: driver-side selection over the ≤16-row manifest —
+      // the one place a collect is the design, same as every table format
+      val selected = manifest
+        .filter(col("mx_u") >= loU && col("mn_u") <= hiU &&
+          col("mx_d") >= 8 && col("mn_d") <= 15)
+        .select("zbucket").collect().map(_.getAs[Int]("zbucket")).sorted
+      val pruned = s.read.option("basePath", out)
+        .parquet(selected.map(b => s"$out/zbucket=$b"): _*)
+        .filter(col("user_id").between(loU, hiU) && col("dom").between(8, 15))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(100)).cast("long")).as("value_c"))
+      val row = pruned.collect()(0)
+      val filesRead = PlanProbeRef.scanMetricSumForPath(pruned, "numFiles", out)
+      val filesTotal = manifest.count()
+      // the unclustered strawman: same manifest math over a round-robin
+      // layout — no file need be written to know every one overlaps
+      val nOverlapUnclustered = e
+        .groupBy((col("event_id") % 16).as("b"))
+        .agg(min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+          min("dom").as("mn_d"), max("dom").as("mx_d"))
+        .filter(col("mx_u") >= loU && col("mn_u") <= hiU &&
+          col("mx_d") >= 8 && col("mn_d") <= 15)
+        .count()
+      import s.implicits._
+      Seq((row.getAs[Long]("n_rows"), row.getAs[Long]("value_c"),
+          filesRead, filesTotal, nOverlapUnclustered))
+        .toDF("n_rows", "value_c", "files_read", "files_total", "n_overlap_unclustered")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  private val PlanProbeRef = org.apache.spark.sql.graftbridge.PlanProbe
+
+  val zorderSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |    CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS BIGINT) AS dom, value
+       |  FROM events
+       |), um AS (SELECT max(user_id) AS umax FROM e
+       |), box AS (
+       |  SELECT (umax + 1) // 4 AS lo_u, (umax + 1) // 2 AS hi_u FROM um
+       |), zb AS (
+       |  SELECT event_id, user_id, dom, value,
+       |    (${zExpr("//").replace("u8", "((user_id * 256) // ((SELECT umax FROM um) + 1))")
+                         .replace("d8", "(((dom - 1) * 256) // 31)")}) // 4096 AS zbucket
+       |  FROM e
+       |), man AS (
+       |  SELECT zbucket, min(user_id) AS mn_u, max(user_id) AS mx_u,
+       |    min(dom) AS mn_d, max(dom) AS mx_d
+       |  FROM zb GROUP BY 1
+       |), sel AS (
+       |  SELECT count(*) AS files_read FROM man, box
+       |  WHERE mx_u >= lo_u AND mn_u <= hi_u AND mx_d >= 8 AND mn_d <= 15
+       |), uman AS (
+       |  SELECT event_id % 16 AS b, min(user_id) AS mn_u, max(user_id) AS mx_u,
+       |    min(dom) AS mn_d, max(dom) AS mx_d
+       |  FROM e GROUP BY 1
+       |), usel AS (
+       |  SELECT count(*) AS n_overlap_unclustered FROM uman, box
+       |  WHERE mx_u >= lo_u AND mn_u <= hi_u AND mx_d >= 8 AND mn_d <= 15
+       |), agg AS (
+       |  SELECT count(*) AS n_rows,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+       |  FROM e, box
+       |  WHERE user_id BETWEEN lo_u AND hi_u AND dom BETWEEN 8 AND 15
+       |)
+       |SELECT agg.n_rows, agg.value_c, sel.files_read,
+       |  (SELECT count(*) FROM man) AS files_total, usel.n_overlap_unclustered
+       |FROM agg, sel, usel""".stripMargin
+
+  /** ORC round-trip behind the manifest gate — the second columnar
+    * format real warehouses hold (Hive legacy estates are ORC; a
+    * migration engine must read and write it losslessly): documents
+    * written as djb2-sharded ORC (`partitionBy(shard)`, same layout as
+    * the parquet/text/JSONL trips), read back with the explicit schema
+    * discipline, and the re-read rows' [[manifestAgg]] must hash-equal
+    * [[manifestSql]] computed off parquet. A green hash certifies
+    * byte-exact text fidelity through Spark's ORC writer/reader pair —
+    * including its distinct string encoding (dictionary + direct) and
+    * stripe framing. Scale shape: ORC stripes block-split exactly like
+    * parquet row groups, so shards stay parallel-readable at 100 TB. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_orc_rt_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+        .write.mode("overwrite").partitionBy("shard").orc(out)
+      val back = s.read.schema("doc_id LONG, n_chars LONG, text STRING").orc(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      manifestAgg(back)
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
   /** RESHARD-COST measurement — the quantified argument for consistent
     * hashing: when a 16-shard corpus grows to 20 shards, mod-N
     * assignment (`hash % n`) moves almost EVERY document (any doc with
@@ -1212,6 +1371,8 @@ object Pipeline {
     "p_shard_write" -> (shardWrite _),
     "p_text_roundtrip" -> (textRoundtrip _),
     "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "p_orc_roundtrip" -> (orcRoundtrip _),
+    "p_zorder" -> (zorder _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
     "p_schema_evolution" -> (schemaEvolution _),
@@ -1237,6 +1398,8 @@ object Pipeline {
     "p_shard_write" -> manifestSql,
     "p_text_roundtrip" -> manifestSql,
     "p_jsonl_roundtrip" -> manifestSql,
+    "p_orc_roundtrip" -> manifestSql,
+    "p_zorder" -> zorderSql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,
     "p_schema_evolution" -> schemaEvolutionSql,

@@ -1134,6 +1134,72 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(c AS DOUBLE) / ctx_total", 6)} AS prob
        |FROM ranked WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin
 
+  /** LM-BASED QUALITY SCORING — the model-driven curation filter (the
+    * heuristic-free complement to `t_quality`): every document scored
+    * under a bigram language model trained on a REFERENCE corpus (the
+    * even doc_ids — scoring new data under a trusted corpus's model is
+    * the production shape; the split makes OOV real instead of
+    * vacuous). Per doc: mean conditional bigram probability — Σ
+    * ⌊10⁶·c(w1,w2)/c(w1·)⌋ over its bigrams (unseen bigram → 0 and an
+    * OOV count), one IEEE division at the end. Deliberately LOG-FREE:
+    * a perplexity's ln() is not bit-portable across engines, while
+    * integer-micros probability mass ranks documents identically for
+    * the filter's purpose (template/natural text scores high, gibberish
+    * and OOV-heavy docs low). Scale shape: the model is a seen-bigram
+    * table (vocabulary-bounded, partial-agg built), scoring is one
+    * equi-join of the doc-bigram stream against it — wordcount-shaped
+    * at any corpus size. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val pair = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), explode(graft.functions.MinHashFns.word_shingles(
+        split(trim(col("text")), "[ \t\n\r]+"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = pair.filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val prob = model.join(ctx, "w1")
+      .select(col("w1"), col("w2"), expr("(1000000 * c12) div c1").as("p_us"))
+    pair.join(prob, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_us").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("p_us"), lit(0L))).as("sum_us"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        ExactRound.r(col("sum_us").cast("double") / (col("n_bigrams") * lit(1000000.0)), 6)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: same shingle stream, same even-doc model, same
+    * integer-micros probability floor. */
+  val lmScoreSql: String =
+    s"""WITH pair AS (
+       |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(toks)-1, 0)),
+       |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks
+       |          FROM documents)
+       |    WHERE len(toks) >= 2
+       |  )
+       |), model AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM pair WHERE doc_id % 2 = 0 GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1
+       |), prob AS (
+       |  SELECT w1, w2, (1000000 * c12) // c1 AS p_us FROM model JOIN ctx USING (w1)
+       |), scored AS (
+       |  SELECT pair.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CASE WHEN p_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    CAST(sum(coalesce(p_us, 0)) AS BIGINT) AS sum_us
+       |  FROM pair LEFT JOIN prob USING (w1, w2) GROUP BY 1
+       |)
+       |SELECT doc_id, n_bigrams, n_oov,
+       |  ${ExactRound.rSql("CAST(sum_us AS DOUBLE) / (n_bigrams * 1000000.0)", 6)} AS lm_score
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   /** First BPE merge step — tokenizer training at corpus scale: the 20
     * most frequent ADJACENT CHARACTER pairs, weighted by word
     * frequency. The scale trick is the real BPE one: aggregate the
@@ -1276,6 +1342,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> (bpeTrain _),
+    "t_lm_score" -> (lmScore _),
     "t_bpe_pairs" -> (bpePairs _),
     "t_bigram_lm" -> (bigramLm _),
     "t_bm25" -> (bm25 _),
@@ -1306,6 +1373,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainSql,
+    "t_lm_score" -> lmScoreSql,
     "t_bpe_pairs" -> bpePairsSql,
     "t_bigram_lm" -> bigramLmSql,
     "t_bm25" -> bm25Sql,

@@ -47,6 +47,35 @@ class Round6Spec extends SparkSpec {
     assert(read >= 3 && read <= 5, s"expected 3-5 dim days, got $read")
   }
 
+  test("p_zorder: manifest skipping is sound and clustering beats round-robin") {
+    val r = Pipeline.zorder(spark, sf).collect()(0)
+    val read = r.getAs[Long]("files_read")
+    val total = r.getAs[Long]("files_total")
+    val unclustered = r.getAs[Long]("n_overlap_unclustered")
+    assert(read < total, s"z-order manifest must skip files: $read/$total")
+    assert(read < unclustered,
+      s"z-ordered layout must overlap fewer files than round-robin: $read vs $unclustered")
+    assert(r.getAs[Long]("n_rows") > 0)
+  }
+
+  test("p_orc_roundtrip: ORC write/read is byte-exact vs the parquet manifest") {
+    val orc = Pipeline.orcRoundtrip(spark, sf).collect().map(_.toString).sorted.toSeq
+    val pq = Pipeline.manifest(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(orc == pq, "ORC round-trip manifest must equal the parquet manifest")
+  }
+
+  test("t_lm_score: reference-corpus docs score clean, OOV only on held-out docs") {
+    val rows = TextAnalysis.lmScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every bigram of an even (reference) doc is in the model by construction
+    val evens = rows.filter(_.getAs[Long]("doc_id") % 2 == 0)
+    assert(evens.forall(_.getAs[Long]("n_oov") == 0L),
+      "reference-corpus docs cannot contain OOV bigrams")
+    assert(rows.forall { r =>
+      val sc = r.getAs[Double]("lm_score"); sc >= 0.0 && sc <= 1.0
+    }, "mean bigram probability must lie in [0,1]")
+  }
+
   test("p_sketch_incremental: merge is lossless and estimates stay in bounds") {
     val rows = Pipeline.sketchIncremental(spark, sf).collect()
     assert(rows.nonEmpty)
