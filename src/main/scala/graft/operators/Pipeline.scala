@@ -514,6 +514,56 @@ object Pipeline {
     }
   }
 
+  /** CDC CHANGELOG APPLY — materializing a keyed table from an ordered
+    * change stream (the Debezium/binlog consumer every warehouse runs;
+    * [[graft.operators.RelationalExt.q30MergeUpsert]] is one MERGE
+    * batch, this is the full replay): events are read as a per-user
+    * changelog — 'error' rows are DELETE tombstones, everything else
+    * an UPSERT row image — and the final table state is, per key, the
+    * image of the max-(ts, event_id) operation, absent if that
+    * operation is a delete. The formulation is the scale story: apply
+    * is ONE associative struct-max aggregate (last-writer-wins is
+    * `max(struct(seq, image))` — partial-aggregable, merges map-side,
+    * no per-key window SORT of the whole history), so replaying a
+    * 10-billion-row changelog costs a wordcount, and the same
+    * aggregate maintains the table INCREMENTALLY (merge yesterday's
+    * per-key max with today's — the p_incremental property). `n_ops`
+    * audits history depth per surviving key. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val log = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * lit(100)).cast("long").as("value_c"))
+    log.groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"), col("value_c")))
+          .as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value_c").as("last_value_c"),
+        date_format(expr("timestamp_micros(last.ts_us)"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("n_ops"))
+      .orderBy("user_id")
+  }
+
+  /** SQL twin: the windowed argmax formulation — provably the same
+    * row, exercising the equivalence the aggregate form relies on. */
+  val cdcApplySql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS value_c,
+      |    CAST(ts AS TIMESTAMP) AS ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events
+      |), n AS (SELECT user_id, count(*) AS n_ops FROM events GROUP BY 1)
+      |SELECT c.user_id, c.event_type AS last_event_type, c.value_c AS last_value_c,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_ts, n.n_ops
+      |FROM c JOIN n USING (user_id)
+      |WHERE rn = 1 AND c.event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** Bit-interleave expression for [[zorder]]: 8-bit ranks u8/d8 →
     * 16-bit Morton code, as pure integer arithmetic both engines
     * evaluate identically. `floorDiv` is "div" (Spark SQL) or "//"
@@ -1373,6 +1423,7 @@ object Pipeline {
     "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "p_orc_roundtrip" -> (orcRoundtrip _),
     "p_zorder" -> (zorder _),
+    "p_cdc_apply" -> (cdcApply _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
     "p_schema_evolution" -> (schemaEvolution _),
@@ -1400,6 +1451,7 @@ object Pipeline {
     "p_jsonl_roundtrip" -> manifestSql,
     "p_orc_roundtrip" -> manifestSql,
     "p_zorder" -> zorderSql,
+    "p_cdc_apply" -> cdcApplySql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,
     "p_schema_evolution" -> schemaEvolutionSql,

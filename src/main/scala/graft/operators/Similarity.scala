@@ -59,6 +59,64 @@ object Similarity {
       |ORDER BY cosine DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
+  /** MATRYOSHKA prefix-dimension ANN (Kusupati'22's MRL retrieval
+    * trade, engine-side): rank the corpus COARSELY on the first 16 of
+    * 64 dimensions — 4× less arithmetic and, at 10⁹ vectors, 4× less
+    * index memory bandwidth, the same economics as [[annSq8]]'s
+    * quantization but achieved by TRUNCATION, which MRL-trained
+    * embeddings are built to tolerate — take the top-50 prefix-cosine
+    * candidates, then re-rank exactly on the full vector for the final
+    * top-10. Both stages are deterministic (cosine rounded at 6 via
+    * the shared exact-dot discipline, vec_id tie-break), so the oracle
+    * replays them bit-for-bit; emitting BOTH scores per result row
+    * documents the coarse→exact gap the truncation cost. Scale shape:
+    * one broadcast-query scan over sliced arrays + a 50-row exact
+    * re-rank — the corpus never self-joins and full vectors are only
+    * touched for candidates. */
+  def annMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"),
+        slice(col("v"), 1, 16).as("q_pre"))
+    val coarse = vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("pre", slice(col("v"), 1, 16))
+      .select(col("vec_id"), col("v"), col("norm"), col("q_v"), col("q_norm"),
+        ExactRound.r(dot(col("pre"), col("q_pre"))
+          / (sqrt(dot(col("pre"), col("pre"))) * sqrt(dot(col("q_pre"), col("q_pre")))), 6)
+          .as("coarse_cosine"))
+      .orderBy(col("coarse_cosine").desc, col("vec_id"))
+      .limit(50)
+    coarse
+      .select(col("vec_id"), col("coarse_cosine"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val annMatryoshkaSql: String = {
+    val rPre = graft.operators.ExactRound.rSql(
+      "list_inner_product(e.v[1:16], q.q_v[1:16]) / " +
+        "(sqrt(list_inner_product(e.v[1:16], e.v[1:16])) * " +
+        "sqrt(list_inner_product(q.q_v[1:16], q.q_v[1:16])))", 6)
+    val rFull = graft.operators.ExactRound.rSql(
+      "list_inner_product(c.v, c.q_v) / (c.nrm * c.q_nrm)", 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), q AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0
+       |), coarse AS (
+       |  SELECT e.vec_id, e.v, e.nrm, q.q_v, q.q_nrm, $rPre AS coarse_cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY coarse_cosine DESC, e.vec_id LIMIT 50
+       |)
+       |SELECT c.vec_id, c.coarse_cosine, $rFull AS cosine
+       |FROM coarse c
+       |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell'98): greedy
     * selection of 5 results from the top-20 cosine candidates, each step
     * maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7 — the
@@ -1421,6 +1479,7 @@ object Similarity {
     "s_recall_eval" -> (recallEval _),
     "s_hybrid_rrf" -> (hybridRrf _),
     "s_ann_brute" -> (annBrute _),
+    "s_ann_matryoshka" -> (annMatryoshka _),
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
     "s_ann_ivf" -> (annIvf _),
@@ -1445,6 +1504,7 @@ object Similarity {
     "s_recall_eval" -> recallEvalSql,
     "s_hybrid_rrf" -> hybridRrfSql,
     "s_ann_brute" -> annBruteSql,
+    "s_ann_matryoshka" -> annMatryoshkaSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_lsh" -> annLshSql,
     "s_ann_ivf" -> annIvfSql,

@@ -76,6 +76,38 @@ class Round6Spec extends SparkSpec {
     }, "mean bigram probability must lie in [0,1]")
   }
 
+  test("p_cdc_apply: per-key struct-max partials merge to the full replay") {
+    import org.apache.spark.sql.functions._
+    val log = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * lit(100)).cast("long").as("value_c"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"), col("value_c")))
+            .as("last"), count(lit(1)).as("n"))
+    // yesterday's partial + today's increment, merged WITHOUT rescanning
+    val a = partial(log.filter(col("event_id") % 2 === 0))
+      .withColumnRenamed("last", "la").withColumnRenamed("n", "na")
+    val b = partial(log.filter(col("event_id") % 2 === 1))
+      .withColumnRenamed("last", "lb").withColumnRenamed("n", "nb")
+    val merged = a.join(b, Seq("user_id"), "full")
+      .select(col("user_id"),
+        when(col("la").isNull, col("lb"))
+          .when(col("lb").isNull, col("la"))
+          .when(col("la") > col("lb"), col("la")).otherwise(col("lb")).as("last"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n_ops"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.event_type").as("last_event_type"),
+        col("last.value_c").as("last_value_c"),
+        date_format(expr("timestamp_micros(last.ts_us)"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("n_ops"))
+    val full = operators.Pipeline.cdcApply(spark, sf)
+    assert(merged.collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq,
+      "incremental partial-merge must equal the full changelog replay")
+  }
+
   test("p_sketch_incremental: merge is lossless and estimates stay in bounds") {
     val rows = Pipeline.sketchIncremental(spark, sf).collect()
     assert(rows.nonEmpty)
