@@ -85,6 +85,49 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Text → real GIF bytes, same raster construction as [[encodePng]]
+    * through the JDK's GIF writer. GIF is palette-indexed (≤256
+    * colors) and the raster is 8-bit grayscale, so — like PNG and
+    * unlike JPEG — the encode is LOSSLESS; note the reader returns
+    * palette INDICES as raster samples, so the round-trip must resolve
+    * through the color model (getRGB — Round6Spec pins it), not
+    * [[decodeGray]]'s raw-sample shortcut. The web-crawl relevance: GIF is
+    * the third format a real image corpus actually contains, and its
+    * header is LITTLE-endian where PNG's is big — the parse path worth
+    * gating separately. */
+  private[graft] def encodeGif(text: String, width: Int = ImgW): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val w = math.max(1, width)
+    val h = math.max(1, (n + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      raster.setSample(p % w, p / w, 0, if (p < n) bytes(p) & 0xff else 0)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    // the JDK writer's DEFAULT metadata sets the interlace flag, and
+    // the JDK READER mis-renders small interlaced GIFs (verified by
+    // hand-decoding the LZW stream: the written scanlines are correct
+    // interlace order; the reader places them wrong). Non-interlaced
+    // output sidesteps the reader bug AND gives deterministic
+    // scanline order for any downstream parser.
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose(); ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Real image decode via the JDK: (width, height, gray samples in
     * row-major order). Works for any grayscale-decodable image, not
     * just the synthesized ones. */
@@ -458,6 +501,43 @@ object Multimodal {
         be16(97).as("width"), be8(99).as("n_components"))
       .orderBy("asset_id")
   }
+
+  /** GIF header parse over real GIF blobs — the LITTLE-endian twin of
+    * [[pngMeta]] (GIF's logical-screen width/height are LE u16 where
+    * PNG's IHDR is BE u32; a parser that only ever met one byte order
+    * has not been tested): signature check on "GIF89a"/"GIF87a", LE
+    * dims at offsets 7/9, and the global-color-table flag from the
+    * packed byte at 11 (the JDK writer always emits a GCT for a
+    * palette image). Declarative substring+conv arithmetic, codegen'd
+    * map-side like the other header parses. Oracle: the assets are
+    * [[encodeGif]]'s own output — every field analytic in the doc
+    * length. */
+  def gifMeta(s: SparkSession, d: String): DataFrame = {
+    def le16(off: Int) =
+      (conv(hex(substring(col("media"), off, 1)), 16, 10).cast("int") +
+        conv(hex(substring(col("media"), off + 1, 1)), 16, 10).cast("int") * 256)
+    val session = s
+    import session.implicits._
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encodeGif(text)) })
+      .toDF("asset_id", "media")
+      .select(col("asset_id"),
+        (substring(col("media"), 1, 6).cast("string") === "GIF89a" ||
+          substring(col("media"), 1, 6).cast("string") === "GIF87a").as("valid_sig"),
+        le16(7).as("width"), le16(9).as("height"),
+        (conv(hex(substring(col("media"), 11, 1)), 16, 10).cast("int") >= 128)
+          .as("has_gct"))
+      .orderBy("asset_id")
+  }
+
+  val gifMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_sig,
+      |  64 AS width,
+      |  CAST(greatest((strlen(text) + 63) // 64, 1) AS INT) AS height,
+      |  TRUE AS has_gct
+      |FROM documents ORDER BY asset_id""".stripMargin
 
   /** Same raster geometry as [[pngMetaSql]]; strlen (BYTES) because the
     * encoder rasterizes UTF-8 bytes. */
@@ -1000,6 +1080,7 @@ object Multimodal {
     "m_dedup" -> (assetDedup _),
     "m_png_meta" -> (pngMeta _),
     "m_jpeg_meta" -> (jpegMeta _),
+    "m_gif_meta" -> (gifMeta _),
     "m_frames_meta" -> (framesMeta _),
     "m_wav_energy" -> (wavEnergy _),
     "m_feature_extract" -> (featureExtract _))
@@ -1015,6 +1096,7 @@ object Multimodal {
     "m_dedup" -> assetDedupSql,
     "m_png_meta" -> pngMetaSql,
     "m_jpeg_meta" -> jpegMetaSql,
+    "m_gif_meta" -> gifMetaSql,
     "m_frames_meta" -> framesMetaSql,
     "m_wav_energy" -> wavEnergySql,
     "m_feature_extract" -> featureExtractSql)

@@ -514,6 +514,109 @@ object Pipeline {
     }
   }
 
+  /** TIME TRAVEL over a transaction log — the table-format kernel
+    * (Delta/Iceberg snapshot isolation) from primitives: a table
+    * directory whose versions are defined ONLY by a commit log
+    * (`_graft_log/vN.json`, one add/remove action per line), never by
+    * what files happen to exist. Three commits: v1 appends the even
+    * docs (4 files), v2 appends the odd docs (4 files), v3 COMPACTS
+    * v1's files (removes all four, adds one rewritten file with
+    * byte-identical content). A reader "as of v" replays the log —
+    * live files = adds≤v − removes≤v, a driver-side decision over a
+    * commit-count-sized log, exactly how every table format plans —
+    * and reads precisely those parquet files, `basePath`-free.
+    *
+    * Oracle-pinned: per version, doc count, char total, and an
+    * order-proof content hash (md5 of the doc_id:text-md5 string in
+    * doc_id order) — v1 must equal the even half, v2 the whole corpus,
+    * and v3 must HASH-EQUAL v2 (`compaction_invariant` flag): the
+    * compaction moved bytes, not data, and old snapshots stay
+    * readable after it (v1/v2 replays still resolve their own file
+    * sets). The concurrent-writer story (atomic log append wins) is
+    * out of scope — single-writer commits, like the engine's other
+    * write paths. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    val logDir = new java.io.File(out, "_graft_log"); logDir.mkdirs()
+    try {
+      val docs = graft.Tables.documents(s, d).select("doc_id", "n_chars", "text")
+      def writeFiles(df: DataFrame, names: Seq[String]): Unit =
+        names.zipWithIndex.foreach { case (name, i) =>
+          // split on (doc_id div 2) so BOTH parity halves spread over
+          // all n files (an even doc_id mod 4 can only be 0 or 2 —
+          // keying on it directly would write empty files)
+          df.filter(expr(s"(doc_id div 2) % ${names.length}") === i)
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/tmp_$name")
+          val part = new java.io.File(s"$out/tmp_$name").listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(out, s"$name.parquet").toPath)
+          graft.Scratch.rmTree(s"$out/tmp_$name")
+        }
+      def commit(v: Int, adds: Seq[String], removes: Seq[String]): Unit = {
+        val lines =
+          adds.map(f => s"""{"version":$v,"action":"add","file":"$f.parquet"}""") ++
+            removes.map(f => s"""{"version":$v,"action":"remove","file":"$f.parquet"}""")
+        java.nio.file.Files.writeString(
+          new java.io.File(logDir, f"v$v%05d.json").toPath, lines.mkString("\n") + "\n")
+        ()
+      }
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      val v1Files = (0 until 4).map(i => s"ev_$i")
+      writeFiles(evens, v1Files); commit(1, v1Files, Nil)
+      val v2Files = (0 until 4).map(i => s"od_$i")
+      writeFiles(odds, v2Files); commit(2, v2Files, Nil)
+      writeFiles(evens, Seq("compact_ev")); commit(3, Seq("compact_ev"), v1Files)
+      // the READER: snapshot resolution from the log alone
+      val log = s.read
+        .schema("version INT, action STRING, file STRING")
+        .json(logDir.toString)
+        .collect()
+      def liveFiles(v: Int): Seq[String] = {
+        val upTo = log.filter(_.getAs[Int]("version") <= v)
+        val removed = upTo.filter(_.getAs[String]("action") == "remove")
+          .map(_.getAs[String]("file")).toSet
+        upTo.filter(_.getAs[String]("action") == "add")
+          .map(_.getAs[String]("file")).filterNot(removed).toSeq.sorted
+      }
+      def snapshot(v: Int): DataFrame =
+        s.read.parquet(liveFiles(v).map(f => s"$out/$f"): _*)
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            md5(to_binary(array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"),
+                  md5(to_binary(col("text"), lit("utf-8"))).as("fp")))),
+                x => concat(x.getField("doc_id").cast("string"), lit(":"), x.getField("fp"))),
+              ","), lit("utf-8"))).as("content_md5"))
+          .select(lit(v).as("version"), col("n_docs"), col("total_chars"), col("content_md5"))
+      val snaps = (1 to 3).map(snapshot).reduce(_ unionByName _).localCheckpoint()
+      val v2v3 = snaps.filter(col("version") >= 2)
+        .agg((countDistinct("content_md5") === 1).as("compaction_invariant"))
+      snaps.crossJoin(broadcast(v2v3)).orderBy("version")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val timeTravelSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars, doc_id || ':' || md5(text) AS entry FROM documents
+      |), v1 AS (
+      |  SELECT 1 AS version, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    md5(string_agg(entry, ',' ORDER BY doc_id)) AS content_md5
+      |  FROM h WHERE doc_id % 2 = 0
+      |), vall AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    md5(string_agg(entry, ',' ORDER BY doc_id)) AS content_md5
+      |  FROM h
+      |)
+      |SELECT version, n_docs, total_chars, content_md5, TRUE AS compaction_invariant FROM v1
+      |UNION ALL
+      |SELECT 2, n_docs, total_chars, content_md5, TRUE FROM vall
+      |UNION ALL
+      |SELECT 3, n_docs, total_chars, content_md5, TRUE FROM vall
+      |ORDER BY version""".stripMargin
+
   /** CDC CHANGELOG APPLY — materializing a keyed table from an ordered
     * change stream (the Debezium/binlog consumer every warehouse runs;
     * [[graft.operators.RelationalExt.q30MergeUpsert]] is one MERGE
@@ -1424,6 +1527,7 @@ object Pipeline {
     "p_orc_roundtrip" -> (orcRoundtrip _),
     "p_zorder" -> (zorder _),
     "p_cdc_apply" -> (cdcApply _),
+    "p_time_travel" -> (timeTravel _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
     "p_schema_evolution" -> (schemaEvolution _),
@@ -1452,6 +1556,7 @@ object Pipeline {
     "p_orc_roundtrip" -> manifestSql,
     "p_zorder" -> zorderSql,
     "p_cdc_apply" -> cdcApplySql,
+    "p_time_travel" -> timeTravelSql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,
     "p_schema_evolution" -> schemaEvolutionSql,

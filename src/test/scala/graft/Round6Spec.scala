@@ -76,6 +76,37 @@ class Round6Spec extends SparkSpec {
     }, "mean bigram probability must lie in [0,1]")
   }
 
+  test("p_time_travel: snapshot reads resolve from the log; compaction preserves content") {
+    val rows = Pipeline.timeTravel(spark, sf).collect()
+    assert(rows.length == 3)
+    val byV = rows.map(r => r.getAs[Int]("version") -> r).toMap
+    assert(byV(2).getAs[Long]("n_docs") == byV(1).getAs[Long]("n_docs") * 2 ||
+      byV(2).getAs[Long]("n_docs") > byV(1).getAs[Long]("n_docs"),
+      "v2 must see strictly more docs than v1")
+    assert(byV(2).getAs[String]("content_md5") == byV(3).getAs[String]("content_md5"),
+      "compaction (v3) must be content-identical to v2")
+    assert(rows.forall(_.getAs[Boolean]("compaction_invariant")))
+  }
+
+  test("m_gif_meta: GIF grayscale encode is lossless through the JDK round-trip") {
+    // palette-indexed GIF holds all 256 gray levels, but the reader
+    // returns PALETTE INDICES as raster samples — losslessness must be
+    // checked through the color model (getRGB), not raw samples (the
+    // raster-sample shortcut decodeGray uses is a grayscale-image
+    // property, not a GIF one)
+    val text = "The quick brown fox jumps over the lazy dog! 0123456789" * 3
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(multimodal.Multimodal.encodeGif(text)))
+    val bytes = text.getBytes("UTF-8")
+    val w = img.getWidth; val h = img.getHeight
+    assert(w == 64 && h == (bytes.length + 63) / 64)
+    val px = Array.tabulate(w * h)(p => img.getRGB(p % w, p / w) & 0xff)
+    bytes.zipWithIndex.foreach { case (b, i) =>
+      assert(px(i) == (b & 0xff), s"pixel $i must equal text byte")
+    }
+    assert(px.drop(bytes.length).forall(_ == 0), "padding pixels must be zero")
+  }
+
   test("p_cdc_apply: per-key struct-max partials merge to the full replay") {
     import org.apache.spark.sql.functions._
     val log = Tables.events(spark, sf)
