@@ -514,6 +514,108 @@ object Pipeline {
     }
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN — surgical delete across a sharded corpus
+    * (the GDPR/CCPA erasure job every data holder runs, and at 100 TB
+    * the naive form is a full-corpus rewrite): given a delete list
+    * (doc_id % 97 == 0 — deterministic so the oracle knows it), the
+    * job plans which shard files actually CONTAIN a listed doc (a
+    * driver-side distinct over the delete list's shard keys — the
+    * p_zorder manifest discipline) and rewrites ONLY those files with
+    * an anti-join; every other file is untouched, asserted in-query by
+    * comparing the untouched shards' (file name, size) lists before
+    * and after. A second in-query gate re-reads the table and fails if
+    * ANY listed doc survived — erasure must be provable, not assumed.
+    *
+    * Oracle-pinned per shard: pre/post doc counts, deletions,
+    * `rewritten` (exactly the shards the delete list touches), and the
+    * survivors' manifest md5 — the [[manifest]] hash over the
+    * post-delete corpus, so a rewrite that drops or duplicates an
+    * innocent bystander row flips the gate. */
+  def forget(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_forget_").toString
+    try {
+      val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+      docs.repartition(col("shard")).write.mode("overwrite").partitionBy("shard").parquet(out)
+      def fileList(sh: Int): Seq[(String, Long)] =
+        Option(new java.io.File(s"$out/shard=$sh").listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+      // surgical PLAN: which shards hold a listed doc (driver-side,
+      // shard-count-sized — the table format's manifest decision)
+      val affected = docs.filter(col("doc_id") % 97 === 0)
+        .select("shard").distinct().collect().map(_.getAs[Int]("shard")).toSet
+      val untouchedBefore = (0 until 16).filterNot(affected).map(sh => sh -> fileList(sh))
+      affected.toSeq.sorted.foreach { sh =>
+        val dir = s"$out/shard=$sh"
+        val tmp = s"$out/_rewrite_$sh"
+        s.read.parquet(dir).filter(col("doc_id") % 97 =!= 0)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        graft.Scratch.rmTree(dir)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(dir))
+        ()
+      }
+      untouchedBefore.foreach { case (sh, before) =>
+        if (fileList(sh) != before)
+          throw new IllegalStateException(
+            s"shard $sh was not in the delete plan but its files changed — rewrite is not surgical")
+      }
+      val back = s.read.option("basePath", out).parquet(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      // the erasure gate: no listed doc may survive
+      if (back.filter(col("doc_id") % 97 === 0).limit(1).count() > 0)
+        throw new IllegalStateException("a listed doc survived the forget job")
+      val before = docs.groupBy("shard").agg(count(lit(1)).as("n_before"))
+      val after = manifestAgg(back)
+        .select(col("shard"), col("n_docs").as("n_after"),
+          col("total_chars"), col("manifest_md5"))
+      before.join(after, Seq("shard"), "left")
+        .select(col("shard"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+          col("shard").isin(affected.toSeq: _*).as("rewritten"),
+          coalesce(col("total_chars"), lit(0L)).as("total_chars"),
+          coalesce(col("manifest_md5"), lit("")).as("manifest_md5"))
+        .orderBy("shard")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** SQL twin: the [[manifestSql]] CTE with the delete predicate. */
+  val forgetSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, n_chars, md5(text) AS fp
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, n_chars, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, n_chars, fp, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |), b AS (
+      |  SELECT doc_id, n_chars, fp, CAST(hash % 16 AS INT) AS shard
+      |  FROM h WHERE i = length(key)+1
+      |), pre AS (
+      |  SELECT shard, count(*) AS n_before FROM b GROUP BY shard
+      |), post AS (
+      |  SELECT shard, count(*) AS n_after, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, ',' ORDER BY doc_id)) AS manifest_md5
+      |  FROM b WHERE doc_id % 97 <> 0 GROUP BY shard
+      |), aff AS (SELECT DISTINCT shard FROM b WHERE doc_id % 97 = 0)
+      |SELECT pre.shard, pre.n_before,
+      |  coalesce(post.n_after, 0) AS n_after,
+      |  pre.n_before - coalesce(post.n_after, 0) AS n_deleted,
+      |  pre.shard IN (SELECT shard FROM aff) AS rewritten,
+      |  coalesce(post.total_chars, 0) AS total_chars,
+      |  coalesce(post.manifest_md5, '') AS manifest_md5
+      |FROM pre LEFT JOIN post USING (shard)
+      |ORDER BY shard""".stripMargin
+
   /** TIME TRAVEL over a transaction log — the table-format kernel
     * (Delta/Iceberg snapshot isolation) from primitives: a table
     * directory whose versions are defined ONLY by a commit log
@@ -1528,6 +1630,7 @@ object Pipeline {
     "p_zorder" -> (zorder _),
     "p_cdc_apply" -> (cdcApply _),
     "p_time_travel" -> (timeTravel _),
+    "p_forget" -> (forget _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
     "p_schema_evolution" -> (schemaEvolution _),
@@ -1557,6 +1660,7 @@ object Pipeline {
     "p_zorder" -> zorderSql,
     "p_cdc_apply" -> cdcApplySql,
     "p_time_travel" -> timeTravelSql,
+    "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,
     "p_schema_evolution" -> schemaEvolutionSql,

@@ -1134,6 +1134,78 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(c AS DOUBLE) / ctx_total", 6)} AS prob
        |FROM ranked WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin
 
+  /** NEAR-SPELLING PAIR MINING — vocabulary word pairs within edit
+    * distance 2, with both words' corpus counts: the
+    * misspelling→correction signal a corpus-cleaning pass feeds a
+    * normalizer (the frequency-ratio cut that separates typo from
+    * legitimate variant is the consumer's policy knob — the counts are
+    * emitted, not pre-filtered). The scale problem is the pair join:
+    * all-pairs Levenshtein over a vocabulary is O(V²) string
+    * comparisons; here candidates come from FastSS
+    * DELETION-NEIGHBORHOOD BLOCKING (Bocek'07): each word emits its
+    * identity, 1-deletion and 2-deletion variants, and ed(u,v) ≤ 2 —
+    * any mix of substitutions/insertions/deletions — implies the
+    * neighborhoods intersect, so candidate generation is ONE
+    * vocabulary-sized equi-join on variant strings; `levenshtein`
+    * (built-in, codegen'd) verifies the few candidates exactly (a
+    * shared variant only bounds ed ≤ 4). Corpus contributes only
+    * through the count weights (the t_bpe_train discipline). */
+  def typoPairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 3)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // D₀ ∪ D₁ ∪ D₂: the word, every 1-deletion, every 2-deletion
+    // (delete j > i after j so index i stays valid). ed(u,v) ≤ 2 ⟹ the
+    // neighborhoods intersect (FastSS); a shared variant only bounds
+    // ed ≤ 4, so the exact verify below is load-bearing, not paranoia.
+    val del1 = "concat(substring(w, 1, j - 1), substring(w, j + 1))"
+    val variants = vocab.select(col("w"), col("n"), explode(array_distinct(expr(
+      s"""flatten(transform(sequence(0, length(w) - 1), i ->
+         |  IF(i = 0,
+         |     transform(sequence(0, length(w)), j -> IF(j = 0, w, $del1)),
+         |     transform(sequence(i + 1, length(w)), j ->
+         |       concat(substring($del1, 1, i - 1), substring($del1, i + 1))))))""".stripMargin)))
+      .as("variant"))
+    val a = variants.select(col("variant"), col("w").as("w1"), col("n").as("n1"))
+    val b = variants.select(col("variant"), col("w").as("w2"), col("n").as("n2"))
+    a.join(b, "variant")
+      .filter(col("w1") < col("w2"))
+      .select("w1", "n1", "w2", "n2").distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .filter(col("dist") <= 2)
+      .orderBy("dist", "w1", "w2")
+  }
+
+  /** SQL twin: same deletion neighborhoods, same exact verify. */
+  val typoPairsSql: String = {
+    val del1 = "substr(w, 1, j - 1) || substr(w, j + 1)"
+    s"""WITH vocab AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+       |  ) WHERE length(w) >= 3 GROUP BY w
+       |), variants AS (
+       |  SELECT DISTINCT w, n, unnest(list_distinct(flatten(list_transform(
+       |    generate_series(0, length(w) - 1), i ->
+       |      CASE WHEN i = 0 THEN
+       |        list_transform(generate_series(0, length(w)), j ->
+       |          CASE WHEN j = 0 THEN w ELSE $del1 END)
+       |      ELSE
+       |        list_transform(generate_series(i + 1, length(w)), j ->
+       |          substr($del1, 1, i - 1) || substr($del1, i + 1))
+       |      END)))) AS variant
+       |  FROM vocab
+       |), cand AS (
+       |  SELECT DISTINCT a.w AS w1, a.n AS n1, b.w AS w2, b.n AS n2
+       |  FROM variants a JOIN variants b USING (variant)
+       |  WHERE a.w < b.w
+       |)
+       |SELECT w1, n1, w2, n2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(w1, w2) <= 2
+       |ORDER BY dist, w1, w2""".stripMargin
+  }
+
   /** LM-BASED QUALITY SCORING — the model-driven curation filter (the
     * heuristic-free complement to `t_quality`): every document scored
     * under a bigram language model trained on a REFERENCE corpus (the
@@ -1343,6 +1415,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> (bpeTrain _),
     "t_lm_score" -> (lmScore _),
+    "t_typo_pairs" -> (typoPairs _),
     "t_bpe_pairs" -> (bpePairs _),
     "t_bigram_lm" -> (bigramLm _),
     "t_bm25" -> (bm25 _),
@@ -1374,6 +1447,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainSql,
     "t_lm_score" -> lmScoreSql,
+    "t_typo_pairs" -> typoPairsSql,
     "t_bpe_pairs" -> bpePairsSql,
     "t_bigram_lm" -> bigramLmSql,
     "t_bm25" -> bm25Sql,

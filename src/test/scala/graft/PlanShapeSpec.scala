@@ -259,4 +259,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"ring argmin must not window-shuffle:\n${p.take(600)}")
     assert(!p.contains("Join"), s"node table must fold into the projection:\n${p.take(600)}")
   }
+
+  test("p_cdc_apply: last-writer-wins is a two-phase aggregate — no per-key history sort") {
+    val p = plan(graft.operators.Pipeline.cdcApply(spark, sf))
+    assert(!p.contains("Window"),
+      s"CDC apply must be the aggregate form, not a windowed argmax:\n${p.take(800)}")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2 ||
+      p.split("\n").count(_.contains("SortAggregate")) >= 2,
+      "struct-max must run partial+final (map-side combinable)")
+  }
+
+  test("t_lm_score: model joins hash, never cartesian; scoring aggregates two-phase") {
+    val p = plan(graft.operators.TextAnalysis.lmScore(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bigram-model lookup must be an equi-join:\n${p.take(800)}")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "per-doc scoring must partial-aggregate")
+  }
+
+  test("s_ann_matryoshka: both stages compile to top-k, corpus never self-joins") {
+    val p = plan(graft.operators.Similarity.annMatryoshka(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"coarse/final cuts must be top-k operators, not global sorts:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "corpus must not cross-join itself")
+  }
 }

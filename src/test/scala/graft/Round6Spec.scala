@@ -76,6 +76,48 @@ class Round6Spec extends SparkSpec {
     }, "mean bigram probability must lie in [0,1]")
   }
 
+  test("p_forget: only delete-list shards rewrite, erasure is total, bystanders survive") {
+    val rows = Pipeline.forget(spark, sf).collect()
+    assert(rows.length == 16)
+    val rewritten = rows.filter(_.getAs[Boolean]("rewritten"))
+    assert(rewritten.nonEmpty && rewritten.length < 16,
+      s"delete list must touch some but not all shards (${rewritten.length}/16)")
+    rows.foreach { r =>
+      val deleted = r.getAs[Long]("n_deleted")
+      if (r.getAs[Boolean]("rewritten")) assert(deleted > 0,
+        s"a rewritten shard must have deleted something: $r")
+      else assert(deleted == 0, s"an untouched shard must lose nothing: $r")
+    }
+  }
+
+  test("t_typo_pairs: FastSS blocking finds exactly the brute-force distance-2 pairs") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.typoPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getAs[Long]("dist"))).toSet
+    // brute force over the (tiny at sf0.001) vocabulary
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 3).select("w").distinct()
+      .collect().map(_.getString(0))
+    val brute = (for {
+      w1 <- vocab; w2 <- vocab if w1 < w2
+      d = {
+        val dp = Array.tabulate(w1.length + 1)(i => i)
+        for (j <- 1 to w2.length) {
+          var prev = dp(0); dp(0) = j
+          for (i <- 1 to w1.length) {
+            val cur = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+              prev + (if (w1(i - 1) == w2(j - 1)) 0 else 1))
+            prev = dp(i); dp(i) = cur
+          }
+        }
+        dp(w1.length)
+      }
+      if d <= 2
+    } yield (w1, w2, d.toLong)).toSet
+    assert(got == brute, s"blocking must lose no pair: got=${got.size} brute=${brute.size}")
+  }
+
   test("p_time_travel: snapshot reads resolve from the log; compaction preserves content") {
     val rows = Pipeline.timeTravel(spark, sf).collect()
     assert(rows.length == 3)
