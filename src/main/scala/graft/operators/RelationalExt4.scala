@@ -224,13 +224,79 @@ object RelationalExt4 {
       |  (SELECT count(DISTINCT day) FROM e) AS files_total
       |FROM e JOIN dim USING (day)""".stripMargin
 
+  /** Set session confs for the duration of `body`, restoring previous
+    * values (or unsetting) after — the [[graft.streaming.EventStream]]
+    * withRocksDbState discipline: never leave a conf set on the shared
+    * session. Sequential-harness-safe; a future parallel harness would
+    * need per-query sessions (`newSession()`) instead. */
+  private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** AQE SKEW-JOIN certificate — the RUNTIME completion of the skew
+    * story (q22 salts an aggregate, q52 salts a join BY HAND; this
+    * proves the engine's own adaptive fallback engages when nobody
+    * salted): events are keyed so ~80 % of rows share one hot key,
+    * sort-merge-joined (merge hint — broadcast would dodge the
+    * shuffle) against a 2-row dimension, with the skew thresholds
+    * scoped down to test-data volumes (at production defaults the
+    * mechanism is identical at 256 MB partitions — the knobs move, the
+    * plan shape doesn't). After execution the AQE-resolved plan is
+    * probed for a shuffle read containing skew SPLITS
+    * ([[PlanProbe.skewedShuffleReads]]); `skew_split` is an
+    * oracle-pinned TRUE — if a Spark upgrade stops splitting the hot
+    * partition, the correctness gate goes red, not just a latency
+    * chart. Business result: per-type counts and dim-weighted sums,
+    * provably unaffected by the runtime re-plan. */
+  def q59AqeSkew(s: SparkSession, d: String): DataFrame =
+    withConfs(s, Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048")) {
+      import s.implicits._
+      // parallelize: AQE splits a skewed reduce partition by MAP-OUTPUT
+      // ranges, so the shuffle's map side needs >1 task — a one-file
+      // test scan would make the certificate vacuously un-splittable
+      // (a 100 TB scan always has thousands of map tasks)
+      val e = Tables.parallelize(Tables.events(s, d)).select(
+        when(col("event_type") === "signup", lit("signup")).otherwise(lit("hot")).as("k"),
+        col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("value_c"))
+      val dim = Seq(("signup", 2L), ("hot", 3L)).toDF("k", "mult")
+      val agg = e.join(dim.hint("merge"), "k")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_c") * col("mult")).as("weighted_c"))
+        .orderBy("event_type")
+      val materialized = agg.localCheckpoint()
+      val nSkewed = PlanProbe.skewedShuffleReads(agg)
+      if (nSkewed < 1)
+        throw new IllegalStateException(
+          "AQE did not split the hot partition — skew certificate is vacuous")
+      materialized.withColumn("skew_split", lit(true))
+    }
+
+  val q59Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |    * CASE WHEN event_type = 'signup' THEN 2 ELSE 3 END) AS BIGINT) AS weighted_c,
+      |  TRUE AS skew_split
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_bucket_join" -> (q56BucketJoin _),
     "q57_partition_prune" -> (q57PartitionPrune _),
-    "q58_dynamic_prune" -> (q58DynamicPrune _))
+    "q58_dynamic_prune" -> (q58DynamicPrune _),
+    "q59_aqe_skew" -> (q59AqeSkew _))
 
   val oracles: Map[String, String] = Map(
     "q56_bucket_join" -> q56Sql,
     "q57_partition_prune" -> q57Sql,
-    "q58_dynamic_prune" -> q58Sql)
+    "q58_dynamic_prune" -> q58Sql,
+    "q59_aqe_skew" -> q59Sql)
 }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
 
@@ -81,6 +81,16 @@ object PlanProbe {
             s.relation.location.rootPaths.exists(_.toString.contains(pathPart)) =>
         s.metrics(metric).value
     }.sum
+
+  /** Number of AQE shuffle reads in the executed plan that contain at
+    * least one SKEWED partition split — the certificate that AQE's
+    * runtime skew-join handling actually engaged (valid only after
+    * materialization; the splits are a runtime re-plan). */
+  def skewedShuffleReads(df: DataFrame): Int =
+    nodes(df).count {
+      case a: AQEShuffleReadExec => a.hasSkewedPartition
+      case _                     => false
+    }
 
   /** Number of file-source scans whose partition filters are non-empty
     * — certifies the pruning predicate reached the scan as a PARTITION

@@ -47,6 +47,16 @@ class Round6Spec extends SparkSpec {
     assert(read >= 3 && read <= 5, s"expected 3-5 dim days, got $read")
   }
 
+  test("q59: AQE splits the hot partition and the conf scope is restored") {
+    val before = spark.conf.getOption(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val rows = RelationalExt4.q59AqeSkew(spark, sf).collect()
+    assert(rows.length == 5 && rows.forall(_.getAs[Boolean]("skew_split")))
+    assert(spark.conf.getOption(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes") == before,
+      "the skew-threshold conf must be restored after the query")
+  }
+
   test("p_zorder: manifest skipping is sound and clustering beats round-robin") {
     val r = Pipeline.zorder(spark, sf).collect()(0)
     val read = r.getAs[Long]("files_read")
