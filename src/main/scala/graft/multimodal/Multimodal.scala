@@ -128,6 +128,41 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Text → a minimal little-endian TIFF: "II*\0" header, IFD0 at
+    * offset 8 with six SHORT/LONG entries (ImageWidth 256, ImageLength
+    * 257, BitsPerSample 258, Compression 259=1, StripOffsets 273,
+    * StripByteCounts 279), zero next-IFD pointer, then the raw
+    * grayscale strip (the [[encodePng]] raster bytes). Hand-built like
+    * [[encodeAvi]] — the encoder is the oracle. TIFF is the one
+    * container here whose metadata is reached by FOLLOWING AN OFFSET
+    * (the IFD pointer) rather than sitting at a fixed position — the
+    * EXIF layout, which is a TIFF IFD inside a JPEG APP1 segment. */
+  private[graft] def encodeTiff(text: String, width: Int = ImgW): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val w = math.max(1, width)
+    val h = math.max(1, (n + w - 1) / w)
+    val nEntries = 6
+    val dataOff = 8 + 2 + nEntries * 12 + 4
+    val bb = java.nio.ByteBuffer.allocate(dataOff + w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1).putInt(value); ()
+    }
+    entry(256, 3, w)          // ImageWidth, SHORT
+    entry(257, 3, h)          // ImageLength, SHORT
+    entry(258, 3, 8)          // BitsPerSample, SHORT
+    entry(259, 3, 1)          // Compression = none, SHORT
+    entry(273, 4, dataOff)    // StripOffsets, LONG
+    entry(279, 4, w * h)      // StripByteCounts, LONG
+    bb.putInt(0)              // next IFD
+    var p = 0
+    while (p < w * h) { bb.put(if (p < n) bytes(p) else 0.toByte); p += 1 }
+    bb.array()
+  }
+
   /** Real image decode via the JDK: (width, height, gray samples in
     * row-major order). Works for any grayscale-decodable image, not
     * just the synthesized ones. */
@@ -531,6 +566,54 @@ object Multimodal {
           .as("has_gct"))
       .orderBy("asset_id")
   }
+
+  /** TIFF IFD parse over [[encodeTiff]] blobs — the one metadata walk
+    * that FOLLOWS OFFSETS instead of reading fixed positions (the EXIF
+    * shape: a TIFF directory reached through a pointer): the IFD
+    * offset is read from the header, the entry COUNT from that dynamic
+    * position, and the entries enumerated with `transform(sequence(0,
+    * n−1))` at offsets computed from the parsed pointer — `substring`
+    * with COLUMN offsets keeps the whole chain declarative and
+    * codegen'd, no UDF. Tag lookups (width/height/bits/strip size)
+    * filter the parsed entry array. LE u16/u32 arithmetic; SHORT
+    * values read through the same le32 (little-endian zero padding
+    * makes them equal). Oracle: analytic in doc length, like the other
+    * synthesized containers. */
+  def tiffMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    def le1(o: String) = s"CAST(conv(hex(substring(media, ($o) + 1, 1)), 16, 10) AS INT)"
+    def le16(o: String) = s"(${le1(o)} + 256 * ${le1(s"($o) + 1")})"
+    def le32(o: String) = s"(${le16(o)} + 65536 * ${le16(s"($o) + 2")})"
+    val ifd = le32("4")
+    val entries =
+      s"""transform(sequence(0, ${le16(ifd)} - 1), i -> named_struct(
+         |  'tag', ${le16(s"($ifd) + 2 + 12 * i")},
+         |  'v', ${le32(s"($ifd) + 2 + 12 * i + 8")}))""".stripMargin
+    def tagVal(tag: Int) = s"filter(es, e -> e.tag = $tag)[0].v"
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encodeTiff(text)) })
+      .toDF("asset_id", "media")
+      .withColumn("es", expr(entries))
+      .select(col("asset_id"),
+        (substring(col("media"), 1, 2).cast("string") === "II" &&
+          expr(le16("2")) === 42).as("valid_sig"),
+        expr(tagVal(256)).as("width"),
+        expr(tagVal(257)).as("height"),
+        expr(tagVal(258)).as("bits_per_sample"),
+        expr(tagVal(279)).as("strip_bytes"))
+      .orderBy("asset_id")
+  }
+
+  val tiffMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_sig,
+      |  64 AS width,
+      |  CAST(greatest((strlen(text) + 63) // 64, 1) AS INT) AS height,
+      |  8 AS bits_per_sample,
+      |  CAST(64 * greatest((strlen(text) + 63) // 64, 1) AS INT) AS strip_bytes
+      |FROM documents ORDER BY asset_id""".stripMargin
 
   val gifMetaSql: String =
     """SELECT doc_id AS asset_id, TRUE AS valid_sig,
@@ -1081,6 +1164,7 @@ object Multimodal {
     "m_png_meta" -> (pngMeta _),
     "m_jpeg_meta" -> (jpegMeta _),
     "m_gif_meta" -> (gifMeta _),
+    "m_tiff_meta" -> (tiffMeta _),
     "m_frames_meta" -> (framesMeta _),
     "m_wav_energy" -> (wavEnergy _),
     "m_feature_extract" -> (featureExtract _))
@@ -1097,6 +1181,7 @@ object Multimodal {
     "m_png_meta" -> pngMetaSql,
     "m_jpeg_meta" -> jpegMetaSql,
     "m_gif_meta" -> gifMetaSql,
+    "m_tiff_meta" -> tiffMetaSql,
     "m_frames_meta" -> framesMetaSql,
     "m_wav_energy" -> wavEnergySql,
     "m_feature_extract" -> featureExtractSql)

@@ -288,13 +288,55 @@ object RelationalExt4 {
       |  TRUE AS skew_split
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The EXTENSION-FUNCTION SQL surface behind the oracle gate: graft's
+    * native Catalyst expressions are registered for `spark.sql` users
+    * ([[graft.GraftFunctions]] / `spark.sql.extensions=graft.GraftExtensions`),
+    * and until now that surface was only spec-tested. This query runs
+    * the reference's own partitioned-output shape — a djb2 shard
+    * histogram (distwc.c's result-<p>.txt layout, mapreduce.c:239's
+    * hash) — ENTIRELY through SQL text using the registered
+    * `djb2_partition`, against the recursive-CTE djb2 replication the
+    * oracle already trusts. A green row certifies registration,
+    * argument folding (the literal numParts), codegen and C-parity
+    * semantics end to end on the SQL path a notebook user takes. */
+  def q60SqlFunctions(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val view = s"graft_q60_docs_${invocation.incrementAndGet()}"
+    Tables.documents(s, d).createOrReplaceTempView(view)
+    try s.sql(s"""
+      SELECT djb2_partition(CAST(doc_id AS STRING), 16) AS shard,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM $view
+      GROUP BY shard
+      ORDER BY shard""")
+    finally s.catalog.dropTempView(view)
+  }
+
+  val q60Sql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, n_chars FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, n_chars, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, n_chars, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |)
+      |SELECT CAST(hash % 16 AS INT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM h WHERE i = length(key)+1
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_sql_functions" -> (q60SqlFunctions _),
     "q56_bucket_join" -> (q56BucketJoin _),
     "q57_partition_prune" -> (q57PartitionPrune _),
     "q58_dynamic_prune" -> (q58DynamicPrune _),
     "q59_aqe_skew" -> (q59AqeSkew _))
 
   val oracles: Map[String, String] = Map(
+    "q60_sql_functions" -> q60Sql,
     "q56_bucket_join" -> q56Sql,
     "q57_partition_prune" -> q57Sql,
     "q58_dynamic_prune" -> q58Sql,
