@@ -773,6 +773,10 @@ object Pipeline {
     * 16-bit Morton code, as pure integer arithmetic both engines
     * evaluate identically. `floorDiv` is "div" (Spark SQL) or "//"
     * (DuckDB). */
+  /** The Spark-dialect interleave, exposed so the property spec can
+    * evaluate the exact expression [[zorder]] plans. */
+  private[graft] def zExprForTest: String = zExpr("div")
+
   private def zExpr(floorDiv: String): String =
     (0 until 8).map { i =>
       s"((u8 $floorDiv ${1 << i}) % 2) * ${1L << (2 * i + 1)}" +

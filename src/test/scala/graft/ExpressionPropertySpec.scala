@@ -143,4 +143,61 @@ class ExpressionPropertySpec extends SparkSpec {
         s"escaped form not line-atomic for ${t.take(30).map(_.toInt)}")
     }
   }
+
+  test("p_zorder's Morton interleave is a bijection on (u8, d8) and its SQL form agrees") {
+    import spark.implicits._
+    // reference interleave in plain Scala
+    def morton(u: Int, d: Int): Long =
+      (0 until 8).map(i => (((u >> i) & 1).toLong << (2 * i + 1)) |
+        (((d >> i) & 1).toLong << (2 * i))).sum
+    // every 16-bit code exactly once over the full 256×256 grid
+    val all = for (u <- 0 until 256; d <- 0 until 256) yield morton(u, d)
+    assert(all.toSet.size == 65536 && all.min == 0L && all.max == 65535L,
+      "interleave must be a bijection onto [0, 65536)")
+    // the SQL expression the operator actually evaluates (through a real
+    // plan, so codegen'd arithmetic) must agree with the reference on a
+    // deterministic sample
+    val sample = samples(Gen.zip(Gen.choose(0, 255), Gen.choose(0, 255)), 300, 7L).distinct
+    val viaSql = sample.toDF("u8", "d8")
+      .selectExpr("u8", "d8", s"(${graft.operators.Pipeline.zExprForTest}) AS z")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    sample.foreach { case (u, d) =>
+      assert(viaSql((u, d)) == morton(u, d), s"Morton mismatch at ($u, $d)")
+    }
+  }
+
+  test("FastSS k=2 neighborhoods: ed(u,v) <= 2 implies a shared deletion variant") {
+    def deletions(w: String): Set[String] = {
+      val d1 = (0 until w.length).map(i => w.take(i) + w.drop(i + 1)).toSet
+      val d2 = d1.flatMap(x => (0 until x.length).map(i => x.take(i) + x.drop(i + 1)))
+      d1 ++ d2 + w
+    }
+    def ed(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(identity)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = dp(i); dp(i) = cur
+        }
+      }
+      dp(a.length)
+    }
+    val wordGen = Gen.choose(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val words = samples(wordGen, 300, 11L).distinct
+    var checkedClose = 0
+    for (u <- words; v <- words if u < v) {
+      val d = ed(u, v)
+      if (d <= 2) {
+        checkedClose += 1
+        assert((deletions(u) & deletions(v)).nonEmpty,
+          s"blocking would LOSE the pair ($u, $v) at distance $d")
+      }
+    }
+    // a 3-letter alphabet guarantees plenty of close pairs — the
+    // property must have actually been exercised
+    assert(checkedClose > 100, s"only $checkedClose close pairs generated")
+  }
 }
