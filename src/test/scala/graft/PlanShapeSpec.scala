@@ -277,6 +277,26 @@ class PlanShapeSpec extends SparkSpec {
       "per-doc scoring must partial-aggregate")
   }
 
+  test("hot paths run inside whole-stage codegen spans") {
+    // the claims in README/SURVEY about codegen'd scalar loops are
+    // plan-checkable: the heavy per-row work (sketches, header parses,
+    // aggregation pipelines) must sit INSIDE WholeStageCodegen stages,
+    // not fall back to interpreted evaluation
+    Seq(
+      "q1_agg" -> graft.operators.Relational.q1Agg(spark, sf),
+      "t_fingerprint" -> graft.operators.TextAnalysis.fingerprint(spark, sf),
+      "m_png_meta" -> graft.multimodal.Multimodal.pngMeta(spark, sf)
+    ).foreach { case (name, df) =>
+      // AQE prints codegen stages only in the FINAL plan — materialize
+      // THIS dataset's own plan (count() would wrap it in a new one),
+      // then walk the resolved tree (the PlanProbe discipline)
+      df.collect()
+      val spans = org.apache.spark.sql.graftbridge.PlanProbe.nodes(df)
+        .count(_.getClass.getSimpleName == "WholeStageCodegenExec")
+      assert(spans >= 1, s"$name must run inside whole-stage codegen (0 spans)")
+    }
+  }
+
   test("s_ann_matryoshka: both stages compile to top-k, corpus never self-joins") {
     val p = plan(graft.operators.Similarity.annMatryoshka(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
