@@ -567,6 +567,83 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  /** 2-D RESIZE over REAL decoded pixels — the remaining member of the
+    * decode / feature-extract / resize / frame-sample quartet: each
+    * PNG asset is decoded (`ImageIO` on executors, batched
+    * mapPartitions like [[featureExtract]]) and box-average
+    * downsampled onto an 8×8 grid — source pixel (y, x) lands in cell
+    * (y·8 div h, x div 8), cell value = integer-micros mean of its
+    * pixels — the thumbnail/normalization step every vision pipeline
+    * runs before feature extraction. All arithmetic is integer (sum·10⁶
+    * div count), so the result is bit-portable; the per-asset output is
+    * the non-empty-cell count and an order-free position-weighted
+    * checksum over cell means — one value pinning all 64 cells. Short
+    * images (h < 8) leave some grid rows empty: absent, never
+    * NaN-filled. Scale shape: decode is per-row executor work, the
+    * grid reduce is a (asset, cell) partial agg — nothing wider than
+    * 64 cells per asset crosses the shuffle. */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val batchSize = 64
+    val pixels = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+          val (w, h, px) = decodeGray(encodePng(text))
+          (id, w, h, px)
+        })
+      }
+      .toDF("asset_id", "w", "h", "px")
+    pixels
+      .select(col("asset_id"), col("w"), col("h"),
+        posexplode(col("px")).as(Seq("pos", "pv")))
+      .select(col("asset_id"), col("h"),
+        expr("((pos div w) * 8) div h").as("cell_r"),
+        expr("(pos % w) div 8").as("cell_c"),
+        col("pv").cast("long").as("pv"))
+      .groupBy("asset_id", "h", "cell_r", "cell_c")
+      .agg(sum("pv").as("sp"), count(lit(1)).as("np"))
+      .select(col("asset_id"), col("h"),
+        col("cell_r"), col("cell_c"),
+        expr("(sp * 1000000) div np").as("mean_us"))
+      .groupBy("asset_id")
+      .agg(max(col("h")).cast("int").as("src_h"),
+        count(lit(1)).as("n_cells"),
+        sum((col("cell_r") * 8 + col("cell_c") + 1) * col("mean_us")).as("grid_checksum"))
+      .select(col("asset_id"), lit(64).as("src_w"), col("src_h"),
+        col("n_cells"), col("grid_checksum"))
+      .orderBy("asset_id")
+  }
+
+  /** SQL twin: PNG losslessness makes pixels analytic — text bytes
+    * row-major at width 64 plus zero padding — so the grid means
+    * replay exactly ([[featureExtractSql]]'s discipline, in 2-D). */
+  val resizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    greatest((strlen(text) + 63) // 64, 1) AS h
+      |  FROM documents
+      |), pix AS (
+      |  SELECT doc_id, h, p.i AS pos,
+      |    CASE WHEN p.i < n THEN ord(substr(text, p.i + 1, 1)) ELSE 0 END AS pv
+      |  FROM (
+      |    SELECT doc_id, n, h, text,
+      |      unnest(list_transform(generate_series(0, 64 * h - 1),
+      |        x -> struct_pack(i := x))) AS p
+      |    FROM dims JOIN documents USING (doc_id)
+      |  )
+      |), cells AS (
+      |  SELECT doc_id, h, ((pos // 64) * 8) // h AS cell_r, (pos % 64) // 8 AS cell_c,
+      |    (sum(pv) * 1000000) // count(*) AS mean_us
+      |  FROM pix GROUP BY doc_id, h, cell_r, cell_c
+      |)
+      |SELECT doc_id AS asset_id, 64 AS src_w, CAST(max(h) AS INT) AS src_h,
+      |  count(*) AS n_cells,
+      |  CAST(sum((cell_r * 8 + cell_c + 1) * mean_us) AS BIGINT) AS grid_checksum
+      |FROM cells GROUP BY doc_id ORDER BY asset_id""".stripMargin
+
   /** TIFF IFD parse over [[encodeTiff]] blobs — the one metadata walk
     * that FOLLOWS OFFSETS instead of reading fixed positions (the EXIF
     * shape: a TIFF directory reached through a pointer): the IFD
@@ -1165,6 +1242,7 @@ object Multimodal {
     "m_jpeg_meta" -> (jpegMeta _),
     "m_gif_meta" -> (gifMeta _),
     "m_tiff_meta" -> (tiffMeta _),
+    "m_resize" -> (resize _),
     "m_frames_meta" -> (framesMeta _),
     "m_wav_energy" -> (wavEnergy _),
     "m_feature_extract" -> (featureExtract _))
@@ -1182,6 +1260,7 @@ object Multimodal {
     "m_jpeg_meta" -> jpegMetaSql,
     "m_gif_meta" -> gifMetaSql,
     "m_tiff_meta" -> tiffMetaSql,
+    "m_resize" -> resizeSql,
     "m_frames_meta" -> framesMetaSql,
     "m_wav_energy" -> wavEnergySql,
     "m_feature_extract" -> featureExtractSql)
