@@ -257,7 +257,11 @@ object RelationalExt4 {
   def q59AqeSkew(s: SparkSession, d: String): DataFrame =
     withConfs(s, Map(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048")) {
+      // advisory sets the SPLIT TARGET: small enough that the smallest
+      // test scale's ~20 KB hot partition still yields ≥2 chunks (no
+      // split = vacuous certificate), large enough that sf0.1's ~1.5 MB
+      // doesn't shatter into hundreds of scheduling-bound micro-tasks
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192")) {
       import s.implicits._
       // parallelize: AQE splits a skewed reduce partition by MAP-OUTPUT
       // ranges, so the shuffle's map side needs >1 task — a one-file
