@@ -1575,16 +1575,23 @@ object Pipeline {
     * Self-certifying result (the q21 discipline — the approximation
     * carries its own audit): per day,
     *   - `n_exact` — exact distinct users (the oracle's side),
-    *   - `merge_lossless` — the merged-sketch estimate equals the
-    *     single-pass whole-data sketch estimate (HLL union is register
-    *     max / coupon-set union, so splitting ingest must lose
-    *     nothing),
+    *   - `roundtrip_lossless` — the estimate from the PERSISTED-then-
+    *     merged sketch is bit-identical to merging the same partials
+    *     built in memory: the parquet round-trip corrupted nothing
+    *     (the claim that actually matters for cross-run maintenance),
     *   - `est_ok` — merged estimate within ±5 % of exact (lgK=12
-    *     ⇒ ~1.6 % RSE; at these cardinalities the sketch is in exact
-    *     coupon mode, so the bound is generous), checked in integer
-    *     arithmetic (|est−n|·20 ≤ n).
-    * The oracle pins exact counts + literal TRUE flags: a lossy merge,
-    * broken serialization, or drifting estimate flips the gate. */
+    *     ⇒ ~1.6 % RSE), checked in integer arithmetic (|est−n|·20 ≤ n).
+    * The oracle pins exact counts + literal TRUE flags: broken sketch
+    * serialization or a drifting estimate flips the gate.
+    *
+    * Deliberate NON-claim (measured, r6): merged-estimate ==
+    * single-pass-estimate is FALSE once the sketch leaves exact coupon
+    * mode — a streamed DataSketches HLL answers with the HIP estimator,
+    * which a union cannot preserve, so at sf0.1's ~1 300 distinct/day
+    * the two estimates legitimately differ (both stay within the
+    * bound). Pinning that equality was green at sf0.01 only because
+    * low cardinalities keep the sketch exact — exactly the kind of
+    * scale-dependent oracle this suite must not encode. */
   def sketchIncremental(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_sketch_inc_").toString
     try {
@@ -1593,19 +1600,21 @@ object Pipeline {
           col("user_id"), col("event_id"))
       def sketches(df: DataFrame): DataFrame =
         df.groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      sketches(e.filter(col("event_id") % 10 < 7)).write.mode("overwrite").parquet(out)
-      val hist = s.read.parquet(out)
+      val hist = sketches(e.filter(col("event_id") % 10 < 7))
+      hist.write.mode("overwrite").parquet(out)
+      val histBack = s.read.parquet(out)
       val inc = sketches(e.filter(col("event_id") % 10 >= 7))
-      val merged = hist.unionByName(inc)
-        .groupBy("day").agg(expr("hll_union_agg(sk)").as("sk"))
-        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est_merged"))
-      val direct = e.groupBy("day")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+      def merge(h: DataFrame): DataFrame =
+        h.unionByName(inc)
+          .groupBy("day").agg(expr("hll_union_agg(sk)").as("sk"))
+          .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
+      val mergedDisk = merge(histBack).withColumnRenamed("est", "est_disk")
+      val mergedMem = merge(hist).withColumnRenamed("est", "est_mem")
       val exact = e.groupBy("day").agg(countDistinct("user_id").as("n_exact"))
-      val res = exact.join(merged, "day").join(direct, "day")
+      val res = exact.join(mergedDisk, "day").join(mergedMem, "day")
         .select(col("day"), col("n_exact"),
-          (col("est_merged") === col("est_direct")).as("merge_lossless"),
-          (abs(col("est_merged") - col("n_exact")) * lit(20L) <= col("n_exact")).as("est_ok"))
+          (col("est_disk") === col("est_mem")).as("roundtrip_lossless"),
+          (abs(col("est_disk") - col("n_exact")) * lit(20L) <= col("n_exact")).as("est_ok"))
         .orderBy("day")
       // materialize before the scratch "previous run" artifact vanishes
       res.localCheckpoint()
@@ -1617,7 +1626,7 @@ object Pipeline {
   val sketchIncrementalSql: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS day,
       |  count(DISTINCT user_id) AS n_exact,
-      |  TRUE AS merge_lossless, TRUE AS est_ok
+      |  TRUE AS roundtrip_lossless, TRUE AS est_ok
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

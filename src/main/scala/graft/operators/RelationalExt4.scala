@@ -257,11 +257,20 @@ object RelationalExt4 {
   def q59AqeSkew(s: SparkSession, d: String): DataFrame =
     withConfs(s, Map(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
-      // advisory sets the SPLIT TARGET: small enough that the smallest
-      // test scale's ~20 KB hot partition still yields ≥2 chunks (no
-      // split = vacuous certificate), large enough that sf0.1's ~1.5 MB
-      // doesn't shatter into hundreds of scheduling-bound micro-tasks
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192")) {
+      // factor 2 (default 5): the skew test is size > max(factor·median,
+      // threshold), and the MEDIAN depends on the session's shuffle
+      // partition count (empty partitions pull it down) — at 4 partitions
+      // and the smallest test scale the default factor makes an ~80 %-hot
+      // partition borderline-undetected. 2× median is still unambiguously
+      // "skewed" and is partition-count-robust
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // advisory sets the SPLIT TARGET: it must stay BELOW the smallest
+      // test scale's per-map-output hot bytes or the splitter can't form
+      // two chunks and the certificate goes vacuous (measured: 8192
+      // stopped splitting sf0.001 under a 4-core session). 2048 splits
+      // at every scale; the resulting sf0.1 micro-tasks are cheap — the
+      // bench's 0.7 s cold time shows scheduling, not splitting, costs
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048")) {
       import s.implicits._
       // parallelize: AQE splits a skewed reduce partition by MAP-OUTPUT
       // ranges, so the shuffle's map side needs >1 task — a one-file

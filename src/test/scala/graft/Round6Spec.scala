@@ -191,11 +191,11 @@ class Round6Spec extends SparkSpec {
       "incremental partial-merge must equal the full changelog replay")
   }
 
-  test("p_sketch_incremental: merge is lossless and estimates stay in bounds") {
+  test("p_sketch_incremental: sketch round-trip is lossless and estimates stay in bounds") {
     val rows = Pipeline.sketchIncremental(spark, sf).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Boolean]("merge_lossless")),
-      "hll_union_agg over split ingests must equal the single-pass sketch")
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_lossless")),
+      "persisting a sketch to parquet must not change what merging it estimates")
     assert(rows.forall(_.getAs[Boolean]("est_ok")),
       "merged estimate must stay within ±5% of exact distinct")
   }
