@@ -163,6 +163,56 @@ object Multimodal {
     bb.array()
   }
 
+  /** Text → a minimal ISO BMFF (MP4) file: `ftyp` (isom), `moov`
+    * holding a v0 `mvhd` (timescale 1000, duration 40 ms/byte) plus
+    * one `trak`(`tkhd`) per track (1 + len % 2 tracks), then `mdat`
+    * carrying the raw text. Big-endian u32-size + fourcc boxes,
+    * hand-built like [[encodeAvi]]/[[encodeTiff]] — the encoder is
+    * the oracle. MP4 is the container class the corpus was missing:
+    * SEQUENTIALLY WALKED boxes (offset_{i+1} = offset_i + size_i, a
+    * fold) with NESTED children, vs TIFF's single followed offset and
+    * AVI's fixed-layout chunks. */
+  private[graft] def encodeMp4(text: String): Array[Byte] = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nTraks = 1 + (payload.length % 2)
+    val durationMs = payload.length * 40
+    def box(t: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length) // BE default
+      bb.putInt(8 + content.length)
+        .put(t.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(content)
+      bb.array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(16)
+      .put("isom".getBytes).putInt(0x200).put("isom".getBytes).put("mp41".getBytes)
+      .array())
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)            // version 0 + flags
+        .putInt(0).putInt(0)  // creation, modification
+        .putInt(1000)         // timescale
+        .putInt(durationMs)   // duration (ms at timescale 1000)
+        .putInt(0x00010000)   // rate 1.0
+        .putShort(0x0100.toShort) // volume 1.0
+      bb.position(96)
+      bb.putInt(nTraks + 1)   // next_track_ID
+      box("mvhd", bb.array())
+    }
+    def trak(id: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(7)            // version 0 + flags: enabled|in-movie|in-preview
+        .putInt(0).putInt(0)  // creation, modification
+        .putInt(id)           // track_ID
+        .putInt(0)            // reserved
+        .putInt(durationMs)   // duration
+      bb.position(76)
+      bb.putInt(320 << 16).putInt(240 << 16) // width, height (16.16 fixed)
+      box("trak", box("tkhd", bb.array()))
+    }
+    val moov = box("moov", mvhd ++ (1 to nTraks).flatMap(trak).toArray)
+    ftyp ++ moov ++ box("mdat", payload)
+  }
+
   /** Real image decode via the JDK: (width, height, gray samples in
     * row-major order). Works for any grayscale-decodable image, not
     * just the synthesized ones. */
@@ -690,6 +740,71 @@ object Multimodal {
       |  CAST(greatest((strlen(text) + 63) // 64, 1) AS INT) AS height,
       |  8 AS bits_per_sample,
       |  CAST(64 * greatest((strlen(text) + 63) // 64, 1) AS INT) AS strip_bytes
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** ISO BMFF (MP4) box walk over [[encodeMp4]] blobs — the container
+    * class TIFF/AVI don't cover: a SEQUENTIAL box list where each
+    * offset depends on the previous box's size (offset_{i+1} =
+    * offset_i + size_i), plus NESTED children inside `moov`. Both
+    * walks are `aggregate(sequence(...))` FOLDS over (offset,
+    * accumulated boxes) — the declarative form of the imperative
+    * while-loop every MP4 demuxer runs, fully codegen'd, no UDF.
+    * Extracted: the top-level box map (types in file order), mdat
+    * payload size, mvhd timescale/duration, and the trak count from
+    * the nested walk. Oracle: analytic in doc length, like the other
+    * synthesized containers. */
+  def mp4Boxes(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    def be1(o: String) = s"CAST(conv(hex(substring(media, ($o) + 1, 1)), 16, 10) AS INT)"
+    def be32(o: String) =
+      s"(16777216 * ${be1(o)} + 65536 * ${be1(s"($o) + 1")} + " +
+        s"256 * ${be1(s"($o) + 2")} + ${be1(s"($o) + 3")})"
+    // top-level walk: fold over a generous fixed iteration budget; each
+    // step consumes one box or passes through once the offset hits EOF
+    val topWalk =
+      s"""aggregate(sequence(1, 8),
+         |  named_struct('off', 0,
+         |    'bs', CAST(array() AS ARRAY<STRUCT<t: STRING, sz: INT, off: INT>>)),
+         |  (acc, i) -> IF(acc.off >= length(media), acc,
+         |    named_struct('off', acc.off + ${be32("acc.off")},
+         |      'bs', acc.bs || array(named_struct(
+         |        't', CAST(substring(media, acc.off + 5, 4) AS STRING),
+         |        'sz', ${be32("acc.off")},
+         |        'off', acc.off)))),
+         |  acc -> acc.bs)""".stripMargin
+    // nested walk: count trak children between moov's payload start and end
+    val trakWalk =
+      s"""aggregate(sequence(1, 8),
+         |  named_struct('off', moov.off + 8, 'n', 0),
+         |  (acc, i) -> IF(acc.off >= moov.off + moov.sz, acc,
+         |    named_struct('off', acc.off + ${be32("acc.off")},
+         |      'n', acc.n + IF(CAST(substring(media, acc.off + 5, 4) AS STRING) = 'trak',
+         |                      1, 0))),
+         |  acc -> acc.n)""".stripMargin
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encodeMp4(text)) })
+      .toDF("asset_id", "media")
+      .withColumn("bs", expr(topWalk))
+      .withColumn("moov", expr("filter(bs, b -> b.t = 'moov')[0]"))
+      .select(col("asset_id"),
+        expr("array_join(transform(bs, b -> b.t), ',')").as("box_types"),
+        expr("filter(bs, b -> b.t = 'mdat')[0].sz - 8").as("mdat_bytes"),
+        // mvhd is moov's first child: header at moov.off+8, payload +16
+        expr(be32("moov.off + 28")).as("timescale"),
+        expr(be32("moov.off + 32")).as("duration_ms"),
+        expr(trakWalk).as("n_traks"))
+      .orderBy("asset_id")
+  }
+
+  val mp4BoxesSql: String =
+    """SELECT doc_id AS asset_id, 'ftyp,moov,mdat' AS box_types,
+      |  CAST(strlen(text) AS INT) AS mdat_bytes,
+      |  1000 AS timescale,
+      |  CAST(strlen(text) * 40 AS INT) AS duration_ms,
+      |  CAST(1 + strlen(text) % 2 AS INT) AS n_traks
       |FROM documents ORDER BY asset_id""".stripMargin
 
   val gifMetaSql: String =
@@ -1242,6 +1357,7 @@ object Multimodal {
     "m_jpeg_meta" -> (jpegMeta _),
     "m_gif_meta" -> (gifMeta _),
     "m_tiff_meta" -> (tiffMeta _),
+    "m_mp4_boxes" -> (mp4Boxes _),
     "m_resize" -> (resize _),
     "m_frames_meta" -> (framesMeta _),
     "m_wav_energy" -> (wavEnergy _),
@@ -1260,6 +1376,7 @@ object Multimodal {
     "m_jpeg_meta" -> jpegMetaSql,
     "m_gif_meta" -> gifMetaSql,
     "m_tiff_meta" -> tiffMetaSql,
+    "m_mp4_boxes" -> mp4BoxesSql,
     "m_resize" -> resizeSql,
     "m_frames_meta" -> framesMetaSql,
     "m_wav_energy" -> wavEnergySql,

@@ -769,6 +769,214 @@ object Pipeline {
       |WHERE rn = 1 AND c.event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** SCD TYPE-2 DIMENSION BUILD — [[cdcApply]]'s history-keeping twin
+    * (the warehouse's other changelog consumer: Kimball's slowly
+    * changing dimension). Where cdcApply keeps only the last image,
+    * SCD2 keeps one row per STATE EPISODE with a validity interval:
+    * consecutive same-state operations collapse (run-length encoding
+    * by key), a state change closes the open interval and opens a new
+    * one, and the final row per key stays open (`is_current`).
+    *
+    * Plan shape is the scale story: ONE shuffle on the key, then two
+    * intra-partition window passes (lag to mark change points, then a
+    * running count + lead over the surviving change rows) — no global
+    * sort, per-key history is partition-local, and the state carried
+    * per row is O(1). A 10-billion-row changelog costs one shuffle of
+    * itself, which is the floor for any order-sensitive compaction.
+    * Output: per (user, version) episode with micros-exact interval
+    * bounds and the episode's operation count. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val log = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    // change points: first op per key, or state differs from previous op
+    val marked = log
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byKey))
+      .withColumn("is_change",
+        col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    // count ops per episode BEFORE dropping non-change rows: an op
+    // belongs to the latest change point at-or-before it
+    val withEpisode = marked
+      .withColumn("version",
+        sum(when(col("is_change"), 1L).otherwise(0L)).over(byKey))
+    val episodes = withEpisode
+      .groupBy("user_id", "version")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("opened"),
+        // every op in an episode shares the state by construction;
+        // min (not first) keeps the aggregate order-insensitive
+        min(col("event_type")).as("state"),
+        count(lit(1)).as("n_ops"))
+      .select(col("user_id"), col("version"), col("state"), col("n_ops"),
+        col("opened.ts_us").as("from_us"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    episodes
+      .withColumn("to_us", lead(col("from_us"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("state"), col("n_ops"),
+        date_format(expr("timestamp_micros(from_us)"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(expr("timestamp_micros(to_us)"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** SQL twin: same two-window formulation in DuckDB dialect. */
+  val scd2Sql: String =
+    """WITH log AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), marked AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |    THEN 1 ELSE 0 END AS is_change
+      |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), ep AS (
+      |  SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM marked
+      |), episodes AS (
+      |  SELECT user_id, version, min(event_type) AS state, count(*) AS n_ops,
+      |    min(ts) AS from_ts
+      |  FROM ep GROUP BY user_id, version
+      |)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+      |  CAST(n_ops AS BIGINT) AS n_ops,
+      |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(lead(from_ts) OVER v, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  lead(from_ts) OVER v IS NULL AS is_current
+      |FROM episodes WINDOW v AS (PARTITION BY user_id ORDER BY version)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Bloom hash family for [[bloomIndex]]: k=3 integer hashes into
+    * m=4096 bits, stored as 128 32-bit words (32, not 64, so no mask
+    * ever touches the sign bit — `&`/`==` comparisons stay trivially
+    * portable). h_i(x) = ((x·A_i + B_i) mod P) mod 4096 with Knuth/
+    * xxhash-prime multipliers and P = 1e9+7 — pure BIGINT arithmetic
+    * both engines evaluate bit-identically (products stay < 2^63 for
+    * any id the generator emits). */
+  private val bloomHashes = Seq((2654435761L, 1L), (2246822519L, 2L), (3266489917L, 3L))
+
+  private def bloomPositions(key: String): String =
+    bloomHashes.map { case (a, b) => s"(($key * ${a}L + ${b}L) % 1000000007L) % 4096L" }
+      .mkString("array(", ", ", ")")
+
+  private def bloomPositionsSql(key: String): String =
+    bloomHashes.map { case (a, b) => s"(($key * $a + $b) % 1000000007) % 4096" }
+      .mkString("[", ", ", "]")
+
+  /** PER-FILE BLOOM-FILTER INDEX — the data-skipping lever for POINT
+    * LOOKUPS on a key the layout is NOT organized by (q57/q58 prune on
+    * the partition key, [[zorder]] on clustered range dimensions; a
+    * bloom index is what Parquet/Delta/Iceberg keep for "find these 5
+    * ids in a month of files" where min/max stats prune nothing
+    * because every file's id range spans everything). events are laid
+    * out day-partitioned (the natural ingest order), a 4096-bit/k=3
+    * bloom of each file's `event_id`s is built as ONE distributed
+    * aggregate (explode 3 positions → `bit_or` per (day, word) — a
+    * wordcount, no per-file driver work), and a 5-id lookup consults
+    * the index first: only files whose bloom holds ALL of some key's
+    * bits are opened.
+    *
+    * File planning is the [[zorder]] discipline: a driver-side
+    * decision over the files-count-sized index (exactly how a table
+    * format consults its stats), then a pruned scan whose own
+    * `numFiles` metric is the certificate. The bloom arithmetic is
+    * integer-only, so the DuckDB oracle rebuilds the SAME index
+    * bit-for-bit and pins `files_read` to the candidate count the
+    * index implies — false-positive behavior included — while
+    * `n_found`/`value_c` pin soundness (a missed true file would drop
+    * looked-up rows and flip the gate). */
+  def bloomIndex(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_bloomidx_").toString
+    try {
+      val e = graft.Tables.events(s, d)
+        .select(col("event_id"),
+          round(col("value") * lit(100)).cast("long").as("value_c"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      e.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val layout = s.read.option("basePath", out).parquet(out)
+      // index build: one shuffle keyed (day, word), map-side combined
+      val idx = layout
+        .select(col("day"), explode(expr(bloomPositions("event_id"))).as("p"))
+        .select(col("day"), expr("p div 32").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+        .groupBy("day", "w").agg(expr("bit_or(m)").as("bits"))
+        .localCheckpoint()
+      // the lookup set: 5 data-derived ids (deterministic, both engines)
+      val keys = e.select(col("event_id").as("k")).distinct()
+        .filter(col("k") % 17 === 3).orderBy("k").limit(5)
+        .localCheckpoint()
+      // per-key query masks, matched per day iff EVERY word's bits present
+      val q = keys
+        .select(col("k"), explode(expr(bloomPositions("k"))).as("p"))
+        .select(col("k"), expr("p div 32").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+        .groupBy("k", "w").agg(expr("bit_or(m)").as("qm"))
+      val nWords = q.groupBy("k").agg(count(lit(1)).as("n_words"))
+      val candDays = q.join(idx, "w")
+        .filter((col("bits").bitwiseAND(col("qm"))) === col("qm"))
+        .groupBy("k", "day").agg(count(lit(1)).as("n_hit"))
+        .join(nWords, "k")
+        .filter(col("n_hit") === col("n_words"))
+        // partition-type inference reads `day` back as DATE — normalize
+        .select(col("day").cast("string").as("day")).distinct()
+        .collect().map(_.getAs[String]("day")).sorted
+      // pruned scan: only index-selected partitions are opened
+      val pruned = s.read.option("basePath", out)
+        .parquet(candDays.map(day => s"$out/day=$day"): _*)
+        .join(broadcast(keys), col("event_id") === col("k"))
+        .agg(count(lit(1)).as("n_found"), sum(col("value_c")).as("value_c"))
+      val row = pruned.collect()(0)
+      val filesRead = PlanProbeRef.scanMetricSumForPath(pruned, "numFiles", out)
+      val filesTotal = idx.select("day").distinct().count()
+      val nKeys = keys.count()
+      import s.implicits._
+      Seq((nKeys, row.getAs[Long]("n_found"), row.getAs[Long]("value_c"),
+          filesRead, filesTotal))
+        .toDF("n_keys", "n_found", "value_c", "files_read", "files_total")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** SQL twin: rebuilds the index with the same integer bloom hashes,
+    * so candidate (and thus file) counts match bit-for-bit, false
+    * positives included; lookup results come from the direct join. */
+  val bloomIndexSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_c,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+      |  FROM events
+      |), keys AS (
+      |  SELECT DISTINCT event_id AS k FROM e WHERE event_id % 17 = 3
+      |  ORDER BY k LIMIT 5
+      |), pos AS (
+      |  SELECT day, unnest(${bloomPositionsSql("event_id")}) AS p FROM e
+      |), idx AS (
+      |  SELECT day, p // 32 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      |  FROM pos GROUP BY day, w
+      |), qpos AS (
+      |  SELECT k, unnest(${bloomPositionsSql("k")}) AS p FROM keys
+      |), q AS (
+      |  SELECT k, p // 32 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS qm
+      |  FROM qpos GROUP BY k, w
+      |), nw AS (SELECT k, count(*) AS n_words FROM q GROUP BY k
+      |), cand AS (
+      |  SELECT q.k, idx.day
+      |  FROM q JOIN idx ON q.w = idx.w AND (idx.bits & q.qm) = q.qm
+      |  GROUP BY q.k, idx.day
+      |  HAVING count(*) = (SELECT n_words FROM nw WHERE nw.k = q.k)
+      |), found AS (
+      |  SELECT count(*) AS n_found, CAST(sum(value_c) AS BIGINT) AS value_c
+      |  FROM e JOIN keys ON e.event_id = keys.k
+      |)
+      |SELECT (SELECT count(*) FROM keys) AS n_keys, n_found, value_c,
+      |  (SELECT count(DISTINCT day) FROM cand) AS files_read,
+      |  (SELECT count(DISTINCT day) FROM e) AS files_total
+      |FROM found""".stripMargin
+
   /** Bit-interleave expression for [[zorder]]: 8-bit ranks u8/d8 →
     * 16-bit Morton code, as pure integer arithmetic both engines
     * evaluate identically. `floorDiv` is "div" (Spark SQL) or "//"
@@ -1642,6 +1850,8 @@ object Pipeline {
     "p_orc_roundtrip" -> (orcRoundtrip _),
     "p_zorder" -> (zorder _),
     "p_cdc_apply" -> (cdcApply _),
+    "p_scd2" -> (scd2 _),
+    "p_bloom_index" -> (bloomIndex _),
     "p_time_travel" -> (timeTravel _),
     "p_forget" -> (forget _),
     "p_incremental" -> (incremental _),
@@ -1672,6 +1882,8 @@ object Pipeline {
     "p_orc_roundtrip" -> manifestSql,
     "p_zorder" -> zorderSql,
     "p_cdc_apply" -> cdcApplySql,
+    "p_scd2" -> scd2Sql,
+    "p_bloom_index" -> bloomIndexSql,
     "p_time_travel" -> timeTravelSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,

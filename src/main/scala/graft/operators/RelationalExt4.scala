@@ -341,8 +341,66 @@ object RelationalExt4 {
       |FROM h WHERE i = length(key)+1
       |GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** RUNTIME BLOOM-FILTER JOIN certificate — the non-partitioned twin
+    * of q58's DPP, and the third runtime re-plan lever after AQE skew
+    * (q59): when a shuffle join's small side carries a selective
+    * predicate, Spark's InjectRuntimeFilter builds a bloom filter of
+    * the small side's join keys and applies it to the FACT side
+    * before the shuffle (`might_contain(xxhash64(key))`), so rows that
+    * cannot match never pay shuffle write/read. At 100 TB this is the
+    * "lineitem ⋈ urgent orders" query — DPP needs a partitioned
+    * layout; the bloom filter works on ANY layout, which is why it is
+    * the lever that fires most often in practice. Thresholds are
+    * scoped to test volumes (the application-side floor defaults to
+    * 10 GB — at production scale the same plan fires untouched).
+    *
+    * Certificate: the executed plan must contain ≥1
+    * BloomFilterMightContain application on the fact side
+    * ([[PlanProbe.bloomFilterApplications]]) — vacuity throws, a green
+    * row can only come from the runtime-filtered plan. Business
+    * result: urgent-order line count + exact-micros revenue. */
+  def q61RuntimeFilter(s: SparkSession, d: String): DataFrame =
+    withConfs(s, Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fact side must LOOK big enough to be worth filtering: the
+      // production floor (10 GB) exists to skip tiny scans — exactly
+      // what test data is. 0 keeps the rule's shape, not its tuning
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // InjectRuntimeFilter only fires on a PROBABLY-SHUFFLE join: at
+      // test scale the dim is broadcastable by size, which vetoes
+      // injection (the merge hint doesn't — only broadcast hints are
+      // checked). Disabling auto-broadcast reproduces the production
+      // condition the rule exists for: neither side of a 100 TB
+      // fact-fact join fits the broadcast threshold
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val fact = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      // merge hint: a broadcast join would filter for free and prove
+      // nothing about the runtime-filter path a 100 TB fact-fact join
+      // actually takes
+      val agg = fact.join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * lit(1000000L)).cast("long")).as("rev_us"))
+      val materialized = agg.localCheckpoint()
+      val nBloom = PlanProbe.bloomFilterApplications(agg)
+      if (nBloom < 1)
+        throw new IllegalStateException(
+          "no BloomFilterMightContain in executed plan — runtime-filter certificate is vacuous")
+      materialized.withColumn("bloom_applied", lit(true))
+    }
+
+  val q61Sql: String =
+    """SELECT count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us,
+      |  TRUE AS bloom_applied
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_sql_functions" -> (q60SqlFunctions _),
+    "q61_runtime_filter" -> (q61RuntimeFilter _),
     "q56_bucket_join" -> (q56BucketJoin _),
     "q57_partition_prune" -> (q57PartitionPrune _),
     "q58_dynamic_prune" -> (q58DynamicPrune _),
@@ -350,6 +408,7 @@ object RelationalExt4 {
 
   val oracles: Map[String, String] = Map(
     "q60_sql_functions" -> q60Sql,
+    "q61_runtime_filter" -> q61Sql,
     "q56_bucket_join" -> q56Sql,
     "q57_partition_prune" -> q57Sql,
     "q58_dynamic_prune" -> q58Sql,

@@ -367,6 +367,116 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  /** NN-DESCENT round — the GRAPH-based ANN construction kernel (the
+    * family HNSW/NSG build on; completes the index taxonomy beside
+    * IVF's cells, LSH's buckets, PQ/SQ8/Matryoshka's compression):
+    * start from an LSH-bucket k-NN graph (each node's top-5 within its
+    * hyperplane bucket) and run ONE descent refinement — "my
+    * neighbor's neighbors are probably my neighbors": candidates =
+    * G0 ∪ {(a,c) : (a,b),(b,c) ∈ G0}, exact cosine on candidates,
+    * keep top-5. Everything is an equi-join (bucket join for init,
+    * node-id join for expansion) — O(n·M²) candidate edges, no
+    * all-pairs anywhere, the property that survives 100 TB where the
+    * descent loop just iterates this operator. Ranking uses the
+    * ROUNDED cosine (+ id tiebreak), the cross-engine determinism
+    * discipline of the other ANN paths.
+    *
+    * Output: per sampled node (vec_id % 25 == 0), recall@5 of the
+    * refined graph vs the brute-force truth — the measured claim that
+    * one descent round recovers most of what the bucket init misses. */
+  def nnDescent(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .localCheckpoint()
+    val byA = Window.partitionBy("a").orderBy(col("cos").desc, col("nb"))
+    val g0 = b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("nb"),
+        ExactRound.r(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(byA)).filter(col("rn") <= 5)
+      .select("a", "nb").localCheckpoint()
+    val cand = g0.as("p").join(g0.as("q"), col("p.nb") === col("q.a"))
+      .select(col("p.a").as("a"), col("q.nb").as("nb"))
+      .filter(col("a") =!= col("nb"))
+      .union(g0)
+      .distinct()
+    val g1 = cand
+      .join(b.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an")), "a")
+      .join(b.select(col("vec_id").as("nb"), col("v").as("bv"), col("norm").as("bn")), "nb")
+      .select(col("a"), col("nb"),
+        ExactRound.r(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
+      .withColumn("rn", row_number().over(byA)).filter(col("rn") <= 5)
+      .select("a", "nb")
+    val sample = b.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("a"), col("v").as("qv"), col("norm").as("qn"))
+    val truth = b.select(col("vec_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("a"))
+      .select(col("a"), col("vec_id").as("nb"),
+        ExactRound.r(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cos"))
+      .withColumn("rn", row_number().over(byA)).filter(col("rn") <= 5)
+      .select("a", "nb")
+    val hits = g1.join(truth, Seq("a", "nb"))
+      .groupBy("a").agg(count(lit(1)).as("h"))
+    sample.select(col("a").as("vec_id"))
+      .join(hits.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) / lit(5.0)).as("recall"))
+      .orderBy("vec_id")
+  }
+
+  val nnDescentSql: String = {
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    def cosOf(xv: String, xn: String, yv: String, yn: String) =
+      graft.operators.ExactRound.rSql(s"list_inner_product($xv, $yv) / ($xn * $yn)", 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), eb AS (
+       |  SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM e
+       |), init AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS nb,
+       |    ${cosOf("x.v", "x.nrm", "y.v", "y.nrm")} AS cos
+       |  FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+       |), g0 AS (
+       |  SELECT a, nb FROM (
+       |    SELECT a, nb, row_number() OVER (PARTITION BY a ORDER BY cos DESC, nb) AS rn
+       |    FROM init) WHERE rn <= 5
+       |), cand AS (
+       |  SELECT DISTINCT a, nb FROM (
+       |    SELECT p.a AS a, q.nb AS nb FROM g0 p JOIN g0 q ON p.nb = q.a WHERE p.a <> q.nb
+       |    UNION ALL SELECT a, nb FROM g0)
+       |), g1 AS (
+       |  SELECT a, nb FROM (
+       |    SELECT c.a, c.nb, row_number() OVER (PARTITION BY c.a
+       |      ORDER BY ${cosOf("x.v", "x.nrm", "y.v", "y.nrm")} DESC, c.nb) AS rn
+       |    FROM cand c JOIN eb x ON c.a = x.vec_id JOIN eb y ON c.nb = y.vec_id
+       |  ) WHERE rn <= 5
+       |), smp AS (SELECT vec_id, v, nrm FROM eb WHERE vec_id % 25 = 0
+       |), truth AS (
+       |  SELECT a, nb FROM (
+       |    SELECT s.vec_id AS a, t.vec_id AS nb, row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY ${cosOf("s.v", "s.nrm", "t.v", "t.nrm")} DESC, t.vec_id) AS rn
+       |    FROM smp s JOIN eb t ON t.vec_id <> s.vec_id
+       |  ) WHERE rn <= 5
+       |), hits AS (
+       |  SELECT g1.a, count(*) AS h FROM g1 JOIN truth ON g1.a = truth.a AND g1.nb = truth.nb
+       |  GROUP BY g1.a
+       |)
+       |SELECT s.vec_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.h, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM smp s LEFT JOIN hits h ON s.vec_id = h.a
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -1482,6 +1592,7 @@ object Similarity {
     "s_ann_matryoshka" -> (annMatryoshka _),
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
+    "s_nndescent" -> (nnDescent _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_filtered" -> (annFiltered _),
     "s_filtered_recall" -> (filteredRecall _),
@@ -1507,6 +1618,7 @@ object Similarity {
     "s_ann_matryoshka" -> annMatryoshkaSql,
     "s_knn_join" -> knnJoinSql,
     "s_ann_lsh" -> annLshSql,
+    "s_nndescent" -> nnDescentSql,
     "s_ann_ivf" -> annIvfSql,
     "s_ann_filtered" -> annFilteredSql,
     "s_filtered_recall" -> filteredRecallSql,

@@ -252,6 +252,69 @@ object TextAnalysis {
       |)
       |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
 
+  /** COLLOCATION MINING — the phrase-discovery kernel behind tokenizer
+    * vocabularies and query suggestion ("new york" is a unit, "the
+    * cat" is not): bigrams ranked by LIFT, the log-free core of PMI
+    * (PMI = log lift, and log is monotone, so the ranking is
+    * identical — but lift stays in integer arithmetic the hex gate
+    * can pin, where each engine's libm log would drift). lift =
+    * P(ab)/(P(a)P(b)) = n_ab·N/(n_a·n_b), emitted in integer
+    * millionths via one floor division; frequency floors (≥5) drop
+    * the degenerate high-lift hapax pairs, as every collocation
+    * extractor does. Plan: two wordcount-shaped aggregates (unigrams,
+    * bigrams) + two hash joins on the word — all partial-agg
+    * friendly, no window, no sort until the final top-25. Products
+    * stay under 2^63 for any corpus where n_ab·N < 9.2e12 (petabyte
+    * corpora included: N ≈ 1e12 tokens needs n_ab ≤ 9 × 1e0 — at
+    * that scale switch the micro factor down; documented, not
+    * hidden). */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Tables.parallelize(Tables.documents(s, d))
+      .select(split(trim(col("text")), "[ \t\n\r]+").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(graft.functions.MinHashFns.word_shingles(
+        col("t"), 2, distinct = false)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      .select(col("bg"), col("n_ab"),
+        expr("split(bg, ' ')[0]").as("a"), expr("split(bg, ' ')[1]").as("b"))
+    val total = bi.agg(sum(col("n_ab")).as("n"))
+    bi.join(uni.withColumnRenamed("w", "a").withColumnRenamed("c", "n_a"), "a")
+      .join(uni.withColumnRenamed("w", "b").withColumnRenamed("c", "n_b"), "b")
+      .crossJoin(broadcast(total))
+      .filter(col("n_ab") >= 5 && col("n_a") >= 5 && col("n_b") >= 5)
+      .select(col("bg").as("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * n * 1000000L) div (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("bigram"))
+      .limit(25)
+  }
+
+  val collocationsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split_regex(trim(text), '[ \t\n\r]+') AS t FROM documents
+      |), un AS (
+      |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+      |), bc AS (
+      |  SELECT bg, count(*) AS n_ab FROM (
+      |    SELECT unnest(list_transform(
+      |      generate_series(1, greatest(len(t)-1, 0)),
+      |      i -> t[i] || ' ' || t[i+1])) AS bg
+      |    FROM toks)
+      |  GROUP BY bg
+      |), sp AS (
+      |  SELECT bg, n_ab, string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+      |  FROM bc
+      |), tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM bc)
+      |SELECT sp.bg AS bigram, sp.n_ab, ua.c AS n_a, ub.c AS n_b,
+      |  CAST((sp.n_ab * tot.n * 1000000) // (ua.c * ub.c) AS BIGINT) AS lift_micro
+      |FROM sp
+      |JOIN un ua ON sp.a = ua.w
+      |JOIN un ub ON sp.b = ub.w
+      |CROSS JOIN tot
+      |WHERE sp.n_ab >= 5 AND ua.c >= 5 AND ub.c >= 5
+      |ORDER BY lift_micro DESC, bigram LIMIT 25""".stripMargin
+
   /** Context chunking with overlap (RAG / embedding prep): 200-char
     * windows at stride 150. explode(sequence) generates chunk rows in
     * parallel per document — no driver loop, linear in corpus size. */
@@ -1439,6 +1502,7 @@ object TextAnalysis {
     "t_chunk" -> (chunk _),
     "t_contentfilter" -> (contentFilter _),
     "t_ngram_freq" -> (ngramFreq _),
+    "t_collocations" -> (collocations _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langid _),
     "t_quality" -> (quality _),
@@ -1471,6 +1535,7 @@ object TextAnalysis {
     "t_chunk" -> chunkSql,
     "t_contentfilter" -> contentFilterSql,
     "t_ngram_freq" -> ngramFreqSql,
+    "t_collocations" -> collocationsSql,
     "t_token_stats" -> tokenStatsSql,
     "t_langid" -> langidSql,
     "t_quality" -> qualitySql,

@@ -92,6 +92,24 @@ object PlanProbe {
       case _                     => false
     }
 
+  /** Number of executed-plan sites applying a RUNTIME bloom filter
+    * ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — InjectRuntimeFilter's rewrite): the certificate that the engine
+    * pre-filtered the fact side with the dimension's join keys BEFORE
+    * the shuffle. The probe checks both plain [[FilterExec]] conditions
+    * and scan-pushed data filters, because the optimizer is free to
+    * push the might_contain predicate into the scan node. */
+  def bloomFilterApplications(df: DataFrame): Int = {
+    def hasBloom(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]).isDefined
+    nodes(df).count {
+      case f: org.apache.spark.sql.execution.FilterExec => hasBloom(f.condition)
+      case s: FileSourceScanExec => s.dataFilters.exists(hasBloom)
+      case _ => false
+    }
+  }
+
   /** Number of file-source scans whose partition filters are non-empty
     * — certifies the pruning predicate reached the scan as a PARTITION
     * filter (metadata-level skip), not a post-scan row filter. */

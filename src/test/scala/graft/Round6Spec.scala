@@ -243,6 +243,88 @@ class Round6Spec extends SparkSpec {
       "incremental relabel must be bit-equal to re-clustering all edges")
   }
 
+  test("q61: runtime bloom filter engages and the conf scope is restored") {
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val rows = RelationalExt4.q61RuntimeFilter(spark, sf).collect()
+    assert(rows.length == 1 && rows(0).getAs[Boolean]("bloom_applied"))
+    assert(rows(0).getAs[Long]("n_lines") > 0)
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") == before,
+      "the broadcast-threshold conf must be restored after the query")
+  }
+
+  test("p_scd2: episodes partition the changelog; exactly one open row per user") {
+    val rows = Pipeline.scd2(spark, sf).collect()
+    val ops = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_ops")).sum == ops,
+      "episode op counts must partition the changelog")
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $u must have exactly one open episode")
+      assert(rs.map(_.getAs[Long]("version")).sorted.toSeq == (1L to rs.length).toSeq,
+        s"user $u versions must be dense from 1")
+      // adjacent episodes differ in state (else they'd have collapsed)
+      val ordered = rs.sortBy(_.getAs[Long]("version")).map(_.getAs[String]("state"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a != b, s"user $u has un-collapsed episodes")
+        case _           =>
+      }
+      // intervals chain: each valid_to equals the next valid_from
+      val byV = rs.sortBy(_.getAs[Long]("version"))
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"),
+            s"user $u intervals must chain")
+        case _ =>
+      }
+    }
+  }
+
+  test("p_bloom_index: lookups are sound, candidates prune files") {
+    val r = Pipeline.bloomIndex(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_found") == r.getAs[Long]("n_keys"),
+      "every looked-up key exists in the corpus — the bloom may not lose one")
+    assert(r.getAs[Long]("files_read") <= r.getAs[Long]("files_total"))
+    assert(r.getAs[Long]("files_read") >= 1)
+  }
+
+  test("m_mp4_boxes: the fold walk recovers the encoder's structure") {
+    val rows = multimodal.Multimodal.mp4Boxes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("box_types") == "ftyp,moov,mdat")
+      assert(r.getAs[Int]("timescale") == 1000)
+      assert(r.getAs[Int]("duration_ms") == r.getAs[Int]("mdat_bytes") * 40)
+      val t = r.getAs[Int]("n_traks")
+      assert(t == 1 || t == 2)
+    }
+  }
+
+  test("t_collocations: frequency floors hold and ranking is by lift") {
+    val rows = TextAnalysis.collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= 5 && r.getAs[Long]("n_a") >= 5 &&
+        r.getAs[Long]("n_b") >= 5)
+      assert(r.getAs[Long]("lift_micro") > 0)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_micro")).toSeq
+    assert(lifts == lifts.sorted.reverse, "rows must be ranked by lift desc")
+  }
+
+  test("s_nndescent: recall is well-formed over the sampled nodes") {
+    val rows = operators.Similarity.queries("s_nndescent")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits"); val rec = r.getAs[Double]("recall")
+      assert(h >= 0 && h <= 5)
+      assert(rec == h / 5.0)
+    }
+    // the refined graph should find SOMETHING: descent over a bucketed
+    // init cannot be uniformly blind on gaussian-cluster test data
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
+  }
+
   test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
     val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
     val known = scala.collection.mutable.Set[String]()
