@@ -637,51 +637,65 @@ object Pipeline {
     * sets). The concurrent-writer story (atomic log append wins) is
     * out of scope — single-writer commits, like the engine's other
     * write paths. */
+  /** Build the 3-version transaction-log layout [[timeTravel]] and
+    * [[vacuum]] share: v1 adds 4 even-doc files, v2 adds 4 odd-doc
+    * files, v3 compacts the evens into one file and removes v1's
+    * four. Returns nothing; the layout lives under `out` with the
+    * JSONL log in `logDir`. */
+  private def buildVersionedLayout(
+      s: SparkSession, d: String, out: String, logDir: java.io.File): Unit = {
+    val docs = graft.Tables.documents(s, d).select("doc_id", "n_chars", "text")
+    def writeFiles(df: DataFrame, names: Seq[String]): Unit =
+      names.zipWithIndex.foreach { case (name, i) =>
+        // split on (doc_id div 2) so BOTH parity halves spread over
+        // all n files (an even doc_id mod 4 can only be 0 or 2 —
+        // keying on it directly would write empty files)
+        df.filter(expr(s"(doc_id div 2) % ${names.length}") === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/tmp_$name")
+        val part = new java.io.File(s"$out/tmp_$name").listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(out, s"$name.parquet").toPath)
+        graft.Scratch.rmTree(s"$out/tmp_$name")
+      }
+    def commit(v: Int, adds: Seq[String], removes: Seq[String]): Unit = {
+      val lines =
+        adds.map(f => s"""{"version":$v,"action":"add","file":"$f.parquet"}""") ++
+          removes.map(f => s"""{"version":$v,"action":"remove","file":"$f.parquet"}""")
+      java.nio.file.Files.writeString(
+        new java.io.File(logDir, f"v$v%05d.json").toPath, lines.mkString("\n") + "\n")
+      ()
+    }
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val v1Files = (0 until 4).map(i => s"ev_$i")
+    writeFiles(evens, v1Files); commit(1, v1Files, Nil)
+    val v2Files = (0 until 4).map(i => s"od_$i")
+    writeFiles(odds, v2Files); commit(2, v2Files, Nil)
+    writeFiles(evens, Seq("compact_ev")); commit(3, Seq("compact_ev"), v1Files)
+  }
+
+  /** Resolve the file set live at version `v` from the JSONL log alone
+    * (adds up to v, minus removes up to v) — the reader the table
+    * formats run on every query. */
+  private def logLiveFiles(s: SparkSession, logDir: java.io.File, v: Int): Seq[String] = {
+    val log = s.read
+      .schema("version INT, action STRING, file STRING")
+      .json(logDir.toString)
+      .collect()
+    val upTo = log.filter(_.getAs[Int]("version") <= v)
+    val removed = upTo.filter(_.getAs[String]("action") == "remove")
+      .map(_.getAs[String]("file")).toSet
+    upTo.filter(_.getAs[String]("action") == "add")
+      .map(_.getAs[String]("file")).filterNot(removed).toSeq.sorted
+  }
+
   def timeTravel(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_tt_").toString
     val logDir = new java.io.File(out, "_graft_log"); logDir.mkdirs()
     try {
-      val docs = graft.Tables.documents(s, d).select("doc_id", "n_chars", "text")
-      def writeFiles(df: DataFrame, names: Seq[String]): Unit =
-        names.zipWithIndex.foreach { case (name, i) =>
-          // split on (doc_id div 2) so BOTH parity halves spread over
-          // all n files (an even doc_id mod 4 can only be 0 or 2 —
-          // keying on it directly would write empty files)
-          df.filter(expr(s"(doc_id div 2) % ${names.length}") === i)
-            .coalesce(1).write.mode("overwrite").parquet(s"$out/tmp_$name")
-          val part = new java.io.File(s"$out/tmp_$name").listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          java.nio.file.Files.move(part.toPath,
-            new java.io.File(out, s"$name.parquet").toPath)
-          graft.Scratch.rmTree(s"$out/tmp_$name")
-        }
-      def commit(v: Int, adds: Seq[String], removes: Seq[String]): Unit = {
-        val lines =
-          adds.map(f => s"""{"version":$v,"action":"add","file":"$f.parquet"}""") ++
-            removes.map(f => s"""{"version":$v,"action":"remove","file":"$f.parquet"}""")
-        java.nio.file.Files.writeString(
-          new java.io.File(logDir, f"v$v%05d.json").toPath, lines.mkString("\n") + "\n")
-        ()
-      }
-      val evens = docs.filter(col("doc_id") % 2 === 0)
-      val odds = docs.filter(col("doc_id") % 2 === 1)
-      val v1Files = (0 until 4).map(i => s"ev_$i")
-      writeFiles(evens, v1Files); commit(1, v1Files, Nil)
-      val v2Files = (0 until 4).map(i => s"od_$i")
-      writeFiles(odds, v2Files); commit(2, v2Files, Nil)
-      writeFiles(evens, Seq("compact_ev")); commit(3, Seq("compact_ev"), v1Files)
-      // the READER: snapshot resolution from the log alone
-      val log = s.read
-        .schema("version INT, action STRING, file STRING")
-        .json(logDir.toString)
-        .collect()
-      def liveFiles(v: Int): Seq[String] = {
-        val upTo = log.filter(_.getAs[Int]("version") <= v)
-        val removed = upTo.filter(_.getAs[String]("action") == "remove")
-          .map(_.getAs[String]("file")).toSet
-        upTo.filter(_.getAs[String]("action") == "add")
-          .map(_.getAs[String]("file")).filterNot(removed).toSeq.sorted
-      }
+      buildVersionedLayout(s, d, out, logDir)
+      def liveFiles(v: Int): Seq[String] = logLiveFiles(s, logDir, v)
       def snapshot(v: Int): DataFrame =
         s.read.parquet(liveFiles(v).map(f => s"$out/$f"): _*)
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
@@ -718,6 +732,68 @@ object Pipeline {
       |UNION ALL
       |SELECT 3, n_docs, total_chars, content_md5, TRUE FROM vall
       |ORDER BY version""".stripMargin
+
+  /** VACUUM — orphan-file GC, the third quarter of the table-format
+    * kernel ([[timeTravel]] reads snapshots from the log, [[forget]]
+    * rewrites only delete-list shards, this reclaims what no snapshot
+    * the retention policy keeps can reach): files present on disk but
+    * NOT live at the current version are deleted — nothing else. The
+    * certificate is both directions: the current snapshot's content
+    * hash is byte-identical before/after (vacuum may not touch a live
+    * file), and the orphan count matches the log's removed set
+    * exactly (vacuum may not leave garbage). At 100 TB vacuum is what
+    * keeps storage from growing without bound under compaction
+    * churn; the failure mode it guards — deleting a file a reader
+    * still resolves — is the worst data-loss bug a lakehouse has. */
+  def vacuum(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_vac_").toString
+    val logDir = new java.io.File(out, "_graft_log"); logDir.mkdirs()
+    try {
+      buildVersionedLayout(s, d, out, logDir)
+      val live = logLiveFiles(s, logDir, 3).toSet
+      def snapshotMd5(): org.apache.spark.sql.Row =
+        s.read.parquet(live.toSeq.sorted.map(f => s"$out/$f"): _*)
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+            md5(to_binary(array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"),
+                  md5(to_binary(col("text"), lit("utf-8"))).as("fp")))),
+                x => concat(x.getField("doc_id").cast("string"), lit(":"), x.getField("fp"))),
+              ","), lit("utf-8"))).as("content_md5"))
+          .collect()(0)
+      val before = snapshotMd5()
+      val onDisk = new java.io.File(out).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSeq.sorted
+      val orphans = onDisk.filterNot(live)
+      orphans.foreach(f => java.nio.file.Files.delete(new java.io.File(out, f).toPath))
+      val after = snapshotMd5()
+      val afterDisk = new java.io.File(out).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      import s.implicits._
+      Seq((onDisk.length.toLong, orphans.length.toLong, afterDisk.toLong,
+          after.getAs[Long]("n_docs"), after.getAs[Long]("total_chars"),
+          after.getAs[String]("content_md5"),
+          before.getAs[String]("content_md5") == after.getAs[String]("content_md5")))
+        .toDF("files_before", "orphans_deleted", "files_after",
+          "n_docs", "total_chars", "content_md5", "live_intact")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** Analytic twin: the layout's arithmetic (4+4+1 files, 4 orphans)
+    * plus the full-corpus content hash the compacted current snapshot
+    * must still serve after GC. */
+  val vacuumSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars, doc_id || ':' || md5(text) AS entry FROM documents
+      |)
+      |SELECT CAST(9 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS orphans_deleted,
+      |  CAST(5 AS BIGINT) AS files_after,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  md5(string_agg(entry, ',' ORDER BY doc_id)) AS content_md5,
+      |  TRUE AS live_intact
+      |FROM h""".stripMargin
 
   /** CDC CHANGELOG APPLY — materializing a keyed table from an ordered
     * change stream (the Debezium/binlog consumer every warehouse runs;
@@ -1853,6 +1929,7 @@ object Pipeline {
     "p_scd2" -> (scd2 _),
     "p_bloom_index" -> (bloomIndex _),
     "p_time_travel" -> (timeTravel _),
+    "p_vacuum" -> (vacuum _),
     "p_forget" -> (forget _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
@@ -1885,6 +1962,7 @@ object Pipeline {
     "p_scd2" -> scd2Sql,
     "p_bloom_index" -> bloomIndexSql,
     "p_time_travel" -> timeTravelSql,
+    "p_vacuum" -> vacuumSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,

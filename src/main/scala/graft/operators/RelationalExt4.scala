@@ -398,9 +398,52 @@ object RelationalExt4 {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** RECURSIVE CTE on the `spark.sql` surface — iteration expressed in
+    * SQL TEXT (Spark 4's `WITH RECURSIVE`, the same construct the
+    * DuckDB oracle runs), where every other iterative operator here
+    * (graph loops, k-means, BPE) drives the DataFrame API from Scala.
+    * The workload is the construct's classic use: HIERARCHICAL ROLLUP
+    * (BOM explosion / org-chart walk) — each doc walks its ancestor
+    * chain in the deterministic heap tree parent(n) = n div 2,
+    * accumulating depth and path-total chars until the root. One
+    * parent per node keeps the recursion linear (rows = Σ depth, no
+    * frontier blowup — the guard a cyclic edge set would need); the
+    * engine evaluates it as iterated joins against the docs table,
+    * exactly the plan the hand-built loops pin. Restricted to
+    * doc_id < 32 so the whole chain exists at every scale factor. */
+  def q62RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    val view = s"graft_q62_docs_${invocation.incrementAndGet()}"
+    Tables.documents(s, d).createOrReplaceTempView(view)
+    try s.sql(s"""
+      WITH RECURSIVE walk(id, anc, path_chars, depth) AS (
+        SELECT doc_id, doc_id, n_chars, 0 FROM $view WHERE doc_id < 32
+        UNION ALL
+        SELECT w.id, a.doc_id, w.path_chars + a.n_chars, w.depth + 1
+        FROM walk w JOIN $view a ON a.doc_id = w.anc div 2
+        WHERE w.anc >= 2
+      )
+      SELECT id, CAST(max(depth) AS INT) AS depth,
+        CAST(max(path_chars) AS BIGINT) AS path_chars
+      FROM walk GROUP BY id ORDER BY id""")
+    finally s.catalog.dropTempView(view)
+  }
+
+  val q62Sql: String =
+    """WITH RECURSIVE walk(id, anc, path_chars, depth) AS (
+      |  SELECT doc_id, doc_id, n_chars, 0 FROM documents WHERE doc_id < 32
+      |  UNION ALL
+      |  SELECT w.id, a.doc_id, w.path_chars + a.n_chars, w.depth + 1
+      |  FROM walk w JOIN documents a ON a.doc_id = w.anc // 2
+      |  WHERE w.anc >= 2
+      |)
+      |SELECT id, CAST(max(depth) AS INT) AS depth,
+      |  CAST(max(path_chars) AS BIGINT) AS path_chars
+      |FROM walk GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_sql_functions" -> (q60SqlFunctions _),
     "q61_runtime_filter" -> (q61RuntimeFilter _),
+    "q62_recursive_cte" -> (q62RecursiveCte _),
     "q56_bucket_join" -> (q56BucketJoin _),
     "q57_partition_prune" -> (q57PartitionPrune _),
     "q58_dynamic_prune" -> (q58DynamicPrune _),
@@ -409,6 +452,7 @@ object RelationalExt4 {
   val oracles: Map[String, String] = Map(
     "q60_sql_functions" -> q60Sql,
     "q61_runtime_filter" -> q61Sql,
+    "q62_recursive_cte" -> q62Sql,
     "q56_bucket_join" -> q56Sql,
     "q57_partition_prune" -> q57Sql,
     "q58_dynamic_prune" -> q58Sql,

@@ -300,6 +300,24 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q62: recursive walk depths match the heap-tree closed form") {
+    val rows = RelationalExt4.q62RecursiveCte(spark, sf).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val expected = if (id < 2) 0 else (63 - java.lang.Long.numberOfLeadingZeros(id))
+      assert(r.getAs[Int]("depth") == expected,
+        s"doc $id: depth ${r.getAs[Int]("depth")} != floor(log2(id)) = $expected")
+    }
+  }
+
+  test("p_vacuum: GC deletes exactly the log's orphans and leaves the snapshot intact") {
+    val r = Pipeline.vacuum(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("live_intact"), "vacuum must not change the current snapshot")
+    assert(r.getAs[Long]("files_before") == 9 && r.getAs[Long]("orphans_deleted") == 4 &&
+      r.getAs[Long]("files_after") == 5)
+  }
+
   test("t_collocations: frequency floors hold and ranking is by lift") {
     val rows = TextAnalysis.collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
