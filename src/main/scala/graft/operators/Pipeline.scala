@@ -733,6 +733,81 @@ object Pipeline {
       |SELECT 3, n_docs, total_chars, content_md5, TRUE FROM vall
       |ORDER BY version""".stripMargin
 
+  /** DATA-CONTRACT VALIDATION — the dbt-test / Great-Expectations
+    * gate every production pipeline runs before publishing a batch
+    * (distinct from [[corruptRecords]], which quarantines unparseable
+    * ROWS; this checks SEMANTIC constraints on parsed data): range,
+    * referential integrity, primary-key uniqueness, non-null, and
+    * enum-domain checks, each emitted as (constraint, n_checked,
+    * n_violations, pass). Each check is one scan-shaped aggregate;
+    * the expensive one at 100 TB is RI — a fact-side anti-join
+    * against the parent keys, the honest cost of proving "every line
+    * belongs to an order" (the q61 bloom-filter lever applies to it
+    * unchanged). PK uniqueness is count vs count-distinct on one
+    * aggregate — no self-join. */
+  def dataContract(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+    val ord = graft.Tables.orders(s, d)
+    def check(name: String, checked: org.apache.spark.sql.Column,
+        violations: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
+      src.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    val qtyRange = check("qty_range", count(lit(1)),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)), li)
+    val notNull = check("date_not_null", count(lit(1)),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)), ord)
+    val enumDomain = check("priority_domain", count(lit(1)),
+      sum(when(col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 0L)
+        .otherwise(1L)), ord)
+    // PK uniqueness: one aggregate, no self-join
+    val pkUnique = ord.agg(count(lit(1)).as("n"), countDistinct("o_orderkey").as("nd"))
+      .select(lit("pk_unique").as("rule"), col("n").as("n_checked"),
+        (col("n") - col("nd")).as("n_violations"),
+        (col("n") === col("nd")).as("pass"))
+    // RI: every lineitem's order exists — the anti-join cost is the check
+    val orphans = li.select("l_orderkey")
+      .join(ord.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val riTotal = li.agg(count(lit(1)).as("n_checked"))
+    val ri = riTotal.crossJoin(broadcast(orphans))
+      .select(lit("ri_orders").as("rule"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+    Seq(qtyRange, notNull, enumDomain, pkUnique, ri)
+      .reduce(_ unionByName _)
+      .orderBy("rule")
+  }
+
+  val dataContractSql: String =
+    """WITH checks AS (
+      |  SELECT 'qty_range' AS rule, count(*) AS n_checked,
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'date_not_null', count(*),
+      |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'priority_domain', count(*),
+      |    CAST(sum(CASE WHEN o_orderpriority IN
+      |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'pk_unique', count(*),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'ri_orders', (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      |)
+      |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+      |FROM checks ORDER BY rule""".stripMargin
+
   /** VACUUM — orphan-file GC, the third quarter of the table-format
     * kernel ([[timeTravel]] reads snapshots from the log, [[forget]]
     * rewrites only delete-list shards, this reclaims what no snapshot
@@ -1930,6 +2005,7 @@ object Pipeline {
     "p_bloom_index" -> (bloomIndex _),
     "p_time_travel" -> (timeTravel _),
     "p_vacuum" -> (vacuum _),
+    "p_data_contract" -> (dataContract _),
     "p_forget" -> (forget _),
     "p_incremental" -> (incremental _),
     "p_compaction" -> (compaction _),
@@ -1963,6 +2039,7 @@ object Pipeline {
     "p_bloom_index" -> bloomIndexSql,
     "p_time_travel" -> timeTravelSql,
     "p_vacuum" -> vacuumSql,
+    "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
     "p_compaction" -> manifestSql,

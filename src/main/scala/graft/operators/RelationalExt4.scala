@@ -440,10 +440,52 @@ object RelationalExt4 {
       |  CAST(max(path_chars) AS BIGINT) AS path_chars
       |FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  /** LATERAL JOIN on the SQL surface — the per-row-subquery idiom
+    * ("for each nation, its top-2 customers by balance") analysts
+    * write naturally and engines must DECORRELATE: a naive evaluator
+    * runs the subquery once per outer row (the N+1 query at 100 TB —
+    * 25 nations is survivable, 10^9 outer rows is not); Catalyst
+    * rewrites the correlated LIMIT into one window-ranked join, the
+    * same plan q6_topk builds by hand, so cost is one shuffle of
+    * customer regardless of outer cardinality. Completes the
+    * correlation surface beside q54's correlated scalar subqueries.
+    * Balance ranked in exact cents (micros overflow nothing here;
+    * cents match the TPC-H money convention the other queries use). */
+  def q63LateralJoin(s: SparkSession, d: String): DataFrame = {
+    val id = invocation.incrementAndGet()
+    val vN = s"graft_q63_nation_$id"; val vC = s"graft_q63_customer_$id"
+    Tables.nation(s, d).createOrReplaceTempView(vN)
+    Tables.customer(s, d)
+      .withColumn("bal_c", round(col("c_acctbal") * lit(100)).cast("long"))
+      .createOrReplaceTempView(vC)
+    try s.sql(s"""
+      SELECT n.n_name, t.c_name, t.bal_c
+      FROM $vN n
+      JOIN LATERAL (
+        SELECT c_name, bal_c FROM $vC c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY bal_c DESC, c_name LIMIT 2
+      ) t
+      ORDER BY n.n_name, t.bal_c DESC, t.c_name""")
+    finally { s.catalog.dropTempView(vN); s.catalog.dropTempView(vC) }
+  }
+
+  val q63Sql: String =
+    """SELECT n.n_name, t.c_name, t.bal_c
+      |FROM nation n
+      |JOIN LATERAL (
+      |  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY bal_c DESC, c_name LIMIT 2
+      |) t ON true
+      |ORDER BY n.n_name, t.bal_c DESC, t.c_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_sql_functions" -> (q60SqlFunctions _),
     "q61_runtime_filter" -> (q61RuntimeFilter _),
     "q62_recursive_cte" -> (q62RecursiveCte _),
+    "q63_lateral_join" -> (q63LateralJoin _),
     "q56_bucket_join" -> (q56BucketJoin _),
     "q57_partition_prune" -> (q57PartitionPrune _),
     "q58_dynamic_prune" -> (q58DynamicPrune _),
@@ -453,6 +495,7 @@ object RelationalExt4 {
     "q60_sql_functions" -> q60Sql,
     "q61_runtime_filter" -> q61Sql,
     "q62_recursive_cte" -> q62Sql,
+    "q63_lateral_join" -> q63Sql,
     "q56_bucket_join" -> q56Sql,
     "q57_partition_prune" -> q57Sql,
     "q58_dynamic_prune" -> q58Sql,

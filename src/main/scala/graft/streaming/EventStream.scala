@@ -1180,6 +1180,126 @@ object EventStream {
       |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  case class TimerIn(userId: Long, tsUs: Long, eventTime: java.sql.Timestamp)
+  case class TimerSess(n: Long, lastTsUs: Long)
+  case class TimerOut(user_id: Long, n_events: Long, closed_us: Long)
+
+  /** The EVENT-TIME TIMER processor behind [[twsTimers]]: per-user
+    * session state plus a timer at last-event + 30 min; when the
+    * WATERMARK passes the timer, [[handleExpiredTimer]] emits the
+    * closed session and clears state. Superseded timers (an earlier
+    * batch's registration made stale by later events) are recognized
+    * by expiry ≠ the state's current deadline and ignored — cheaper
+    * than deleteTimer bookkeeping and immune to duplicate
+    * registration. */
+  class SessionTimerProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TimerIn, TimerOut] {
+    private val GapUs = 30L * 60 * 1000000
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TimerSess] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TimerSess]("sess",
+        org.apache.spark.sql.Encoders.product[TimerSess],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TimerIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TimerOut] = {
+      var n = 0L; var mx = Long.MinValue
+      rows.foreach { r => n += 1; mx = math.max(mx, r.tsUs) }
+      if (n > 0) {
+        val prev = if (st.exists()) Some(st.get()) else None
+        val merged = prev match {
+          case Some(p) => TimerSess(p.n + n, math.max(p.lastTsUs, mx))
+          case None    => TimerSess(n, mx)
+        }
+        st.update(merged)
+        // (re-)arm only when the deadline moved — registering the same
+        // expiry twice is the only duplicate case possible here
+        if (!prev.exists(_.lastTsUs == merged.lastTsUs))
+          getHandle.registerTimer((merged.lastTsUs + GapUs) / 1000)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimerOut] = {
+      if (!st.exists()) return Iterator.empty
+      val cur = st.get()
+      if (info.getExpiryTimeInMs() == (cur.lastTsUs + GapUs) / 1000) {
+        st.clear()
+        Iterator.single(TimerOut(key, cur.n, cur.lastTsUs + GapUs))
+      } else Iterator.empty
+    }
+  }
+
+  /** EVENT-TIME TIMERS — the session-TIMEOUT pattern ([[sessionize]]
+    * closes sessions when the NEXT event arrives; real systems must
+    * also close the LAST session of a user who never comes back, and a
+    * timer firing on watermark advance is the only way): per-user
+    * state arms a timer at last-event + 30 min; when the watermark
+    * passes it, the closed session is emitted from the timer callback
+    * — rows the input never contained, the one output path no other
+    * st_* query exercises. Three data-derived tick batches (ts =
+    * max(data ts) + 41 min, the st_late_data discipline — a pure
+    * function of the data, immune to propagation-lag changes) advance
+    * the watermark far enough that every data timer provably fires
+    * before the query stops. Oracle: per user, count + last-event +
+    * 30 min — the timer payload must equal the batch answer. */
+  def twsTimers(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_twstimer_").toString
+    try {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("ts").as("event_time"))
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val maxUs = ev.agg(max("ts_us")).collect()(0).getLong(0)
+      val tickUs = maxUs + 41L * 60 * 1000000
+      val session = s
+      import session.implicits._
+      val tick = Seq((-1L, -1L, tickUs)).toDF("event_id", "user_id", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          timestamp_micros(col("ts_us")).as("event_time"))
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 240000)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0 - 180000)
+      scratchFile(tick, scratch, dataDir, "2-tick", t0 - 120000)
+      scratchFile(tick, scratch, dataDir, "3-tick", t0 - 60000)
+      scratchFile(tick, scratch, dataDir, "4-tick", t0)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("user_id", LongType), StructField("ts_us", LongType),
+          StructField("event_time", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+        .withWatermark("event_time", "10 minutes")
+        .select(col("user_id").as("userId"), col("ts_us").as("tsUs"),
+          col("event_time").as("eventTime"))
+        .as[TimerIn]
+      val out = src.groupByKey(_.userId)
+        .transformWithState(new SessionTimerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[TimerOut])
+        .toDF()
+      val name = "graft_st_tws_timers"
+      withRocksDbState(s) { runToMemorySink(s, dataDir.toString, out, name, "append") }
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"),
+          date_format(timestamp_micros(col("closed_us")), fmt).as("closed_at"))
+        .orderBy("user_id")
+    } finally {
+      graft.Scratch.rmTree(scratch)
+    }
+  }
+
+  /** Oracle: the timer payload per user must equal the batch answer —
+    * event count and last event + 30 min. */
+  val twsTimersSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  strftime(max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE,
+      |    '%Y-%m-%d %H:%M:%S') AS closed_at
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** `foreachBatch` MERGE-upsert — the streaming-CDC apply pattern (and
     * the one streaming API surface the other 16 st_* queries don't
     * touch): each micro-batch reduces to one latest-row-per-user
@@ -1366,6 +1486,7 @@ object EventStream {
     "st_session_window" -> (sessionWindowAgg _),
     "st_foreach_upsert" -> (foreachUpsert _),
     "st_tws_ledger" -> (twsLedger _),
+    "st_tws_timers" -> (twsTimers _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
     "st_sliding" -> (slidingAgg _),
@@ -1388,6 +1509,7 @@ object EventStream {
     "st_session_window" -> sessionWindowAggSql,
     "st_foreach_upsert" -> foreachUpsertSql,
     "st_tws_ledger" -> twsLedgerSql,
+    "st_tws_timers" -> twsTimersSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,
     "st_sliding" -> slidingAggSql,

@@ -343,6 +343,34 @@ class Round6Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
   }
 
+  test("q63: lateral top-2 emits at most 2 rows per nation, ranked within") {
+    val rows = RelationalExt4.q63LateralJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("n_name")).foreach { case (n, rs) =>
+      assert(rs.length <= 2, s"nation $n has ${rs.length} rows")
+      if (rs.length == 2)
+        assert(rs(0).getAs[Long]("bal_c") >= rs(1).getAs[Long]("bal_c"))
+    }
+  }
+
+  test("p_data_contract: all five rules run and clean TPC-H data passes") {
+    val rows = Pipeline.dataContract(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("rule")).sorted.toSeq ==
+      Seq("date_not_null", "pk_unique", "priority_domain", "qty_range", "ri_orders"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") > 0)
+      assert(r.getAs[Boolean]("pass"), s"${r.getAs[String]("rule")} should pass on clean data")
+    }
+  }
+
+  test("st_tws_timers: every user's session closes exactly once via its timer") {
+    val rows = streaming.EventStream.twsTimers(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length == users,
+      s"expected one timer-closed session per user: ${rows.length} vs $users")
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+  }
+
   test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
     val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
     val known = scala.collection.mutable.Set[String]()
