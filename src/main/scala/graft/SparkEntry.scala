@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.RelationalExt.queries ++
       operators.RelationalExt2.queries ++ operators.RelationalExt3.queries ++
-      operators.RelationalExt4.queries ++
+      operators.RelationalExt4.queries ++ operators.RelationalExt5.queries ++
       operators.MapReduceQueries.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Pipeline.queries ++ operators.Graph.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
       operators.RelationalExt2.oracles ++ operators.RelationalExt3.oracles ++
-      operators.RelationalExt4.oracles ++
+      operators.RelationalExt4.oracles ++ operators.RelationalExt5.oracles ++
       operators.MapReduceQueries.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Pipeline.oracles ++ operators.Graph.oracles ++

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sixth tranche of relational coverage (SURVEY.md §2B continued): two
+  * aggregate SHAPES the first 63 queries don't exercise —
+  *
+  *   - q64: interval algebra (max-concurrency + union length) via the
+  *     sweep-line reduction, the temporal-overlap kernel window
+  *     functions can't express directly;
+  *   - q65: bitmap-index distinct counting (the roaring-bitmap
+  *     pattern): user sets compressed to 64-bit blocks so
+  *     set-intersection cardinality becomes popcount over AND — the
+  *     audience-overlap query engines serve from bitmap indexes at
+  *     scale.
+  *
+  * Both reduce raw-event volume at the FIRST aggregation (endpoint
+  * collapse / block OR) so everything after the initial shuffle is
+  * bounded by distinct timestamps / user-blocks, not event count.
+  */
+object RelationalExt5 {
+
+  /** INTERVAL OVERLAP via sweep-line — "how many 30-minute activity
+    * windows are open at once, and how much wall-clock do they cover?"
+    * per event_type. The concurrency/union question is the classic
+    * case where interval semantics beat window functions: a windowed
+    * count can't see an interval's END, so the textbook reduction is
+    * endpoint decomposition — each interval [t, t+30m) becomes a +1 at
+    * t and a −1 at t+30m, endpoints COLLAPSE per distinct instant
+    * (`net`, the map-side-combinable step that makes this linear: the
+    * sweep table is bounded by distinct timestamps, not event count),
+    * and one per-type ordered window computes the running sum. Max
+    * concurrency = max running sum (ends sort before starts never
+    * matters after collapsing: the per-instant peak prev+starts−ends
+    * IS the collapsed cum). Union length = Σ gap-to-next-instant where
+    * the running count is positive — exact integer micros end to end.
+    * The last instant per type always has cum = 0 (every interval
+    * closes), so the null `lead` never meets a positive cum.
+    *
+    * Scale shape: one shuffle keyed (type, t) with partial agg, one
+    * per-type sort — the same cost envelope as q19's rollup; a hot
+    * event_type skews the sort partition exactly like any per-key
+    * window (AQE's skew handling applies, and the endpoint collapse
+    * has already shrunk rows to distinct instants). */
+  def q64IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + lit(1800000000L))
+    val endpoints = iv.select(col("event_type"), col("t0").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("event_type"), col("t1").as("t"), lit(-1L).as("delta")))
+    val net = endpoints.groupBy("event_type", "t")
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+    val w = Window.partitionBy("event_type").orderBy("t")
+    val swept = net
+      .withColumn("cum", sum(col("net"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+    swept.groupBy("event_type").agg(
+      sum(col("starts")).as("n_intervals"),
+      max(col("cum")).cast("int").as("max_concurrent"),
+      sum(when(col("cum") > 0, col("nxt") - col("t"))).cast("long").as("covered_us"))
+      .orderBy("event_type")
+  }
+
+  val q64Sql: String =
+    """WITH iv AS (
+      |  SELECT event_type, epoch_us(ts) AS t0, epoch_us(ts) + 1800000000 AS t1
+      |  FROM events
+      |), ep AS (
+      |  SELECT event_type, t0 AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT event_type, t1 AS t, -1 AS delta FROM iv
+      |), net AS (
+      |  SELECT event_type, t, sum(delta) AS net,
+      |    sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS starts
+      |  FROM ep GROUP BY event_type, t
+      |), swept AS (
+      |  SELECT event_type, t, starts,
+      |    sum(net) OVER (PARTITION BY event_type ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nxt
+      |  FROM net
+      |)
+      |SELECT event_type, CAST(sum(starts) AS BIGINT) AS n_intervals,
+      |  CAST(max(cum) AS INT) AS max_concurrent,
+      |  CAST(sum(CASE WHEN cum > 0 THEN nxt - t END) AS BIGINT) AS covered_us
+      |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** BITMAP-INDEX DISTINCT COUNTING — audience sizes and pairwise
+    * audience OVERLAP between event types, computed the way a bitmap
+    * index computes them: each user becomes one bit (block = user_id
+    * div 64, bit = user_id mod 64), per (type, block) the bits OR
+    * together (`bit_or` partial-aggregates map-side, so raw event
+    * volume dies at the first shuffle), and from there every set
+    * operation is word arithmetic — |A| = Σ popcount(block), |A∩B| =
+    * Σ popcount(blockA AND blockB) over a join keyed on block id.
+    * This is the roaring-bitmap/audience-segmentation pattern: at
+    * 100 TB the bitmap table is ~|users|/64 words per segment, the
+    * overlap join never touches user-level rows, and intersections
+    * with k segments stay popcount-cheap — vs a count(DISTINCT) join
+    * that re-shuffles raw pairs per segment pair. The oracle computes
+    * the same numbers from exact DISTINCT set arithmetic, so a green
+    * row certifies the bitmap algebra is lossless, not approximate.
+    * The pair grid comes from a broadcast self-join of the (tiny)
+    * per-type audience table, left-joined to the overlap so
+    * disjoint-audience pairs surface as 0, not as missing rows. */
+  def q65BitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val bits = Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        expr("shiftright(user_id, 6)").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("bit"))
+    val bm = bits.groupBy("event_type", "block")
+      .agg(expr("bit_or(bit)").as("bm")).persist()
+    try {
+      val aud = bm.groupBy("event_type")
+        .agg(sum(expr("bit_count(bm)")).cast("long").as("aud"))
+      val grid = broadcast(aud).as("a")
+        .join(broadcast(aud).as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.aud").as("aud_a"), col("b.aud").as("aud_b"))
+      val inter = bm.as("x")
+        .join(bm.as("y"),
+          col("x.block") === col("y.block") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(sum(expr("bit_count(x.bm & y.bm)")).cast("long").as("n_shared"))
+      grid.join(inter, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("n_shared"))
+        .orderBy("type_a", "type_b")
+        .localCheckpoint()
+    } finally bm.unpersist()
+  }
+
+  val q65Sql: String =
+    """WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+      |aud AS (SELECT event_type, count(*) AS aud FROM p GROUP BY event_type),
+      |grid AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.aud AS aud_a, b.aud AS aud_b
+      |  FROM aud a JOIN aud b ON a.event_type < b.event_type
+      |), inter AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n
+      |  FROM p x JOIN p y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT g.type_a AS type_a, g.type_b AS type_b,
+      |  CAST(g.aud_a AS BIGINT) AS aud_a, CAST(g.aud_b AS BIGINT) AS aud_b,
+      |  CAST(coalesce(i.n, 0) AS BIGINT) AS n_shared
+      |FROM grid g LEFT JOIN inter i
+      |  ON i.type_a = g.type_a AND i.type_b = g.type_b
+      |ORDER BY g.type_a, g.type_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_interval_overlap" -> (q64IntervalOverlap _),
+    "q65_bitmap_distinct" -> (q65BitmapDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q64_interval_overlap" -> q64Sql,
+    "q65_bitmap_distinct" -> q65Sql)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalExt5
+
+/** The oracle gate covers value correctness; these pin the invariants
+  * each operator's algebra must satisfy at any scale.
+  */
+class RelationalExt5Spec extends SparkSpec {
+
+  test("q64: sweep-line invariants — coverage bounded by interval mass, counts close") {
+    val rows = RelationalExt5.q64IntervalOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_intervals")
+      val maxC = r.getAs[Int]("max_concurrent")
+      val covered = r.getAs[Long]("covered_us")
+      assert(n > 0 && maxC >= 1 && maxC <= n)
+      // union length can never exceed total interval mass (30 min each),
+      // and with >=1 interval is at least one interval long
+      assert(covered >= 1800000000L && covered <= n * 1800000000L,
+        s"covered_us=$covered outside [30min, n*30min] for $r")
+    }
+  }
+
+  test("q64: per-type sweep always closes — sum of deltas is zero (cum ends at 0)") {
+    // equivalently: covered_us is finite and the last gap never counts;
+    // replay the endpoint sum directly
+    val e = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val byType = RelationalExt5.q64IntervalOverlap(spark, sf)
+      .select("event_type", "n_intervals")
+    val joined = byType.join(e, "event_type")
+      .filter(col("n_intervals") =!= col("n")).count()
+    assert(joined == 0, "n_intervals must equal the raw event count per type")
+  }
+
+  test("q65: bitmap algebra is lossless vs exact distinct-set arithmetic") {
+    val rows = RelationalExt5.q65BitmapDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact recompute in-memory at test scale
+    val pairs = Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val a = r.getAs[String]("type_a"); val b = r.getAs[String]("type_b")
+      assert(a < b, "grid must be the ordered upper triangle")
+      assert(r.getAs[Long]("aud_a") == byType(a).size.toLong)
+      assert(r.getAs[Long]("aud_b") == byType(b).size.toLong)
+      assert(r.getAs[Long]("n_shared") == (byType(a) & byType(b)).size.toLong)
+    }
+    // complete pair grid: k*(k-1)/2 rows even if an intersection is empty
+    val k = byType.size
+    assert(rows.length == k * (k - 1) / 2)
+  }
+}
