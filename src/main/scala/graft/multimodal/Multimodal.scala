@@ -1344,7 +1344,131 @@ object Multimodal {
       |FROM r ORDER BY shard, doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- TAR
+
+  /** One POSIX-ustar archive from ordered (name, payload) members:
+    * 512-byte header (name NUL-padded, sizes/mtime in octal, checksum
+    * computed with its own field as 8 spaces — the tar spec's
+    * bootstrap), payload zero-padded to the 512 boundary, closed by
+    * two zero blocks. Deterministic: fixed mode/uid/gid/mtime, so the
+    * archive bytes are a pure function of the member list. */
+  private[graft] def encodeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(0, name)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"${data.length.toLong}%011o")
+      put(136, "00000000000")
+      h(156) = '0'.toByte
+      put(257, "ustar"); h(263) = '0'.toByte; h(264) = '0'.toByte
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.map(_ & 0xff).sum
+      put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '.toByte
+      out.write(h)
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Sequential 512-block walk over one tar archive: per member
+    * (name, data byte offset, size, checksum-verified flag, payload
+    * md5). The checksum is RE-COMPUTED from the header bytes (field
+    * as spaces) and compared to the stored octal — a one-byte
+    * misalignment anywhere flips `cksum_ok`. */
+  private[graft] def parseTar(
+      tar: Array[Byte]): Seq[(String, Long, Long, Boolean, String)] = {
+    val res = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Boolean, String)]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= tar.length) {
+      val h = java.util.Arrays.copyOfRange(tar, off, off + 512)
+      if (h.forall(_ == 0)) done = true // end-of-archive zero block
+      else {
+        val nameEnd = { val i = h.indexOf(0.toByte); if (i < 0 || i > 100) 100 else i }
+        val name = new String(h, 0, nameEnd, java.nio.charset.StandardCharsets.US_ASCII)
+        def octal(o: Int, len: Int): Long =
+          java.lang.Long.parseLong(
+            new String(h, o, len, java.nio.charset.StandardCharsets.US_ASCII)
+              .takeWhile(c => c >= '0' && c <= '7'), 8)
+        val size = octal(124, 12)
+        val stored = octal(148, 8)
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        val ok = h.map(_ & 0xff).sum.toLong == stored
+        val payload = java.util.Arrays.copyOfRange(tar, off + 512, off + 512 + size.toInt)
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map(b => f"$b%02x").mkString
+        res += ((name, off + 512L, size, ok, md5hex))
+        off += 512 + (((size + 511) / 512) * 512).toInt
+      }
+    }
+    res.toSeq
+  }
+
+  /** TAR SHARD INDEX — the WebDataset layout LLM training loaders
+    * actually stream (samples packed into tar shards, read
+    * sequentially; random access via an external member index): 4
+    * shards, each one REAL ustar archive assembled from its documents
+    * in doc_id order (per-shard assembly in one task is the production
+    * shape — WebDataset shards are sized ~1 GB precisely so one worker
+    * owns one shard; the parallel unit is the shard, exactly like the
+    * WARC files above). The parse side walks the 512-byte frames back
+    * and emits the index a loader seeks through — member name, data
+    * byte offset, size — plus two self-certifying columns: `cksum_ok`
+    * re-verifies each header's checksum from its bytes, and
+    * `payload_md5` must equal the oracle's md5 of the source text, so
+    * a padding/offset error of even one byte goes red. The oracle
+    * replays offsets ARITHMETICALLY (512-byte header + payload rounded
+    * up, cumulative over the shard) — the index is a pure function of
+    * member sizes, which is what makes tar seekable without a scan. */
+  def tarIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select((col("doc_id") % 4).cast("int").as("shard"), col("doc_id"), col("text"))
+      .as[(Int, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.toArray.sortBy(_._2).map { case (_, id, t) =>
+          (f"doc$id%08d.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (shard, encodeTar(members.toSeq))
+      }
+      .flatMap { case (shard, tar) =>
+        parseTar(tar).map { case (name, off, size, ok, md5hex) =>
+          (shard, name, off, size, ok, md5hex)
+        }
+      }
+      .toDF("shard", "name", "data_offset", "size_bytes", "cksum_ok", "payload_md5")
+      .orderBy("shard", "name")
+  }
+
+  /** SQL twin: offsets replay as window-cumulative header+payload block
+    * arithmetic per shard in doc_id order (== name order, zero-padded). */
+  val tarIndexSql: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id % 4 AS INT) AS shard,
+      |    printf('doc%08d.txt', doc_id) AS name,
+      |    CAST(strlen(text) AS BIGINT) AS size_bytes,
+      |    md5(text) AS payload_md5, doc_id
+      |  FROM documents
+      |)
+      |SELECT shard, name,
+      |  CAST(coalesce(sum(512 + 512 * ((size_bytes + 511) // 512)) OVER (
+      |    PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512 AS BIGINT)
+      |    AS data_offset,
+      |  size_bytes, TRUE AS cksum_ok, payload_md5
+      |FROM m ORDER BY shard, name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_tar_index" -> (tarIndex _),
     "m_warc_records" -> (warcRecords _),
     "m_wav_meta" -> (wavMeta _),
     "m_phash" -> (phash _),
@@ -1364,6 +1488,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_tar_index" -> tarIndexSql,
     "m_warc_records" -> warcRecordsSql,
     "m_wav_meta" -> wavMetaSql,
     "m_phash" -> phashSql,

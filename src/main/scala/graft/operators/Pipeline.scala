@@ -1988,7 +1988,58 @@ object Pipeline {
       |  TRUE AS roundtrip_lossless, TRUE AS est_ok
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  /** HIDDEN `_metadata` COLUMN certificate — per-FILE accounting
+    * without a filesystem listing job: documents are written
+    * hive-partitioned by an 8-way shard (one file per shard — the
+    * writeDayPartitioned discipline: `repartition(col)` routes each
+    * shard to exactly one task), then read back through Spark's
+    * `_metadata` struct, the API that turns file provenance into plain
+    * columns: `file_path` (which file each row came from),
+    * `row_index` (the row's ordinal INSIDE its file), `file_size`.
+    * At 100 TB this surface is how audits attribute rows to physical
+    * files — quarantining a corrupt file's rows, verifying a
+    * compaction, building a row-level lineage join — without a second
+    * listing/scan pass. The certificate aggregates per shard and pins:
+    * `n_files` == 1 (the layout claim), `rows_via_index` ==
+    * max(row_index)+1 == `n_rows` (the per-file ordinal is dense and
+    * complete — exactly what a row-offset seek index needs),
+    * `size_ok` (every file nonempty), and the business sum on the
+    * same pass. The oracle replays all of it from the logical table,
+    * so a provenance column that misattributed even one row goes red. */
+  def fileMetadata(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_pmeta_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .select(col("shard"), col("n_chars"),
+          col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("ri"),
+          col("_metadata.file_size").as("fs"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_files"),
+          (max(col("ri")) + lit(1L)).as("rows_via_index"),
+          (min(col("fs")) > 0).as("size_ok"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("shard")
+        .localCheckpoint() // materialize before the scratch layout vanishes
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val fileMetadataSql: String =
+    """SELECT CAST(doc_id % 8 AS INT) AS shard,
+      |  count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+      |  count(*) AS rows_via_index, TRUE AS size_ok,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_file_metadata" -> (fileMetadata _),
     "p_sketch_incremental" -> (sketchIncremental _),
     "p_split_leakage" -> (splitLeakage _),
     "p_upsample" -> (upsample _),
@@ -2039,6 +2090,7 @@ object Pipeline {
     "p_bloom_index" -> bloomIndexSql,
     "p_time_travel" -> timeTravelSql,
     "p_vacuum" -> vacuumSql,
+    "p_file_metadata" -> fileMetadataSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,

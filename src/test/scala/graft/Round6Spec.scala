@@ -371,6 +371,53 @@ class Round6Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
   }
 
+  test("m_tar_index: the index actually seeks — offset/size slices recover every payload") {
+    // the property the oracle can't check: that (data_offset, size_bytes)
+    // are usable against the PHYSICAL archive bytes. Re-encode one shard
+    // and slice by the reported index.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val tar = graft.multimodal.Multimodal.encodeTar(
+      docs.toSeq.map { case (id, t) =>
+        (f"doc$id%08d.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+    val idx = graft.multimodal.Multimodal.tarIndex(spark, sf)
+      .filter(col("shard") === 0).orderBy("name").collect()
+    assert(idx.length == docs.length)
+    idx.zip(docs).foreach { case (r, (_, text)) =>
+      val off = r.getAs[Long]("data_offset").toInt
+      val len = r.getAs[Long]("size_bytes").toInt
+      val sliced = new String(tar.slice(off, off + len),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(sliced == text, s"seek by index must recover ${r.getAs[String]("name")}")
+      assert(r.getAs[Boolean]("cksum_ok"))
+    }
+  }
+
+  test("m_tar_index: a corrupted header byte flips cksum_ok") {
+    val tar = graft.multimodal.Multimodal.encodeTar(
+      Seq(("a.txt", "hello".getBytes), ("b.txt", "world!".getBytes)))
+    val parsed = graft.multimodal.Multimodal.parseTar(tar)
+    assert(parsed.length == 2 && parsed.forall(_._4))
+    val bad = tar.clone(); bad(0) = 'z'.toByte // corrupt first member's name
+    val reparsed = graft.multimodal.Multimodal.parseTar(bad)
+    assert(!reparsed.head._4, "checksum must catch the flipped byte")
+    assert(reparsed(1)._4, "second member is untouched")
+  }
+
+  test("p_file_metadata: per-file row ordinals are dense and files singular") {
+    val rows = Pipeline.fileMetadata(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_files") == 1L)
+      assert(r.getAs[Long]("rows_via_index") == r.getAs[Long]("n_rows"))
+      assert(r.getAs[Boolean]("size_ok"))
+    }
+  }
+
   test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
     val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
     val known = scala.collection.mutable.Set[String]()
