@@ -156,11 +156,47 @@ object RelationalExt5 {
       |  ON i.type_a = g.type_a AND i.type_b = g.type_b
       |ORDER BY g.type_a, g.type_b""".stripMargin
 
+  /** VARIANT — Spark 4's binary semi-structured type (the
+    * shredding-ready successor to string-JSON): `parse_json` decodes
+    * each props document ONCE into the variant encoding, then typed
+    * `variant_get` paths extract without re-parsing — vs q28's
+    * `from_json`, which needs the schema declared up front. At 100 TB
+    * the difference is operational: variant columns land in parquet
+    * with per-field shredding and predicate pushdown on extracted
+    * paths, while schemaless string-JSON re-parses per query per row.
+    * The aggregate pins typed extraction (sum/min/max of `$.k` as
+    * BIGINT) and ABSENT-path semantics (`$.missing` extracts to NULL,
+    * counted per group and pinned to the row count — the contract that
+    * makes optional fields safe without try_ wrappers). */
+  def q66Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.missing', 'bigint')").as("miss"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy("event_type")
+
+  val q66Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+      |  count(*) AS n_missing
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_overlap" -> (q64IntervalOverlap _),
-    "q65_bitmap_distinct" -> (q65BitmapDistinct _))
+    "q65_bitmap_distinct" -> (q65BitmapDistinct _),
+    "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
     "q64_interval_overlap" -> q64Sql,
-    "q65_bitmap_distinct" -> q65Sql)
+    "q65_bitmap_distinct" -> q65Sql,
+    "q66_variant" -> q66Sql)
 }

@@ -1180,6 +1180,82 @@ object EventStream {
       |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** `Trigger.AvailableNow` — the INCREMENTAL-BATCH runner, and the
+    * trigger every other query here does NOT use (they drain under the
+    * default micro-batch trigger and are stopped from outside): the
+    * query takes a snapshot of what the source has AT START, processes
+    * it honoring the source's rate limits across as many micro-batches
+    * as the limits dictate, then terminates ON ITS OWN. At 100 TB this
+    * is the nightly/cron shape — no always-on cluster, each run drains
+    * the new files in bounded-size batches (bounded state, bounded
+    * executor memory) and the checkpoint makes the next run
+    * incremental. Both halves of the contract are certificates, not
+    * claims: the harness never calls stop() — `awaitTermination` must
+    * return on its own (self-termination, or the query throws) — and
+    * the 3-file source under `maxFilesPerTrigger=1` must report ≥3
+    * data micro-batches (rate limits HONORED across batches — the
+    * difference from the old Trigger.Once, which slurped everything
+    * into one unbounded batch). The business result (per-type counts +
+    * exact-micros totals in complete mode) must equal the batch
+    * aggregate — the oracle. */
+  def availableNow(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_avail_").toString
+    try {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * lit(1000000L)).cast("long").as("v_us"))
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev.filter(col("event_id") % 3 === 0), scratch, dataDir, "0-a", t0 - 120000)
+      scratchFile(ev.filter(col("event_id") % 3 === 1), scratch, dataDir, "1-b", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 3 === 2), scratch, dataDir, "2-c", t0)
+      val agg = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("event_type", StringType), StructField("v_us", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v_us")).as("total_us"))
+      val name = "graft_st_available_now"
+      s.streams.active.find(_.name == name).foreach(_.stop())
+      withStreamShuffle(s, dataDir.toString) {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // the harness never stops the query — AvailableNow must end it
+        val terminated = q.awaitTermination(120000)
+        if (!terminated) {
+          q.stop()
+          throw new IllegalStateException(
+            "Trigger.AvailableNow did not self-terminate — certificate is vacuous")
+        }
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < 3)
+          throw new IllegalStateException(
+            s"maxFilesPerTrigger=1 over 3 files must yield >=3 data batches, saw $dataBatches")
+      }
+      s.table(name)
+        .withColumn("self_terminated", lit(true))
+        .withColumn("rate_limited_batches", lit(true))
+        .orderBy("event_type")
+        .localCheckpoint() // materialize before the scratch source vanishes
+    } finally {
+      graft.Scratch.rmTree(scratch)
+    }
+  }
+
+  /** Oracle: the batch aggregate — an AvailableNow drain over any batch
+    * split must equal it; the two certificate flags are pinned TRUE. */
+  val availableNowSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_us,
+      |  TRUE AS self_terminated, TRUE AS rate_limited_batches
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   case class TimerIn(userId: Long, tsUs: Long, eventTime: java.sql.Timestamp)
   case class TimerSess(n: Long, lastTsUs: Long)
   case class TimerOut(user_id: Long, n_events: Long, closed_us: Long)
@@ -1486,6 +1562,7 @@ object EventStream {
     "st_session_window" -> (sessionWindowAgg _),
     "st_foreach_upsert" -> (foreachUpsert _),
     "st_tws_ledger" -> (twsLedger _),
+    "st_available_now" -> (availableNow _),
     "st_tws_timers" -> (twsTimers _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
@@ -1509,6 +1586,7 @@ object EventStream {
     "st_session_window" -> sessionWindowAggSql,
     "st_foreach_upsert" -> foreachUpsertSql,
     "st_tws_ledger" -> twsLedgerSql,
+    "st_available_now" -> availableNowSql,
     "st_tws_timers" -> twsTimersSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,

@@ -418,6 +418,24 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("st_available_now: self-terminates, leaves no active query, restores conf") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val rows = streaming.EventStream.availableNow(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("self_terminated")))
+    assert(!spark.streams.active.exists(_.name == "graft_st_available_now"),
+      "the AvailableNow query must be terminated, not lingering")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
+  }
+
+  test("q66: variant absent-path extraction is NULL for every row (n_missing == n)") {
+    val rows = operators.RelationalExt5.q66Variant(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_missing") == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("k_min") <= r.getAs[Long]("k_max"))
+    }
+  }
+
   test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
     val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
     val known = scala.collection.mutable.Set[String]()
