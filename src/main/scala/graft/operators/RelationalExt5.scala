@@ -190,12 +190,64 @@ object RelationalExt5 {
       |  count(*) AS n_missing
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** EXACT DECIMAL(38) MONEY ARITHMETIC — the warehouse money type as a
+    * first-class surface (every other money query here carries integer
+    * micros/cents; production ledgers carry DECIMAL columns, and the
+    * engine must aggregate them exactly at 128-bit precision —
+    * Tungsten's Decimal accumulators, not doubles). Doubles enter the
+    * exact domain ONCE (the established round(x·100) cents gate), then
+    * everything is decimal algebra chosen so no precision-loss rounding
+    * can occur: cents(18,0)·0.01(3,2) → price (22,2) exactly;
+    * price·qty(4,0) and price·(1−disc)(3,2) stay well under precision
+    * 38 through the group sums, so Spark's allowPrecisionLoss never
+    * engages. Results are emitted as the decimal's canonical STRING
+    * rendering (full scale, e.g. `1008514289.1154`) — the one
+    * representation both engines print identically, making the gate a
+    * bit-exact check on 128-bit aggregation, not a float compare. */
+  def q67Decimal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cent = lit(new java.math.BigDecimal("0.01")).cast(DecimalType(3, 2))
+    val one = lit(new java.math.BigDecimal("1.00")).cast(DecimalType(3, 2))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          .cast(DecimalType(18, 0)) * cent).as("p"),
+        (round(col("l_discount") * 100).cast("long")
+          .cast(DecimalType(4, 0)) * cent).as("dc"),
+        round(col("l_quantity")).cast("long").cast(DecimalType(4, 0)).as("qy"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast(DecimalType(38, 2)).cast("string").as("sum_price"),
+        sum(col("p") * col("qy")).cast(DecimalType(38, 2)).cast("string").as("sum_gross"),
+        sum(col("p") * (one - col("dc"))).cast(DecimalType(38, 4)).cast("string")
+          .as("sum_disc_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q67Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(CAST(sum(p) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+      |  CAST(CAST(sum(p * qy) AS DECIMAL(38,2)) AS VARCHAR) AS sum_gross,
+      |  CAST(CAST(sum(p * (CAST(1.00 AS DECIMAL(3,2)) - dc)) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS sum_disc_price
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DECIMAL(18,0))
+      |      * CAST(0.01 AS DECIMAL(3,2)) AS p,
+      |    CAST(CAST(round(l_discount*100) AS BIGINT) AS DECIMAL(4,0))
+      |      * CAST(0.01 AS DECIMAL(3,2)) AS dc,
+      |    CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(4,0)) AS qy
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_decimal" -> (q67Decimal _),
     "q64_interval_overlap" -> (q64IntervalOverlap _),
     "q65_bitmap_distinct" -> (q65BitmapDistinct _),
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q67_decimal" -> q67Sql,
     "q64_interval_overlap" -> q64Sql,
     "q65_bitmap_distinct" -> q65Sql,
     "q66_variant" -> q66Sql)

@@ -477,6 +477,109 @@ object Similarity {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  /** GRAPH-BASED ANN — greedy BEAM SEARCH over the bucketed kNN graph
+    * (the HNSW/NSG family, production ANN's state of the art; this is
+    * its base-layer search step): from a fixed entry point, each round
+    * expands the beam's out-neighbors in the [[nnDescent]] init graph,
+    * scores candidates against the query, keeps the top-3 beam — 3
+    * rounds, then the final beam IS the result. Everything is
+    * deterministic (cosines rounded at 6, id tie-breaks, fixed entry
+    * vec_id = 1), so the DuckDB oracle replays the identical graph and
+    * the identical unrolled walk. Scale shape: the graph build is the
+    * bucketed equi-join (never all-pairs); each search round is one
+    * join beam⋈graph (beam is queries×3 rows — broadcast-tiny
+    * regardless of corpus) plus one candidate scoring join keyed on
+    * vec_id; at 10⁹ vectors the graph is the only corpus-sized
+    * artifact and rounds touch O(|queries|·degree) of it. The greedy
+    * walk can stall in a local optimum — that is the documented
+    * speed/recall trade of every graph index; recall measurement
+    * belongs to [[nnDescent]]/[[recallEval]]'s harnesses. */
+  def graphSearch(s: SparkSession, d: String): DataFrame = {
+    val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .localCheckpoint()
+    val byA = Window.partitionBy("a").orderBy(col("cos").desc, col("nb"))
+    val g0 = b.as("x")
+      .join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("nb"),
+        ExactRound.r(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(byA)).filter(col("rn") <= 5)
+      .select("a", "nb").localCheckpoint()
+    val qs = b.filter(col("vec_id") % 25 === 7)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("norm").as("qn"))
+      .localCheckpoint()
+    val corpus = b.select(col("vec_id").as("id"), col("v"), col("norm"))
+    val wq = Window.partitionBy("q").orderBy(col("cos").desc, col("id"))
+    def step(beam: DataFrame): DataFrame =
+      beam.select("q", "id")
+        .union(beam.select("q", "id").join(g0, col("id") === col("a"))
+          .select(col("q"), col("nb").as("id")))
+        .filter(col("id") =!= col("q"))
+        .distinct()
+        .join(corpus, "id")
+        .join(broadcast(qs), "q")
+        .select(col("q"), col("id"),
+          ExactRound.r(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .localCheckpoint()
+    val b0 = qs.select(col("q"), lit(1L).as("id"))
+    val fin = step(step(step(b0)))
+    fin.select(col("q").as("query_id"), col("rn").as("rank_n"),
+      col("id").as("vec_id"), col("cos"))
+      .orderBy("query_id", "rank_n")
+  }
+
+  /** Oracle: identical graph, identical unrolled 3-round walk. */
+  val graphSearchSql: String = {
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    def cosOf(xv: String, xn: String, yv: String, yn: String) =
+      graft.operators.ExactRound.rSql(s"list_inner_product($xv, $yv) / ($xn * $yn)", 6)
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "b0" else s"b${r - 1}"
+      s"""s$r AS MATERIALIZED (
+         |  SELECT q, id, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, id) AS rn
+         |  FROM (
+         |    SELECT c.q, c.id, ${cosOf("x.v", "x.nrm", "qq.qv", "qq.qn")} AS cos
+         |    FROM (
+         |      SELECT DISTINCT q, id FROM (
+         |        SELECT b.q, g0.nb AS id FROM $prev b JOIN g0 ON g0.a = b.id
+         |        UNION ALL SELECT q, id FROM $prev
+         |      ) WHERE id <> q
+         |    ) c JOIN eb x ON c.id = x.vec_id JOIN qs qq ON c.q = qq.q
+         |  )
+         |), b$r AS MATERIALIZED (
+         |  SELECT q, id FROM s$r WHERE rn <= 3
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), eb AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM e
+       |), init AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS nb,
+       |    ${cosOf("x.v", "x.nrm", "y.v", "y.nrm")} AS cos
+       |  FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+       |), g0 AS MATERIALIZED (
+       |  SELECT a, nb FROM (
+       |    SELECT a, nb, row_number() OVER (PARTITION BY a ORDER BY cos DESC, nb) AS rn
+       |    FROM init) WHERE rn <= 5
+       |), qs AS MATERIALIZED (
+       |  SELECT vec_id AS q, v AS qv, nrm AS qn FROM eb WHERE vec_id % 25 = 7
+       |), b0 AS (
+       |  SELECT q, CAST(1 AS BIGINT) AS id FROM qs
+       |), $rounds
+       |SELECT q AS query_id, CAST(rn AS INT) AS rank_n, id AS vec_id, cos
+       |FROM s3 WHERE rn <= 3
+       |ORDER BY query_id, rank_n""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -1598,6 +1701,7 @@ object Similarity {
     "s_knn_join" -> (knnJoin _),
     "s_ann_lsh" -> (annLsh _),
     "s_nndescent" -> (nnDescent _),
+    "s_graph_search" -> (graphSearch _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_filtered" -> (annFiltered _),
     "s_filtered_recall" -> (filteredRecall _),
@@ -1624,6 +1728,7 @@ object Similarity {
     "s_knn_join" -> knnJoinSql,
     "s_ann_lsh" -> annLshSql,
     "s_nndescent" -> nnDescentSql,
+    "s_graph_search" -> graphSearchSql,
     "s_ann_ivf" -> annIvfSql,
     "s_ann_filtered" -> annFilteredSql,
     "s_filtered_recall" -> filteredRecallSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.RelationalExt5
+import graft.operators.{RelationalExt5, Similarity}
 
 /** The oracle gate covers value correctness; these pin the invariants
   * each operator's algebra must satisfy at any scale.
@@ -34,6 +34,32 @@ class RelationalExt5Spec extends SparkSpec {
     val joined = byType.join(e, "event_type")
       .filter(col("n_intervals") =!= col("n")).count()
     assert(joined == 0, "n_intervals must equal the raw event count per type")
+  }
+
+  test("q67: decimal renderings carry full scale and replay from exact cents") {
+    val rows = RelationalExt5.q67Decimal(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val p = r.getAs[String]("sum_price"); val dp = r.getAs[String]("sum_disc_price")
+      assert(p.matches("""\d+\.\d{2}"""), s"sum_price must render scale 2: $p")
+      assert(dp.matches("""\d+\.\d{4}"""), s"sum_disc_price must render scale 4: $dp")
+      // discounted never exceeds gross price sum
+      assert(BigDecimal(dp) <= BigDecimal(p))
+    }
+  }
+
+  test("s_graph_search: beams are valid top-3 sets with monotone scores") {
+    val rows = Similarity.graphSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, beam) =>
+      assert(beam.length <= 3)
+      val byRank = beam.sortBy(_.getAs[Int]("rank_n"))
+      assert(byRank.map(_.getAs[Int]("rank_n")).toSeq == (1 to beam.length))
+      val scores = byRank.map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q beam scores must be non-increasing")
+      assert(byRank.forall(_.getAs[Long]("vec_id") != q), "a query never retrieves itself")
+    }
   }
 
   test("q65: bitmap algebra is lossless vs exact distinct-set arithmetic") {
