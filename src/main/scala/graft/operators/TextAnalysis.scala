@@ -1405,11 +1405,16 @@ object TextAnalysis {
     * exactly — including the greedy-BPE behavior on runs
     * (`aaa`: pair counted twice, merged once). Symbols are `[a-z_]`,
     * so the `<` `>` delimiters can never collide. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The shared training loop behind [[bpeTrain]] (the merge table) and
+    * [[bpeApply]] (the final merged vocabulary): threads the source
+    * `term` through every round so the apply side can join the merged
+    * symbol count back to per-document term counts. */
+  private def bpeLoop(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     val vocab = Tables.parallelize(Tables.documents(s, d))
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .select(concat(regexp_replace(col("term"), "(.)", "<$1>"), lit("<_>")).as("w"), col("n"))
+      .select(col("term"),
+        concat(regexp_replace(col("term"), "(.)", "<$1>"), lit("<_>")).as("w"), col("n"))
     def pairCounts(words: DataFrame): DataFrame =
       words
         .select(col("n"), expr("split(substring(w, 2, length(w) - 2), '><')").as("syms"))
@@ -1427,14 +1432,18 @@ object TextAnalysis {
       merges += best.select(lit(r).as("round"),
         col("l").as("left_sym"), col("r").as("right_sym"), col("n_occ"))
       words = words.crossJoin(broadcast(best))
-        .select(replace(col("w"),
+        .select(col("term"),
+          replace(col("w"),
             concat(lit("<"), col("l"), lit("><"), col("r"), lit(">")),
             concat(lit("<"), col("l"), col("r"), lit(">"))).as("w"),
           col("n"))
         .localCheckpoint()
     }
-    merges.result().reduce(_ unionByName _).orderBy("round")
+    (merges.result(), words)
   }
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeLoop(s, d)._1.reduce(_ unionByName _).orderBy("round")
 
   /** SQL twin: the identical [[BpeRounds]] rounds unrolled as chained
     * CTEs — same encoding, same pair weighting, same (count desc,
@@ -1475,7 +1484,93 @@ object TextAnalysis {
        |$finalSelect""".stripMargin
   }
 
+  /** BPE TOKENIZER APPLY — ENCODE the corpus with the merges
+    * [[bpeTrain]] learned (the other half of tokenizer training, and
+    * the op that actually runs at 100 TB: training is
+    * vocabulary-sized, but every document must then be ENCODED). The
+    * scale trick is the same one training uses: merges are applied to
+    * the DISTINCT VOCABULARY (running the identical broadcast-merge
+    * loop), and per-document token counts come from joining the merged
+    * symbol count back to per-doc term counts — the corpus is scanned
+    * once for term counting and never re-tokenized row by row. Output
+    * per doc: encoded token count, base (character+end) symbol count,
+    * and the compression ratio the merge table bought — the number a
+    * tokenizer-training run is judged by. Docs with no `[a-z]+` terms
+    * have nothing to encode and are absent by definition. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val wfin = bpeLoop(s, d)._2
+      .select(col("term"),
+        size(expr("split(substring(w, 2, length(w) - 2), '><')")).cast("long").as("n_syms"))
+    val docterms = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    docterms.join(wfin, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("n_syms")).as("n_tokens"),
+        sum(col("c") * (length(col("term")) + lit(1))).as("n_base"))
+      .select(col("doc_id"), col("n_tokens"), col("n_base"),
+        graft.operators.ExactRound.r(
+          col("n_tokens").cast("double") / col("n_base"), 6).as("ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: the training CTE chain with `term` threaded through and
+    * the round-[[BpeRounds]] merge applied (train's twin skips it —
+    * the merge table doesn't need the final words; the encoder does),
+    * then the same vocabulary join against per-doc term counts. */
+  val bpeApplySql: String = {
+    def pairsCte(wTbl: String, out: String): String =
+      s"""$out AS (
+         |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS n_occ FROM (
+         |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+         |        i -> struct_pack(l := s[i], r := s[i+1]))) AS u
+         |    FROM (SELECT string_split(substr(w, 2, length(w) - 2), '><') AS s, n FROM $wTbl)
+         |    WHERE len(s) >= 2
+         |  ) GROUP BY u.l, u.r
+         |)""".stripMargin
+    def bestCte(pTbl: String, out: String): String =
+      s"$out AS (SELECT l, r, n_occ FROM $pTbl ORDER BY n_occ DESC, l, r LIMIT 1)"
+    def mergeCte(wTbl: String, bTbl: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT term, replace(w,
+         |    '<' || (SELECT l FROM $bTbl) || '><' || (SELECT r FROM $bTbl) || '>',
+         |    '<' || (SELECT l FROM $bTbl) || (SELECT r FROM $bTbl) || '>') AS w, n
+         |  FROM $wTbl
+         |)""".stripMargin
+    val rounds = (1 to BpeRounds).flatMap { k =>
+      Seq(pairsCte(s"w${k - 1}", s"p$k"), bestCte(s"p$k", s"b$k"),
+        mergeCte(s"w${k - 1}", s"b$k", s"w$k"))
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT term, regexp_replace(term, '(.)', '<\\1>', 'g') || '<_>' AS w,
+       |    count(*) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
+       |  GROUP BY term
+       |),
+       |${rounds.mkString(",\n")},
+       |wfin AS MATERIALIZED (
+       |  SELECT term, CAST(len(string_split(substr(w, 2, length(w) - 2), '><')) AS BIGINT)
+       |    AS n_syms
+       |  FROM w$BpeRounds
+       |),
+       |docterms AS (
+       |  SELECT doc_id, term, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+       |    FROM documents
+       |  ) GROUP BY doc_id, term
+       |)
+       |SELECT d.doc_id,
+       |  CAST(sum(d.c * f.n_syms) AS BIGINT) AS n_tokens,
+       |  CAST(sum(d.c * (length(d.term) + 1)) AS BIGINT) AS n_base,
+       |  ${graft.operators.ExactRound.rSql(
+            "CAST(sum(d.c * f.n_syms) AS DOUBLE) / sum(d.c * (length(d.term) + 1))", 6)} AS ratio
+       |FROM docterms d JOIN wfin f USING (term)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_apply" -> (bpeApply _),
     "t_bpe_train" -> (bpeTrain _),
     "t_lm_score" -> (lmScore _),
     "t_typo_pairs" -> (typoPairs _),
@@ -1509,6 +1604,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_apply" -> bpeApplySql,
     "t_bpe_train" -> bpeTrainSql,
     "t_lm_score" -> lmScoreSql,
     "t_typo_pairs" -> typoPairsSql,

@@ -436,6 +436,21 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("t_bpe_apply: merges only ever shrink the encoding, never below the term count") {
+    val rows = TextAnalysis.bpeApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tok = r.getAs[Long]("n_tokens"); val base = r.getAs[Long]("n_base")
+      assert(tok <= base, "merged tokens can never exceed base symbols")
+      assert(tok > 0 && base > 0)
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+    // 10 merges must actually compress SOMETHING corpus-wide
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <
+      rows.map(_.getAs[Long]("n_base")).sum)
+  }
+
   test("t_bpe_train: merged symbols are concatenations of prior-round or base symbols") {
     val rows = TextAnalysis.bpeTrain(spark, sf).orderBy(col("round")).collect()
     val known = scala.collection.mutable.Set[String]()
