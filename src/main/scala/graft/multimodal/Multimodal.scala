@@ -1412,6 +1412,136 @@ object Multimodal {
     res.toSeq
   }
 
+  // ----------------------------------------------------------------- ZIP
+
+  /** One STORED (uncompressed) ZIP archive from ordered (name, payload)
+    * members, hand-rolled for byte determinism (library writers embed
+    * host-local DOS timestamps): local header + data per member, then
+    * the central directory, then the end-of-central-directory record.
+    * Fixed version/flags/time fields; CRC-32 per member. */
+  private[graft] def encodeZip(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    members.foreach { case (name, data) =>
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val off = out.size().toLong
+      entries += ((name, off, data.length.toLong, crc.getValue))
+      out.write(le32(0x04034b50L)); out.write(le16(20)); out.write(le16(0))
+      out.write(le16(0)) // method 0 = STORED
+      out.write(le16(0)); out.write(le16(0x21)) // fixed DOS time/date (1980-01-01)
+      out.write(le32(crc.getValue))
+      out.write(le32(data.length.toLong)); out.write(le32(data.length.toLong))
+      out.write(le16(nb.length)); out.write(le16(0))
+      out.write(nb); out.write(data)
+    }
+    val cdStart = out.size().toLong
+    entries.foreach { case (name, off, size, crc) =>
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(le32(0x02014b50L)); out.write(le16(20)); out.write(le16(20))
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(0)); out.write(le16(0x21))
+      out.write(le32(crc)); out.write(le32(size)); out.write(le32(size))
+      out.write(le16(nb.length)); out.write(le16(0)); out.write(le16(0))
+      out.write(le16(0)); out.write(le16(0)); out.write(le32(0L))
+      out.write(le32(off)); out.write(nb)
+    }
+    val cdSize = out.size().toLong - cdStart
+    out.write(le32(0x06054b50L)); out.write(le16(0)); out.write(le16(0))
+    out.write(le16(entries.length)); out.write(le16(entries.length))
+    out.write(le32(cdSize)); out.write(le32(cdStart)); out.write(le16(0))
+    out.toByteArray
+  }
+
+  /** Parse a ZIP the way a real reader must: locate the EOCD record by
+    * scanning BACKWARD from the tail for its signature (comments make
+    * the fixed-offset shortcut unsound), jump to the central directory,
+    * walk its entries, and verify each member by reading the payload at
+    * its local-header offset and re-computing CRC-32 — per member
+    * (name, data offset, size, crcOk, payloadMd5). */
+  private[graft] def parseZip(
+      zip: Array[Byte]): Seq[(String, Long, Long, Boolean, String)] = {
+    def le16(o: Int): Int = (zip(o) & 0xff) | ((zip(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (zip(o) & 0xffL) | ((zip(o + 1) & 0xffL) << 8) |
+      ((zip(o + 2) & 0xffL) << 16) | ((zip(o + 3) & 0xffL) << 24)
+    var eocd = zip.length - 22
+    while (eocd >= 0 && le32(eocd) != 0x06054b50L) eocd -= 1
+    require(eocd >= 0, "no end-of-central-directory record")
+    val n = le16(eocd + 10)
+    var cd = le32(eocd + 16).toInt
+    (0 until n).map { _ =>
+      require(le32(cd) == 0x02014b50L, "bad central-directory signature")
+      val crcStored = le32(cd + 16)
+      val size = le32(cd + 24)
+      val nameLen = le16(cd + 28); val extraLen = le16(cd + 30); val cmtLen = le16(cd + 32)
+      val localOff = le32(cd + 42).toInt
+      val name = new String(zip, cd + 46, nameLen, java.nio.charset.StandardCharsets.US_ASCII)
+      val dataOff = localOff + 30 + le16(localOff + 26) + le16(localOff + 28)
+      val payload = java.util.Arrays.copyOfRange(zip, dataOff, dataOff + size.toInt)
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map(b => f"$b%02x").mkString
+      cd += 46 + nameLen + extraLen + cmtLen
+      (name, dataOff.toLong, size, crc.getValue == crcStored, md5hex)
+    }
+  }
+
+  /** ZIP SHARD INDEX — the tar index's random-access sibling, with the
+    * structurally OPPOSITE parse: tar frames forward from byte 0 (a
+    * scan format); zip's directory lives at the END (EOCD located by a
+    * backward signature scan, then the central directory enumerates
+    * members with their local-header offsets) — which is why a zip
+    * reader over object storage issues a tail range-read first, the
+    * access pattern this operator certifies. Members are STORED
+    * (uncompressed) so offsets stay arithmetic for the oracle; per
+    * member the parser seeks to the local offset, re-computes CRC-32
+    * over the payload it finds there (`crc_ok` — a one-byte
+    * misplacement flips it), and `payload_md5` must match the oracle's
+    * md5 of the source text. Offsets replay as window-cumulative
+    * (30 + namelen + size) sums per shard in doc_id order. */
+  def zipIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select((col("doc_id") % 4).cast("int").as("shard"), col("doc_id"), col("text"))
+      .as[(Int, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.toArray.sortBy(_._2).map { case (_, id, t) =>
+          (f"doc$id%08d.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (shard, encodeZip(members.toSeq))
+      }
+      .flatMap { case (shard, zip) =>
+        parseZip(zip).map { case (name, off, size, ok, md5hex) =>
+          (shard, name, off, size, ok, md5hex)
+        }
+      }
+      .toDF("shard", "name", "data_offset", "size_bytes", "crc_ok", "payload_md5")
+      .orderBy("shard", "name")
+  }
+
+  /** SQL twin: data offset of member i = Σ_{j<i} (30 + 15 + size_j) +
+    * 30 + 15 (fixed 15-char names), cumulative per shard. */
+  val zipIndexSql: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id % 4 AS INT) AS shard,
+      |    printf('doc%08d.txt', doc_id) AS name,
+      |    CAST(strlen(text) AS BIGINT) AS size_bytes,
+      |    md5(text) AS payload_md5, doc_id
+      |  FROM documents
+      |)
+      |SELECT shard, name,
+      |  CAST(coalesce(sum(45 + size_bytes) OVER (
+      |    PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 45 AS BIGINT)
+      |    AS data_offset,
+      |  size_bytes, TRUE AS crc_ok, payload_md5
+      |FROM m ORDER BY shard, name""".stripMargin
+
   /** TAR SHARD INDEX — the WebDataset layout LLM training loaders
     * actually stream (samples packed into tar shards, read
     * sequentially; random access via an external member index): 4
@@ -1468,6 +1598,7 @@ object Multimodal {
       |FROM m ORDER BY shard, name""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_zip_index" -> (zipIndex _),
     "m_tar_index" -> (tarIndex _),
     "m_warc_records" -> (warcRecords _),
     "m_wav_meta" -> (wavMeta _),
@@ -1488,6 +1619,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_zip_index" -> zipIndexSql,
     "m_tar_index" -> tarIndexSql,
     "m_warc_records" -> warcRecordsSql,
     "m_wav_meta" -> wavMetaSql,

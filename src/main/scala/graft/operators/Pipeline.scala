@@ -2038,7 +2038,57 @@ object Pipeline {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** DELETION VECTORS — merge-on-read delete, the lakehouse pattern
+    * that replaced copy-on-write at scale (Delta/Iceberg v2: deleting
+    * 0.1 % of a 100 TB table must not rewrite 100 TB — p_forget is the
+    * rewrite path, this is its cheap sibling): the delete predicate
+    * runs ONCE to resolve keys to (file, row position) pairs — the
+    * deletion-vector sidecar — and after that the data files are never
+    * rewritten; every read applies the DV as a POSITIONAL anti-join on
+    * `_metadata.row_index` (p_file_metadata certified that ordinal is
+    * dense and stable), never by re-evaluating the key predicate.
+    * Certified both ways: live counts/sums per shard must equal the
+    * logical table minus the keyed delete set (the oracle), and
+    * `leaked_deletes` — rows matching the delete predicate that
+    * SURVIVE the positional filter — is pinned 0, so a position that
+    * drifted from its key (the DV corruption mode, which silently
+    * resurrects deleted rows) goes red. */
+  def deletionVectors(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_pdv_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val withPos = s.read.parquet(out)
+        .select(col("shard"), col("doc_id"), col("n_chars"),
+          col("_metadata.row_index").as("pos"))
+      // write path: resolve the keyed delete to positions, once
+      val dv = withPos.filter(col("doc_id") % 17 === 3)
+        .select(col("shard"), col("pos"))
+        .localCheckpoint() // the sidecar artifact
+      // read path: positional anti-join — the key predicate never re-runs
+      withPos.join(dv, Seq("shard", "pos"), "left_anti")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("n_chars")).as("chars_live"),
+          sum(when(col("doc_id") % 17 === 3, 1L).otherwise(0L)).as("leaked_deletes"))
+        .orderBy("shard")
+        .localCheckpoint() // materialize before the scratch layout vanishes
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val deletionVectorsSql: String =
+    """SELECT CAST(doc_id % 8 AS INT) AS shard,
+      |  count(*) AS n_live, CAST(sum(n_chars) AS BIGINT) AS chars_live,
+      |  CAST(0 AS BIGINT) AS leaked_deletes
+      |FROM documents WHERE doc_id % 17 <> 3
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_deletion_vectors" -> (deletionVectors _),
     "p_file_metadata" -> (fileMetadata _),
     "p_sketch_incremental" -> (sketchIncremental _),
     "p_split_leakage" -> (splitLeakage _),
@@ -2091,6 +2141,7 @@ object Pipeline {
     "p_time_travel" -> timeTravelSql,
     "p_vacuum" -> vacuumSql,
     "p_file_metadata" -> fileMetadataSql,
+    "p_deletion_vectors" -> deletionVectorsSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,

@@ -408,6 +408,37 @@ class Round6Spec extends SparkSpec {
     assert(reparsed(1)._4, "second member is untouched")
   }
 
+  test("m_zip_index: a java.util.zip reader accepts the hand-rolled archive byte-for-byte") {
+    // interop pin: our writer must produce archives REAL readers open
+    val zip = graft.multimodal.Multimodal.encodeZip(
+      Seq(("a.txt", "hello".getBytes), ("b.txt", "wider world".getBytes)))
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(zip))
+    val got = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map(e => (e.getName, new String(zin.readAllBytes()))).toList
+    assert(got == List(("a.txt", "hello"), ("b.txt", "wider world")))
+    // and the backward EOCD parse agrees with the forward streaming read
+    val parsed = graft.multimodal.Multimodal.parseZip(zip)
+    assert(parsed.map(_._1) == got.map(_._1) && parsed.forall(_._4))
+  }
+
+  test("m_zip_index: a corrupted payload byte flips crc_ok for that member only") {
+    val zip = graft.multimodal.Multimodal.encodeZip(
+      Seq(("a.txt", "hello".getBytes), ("b.txt", "world!".getBytes)))
+    val parsed = graft.multimodal.Multimodal.parseZip(zip)
+    val bad = zip.clone(); bad(parsed.head._2.toInt) = 'X'.toByte
+    val reparsed = graft.multimodal.Multimodal.parseZip(bad)
+    assert(!reparsed.head._4 && reparsed(1)._4)
+  }
+
+  test("p_deletion_vectors: positional delete removes exactly the keyed set") {
+    val rows = Pipeline.deletionVectors(spark, sf).collect()
+    assert(rows.length == 8 && rows.forall(_.getAs[Long]("leaked_deletes") == 0L))
+    val total = rows.map(_.getAs[Long]("n_live")).sum
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 17 =!= 3).count()
+    assert(total == expected)
+  }
+
   test("p_file_metadata: per-file row ordinals are dense and files singular") {
     val rows = Pipeline.fileMetadata(spark, sf).collect()
     assert(rows.length == 8)
