@@ -514,6 +514,50 @@ object Pipeline {
     }
   }
 
+  /** GZIP-COMPRESSED JSONL round-trip — the format LLM corpora
+    * actually ship in (`.jsonl.gz` shards): [[jsonlRoundtrip]]'s sink/
+    * source pair with the gzip codec engaged on both sides (write via
+    * `compression=gzip`, read transparently by extension), behind the
+    * same manifest hash gate, PLUS the codec's scale trade surfaced as
+    * a pinned column: gzip is NOT SPLITTABLE, so each `.json.gz` file
+    * is exactly one read task regardless of size — `n_files` per shard
+    * (distinct `_metadata.file_path` on the read back) is pinned to 1,
+    * which is precisely why shard SIZING is the parallelism knob for
+    * gz corpora (1000 shards = 1000 tasks, however big the files; one
+    * 100 GB gz file = one task, the classic ingest stall). A green
+    * hash says writer and reader agree byte-for-byte through the
+    * compression boundary. */
+  def gzipRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_gzip_rt_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").option("compression", "gzip")
+        .partitionBy("shard").json(out)
+      val back = s.read.schema("doc_id LONG, n_chars LONG, text STRING").json(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"),
+          col("_metadata.file_path").as("fp_file"))
+        .localCheckpoint()
+      manifestAgg(back.drop("fp_file"))
+        .join(back.groupBy("shard")
+          .agg(countDistinct(col("fp_file")).as("n_files")), "shard")
+        .orderBy("shard")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** Oracle: the manifest replay + the one-gz-file-per-shard pin.
+    * (lazy: `manifestSql` is initialized later in the object body). */
+  lazy val gzipRoundtripSql: String =
+    s"""WITH m AS ($manifestSql)
+       |SELECT shard, n_docs, total_chars, manifest_md5,
+       |  CAST(1 AS BIGINT) AS n_files
+       |FROM m ORDER BY shard""".stripMargin
+
   /** RIGHT-TO-BE-FORGOTTEN — surgical delete across a sharded corpus
     * (the GDPR/CCPA erasure job every data holder runs, and at 100 TB
     * the naive form is a full-corpus rewrite): given a delete list
@@ -2089,6 +2133,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_deletion_vectors" -> (deletionVectors _),
+    "p_gzip_roundtrip" -> (gzipRoundtrip _),
     "p_file_metadata" -> (fileMetadata _),
     "p_sketch_incremental" -> (sketchIncremental _),
     "p_split_leakage" -> (splitLeakage _),
@@ -2142,6 +2187,7 @@ object Pipeline {
     "p_vacuum" -> vacuumSql,
     "p_file_metadata" -> fileMetadataSql,
     "p_deletion_vectors" -> deletionVectorsSql,
+    "p_gzip_roundtrip" -> gzipRoundtripSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
