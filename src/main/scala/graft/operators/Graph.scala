@@ -795,6 +795,119 @@ object Graph {
        |FROM per, tot ORDER BY com""".stripMargin
   }
 
+  /** CONDUCTANCE per community — the CUT-quality complement to
+    * [[modularity]]'s density score (Q asks "denser inside than
+    * chance?"; φ asks "how leaky is the boundary?" — the number
+    * graph-partition pruning at 100 TB is actually tuned by, because a
+    * low-conductance community can be processed in isolation): over
+    * the same [[communityFromPairs]] partition of the embedding
+    * near-dup graph, per community φ = cut / min(vol(C), vol(rest)) —
+    * cut = directed edges leaving C (d_tot − l_in2), vol = degree mass
+    * — every term an exact long from the same two label joins
+    * modularity uses, one rounded IEEE division at the end. The
+    * all-communities `worst` column (max φ) rides along: the single
+    * number that says whether ANY block leaks. */
+  def conductance(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embedDup(s, d)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint()
+    val lab = communityFromPairs(s, d, pairs)
+      .select(col("vec_id").as("id"), col("pred_label").as("com"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val withCom = edges
+      .join(lab.select(col("id").as("src"), col("com").as("com_s")), "src")
+      .join(lab.select(col("id").as("dst"), col("com").as("com_d")), "dst")
+    val lc = withCom.filter(col("com_s") === col("com_d"))
+      .groupBy(col("com_s").as("com")).agg(count(lit(1)).as("l_in2"))
+    val dc = withCom.groupBy(col("com_s").as("com"))
+      .agg(count(lit(1)).as("d_tot"), countDistinct("src").as("n_nodes"))
+    val m2df = edges.agg(count(lit(1)).as("m2"))
+    val per = dc.join(lc, Seq("com"), "left")
+      .select(col("com"), col("n_nodes"),
+        (col("d_tot") - coalesce(col("l_in2"), lit(0L))).as("cut"),
+        col("d_tot").as("vol"))
+      .crossJoin(broadcast(m2df))
+      .withColumn("denom", least(col("vol"), col("m2") - col("vol")))
+      .withColumn("phi",
+        when(col("denom") > 0,
+          ExactRound.r(col("cut").cast("double") / col("denom").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .localCheckpoint()
+    val worst = per.agg(max("phi").as("worst"))
+    per.crossJoin(broadcast(worst))
+      .select("com", "n_nodes", "cut", "vol", "phi", "worst")
+      .orderBy("com")
+  }
+
+  /** SQL twin: the communitySql CTE chain re-emitted, same exact-long
+    * cut/volume terms, one rounded division. */
+  val conductanceSql: String = {
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    val rounds = (1 to 3).map { k =>
+      s"""v$k AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS n
+         |  FROM edges e JOIN l${k - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.label
+         |), m$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+         |    FROM v$k
+         |  ) WHERE rn = 1
+         |), l$k AS (
+         |  SELECT * FROM seeds
+         |  UNION ALL
+         |  SELECT m.id, m.label FROM m$k m WHERE m.id NOT IN (SELECT id FROM seeds)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+       |         label
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb
+       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.4
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM edges
+       |), seeds AS (
+       |  SELECT n.id, CAST(e0.label AS BIGINT) AS label
+       |  FROM nodes n JOIN e0 ON e0.vec_id = n.id
+       |  WHERE n.id % 5 = 0
+       |), l0 AS (SELECT * FROM seeds
+       |), $rounds, lab AS (
+       |  SELECT n.id, coalesce(l.label, -1) AS com
+       |  FROM nodes n LEFT JOIN l3 l USING (id)
+       |), wc AS (
+       |  SELECT la.com AS com_s, lb.com AS com_d, e.src
+       |  FROM edges e JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+       |), lc AS (
+       |  SELECT com_s AS com, count(*) AS l_in2 FROM wc WHERE com_s = com_d GROUP BY 1
+       |), dc AS (
+       |  SELECT com_s AS com, count(*) AS d_tot, count(DISTINCT src) AS n_nodes
+       |  FROM wc GROUP BY 1
+       |), m2t AS (SELECT count(*) AS m2 FROM edges
+       |), per AS (
+       |  SELECT dc.com, dc.n_nodes,
+       |    CAST(dc.d_tot - coalesce(lc.l_in2, 0) AS BIGINT) AS cut,
+       |    CAST(dc.d_tot AS BIGINT) AS vol,
+       |    CAST(least(dc.d_tot, m2t.m2 - dc.d_tot) AS BIGINT) AS denom
+       |  FROM dc LEFT JOIN lc USING (com), m2t
+       |), perphi AS (
+       |  SELECT com, n_nodes, cut, vol,
+       |    CASE WHEN denom > 0
+       |      THEN ${ExactRound.rSql("CAST(cut AS DOUBLE) / CAST(denom AS DOUBLE)", 6)}
+       |      ELSE 0.0 END AS phi
+       |  FROM per
+       |), w AS (SELECT max(phi) AS worst FROM perphi)
+       |SELECT com, n_nodes, cut, vol, phi, w.worst
+       |FROM perphi, w ORDER BY com""".stripMargin
+  }
+
   /** INCREMENTAL connected components — the graph twin of
     * [[graft.operators.Pipeline.incremental]]: when new edges arrive on
     * a graph whose components are already labeled, the update touches
@@ -851,6 +964,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_wcc_incremental" -> (wccIncremental _),
     "g_modularity" -> (modularity _),
+    "g_conductance" -> (conductance _),
     "g_assortativity" -> (assortativity _),
     "g_kcore" -> (kcore _),
     "g_degree_stats" -> (degreeStats _),
@@ -866,6 +980,7 @@ object Graph {
     // ALL edges — the full-recompute transitive closure IS its oracle
     "g_wcc_incremental" -> Dedup.dupClustersSql,
     "g_modularity" -> modularitySql,
+    "g_conductance" -> conductanceSql,
     "g_assortativity" -> assortativitySql,
     "g_kcore" -> kcoreSql,
     "g_degree_stats" -> degreeStatsSql,

@@ -1569,7 +1569,48 @@ object TextAnalysis {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** CODE-VS-PROSE detection — the curation split every mixed web
+    * corpus needs before training (code and prose want different
+    * dedup, quality and mixing policies): per document, the standard
+    * surface signals — code-symbol count (`{};=<>()[]#`), brace count,
+    * indented-line count (leading 2-space/tab — the whitespace shape
+    * prose never has) — reduced to an integer per-mille symbol density
+    * (pure integer division: no FP crosses engines) and a
+    * deterministic policy flag. All codegen'd string ops on a single
+    * scan; the thresholds are policy inputs a deployment tunes, the
+    * shape (one pass, integer scores) is the operator. */
+  def codeDetect(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[{};=<>()\\[\\]#]", "")))
+          .cast("long").as("n_symbols"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[{}]", "")))
+          .cast("long").as("n_braces"),
+        size(filter(split(col("text"), "\n"), l => l.rlike("^(  |\t)")))
+          .cast("long").as("indent_lines"))
+      .withColumn("sym_permille", expr("(1000 * n_symbols) div n_chars"))
+      .withColumn("is_code",
+        col("sym_permille") >= 30 && col("n_braces") >= 2)
+      .orderBy("doc_id")
+
+  val codeDetectSql: String =
+    """SELECT doc_id, n_chars, n_symbols, n_braces, indent_lines,
+      |  CAST((1000 * n_symbols) // n_chars AS BIGINT) AS sym_permille,
+      |  ((1000 * n_symbols) // n_chars >= 30 AND n_braces >= 2) AS is_code
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[{};=<>()\[\]#]', '', 'g')) AS BIGINT)
+      |      AS n_symbols,
+      |    CAST(length(text) - length(regexp_replace(text, '[{}]', '', 'g')) AS BIGINT)
+      |      AS n_braces,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS indent_lines
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_code_detect" -> (codeDetect _),
     "t_bpe_apply" -> (bpeApply _),
     "t_bpe_train" -> (bpeTrain _),
     "t_lm_score" -> (lmScore _),
@@ -1604,6 +1645,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_code_detect" -> codeDetectSql,
     "t_bpe_apply" -> bpeApplySql,
     "t_bpe_train" -> bpeTrainSql,
     "t_lm_score" -> lmScoreSql,

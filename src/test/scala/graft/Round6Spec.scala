@@ -467,6 +467,29 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("g_conductance: phi in [0,1], cut bounded by volume, worst is the max") {
+    val rows = operators.Graph.conductance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val phis = rows.map(_.getAs[Double]("phi"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cut") <= r.getAs[Long]("vol"))
+      val p = r.getAs[Double]("phi")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Double]("worst") == phis.max)
+    }
+  }
+
+  test("t_code_detect: symbol accounting is internally consistent") {
+    val rows = TextAnalysis.codeDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_braces") <= r.getAs[Long]("n_symbols"))
+      val pm = r.getAs[Long]("sym_permille")
+      assert(pm >= 0 && pm <= 1000)
+      if (r.getAs[Boolean]("is_code")) assert(pm >= 30 && r.getAs[Long]("n_braces") >= 2)
+    }
+  }
+
   test("t_bpe_apply: merges only ever shrink the encoding, never below the term count") {
     val rows = TextAnalysis.bpeApply(spark, sf).collect()
     assert(rows.nonEmpty)
