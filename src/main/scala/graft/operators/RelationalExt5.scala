@@ -240,13 +240,52 @@ object RelationalExt5 {
       |  FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ANSI ERROR-HANDLING surface — the `try_*` function family
+    * (try_divide / try_add / try_multiply / try_cast), which is how a
+    * 100 TB job survives bad rows under ANSI mode: strict semantics
+    * turn one malformed row into a dead 6-hour job; the try_ forms
+    * turn the row into a NULL the pipeline can count, quarantine and
+    * continue past (the q21 self-certifying discipline applied to
+    * errors). Each failure class is pinned per group against its
+    * analytically-known count: division-by-zero NULLs == rows whose
+    * derived denominator is zero, bigint add/multiply overflow NULLs
+    * == rows whose operand makes MAX_LONG overflow (event_id > 0 /
+    * > 1), failed string→number casts == every row (event types are
+    * alphabetic). The oracle replays the SEMANTICS as explicit CASE
+    * guards — DuckDB has no try_add — which is exactly the contract:
+    * try_x(a,b) ≡ CASE WHEN <would fault> THEN NULL ELSE x END. */
+  def q68TryArithmetic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("try_divide(value, cast(user_id % 7 as double))").as("dv"),
+        expr("try_add(9223372036854775807L, event_id)").as("ad"),
+        expr("try_multiply(event_id, 9223372036854775807L)").as("ml"),
+        expr("try_cast(event_type AS BIGINT)").as("bc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(when(col("ad").isNull, 1L).otherwise(0L)).as("n_add_overflow"),
+        sum(when(col("ml").isNull, 1L).otherwise(0L)).as("n_mul_overflow"),
+        sum(when(col("bc").isNull, 1L).otherwise(0L)).as("n_bad_cast"))
+      .orderBy("event_type")
+
+  val q68Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+      |  CAST(sum(CASE WHEN event_id > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+      |  CAST(sum(CASE WHEN event_id > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
+      |  count(*) AS n_bad_cast
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_try_arithmetic" -> (q68TryArithmetic _),
     "q67_decimal" -> (q67Decimal _),
     "q64_interval_overlap" -> (q64IntervalOverlap _),
     "q65_bitmap_distinct" -> (q65BitmapDistinct _),
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q68_try_arithmetic" -> q68Sql,
     "q67_decimal" -> q67Sql,
     "q64_interval_overlap" -> q64Sql,
     "q65_bitmap_distinct" -> q65Sql,
