@@ -2131,7 +2131,79 @@ object Pipeline {
       |FROM documents WHERE doc_id % 17 <> 3
       |GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** PARTITION EVOLUTION — migrating a table's partition layout
+    * without losing its pruning property (the ops task every aging
+    * 100 TB table eventually needs: a day-partitioned event store
+    * accumulates 36 500 partitions in a decade and small-file listing
+    * costs eat the pruning win; the fix is re-binning to a coarser
+    * grain): events are written day-partitioned (one file per day),
+    * then EVOLVED to week partitions — read the old layout once,
+    * re-bin by an ARITHMETIC week key ((dayofyear−1) div 7; calendar
+    * week numbering is locale-dependent and cross-engine unsafe),
+    * rewrite one file per week. Certified three ways, all
+    * oracle-pinned: content survives (per-week counts + exact-cents
+    * sums equal the logical table), the compaction is real
+    * (`files_before` = measured day-file count vs `files_after` =
+    * measured week-file count), and PRUNING STILL WORKS on the new
+    * layout (`week_prune_ok`: a one-week predicate's path-scoped scan
+    * opens exactly one file — vacuity throws). */
+  def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_pevo_").toString
+    val dayDir = s"$out/by_day"; val wkDir = s"$out/by_week"
+    try {
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(dayDir)
+      val dayScan = s.read.parquet(dayDir)
+      dayScan
+        .withColumn("wk", expr("CAST((dayofyear(to_date(day)) - 1) div 7 AS INT)"))
+        .repartition(col("wk"))
+        .write.mode("overwrite").partitionBy("wk").parquet(wkDir)
+      import org.apache.spark.sql.graftbridge.PlanProbe
+      val allDays = dayScan.agg(count(lit(1)).as("n")); allDays.collect()
+      val filesBefore = PlanProbe.scanMetricSumForPath(allDays, "numFiles", dayDir)
+      val wkScan = s.read.parquet(wkDir)
+      val allWks = wkScan.agg(count(lit(1)).as("n")); allWks.collect()
+      val filesAfter = PlanProbe.scanMetricSumForPath(allWks, "numFiles", wkDir)
+      val oneWk = wkScan.filter(col("wk") === 0).agg(count(lit(1)).as("n"))
+      oneWk.collect()
+      val pruned = PlanProbe.scanMetricSumForPath(oneWk, "numFiles", wkDir)
+      if (pruned != 1L)
+        throw new IllegalStateException(
+          s"one-week predicate must open exactly 1 file on the evolved layout, opened $pruned")
+      wkScan.groupBy("wk")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(100)).cast("long")).as("value_c"))
+        .withColumn("files_before", lit(filesBefore))
+        .withColumn("files_after", lit(filesAfter))
+        .withColumn("week_prune_ok", lit(true))
+        .orderBy("wk")
+        .localCheckpoint() // materialize before the scratch layouts vanish
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** Oracle: the arithmetic week re-bin replayed from the logical
+    * table; file counts are the distinct day/week key counts (the
+    * one-file-per-partition write discipline). */
+  val partitionEvolutionSql: String =
+    """WITH e AS (
+      |  SELECT CAST((dayofyear(CAST(ts AS TIMESTAMP)) - 1) // 7 AS INT) AS wk,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, value
+      |  FROM events
+      |)
+      |SELECT wk, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+      |  (SELECT count(DISTINCT day) FROM e) AS files_before,
+      |  (SELECT count(DISTINCT wk) FROM e) AS files_after,
+      |  TRUE AS week_prune_ok
+      |FROM e GROUP BY wk ORDER BY wk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_partition_evolution" -> (partitionEvolution _),
     "p_deletion_vectors" -> (deletionVectors _),
     "p_gzip_roundtrip" -> (gzipRoundtrip _),
     "p_file_metadata" -> (fileMetadata _),
@@ -2188,6 +2260,7 @@ object Pipeline {
     "p_file_metadata" -> fileMetadataSql,
     "p_deletion_vectors" -> deletionVectorsSql,
     "p_gzip_roundtrip" -> gzipRoundtripSql,
+    "p_partition_evolution" -> partitionEvolutionSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,

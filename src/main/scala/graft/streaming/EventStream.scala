@@ -1180,6 +1180,108 @@ object EventStream {
       |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** CHAINED STATEFUL OPERATORS — two stateful operators in ONE
+    * streaming query (stream-stream interval join → tumbling-window
+    * aggregation on the join OUTPUT), the Spark 3.4+/4 capability that
+    * killed the old two-job-with-intermediate-sink workaround: before
+    * it, "aggregate the attribution join" meant materializing the join
+    * to Kafka/files and running a second cluster of state stores; now
+    * the watermark PROPAGATES THROUGH the join and drives the
+    * downstream window eviction in the same micro-batch pipeline. The
+    * harness proves the chain is real twice over: the executed
+    * query's progress must report ≥2 distinct stateful operators
+    * (vacuity throws — `two_stateful_ops` is an oracle-pinned TRUE),
+    * and the append-mode output itself (final flushed windows over
+    * join results) equals the batch join + window aggregate, which
+    * only happens if the propagated watermark correctly flushed every
+    * window. Tick discipline as in [[streamStreamOuter]]: one
+    * unmatchable row per side at max(ts) + 1 h (data-derived) pushes
+    * both input watermarks past every real window. */
+  def chainedStateful(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_chain_").toString
+    try {
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+        .localCheckpoint(eager = true)
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val ticks = ev.agg(max("ts").as("mts"))
+        .select(explode(array(
+          struct(lit(-1L).as("event_id"),
+            (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"),
+            lit(-1L).as("user_id"), lit("click").as("event_type")),
+          struct(lit(-2L).as("event_id"),
+            (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"),
+            lit(-2L).as("user_id"), lit("purchase").as("event_type")))).as("r"))
+        .select(col("r.event_id"), col("r.ts"), col("r.user_id"), col("r.event_type"))
+      val t0 = System.currentTimeMillis()
+      scratchFile(ev, scratch, dataDir, "0-data", t0 - 60000)
+      scratchFile(ticks, scratch, dataDir, "1-ticks", t0)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("user_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val agg = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(window(col("purchase_ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+        .select(date_format(col("window.start"), fmt).as("window_start"),
+          col("n_pairs"), col("min_user"), col("max_user"))
+      val name = "graft_st_chained"
+      s.streams.active.find(_.name == name).foreach(_.stop())
+      withStreamShuffle(s, dataDir.toString) {
+        val q = agg.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+        try {
+          q.processAllAvailable()
+          val stateful = q.recentProgress
+            .flatMap(_.stateOperators.map(_.operatorName)).distinct
+          if (stateful.length < 2)
+            throw new IllegalStateException(
+              s"expected >=2 chained stateful operators, saw ${stateful.mkString(",")}")
+        } finally q.stop()
+      }
+      s.table(name)
+        .withColumn("two_stateful_ops", lit(true))
+        .orderBy("window_start")
+        .localCheckpoint()
+    } finally {
+      graft.Scratch.rmTree(scratch)
+    }
+  }
+
+  /** Oracle: the batch join + window aggregate — what the chained
+    * streaming pipeline must flush, in total, once watermarks pass. */
+  val chainedStatefulSql: String =
+    """WITH j AS (
+      |  SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS pts
+      |  FROM events c JOIN events p
+      |    ON c.event_type = 'click' AND p.event_type = 'purchase'
+      |   AND p.user_id = c.user_id
+      |   AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |   AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |)
+      |SELECT strftime(time_bucket(INTERVAL '5 minutes', pts), '%Y-%m-%d %H:%M:%S')
+      |    AS window_start,
+      |  count(*) AS n_pairs,
+      |  CAST(min(user_id) AS BIGINT) AS min_user,
+      |  CAST(max(user_id) AS BIGINT) AS max_user,
+      |  TRUE AS two_stateful_ops
+      |FROM j GROUP BY window_start ORDER BY window_start""".stripMargin
+
   /** `Trigger.AvailableNow` — the INCREMENTAL-BATCH runner, and the
     * trigger every other query here does NOT use (they drain under the
     * default micro-batch trigger and are stopped from outside): the
@@ -1563,6 +1665,7 @@ object EventStream {
     "st_foreach_upsert" -> (foreachUpsert _),
     "st_tws_ledger" -> (twsLedger _),
     "st_available_now" -> (availableNow _),
+    "st_chained_stateful" -> (chainedStateful _),
     "st_tws_timers" -> (twsTimers _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
@@ -1587,6 +1690,7 @@ object EventStream {
     "st_foreach_upsert" -> foreachUpsertSql,
     "st_tws_ledger" -> twsLedgerSql,
     "st_available_now" -> availableNowSql,
+    "st_chained_stateful" -> chainedStatefulSql,
     "st_tws_timers" -> twsTimersSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,

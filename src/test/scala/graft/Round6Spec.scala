@@ -449,6 +449,35 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("st_chained_stateful: both state stores live in one query, no lingering stream") {
+    val rows = streaming.EventStream.chainedStateful(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("two_stateful_ops")))
+    assert(!spark.streams.active.exists(_.name == "graft_st_chained"))
+    // window totals must cover every joined pair exactly once
+    val expected = {
+      val ev = Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES")).count()
+    }
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == expected)
+  }
+
+  test("p_partition_evolution: re-bin compacts the layout and keeps content") {
+    val rows = Pipeline.partitionEvolution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val before = rows.head.getAs[Long]("files_before")
+    val after = rows.head.getAs[Long]("files_after")
+    assert(after < before, s"week layout must have fewer files: $after vs $before")
+    assert(after == rows.length.toLong, "one file per week partition")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
   test("st_available_now: self-terminates, leaves no active query, restores conf") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val rows = streaming.EventStream.availableNow(spark, sf).collect()
