@@ -277,7 +277,97 @@ object RelationalExt5 {
       |  count(*) AS n_bad_cast
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM) — the
+    * three-valued-logic trap every dimension with nullable keys sets:
+    * a plain equi-join silently DROPS all NULL-keyed rows (NULL = NULL
+    * is NULL, not true), so "unknown" fact rows never reach their
+    * "unknown" dimension bucket. The derived key maps user_id % 10 ==
+    * 0 rows to NULL (the unknown bucket) and the rest to 5 segments;
+    * the dim carries an explicit NULL row. The null-safe join must
+    * route every fact row — including the NULL bucket, pinned by
+    * `n_unknown` — and Spark still plans it as a proper hash join
+    * (null-safe equality is a join KEY, not a residual filter). The
+    * oracle is DuckDB's spelled-out IS NOT DISTINCT FROM. */
+  def q69NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val facts = Tables.events(s, d)
+      .select(col("event_type"),
+        when(col("user_id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 5).as("seg"),
+        round(col("value") * lit(100)).cast("long").as("value_c"))
+    val dim = ((0L to 4L).map(i => (Option(i), s"segment_$i")) :+
+      ((None: Option[Long]), "unknown")).toDF("seg", "seg_name")
+    facts.join(broadcast(dim), facts("seg") <=> dim("seg"))
+      .groupBy("seg_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_c")).as("value_c"),
+        sum(when(facts("seg").isNull, 1L).otherwise(0L)).as("n_unknown"))
+      .orderBy("seg_name")
+  }
+
+  val q69Sql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 5 END AS seg,
+      |    CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |), dim AS (
+      |  SELECT * FROM (VALUES (0, 'segment_0'), (1, 'segment_1'), (2, 'segment_2'),
+      |    (3, 'segment_3'), (4, 'segment_4'), (NULL, 'unknown')) t(seg, seg_name)
+      |)
+      |SELECT d.seg_name, count(*) AS n,
+      |  CAST(sum(f.value_c) AS BIGINT) AS value_c,
+      |  CAST(sum(CASE WHEN f.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+      |FROM f JOIN dim d ON f.seg IS NOT DISTINCT FROM d.seg
+      |GROUP BY d.seg_name ORDER BY d.seg_name""".stripMargin
+
+  /** CACHE-REUSE certificate — the layer half this suite's operators
+    * lean on (persist/localCheckpoint before multi-consumer reuse),
+    * pinned as an engine behavior instead of assumed: a persisted
+    * aggregate's SECOND consumer must be planned as an
+    * InMemoryTableScan (CacheManager plan-matching), probed in the
+    * EXECUTED plan — if cache lookup silently stopped matching (the
+    * classic regression: a non-deterministic expression or conf change
+    * breaks plan canonicalization, every "cached" consumer silently
+    * recomputes), `cache_hit` goes red rather than the bench quietly
+    * doubling. Business result rides the cached frame twice: per-type
+    * day counts joined to their all-days total. */
+  def q70CacheReuse(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      daily.count() // materialize the cache
+      val perType = daily.groupBy("event_type").agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      val total = daily.agg(sum(col("n")).as("n_total"))
+      val res = perType.crossJoin(broadcast(total)).orderBy("event_type")
+      val materialized = res.localCheckpoint()
+      import org.apache.spark.sql.graftbridge.PlanProbe
+      val hits = PlanProbe.nodes(res)
+        .count(_.getClass.getSimpleName.contains("InMemoryTableScan"))
+      if (hits < 2)
+        throw new IllegalStateException(
+          s"expected both consumers to read the cache, saw $hits InMemoryTableScan(s)")
+      materialized.withColumn("cache_hit", lit(true))
+    } finally daily.unpersist()
+  }
+
+  val q70Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |  count(*) AS n_days,
+      |  (SELECT CAST(sum(n) AS BIGINT) FROM daily) AS n_total,
+      |  TRUE AS cache_hit
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_null_safe_join" -> (q69NullSafeJoin _),
+    "q70_cache_reuse" -> (q70CacheReuse _),
     "q68_try_arithmetic" -> (q68TryArithmetic _),
     "q67_decimal" -> (q67Decimal _),
     "q64_interval_overlap" -> (q64IntervalOverlap _),
@@ -285,6 +375,8 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q69_null_safe_join" -> q69Sql,
+    "q70_cache_reuse" -> q70Sql,
     "q68_try_arithmetic" -> q68Sql,
     "q67_decimal" -> q67Sql,
     "q64_interval_overlap" -> q64Sql,
