@@ -303,4 +303,38 @@ class PlanShapeSpec extends SparkSpec {
       s"coarse/final cuts must be top-k operators, not global sorts:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"), "corpus must not cross-join itself")
   }
+
+  test("q64: endpoint collapse partial-aggregates map-side before the sweep window") {
+    val p = plan(graft.operators.RelationalExt5.q64IntervalOverlap(spark, sf))
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "the (type, t) collapse must run partial+final so raw events die map-side")
+    assert(p.contains("Window"), "expected the running-sum sweep window")
+  }
+
+  test("q65: bitmap overlap is a block-keyed equi-join, never a cartesian") {
+    val p = plan(graft.operators.RelationalExt5.q65BitmapDistinct(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"segment overlap must join on block id, not cross-join users:\n${p.take(600)}")
+  }
+
+  test("q66: variant extraction prunes the scan to (event_type, props)") {
+    val p = plan(graft.operators.RelationalExt5.q66Variant(spark, sf))
+    assert(p.contains("ReadSchema") && !p.contains("user_id") && !p.contains("value"),
+      "the variant pipeline must not drag unused columns through the scan")
+  }
+
+  test("q69: null-safe equality still plans as a broadcast hash join") {
+    val p = plan(graft.operators.RelationalExt5.q69NullSafeJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"<=> must be usable as a hash join key, not decay to nested-loop:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t_bpe_apply: per-doc encoding joins the vocabulary, never re-tokenizes rows") {
+    // the corpus-side plan must be ONE term-count aggregate + a join to
+    // the (tiny) merged vocabulary — no per-round corpus scans
+    val p = plan(graft.operators.TextAnalysis.bpeApply(spark, sf))
+    val scans = p.split("\n").count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans <= 2, s"apply must not rescan the corpus per merge round, saw $scans scans")
+  }
 }
