@@ -1180,6 +1180,73 @@ object EventStream {
       |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** `dropDuplicatesWithinWatermark` — BOUNDED-STATE streaming dedup
+    * (Spark 3.5+), and the exactness trade it makes, pinned instead of
+    * papered over: [[dedupStream]]'s plain dropDuplicates keeps every
+    * key forever (state grows with distinct keys — at 100 TB of
+    * events, that is the state store that eventually dies), while the
+    * WithinWatermark form expires a key once the watermark passes its
+    * first-seen event time + delay, so state is bounded by the
+    * watermark window… and a duplicate arriving AFTER its original's
+    * state expired is RE-EMITTED. This harness constructs both sides
+    * of that contract deterministically: batch 0 carries every event
+    * plus same-timestamp copies of the `event_id % 50` keys (dropped —
+    * within-window dedup works); batch 2 carries copies of OLD
+    * `event_id % 70` keys (original ts < max − 30 min, safely beyond
+    * the 10-min delay under either N+1 or N+2 watermark propagation)
+    * re-stamped at max(ts) (not late, pure function of data) — their
+    * state is expired, so they are counted TWICE in the output, which
+    * the oracle replays analytically. Batch 1 is the tick (ts =
+    * max(ts), value-neutral). A result where the old duplicates do
+    * NOT reappear means state was not actually bounded. */
+  def dedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_ddw_").toString
+    try {
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
+        .localCheckpoint(eager = true)
+      val mts = ev.agg(max("ts").as("mts"))
+      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
+      val b0 = ev.unionAll(ev.filter(col("event_id") % 50 === 0))
+      val tick = mts.select(lit(-1L).as("event_id"), col("mts").as("ts"),
+        lit("tick").as("event_type"), lit(0.0).as("value"))
+      val lateDups = ev.crossJoin(broadcast(mts))
+        .filter(col("event_id") % 70 === 0 &&
+          col("ts") < col("mts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("event_id"), col("mts").as("ts"), col("event_type"), col("value"))
+      val t0 = System.currentTimeMillis()
+      scratchFile(b0, scratch, dataDir, "0-data", t0 - 120000)
+      scratchFile(tick, scratch, dataDir, "1-tick", t0 - 60000)
+      scratchFile(lateDups, scratch, dataDir, "2-olddups", t0)
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dataDir.toString)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .filter(col("event_id") >= 0) // ticks out
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val name = "graft_st_dedup_wm"
+      runToMemorySink(s, dataDir.toString, stream, name, "complete")
+      s.table(name).orderBy("event_type").localCheckpoint()
+    } finally {
+      graft.Scratch.rmTree(scratch)
+    }
+  }
+
+  /** Oracle: every distinct event once, plus one EXTRA count for each
+    * old-enough re-duplicated key — the bounded-state re-emission,
+    * replayed analytically. */
+  val dedupWatermarkSql: String =
+    """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) + sum(CASE WHEN event_id % 70 = 0
+      |      AND CAST(ts AS TIMESTAMP) < (SELECT m FROM mx) - INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** CHAINED STATEFUL OPERATORS — two stateful operators in ONE
     * streaming query (stream-stream interval join → tumbling-window
     * aggregation on the join OUTPUT), the Spark 3.4+/4 capability that
@@ -1666,6 +1733,7 @@ object EventStream {
     "st_tws_ledger" -> (twsLedger _),
     "st_available_now" -> (availableNow _),
     "st_chained_stateful" -> (chainedStateful _),
+    "st_dedup_watermark" -> (dedupWatermark _),
     "st_tws_timers" -> (twsTimers _),
     "st_running_totals" -> (runningTotals _),
     "st_anomaly" -> (anomalyStream _),
@@ -1691,6 +1759,7 @@ object EventStream {
     "st_tws_ledger" -> twsLedgerSql,
     "st_available_now" -> availableNowSql,
     "st_chained_stateful" -> chainedStatefulSql,
+    "st_dedup_watermark" -> dedupWatermarkSql,
     "st_tws_timers" -> twsTimersSql,
     "st_running_totals" -> runningTotalsSql,
     "st_anomaly" -> anomalyStreamSql,

@@ -200,4 +200,29 @@ class ExpressionPropertySpec extends SparkSpec {
     // property must have actually been exercised
     assert(checkedClose > 100, s"only $checkedClose close pairs generated")
   }
+
+  test("tar/zip codecs: encode→parse recovers every member over random archives") {
+    import graft.multimodal.Multimodal
+    val nameGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(40).mkString)
+    val payloadGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val archiveGen = Gen.nonEmptyListOf(Gen.zip(nameGen, payloadGen)).map { ms =>
+      // unique names, archive-order deterministic
+      ms.take(12).zipWithIndex.map { case ((n, p), i) => (f"$i%03d_$n", p) }
+    }
+    samples(archiveGen, 60, 77L).foreach { members =>
+      def md5(b: Array[Byte]): String = java.security.MessageDigest
+        .getInstance("MD5").digest(b).map(x => f"$x%02x").mkString
+      val tar = Multimodal.parseTar(Multimodal.encodeTar(members))
+      assert(tar.map(_._1) == members.map(_._1), "tar member order/name drift")
+      tar.zip(members).foreach { case ((_, _, size, ok, m), (_, payload)) =>
+        assert(ok && size == payload.length.toLong && m == md5(payload))
+      }
+      val zip = Multimodal.parseZip(Multimodal.encodeZip(members))
+      assert(zip.map(_._1) == members.map(_._1), "zip member order/name drift")
+      zip.zip(members).foreach { case ((_, _, size, ok, m), (_, payload)) =>
+        assert(ok && size == payload.length.toLong && m == md5(payload))
+      }
+    }
+  }
 }

@@ -449,6 +449,23 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("st_dedup_watermark: expired keys re-emit — the bounded-state trade is visible") {
+    val rows = streaming.EventStream.dedupWatermark(spark, sf).collect()
+    val distinctN = Tables.events(spark, sf).count() // event_ids are unique
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total > distinctN,
+      s"old duplicates must reappear after state expiry: $total vs distinct $distinctN")
+    // and the surplus is exactly the analytically-known re-dup set
+    val expected = Tables.events(spark, sf)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        Tables.events(spark, sf).agg(
+          org.apache.spark.sql.functions.max("ts").as("mts"))))
+      .filter(col("event_id") % 70 === 0 &&
+        col("ts") < col("mts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+      .count()
+    assert(total - distinctN == expected)
+  }
+
   test("st_chained_stateful: both state stores live in one query, no lingering stream") {
     val rows = streaming.EventStream.chainedStateful(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("two_stateful_ops")))
