@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanProbe
 
 import graft.Tables
 
@@ -365,7 +366,83 @@ object RelationalExt5 {
       |  TRUE AS cache_hit
       |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** CBO STATISTICS certificate — `ANALYZE TABLE` and what the planner
+    * actually does with it (the q53 profiler computes the stats; this
+    * pins that the ENGINE's stats pipeline ingests and USES them): a
+    * saved orders table is ANALYZEd (table-level + per-column), and
+    * two measurements become oracle-pinned columns: `stat_rows` — the
+    * optimizer's `Statistics.rowCount` for the table, which must equal
+    * the exact count (the stats the cost model plans 100 TB joins
+    * with, not an estimate) — and `cbo_broadcast` — with
+    * auto-broadcast sized so only the ANALYZEd size qualifies, a join
+    * against the table must be planned as a broadcast hash join purely
+    * from its statistics (no hint), i.e. the size estimate actually
+    * drives the join strategy. Vacuity throws on both probes. */
+  def q71CboStats(s: SparkSession, d: String): DataFrame = {
+    val id = invocation.incrementAndGet()
+    val tbl = s"graft_q71_orders_$id"
+    val out = java.nio.file.Files.createTempDirectory("graft_q71_").toString
+    try {
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").option("path", s"$out/orders").saveAsTable(tbl)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+      // rowCount propagates into plan Statistics only under the cost-based
+      // optimizer (size-only estimation otherwise) — scope CBO on, the
+      // production setting for a stats-maintained warehouse
+      val statRows = withConfsLocal(s, Map("spark.sql.cbo.enabled" -> "true")) {
+        s.table(tbl).queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong)
+          .getOrElse(throw new IllegalStateException(
+            "ANALYZE produced no rowCount statistic — stats pipeline broken"))
+      }
+      val agg = withConfsLocal(s, Map(
+        // large enough for the ANALYZEd orders projection, far too
+        // small for lineitem: a broadcast can only come from stats
+        "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString)) {
+        val joined = Tables.lineitem(s, d).select("l_orderkey")
+          .join(s.table(tbl), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n_lines"))
+          .orderBy("o_orderpriority")
+        val materialized = joined.localCheckpoint()
+        val isBroadcast = PlanProbe.nodes(joined)
+          .exists(_.getClass.getSimpleName.contains("BroadcastHashJoin"))
+        if (!isBroadcast)
+          throw new IllegalStateException(
+            "stats-sized side was not broadcast — CBO size estimate unused")
+        materialized
+      }
+      agg
+        .withColumn("stat_rows", lit(statRows))
+        .withColumn("cbo_broadcast", lit(true))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** The [[RelationalExt4]] conf-scoping discipline, local copy. */
+  private def withConfsLocal[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  val q71Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  (SELECT count(*) FROM orders) AS stat_rows,
+      |  TRUE AS cbo_broadcast
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_cbo_stats" -> (q71CboStats _),
     "q69_null_safe_join" -> (q69NullSafeJoin _),
     "q70_cache_reuse" -> (q70CacheReuse _),
     "q68_try_arithmetic" -> (q68TryArithmetic _),
@@ -375,6 +452,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q71_cbo_stats" -> q71Sql,
     "q69_null_safe_join" -> q69Sql,
     "q70_cache_reuse" -> q70Sql,
     "q68_try_arithmetic" -> q68Sql,
