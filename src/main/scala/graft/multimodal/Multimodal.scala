@@ -1412,6 +1412,99 @@ object Multimodal {
     res.toSeq
   }
 
+  // ----------------------------------------------------------------- NPY
+
+  /** One NumPy `.npy` v1.0 file from a float32 vector: magic
+    * `\x93NUMPY`, version 1.0, LE16 header length, the python-dict
+    * header (`descr: '<f4'`, C order, 1-D shape) space-padded +
+    * newline-terminated so the data section starts 64-byte aligned
+    * (the spec's alignment rule), then the raw little-endian floats. */
+  private[graft] def encodeNpy(v: Array[Float]): Array[Byte] = {
+    val dict = s"{'descr': '<f4', 'fortran_order': False, 'shape': (${v.length},), }"
+    val headerLen = {
+      val base = 10 + dict.length + 1 // magic6 + ver2 + len2 + dict + \n
+      val pad = (64 - base % 64) % 64
+      dict.length + 1 + pad
+    }
+    val bb = java.nio.ByteBuffer.allocate(10 + headerLen + 4 * v.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x93.toByte).put("NUMPY".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(1.toByte).put(0.toByte)
+    bb.putShort(headerLen.toShort)
+    bb.put(dict.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    (0 until headerLen - dict.length - 1).foreach(_ => bb.put(' '.toByte))
+    bb.put('\n'.toByte)
+    v.foreach(bb.putFloat)
+    bb.array()
+  }
+
+  /** NPY TENSOR FILE parse — the format ML shops actually ship dense
+    * tensors in (embedding dumps, activation caches, `np.save` output):
+    * each embedding vector becomes one REAL `.npy` file (spec magic,
+    * version, LE16 header length, python-dict header padded to the
+    * 64-byte data alignment the spec mandates), and the parse side
+    * recovers everything from the bytes alone — dtype and shape via
+    * anchored regexes over the header dict, element count cross-checked
+    * against the payload byte length, and the first/last float32
+    * values read back through the little-endian payload (float→double
+    * widening is exact, so the oracle pins them bit-level against the
+    * source array). `aligned_ok` certifies the 64-byte data-offset
+    * alignment — the property memory-mapped readers rely on. */
+  def npyTensor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        val npy = encodeNpy(v)
+        val bb = java.nio.ByteBuffer.wrap(npy).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val magicOk = (npy(0) & 0xff) == 0x93 &&
+          new String(npy, 1, 5, java.nio.charset.StandardCharsets.US_ASCII) == "NUMPY" &&
+          npy(6) == 1.toByte
+        val hlen = bb.getShort(8) & 0xffff
+        val header = new String(npy, 10, hlen, java.nio.charset.StandardCharsets.US_ASCII)
+        val dtype = "'descr': '([^']+)'".r.findFirstMatchIn(header).map(_.group(1)).getOrElse("?")
+        val shape = "'shape': \\((\\d+),\\)".r.findFirstMatchIn(header)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        val dataOff = 10 + hlen
+        val nElems = (npy.length - dataOff) / 4L
+        val first = bb.getFloat(dataOff).toDouble
+        val last = bb.getFloat(npy.length - 4).toDouble
+        (id, dtype, shape, nElems, dataOff.toLong, npy.length.toLong,
+          magicOk && dataOff % 64 == 0, first, last)
+      })
+      .toDF("vec_id", "dtype", "shape_n", "n_elems", "data_offset",
+        "total_bytes", "aligned_ok", "first_val", "last_val")
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: header arithmetic (dict length → 64-byte-aligned data
+    * offset) + exact float32→double endpoint values from the source. */
+  val npyTensorSql: String = {
+    // dict string length replayed generically: data-dependent only
+    // through the shape's digit count; chr(39) = the quote character
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, len(embedding) AS n,
+       |    length('{' || chr(39) || 'descr' || chr(39) || ': ' || chr(39) || '<f4'
+       |      || chr(39) || ', ' || chr(39) || 'fortran_order' || chr(39) || ': False, '
+       |      || chr(39) || 'shape' || chr(39) || ': ('
+       |      || CAST(len(embedding) AS VARCHAR) || ',), }') AS dictlen
+       |  FROM embeddings
+       |), h AS (
+       |  SELECT vec_id, embedding, n, dictlen,
+       |    CAST(10 + dictlen + 1 + (64 - (10 + dictlen + 1) % 64) % 64 AS BIGINT)
+       |      AS data_offset
+       |  FROM e
+       |)
+       |SELECT vec_id, '<f4' AS dtype, CAST(n AS BIGINT) AS shape_n,
+       |  CAST(n AS BIGINT) AS n_elems, data_offset,
+       |  CAST(data_offset + 4 * n AS BIGINT) AS total_bytes,
+       |  TRUE AS aligned_ok,
+       |  CAST(embedding[1] AS DOUBLE) AS first_val,
+       |  CAST(embedding[n] AS DOUBLE) AS last_val
+       |FROM h ORDER BY vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- ZIP
 
   /** One STORED (uncompressed) ZIP archive from ordered (name, payload)
@@ -1598,6 +1691,7 @@ object Multimodal {
       |FROM m ORDER BY shard, name""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_npy_tensor" -> (npyTensor _),
     "m_zip_index" -> (zipIndex _),
     "m_tar_index" -> (tarIndex _),
     "m_warc_records" -> (warcRecords _),
@@ -1619,6 +1713,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_npy_tensor" -> npyTensorSql,
     "m_zip_index" -> zipIndexSql,
     "m_tar_index" -> tarIndexSql,
     "m_warc_records" -> warcRecordsSql,

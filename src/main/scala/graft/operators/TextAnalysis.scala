@@ -1609,7 +1609,53 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** SKIP-GRAM PAIR COUNTS — the word2vec/GloVe training-data kernel
+    * (co-occurrence within a ±2 window), and the LLM-adjacent shape
+    * that tests the engine's ARRAY path: pairs are generated INSIDE
+    * each document's token array with codegen'd higher-order functions
+    * (sequence → per-position offset filter → struct pairs → flatten →
+    * explode) — no positional self-join, so nothing document-sized
+    * ever crosses a shuffle; after the explode it is wordcount-shaped
+    * (partial-agg on pair keys). Top-30 by count with full tie-break.
+    * The oracle generates the same pairs via a positional self-join —
+    * two formulations, one answer. */
+  def skipgramPairs(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .select(filter(split(lower(trim(col("text"))), "[ \t\n\r]+"),
+        t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(toks) - 1), i ->
+          |  transform(filter(array(i - 2, i - 1, i + 1, i + 2),
+          |      j -> j >= 0 AND j < size(toks)),
+          |    j -> struct(toks[i] AS c, toks[j] AS x))))""".stripMargin)).as("p"))
+      .groupBy(col("p.c").as("center"), col("p.x").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(30)
+
+  val skipgramPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\r]+'),
+      |      t -> len(t) > 0) AS l
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(l, (x, i) -> struct_pack(pos := i, tok := x))) AS u
+      |    FROM toks)
+      |), pairs AS (
+      |  SELECT a.tok AS center, b.tok AS context
+      |  FROM p a JOIN p b
+      |    ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+      |)
+      |SELECT center, context, count(*) AS n
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY n DESC, center, context LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_skipgram_pairs" -> (skipgramPairs _),
     "t_code_detect" -> (codeDetect _),
     "t_bpe_apply" -> (bpeApply _),
     "t_bpe_train" -> (bpeTrain _),
@@ -1645,6 +1691,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_skipgram_pairs" -> skipgramPairsSql,
     "t_code_detect" -> codeDetectSql,
     "t_bpe_apply" -> bpeApplySql,
     "t_bpe_train" -> bpeTrainSql,

@@ -408,6 +408,20 @@ class Round6Spec extends SparkSpec {
     assert(reparsed(1)._4, "second member is untouched")
   }
 
+  test("m_npy_tensor: the encoded file matches the npy spec byte layout") {
+    val v = Array(1.5f, -2.25f, Float.MinPositiveValue, 0f)
+    val npy = graft.multimodal.Multimodal.encodeNpy(v)
+    assert((npy(0) & 0xff) == 0x93 && new String(npy, 1, 5) == "NUMPY")
+    assert(npy(6) == 1 && npy(7) == 0, "version must be 1.0")
+    val hlen = ((npy(9) & 0xff) << 8) | (npy(8) & 0xff)
+    assert((10 + hlen) % 64 == 0, "data section must be 64-byte aligned")
+    assert(npy(10 + hlen - 1) == '\n', "header must end in newline")
+    val bb = java.nio.ByteBuffer.wrap(npy).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    v.indices.foreach { i =>
+      assert(bb.getFloat(10 + hlen + 4 * i) == v(i), s"payload float $i drifted")
+    }
+  }
+
   test("m_zip_index: a java.util.zip reader accepts the hand-rolled archive byte-for-byte") {
     // interop pin: our writer must produce archives REAL readers open
     val zip = graft.multimodal.Multimodal.encodeZip(
