@@ -441,7 +441,51 @@ object RelationalExt5 {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** GROUPING() DISAMBIGUATION — the correctness trap inside every
+    * rollup over nullable keys: a subtotal row and a real-NULL group
+    * BOTH show NULL in the key column, and q31's derive-level-from-
+    * nullness trick (valid there: its keys are non-null) silently
+    * merges them the moment real NULLs appear. Here the region key
+    * has genuine NULLs (1/10 of users are unattributed), the rollup
+    * runs over (region, event_type), and the `grouping()` flags — the
+    * engine's own is-this-a-subtotal bits, carried through the Expand
+    * — are emitted beside the keys, so "NULL region, g=0" (the
+    * unattributed segment, a real business number) and "NULL region,
+    * g=1" (the all-regions subtotal) stay distinct rows the oracle
+    * pins separately. */
+  def q72GroupingId(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(col("user_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("r"), (col("user_id") % 3).cast("string"))).as("region"),
+        col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("value_c"))
+      .rollup("region", "event_type")
+      .agg(grouping(col("region")).cast("int").as("g_region"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        count(lit(1)).as("n"), sum(col("value_c")).as("value_c"))
+      .select(coalesce(col("region"), lit("(null)")).as("region"),
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        col("g_region"), col("g_type"), col("n"), col("value_c"))
+      .orderBy("g_region", "g_type", "region", "event_type")
+
+  val q72Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+      |    ELSE 'r' || CAST(user_id % 3 AS VARCHAR) END AS region,
+      |    event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |)
+      |SELECT coalesce(region, '(null)') AS region,
+      |  coalesce(event_type, '(all)') AS event_type,
+      |  CAST(GROUPING(region) AS INT) AS g_region,
+      |  CAST(GROUPING(event_type) AS INT) AS g_type,
+      |  count(*) AS n, CAST(sum(value_c) AS BIGINT) AS value_c
+      |FROM b GROUP BY ROLLUP(region, event_type)
+      |ORDER BY g_region, g_type, region, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_grouping_id" -> (q72GroupingId _),
     "q71_cbo_stats" -> (q71CboStats _),
     "q69_null_safe_join" -> (q69NullSafeJoin _),
     "q70_cache_reuse" -> (q70CacheReuse _),
@@ -452,6 +496,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q72_grouping_id" -> q72Sql,
     "q71_cbo_stats" -> q71Sql,
     "q69_null_safe_join" -> q69Sql,
     "q70_cache_reuse" -> q70Sql,
