@@ -484,7 +484,56 @@ object RelationalExt5 {
       |FROM b GROUP BY ROLLUP(region, event_type)
       |ORDER BY g_region, g_type, region, event_type""".stripMargin
 
+  /** NESTED-SCHEMA PRUNING certificate — the struct twin of q2's
+    * column pruning, and at 100 TB its own lever: event/log tables
+    * carry wide nested structs (request{…}, device{…}, geo{…}), and a
+    * query touching `meta.lang` must read THAT LEAF from parquet, not
+    * materialize every struct field (Parquet stores leaves as
+    * independent columns — the reader can skip sibling leaves exactly
+    * like top-level columns). Documents are rewritten with their
+    * scalars nested under a `meta` struct (plus a decoy `payload`
+    * field carrying the full text — the column a failed pruning would
+    * drag in), a per-language aggregate touches only `meta.lang` and
+    * `meta.n_chars`, and the scan's ReadSchema is probed: it must
+    * mention the touched leaves and must NOT contain the decoy.
+    * `pruned_ok` is the oracle-pinned TRUE; vacuity throws. */
+  def q73NestedPruning(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q73_").toString
+    try {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars"),
+            col("text").as("payload")).as("meta"))
+        .write.mode("overwrite").parquet(out)
+      val agg = s.read.parquet(out)
+        .select(col("meta.lang").as("lang"), col("meta.n_chars").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+      val materialized = agg.localCheckpoint()
+      val scans = PlanProbe.nodes(agg)
+        .filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+        .map(_.toString)
+      val ok = scans.nonEmpty &&
+        scans.forall(sc => sc.contains("lang") && !sc.contains("payload"))
+      if (!ok)
+        throw new IllegalStateException(
+          "nested pruning did not engage — the decoy payload leaf is in the scan:\n" +
+            scans.mkString("\n").take(500))
+      materialized.withColumn("pruned_ok", lit(true))
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val q73Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  TRUE AS pruned_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_nested_pruning" -> (q73NestedPruning _),
     "q72_grouping_id" -> (q72GroupingId _),
     "q71_cbo_stats" -> (q71CboStats _),
     "q69_null_safe_join" -> (q69NullSafeJoin _),
@@ -496,6 +545,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q73_nested_pruning" -> q73Sql,
     "q72_grouping_id" -> q72Sql,
     "q71_cbo_stats" -> q71Sql,
     "q69_null_safe_join" -> q69Sql,
