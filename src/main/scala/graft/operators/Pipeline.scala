@@ -2202,7 +2202,67 @@ object Pipeline {
       |  TRUE AS week_prune_ok
       |FROM e GROUP BY wk ORDER BY wk""".stripMargin
 
+  /** RANGE-CLUSTERED LAYOUT — `repartitionByRange` + sorted write, the
+    * continuous-key sibling of hive partitioning (a date-partitioned
+    * dir works for day grains; a RANGE layout keeps any ordered key —
+    * timestamps, ids, scores — clusterable so min/max file statistics
+    * prune like partitions, without a directory per value; it is also
+    * the TeraSort write shape). lineitem is written
+    * `repartitionByRange(8, l_shipdate).sortWithinPartitions`, read
+    * back with `_metadata.file_path`, and the certificate is the
+    * layout property itself: per-file [min, max] shipdate intervals
+    * must be pairwise DISJOINT (range partitioning puts equal keys in
+    * one partition, so file ranges cannot interleave — the property
+    * min/max skipping needs; any overlap throws and `ranges_disjoint`
+    * is oracle-pinned TRUE). Business result on the same read: monthly
+    * line counts + exact-micros revenue, proving content survived the
+    * re-layout. File count is deliberately NOT pinned (empty range
+    * slices write no file — an engine detail, not a contract). */
+  def rangeLayout(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_prange_").toString
+    try {
+      graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+        .select(col("l_shipdate"), col("l_extendedprice"),
+          col("_metadata.file_path").as("f"))
+        .localCheckpoint()
+      // lexicographic == chronological for this format, and immune to
+      // the column's TIMESTAMP vs TIMESTAMP_NTZ external type
+      val fmtCol = date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+      val perFile = back.groupBy("f")
+        .agg(min(fmtCol).as("lo"), max(fmtCol).as("hi"))
+        .collect() // bounded by the file count (8), never data-sized
+      val overlaps = perFile.combinations(2).count { case Array(a, b) =>
+        a.getAs[String]("hi") >= b.getAs[String]("lo") &&
+          b.getAs[String]("hi") >= a.getAs[String]("lo")
+      }
+      if (overlaps > 0)
+        throw new IllegalStateException(
+          s"$overlaps file-range overlaps — range clustering broken, min/max skipping unsound")
+      back.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * lit(1000000L)).cast("long")).as("rev_us"))
+        .withColumn("ranges_disjoint", lit(true))
+        .orderBy("month")
+        .localCheckpoint()
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val rangeLayoutSql: String =
+    """SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS rev_us,
+      |  TRUE AS ranges_disjoint
+      |FROM lineitem GROUP BY month ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_range_layout" -> (rangeLayout _),
     "p_partition_evolution" -> (partitionEvolution _),
     "p_deletion_vectors" -> (deletionVectors _),
     "p_gzip_roundtrip" -> (gzipRoundtrip _),
@@ -2261,6 +2321,7 @@ object Pipeline {
     "p_deletion_vectors" -> deletionVectorsSql,
     "p_gzip_roundtrip" -> gzipRoundtripSql,
     "p_partition_evolution" -> partitionEvolutionSql,
+    "p_range_layout" -> rangeLayoutSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
