@@ -532,7 +532,42 @@ object RelationalExt5 {
       |  TRUE AS pruned_ok
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** MAP-TYPE FUNCTION surface — the `map_*` higher-order family
+    * (map_from_entries / transform_values / map_filter / explode-of-
+    * map) as one deterministic round trip: per-type daily counts fold
+    * into a day→count map (entries sorted before folding — the q33
+    * shuffle-order-proof discipline, since map construction order is
+    * otherwise nondeterministic), values are transformed (×2) and
+    * filtered (≥20) INSIDE the map, and the map explodes back to rows
+    * the oracle replays with plain relational algebra — certifying
+    * that Spark's map algebra is a lossless detour, not a semantic
+    * fork. The map shape matters at 100 TB because per-entity
+    * metric-maps (one row per entity, k metrics inside) are how wide
+    * telemetry avoids k-fold row blowup before the final explode. */
+  def q74MapFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("day"), col("n")))))
+        .as("m"))
+      .select(col("event_type"),
+        map_filter(transform_values(col("m"), (_, v) => v * 2), (_, v) => v >= 20)
+          .as("m2"))
+      .select(col("event_type"), explode(col("m2")).as(Seq("day", "boosted")))
+      .orderBy("event_type", "day")
+
+  val q74Sql: String =
+    """SELECT event_type, day, CAST(2 * n AS BIGINT) AS boosted
+      |FROM (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |WHERE 2 * n >= 20
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_map_functions" -> (q74MapFunctions _),
     "q73_nested_pruning" -> (q73NestedPruning _),
     "q72_grouping_id" -> (q72GroupingId _),
     "q71_cbo_stats" -> (q71CboStats _),
@@ -545,6 +580,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q74_map_functions" -> q74Sql,
     "q73_nested_pruning" -> q73Sql,
     "q72_grouping_id" -> q72Sql,
     "q71_cbo_stats" -> q71Sql,

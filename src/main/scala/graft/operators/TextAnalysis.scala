@@ -1654,7 +1654,73 @@ object TextAnalysis {
       |FROM pairs GROUP BY 1, 2
       |ORDER BY n DESC, center, context LIMIT 30""".stripMargin
 
+  /** UNICODE NORMALIZATION dedup — the invisible-duplicate class exact
+    * dedup misses: composed (U+00E9 `é`) and decomposed (`e` +
+    * U+0301) spellings are byte-different, render identically, and
+    * web corpora contain both (different editors emit different
+    * forms) — so exact-hash dedup keeps both copies and the model
+    * trains on doubled text. The corpus is ASCII-heavy, so both forms
+    * are PLANTED deterministically: every doc_id % 20 == 0 base doc
+    * gets a composed-suffix variant (id + 10M) and a decomposed-suffix
+    * variant (id + 20M); per doc the kernel computes NFC-normalized
+    * length (`java.text.Normalizer` in a typed map — the JDK's
+    * normalizer is the reference implementation; Spark has no
+    * normalization builtin) and the changed flag, and the dedup
+    * aggregates group by md5(nfc(text)): every planted pair — equal
+    * after NFC, different raw — must collapse to one group of 2.
+    * DuckDB's `nfc_normalize` replays the whole construction. */
+  def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 20 === 0)
+    val composed = planted.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(col("text"), lit(" café")).as("text"))
+    val decomposed = planted.select((col("doc_id") + 20000000L).as("doc_id"),
+      concat(col("text"), lit(" café")).as("text"))
+    val all = base.unionAll(composed).unionAll(decomposed)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val nfc = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        (id, t.length.toLong, nfc.length.toLong, nfc)
+      })
+      .toDF("doc_id", "raw_len", "nfc_len", "nfc")
+    val groups = all.groupBy(md5(to_binary(col("nfc"), lit("utf-8"))).as("h"))
+      .agg(count(lit(1)).as("k"))
+    val pairs = groups.filter(col("k") > 1)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_dup_groups"),
+        coalesce(sum(col("k")), lit(0L)).as("n_dup_docs"))
+    all.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("raw_len") =!= col("nfc_len"), 1L).otherwise(0L)).as("n_changed"))
+      .crossJoin(broadcast(pairs))
+  }
+
+  /** Oracle: the same planted construction through `nfc_normalize` —
+    * counts replayed analytically (every planted base yields one
+    * changed doc and one 2-doc NFC-equal group). */
+  val unicodeNormSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |planted AS (SELECT doc_id, text FROM base WHERE doc_id % 20 = 0),
+      |allr AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text || ' caf' || chr(233) FROM planted
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text || ' cafe' || chr(769) FROM planted
+      |), n AS (
+      |  SELECT doc_id, length(text) AS raw_len,
+      |    length(nfc_normalize(text)) AS nfc_len, nfc_normalize(text) AS nfc
+      |  FROM allr
+      |), g AS (
+      |  SELECT md5(nfc) AS h, count(*) AS k FROM n GROUP BY 1
+      |)
+      |SELECT (SELECT count(*) FROM n) AS n_docs,
+      |  (SELECT CAST(sum(CASE WHEN raw_len <> nfc_len THEN 1 ELSE 0 END) AS BIGINT)
+      |   FROM n) AS n_changed,
+      |  (SELECT count(*) FROM g WHERE k > 1) AS n_dup_groups,
+      |  (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM g WHERE k > 1) AS n_dup_docs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_unicode_norm" -> (unicodeNorm _),
     "t_skipgram_pairs" -> (skipgramPairs _),
     "t_code_detect" -> (codeDetect _),
     "t_bpe_apply" -> (bpeApply _),
@@ -1691,6 +1757,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_unicode_norm" -> unicodeNormSql,
     "t_skipgram_pairs" -> skipgramPairsSql,
     "t_code_detect" -> codeDetectSql,
     "t_bpe_apply" -> bpeApplySql,

@@ -550,6 +550,19 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("t_unicode_norm: every planted composed/decomposed pair collapses under NFC") {
+    val r = TextAnalysis.unicodeNorm(spark, sf).collect()(0)
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0).count()
+    assert(planted > 0, "the plant must be non-empty at this scale")
+    assert(r.getAs[Long]("n_dup_groups") >= planted,
+      "each planted base must yield one NFC-equal dup group")
+    assert(r.getAs[Long]("n_changed") >= planted,
+      "each decomposed variant must shrink under NFC")
+    assert(r.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sf).count() + 2 * planted)
+  }
+
   test("t_bpe_apply: merges only ever shrink the encoding, never below the term count") {
     val rows = TextAnalysis.bpeApply(spark, sf).collect()
     assert(rows.nonEmpty)
