@@ -1412,6 +1412,104 @@ object Multimodal {
     res.toSeq
   }
 
+  // ------------------------------------------------------------- TFRECORD
+
+  /** TFRecord framing constants: crc32c masked per the TensorFlow
+    * spec — mask(c) = ((c >>> 15) | (c << 17)) + 0xa282ead8, uint32. */
+  private def maskedCrc32c(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32C(); c.update(bytes)
+    val v = c.getValue // uint32 in a long
+    (((v >>> 15) | (v << 17)) + 0xa282ead8L) & 0xffffffffL
+  }
+
+  /** One TFRecord file from ordered payloads: per record an 8-byte LE
+    * length, 4-byte masked crc32c OF THE LENGTH BYTES, the payload,
+    * and a 4-byte masked crc32c of the payload. */
+  private[graft] def encodeTfRecord(payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    payloads.foreach { p =>
+      val lenB = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(p.length.toLong).array()
+      def crcB(b: Array[Byte]): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(maskedCrc32c(b).toInt).array()
+      out.write(lenB); out.write(crcB(lenB)); out.write(p); out.write(crcB(p))
+    }
+    out.toByteArray
+  }
+
+  /** Sequential TFRecord walk: per record (index, payload byte offset,
+    * length, length-crc ok, data-crc ok, payload md5). */
+  private[graft] def parseTfRecord(
+      tf: Array[Byte]): Seq[(Int, Long, Long, Boolean, Boolean, String)] = {
+    val bb = java.nio.ByteBuffer.wrap(tf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val res = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Boolean, Boolean, String)]
+    var off = 0; var i = 0
+    while (off + 16 <= tf.length) {
+      val len = bb.getLong(off)
+      val lenB = java.util.Arrays.copyOfRange(tf, off, off + 8)
+      val lenCrcOk = (bb.getInt(off + 8) & 0xffffffffL) == maskedCrc32c(lenB)
+      val payload = java.util.Arrays.copyOfRange(tf, off + 12, off + 12 + len.toInt)
+      val dataCrcOk = (bb.getInt(off + 12 + len.toInt) & 0xffffffffL) == maskedCrc32c(payload)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map(b => f"$b%02x").mkString
+      res += ((i, off + 12L, len, lenCrcOk, dataCrcOk, md5hex))
+      off += 16 + len.toInt; i += 1
+    }
+    res.toSeq
+  }
+
+  /** TFRECORD SHARD INDEX — TensorFlow's training-data container, the
+    * third archive family beside tar (WebDataset) and zip: length-
+    * prefixed records with MASKED CRC-32C over both the length frame
+    * and the payload (the spec's double-checksum, which catches a
+    * truncated frame — a plain payload checksum cannot tell "short
+    * payload" from "short file"). Shards built in doc_id order, the
+    * walk re-verifies BOTH checksums per record (`len_crc_ok` /
+    * `data_crc_ok`, oracle-pinned TRUE — JDK CRC32C + the TF mask
+    * formula), and `payload_md5` must match the oracle's md5 of the
+    * source text. Offsets replay arithmetically: record i starts at
+    * Σ_{j<i} (16 + len_j), data at +12 — TFRecord is a SCAN format
+    * (no central index; the offset table this query emits IS the
+    * random-access index a loader builds once and keeps). */
+  def tfrecordIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select((col("doc_id") % 4).cast("int").as("shard"), col("doc_id"), col("text"))
+      .as[(Int, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy(_._2)
+        (shard, docs.map(_._2),
+          encodeTfRecord(docs.toSeq.map(_._3.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))))
+      }
+      .flatMap { case (shard, ids, tf) =>
+        parseTfRecord(tf).map { case (i, off, len, lok, dok, md5hex) =>
+          (shard, ids(i), off, len, lok, dok, md5hex)
+        }
+      }
+      .toDF("shard", "doc_id", "data_offset", "size_bytes",
+        "len_crc_ok", "data_crc_ok", "payload_md5")
+      .orderBy("shard", "doc_id")
+  }
+
+  /** SQL twin: window-cumulative (16 + size) frame arithmetic. */
+  val tfrecordIndexSql: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id % 4 AS INT) AS shard, doc_id,
+      |    CAST(strlen(text) AS BIGINT) AS size_bytes,
+      |    md5(text) AS payload_md5
+      |  FROM documents
+      |)
+      |SELECT shard, doc_id,
+      |  CAST(coalesce(sum(16 + size_bytes) OVER (
+      |    PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 12 AS BIGINT)
+      |    AS data_offset,
+      |  size_bytes, TRUE AS len_crc_ok, TRUE AS data_crc_ok, payload_md5
+      |FROM m ORDER BY shard, doc_id""".stripMargin
+
   // ----------------------------------------------------------------- NPY
 
   /** One NumPy `.npy` v1.0 file from a float32 vector: magic
@@ -1691,6 +1789,7 @@ object Multimodal {
       |FROM m ORDER BY shard, name""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_tfrecord" -> (tfrecordIndex _),
     "m_npy_tensor" -> (npyTensor _),
     "m_zip_index" -> (zipIndex _),
     "m_tar_index" -> (tarIndex _),
@@ -1713,6 +1812,7 @@ object Multimodal {
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m_tfrecord" -> tfrecordIndexSql,
     "m_npy_tensor" -> npyTensorSql,
     "m_zip_index" -> zipIndexSql,
     "m_tar_index" -> tarIndexSql,

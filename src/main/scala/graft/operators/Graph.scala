@@ -795,6 +795,86 @@ object Graph {
        |FROM per, tot ORDER BY com""".stripMargin
   }
 
+  /** PERSONALIZED PAGERANK — random walk with restart TO A SEED SET
+    * (the recommendation / similar-items workhorse; global [[pagerank]]
+    * asks "globally central?", PPR asks "close to THESE nodes?" — over
+    * the near-dup graph that means "documents in the duplication
+    * neighborhood of this template family"): the identical
+    * co-partitioned-RDD integer-micros recurrence with the teleport
+    * mass restricted to seeds (id % 10 == 0 — deterministic so the
+    * oracle knows the set): rank₀ = 1M/|S| on seeds else 0, per round
+    * rank = (150k/|S| if seed else 0) + 0.85·Σ contrib, 5 rounds.
+    * Non-seed mass decays unless reachable from seeds — exactly the
+    * locality the global variant can't express. Same scale shape as
+    * pagerank: stationary edge blocks, only the rank table moves. */
+  def personalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccard(s, d).select("doc_a", "doc_b")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint()
+    val prs = pairs.as[(Long, Long)].rdd
+    val nEdges = pairs.count()
+    val partitioner = new org.apache.spark.HashPartitioner(
+      graft.GraftConf.partitionsForEdges(nEdges, prs.getNumPartitions))
+    val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(partitioner)
+    val deg = edges.mapValues(_ => 1L).reduceByKey(partitioner, _ + _)
+    val ewd = edges.join(deg, partitioner)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.mapValues(_ => ()).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nS = nodes.keys.filter(_ % 10 == 0).count()
+    require(nS > 0, "personalized pagerank needs a non-empty seed set")
+    var r = nodes.map { case (id, _) => (id, if (id % 10 == 0) 1000000L / nS else 0L) }
+      .partitionBy(partitioner)
+    (1 to 5).foreach { _ =>
+      val contrib = ewd.join(r, partitioner)
+        .map { case (_, ((dst, dg), rank)) => (dst, rank / dg) }
+        .reduceByKey(partitioner, _ + _)
+      r = nodes.leftOuterJoin(contrib, partitioner)
+        .map { case (id, (_, c)) =>
+          (id, (if (id % 10 == 0) 150000L / nS else 0L) + c.getOrElse(0L) * 17 / 20)
+        }
+        .partitionBy(partitioner)
+    }
+    val out = r.toDF("doc_id", "ppr_micros")
+    ewd.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    out.withColumn("is_seed", col("doc_id") % 10 === 0)
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: pagerankSql's unrolled chain with the teleport mass
+    * conditioned on seed membership. */
+  val personalizedPagerankSql: String = {
+    val iterations = (1 to 5).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(t${k - 1}.r // d.deg) AS contrib
+         |  FROM edges e JOIN t${k - 1} ON e.src = t${k - 1}.id JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst
+         |), t$k AS MATERIALIZED (
+         |  SELECT nd.id,
+         |    (CASE WHEN nd.id % 10 = 0 THEN 150000 // sc.n ELSE 0 END)
+         |      + (coalesce(c.contrib, 0) * 17) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c$k c USING (id), sc
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), deg AS MATERIALIZED (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM deg
+       |), sc AS MATERIALIZED (
+       |  SELECT count(*) AS n FROM nodes WHERE id % 10 = 0
+       |), t0 AS MATERIALIZED (
+       |  SELECT id, CASE WHEN id % 10 = 0 THEN 1000000 // sc.n ELSE 0 END AS r
+       |  FROM nodes, sc
+       |), $iterations
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS ppr_micros,
+       |  id % 10 = 0 AS is_seed
+       |FROM t5 ORDER BY doc_id""".stripMargin
+  }
+
   /** CONDUCTANCE per community — the CUT-quality complement to
     * [[modularity]]'s density score (Q asks "denser inside than
     * chance?"; φ asks "how leaky is the boundary?" — the number
@@ -965,6 +1045,7 @@ object Graph {
     "g_wcc_incremental" -> (wccIncremental _),
     "g_modularity" -> (modularity _),
     "g_conductance" -> (conductance _),
+    "g_ppr" -> (personalizedPagerank _),
     "g_assortativity" -> (assortativity _),
     "g_kcore" -> (kcore _),
     "g_degree_stats" -> (degreeStats _),
@@ -981,6 +1062,7 @@ object Graph {
     "g_wcc_incremental" -> Dedup.dupClustersSql,
     "g_modularity" -> modularitySql,
     "g_conductance" -> conductanceSql,
+    "g_ppr" -> personalizedPagerankSql,
     "g_assortativity" -> assortativitySql,
     "g_kcore" -> kcoreSql,
     "g_degree_stats" -> degreeStatsSql,

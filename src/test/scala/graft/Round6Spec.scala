@@ -527,6 +527,33 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("g_ppr: teleport mass stays on seeds; floor-division mass never exceeds 1M") {
+    val rows = operators.Graph.personalizedPagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("ppr_micros")).sum
+    assert(total <= 1000000L, s"integer floor recurrence can only lose mass: $total")
+    // locality, not majority: the walk spreads into seed NEIGHBORHOODS,
+    // so the right invariant is per-node concentration — a seed node
+    // holds more mass on average than a non-seed node
+    val (seeds, rest) = rows.partition(_.getAs[Boolean]("is_seed"))
+    assert(seeds.nonEmpty && rest.nonEmpty)
+    val seedAvg = seeds.map(_.getAs[Long]("ppr_micros")).sum / seeds.length
+    val restAvg = rest.map(_.getAs[Long]("ppr_micros")).sum / rest.length
+    assert(seedAvg > restAvg,
+      s"per-node restart mass must concentrate on seeds: $seedAvg vs $restAvg")
+  }
+
+  test("m_tfrecord: a corrupted payload byte flips data_crc_ok only for that record") {
+    val tf = graft.multimodal.Multimodal.encodeTfRecord(
+      Seq("hello".getBytes, "world!!".getBytes))
+    val parsed = graft.multimodal.Multimodal.parseTfRecord(tf)
+    assert(parsed.length == 2 && parsed.forall(r => r._4 && r._5))
+    val bad = tf.clone(); bad(parsed.head._2.toInt) = 'X'.toByte
+    val reparsed = graft.multimodal.Multimodal.parseTfRecord(bad)
+    assert(reparsed.head._4 && !reparsed.head._5, "payload crc must catch the flip")
+    assert(reparsed(1)._5, "second record untouched")
+  }
+
   test("g_conductance: phi in [0,1], cut bounded by volume, worst is the max") {
     val rows = operators.Graph.conductance(spark, sf).collect()
     assert(rows.nonEmpty)
