@@ -2261,7 +2261,68 @@ object Pipeline {
       |  TRUE AS ranges_disjoint
       |FROM lineitem GROUP BY month ORDER BY month""".stripMargin
 
+  /** COMPRESSION-CODEC certificate — parquet zstd vs snappy vs
+    * uncompressed, the storage-bill lever nobody benchmarks until the
+    * bill arrives (zstd typically ~30 % smaller than snappy at similar
+    * scan speed; at 100 TB that is 30 TB of object storage and the
+    * same fraction of scan I/O): the corpus is written under all three
+    * codecs, each read back and reduced to the same content manifest —
+    * `all_codecs_equal` pins losslessness THROUGH the codec boundary
+    * (the point of a codec certificate: bytes differ, content must
+    * not) — and the measured directory sizes pin the ordering
+    * `zstd < snappy < uncompressed` that makes zstd the default
+    * recommendation. Sizes themselves are deliberately not emitted
+    * (codec library versions move them); the ORDERING is the
+    * contract. */
+  def zstdParquet(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_pcodec_").toString
+    try {
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      def dirBytes(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(hp).getLength
+      }
+      def manifest(df: DataFrame): String = df
+        .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("fp"))
+        .agg(md5(to_binary(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("fp")))),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"), x.getField("fp"))),
+          ","), lit("utf-8"))).as("m"))
+        .collect()(0).getString(0)
+      val sizes = Seq("uncompressed", "snappy", "zstd").map { codec =>
+        docs.coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(s"$out/$codec")
+        codec -> (dirBytes(s"$out/$codec"), manifest(s.read.parquet(s"$out/$codec")))
+      }.toMap
+      val manifests = sizes.values.map(_._2).toSet
+      if (manifests.size != 1)
+        throw new IllegalStateException("codec round-trip changed content")
+      if (!(sizes("zstd")._1 < sizes("snappy")._1 &&
+          sizes("snappy")._1 < sizes("uncompressed")._1))
+        throw new IllegalStateException(
+          s"expected zstd < snappy < uncompressed, got ${sizes.view.mapValues(_._1).toMap}")
+      import s.implicits._
+      Seq((sizes("zstd")._2, true, true))
+        .toDF("content_md5", "all_codecs_equal", "zstd_smallest")
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select("n_docs", "content_md5", "all_codecs_equal", "zstd_smallest")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val zstdParquetSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, doc_id || ':' || md5(text) AS entry FROM documents
+      |)
+      |SELECT count(*) AS n_docs,
+      |  md5(string_agg(entry, ',' ORDER BY doc_id)) AS content_md5,
+      |  TRUE AS all_codecs_equal, TRUE AS zstd_smallest
+      |FROM h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_zstd_parquet" -> (zstdParquet _),
     "p_range_layout" -> (rangeLayout _),
     "p_partition_evolution" -> (partitionEvolution _),
     "p_deletion_vectors" -> (deletionVectors _),
@@ -2322,6 +2383,7 @@ object Pipeline {
     "p_gzip_roundtrip" -> gzipRoundtripSql,
     "p_partition_evolution" -> partitionEvolutionSql,
     "p_range_layout" -> rangeLayoutSql,
+    "p_zstd_parquet" -> zstdParquetSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
