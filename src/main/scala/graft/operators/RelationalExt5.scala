@@ -566,7 +566,57 @@ object RelationalExt5 {
       |WHERE 2 * n >= 20
       |ORDER BY event_type, day""".stripMargin
 
+  /** NOT IN + NULL — SQL's most famous silent-wrong-answer trap,
+    * pinned as engine semantics: `x NOT IN (subquery)` is three-valued
+    * — one NULL in the subquery makes every row's predicate UNKNOWN
+    * and the result EMPTY, which in production reads as "the exclusion
+    * list matched everything" and silently drops a pipeline's whole
+    * output. Both the trap and its correct spelling run side by side
+    * on the SQL surface: the exclusion list (users seen in 'error'
+    * events) is polluted with one NULL, `n_not_in` must be 0 (the
+    * standard semantics — an engine "fixing" this is wrong), and
+    * `n_not_exists` / `n_not_in_clean` carry the intended answer via
+    * the NULL-immune spellings. Catalyst plans NOT IN as
+    * null-aware anti join — at 100 TB the difference between this
+    * and a naive per-row subquery is the query finishing. */
+  def q75NotInNull(s: SparkSession, d: String): DataFrame = {
+    val id = invocation.incrementAndGet()
+    val v = s"graft_q75_events_$id"
+    Tables.events(s, d).createOrReplaceTempView(v)
+    try s.sql(s"""
+      WITH excl AS (
+        SELECT user_id FROM $v WHERE event_type = 'error' AND user_id % 7 = 0
+        UNION ALL SELECT CAST(NULL AS BIGINT)
+      )
+      SELECT
+        (SELECT count(*) FROM $v e
+         WHERE e.user_id NOT IN (SELECT user_id FROM excl)) AS n_not_in,
+        (SELECT count(*) FROM $v e
+         WHERE NOT EXISTS (SELECT 1 FROM excl x WHERE x.user_id = e.user_id))
+          AS n_not_exists,
+        (SELECT count(*) FROM $v e
+         WHERE e.user_id NOT IN (
+           SELECT user_id FROM excl WHERE user_id IS NOT NULL)) AS n_not_in_clean""")
+    finally s.catalog.dropTempView(v)
+  }
+
+  val q75Sql: String =
+    """WITH excl AS (
+      |  SELECT user_id FROM events WHERE event_type = 'error' AND user_id % 7 = 0
+      |  UNION ALL SELECT CAST(NULL AS BIGINT)
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM events e
+      |   WHERE e.user_id NOT IN (SELECT user_id FROM excl)) AS n_not_in,
+      |  (SELECT count(*) FROM events e
+      |   WHERE NOT EXISTS (SELECT 1 FROM excl x WHERE x.user_id = e.user_id))
+      |    AS n_not_exists,
+      |  (SELECT count(*) FROM events e
+      |   WHERE e.user_id NOT IN (
+      |     SELECT user_id FROM excl WHERE user_id IS NOT NULL)) AS n_not_in_clean""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_not_in_null" -> (q75NotInNull _),
     "q74_map_functions" -> (q74MapFunctions _),
     "q73_nested_pruning" -> (q73NestedPruning _),
     "q72_grouping_id" -> (q72GroupingId _),
@@ -580,6 +630,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q75_not_in_null" -> q75Sql,
     "q74_map_functions" -> q74Sql,
     "q73_nested_pruning" -> q73Sql,
     "q72_grouping_id" -> q72Sql,
