@@ -837,7 +837,10 @@ object Graph {
         }
         .partitionBy(partitioner)
     }
-    val out = r.toDF("doc_id", "ppr_micros")
+    // materialize BEFORE dropping the edge blocks: the rank lineage
+    // reaches back through every round's ewd join, so an unpersist-
+    // then-action would replay the whole loop uncached
+    val out = r.toDF("doc_id", "ppr_micros").localCheckpoint()
     ewd.unpersist(blocking = false); nodes.unpersist(blocking = false)
     out.withColumn("is_seed", col("doc_id") % 10 === 0)
       .orderBy("doc_id")
