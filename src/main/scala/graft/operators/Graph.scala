@@ -795,6 +795,46 @@ object Graph {
        |FROM per, tot ORDER BY com""".stripMargin
   }
 
+  /** GLOBAL TRANSITIVITY (wedge census) — the one-number structural
+    * summary beside [[clustCoef]]'s per-node view: C = 3·T / W over
+    * the whole near-dup graph, where W = Σ deg·(deg−1)/2 is the wedge
+    * (open-triple) count and T the distinct-triangle count. C near 1
+    * says the duplication graph is a union of near-cliques (clean
+    * template families — safe to canonicalize per component); C near
+    * 0 with high degree says chains/stars (single-linkage over-merge
+    * risk — the 100 TB dedup-policy gate in one scalar). Rides the
+    * shared degree-ordered wedge enumeration; census terms are exact
+    * longs, one rounded division. */
+  def transitivity(s: SparkSession, d: String): DataFrame = {
+    val tc = triangleCounts(s, d)
+    tc.agg(
+      count(lit(1)).as("n_nodes"),
+      // integer div (never FP): these sums exceed double's 53-bit
+      // mantissa long before a 100 TB graph does
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"),
+      expr("sum(n_tri) div 3").as("n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          ExactRound.r(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
+  /** SQL twin on the shared triangle core. */
+  val transitivitySql: String =
+    s"""$triangleCoreSql
+       |, census AS (
+       |  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |    (SELECT CAST(sum(deg) // 2 AS BIGINT) FROM deg) AS n_edges,
+       |    (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+       |    (SELECT CAST(coalesce(sum(c), 0) // 3 AS BIGINT) FROM pernode) AS n_triangles
+       |)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |    THEN ${ExactRound.rSql("3.0 * n_triangles / n_wedges", 6)}
+       |    ELSE 0.0 END AS transitivity
+       |FROM census""".stripMargin
+
   /** PERSONALIZED PAGERANK — random walk with restart TO A SEED SET
     * (the recommendation / similar-items workhorse; global [[pagerank]]
     * asks "globally central?", PPR asks "close to THESE nodes?" — over
@@ -1049,6 +1089,7 @@ object Graph {
     "g_modularity" -> (modularity _),
     "g_conductance" -> (conductance _),
     "g_ppr" -> (personalizedPagerank _),
+    "g_transitivity" -> (transitivity _),
     "g_assortativity" -> (assortativity _),
     "g_kcore" -> (kcore _),
     "g_degree_stats" -> (degreeStats _),
@@ -1066,6 +1107,7 @@ object Graph {
     "g_modularity" -> modularitySql,
     "g_conductance" -> conductanceSql,
     "g_ppr" -> personalizedPagerankSql,
+    "g_transitivity" -> transitivitySql,
     "g_assortativity" -> assortativitySql,
     "g_kcore" -> kcoreSql,
     "g_degree_stats" -> degreeStatsSql,

@@ -615,7 +615,43 @@ object RelationalExt5 {
       |   WHERE e.user_id NOT IN (
       |     SELECT user_id FROM excl WHERE user_id IS NOT NULL)) AS n_not_in_clean""".stripMargin
 
+  /** CALENDAR-CLAMP month arithmetic — the end-of-month semantics
+    * every billing/renewal pipeline depends on and every engine must
+    * agree on: Jan 31 + 1 month is Feb 29 on a leap year and Feb 28
+    * otherwise (the day CLAMPS to the target month's length — it does
+    * not overflow into March), so "same day next month" is not a
+    * fixed-width shift and a micros-offset approximation corrupts
+    * every month-end anniversary. Orders dated on days the next month
+    * lacks (29/30/31) are the interesting set: per order-month, how
+    * many orders clamp when shifted +1 month, and the exact-cents
+    * revenue of the clamped set — both replayed by DuckDB's own
+    * `+ INTERVAL 1 MONTH`, which implements the same ANSI clamp. The
+    * clamp test itself is engine arithmetic (`day(add_months(d, 1)) <
+    * day(d)`), not a hand-rolled calendar. */
+  def q76CalendarClamp(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (dayofmonth(expr("o_orderdate + INTERVAL 1 MONTH")) <
+          dayofmonth(col("o_orderdate"))).as("clamps"),
+        round(col("o_totalprice") * lit(100)).cast("long").as("price_c"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("clamps"), 1L).otherwise(0L)).as("n_clamped"),
+        sum(when(col("clamps"), col("price_c")).otherwise(0L)).as("clamped_c"))
+      .orderBy("month")
+
+  val q76Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN day(o_orderdate + INTERVAL 1 MONTH) < day(o_orderdate)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+      |  CAST(sum(CASE WHEN day(o_orderdate + INTERVAL 1 MONTH) < day(o_orderdate)
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS clamped_c
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_calendar_clamp" -> (q76CalendarClamp _),
     "q75_not_in_null" -> (q75NotInNull _),
     "q74_map_functions" -> (q74MapFunctions _),
     "q73_nested_pruning" -> (q73NestedPruning _),
@@ -630,6 +666,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q76_calendar_clamp" -> q76Sql,
     "q75_not_in_null" -> q75Sql,
     "q74_map_functions" -> q74Sql,
     "q73_nested_pruning" -> q73Sql,
