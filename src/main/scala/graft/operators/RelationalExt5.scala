@@ -650,7 +650,108 @@ object RelationalExt5 {
       |    AS clamped_c
       |FROM orders GROUP BY month ORDER BY month""".stripMargin
 
+  /** KEYSET PAGINATION — the O(1)-per-page spelling of "page N",
+    * certified equal to the O(N)-per-page spelling it replaces: OFFSET
+    * pagination re-sorts and discards N·pageSize rows every page (at
+    * 100 TB, page 10 000 of an API backed by a warehouse re-scans the
+    * prefix each call — the classic pagination meltdown), while the
+    * keyset form seeks `(sort_key) > (last row of previous page)` and
+    * reads one page regardless of depth — IF the sort key is a total
+    * order (the tie-break column is what makes keyset correct; an
+    * ambiguous sort silently duplicates/drops boundary rows). Page 3
+    * of orders by (o_orderdate, o_orderkey) is computed via the
+    * keyset predicate (cursor = page-2's last row, itself computed
+    * with a top-k, never a full sort); the oracle is the OFFSET
+    * spelling — equality certifies the seek predicate is exactly the
+    * page boundary. */
+  def q77KeysetPagination(s: SparkSession, d: String): DataFrame = {
+    val page = 20
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * lit(100)).cast("long").as("price_c"))
+    // cursor: last row of page 2 == row 40 of the total order — a
+    // top-40 (TakeOrderedAndProject), not a global sort
+    val cursor = broadcast(ord
+      .orderBy(col("o_orderdate"), col("o_orderkey")).limit(2 * page)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc).limit(1)
+      .select(col("o_orderdate").as("c_date"), col("o_orderkey").as("c_key")))
+    ord.crossJoin(cursor)
+      .filter(col("o_orderdate") > col("c_date") ||
+        (col("o_orderdate") === col("c_date") && col("o_orderkey") > col("c_key")))
+      .orderBy(col("o_orderdate"), col("o_orderkey")).limit(page)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("price_c"))
+      .orderBy(col("o_date"), col("o_orderkey"))
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      |FROM orders
+      |ORDER BY o_orderdate, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin
+
+  /** BUCKET PRUNING — the READ-side half of the bucket story (q56
+    * proves the bucketed JOIN eliminates its shuffle; this proves a
+    * point/IN lookup on the bucket key opens only the matching
+    * buckets): orders written `bucketBy(8, o_orderkey)`, an IN-list
+    * probe on three keys must scan ≤3 of the 8 bucket files — the
+    * executed scan advertises `SelectedBucketsCount: k out of 8`,
+    * probed and thrown on if pruning did not engage. At 100 TB this
+    * is the index-free point-lookup path: hash the key, open one
+    * bucket, skip 7/8 of the table. */
+  def q78BucketPruning(s: SparkSession, d: String): DataFrame = {
+    val id = invocation.incrementAndGet()
+    val tbl = s"graft_q78_orders_$id"
+    val out = java.nio.file.Files.createTempDirectory("graft_q78_").toString
+    try {
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$out/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(tbl)
+      val keys = Seq(1L, 7L, 32L)
+      // DisableUnnecessaryBucketedScan sees no join/agg needing the
+      // bucket distribution and reverts to a plain scan — which also
+      // forfeits PRUNING. Pinning autoBucketedScan off keeps the
+      // bucketed read (and its bucket filter) for the point-lookup
+      // path this query certifies.
+      val (probe, materialized) = withConfsLocal(s, Map(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")) {
+        val p = s.table(tbl)
+          .filter(col("o_orderkey").isin(keys: _*))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * lit(100)).cast("long").as("price_c"))
+          .orderBy("o_orderkey")
+        (p, p.localCheckpoint())
+      }
+      val scanStr = PlanProbe.nodes(probe)
+        .filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+        .map(_.toString).mkString("\n")
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(scanStr).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          "scan does not advertise bucket selection — bucket pruning is off"))
+      if (sel > keys.length)
+        throw new IllegalStateException(
+          s"IN-list of ${keys.length} keys opened $sel buckets — pruning did not engage")
+      materialized.withColumn("bucket_pruned", lit(true))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val q78Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |  TRUE AS bucket_pruned
+      |FROM orders WHERE o_orderkey IN (1, 7, 32)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_keyset_pagination" -> (q77KeysetPagination _),
+    "q78_bucket_pruning" -> (q78BucketPruning _),
     "q76_calendar_clamp" -> (q76CalendarClamp _),
     "q75_not_in_null" -> (q75NotInNull _),
     "q74_map_functions" -> (q74MapFunctions _),
@@ -666,6 +767,8 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q77_keyset_pagination" -> q77Sql,
+    "q78_bucket_pruning" -> q78Sql,
     "q76_calendar_clamp" -> q76Sql,
     "q75_not_in_null" -> q75Sql,
     "q74_map_functions" -> q74Sql,
