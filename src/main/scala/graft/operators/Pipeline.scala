@@ -2321,7 +2321,81 @@ object Pipeline {
       |  TRUE AS all_codecs_equal, TRUE AS zstd_smallest
       |FROM h""".stripMargin
 
+  /** DYNAMIC PARTITION OVERWRITE — the standard BACKFILL mechanism
+    * (recompute one bad day and write it back), and the conf whose
+    * default silently destroys data: with static overwrite semantics
+    * (Spark's default) `mode(overwrite).partitionBy(day)` of a
+    * one-day frame DELETES EVERY OTHER PARTITION first; dynamic mode
+    * replaces only the partitions present in the written frame. The
+    * harness performs exactly that backfill — one day's values
+    * recomputed (×2) and overwritten under
+    * `partitionOverwriteMode=dynamic` — and certifies all three
+    * contract halves: the target day carries the new values, every
+    * OTHER day's rows are unchanged (the oracle replays the per-day
+    * arithmetic), and the other partitions' physical FILES are
+    * byte-identical paths (directory listings compared before/after —
+    * untouched means untouched, not rewritten-with-same-content;
+    * `others_untouched` throws on drift). */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_pdyn_").toString
+    try {
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"),
+          round(col("value") * lit(100)).cast("long").as("value_c"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      ev.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val target = "2024-01-15"
+      def listFiles(): Map[String, Set[String]] = {
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).filter(_.isDirectory).map { dir =>
+          dir.getPath.getName ->
+            fs.listStatus(dir.getPath).map(_.getPath.getName).toSet
+        }.toMap
+      }
+      val before = listFiles()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.filter(col("day") === target)
+          .withColumn("value_c", col("value_c") * 2)
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val after = listFiles()
+      val othersUntouched = before.keySet == after.keySet &&
+        before.forall { case (day, files) =>
+          day == s"day=$target" || after(day) == files
+        }
+      if (!othersUntouched)
+        throw new IllegalStateException(
+          "dynamic overwrite touched partitions outside the written frame")
+      s.read.parquet(out)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("value_c"))
+        .withColumn("others_untouched", lit(true))
+        .orderBy("day")
+        .localCheckpoint()
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** Oracle: per-day arithmetic with the backfilled day doubled. */
+  val dynamicOverwriteSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |    * CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' THEN 2 ELSE 1 END)
+      |    AS BIGINT) AS value_c,
+      |  TRUE AS others_untouched
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dynamic_overwrite" -> (dynamicOverwrite _),
     "p_zstd_parquet" -> (zstdParquet _),
     "p_range_layout" -> (rangeLayout _),
     "p_partition_evolution" -> (partitionEvolution _),
@@ -2384,6 +2458,7 @@ object Pipeline {
     "p_partition_evolution" -> partitionEvolutionSql,
     "p_range_layout" -> rangeLayoutSql,
     "p_zstd_parquet" -> zstdParquetSql,
+    "p_dynamic_overwrite" -> dynamicOverwriteSql,
     "p_data_contract" -> dataContractSql,
     "p_forget" -> forgetSql,
     "p_incremental" -> incrementalSql,
