@@ -2375,6 +2375,9 @@ object Pipeline {
         throw new IllegalStateException(
           "dynamic overwrite touched partitions outside the written frame")
       s.read.parquet(out)
+        // partition-value inference types day=2024-01-15 as DATE; pin
+        // the external type back to the string the writer was given
+        .withColumn("day", col("day").cast("string"))
         .groupBy("day")
         .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("value_c"))
         .withColumn("others_untouched", lit(true))

@@ -527,6 +527,45 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q77: the keyset page equals the offset page row-for-row") {
+    val keyset = operators.RelationalExt5.q77KeysetPagination(spark, sf).collect()
+    assert(keyset.length == 20)
+    val offset = Tables.orders(spark, sf)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(60).collect().drop(40).map(_.getAs[Long]("o_orderkey"))
+    assert(keyset.map(_.getAs[Long]("o_orderkey")).toSeq == offset.toSeq)
+  }
+
+  test("q78: the IN probe opens at most as many buckets as keys") {
+    val rows = operators.RelationalExt5.q78BucketPruning(spark, sf).collect()
+    assert(rows.forall(_.getAs[Boolean]("bucket_pruned")))
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet.subsetOf(Set(1L, 7L, 32L)))
+  }
+
+  test("p_dynamic_overwrite: only the backfilled day's sum doubles") {
+    val rows = Pipeline.dynamicOverwrite(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        org.apache.spark.sql.functions.round(col("value") * 100).cast("long").as("v"))
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val day = r.getAs[String]("day")
+      val mult = if (day == "2024-01-15") 2L else 1L
+      assert(r.getAs[Long]("value_c") == direct(day) * mult, s"day $day drifted")
+    }
+  }
+
+  test("g_transitivity: census is internally consistent with the per-node views") {
+    val r = operators.Graph.transitivity(spark, sf).collect()(0)
+    val triRows = operators.Graph.triangles(spark, sf).collect()
+    assert(r.getAs[Long]("n_nodes") == triRows.length.toLong)
+    assert(r.getAs[Long]("n_triangles") ==
+      triRows.map(_.getAs[Long]("n_triangles")).sum / 3)
+    val c = r.getAs[Double]("transitivity")
+    assert(c >= 0.0 && c <= 1.0)
+  }
+
   test("g_ppr: teleport mass stays on seeds; floor-division mass never exceeds 1M") {
     val rows = operators.Graph.personalizedPagerank(spark, sf).collect()
     assert(rows.nonEmpty)
