@@ -1048,6 +1048,128 @@ object Similarity {
        |ORDER BY approx_micros, vec_id""".stripMargin
   }
 
+  /** IVF-PQ — the COMPOSED index (FAISS's production default, and the
+    * reason the two halves exist separately above): IVF's coarse
+    * quantizer cuts the corpus to the probed cells' candidates
+    * (touches ~nProbe/nCells of the vectors), then PQ's asymmetric
+    * distance ranks ONLY those candidates from 8-byte codes (memory
+    * bandwidth, not FLOPs), and the final top-10 re-ranks exactly —
+    * three different cost regimes glued into one query plan. At 10⁹
+    * vectors this is the difference between "scan 4 TB of floats" and
+    * "read 2 cells' worth of 8-byte codes": the candidate semi-join is
+    * the IVF cut, the ADC join never sees a vector outside it. All
+    * three stages reuse the exact arithmetic their standalone
+    * operators pinned (micros subdistances, (distance, id)
+    * tie-breaks), so the composition is bit-replayable end to end. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    // --- IVF coarse half (annIvf's machinery)
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "norm", "centroid_id")
+    val probeCells = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v0"), col("norm").as("q_norm0"))
+      .crossJoin(broadcast(cents))
+      .select(col("centroid_id"),
+        ExactRound.r(sqDist(col("q_v0"), col("c_v")), 6).as("qdist"))
+      .orderBy("qdist", "centroid_id")
+      .limit(2).select("centroid_id")
+    val cand = assigned.join(broadcast(probeCells), "centroid_id")
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").localCheckpoint()
+    // --- PQ ADC half (annPq's machinery), candidates only
+    val jays = explode(array((0 until PqM).map(lit): _*)).as("j")
+    val subs = vs.select(col("vec_id"), jays, col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * PqSub + 1, lit(PqSub)).as("sub"))
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("j"), col("sub").as("c_sub"))
+    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("cd"), col("code"))
+    val codes = subs.join(cand, "vec_id") // the IVF cut: codes only for candidates
+      .join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        round(sqDist(col("sub"), col("c_sub")) * lit(1000000L)).cast("long").as("cd"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select("vec_id", "j", "code")
+    val adc = subs.filter(col("vec_id") === 0)
+      .join(broadcast(cb), "j")
+      .select(col("j"), col("code"),
+        round(sqDist(col("sub"), col("c_sub")) * lit(1000000L)).cast("long").as("qd"))
+    val top = codes.join(broadcast(adc), Seq("j", "code"))
+      .groupBy("vec_id").agg(sum("qd").as("approx_micros"))
+      .orderBy("approx_micros", "vec_id").limit(10)
+    // --- exact re-rank of the emitted rows only
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"))
+    broadcast(top)
+      .join(vs.select("vec_id", "v", "norm"), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("approx_micros"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6).as("cosine"))
+      .orderBy("approx_micros", "vec_id")
+  }
+
+  /** SQL twin: the two standalone chains composed with the candidate
+    * semi-join between them. */
+  val annIvfPqSql: String = {
+    def sq(a: String, b: String) =
+      s"CAST(round((list_inner_product($a, $a) - 2*list_inner_product($a, $b)" +
+        s" + list_inner_product($b, $b)) * 1000000) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+       |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+       |    FROM e, c
+       |  ) WHERE rn = 1
+       |), q0 AS (SELECT v AS q_v, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.centroid_id FROM c, q0
+       |  ORDER BY round((list_inner_product(q0.q_v, q0.q_v) - 2*list_inner_product(q0.q_v, c.c_v)
+       |    + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id
+       |  LIMIT 2
+       |), cand AS MATERIALIZED (
+       |  SELECT a.vec_id FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id
+       |  WHERE a.vec_id <> 0
+       |), sub AS MATERIALIZED (
+       |  SELECT vec_id, j, v[j*$PqSub+1 : j*$PqSub+$PqSub] AS sub
+       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS j)
+       |), cb AS (
+       |  SELECT vec_id AS code, j, sub AS c_sub FROM sub WHERE vec_id < $PqK
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT s.vec_id, s.j, cc.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY ${sq("s.sub", "cc.c_sub")}, cc.code) AS rn
+       |    FROM sub s JOIN cand USING (vec_id) JOIN cb cc USING (j)
+       |  ) WHERE rn = 1
+       |), adc AS (
+       |  SELECT cc.j, cc.code, ${sq("s.sub", "cc.c_sub")} AS qd
+       |  FROM sub s JOIN cb cc USING (j) WHERE s.vec_id = 0
+       |), top AS (
+       |  SELECT codes.vec_id, CAST(sum(adc.qd) AS BIGINT) AS approx_micros
+       |  FROM codes JOIN adc USING (j, code) GROUP BY codes.vec_id
+       |  ORDER BY approx_micros, vec_id LIMIT 10
+       |)
+       |SELECT t.vec_id, t.approx_micros,
+       |  ${graft.operators.ExactRound.rSql("list_inner_product(e.v, q0.q_v) / (e.nrm * q0.q_nrm)", 6)} AS cosine
+       |FROM top t JOIN e USING (vec_id), q0
+       |ORDER BY approx_micros, vec_id""".stripMargin
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack'09 —
     * what production search stacks run): a lexical retriever (term
     * frequency of "spark" over documents) and a vector retriever
@@ -1702,6 +1824,7 @@ object Similarity {
     "s_ann_lsh" -> (annLsh _),
     "s_nndescent" -> (nnDescent _),
     "s_graph_search" -> (graphSearch _),
+    "s_ivf_pq" -> (annIvfPq _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_filtered" -> (annFiltered _),
     "s_filtered_recall" -> (filteredRecall _),
@@ -1729,6 +1852,7 @@ object Similarity {
     "s_ann_lsh" -> annLshSql,
     "s_nndescent" -> nnDescentSql,
     "s_graph_search" -> graphSearchSql,
+    "s_ivf_pq" -> annIvfPqSql,
     "s_ann_ivf" -> annIvfSql,
     "s_ann_filtered" -> annFilteredSql,
     "s_filtered_recall" -> filteredRecallSql,
