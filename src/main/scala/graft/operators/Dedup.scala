@@ -1513,6 +1513,61 @@ object Dedup {
       |FROM u ORDER BY relation""".stripMargin
   }
 
+  /** BUCKETED-LAYOUT exact dedup — the storage-layout completion of
+    * [[exact]], and the composition q56 makes possible: a dedup that
+    * re-runs daily over a 100 TB corpus pays its `groupBy(fingerprint)`
+    * shuffle every run UNLESS the corpus is stored `bucketBy(N, fp)` —
+    * then the grouping key already matches the layout's distribution
+    * and the aggregate runs with ZERO exchange (the write-once-shuffle
+    * argument, applied to the dedup family's hottest recurring job).
+    * Documents are written bucketed by content fingerprint, the group
+    * count runs over the bucketed table, and the executed plan is
+    * probed for exchanges — any Shuffle under the unordered aggregate
+    * throws; `zero_shuffle_dedup` is the oracle-pinned TRUE. Output:
+    * the corpus dedup profile (groups, docs, dup docs, savings). */
+  def bucketedDedup(s: SparkSession, d: String): DataFrame = {
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val tbl = s"graft_dbd_docs_$id"
+    val out = java.nio.file.Files.createTempDirectory("graft_dbd_").toString
+    try {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("fp"))
+        .repartition(8, col("fp"))
+        .write.mode("overwrite").option("path", s"$out/docs")
+        .bucketBy(8, "fp").sortBy("fp")
+        .saveAsTable(tbl)
+      val agg = s.table(tbl).groupBy("fp")
+        .agg(count(lit(1)).as("k"), sum(col("n_chars")).as("chars"))
+      val materialized = agg.localCheckpoint()
+      val shuffles = org.apache.spark.sql.graftbridge.PlanProbe.nodes(agg)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      if (shuffles != 0)
+        throw new IllegalStateException(
+          s"bucketed dedup aggregate shuffled ($shuffles exchanges) — layout unused")
+      materialized.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_docs"),
+        sum(when(col("k") > 1, col("k")).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("k") > 1, col("k") - 1).otherwise(0L)).as("n_removable"))
+        .withColumn("zero_shuffle_dedup", lit(true))
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  val bucketedDedupSql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS fp, count(*) AS k FROM documents GROUP BY 1
+      |)
+      |SELECT count(*) AS n_groups,
+      |  CAST(sum(k) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(CASE WHEN k > 1 THEN k - 1 ELSE 0 END) AS BIGINT) AS n_removable,
+      |  TRUE AS zero_shuffle_dedup
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_cross_shard" -> (crossShard _),
     "d_prefix_dup" -> (prefixDup _),
@@ -1526,6 +1581,7 @@ object Dedup {
     "d_bloom" -> (bloom _),
     "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
+    "d_bucketed_dedup" -> (bucketedDedup _),
     "d_minhash_lsh" -> (minhashLsh _),
     "d_simhash" -> (simhash _),
     "d_ngram_jaccard" -> (ngramJaccard _),
@@ -1549,6 +1605,7 @@ object Dedup {
     "d_bloom" -> bloomSql,
     "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,
+    "d_bucketed_dedup" -> bucketedDedupSql,
     "d_minhash_lsh" -> minhashLshSql,
     "d_simhash" -> simhashSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
