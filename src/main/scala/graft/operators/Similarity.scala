@@ -1048,6 +1048,67 @@ object Similarity {
        |ORDER BY approx_micros, vec_id""".stripMargin
   }
 
+  /** LATE-INTERACTION MaxSim (the ColBERT scoring function) — the
+    * multi-vector retrieval model single-vector ANN can't express:
+    * query and document are each a BAG of token vectors, and the score
+    * is Σ over query tokens of the MAX cosine against any document
+    * token — fine-grained term matching with bag-level scoring.
+    * Documents are synthesized as 8-token bags (vec_id div 8 groups;
+    * bag 0 is the query), and the whole scorer is two aggregates over
+    * one broadcast-join: corpus-token ⋈ query-token (8 rows broadcast)
+    * → per (doc, query-token) max cosine → per doc sum of rounded
+    * maxima → top-10 (TakeOrderedAndProject, never a global sort).
+    * Scale shape: cost is |corpus tokens| × |query tokens| with the
+    * query side broadcast — the same envelope as brute-force ANN times
+    * a constant; the production path composes this with any of the
+    * indexes above as a first-stage cut (candidate bags → MaxSim
+    * re-rank), exactly the [[annIvfPq]] pattern. Sum-of-rounded keeps
+    * the score order-free and cross-engine exact. */
+  def maxSim(s: SparkSession, d: String): DataFrame = {
+    val toks = vectors(s, d)
+      .select((col("vec_id") / 8).cast("long").as("bag"), col("vec_id"),
+        col("v"), col("norm"))
+    val qtoks = broadcast(toks.filter(col("bag") === 0)
+      .select(col("vec_id").as("q_tok"), col("v").as("q_v"), col("norm").as("q_norm")))
+    toks.filter(col("bag") =!= 0)
+      .crossJoin(qtoks)
+      .select(col("bag"), col("q_tok"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6)
+          .as("cos"))
+      .groupBy("bag", "q_tok").agg(max(col("cos")).as("mx"))
+      // micros before the sum: per-token maxima are order-free, but a
+      // DOUBLE sum over them is not — integer micros are
+      .select(col("bag"), round(col("mx") * lit(1000000L)).cast("long").as("mx_us"))
+      .groupBy("bag").agg(sum(col("mx_us")).as("us"))
+      .select(col("bag").as("doc_bag"),
+        ExactRound.r(col("us").cast("double") / lit(1000000.0), 6).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_bag"))
+      .limit(10)
+  }
+
+  /** SQL twin: identical bagging, rounded per-token maxima, rounded
+    * bag sums. */
+  val maxSimSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(vec_id // 8 AS BIGINT) AS bag,
+       |         CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), q AS (SELECT vec_id AS q_tok, v AS q_v, nrm AS q_nrm FROM e WHERE bag = 0),
+       |scored AS (
+       |  SELECT e.bag, q.q_tok,
+       |    max(${graft.operators.ExactRound.rSql(
+              "list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)}) AS mx
+       |  FROM e, q WHERE e.bag <> 0
+       |  GROUP BY e.bag, q.q_tok
+       |)
+       |SELECT bag AS doc_bag,
+       |  ${graft.operators.ExactRound.rSql(
+            "CAST(sum(CAST(round(mx * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0", 6)}
+       |    AS maxsim
+       |FROM scored GROUP BY bag
+       |ORDER BY maxsim DESC, doc_bag LIMIT 10""".stripMargin
+
   /** IVF-PQ — the COMPOSED index (FAISS's production default, and the
     * reason the two halves exist separately above): IVF's coarse
     * quantizer cuts the corpus to the probed cells' candidates
@@ -1825,6 +1886,7 @@ object Similarity {
     "s_nndescent" -> (nnDescent _),
     "s_graph_search" -> (graphSearch _),
     "s_ivf_pq" -> (annIvfPq _),
+    "s_maxsim" -> (maxSim _),
     "s_ann_ivf" -> (annIvf _),
     "s_ann_filtered" -> (annFiltered _),
     "s_filtered_recall" -> (filteredRecall _),
@@ -1853,6 +1915,7 @@ object Similarity {
     "s_nndescent" -> nnDescentSql,
     "s_graph_search" -> graphSearchSql,
     "s_ivf_pq" -> annIvfPqSql,
+    "s_maxsim" -> maxSimSql,
     "s_ann_ivf" -> annIvfSql,
     "s_ann_filtered" -> annFilteredSql,
     "s_filtered_recall" -> filteredRecallSql,
