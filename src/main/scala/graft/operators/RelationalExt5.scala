@@ -749,7 +749,41 @@ object RelationalExt5 {
       |FROM orders WHERE o_orderkey IN (1, 7, 32)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** SCHEMA-DRIFT-TOLERANT UNION — `unionByName(allowMissingColumns)`,
+    * the DataFrame-level half of schema evolution (p_schema_evolution
+    * certifies the READER merging drifted parquet footers; this
+    * certifies the in-flight union of frames whose schemas diverged —
+    * the shape every multi-source ingestion job hits when one feed
+    * adds a column first). Two generations of the same feed: gen 1
+    * lacks the later `channel` column, gen 2 carries it; positional
+    * UNION would mis-align or reject, `unionByName` aligns by NAME and
+    * fills the missing column with NULL — pinned per generation:
+    * gen-1 rows count into the NULL channel bucket, gen-2 rows into
+    * their real channels, value sums exact. */
+  def q79UnionByName(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("value_c"))
+    val gen1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_type"), col("value_c")) // pre-drift schema
+    val gen2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_type"), col("value_c"),
+        concat(lit("ch"), (col("event_id") % 3).cast("string")).as("channel"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy(coalesce(col("channel"), lit("(pre-drift)")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("value_c"))
+      .orderBy("channel")
+  }
+
+  val q79Sql: String =
+    """SELECT coalesce(CASE WHEN event_id % 2 = 1
+      |    THEN 'ch' || CAST(event_id % 3 AS VARCHAR) END, '(pre-drift)') AS channel,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      |FROM events GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_union_by_name" -> (q79UnionByName _),
     "q77_keyset_pagination" -> (q77KeysetPagination _),
     "q78_bucket_pruning" -> (q78BucketPruning _),
     "q76_calendar_clamp" -> (q76CalendarClamp _),
@@ -767,6 +801,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q79_union_by_name" -> q79Sql,
     "q77_keyset_pagination" -> q77Sql,
     "q78_bucket_pruning" -> q78Sql,
     "q76_calendar_clamp" -> q76Sql,
