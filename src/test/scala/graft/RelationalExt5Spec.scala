@@ -62,6 +62,36 @@ class RelationalExt5Spec extends SparkSpec {
     }
   }
 
+  test("s_ivf_pq: ADC ordering holds and the standalone IVF top stays reachable") {
+    val composed = Similarity.annIvfPq(spark, sf).collect()
+    assert(composed.length == 10)
+    // approx scores ascend with rank (ADC distance ordering)
+    val scores = composed.map(_.getAs[Long]("approx_micros"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b })
+    // the IVF half is shared: the standalone IVF retrieval's probed
+    // cells are non-empty, so the composed cut had candidates to rank
+    assert(Similarity.annIvf(spark, sf).collect().nonEmpty)
+    assert(composed.forall(_.getAs[Long]("vec_id") != 0L))
+  }
+
+  test("s_maxsim: bag scores are bounded by the token count and ranked descending") {
+    val rows = Similarity.maxSim(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getAs[Double]("maxsim"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // 8 query tokens, each max-cosine <= 1 → score <= 8
+    assert(scores.forall(v => v <= 8.0 + 1e-9 && v >= -8.0 - 1e-9))
+    assert(rows.forall(_.getAs[Long]("doc_bag") != 0L), "the query bag never retrieves itself")
+  }
+
+  test("q79: drift-tolerant union routes every row exactly once") {
+    val rows = operators.RelationalExt5.q79UnionByName(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf).count())
+    val pre = rows.filter(_.getAs[String]("channel") == "(pre-drift)")
+    assert(pre.length == 1 && pre.head.getAs[Long]("n") > 0)
+  }
+
   test("q65: bitmap algebra is lossless vs exact distinct-set arithmetic") {
     val rows = RelationalExt5.q65BitmapDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
