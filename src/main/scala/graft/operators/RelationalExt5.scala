@@ -782,7 +782,98 @@ object RelationalExt5 {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
       |FROM events GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** AQE PARTITION-COALESCING certificate — the runtime re-plan lever
+    * NOBODY tunes by hand and everybody pays for when it's off: a
+    * selective filter shrinks the shuffle far below the static
+    * partition count (here the session's 32; a 100 TB warehouse's
+    * 10k+), and without coalescing every downstream stage schedules
+    * one near-empty task per static partition — at 1000 executors
+    * that is task-launch overhead dominating real work. AQE reads the
+    * runtime map-output sizes and RE-READS the shuffle as fewer,
+    * larger partitions (q59's skew split is the same mechanism
+    * pointed the other way: this merges small, that splits big). The
+    * executed plan is probed for an [[org.apache.spark.sql.execution
+    * .adaptive.AQEShuffleReadExec]] carrying coalesced partitions and
+    * for the post-read count actually dropping below the static 32;
+    * `coalesced` is an oracle-pinned TRUE, so if an upgrade or conf
+    * drift stops the merge the correctness gate goes red. Business
+    * result: daily signup traffic — count and exact cents. */
+  def q80AqeCoalesce(s: SparkSession, d: String): DataFrame = {
+    // parallelize: a one-file scan yields one map task whose output
+    // AQE would trivially read as one partition even without the
+    // coalescing rule engaging on anything; >1 mapper makes the
+    // merged read a real cross-mapper coalesce, as at scale
+    val ev = Tables.parallelize(Tables.events(s, d))
+      .filter(col("event_type") === "signup")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(round(col("value") * lit(100)).cast("long")).as("value_c"))
+      .orderBy("day")
+    val materialized = ev.localCheckpoint()
+    val (nCoalesced, minParts) = PlanProbe.coalescedShuffleReads(ev)
+    if (nCoalesced < 1)
+      throw new IllegalStateException(
+        "no AQE shuffle read carries coalesced partitions — certificate is vacuous")
+    if (minParts >= s.sessionState.conf.numShufflePartitions)
+      throw new IllegalStateException(
+        s"coalesced read still has $minParts partitions (static " +
+          s"${s.sessionState.conf.numShufflePartitions}) — nothing merged")
+    materialized.withColumn("coalesced", lit(true))
+  }
+
+  val q80Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_signups,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+      |  TRUE AS coalesced
+      |FROM events WHERE event_type = 'signup'
+      |GROUP BY day ORDER BY day""".stripMargin
+
+  /** WINDOW GROUP-LIMIT pushdown certificate — "top-k per group", the
+    * single most common window query at scale, and the one whose naive
+    * plan (sort EVERY group fully, rank EVERY row, then filter) does
+    * unbounded work for a k-row answer. Spark's optimizer rewrites a
+    * `row_number()/rank() <= k` filter into a WindowGroupLimit
+    * operator that keeps a k-row heap per group on BOTH sides of the
+    * shuffle (partial before, final after — the map-side-combine of
+    * top-k), so shuffle volume is k·groups, not the table. The
+    * executed plan is probed for [[org.apache.spark.sql.execution
+    * .window.WindowGroupLimitExec]]; `group_limited` is oracle-pinned
+    * TRUE so a regression to the full-sort plan flips the gate.
+    * Business result: the 3 priciest orders per order priority,
+    * row_number for a total-order-deterministic rank. */
+  def q81WindowGroupLimit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val top = Tables.parallelize(Tables.orders(s, d))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * lit(100)).cast("long").as("price_c"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "price_c")
+      .orderBy("o_orderpriority", "rn")
+    val materialized = top.localCheckpoint()
+    if (PlanProbe.windowGroupLimits(top) < 1)
+      throw new IllegalStateException(
+        "no WindowGroupLimit in executed plan — top-k ran as a full window sort")
+    materialized.withColumn("group_limited", lit(true))
+  }
+
+  val q81Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, rn, o_orderkey, price_c, TRUE AS group_limited
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_aqe_coalesce" -> (q80AqeCoalesce _),
+    "q81_window_group_limit" -> (q81WindowGroupLimit _),
     "q79_union_by_name" -> (q79UnionByName _),
     "q77_keyset_pagination" -> (q77KeysetPagination _),
     "q78_bucket_pruning" -> (q78BucketPruning _),
@@ -801,6 +892,8 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q80_aqe_coalesce" -> q80Sql,
+    "q81_window_group_limit" -> q81Sql,
     "q79_union_by_name" -> q79Sql,
     "q77_keyset_pagination" -> q77Sql,
     "q78_bucket_pruning" -> q78Sql,

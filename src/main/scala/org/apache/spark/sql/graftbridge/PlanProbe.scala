@@ -118,4 +118,28 @@ object PlanProbe {
       case s: FileSourceScanExec => s.partitionFilters.nonEmpty
       case _                     => false
     }
+
+  /** (reads with a COALESCED partition, minimum post-read partition
+    * count) over the AQE shuffle reads of the executed plan — the
+    * certificate that AQE's partition-coalescing engaged: a shuffle
+    * planned at the session's static partition count was re-read as
+    * fewer, larger partitions because the runtime map-output stats
+    * said the static count over-partitioned the data. Valid only
+    * after materialization. */
+  def coalescedShuffleReads(df: DataFrame): (Int, Int) = {
+    val reads = nodes(df).collect { case a: AQEShuffleReadExec => a }
+    (reads.count(_.hasCoalescedPartition),
+      if (reads.isEmpty) 0 else reads.map(_.partitionSpecs.size).min)
+  }
+
+  /** Number of [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
+    * nodes in the executed plan — the optimizer's rewrite of a
+    * `rank()/row_number() <= k` filter into a per-group top-k operator
+    * that keeps a k-row heap per partition instead of fully sorting
+    * and ranking every group. */
+  def windowGroupLimits(df: DataFrame): Int =
+    nodes(df).count {
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+      case _ => false
+    }
 }

@@ -92,6 +92,36 @@ class RelationalExt5Spec extends SparkSpec {
     assert(pre.length == 1 && pre.head.getAs[Long]("n") > 0)
   }
 
+  test("q80: AQE coalesce certificate — business result intact, vacuity guard armed") {
+    // the in-query guards throw if no AQE read coalesced below the static
+    // partition count, so a green run IS the plan certificate; pin the
+    // business half: every signup is counted exactly once
+    val rows = RelationalExt5.q80AqeCoalesce(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("coalesced")))
+    val total = rows.map(_.getAs[Long]("n_signups")).sum
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").count()
+    assert(total == expected, s"daily sums $total != signup count $expected")
+  }
+
+  test("q81: window group limit — exactly top-3 per group, ranks dense from 1") {
+    val rows = RelationalExt5.q81WindowGroupLimit(spark, sf).collect()
+    assert(rows.forall(_.getAs[Boolean]("group_limited")))
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    assert(byPrio.nonEmpty)
+    byPrio.foreach { case (p, rs) =>
+      val rns = rs.map(_.getAs[Int]("rn")).sorted
+      assert(rns.sameElements(1 to rns.length) && rns.length <= 3,
+        s"priority $p ranks ${rns.mkString(",")}")
+      // row_number follows price desc: cents non-increasing within group
+      val prices = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("price_c"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+    // every priority with >=1 order appears
+    val nPrios = Tables.orders(spark, sf).select("o_orderpriority").distinct().count()
+    assert(byPrio.size.toLong == nPrios)
+  }
+
   test("q65: bitmap algebra is lossless vs exact distinct-set arithmetic") {
     val rows = RelationalExt5.q65BitmapDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
