@@ -85,6 +85,43 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[encodeJpeg]] with an EXIF APP1 segment spliced in directly after
+    * SOI — how camera/phone JPEGs actually arrive in a crawl. The APP1
+    * payload is a little-endian TIFF blob (the EXIF container format)
+    * holding a 2-entry IFD0: Orientation (tag 274, SHORT, inline) and
+    * DateTime (tag 306, ASCII 20, stored at an OFFSET past the IFD —
+    * the two storage classes an EXIF reader must handle). Both values
+    * are deterministic functions of `id` so the oracle recomputes them
+    * analytically; the result is still a REAL decodable JPEG (readers
+    * skip unknown APP segments — Round6Spec pins the decode). */
+  private[graft] def encodeExifJpeg(id: Long, text: String): Array[Byte] = {
+    val jpeg = encodeJpeg(text)
+    val orientation = 1 + (id % 8).toInt
+    val dt = f"2024:${1 + id % 12}%02d:${1 + id % 28}%02d ${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
+    val dtBytes = (dt + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(dtBytes.length == 20, s"EXIF DateTime must be 20 bytes, got ${dtBytes.length}")
+    // TIFF blob: header(8) + count(2) + 2 entries(24) + nextIFD(4) = 38,
+    // then the ASCII DateTime at offset 38 (relative to the TIFF base)
+    val tiff = java.nio.ByteBuffer.allocate(38 + 20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(2)
+    tiff.putShort(274.toShort).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0) // SHORT value, LE-padded
+    tiff.putShort(306.toShort).putShort(2).putInt(20).putInt(38)
+    tiff.putInt(0) // next IFD
+    tiff.put(dtBytes)
+    val exifSig = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+    val app1Len = 2 + exifSig.length + tiff.capacity()
+    val out = java.nio.ByteBuffer.allocate(jpeg.length + 2 + app1Len)
+    out.put(jpeg, 0, 2) // SOI
+    out.put(0xFF.toByte).put(0xE1.toByte)
+    out.putShort(app1Len.toShort) // BE — JPEG segment lengths are big-endian
+    out.put(exifSig).put(tiff.array())
+    out.put(jpeg, 2, jpeg.length - 2)
+    out.array()
+  }
+
   /** Text → real GIF bytes, same raster construction as [[encodePng]]
     * through the JDK's GIF writer. GIF is palette-indexed (≤256
     * colors) and the raster is 8-bit grayscale, so — like PNG and
@@ -586,6 +623,59 @@ object Multimodal {
         be16(97).as("width"), be8(99).as("n_components"))
       .orderBy("asset_id")
   }
+
+  /** EXIF parse — the metadata curation actually needs from camera
+    * JPEGs (orientation decides whether every downstream pixel op must
+    * rotate; capture time drives dedup/recency policies), over
+    * [[encodeExifJpeg]] assets whose APP1 segment embeds a little-endian
+    * TIFF blob (EXIF's container). The IFD walk is [[tiffMeta]]'s,
+    * re-based to the APP1 payload (TIFF offsets are relative to the
+    * TIFF header, NOT the file — the classic EXIF parser bug), and
+    * exercises both storage classes: Orientation (SHORT, inline in the
+    * value field) and DateTime (ASCII 20, stored at an offset past the
+    * IFD, followed to read the string). Declarative substring+conv
+    * chain, codegen'd, no codec. `valid_exif` pins the full envelope:
+    * SOI, APP1 marker, "Exif\0\0" signature, "II" byte order, magic 42. */
+  def exifMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    def u8(o: String) = s"CAST(conv(hex(substring(media, ($o) + 1, 1)), 16, 10) AS INT)"
+    def le16(o: String) = s"(${u8(o)} + 256 * ${u8(s"($o) + 1")})"
+    def le32(o: String) = s"(${le16(o)} + 65536 * ${le16(s"($o) + 2")})"
+    // TIFF base: SOI(2) + APP1 marker(2) + length(2) + "Exif\0\0"(6)
+    val base = 12
+    val ifd = s"($base + ${le32(s"$base + 4")})"
+    val entries =
+      s"""transform(sequence(0, ${le16(ifd)} - 1), i -> named_struct(
+         |  'tag', ${le16(s"($ifd) + 2 + 12 * i")},
+         |  'v', ${le32(s"($ifd) + 2 + 12 * i + 8")}))""".stripMargin
+    def tagVal(tag: Int) = s"filter(es, e -> e.tag = $tag)[0].v"
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encodeExifJpeg(id, text)) })
+      .toDF("asset_id", "media")
+      .withColumn("es", expr(entries))
+      .select(col("asset_id"),
+        (hex(substring(col("media"), 1, 2)) === "FFD8" &&
+          hex(substring(col("media"), 3, 2)) === "FFE1" &&
+          substring(col("media"), 7, 4).cast("string") === "Exif" &&
+          substring(col("media"), base + 1, 2).cast("string") === "II" &&
+          expr(le16(s"$base + 2")) === 42).as("valid_exif"),
+        expr(tagVal(274)).as("orientation"),
+        (expr(tagVal(274)) =!= 1).as("needs_rotate"),
+        expr(s"CAST(substring(media, $base + 1 + ${tagVal(306)}, 19) AS STRING)")
+          .as("taken_at"))
+      .orderBy("asset_id")
+  }
+
+  val exifMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_exif,
+      |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+      |  (doc_id % 8) <> 0 AS needs_rotate,
+      |  printf('2024:%02d:%02d %02d:%02d:%02d', 1 + doc_id % 12, 1 + doc_id % 28,
+      |    doc_id % 24, doc_id % 60, doc_id % 60) AS taken_at
+      |FROM documents ORDER BY asset_id""".stripMargin
 
   /** GIF header parse over real GIF blobs — the LITTLE-endian twin of
     * [[pngMeta]] (GIF's logical-screen width/height are LE u16 where
@@ -1803,6 +1893,7 @@ object Multimodal {
     "m_dedup" -> (assetDedup _),
     "m_png_meta" -> (pngMeta _),
     "m_jpeg_meta" -> (jpegMeta _),
+    "m_exif" -> (exifMeta _),
     "m_gif_meta" -> (gifMeta _),
     "m_tiff_meta" -> (tiffMeta _),
     "m_mp4_boxes" -> (mp4Boxes _),
@@ -1826,6 +1917,7 @@ object Multimodal {
     "m_dedup" -> assetDedupSql,
     "m_png_meta" -> pngMetaSql,
     "m_jpeg_meta" -> jpegMetaSql,
+    "m_exif" -> exifMetaSql,
     "m_gif_meta" -> gifMetaSql,
     "m_tiff_meta" -> tiffMetaSql,
     "m_mp4_boxes" -> mp4BoxesSql,

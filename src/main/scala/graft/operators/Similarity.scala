@@ -1865,7 +1865,51 @@ object Similarity {
        |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** GRAM MATRIX (X^T X) — the one-pass kernel under PCA / covariance /
+    * linear probes, and the reason none of them needs a pairwise join:
+    * each vector contributes its own d·(d+1)/2 upper-triangle products
+    * locally, and one partial-aggregated groupBy over (i, j) keys sums
+    * them — a 36-key shuffle here (first 8 dims), a 2 080-key shuffle
+    * at full d=64, CONSTANT in corpus size. At 100 TB this is a single
+    * scan with a kilobyte of shuffle; the anti-pattern it certifies
+    * against is the row-by-row outer-product matrix people port from
+    * numpy. Products are integer micros (float32 → exact double →
+    * round(x·10⁶)) so the sums are order-free and bit-identical across
+    * engines: `sum_uu` is the exact integer Σ mᵢ·mⱼ (bounded by
+    * n·(0.6·10⁶)² ≈ 2⁶² at a billion rows — a production run at larger
+    * d·n moves to DECIMAL(38,0), same plan), `n_vecs` pins every row
+    * contributed to every cell. */
+  def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    val dims = 8
+    val m = expr(
+      s"transform(slice(embedding, 1, $dims), e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))")
+    val pairs = expr(
+      s"""flatten(transform(sequence(0, $dims - 1), i ->
+         |  transform(sequence(i, $dims - 1), j ->
+         |    named_struct('i', i, 'j', j, 'uu', m[i] * m[j]))))""".stripMargin)
+    Tables.parallelize(Tables.embeddings(s, d))
+      .withColumn("m", m)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.uu")).as("sum_uu"), count(lit(1)).as("n_vecs"))
+      .orderBy("i", "j")
+  }
+
+  val gramMatrixSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, t.u.pos - 1 AS i,
+      |    CAST(round(CAST(t.u.x AS DOUBLE) * 1000000) AS BIGINT) AS m
+      |  FROM embeddings,
+      |    unnest(list_transform(embedding[1:8],
+      |      (e, k) -> struct_pack(pos := k, x := e))) AS t(u)
+      |)
+      |SELECT a.i, b.i AS j, CAST(sum(a.m * b.m) AS BIGINT) AS sum_uu,
+      |  count(*) AS n_vecs
+      |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_gram_matrix" -> (gramMatrix _),
     "s_ivf_batch" -> (ivfBatch _),
     "s_outliers" -> (outliers _),
     "s_knn_acc" -> (knnAcc _),
@@ -1895,6 +1939,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_gram_matrix" -> gramMatrixSql,
     "s_ivf_batch" -> ivfBatchSql,
     "s_outliers" -> outliersSql,
     "s_knn_acc" -> knnAccSql,

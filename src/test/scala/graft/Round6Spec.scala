@@ -655,4 +655,26 @@ class Round6Spec extends SparkSpec {
       known += (l + rt)
     }
   }
+
+  test("m_exif: spliced APP1 keeps the JPEG decodable; fields replay from doc_id") {
+    val rows = multimodal.Multimodal.exifMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("valid_exif"))
+      val o = r.getAs[Int]("orientation")
+      assert(o >= 1 && o <= 8, s"orientation $o outside EXIF range")
+      val id = r.getAs[Long]("asset_id")
+      assert(o == 1 + (id % 8).toInt)
+      assert(r.getAs[Boolean]("needs_rotate") == (o != 1))
+      val dt = r.getAs[String]("taken_at")
+      assert(dt.matches("2024:\\d{2}:\\d{2} \\d{2}:\\d{2}:\\d{2}"), s"bad datetime '$dt'")
+    }
+    // the EXIF splice must NOT break real decoders: ImageIO still reads
+    // the image (readers skip unknown APP segments), same dimensions as
+    // the plain encode
+    val media = multimodal.Multimodal.encodeExifJpeg(7L, "exif decode pin")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    assert(img != null, "EXIF-spliced JPEG no longer decodes")
+    assert(img.getWidth == 64 && img.getHeight == 1)
+  }
 }

@@ -358,6 +358,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gram_matrix: upper triangle complete, diagonals are sums of squares, replay-exact") {
+    val rows = Similarity.gramMatrix(spark, sf).collect()
+      .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
+        (r.getAs[Long]("sum_uu"), r.getAs[Long]("n_vecs")))).toMap
+    assert(rows.size == 36, "8-dim upper triangle is 36 cells")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.values.forall(_._2 == n), "every vector contributes to every cell")
+    for (i <- 0 until 8) assert(rows((i, i))._1 >= 0L, s"diagonal ($i,$i) negative")
+    // exact in-memory replay of one off-diagonal cell
+    val vecs = Tables.embeddings(spark, sf)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val expect = vecs.map { v =>
+      val m0 = operators.ExactRound.valueMicros(v(0).toDouble)
+      val m3 = operators.ExactRound.valueMicros(v(3).toDouble)
+      m0 * m3
+    }.sum
+    assert(rows((0, 3))._1 == expect, "cell (0,3) must equal the scalar replay")
+  }
+
   test("kmeans_iter: cells partition the corpus; refinement is deterministic and converging") {
     val a = Similarity.kmeansIter(spark, sf).collect()
       .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Long]("n_members"),
