@@ -955,6 +955,104 @@ object EventStream {
     dst.setLastModified(mtime); ()
   }
 
+  /** MULTI-SOURCE GLOBAL WATERMARK — the min-of-sources policy that
+    * rules every fan-in topology in production: when a query reads two
+    * sources with independent watermarks, the eviction/emission
+    * watermark is the MINIMUM (Spark's default multipleWatermarkPolicy
+    * = min), so ONE lagging source holds back every window of the
+    * whole query — the "one stale Kafka partition stalls the dashboard"
+    * incident, certified. Construction: the even half of events streams
+    * from source A (full time range); the odd half streams from source
+    * B but CUT at max(A ts) − 2 days, so B's watermark finishes two
+    * days behind A's. The unioned 5-minute window counts run in append
+    * mode; emitted windows must be exactly those whose end ≤ B's
+    * watermark (min policy) — if the engine took the max (or A's),
+    * the two-day tail would emit and the row-set hash goes red. The
+    * contrast class is non-vacuous by an in-query guard: `n_held` (> 0,
+    * thrown otherwise) counts the window groups A's solo watermark
+    * would have flushed but the min policy held in state, pinned as an
+    * oracle column. End-of-stream flush relies on no-data micro-batches
+    * (the engine keeps ticking until the watermark stabilizes), same as
+    * [[appendWindows]]. */
+  def multiSourceWatermark(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_msw_").toString
+    try {
+      val raw = Tables.events(s, d).select("event_id", "ts", "event_type")
+        .localCheckpoint(eager = true)
+      val dirA = new java.io.File(scratch, "a"); dirA.mkdirs()
+      val dirB = new java.io.File(scratch, "b"); dirB.mkdirs()
+      val evens = raw.filter(col("event_id") % 2 === 0)
+      val mA = evens.agg(max("ts").as("mta"))
+      val slowOdds = raw.filter(col("event_id") % 2 === 1)
+        .crossJoin(broadcast(mA))
+        .filter(col("ts") <= col("mta") - expr("INTERVAL 2 DAYS"))
+        .select("event_id", "ts", "event_type")
+      val t0 = System.currentTimeMillis()
+      scratchFile(evens, scratch, dirA, "0-a", t0 - 60000)
+      scratchFile(slowOdds, scratch, dirB, "0-b", t0 - 60000)
+      val sch = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("event_type", StringType)))
+      def src(dir: java.io.File) = s.readStream.schema(sch)
+        .parquet(dir.toString).withWatermark("ts", "10 minutes")
+      val agg = src(dirA).unionByName(src(dirB))
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), fmt).as("window_start"),
+          col("event_type"), col("n"))
+      val name = "graft_st_msw"
+      runToMemorySink(s, d, agg, name, "append")
+      // contrast class, from the batch data (pure function of the corpus):
+      // groups above B's watermark but at-or-below A's — emitted iff the
+      // engine ignored the lagging source
+      val mB = slowOdds.agg(max("ts").as("mtb"))
+      val held = evens.unionByName(slowOdds)
+        .crossJoin(broadcast(mA)).crossJoin(broadcast(mB))
+        .select(window(col("ts"), "5 minutes").as("w"), col("event_type"),
+          expr("unix_micros(mta) div 1000").as("wma_ms"),
+          expr("unix_micros(mtb) div 1000").as("wmb_ms"))
+        .filter(expr("unix_micros(w.end) div 1000") > col("wmb_ms") - 600000 &&
+          expr("unix_micros(w.end) div 1000") <= col("wma_ms") - 600000)
+        .select("w", "event_type").distinct().count()
+      if (held == 0)
+        throw new IllegalStateException(
+          "no window separates the two sources' watermarks — min-policy certificate is vacuous")
+      s.table(name).withColumn("n_held", lit(held))
+        .orderBy("window_start", "event_type")
+    } finally {
+      graft.Scratch.rmTree(scratch)
+    }
+  }
+
+  /** Batch replay: B = odds at or below max(even ts) − 2 days; emission
+    * boundary = B's watermark (the MIN), same integer-ms floors as
+    * [[appendWindowsSql]]; n_held replays the contrast class. */
+  val multiSourceWatermarkSql: String =
+    """WITH a AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |  WHERE event_id % 2 = 0
+      |), b AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      |  WHERE event_id % 2 = 1
+      |    AND CAST(ts AS TIMESTAMP) <= (SELECT max(ts) - INTERVAL 2 DAY FROM a)
+      |), u AS (
+      |  SELECT * FROM a UNION ALL SELECT * FROM b
+      |), wm AS (
+      |  SELECT (SELECT epoch_us(max(ts)) // 1000 - 600000 FROM a) AS wma_ms,
+      |         (SELECT epoch_us(max(ts)) // 1000 - 600000 FROM b) AS wmb_ms
+      |), w AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type, count(*) AS n
+      |  FROM u GROUP BY 1, 2
+      |), held AS (
+      |  SELECT count(*) AS n_held FROM w, wm
+      |  WHERE epoch_us(wstart + INTERVAL '5 minutes') // 1000 > wmb_ms
+      |    AND epoch_us(wstart + INTERVAL '5 minutes') // 1000 <= wma_ms
+      |)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, n, (SELECT n_held FROM held) AS n_held
+      |FROM w, wm
+      |WHERE epoch_us(wstart + INTERVAL '5 minutes') // 1000 <= wmb_ms
+      |ORDER BY window_start, event_type""".stripMargin
+
   def lateData(s: SparkSession, d: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_st_late_").toString
     try {
@@ -1742,6 +1840,7 @@ object EventStream {
     "st_enrich" -> (enrich _),
     "st_window_agg" -> (windowAgg _),
     "st_append_windows" -> (appendWindows _),
+    "st_multi_source_watermark" -> (multiSourceWatermark _),
     "st_sessionize" -> (sessionize _),
     "st_sessionize_stream" -> (sessionizeStreamClosed _),
     "st_sessionize_final" -> (sessionizeStreamFinal _),
@@ -1768,6 +1867,7 @@ object EventStream {
     "st_enrich" -> enrichSql,
     "st_window_agg" -> windowAggSql,
     "st_append_windows" -> appendWindowsSql,
+    "st_multi_source_watermark" -> multiSourceWatermarkSql,
     "st_sessionize" -> sessionizeSql,
     "st_sessionize_stream" -> sessionizeStreamClosedSql,
     "st_sessionize_final" -> sessionizeStreamFinalSql,

@@ -319,4 +319,27 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(offs.zip(offs.tail).forall { case (a, b) => a < b }, "offsets must increase")
     }
   }
+
+  test("st_multi_source_watermark: emission stops at the LAGGING source's watermark") {
+    import org.apache.spark.sql.functions._
+    val rows = EventStream.multiSourceWatermark(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val held = rows.map(_.getAs[Long]("n_held")).distinct
+    assert(held.length == 1 && held.head > 0, "contrast class must be non-empty")
+    // boundary replay: every emitted window ends at or below B's watermark,
+    // and none reaches into A's two-day solo tail
+    val ev = Tables.events(spark, sf)
+    val maxA = ev.filter(col("event_id") % 2 === 0).agg(max("ts")).collect()(0).getTimestamp(0)
+    val maxB = ev.filter(col("event_id") % 2 === 1)
+      .filter(col("ts") <= lit(maxA) - expr("INTERVAL 2 DAYS"))
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val wmbMs = maxB.getTime - 600000L
+    val fmtP = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmtP.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    rows.foreach { r =>
+      val endMs = fmtP.parse(r.getAs[String]("window_start")).getTime + 300000L
+      assert(endMs <= wmbMs,
+        s"window ending $endMs emitted past the lagging watermark $wmbMs")
+    }
+  }
 }
