@@ -47,6 +47,53 @@ object Dedup {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** URL-CANONICALIZATION dedup — the CHEAPEST dedup pass in a web
+    * pipeline and the first one run (CCNet/RefinedWeb discipline: most
+    * crawl duplication is the SAME page re-fetched under a decorated
+    * URL, collapsible by string surgery before any content hashing):
+    * scheme/host case-folding, default-port and `www.` stripping,
+    * query/fragment removal, trailing-slash normalization. Each
+    * document synthesizes one of four deterministic messy variants of
+    * its group's canonical URL (uppercase host + `:80`; `utm_*` query;
+    * `www.` + fragment; plain), and the canonicalizer — REAL
+    * `parse_url` + regexp string surgery, the code a crawl pipeline
+    * actually runs — must collapse all four, pinned by the oracle
+    * recomputing the canonical analytically from `doc_id` (the m_exif
+    * discipline: synthesis is the oracle). One groupBy on the
+    * canonical string: map-side-combinable, no content ever shuffled —
+    * at 100 TB this pass is scan-bound and removes the re-fetch mass
+    * before the expensive MinHash stages see it. */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("http://docs.example.com/d/"), g))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTP://DOCS.EXAMPLE.COM:80/d/"), g))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://docs.example.com/d/"), g,
+          lit("/?utm_source=feed&utm_campaign=daily")))
+      .otherwise(concat(lit("http://www.docs.example.com/d/"), g, lit("#section-2")))
+    val canonical = concat(lit("http://"),
+      regexp_replace(lower(parse_url(col("url"), lit("HOST"))), "^www\\.", ""),
+      regexp_replace(parse_url(col("url"), lit("PATH")), "/$", ""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"), canonical.as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("url").as("n_raw"),
+        min("doc_id").as("keeper"))
+      .orderBy("canonical")
+  }
+
+  /** The synthesis IS the oracle: the canonical is analytic in doc_id,
+    * and the four variants per group are distinct by construction so
+    * n_raw = n_docs. */
+  val urlDedupSql: String =
+    """SELECT 'http://docs.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) AS canonical,
+      |  count(*) AS n_docs, count(*) AS n_raw, min(doc_id) AS keeper
+      |FROM documents GROUP BY canonical ORDER BY canonical""".stripMargin
+
   /** Prefix-duplicate groups: documents whose normalized first
     * [[GraftConf.prefixDupTokens]] tokens are IDENTICAL — the
     * truncation-twin / shared-boilerplate-head relation that full-content
@@ -1581,6 +1628,7 @@ object Dedup {
     "d_bloom" -> (bloom _),
     "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
+    "d_url_dedup" -> (urlDedup _),
     "d_bucketed_dedup" -> (bucketedDedup _),
     "d_minhash_lsh" -> (minhashLsh _),
     "d_simhash" -> (simhash _),
@@ -1605,6 +1653,7 @@ object Dedup {
     "d_bloom" -> bloomSql,
     "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,
+    "d_url_dedup" -> urlDedupSql,
     "d_bucketed_dedup" -> bucketedDedupSql,
     "d_minhash_lsh" -> minhashLshSql,
     "d_simhash" -> simhashSql,

@@ -415,4 +415,24 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") >= 0.5)
     }
   }
+
+  test("d_url_dedup: every decorated variant collapses; keeper is the group minimum") {
+    val rows = operators.Dedup.urlDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(), "every doc lands in exactly one group")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n >= 1 && n <= 4, s"group size $n outside the 4-variant construction")
+      assert(r.getAs[Long]("n_raw") == n, "raw variants within a group are all distinct")
+      val canonical = r.getAs[String]("canonical")
+      val g = canonical.substring(canonical.lastIndexOf('/') + 1).toLong
+      assert(r.getAs[Long]("keeper") >= 4 * g && r.getAs[Long]("keeper") < 4 * (g + 1))
+      assert(!canonical.contains("www.") && !canonical.contains(":80") &&
+        !canonical.contains("?") && !canonical.contains("#") && !canonical.endsWith("/"))
+      assert(canonical == canonical.toLowerCase)
+    }
+    // full interior groups collapse all four decoration classes
+    assert(rows.exists(_.getAs[Long]("n_docs") == 4), "no full group — variant synthesis broken")
+  }
 }
