@@ -687,6 +687,66 @@ object TextAnalysis {
     * so the oracle matches bit-for-bit; on this synthetic corpus the
     * email/IP counts are legitimately zero (negative control) while the
     * term dictionary hits. */
+  /** HTML BOILERPLATE STRIP — the first transform every web-crawl
+    * pipeline runs (trafilatura/jusText territory: a crawl byte is
+    * mostly markup, nav, script and footer; the model only wants the
+    * article): each document is wrapped in a deterministic HTML page —
+    * title, a script block, a nav div, the entity-ESCAPED text inside
+    * the content `<p>`, an entity-bearing footer — and the stripper
+    * must get the original back EXACTLY: drop script blocks, extract
+    * the content container, decode entities in the right order
+    * (`&amp;` LAST, or pre-escaped text corrupts — the classic
+    * double-decode bug, certified here because the corpus text itself
+    * contains `&`/`<`/`>`). `recovered_ok` pins byte-exact recovery;
+    * `boilerplate_ratio` is the markup tax the strip removes — the
+    * number that sizes a 100 TB crawl's usable-text fraction. All
+    * regexp/replace string ops, codegen'd, map-only: no shuffle at all
+    * until the final ORDER BY. */
+  def htmlStrip(s: SparkSession, d: String): DataFrame = {
+    val esc = expr(
+      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    val html = concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title><script>var x=1;</script></head><body><div class=\"nav\">menu</div><p>"),
+      esc,
+      lit("</p><footer>&copy; 2024</footer></body></html>"))
+    val noScript = regexp_replace(col("html"), "(?s)<script.*?</script>", "")
+    val content = regexp_extract(noScript, "(?s)<p>(.*)</p>", 1)
+    val decoded = expr(
+      "replace(replace(replace(content, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), html.as("html"))
+      .withColumn("content", content)
+      .select(col("doc_id"),
+        length(col("html")).as("n_chars_html"),
+        length(col("text")).as("n_chars_text"),
+        (decoded === col("text")).as("recovered_ok"),
+        ExactRound.r((length(col("html")) - length(col("text"))).cast("double")
+          / length(col("html")), 6).as("boilerplate_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The synthesis is the oracle: the wrapper is reconstructed in SQL,
+    * so n_chars_html is analytic and recovered_ok is a pinned TRUE —
+    * any strip/decode defect flips the hash. */
+  val htmlStripSql: String = {
+    val ratio = ExactRound.rSql(
+      "CAST(length(html) - length(text) AS DOUBLE) / length(html)", 6)
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><script>var x=1;</script></head><body><div class="nav">menu</div><p>' ||
+      |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |    '</p><footer>&copy; 2024</footer></body></html>' AS html
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(length(html) AS INT) AS n_chars_html,
+      |  CAST(length(text) AS INT) AS n_chars_text,
+      |  TRUE AS recovered_ok,
+      |  RATIO AS boilerplate_ratio
+      |FROM h ORDER BY doc_id""".stripMargin.replace("RATIO", ratio)
+  }
+
   def scrub(s: SparkSession, d: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
@@ -1740,6 +1800,7 @@ object TextAnalysis {
     "t_char_diversity" -> (charDiversity _),
     "t_kwic" -> (kwic _),
     "t_scrub" -> (scrub _),
+    "t_html_strip" -> (htmlStrip _),
     "t_dup_ngrams" -> (dupNgrams _),
     "t_span_dedup" -> (spanDedup _),
     "t_novelty" -> (novelty _),
@@ -1777,6 +1838,7 @@ object TextAnalysis {
     "t_char_diversity" -> charDiversitySql,
     "t_kwic" -> kwicSql,
     "t_scrub" -> scrubSql,
+    "t_html_strip" -> htmlStripSql,
     "t_dup_ngrams" -> dupNgramsSql,
     "t_span_dedup" -> spanDedupSql,
     "t_novelty" -> noveltySql,

@@ -343,4 +343,18 @@ class TextAnalysisSpec extends SparkSpec {
     // the lowest doc_id in the result is by construction fully novel
     assert(got.head._2 == got.head._3)
   }
+
+  test("t_html_strip: byte-exact recovery on every doc; ratio consistent with lengths") {
+    val rows = operators.TextAnalysis.htmlStrip(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recovered_ok"),
+        s"doc ${r.getAs[Long]("doc_id")} did not survive the strip round-trip")
+      val h = r.getAs[Int]("n_chars_html"); val x = r.getAs[Int]("n_chars_text")
+      assert(h > x, "wrapper must add markup mass")
+      val ratio = r.getAs[Double]("boilerplate_ratio")
+      assert(ratio > 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (h - x).toDouble / h) < 1e-5)
+    }
+  }
 }
