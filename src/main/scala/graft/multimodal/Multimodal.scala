@@ -677,6 +677,71 @@ object Multimodal {
       |    doc_id % 24, doc_id % 60, doc_id % 60) AS taken_at
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** SUBRIP (SRT) CAPTION PARSE — the text half of video training data
+    * (caption/frame alignment starts from exactly this file format):
+    * each document's whitespace tokens are paced into 5-word captions
+    * at 3 s cadence (2 s visible) and serialized as real SRT blocks —
+    * index, `HH:MM:SS,mmm --> HH:MM:SS,mmm`, caption line — then the
+    * PARSER (the certified direction) splits blocks, decodes both
+    * timestamps positionally, and folds duration totals, caption word
+    * counts and a strict start-monotonicity flag over the block array.
+    * Everything is codegen'd split/substring/higher-order-fold — the
+    * declarative form of the imperative line-reader every subtitle
+    * tool runs, map-only at scale. Oracle: the pacing is analytic in
+    * the whitespace token count ([[graft.operators.TextAnalysis]]
+    * tokenStats' split idiom), so every output column replays from
+    * `ceil(n_tokens/5)`. */
+  def srtParse(s: SparkSession, d: String): DataFrame = {
+    def fmtMs(e: String) =
+      s"""concat(lpad(CAST(($e) div 3600000 AS STRING), 2, '0'), ':',
+         |  lpad(CAST((($e) div 60000) % 60 AS STRING), 2, '0'), ':',
+         |  lpad(CAST((($e) div 1000) % 60 AS STRING), 2, '0'), ',',
+         |  lpad(CAST(($e) % 1000 AS STRING), 3, '0'))""".stripMargin
+    val gen =
+      s"""array_join(transform(sequence(0, ((size(words) + 4) div 5) - 1), i ->
+         |  concat(CAST(i + 1 AS STRING), '\\n',
+         |    ${fmtMs("3000 * i")}, ' --> ', ${fmtMs("3000 * i + 2000")}, '\\n',
+         |    array_join(slice(words, i * 5 + 1, 5), ' '))), '\\n\\n')""".stripMargin
+    def ts(l2: String, off: Int) =
+      s"""(CAST(substring($l2, ${off}, 2) AS BIGINT) * 3600000 +
+         |  CAST(substring($l2, ${off + 3}, 2) AS BIGINT) * 60000 +
+         |  CAST(substring($l2, ${off + 6}, 2) AS BIGINT) * 1000 +
+         |  CAST(substring($l2, ${off + 9}, 3) AS BIGINT))""".stripMargin
+    val l2 = "element_at(split(b, '\\n'), 2)"
+    val parsed =
+      s"""transform(split(srt, '\\n\\n'), b -> named_struct(
+         |  'start_ms', ${ts(l2, 1)},
+         |  'end_ms', ${ts(l2, 18)},
+         |  'n_words', size(split(element_at(split(b, '\\n'), 3), ' '))))""".stripMargin
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), split(trim(col("text")), "[ \t\n\r]+").as("words"))
+      .select(col("doc_id"), expr(gen).as("srt"))
+      .withColumn("caps", expr(parsed))
+      .select(col("doc_id"),
+        size(col("caps")).cast("long").as("n_captions"),
+        expr("aggregate(caps, 0L, (a, c) -> a + (c.end_ms - c.start_ms))")
+          .as("total_dur_ms"),
+        expr("aggregate(caps, 0L, (a, c) -> a + c.n_words)").as("n_caption_words"),
+        expr("""aggregate(caps, named_struct('p', -1L, 'ok', true),
+          (a, c) -> named_struct('p', c.start_ms,
+            'ok', a.ok AND c.start_ms > a.p AND c.end_ms > c.start_ms)).ok""")
+          .as("monotone_ok"))
+      .orderBy("doc_id")
+  }
+
+  val srtParseSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '[ \t\n\r]+')) AS nw
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST((nw + 4) // 5 AS BIGINT) AS n_captions,
+      |  CAST(2000 * ((nw + 4) // 5) AS BIGINT) AS total_dur_ms,
+      |  CAST(nw AS BIGINT) AS n_caption_words,
+      |  TRUE AS monotone_ok
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** GIF header parse over real GIF blobs — the LITTLE-endian twin of
     * [[pngMeta]] (GIF's logical-screen width/height are LE u16 where
     * PNG's IHDR is BE u32; a parser that only ever met one byte order
@@ -1894,6 +1959,7 @@ object Multimodal {
     "m_png_meta" -> (pngMeta _),
     "m_jpeg_meta" -> (jpegMeta _),
     "m_exif" -> (exifMeta _),
+    "m_srt_parse" -> (srtParse _),
     "m_gif_meta" -> (gifMeta _),
     "m_tiff_meta" -> (tiffMeta _),
     "m_mp4_boxes" -> (mp4Boxes _),
@@ -1918,6 +1984,7 @@ object Multimodal {
     "m_png_meta" -> pngMetaSql,
     "m_jpeg_meta" -> jpegMetaSql,
     "m_exif" -> exifMetaSql,
+    "m_srt_parse" -> srtParseSql,
     "m_gif_meta" -> gifMetaSql,
     "m_tiff_meta" -> tiffMetaSql,
     "m_mp4_boxes" -> mp4BoxesSql,

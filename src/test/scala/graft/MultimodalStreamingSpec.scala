@@ -342,4 +342,22 @@ class MultimodalStreamingSpec extends SparkSpec {
         s"window ending $endMs emitted past the lagging watermark $wmbMs")
     }
   }
+
+  test("m_srt_parse: caption accounting replays from the token count; cadence is 2s visible") {
+    import org.apache.spark.sql.functions._
+    val rows = multimodal.Multimodal.srtParse(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), "[ \t\n\r]+")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val nw = toks(id)
+      val nCap = (nw + 4) / 5
+      assert(r.getAs[Long]("n_captions") == nCap)
+      assert(r.getAs[Long]("total_dur_ms") == 2000L * nCap)
+      assert(r.getAs[Long]("n_caption_words") == nw,
+        s"doc $id caption words ${r.getAs[Long]("n_caption_words")} != $nw tokens")
+      assert(r.getAs[Boolean]("monotone_ok"))
+    }
+  }
 }
