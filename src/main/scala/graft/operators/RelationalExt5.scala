@@ -871,7 +871,73 @@ object RelationalExt5 {
       |FROM ranked WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** Exact money stats as a typed [[org.apache.spark.sql.expressions
+    * .Aggregator]] — count, half-away-from-zero cents total and max,
+    * all integer-micros so the fold is order-free. One definition
+    * serves BOTH API surfaces q82 certifies: `toColumn` on a typed
+    * `groupByKey` and `functions.udaf` on an untyped `groupBy`. */
+  private[operators] object MoneyAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, (Long, Long, Long), (Long, Long, Long)] {
+    def zero: (Long, Long, Long) = (0L, 0L, Long.MinValue)
+    def reduce(b: (Long, Long, Long), m: Long): (Long, Long, Long) =
+      (b._1 + 1, b._2 + m, math.max(b._3, m))
+    def merge(x: (Long, Long, Long), y: (Long, Long, Long)): (Long, Long, Long) =
+      (x._1 + y._1, x._2 + y._2, math.max(x._3, y._3))
+    def finish(b: (Long, Long, Long)): (Long, Long, Long) =
+      (b._1, (b._2 + 5000) / 10000, (b._3 + 5000) / 10000)
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[(Long, Long, Long)]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[(Long, Long, Long)]
+  }
+
+  /** TYPED AGGREGATOR certificate — the custom-aggregate extension path
+    * the DataFrame API offers a Scala shop (one `Aggregator` class,
+    * two registration surfaces), certified to agree with itself and
+    * the oracle: the SAME [[MoneyAgg]] instance runs (a) typed, via
+    * `groupByKey(...).agg(agg.toColumn)` over a case-class `Encoder`,
+    * and (b) untyped, via `functions.udaf(agg)` inside a plain
+    * `groupBy.agg` — the two plans Spark compiles are different
+    * (ObjectHashAggregate over a typed buffer vs the UDAF wrapper),
+    * and `apis_agree` pins their cell-by-cell equality beside the
+    * oracle's own replay of the fold. Integer micros keep the fold
+    * order-free, so partial aggregation across any partitioning is
+    * bit-stable — the property a custom agg MUST have at 100 TB,
+    * where merge order is nondeterministic by construction. */
+  def q82TypedAgg(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val base = Tables.parallelize(Tables.orders(s, d))
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * lit(1000000)).cast("long").as("micros"))
+    val typed = base.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MoneyAgg.toColumn.name("st"))
+      .toDF("priority", "st")
+      .select(col("priority"), col("st._1").as("n"),
+        col("st._2").as("sum_cents"), col("st._3").as("max_cents"))
+    val asUdaf = udaf(MoneyAgg)
+    val untyped = base.groupBy("priority").agg(asUdaf(col("micros")).as("st"))
+      .select(col("priority"), col("st._1").as("n2"),
+        col("st._2").as("sum2"), col("st._3").as("max2"))
+    typed.join(untyped, "priority")
+      .select(col("priority"), col("n"), col("sum_cents"), col("max_cents"),
+        (col("n") === col("n2") && col("sum_cents") === col("sum2") &&
+          col("max_cents") === col("max2")).as("apis_agree"))
+      .orderBy("priority")
+  }
+
+  val q82Sql: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n,
+      |  CAST((sum(m) + 5000) // 10000 AS BIGINT) AS sum_cents,
+      |  CAST((max(m) + 5000) // 10000 AS BIGINT) AS max_cents,
+      |  TRUE AS apis_agree
+      |FROM (SELECT o_orderpriority,
+      |        CAST(round(o_totalprice * 1000000) AS BIGINT) AS m FROM orders)
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_typed_agg" -> (q82TypedAgg _),
     "q80_aqe_coalesce" -> (q80AqeCoalesce _),
     "q81_window_group_limit" -> (q81WindowGroupLimit _),
     "q79_union_by_name" -> (q79UnionByName _),
@@ -892,6 +958,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q82_typed_agg" -> q82Sql,
     "q80_aqe_coalesce" -> q80Sql,
     "q81_window_group_limit" -> q81Sql,
     "q79_union_by_name" -> q79Sql,

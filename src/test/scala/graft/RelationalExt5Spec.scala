@@ -141,4 +141,15 @@ class RelationalExt5Spec extends SparkSpec {
     val k = byType.size
     assert(rows.length == k * (k - 1) / 2)
   }
+
+  test("q82: typed Aggregator and udaf registration agree; counts partition the table") {
+    val rows = RelationalExt5.q82TypedAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("apis_agree")), "typed vs udaf paths diverged")
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_cents") * r.getAs[Long]("n") >= r.getAs[Long]("sum_cents"),
+        "max * n must bound the sum")
+    }
+  }
 }
