@@ -1084,7 +1084,141 @@ object Graph {
     updatedBase.unionByName(newNodes).orderBy("doc_id")
   }
 
+  /** STRONGLY CONNECTED COMPONENTS — the directed completion of the
+    * graph family (WCC/g_dup_clusters ignore direction; SCC is what
+    * link graphs, citation graphs and dependency graphs actually need),
+    * via the distributed COLORING algorithm (Orzan's FB-coloring, the
+    * standard Pregel-style SCC): repeat until every node is claimed —
+    *
+    *   1. color(v) = max id that REACHES v within the active subgraph
+    *      (monotone max-label propagation to fixpoint; each round is
+    *      one edge join + partial-agg max, the PageRank cost envelope);
+    *   2. nodes with color(v) = v are roots; BACKWARD reachability from
+    *      each root WITHIN its color class marks that root's whole SCC
+    *      (u is in SCC(r) iff r reaches u — that is color(u) = r — and
+    *      u reaches r inside the class);
+    *   3. claimed nodes retire; survivors repeat with stale colors
+    *      discarded.
+    *
+    * Both fixpoints are data-driven `while` loops with eager
+    * per-round `localCheckpoint` (the [[Dedup.dupClusters]] iterative
+    * discipline) and convergence caps that THROW rather than emit an
+    * unconverged census. The directed graph is synthesized analytically
+    * over the contiguous doc_id space — blocks of 8 form a forward
+    * chain, every block whose index is not divisible by 3 closes into
+    * an 8-cycle (one SCC), chain blocks stay acyclic (8 singletons),
+    * and forward chords 8k → 8k+8 weakly connect everything WITHOUT
+    * creating cross-block cycles — so weak connectivity is global but
+    * the strong components are exactly the cycles: an algorithm that
+    * confuses reachability with mutual reachability (the WCC-for-SCC
+    * bug) collapses everything to one giant component and goes red.
+    * Convergence here is id-order-correlated (the dominant color is
+    * intra-block, ≤ 8 hops), so fixpoints land in ≤ 9 rounds; a
+    * general web graph pays diameter-bounded rounds per phase — the
+    * documented cost of exact distributed SCC. Result: the SCC size
+    * census (size, n_sccs, n_nodes), analytic in N. */
+  def scc(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id").as("id")).localCheckpoint(eager = true)
+    val within = ids.filter(col("id") % 8 < 7)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val closing = ids.filter(col("id") % 8 === 7 && expr("(id div 8) % 3") =!= 0)
+      .select(col("id").as("src"), (col("id") - 7).as("dst"))
+    val chord = ids.filter(col("id") % 8 === 0)
+      .select(col("id").as("src"), (col("id") + 8).as("dst"))
+    val edges = within.union(closing).union(chord)
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst").localCheckpoint(eager = true)
+
+    var active = ids
+    var claimed: List[DataFrame] = Nil
+    var outer = 0
+    while (active.count() > 0) {
+      outer += 1
+      if (outer > 20) throw new IllegalStateException(
+        "SCC coloring did not finish in 20 pivot rounds")
+      val eAct = edges
+        .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(eager = true)
+      // phase 1: forward max-label fixpoint
+      var color = active.withColumn("c", col("id")).localCheckpoint(eager = true)
+      var round = 0
+      var changed = 1L
+      while (changed > 0) {
+        round += 1
+        if (round > 64) throw new IllegalStateException(
+          "SCC color propagation did not converge in 64 rounds")
+        val in = eAct
+          .join(color.select(col("id").as("src"), col("c").as("cs")), "src")
+          .groupBy(col("dst").as("id")).agg(max("cs").as("cin"))
+        val next = color.join(in, Seq("id"), "left")
+          .select(col("id"),
+            greatest(col("c"), coalesce(col("cin"), lit(Long.MinValue))).as("c"))
+          .localCheckpoint(eager = true)
+        changed = next.join(color.withColumnRenamed("c", "c0"), "id")
+          .filter(col("c") =!= col("c0")).count()
+        color = next
+      }
+      // phase 2: backward containment within the color class
+      var mark = color.withColumn("m", col("id") === col("c"))
+        .localCheckpoint(eager = true)
+      var nMarked = mark.filter(col("m")).count()
+      if (nMarked == 0) throw new IllegalStateException(
+        "no roots found — coloring fixpoint is inconsistent")
+      round = 0
+      changed = 1L
+      while (changed > 0) {
+        round += 1
+        if (round > 64) throw new IllegalStateException(
+          "SCC containment did not converge in 64 rounds")
+        val reach = eAct
+          .join(mark.filter(col("m")).select(col("id").as("dst"), col("c").as("cd")), "dst")
+          .select(col("src").as("id"), col("cd").as("c")).distinct()
+        val next = mark
+          .join(reach.withColumn("hit", lit(true)), Seq("id", "c"), "left")
+          .select(col("id"), col("c"), (col("m") || col("hit").isNotNull).as("m"))
+          .localCheckpoint(eager = true)
+        val nNext = next.filter(col("m")).count()
+        changed = nNext - nMarked
+        nMarked = nNext
+        mark = next
+      }
+      val newly = mark.filter(col("m"))
+        .select(col("id"), col("c").as("scc_id")).localCheckpoint(eager = true)
+      claimed ::= newly
+      active = active.join(newly.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    claimed.reduce(_ unionByName _)
+      .groupBy("scc_id").agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_sccs"), sum("size").as("n_nodes"))
+      .orderBy("size")
+  }
+
+  /** The synthesis is the oracle: with N contiguous ids, full blocks =
+    * N div 8, of which every third (block index ≡ 0 mod 3) stays a
+    * chain — 8 singletons — and the rest close into one 8-cycle; the
+    * partial tail block is all singletons. */
+  val sccSql: String =
+    """WITH p AS (
+      |  SELECT count(*) // 8 AS nfull, count(*) % 8 AS rem FROM documents
+      |), c AS (
+      |  SELECT nfull - (nfull + 2) // 3 AS cyc,
+      |         8 * ((nfull + 2) // 3) + rem AS singles
+      |  FROM p
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS size, CAST(singles AS BIGINT) AS n_sccs,
+      |    CAST(singles AS BIGINT) AS n_nodes FROM c WHERE singles > 0
+      |  UNION ALL
+      |  SELECT CAST(8 AS BIGINT), CAST(cyc AS BIGINT), CAST(8 * cyc AS BIGINT)
+      |  FROM c WHERE cyc > 0
+      |) ORDER BY size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_scc" -> (scc _),
     "g_wcc_incremental" -> (wccIncremental _),
     "g_modularity" -> (modularity _),
     "g_conductance" -> (conductance _),
@@ -1101,6 +1235,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_scc" -> sccSql,
     // the incremental path must equal the from-scratch clustering of
     // ALL edges — the full-recompute transitive closure IS its oracle
     "g_wcc_incremental" -> Dedup.dupClustersSql,

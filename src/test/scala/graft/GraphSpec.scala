@@ -249,4 +249,43 @@ class GraphSpec extends SparkSpec {
     assert(q > 0.0, s"community partition shows no structure: Q=$q")
   }
 
+
+  test("g_scc: census matches an independent scalar pivot-SCC replay of the same graph") {
+    val census = Graph.scc(spark, sf).collect()
+      .map(r => r.getAs[Long]("size") -> (r.getAs[Long]("n_sccs"), r.getAs[Long]("n_nodes")))
+      .toMap
+    val n = Tables.documents(spark, sf).count()
+    assert(census.values.map(_._2).sum == n, "census must partition the node set")
+    // rebuild the synthesized edges and run pivot double-BFS SCC in memory
+    val ids = (0L until n)
+    val edges = ids.flatMap { i =>
+      val within = if (i % 8 < 7 && i + 1 < n) Seq(i -> (i + 1)) else Nil
+      val closing = if (i % 8 == 7 && (i / 8) % 3 != 0) Seq(i -> (i - 7)) else Nil
+      val chord = if (i % 8 == 0 && i + 8 < n) Seq(i -> (i + 8)) else Nil
+      within ++ closing ++ chord
+    }
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val inc = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def bfs(adj: Map[Long, Seq[Long]], p: Long, alive: Set[Long]): Set[Long] = {
+      var seen = Set(p); var frontier = List(p)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filter(u => alive(u) && !seen(u)).distinct
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    var rem = ids.toSet
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    while (rem.nonEmpty) {
+      val p = rem.min
+      val comp = bfs(out, p, rem) & bfs(inc, p, rem)
+      sizes += comp.size
+      rem --= comp
+    }
+    val expect = sizes.groupBy(identity).map { case (sz, xs) =>
+      sz.toLong -> (xs.size.toLong, sz.toLong * xs.size)
+    }
+    assert(census == expect, s"engine census $census != scalar replay $expect")
+  }
 }
