@@ -1627,6 +1627,94 @@ object Multimodal {
     * Σ_{j<i} (16 + len_j), data at +12 — TFRecord is a SCAN format
     * (no central index; the offset table this query emits IS the
     * random-access index a loader builds once and keeps). */
+  /** Protobuf wire-format encode for [[varintParse]]: field 1 (varint)
+    * = doc_id, field 2 (varint) = n_chars, field 3 (length-delimited)
+    * = lang utf-8 — the tf.Example-shaped payload that actually sits
+    * inside TFRecord frames ([[tfrecordIndex]] certifies the framing;
+    * this certifies the payload wire format). Tag byte = (field « 3) |
+    * wire_type; varints are little-endian base-128 with MSB
+    * continuation. */
+  private[graft] def encodeVarintMsg(docId: Long, nChars: Long, lang: String): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def vint(v0: Long): Unit = {
+      var v = v0
+      do {
+        val b = (v & 0x7f).toInt; v = v >>> 7
+        out += (if (v != 0) b | 0x80 else b).toByte
+      } while (v != 0)
+    }
+    out += 0x08; vint(docId)
+    out += 0x10; vint(nChars)
+    val lb = lang.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out += 0x1A.toByte; vint(lb.length.toLong)
+    out ++= lb
+    out.toArray
+  }
+
+  /** PROTOBUF VARINT DECODE as a declarative byte state machine — the
+    * fold form of every protobuf decoder's inner loop, over
+    * [[encodeVarintMsg]] payloads: `aggregate(sequence(1, len), state,
+    * step)` consumes ONE byte per step through a (mode, field,
+    * wire_type, accumulator, shift) state struct — tag byte → varint
+    * accumulation (base-128, MSB continuation) → value commit (wire
+    * type 0) or length-delimited skip with recorded offsets (wire type
+    * 2, the string field extracted afterwards by substring at the
+    * recorded position). GENERIC decoding, not offset peeking: the
+    * varint widths are data-dependent and the machine discovers them.
+    * Fully codegen'd, map-only; `valid` pins the machine parked in
+    * tag-expect mode at end-of-bytes with all three fields seen. Why
+    * it matters: tf.Example protos inside TFRecord shards are THE
+    * training-example container, and at 100 TB the payload decode must
+    * live next to the scan, not in a driver library. */
+  def varintParse(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val B = "CAST(conv(hex(substring(media, i, 1)), 16, 10) AS INT)"
+    val v = s"a.acc + CAST($B % 128 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), a.shift)"
+    def st(mode: String, fld: String, wt: String, acc: String, shift: String,
+        skip: String, f1: String, f2: String, f3pos: String, f3len: String) =
+      s"""named_struct('mode', $mode, 'fld', $fld, 'wt', $wt, 'acc', $acc,
+         |  'shift', $shift, 'skip', $skip, 'f1', $f1, 'f2', $f2,
+         |  'f3pos', $f3pos, 'f3len', $f3len)""".stripMargin
+    val zero = st("0", "0", "0", "CAST(0 AS BIGINT)", "0", "CAST(0 AS BIGINT)",
+      "CAST(-1 AS BIGINT)", "CAST(-1 AS BIGINT)", "CAST(-1 AS BIGINT)", "CAST(-1 AS BIGINT)")
+    val step =
+      s"""CASE
+         |  WHEN a.mode = 0 THEN ${st(s"1", s"CAST($B div 8 AS INT)", s"$B % 8",
+             "CAST(0 AS BIGINT)", "0", "a.skip", "a.f1", "a.f2", "a.f3pos", "a.f3len")}
+         |  WHEN a.mode = 1 AND $B >= 128 THEN ${st("1", "a.fld", "a.wt", v, "a.shift + 7",
+             "a.skip", "a.f1", "a.f2", "a.f3pos", "a.f3len")}
+         |  WHEN a.mode = 1 AND a.wt = 0 THEN ${st("0", "0", "0", "CAST(0 AS BIGINT)", "0",
+             "a.skip", s"IF(a.fld = 1, $v, a.f1)", s"IF(a.fld = 2, $v, a.f2)",
+             "a.f3pos", "a.f3len")}
+         |  WHEN a.mode = 1 THEN ${st(s"IF(($v) = 0, 0, 3)", "0", "0", "CAST(0 AS BIGINT)",
+             "0", v, "a.f1", "a.f2", "CAST(i + 1 AS BIGINT)", v)}
+         |  ELSE ${st("IF(a.skip = 1, 0, 3)", "0", "0", "CAST(0 AS BIGINT)", "0",
+             "a.skip - 1", "a.f1", "a.f2", "a.f3pos", "a.f3len")}
+         |END""".stripMargin
+    val fold = s"aggregate(sequence(1, length(media)), $zero, (a, i) -> $step)"
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (id, nc, lang) =>
+        (id, encodeVarintMsg(id, nc, lang)) })
+      .toDF("asset_id", "media")
+      .withColumn("m", expr(fold))
+      .select(col("asset_id"),
+        col("m.f1").as("doc_id_pb"),
+        col("m.f2").as("n_chars_pb"),
+        expr("CAST(substring(media, CAST(m.f3pos AS INT), CAST(m.f3len AS INT)) AS STRING)")
+          .as("lang_pb"),
+        (col("m.mode") === 0 && col("m.f1") >= 0 && col("m.f2") >= 0 &&
+          col("m.f3pos") > 0).as("valid"))
+      .orderBy("asset_id")
+  }
+
+  val varintParseSql: String =
+    """SELECT doc_id AS asset_id, doc_id AS doc_id_pb,
+      |  CAST(n_chars AS BIGINT) AS n_chars_pb, lang AS lang_pb, TRUE AS valid
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   def tfrecordIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -1945,6 +2033,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_tfrecord" -> (tfrecordIndex _),
+    "m_varint" -> (varintParse _),
     "m_npy_tensor" -> (npyTensor _),
     "m_zip_index" -> (zipIndex _),
     "m_tar_index" -> (tarIndex _),
@@ -1970,6 +2059,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "m_tfrecord" -> tfrecordIndexSql,
+    "m_varint" -> varintParseSql,
     "m_npy_tensor" -> npyTensorSql,
     "m_zip_index" -> zipIndexSql,
     "m_tar_index" -> tarIndexSql,

@@ -360,4 +360,26 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(r.getAs[Boolean]("monotone_ok"))
     }
   }
+
+  test("m_varint: wire bytes are real protobuf varints; machine decodes every row") {
+    // hand-computed wire image: 300 = 0xAC 0x02 under base-128 LSB-first
+    val enc = multimodal.Multimodal.encodeVarintMsg(300L, 1L, "en")
+    assert((enc(0) & 0xff) == 0x08 && (enc(1) & 0xff) == 0xAC && (enc(2) & 0xff) == 0x02,
+      "field-1 varint of 300 must be AC 02")
+    assert((enc(3) & 0xff) == 0x10 && (enc(4) & 0xff) == 0x01)
+    assert((enc(5) & 0xff) == 0x1A && (enc(6) & 0xff) == 0x02 &&
+      new String(enc.drop(7), "UTF-8") == "en")
+    val rows = multimodal.Multimodal.varintParse(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("valid")))
+    val src = Tables.documents(spark, sf).select("doc_id", "n_chars", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Long]("doc_id_pb") == id)
+      assert(r.getAs[Long]("n_chars_pb") == src(id)._1)
+      assert(r.getAs[String]("lang_pb") == src(id)._2)
+    }
+    // the corpus must actually exercise multi-byte varints
+    assert(src.keys.exists(_ >= 128L), "no multi-byte varint in the corpus — pin is weak")
+  }
 }
