@@ -987,6 +987,86 @@ object Multimodal {
     * stays under 2⁶³). The silence-trim fraction (leading/trailing
     * |sample| ≤ 512 run) is the standard pre-tokenization audio filter.
     * PCM losslessness keeps the oracle bit-exact, like the PNG path. */
+  /** AUDIO DECIMATION (resample by 2) — the preprocessing step every
+    * speech pipeline runs before feature extraction (48 kHz capture →
+    * 16 kHz model rate; here ÷2 with a pair-average anti-alias stub):
+    * real JDK WAV decode on executors ([[decodePcm]], the
+    * [[wavEnergy]] batched-mapPartitions discipline), then the
+    * DECIMATION itself is declarative — a `transform(sequence(...))`
+    * pair fold over the sample array, floor-averaged pairs with an odd
+    * tail passthrough, plus exact integer energy sums on both sides of
+    * the rate change — all codegen'd, nothing but (id, samples)
+    * crossing from the codec region. `energy_ratio` (micros-rounded,
+    * one IEEE division) is the level-preservation check an audio QA
+    * gate alerts on. */
+  def audioResample(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val batchSize = 64
+    val resampled =
+      """transform(sequence(0, CAST(((size(px) + 1) div 2) - 1 AS INT)), j ->
+        |  CASE WHEN 2 * j + 2 <= size(px)
+        |    THEN CAST(floor((CAST(element_at(px, 2 * j + 1) AS BIGINT)
+        |      + element_at(px, 2 * j + 2)) / 2) AS BIGINT)
+        |    ELSE CAST(element_at(px, 2 * j + 1) AS BIGINT) END)""".stripMargin
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+          (id, decodePcm(encodeWav(text)))
+        })
+      }
+      .toDF("asset_id", "px")
+      .withColumn("out", expr(resampled))
+      .select(col("asset_id"),
+        size(col("px")).cast("long").as("n_in"),
+        size(col("out")).cast("long").as("n_out"),
+        expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x)")
+          .as("energy_in"),
+        expr("aggregate(out, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("energy_out"))
+      .withColumn("energy_ratio",
+        when(col("energy_in") === 0, lit(null).cast("double"))
+          .otherwise(graft.operators.ExactRound.r(
+            col("energy_out").cast("double") / col("energy_in"), 6)))
+      .orderBy("asset_id")
+  }
+
+  /** Replay from the synthesis: sample i = (ord(char i) − 64)·256, the
+    * [[wavEnergySql]] convention; pairs floor-average, odd tail passes. */
+  val audioResampleSql: String = {
+    val ratio = graft.operators.ExactRound.rSql(
+      "CAST(energy_out AS DOUBLE) / energy_in", 6)
+    s"""WITH chars AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
+       |), sm AS (
+       |  SELECT doc_id, i, CAST((ord(substr(text, i, 1)) - 64) * 256 AS BIGINT) AS v
+       |  FROM chars
+       |), pr AS (
+       |  SELECT doc_id, (i - 1) // 2 AS j, sum(v) AS sv, count(*) AS c
+       |  FROM sm GROUP BY doc_id, (i - 1) // 2
+       |), o AS (
+       |  SELECT doc_id, CASE WHEN c = 2 THEN sv // 2 ELSE sv END AS ov FROM pr
+       |), agg AS (
+       |  SELECT s.doc_id,
+       |    (SELECT count(*) FROM sm WHERE sm.doc_id = s.doc_id) AS n_in,
+       |    count(*) AS n_out, 0 AS dummy
+       |  FROM o s GROUP BY s.doc_id
+       |)
+       |SELECT a.doc_id AS asset_id, CAST(a.n_in AS BIGINT) AS n_in,
+       |  CAST(a.n_out AS BIGINT) AS n_out,
+       |  CAST(ei.energy_in AS BIGINT) AS energy_in,
+       |  CAST(eo.energy_out AS BIGINT) AS energy_out,
+       |  CASE WHEN ei.energy_in = 0 THEN NULL ELSE $ratio END AS energy_ratio
+       |FROM agg a
+       |JOIN (SELECT doc_id, sum(v * v) AS energy_in FROM sm GROUP BY doc_id) ei
+       |  ON a.doc_id = ei.doc_id
+       |JOIN (SELECT doc_id, sum(ov * ov) AS energy_out FROM o GROUP BY doc_id) eo
+       |  ON a.doc_id = eo.doc_id
+       |ORDER BY asset_id""".stripMargin
+  }
+
   def wavEnergy(s: SparkSession, d: String): DataFrame = {
     val session = s
     import session.implicits._
@@ -2055,6 +2135,7 @@ object Multimodal {
     "m_resize" -> (resize _),
     "m_frames_meta" -> (framesMeta _),
     "m_wav_energy" -> (wavEnergy _),
+    "m_audio_resample" -> (audioResample _),
     "m_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
@@ -2081,5 +2162,6 @@ object Multimodal {
     "m_resize" -> resizeSql,
     "m_frames_meta" -> framesMetaSql,
     "m_wav_energy" -> wavEnergySql,
+    "m_audio_resample" -> audioResampleSql,
     "m_feature_extract" -> featureExtractSql)
 }

@@ -382,4 +382,25 @@ class MultimodalStreamingSpec extends SparkSpec {
     // the corpus must actually exercise multi-byte varints
     assert(src.keys.exists(_ >= 128L), "no multi-byte varint in the corpus — pin is weak")
   }
+
+  test("m_audio_resample: halving invariants — counts, energy bounds, scalar replay") {
+    val rows = multimodal.Multimodal.audioResample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nIn = r.getAs[Long]("n_in"); val nOut = r.getAs[Long]("n_out")
+      assert(nOut == (nIn + 1) / 2, s"decimation count $nOut != ceil($nIn/2)")
+      // pair-averaging can never raise total energy above the input's
+      assert(r.getAs[Long]("energy_out") <= r.getAs[Long]("energy_in"))
+    }
+    // scalar replay of one asset end to end
+    val id0 = rows.head.getAs[Long]("asset_id")
+    val text = Tables.documents(spark, sf).filter(org.apache.spark.sql.functions.col("doc_id") === id0)
+      .select("text").collect()(0).getString(0)
+    val px = multimodal.Multimodal.decodePcm(multimodal.Multimodal.encodeWav(text))
+    val out = px.grouped(2).map {
+      case Array(a, b) => Math.floorDiv(a + b, 2).toLong
+      case Array(a)    => a.toLong
+    }.toArray
+    assert(rows.head.getAs[Long]("energy_out") == out.map(v => v * v).sum)
+  }
 }
