@@ -936,7 +936,52 @@ object RelationalExt5 {
       |        CAST(round(o_totalprice * 1000000) AS BIGINT) AS m FROM orders)
       |GROUP BY priority ORDER BY priority""".stripMargin
 
+  /** AUTOMATIC EXCHANGE REUSE certificate — the engine-side dedup of
+    * identical shuffles that q70's explicit `persist` doesn't need:
+    * when two plan branches aggregate the SAME subtree (here an
+    * extremes report — the busiest day by volume and by revenue, two
+    * differently-ordered top-1s over one daily aggregate), ReuseExchange
+    * (and AQE's stage reuse) canonicalizes the duplicate and the
+    * second branch READS the first branch's shuffle output instead of
+    * recomputing the scan + partial agg — at 100 TB the difference
+    * between one pass and two over the fact table, with no user action.
+    * The executed plan is probed for a [[org.apache.spark.sql.execution
+    * .exchange.ReusedExchangeExec]] (vacuity throws), pinned as an
+    * oracle TRUE. */
+  def q83ExchangeReuse(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.parallelize(Tables.events(s, d))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * lit(100)).cast("long")).as("value_c"))
+    val topN = daily.orderBy(col("n_events").desc, col("day")).limit(1)
+      .withColumn("metric", lit("max_events"))
+    val topV = daily.orderBy(col("value_c").desc, col("day")).limit(1)
+      .withColumn("metric", lit("max_value"))
+    val res = topN.unionByName(topV).select("metric", "day", "n_events", "value_c")
+    val materialized = res.localCheckpoint()
+    if (PlanProbe.reusedExchanges(res) < 1)
+      throw new IllegalStateException(
+        "no ReusedExchange in executed plan — the duplicate shuffle was recomputed")
+    materialized.withColumn("exchange_reused", lit(true)).orderBy("metric")
+  }
+
+  val q83Sql: String =
+    """WITH daily AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      |  FROM events GROUP BY day
+      |), a AS (
+      |  SELECT 'max_events' AS metric, day, n_events, value_c FROM daily
+      |  ORDER BY n_events DESC, day LIMIT 1
+      |), b AS (
+      |  SELECT 'max_value' AS metric, day, n_events, value_c FROM daily
+      |  ORDER BY value_c DESC, day LIMIT 1
+      |)
+      |SELECT metric, day, n_events, value_c, TRUE AS exchange_reused
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM b) ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_exchange_reuse" -> (q83ExchangeReuse _),
     "q82_typed_agg" -> (q82TypedAgg _),
     "q80_aqe_coalesce" -> (q80AqeCoalesce _),
     "q81_window_group_limit" -> (q81WindowGroupLimit _),
@@ -958,6 +1003,7 @@ object RelationalExt5 {
     "q66_variant" -> (q66Variant _))
 
   val oracles: Map[String, String] = Map(
+    "q83_exchange_reuse" -> q83Sql,
     "q82_typed_agg" -> q82Sql,
     "q80_aqe_coalesce" -> q80Sql,
     "q81_window_group_limit" -> q81Sql,

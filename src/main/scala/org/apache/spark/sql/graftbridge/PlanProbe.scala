@@ -132,6 +132,14 @@ object PlanProbe {
       if (reads.isEmpty) 0 else reads.map(_.partitionSpecs.size).min)
   }
 
+  /** Number of [[ReusedExchangeExec]] nodes in the executed plan — the
+    * engine's AUTOMATIC dedup of identical shuffles (ReuseExchange /
+    * AQE stage reuse): two plan branches over the same canonicalized
+    * subtree pay for ONE exchange. Distinct from q70's explicit
+    * `persist` — nobody opted in here. */
+  def reusedExchanges(df: DataFrame): Int =
+    nodes(df).count(_.isInstanceOf[ReusedExchangeExec])
+
   /** Number of [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
     * nodes in the executed plan — the optimizer's rewrite of a
     * `rank()/row_number() <= k` filter into a per-group top-k operator

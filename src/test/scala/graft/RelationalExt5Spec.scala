@@ -152,4 +152,17 @@ class RelationalExt5Spec extends SparkSpec {
         "max * n must bound the sum")
     }
   }
+
+  test("q83: exchange reuse — extremes agree with a direct batch replay") {
+    val rows = RelationalExt5.q83ExchangeReuse(spark, sf).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Boolean]("exchange_reused")))
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * lit(100)).cast("long")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byN = daily.sortBy(r => (-r._2, r._1)).head
+    val byV = daily.sortBy(r => (-r._3, r._1)).head
+    val got = rows.map(r => r.getAs[String]("metric") -> r.getAs[String]("day")).toMap
+    assert(got("max_events") == byN._1 && got("max_value") == byV._1)
+  }
 }
