@@ -514,6 +514,85 @@ object Pipeline {
     }
   }
 
+  /** CSV round-trip behind the manifest gate — the interchange format
+    * where corpus data actually gets LOST: embedded delimiters, quotes
+    * and record separators silently shear rows apart unless the
+    * quote/escape contract is honored on BOTH sides. The corpus text
+    * is CSV-benign (spec-checked), so four HOSTILE rows are planted
+    * on reserved shards — embedded commas, embedded quotes (RFC 4180
+    * doubled-quote escaping), an embedded LF, and a CRLF+tab — and the
+    * whole union goes through `write.csv` → `read.csv` with the
+    * explicit quote=escape='"' contract and `multiLine=true` (required
+    * for quoted record separators — and the documented scale trade:
+    * multiLine CSV is NOT block-splittable, one reader per file, which
+    * is exactly why production corpora ship JSONL instead; this
+    * certificate is the receipts for that policy). The planted shards'
+    * manifest hashes pin byte-exact survival of every hostile class. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val planted = Seq(
+      (1000000001L, "comma, separated, values", 90),
+      (1000000002L, "he said \"quote\" loudly", 91),
+      (1000000003L, "line one\nline two", 92),
+      (1000000004L, "crlf\r\nand\ttab", 93))
+      .toDF("doc_id", "text", "shard")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        col("text"), col("shard"))
+    val all = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+      .unionByName(planted)
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt_").toString
+    try {
+      all.write.mode("overwrite")
+        .option("quote", "\"").option("escape", "\"")
+        .partitionBy("shard").csv(out)
+      val back = s.read.schema("doc_id LONG, n_chars LONG, text STRING")
+        .option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      manifestAgg(back)
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** [[manifestSql]] plus the four planted hostile shards, reconstructed
+    * literally (chr(10)/chr(13)/chr(9) for the record-separator bytes). */
+  val csvRoundtripSql: String = {
+    def planted(shard: Int, id: Long, t: String) =
+      s"""SELECT $shard AS shard, 1 AS n_docs,
+         |  CAST(length($t) AS BIGINT) AS total_chars,
+         |  md5('$id:' || md5($t)) AS manifest_md5 FROM (SELECT 1)""".stripMargin
+    s"""WITH RECURSIVE ds AS (
+       |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, n_chars, md5(text) AS fp
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, key, n_chars, fp, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+       |  UNION ALL
+       |  SELECT doc_id, key, n_chars, fp, i+1,
+       |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(key)
+       |), b AS (
+       |  SELECT doc_id, n_chars, fp, CAST(hash % 16 AS INT) AS shard
+       |  FROM h WHERE i = length(key)+1
+       |)
+       |SELECT * FROM (
+       |  SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, ',' ORDER BY doc_id)) AS manifest_md5
+       |  FROM b GROUP BY shard
+       |  UNION ALL ${planted(90, 1000000001L, "'comma, separated, values'")}
+       |  UNION ALL ${planted(91, 1000000002L, "'he said \"quote\" loudly'")}
+       |  UNION ALL ${planted(92, 1000000003L, "'line one' || chr(10) || 'line two'")}
+       |  UNION ALL ${planted(93, 1000000004L, "'crlf' || chr(13) || chr(10) || 'and' || chr(9) || 'tab'")}
+       |) ORDER BY shard""".stripMargin
+  }
+
   /** GZIP-COMPRESSED JSONL round-trip — the format LLM corpora
     * actually ship in (`.jsonl.gz` shards): [[jsonlRoundtrip]]'s sink/
     * source pair with the gzip codec engaged on both sides (write via
