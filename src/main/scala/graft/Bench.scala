@@ -137,8 +137,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
-      case None     => SparkEntry.queries
+      case Some(ks) =>
+        // a typo'd (or since-renamed) name must not silently shrink the
+        // sweep — an empty/partial run would read as a legitimately
+        // fast one
+        val unknown = ks -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          sys.error(s"SPARK_GRAFT_ONLY names unknown queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.queries.view.filterKeys(ks).toMap
+      case None => SparkEntry.queries
     }
 
     def timeAll(): Seq[(String, Sample)] =

@@ -1615,8 +1615,13 @@ object Multimodal {
   /** Sequential 512-block walk over one tar archive: per member
     * (name, data byte offset, size, checksum-verified flag, payload
     * md5). The checksum is RE-COMPUTED from the header bytes (field
-    * as spaces) and compared to the stored octal — a one-byte
-    * misalignment anywhere flips `cksum_ok`. */
+    * as spaces) and compared to the stored octal — any corruption of
+    * the header flips `cksum_ok` (the checksum covers all 512 bytes).
+    * A corrupted SIZE field would mis-stride the walk, so `size` is
+    * validated against the remaining archive length: an unparseable
+    * or impossible size emits that member with `cksum_ok=false`
+    * (size −1, empty-payload md5) and STOPS — every later offset
+    * would be garbage, never an ArrayIndexOutOfBounds. */
   private[graft] def parseTar(
       tar: Array[Byte]): Seq[(String, Long, Long, Boolean, String)] = {
     val res = scala.collection.mutable.ArrayBuffer
@@ -1629,19 +1634,30 @@ object Multimodal {
       else {
         val nameEnd = { val i = h.indexOf(0.toByte); if (i < 0 || i > 100) 100 else i }
         val name = new String(h, 0, nameEnd, java.nio.charset.StandardCharsets.US_ASCII)
-        def octal(o: Int, len: Int): Long =
-          java.lang.Long.parseLong(
-            new String(h, o, len, java.nio.charset.StandardCharsets.US_ASCII)
-              .takeWhile(c => c >= '0' && c <= '7'), 8)
+        def octal(o: Int, len: Int): Long = {
+          val s = new String(h, o, len, java.nio.charset.StandardCharsets.US_ASCII)
+            .takeWhile(c => c >= '0' && c <= '7')
+          if (s.isEmpty) -1L else java.lang.Long.parseLong(s, 8)
+        }
         val size = octal(124, 12)
         val stored = octal(148, 8)
         java.util.Arrays.fill(h, 148, 156, ' '.toByte)
         val ok = h.map(_ & 0xff).sum.toLong == stored
-        val payload = java.util.Arrays.copyOfRange(tar, off + 512, off + 512 + size.toInt)
-        val md5hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(payload).map(b => f"$b%02x").mkString
-        res += ((name, off + 512L, size, ok, md5hex))
-        off += 512 + (((size + 511) / 512) * 512).toInt
+        val remaining = tar.length - (off + 512L)
+        if (size < 0 || size > remaining) {
+          // impossible size: checksum (computed over the full header)
+          // is necessarily broken too; report and stop the walk
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(Array.emptyByteArray).map(b => f"$b%02x").mkString
+          res += ((name, off + 512L, -1L, false, md5hex))
+          done = true
+        } else {
+          val payload = java.util.Arrays.copyOfRange(tar, off + 512, off + 512 + size.toInt)
+          val md5hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(payload).map(b => f"$b%02x").mkString
+          res += ((name, off + 512L, size, ok, md5hex))
+          off += 512 + (((size + 511) / 512) * 512).toInt
+        }
       }
     }
     res.toSeq

@@ -1875,10 +1875,11 @@ object Similarity {
     * against is the row-by-row outer-product matrix people port from
     * numpy. Products are integer micros (float32 → exact double →
     * round(x·10⁶)) so the sums are order-free and bit-identical across
-    * engines: `sum_uu` is the exact integer Σ mᵢ·mⱼ (bounded by
-    * n·(0.6·10⁶)² ≈ 2⁶² at a billion rows — a production run at larger
-    * d·n moves to DECIMAL(38,0), same plan), `n_vecs` pins every row
-    * contributed to every cell. */
+    * engines: `sum_uu` is the exact integer Σ mᵢ·mⱼ. Overflow envelope:
+    * each product is ≤ (10⁶)² = 10¹², so the Long sum is safe to about
+    * 2⁶³/10¹² ≈ 9·10⁶ rows — fine at bench scale, but a production run
+    * at larger n (or wider value range) moves the sum to DECIMAL(38,0),
+    * same plan. `n_vecs` pins every row contributed to every cell. */
   def gramMatrix(s: SparkSession, d: String): DataFrame = {
     val dims = 8
     val m = expr(
