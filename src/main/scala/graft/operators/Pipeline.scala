@@ -548,9 +548,14 @@ object Pipeline {
       all.write.mode("overwrite")
         .option("quote", "\"").option("escape", "\"")
         .partitionBy("shard").csv(out)
+      // lineSep is PINNED on the read: with it unset, univocity's
+      // line-separator auto-detection normalizes a quoted \r\n to \n
+      // (measured — the writer's bytes are lossless, the default
+      // reader is not); an explicit separator disables detection and
+      // the CRLF row survives byte-exact
       val back = s.read.schema("doc_id LONG, n_chars LONG, text STRING")
         .option("quote", "\"").option("escape", "\"")
-        .option("multiLine", "true")
+        .option("multiLine", "true").option("lineSep", "\n")
         .csv(out)
         .select(col("doc_id"), col("n_chars"), col("text"),
           col("shard").cast("int").as("shard"))
@@ -1412,6 +1417,89 @@ object Pipeline {
     } finally {
       graft.Scratch.rmTree(out)
     }
+  }
+
+  /** Avro record schema for one document. Kept as literal JSON: the
+    * schema travels INSIDE each container file's header (that is
+    * Avro's whole interchange contract), so the reader below never
+    * sees this constant. */
+  private val avroDocSchemaJson: String =
+    """{"type":"record","name":"doc","namespace":"graft","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"n_chars","type":"long"},
+      |{"name":"text","type":"string"}]}""".stripMargin
+
+  /** One Avro OBJECT CONTAINER FILE (spec: magic `Obj\1`, schema JSON
+    * in the header metadata, deflate-compressed blocks, 16-byte sync
+    * markers) from ordered rows, via the Avro core library's
+    * DataFileWriter — the real format, not a re-implementation. */
+  private[graft] def encodeAvro(rows: Seq[(Long, Long, String)]): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(avroDocSchemaJson)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(schema, out)
+    rows.foreach { case (id, nc, t) =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("doc_id", id); r.put("n_chars", nc); r.put("text", t)
+      w.append(r)
+    }
+    w.close()
+    out.toByteArray
+  }
+
+  /** Inverse of [[encodeAvro]] with NO side-channel schema: the
+    * GenericDatumReader takes the writer schema from the container
+    * header, exactly as a consumer who received only the bytes would. */
+  private[graft] def decodeAvro(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
+    val reader = new org.apache.avro.file.DataFileStream(
+      new java.io.ByteArrayInputStream(bytes),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    while (reader.hasNext) {
+      val r = reader.next()
+      buf += ((r.get("doc_id").asInstanceOf[Long],
+        r.get("n_chars").asInstanceOf[Long],
+        r.get("text").toString)) // Avro strings arrive as Utf8
+    }
+    reader.close()
+    buf.toSeq
+  }
+
+  /** AVRO round-trip behind the manifest gate — the row-oriented
+    * interchange format Kafka/ingest estates ship (schema travels in
+    * the file header, so any consumer can decode with zero
+    * coordination). This distribution carries no spark-avro data
+    * source, so the trip goes through the AVRO CORE LIBRARY itself:
+    * each djb2 shard's documents are serialized into one object
+    * container file's bytes in `mapGroups` (one task per shard — the
+    * same bounded-shard shape as the tar/zip codecs; at 100 TB you
+    * SIZE shards so one fits a task, which is how WebDataset-style
+    * corpora are cut anyway), then decoded back through
+    * `DataFileStream` with the schema taken from the container header,
+    * and the re-read rows' [[manifestAgg]] must hash-equal
+    * [[manifestSql]] computed off parquet. A green hash certifies
+    * lossless long/UTF-8 round-tripping through Avro's zig-zag varint
+    * + deflate-block encoding. */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val back = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+      .as[(Long, Long, String, Int)]
+      .groupByKey(_._4)
+      .mapGroups { (shard, it) =>
+        (shard, encodeAvro(it.map(t => (t._1, t._2, t._3)).toSeq))
+      }
+      .flatMap { case (shard, bytes) =>
+        decodeAvro(bytes).map { case (id, nc, t) => (id, nc, t, shard) }
+      }
+      .toDF("doc_id", "n_chars", "text", "shard")
+    manifestAgg(back)
   }
 
   /** RESHARD-COST measurement — the quantified argument for consistent
@@ -2509,7 +2597,9 @@ object Pipeline {
     "p_shard_write" -> (shardWrite _),
     "p_text_roundtrip" -> (textRoundtrip _),
     "p_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "p_csv_roundtrip" -> (csvRoundtrip _),
     "p_orc_roundtrip" -> (orcRoundtrip _),
+    "p_avro_roundtrip" -> (avroRoundtrip _),
     "p_zorder" -> (zorder _),
     "p_cdc_apply" -> (cdcApply _),
     "p_scd2" -> (scd2 _),
@@ -2543,7 +2633,9 @@ object Pipeline {
     "p_shard_write" -> manifestSql,
     "p_text_roundtrip" -> manifestSql,
     "p_jsonl_roundtrip" -> manifestSql,
+    "p_csv_roundtrip" -> csvRoundtripSql,
     "p_orc_roundtrip" -> manifestSql,
+    "p_avro_roundtrip" -> manifestSql,
     "p_zorder" -> zorderSql,
     "p_cdc_apply" -> cdcApplySql,
     "p_scd2" -> scd2Sql,
