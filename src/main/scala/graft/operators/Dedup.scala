@@ -305,8 +305,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard dedup: LSH candidates (64 bands × 2 rows — miss
     * probability at j=0.5 is (1-0.25)^64 ≈ 1e-8, so the result equals the
-    * brute-force oracle) verified by exact shingle-set intersection. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    * brute-force oracle) verified by exact shingle-set intersection.
+    * Memoized per (session, dir) via [[Shared.memo]]: this verified pair
+    * table is the input to most of the graph family and half the dedup
+    * family, and the band + verify joins downstream of the persisted
+    * signature table would otherwise re-run once per consumer. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Shared.memo(s, d, "ngram_jaccard")(ngramJaccardBuild(s, d))
+      .orderBy("doc_a", "doc_b")
+
+  private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
     val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify).select("doc_a", "doc_b")
     val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -582,9 +590,13 @@ object Dedup {
     * min doc per cluster, drop the rest). The oracle computes the same
     * components by recursive transitive closure. */
   def dupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(ngramJaccard(s, d).select("doc_a", "doc_b"))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    // memoized: the iterative RDD CC loop has no logical plan for the
+    // CacheManager to dedupe, so without this each of the four label
+    // consumers would re-run the whole fixpoint
+    Shared.memo(s, d, "dup_clusters") {
+      connectedComponents(ngramJaccard(s, d).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }.orderBy("doc_id")
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
@@ -833,7 +845,10 @@ object Dedup {
     * all-pairs; that is information-theoretic, not an implementation
     * limit, and correctness never depends on pruning. */
   def embedDup(s: SparkSession, d: String): DataFrame =
-    embedPairBlocks(Tables.embeddings(s, d), t = 0.4)._1
+    // memoized: the cell-blocked verify joins feed six graph/dedup
+    // consumers per session — share the verified pair table, not the work
+    Shared.memo(s, d, "embed_dup")(embedPairBlocks(Tables.embeddings(s, d), t = 0.4)._1)
+      .orderBy("vec_a", "vec_b")
 
   /** Blocking machinery shared by [[embedDup]] and the DedupSpec pruning
     * probe: returns (exact qualifying pairs ordered by (vec_a, vec_b),

@@ -1113,10 +1113,12 @@ object Graph {
     * confuses reachability with mutual reachability (the WCC-for-SCC
     * bug) collapses everything to one giant component and goes red.
     * Convergence here is id-order-correlated (the dominant color is
-    * intra-block, ≤ 8 hops), so fixpoints land in ≤ 9 rounds; a
-    * general web graph pays diameter-bounded rounds per phase — the
-    * documented cost of exact distributed SCC. Result: the SCC size
-    * census (size, n_sccs, n_nodes), analytic in N. */
+    * intra-block, ≤ 8 hops) and phase 1 pointer-jumps its color table
+    * (see the loop comment), so forward fixpoints land in O(log hops)
+    * rounds; a general web graph pays log-diameter rounds forward and
+    * diameter-bounded rounds backward — the documented cost of exact
+    * distributed SCC. Result: the SCC size census
+    * (size, n_sccs, n_nodes), analytic in N. */
   def scc(s: SparkSession, d: String): DataFrame = {
     val ids = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id").as("id")).localCheckpoint(eager = true)
@@ -1133,7 +1135,12 @@ object Graph {
     var active = ids
     var claimed: List[DataFrame] = Nil
     var outer = 0
-    while (active.count() > 0) {
+    // the outer convergence count is tracked ARITHMETICALLY: phase 2
+    // already counts the nodes it claims (nMarked), so the remaining
+    // active population is one subtraction, not a per-round count()
+    // action over the anti-joined survivor frame
+    var activeCount = active.count()
+    while (activeCount > 0) {
       outer += 1
       if (outer > 20) throw new IllegalStateException(
         "SCC coloring did not finish in 20 pivot rounds")
@@ -1141,7 +1148,16 @@ object Graph {
         .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select("src", "dst").localCheckpoint(eager = true)
-      // phase 1: forward max-label fixpoint
+      // phase 1: forward max-label fixpoint, accelerated by POINTER
+      // JUMPING on the color table: after each edge relaxation,
+      // c(v) ← max(c(v), c(c(v))). Sound because c(c(v)) reaches c(v)
+      // (phase-1 invariant) and c(v) reaches v, so c(c(v)) is itself a
+      // valid reaching id; at the fixpoint c(root) = root makes the
+      // jump the identity, so the fixpoint is unchanged. Each round
+      // now composes one edge hop with one label-chase, doubling the
+      // effective propagation distance — O(D) rounds become O(log D),
+      // the [[Dedup.connectedComponentsLoop]] discipline applied to
+      // the directed max-label phase.
       var color = active.withColumn("c", col("id")).localCheckpoint(eager = true)
       var round = 0
       var changed = 1L
@@ -1152,9 +1168,12 @@ object Graph {
         val in = eAct
           .join(color.select(col("id").as("src"), col("c").as("cs")), "src")
           .groupBy(col("dst").as("id")).agg(max("cs").as("cin"))
-        val next = color.join(in, Seq("id"), "left")
+        val relaxed = color.join(in, Seq("id"), "left")
           .select(col("id"),
             greatest(col("c"), coalesce(col("cin"), lit(Long.MinValue))).as("c"))
+        val next = relaxed
+          .join(relaxed.select(col("id").as("c"), col("c").as("cc")), Seq("c"), "left")
+          .select(col("id"), greatest(col("c"), coalesce(col("cc"), col("c"))).as("c"))
           .localCheckpoint(eager = true)
         changed = next.join(color.withColumnRenamed("c", "c0"), "id")
           .filter(col("c") =!= col("c0")).count()
@@ -1189,6 +1208,7 @@ object Graph {
       claimed ::= newly
       active = active.join(newly.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(eager = true)
+      activeCount -= nMarked // newly has exactly nMarked rows, all active
     }
     claimed.reduce(_ unionByName _)
       .groupBy("scc_id").agg(count(lit(1)).as("size"))
