@@ -67,4 +67,23 @@ private[graft] object Shared {
     })
     s.read.parquet(path)
   }
+
+  /** Directory-valued memo for deterministic derived LAYOUTS (the
+    * streaming family's mtime-pinned micro-batch input dirs): `build`
+    * populates a fresh directory once per (session, dir, name); later
+    * callers get the same path. The layouts are pure functions of the
+    * input tables, so reuse changes nothing but the preparation cost —
+    * the same argument as [[memo]], for file trees instead of one
+    * table. Never memoize anything stateful through this (streaming
+    * CHECKPOINTS are per-run state, not derived input — a reused
+    * checkpoint would resume instead of replay). */
+  def memoDir(s: SparkSession, d: String, name: String)(build: java.io.File => Unit): java.io.File = {
+    val path = done.computeIfAbsent(keyOf(s, d, "dir:" + name), { _ =>
+      val dir = new java.io.File(root, name + "-" + seq.incrementAndGet())
+      dir.mkdirs()
+      build(dir)
+      dir.toString
+    })
+    new java.io.File(path)
+  }
 }

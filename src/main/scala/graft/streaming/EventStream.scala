@@ -676,12 +676,15 @@ object EventStream {
     * `purchase_ts`, `matched` flag) keeps the cross-engine compare
     * type-stable — a nullable BIGINT decays to float on both pandas
     * paths. */
-  def streamStreamOuter(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_outer_").toString
-    try {
+  /** Memoized two-batch layout shared by [[streamStreamOuter]] and
+    * [[chainedStateful]]: batch 0 = the whole events table, batch 1 =
+    * the two can-match-nothing tick rows at max(ts) + 1 hour that
+    * flush both sides' watermarks. A pure function of the events
+    * table, so one build serves every consumer in the session. */
+  private def clickPurchaseDir(s: SparkSession, d: String): java.io.File =
+    graft.operators.Shared.memoDir(s, d, "st_click_purchase") { dir =>
       val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
         .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       val ticks = ev.agg(max("ts").as("mts"))
         .select(explode(array(
           struct(lit(-1L).as("event_id"),
@@ -692,8 +695,15 @@ object EventStream {
             lit(-2L).as("user_id"), lit("purchase").as("event_type")))).as("r"))
         .select(col("r.event_id"), col("r.ts"), col("r.user_id"), col("r.event_type"))
       val t0 = System.currentTimeMillis()
-      scratchFile(ev, scratch, dataDir, "0-data", t0 - 60000)
-      scratchFile(ticks, scratch, dataDir, "1-ticks", t0)
+      scratchFile(ev, dir, "0-data", t0 - 60000)
+      scratchFile(ticks, dir, "1-ticks", t0)
+    }
+
+  def streamStreamOuter(s: SparkSession, d: String): DataFrame = {
+    // input layout memoized per (session, dir): a pure function of the
+    // events table, so later runs skip straight to the stream drain
+    val dataDir = clickPurchaseDir(s, d)
+    locally {
       val src = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("ts", TimestampType), StructField("user_id", LongType),
@@ -723,8 +733,6 @@ object EventStream {
           col("purchase_id").isNotNull.as("matched"))
         .orderBy("click_id", "purchase_id")
         .localCheckpoint()
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -944,15 +952,19 @@ object EventStream {
     * with a forced modification time — the deterministic-micro-batch
     * building block: FileStreamSource orders new files by (mtime,
     * path), so explicit mtimes pin the batch sequence. */
-  private def scratchFile(df: DataFrame, scratch: String,
-      dataDir: java.io.File, name: String, mtime: Long): Unit = {
-    val tmp = s"$scratch/tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
+  private def scratchFile(df: DataFrame, dataDir: java.io.File,
+      name: String, mtime: Long): Unit = {
+    // dot-prefixed staging dir: Spark's file listing treats '.'/'_'
+    // prefixes as hidden, so the in-flight write can never surface as
+    // a phantom micro-batch file of the enclosing stream dir
+    val tmp = new java.io.File(dataDir, s".tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
     val dst = new java.io.File(dataDir, s"$name.parquet")
     java.nio.file.Files.move(part.toPath, dst.toPath)
-    dst.setLastModified(mtime); ()
+    dst.setLastModified(mtime)
+    graft.Scratch.rmTree(tmp.toString)
   }
 
   /** MULTI-SOURCE GLOBAL WATERMARK — the min-of-sources policy that
@@ -975,21 +987,29 @@ object EventStream {
     * (the engine keeps ticking until the watermark stabilizes), same as
     * [[appendWindows]]. */
   def multiSourceWatermark(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_msw_").toString
-    try {
+    val base = graft.operators.Shared.memoDir(s, d, "st_msw") { dir =>
       val raw = Tables.events(s, d).select("event_id", "ts", "event_type")
         .localCheckpoint(eager = true)
-      val dirA = new java.io.File(scratch, "a"); dirA.mkdirs()
-      val dirB = new java.io.File(scratch, "b"); dirB.mkdirs()
-      val evens = raw.filter(col("event_id") % 2 === 0)
-      val mA = evens.agg(max("ts").as("mta"))
-      val slowOdds = raw.filter(col("event_id") % 2 === 1)
-        .crossJoin(broadcast(mA))
+      val da = new java.io.File(dir, "a"); da.mkdirs()
+      val db = new java.io.File(dir, "b"); db.mkdirs()
+      val ev = raw.filter(col("event_id") % 2 === 0)
+      val mA0 = ev.agg(max("ts").as("mta"))
+      val slow = raw.filter(col("event_id") % 2 === 1)
+        .crossJoin(broadcast(mA0))
         .filter(col("ts") <= col("mta") - expr("INTERVAL 2 DAYS"))
         .select("event_id", "ts", "event_type")
       val t0 = System.currentTimeMillis()
-      scratchFile(evens, scratch, dirA, "0-a", t0 - 60000)
-      scratchFile(slowOdds, scratch, dirB, "0-b", t0 - 60000)
+      scratchFile(ev, da, "0-a", t0 - 60000)
+      scratchFile(slow, db, "0-b", t0 - 60000)
+    }
+    locally {
+      val dirA = new java.io.File(base, "a")
+      val dirB = new java.io.File(base, "b")
+      // the batch contrast class reads the WRITTEN files back — exactly
+      // the rows the stream consumed, no re-derivation
+      val evens = s.read.parquet(s"$dirA/0-a.parquet")
+      val slowOdds = s.read.parquet(s"$dirB/0-b.parquet")
+      val mA = evens.agg(max("ts").as("mta"))
       val sch = StructType(Seq(StructField("event_id", LongType),
         StructField("ts", TimestampType), StructField("event_type", StringType)))
       def src(dir: java.io.File) = s.readStream.schema(sch)
@@ -1018,8 +1038,6 @@ object EventStream {
           "no window separates the two sources' watermarks — min-policy certificate is vacuous")
       s.table(name).withColumn("n_held", lit(held))
         .orderBy("window_start", "event_type")
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1054,13 +1072,11 @@ object EventStream {
       |ORDER BY window_start, event_type""".stripMargin
 
   def lateData(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_late_").toString
-    try {
+    val dataDir = graft.operators.Shared.memoDir(s, d, "st_late") { dir =>
       val raw = Tables.events(s, d).select("event_id", "ts", "event_type")
         .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       def writeBatch(df: DataFrame, name: String, mtime: Long): Unit =
-        scratchFile(df, scratch, dataDir, name, mtime)
+        scratchFile(df, dir, name, mtime)
       // The tick row CARRIES max(even ts) as its event time, so batches
       // 0 and 1 advance the watermark to the SAME value and the batch-2
       // late filter is max(even ts) − 10 min no matter whether the
@@ -1088,6 +1104,11 @@ object EventStream {
       writeBatch(odd.filter(col("event_id") === col("tick_id")).select(cols: _*), "1-tick", t0 - 60000)
       writeBatch(odd.filter(col("event_id") =!= col("tick_id")).select(cols: _*),
         "2-late", t0)
+    }
+    locally {
+      // the post-drain totals read the WRITTEN batches back (their union
+      // IS the rewritten corpus) — no re-derivation
+      val ev = s.read.parquet(dataDir.toString)
       val src = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("ts", TimestampType), StructField("event_type", StringType))))
@@ -1111,8 +1132,6 @@ object EventStream {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_late_dropped"))
         .orderBy("window_start", "event_type")
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1226,16 +1245,16 @@ object EventStream {
     * result — the final snapshot per user must equal the whole-table
     * batch aggregate, which is the oracle. */
   def twsLedger(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_tws_").toString
-    try {
+    val dataDir = graft.operators.Shared.memoDir(s, d, "st_tws") { dir =>
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
           round(col("value") * lit(1000000L)).cast("long").as("v_us"))
         .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       val t0 = System.currentTimeMillis()
-      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 60000)
-      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0)
+      scratchFile(ev.filter(col("event_id") % 2 === 0), dir, "0-first", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), dir, "1-second", t0)
+    }
+    locally {
       import s.implicits._
       val src = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
@@ -1264,8 +1283,6 @@ object EventStream {
           date_format(timestamp_micros(col("m.first_ts_us")), fmt).as("first_ts"),
           date_format(timestamp_micros(col("m.last_ts_us")), fmt).as("last_ts"))
         .orderBy("user_id")
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1298,12 +1315,10 @@ object EventStream {
     * max(ts), value-neutral). A result where the old duplicates do
     * NOT reappear means state was not actually bounded. */
   def dedupWatermark(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_ddw_").toString
-    try {
+    val dataDir = graft.operators.Shared.memoDir(s, d, "st_ddw") { dir =>
       val ev = Tables.events(s, d).select("event_id", "ts", "event_type", "value")
         .localCheckpoint(eager = true)
       val mts = ev.agg(max("ts").as("mts"))
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       val b0 = ev.unionAll(ev.filter(col("event_id") % 50 === 0))
       val tick = mts.select(lit(-1L).as("event_id"), col("mts").as("ts"),
         lit("tick").as("event_type"), lit(0.0).as("value"))
@@ -1312,9 +1327,11 @@ object EventStream {
           col("ts") < col("mts") - expr("INTERVAL 30 MINUTES"))
         .select(col("event_id"), col("mts").as("ts"), col("event_type"), col("value"))
       val t0 = System.currentTimeMillis()
-      scratchFile(b0, scratch, dataDir, "0-data", t0 - 120000)
-      scratchFile(tick, scratch, dataDir, "1-tick", t0 - 60000)
-      scratchFile(lateDups, scratch, dataDir, "2-olddups", t0)
+      scratchFile(b0, dir, "0-data", t0 - 120000)
+      scratchFile(tick, dir, "1-tick", t0 - 60000)
+      scratchFile(lateDups, dir, "2-olddups", t0)
+    }
+    locally {
       val stream = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("ts", TimestampType), StructField("event_type", StringType),
@@ -1329,8 +1346,6 @@ object EventStream {
       val name = "graft_st_dedup_wm"
       runToMemorySink(s, dataDir.toString, stream, name, "complete")
       s.table(name).orderBy("event_type").localCheckpoint()
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1363,23 +1378,8 @@ object EventStream {
     * unmatchable row per side at max(ts) + 1 h (data-derived) pushes
     * both input watermarks past every real window. */
   def chainedStateful(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_chain_").toString
-    try {
-      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
-        .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
-      val ticks = ev.agg(max("ts").as("mts"))
-        .select(explode(array(
-          struct(lit(-1L).as("event_id"),
-            (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"),
-            lit(-1L).as("user_id"), lit("click").as("event_type")),
-          struct(lit(-2L).as("event_id"),
-            (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"),
-            lit(-2L).as("user_id"), lit("purchase").as("event_type")))).as("r"))
-        .select(col("r.event_id"), col("r.ts"), col("r.user_id"), col("r.event_type"))
-      val t0 = System.currentTimeMillis()
-      scratchFile(ev, scratch, dataDir, "0-data", t0 - 60000)
-      scratchFile(ticks, scratch, dataDir, "1-ticks", t0)
+    val dataDir = clickPurchaseDir(s, d) // same layout as streamStreamOuter
+    locally {
       val src = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("ts", TimestampType), StructField("user_id", LongType),
@@ -1423,8 +1423,6 @@ object EventStream {
         .withColumn("two_stateful_ops", lit(true))
         .orderBy("window_start")
         .localCheckpoint()
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1466,17 +1464,17 @@ object EventStream {
     * exact-micros totals in complete mode) must equal the batch
     * aggregate — the oracle. */
   def availableNow(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_avail_").toString
-    try {
+    val dataDir = graft.operators.Shared.memoDir(s, d, "st_avail") { dir =>
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
           round(col("value") * lit(1000000L)).cast("long").as("v_us"))
         .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       val t0 = System.currentTimeMillis()
-      scratchFile(ev.filter(col("event_id") % 3 === 0), scratch, dataDir, "0-a", t0 - 120000)
-      scratchFile(ev.filter(col("event_id") % 3 === 1), scratch, dataDir, "1-b", t0 - 60000)
-      scratchFile(ev.filter(col("event_id") % 3 === 2), scratch, dataDir, "2-c", t0)
+      scratchFile(ev.filter(col("event_id") % 3 === 0), dir, "0-a", t0 - 120000)
+      scratchFile(ev.filter(col("event_id") % 3 === 1), dir, "1-b", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 3 === 2), dir, "2-c", t0)
+    }
+    locally {
       val agg = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("event_type", StringType), StructField("v_us", LongType))))
@@ -1509,9 +1507,7 @@ object EventStream {
         .withColumn("self_terminated", lit(true))
         .withColumn("rate_limited_batches", lit(true))
         .orderBy("event_type")
-        .localCheckpoint() // materialize before the scratch source vanishes
-    } finally {
-      graft.Scratch.rmTree(scratch)
+        .localCheckpoint()
     }
   }
 
@@ -1588,13 +1584,11 @@ object EventStream {
     * before the query stops. Oracle: per user, count + last-event +
     * 30 min — the timer payload must equal the batch answer. */
   def twsTimers(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_twstimer_").toString
-    try {
+    val dataDir = graft.operators.Shared.memoDir(s, d, "st_twstimer") { dir =>
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("ts").as("event_time"))
         .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
       val maxUs = ev.agg(max("ts_us")).collect()(0).getLong(0)
       val tickUs = maxUs + 41L * 60 * 1000000
       val session = s
@@ -1603,11 +1597,15 @@ object EventStream {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           timestamp_micros(col("ts_us")).as("event_time"))
       val t0 = System.currentTimeMillis()
-      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 240000)
-      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0 - 180000)
-      scratchFile(tick, scratch, dataDir, "2-tick", t0 - 120000)
-      scratchFile(tick, scratch, dataDir, "3-tick", t0 - 60000)
-      scratchFile(tick, scratch, dataDir, "4-tick", t0)
+      scratchFile(ev.filter(col("event_id") % 2 === 0), dir, "0-first", t0 - 240000)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), dir, "1-second", t0 - 180000)
+      scratchFile(tick, dir, "2-tick", t0 - 120000)
+      scratchFile(tick, dir, "3-tick", t0 - 60000)
+      scratchFile(tick, dir, "4-tick", t0)
+    }
+    locally {
+      val session = s
+      import session.implicits._
       val src = s.readStream
         .schema(StructType(Seq(StructField("event_id", LongType),
           StructField("user_id", LongType), StructField("ts_us", LongType),
@@ -1630,8 +1628,6 @@ object EventStream {
         .select(col("user_id"), col("n_events"),
           date_format(timestamp_micros(col("closed_us")), fmt).as("closed_at"))
         .orderBy("user_id")
-    } finally {
-      graft.Scratch.rmTree(scratch)
     }
   }
 
@@ -1661,17 +1657,20 @@ object EventStream {
     * own keys + the state table once — the compact-state alternative
     * to replaying history. */
   def foreachUpsert(s: SparkSession, d: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft_st_upsert_").toString
-    try {
+    // input batches memoized; the STATE table is per-run mutable state
+    // and stays in a fresh scratch dir every time
+    val dataDir = graft.operators.Shared.memoDir(s, d, "st_upsert") { dir =>
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
         .localCheckpoint(eager = true)
-      val dataDir = new java.io.File(scratch, "data"); dataDir.mkdirs()
-      val stateDir = s"$scratch/state"
       val t0 = System.currentTimeMillis()
-      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 60000)
-      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0)
+      scratchFile(ev.filter(col("event_id") % 2 === 0), dir, "0-first", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), dir, "1-second", t0)
+    }
+    val scratch = java.nio.file.Files.createTempDirectory("graft_st_upsert_").toString
+    try {
+      val stateDir = s"$scratch/state"
       def latest(df: DataFrame): DataFrame =
         df.groupBy("user_id")
           .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("m"))
@@ -1799,9 +1798,9 @@ object EventStream {
         try q.processAllAvailable() finally q.stop()
       }
       val t0 = System.currentTimeMillis()
-      scratchFile(ev.filter(col("event_id") % 2 === 0), scratch, dataDir, "0-first", t0 - 60000)
+      scratchFile(ev.filter(col("event_id") % 2 === 0), dataDir, "0-first", t0 - 60000)
       runOnce()                 // run 1: half 1 committed, then the query dies
-      scratchFile(ev.filter(col("event_id") % 2 === 1), scratch, dataDir, "1-second", t0)
+      scratchFile(ev.filter(col("event_id") % 2 === 1), dataDir, "1-second", t0)
       runOnce()                 // run 2: fresh query, same checkpoint
       val back = s.read.parquet(out).localCheckpoint(eager = true)
       back.groupBy("event_type")
