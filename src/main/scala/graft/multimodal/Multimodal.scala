@@ -1188,7 +1188,12 @@ object Multimodal {
     * the winnow oracle (recursive CTE, HUGEINT mod 2⁶⁴), boundaries where
     * hash % 64 = 0, chunk reassembly via lockstep unnest of the
     * prepend(0)/append(len) offset lists. */
-  val cdcChunksSql: String = {
+  /** The CDC chunking pipeline as a reusable CTE list ending in
+    * `ch(doc_id, chunk_hash, len)` — one row per content-defined chunk
+    * of each document's text. Splice as `WITH RECURSIVE $cdcChunkCte,
+    * ...`; consumed by [[cdcChunksSql]] and the text family's
+    * CDC-MinHash dedup twin. */
+  private[graft] val cdcChunkCte: String = {
     val K = graft.functions.CdcImpl.K
     val B = graft.functions.CdcImpl.B
     val m64 = "CAST('18446744073709551616' AS HUGEINT)"
@@ -1196,7 +1201,7 @@ object Multimodal {
     val bpLits = (0 until K)
       .map(j => java.lang.Long.toUnsignedString(graft.functions.WinnowImpl.bpow(j)))
       .mkString("[", ", ", "]")
-    s"""WITH RECURSIVE docs AS (
+    s"""docs AS (
        |  SELECT doc_id, text, greatest(length(text) - ${K - 1}, 0) AS m FROM documents
        |), roll AS (
        |  SELECT doc_id, text, m, 1 AS i,
@@ -1220,7 +1225,11 @@ object Multimodal {
        |), ch AS (
        |  SELECT doc_id, md5(substr(text, off + 1, e - off)) AS chunk_hash, e - off AS len
        |  FROM (SELECT doc_id, text, unnest(offs) AS off, unnest(ends) AS e FROM chunkdef)
-       |), refs AS (
+       |)""".stripMargin
+  }
+
+  val cdcChunksSql: String = {
+    s"""WITH RECURSIVE $cdcChunkCte, refs AS (
        |  SELECT chunk_hash, count(*) AS refs FROM ch GROUP BY 1
        |)
        |SELECT doc_id AS asset_id, count(*) AS n_chunks,

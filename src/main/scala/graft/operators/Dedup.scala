@@ -1016,6 +1016,108 @@ object Dedup {
       |FROM evalhits e LEFT JOIN trainfp t USING (fp)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ n-gram-level bloom
+
+  /** N-GRAM-LEVEL Bloom decontamination — the Lee et al. variant
+    * [[bloom]] (whole-document fingerprints) doesn't cover: an eval
+    * document is contaminated if ANY of its 8-token n-grams appears in
+    * the protected benchmark set, not just if the whole text matches.
+    * Construction: the even-doc half plays the benchmark suite; its
+    * distinct 8-gram shingles set 3 Bloom positions each (djb2 low 31
+    * bits pushed through 3 affine probes mod a Mersenne prime, then
+    * mod m = 2^17 — the minhash permutation arithmetic, exact in both
+    * engines). Odd docs probe: a gram is FLAGGED iff all 3 of its
+    * positions are set; per doc the result reports gram count, flagged
+    * count, the exact ground-truth count (grams literally present in
+    * the benchmark set — the d_bloom maybe/is discipline, so the
+    * sketch's false-positive behavior is measured, never assumed) and
+    * the contamination verdict.
+    *
+    * Scale shape: the Bloom BIT SET is bounded by m = 131072 rows no
+    * matter the corpus — it broadcasts by construction (the compact
+    * artifact a 100 TB decontamination run ships to every executor,
+    * while the benchmark gram set itself may not fit). The ground-truth
+    * column pays one gram equi-join — the certification cost, dropped
+    * in production exactly like q21_approx's rank-check pass. */
+  def bloomNgram(s: SparkSession, d: String): DataFrame = {
+    val m = 131072L // 2^17 bits
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.MinHashFns.word_shingles(split(trim(col("text")), WS), 8).as("g8"))
+      .filter(size(col("g8")) > 0)
+    val grams = docs.select(col("doc_id"), explode(col("g8")).as("g"))
+    val h = grams.withColumn("h31",
+      graft.functions.Djb2.djb2_hash(col("g")).bitwiseAND(lit(2147483647L)))
+    val pos = h.select(col("doc_id"), col("g"),
+      explode(array(BloomAB.map { case (a, b) =>
+        (col("h31") * a + b) % 2147483647L % m
+      }: _*)).as("pos"))
+    val bits = pos.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("pos").distinct().withColumn("hit", lit(1L))
+    val train = grams.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("g").distinct().withColumn("in_train", lit(1L))
+    val gramHits = pos.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id", "g")
+      .agg((sum(coalesce(col("hit"), lit(0L))) === 3).as("flagged"))
+    gramHits.join(train, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_true"))
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"), col("n_true"),
+        (col("n_flagged") > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** The 3 Bloom probes as (a, b) affine coefficients over h31 — LCG
+    * multipliers, arbitrary but pinned identically in the oracle. */
+  private val BloomAB = Seq((1664525L, 1013904223L), (22695477L, 1L), (1103515245L, 12345L))
+
+  val bloomNgramSql: String = {
+    val abLits = BloomAB.map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE g8 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |      toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS g
+       |    FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-7, 0))) AS i
+       |          FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks
+       |                FROM documents)
+       |          WHERE len(toks) >= 8)
+       |  )
+       |), dg AS MATERIALIZED (
+       |  SELECT DISTINCT g FROM g8
+       |), h AS (
+       |  SELECT g, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM dg
+       |  UNION ALL
+       |  SELECT g, i+1,
+       |    (hash*33 + ord(substr(g,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(g)
+       |), h31 AS MATERIALIZED (
+       |  SELECT g, CAST(hash % 2147483648 AS BIGINT) AS h31 FROM h WHERE i = length(g)+1
+       |), pos AS MATERIALIZED (
+       |  SELECT g, CAST((ab[1]*h31 + ab[2]) % 2147483647 % 131072 AS BIGINT) AS pos
+       |  FROM h31, (SELECT unnest($abLits) AS ab)
+       |), bits AS MATERIALIZED (
+       |  SELECT DISTINCT p.pos FROM pos p JOIN g8 t ON p.g = t.g WHERE t.doc_id % 2 = 0
+       |), train AS MATERIALIZED (
+       |  SELECT DISTINCT g FROM g8 WHERE doc_id % 2 = 0
+       |), gramhit AS MATERIALIZED (
+       |  SELECT e.doc_id, e.g,
+       |    CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh
+       |  FROM g8 e JOIN pos p ON e.g = p.g LEFT JOIN bits b ON p.pos = b.pos
+       |  WHERE e.doc_id % 2 = 1 GROUP BY 1, 2
+       |)
+       |SELECT gh.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN gh.nh = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN gh.nh = 3 THEN 1 ELSE 0 END) > 0 AS INT) AS contaminated
+       |FROM gramhit gh LEFT JOIN train t ON gh.g = t.g
+       |GROUP BY gh.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- containment join
 
   /** Exact containment join (quote/subset detection): pairs where the
@@ -1641,6 +1743,7 @@ object Dedup {
     "d_lsh_tune" -> (lshTune _),
     "d_cluster_stats" -> (clusterStats _),
     "d_bloom" -> (bloom _),
+    "d_bloom_ngram" -> (bloomNgram _),
     "d_embed_clusters" -> (embedClusters _),
     "d_exact" -> (exact _),
     "d_url_dedup" -> (urlDedup _),
@@ -1666,6 +1769,7 @@ object Dedup {
     "d_lsh_tune" -> lshTuneSql,
     "d_cluster_stats" -> clusterStatsSql,
     "d_bloom" -> bloomSql,
+    "d_bloom_ngram" -> bloomNgramSql,
     "d_embed_clusters" -> embedClustersSql,
     "d_exact" -> exactSql,
     "d_url_dedup" -> urlDedupSql,

@@ -1779,7 +1779,78 @@ object TextAnalysis {
       |  (SELECT count(*) FROM g WHERE k > 1) AS n_dup_groups,
       |  (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM g WHERE k > 1) AS n_dup_docs""".stripMargin
 
+  // ------------------------------------------------- CDC-chunked MinHash
+
+  /** CDC-CHUNKED MinHash dedup — near-dup detection robust to PREPENDED
+    * boilerplate, where fixed-stride shingling degrades: a shared
+    * header/license block shifts every downstream word position, but a
+    * content-defined chunker (the [[graft.multimodal.Multimodal.cdcChunks]]
+    * K=16 rolling hash, boundaries at hash % 64 = 0) RESYNCHRONIZES right
+    * after the insertion, so all but the first chunk hashes are unchanged.
+    * Each document is reduced to its distinct chunk-md5 SET; a 128-perm
+    * MinHash signature over that set feeds the 64-band × 2-row LSH join
+    * (miss probability at j = 0.5: (1 − 0.25)^64 ≈ 1e-8 — the
+    * [[Dedup.ngramJaccard]] completeness argument verbatim, so the result
+    * equals the brute-force oracle), and surviving candidates are verified
+    * by EXACT chunk-set intersection. Output: pairs with chunk-set
+    * Jaccard ≥ 0.5.
+    *
+    * Scale shape: chunk fingerprints are ~1 row per 64 input bytes and
+    * the band join is the [[Dedup.bandCandidates]] canonicalize-
+    * before-pair machinery — nothing quadratic; the verify join touches
+    * only band-colliding pairs. The oracle replays the chunker
+    * byte-for-byte in SQL (the m_cdc_chunks recursive-CTE twin) and
+    * brute-forces the set Jaccard. */
+  def cdcMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        graft.functions.CdcFns.cdc_boundaries(col("text")).as("bounds"))
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          concat(array(lit(0)), col("bounds")),
+          concat(col("bounds"), array(length(col("text")))),
+          (a, b) => struct(a.as("off"), (b - a).as("len")))).as("c"), col("text"))
+      .select(col("doc_id"),
+        md5(to_binary(expr("substr(text, c.off + 1, c.len)"), lit("utf-8"))).as("chunk_hash"))
+    val sets = chunks.distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("chunk_hash"))).as("chs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets
+      .withColumn("sig", graft.functions.MinHashFns.minhash_sig(col("chs")))
+      .select(col("doc_id"), col("sig"))
+    val cands = Dedup.bandCandidates(sigs, bandRows = graft.GraftConf.lshBandRowsVerify)
+    val ca = sets.select(col("doc_id").as("doc_a"), col("chs").as("ch_a"))
+    val cb = sets.select(col("doc_id").as("doc_b"), col("chs").as("ch_b"))
+    cands.join(ca, "doc_a").join(cb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        ExactRound.r(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
+          / size(array_union(col("ch_a"), col("ch_b"))), 6).as("cdc_jaccard"))
+      .filter(col("cdc_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force chunk-set Jaccard over the byte-exact SQL chunker. */
+  val cdcMinhashSql: String =
+    s"""WITH RECURSIVE ${graft.multimodal.Multimodal.cdcChunkCte}, sets AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, chunk_hash FROM ch
+       |), sz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+       |), ov AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+       |  FROM sets a JOIN sets b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  ${ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)} AS cdc_jaccard
+       |FROM (SELECT ov.doc_a, ov.doc_b, ov.isz, sa.n AS na, sb.n AS nb
+       |      FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a JOIN sz sb ON sb.doc_id = ov.doc_b)
+       |WHERE ${ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)} >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_cdc_minhash" -> (cdcMinhash _),
     "t_unicode_norm" -> (unicodeNorm _),
     "t_skipgram_pairs" -> (skipgramPairs _),
     "t_code_detect" -> (codeDetect _),
@@ -1853,5 +1924,6 @@ object TextAnalysis {
     "t_token_stats" -> tokenStatsSql,
     "t_langid" -> langidSql,
     "t_quality" -> qualitySql,
-    "t_fingerprint" -> fingerprintSql)
+    "t_fingerprint" -> fingerprintSql,
+    "t_cdc_minhash" -> cdcMinhashSql)
 }
