@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1237,7 +1237,177 @@ object Graph {
       |  FROM c WHERE cyc > 0
       |) ORDER BY size""".stripMargin
 
+  // ------------------------------------------------- stress centrality
+
+  /** STRESS CENTRALITY via the Brandes two-pass BFS-DAG machinery —
+    * "how many shortest paths pass THROUGH each document" over the
+    * near-dup graph, the load-bearing-node measure degree and PageRank
+    * both miss (a low-degree bridge between two dup clusters carries
+    * every cross-cluster path). Stress is the INTEGER member of the
+    * betweenness family: betweenness divides each path count by σ_st
+    * (rational deltas — not bit-portable across engines), stress sums
+    * the raw counts, so every quantity here is an exact Long and the
+    * result is bit-identical anywhere. Runs over the EMBEDDING near-dup
+    * graph ([[Dedup.embedDup]], shared across the graph family) — its
+    * components reach size ~8 with genuine interior nodes, so the
+    * measure is exercised, where the 3-gram graph's 2-cliques would
+    * make every stress trivially 0. Sources are sampled (vec_id % 2 ==
+    * 0) — the standard Brandes-subset estimator shape; hop cap 6 on
+    * BOTH passes (diameters here are far below it, so this is the full
+    * closure; the cap is part of the contract and mirrored in the
+    * oracle).
+    *
+    * Pass 1 (forward, per root): BFS levels with path counts —
+    * σ(v) = Σ_{u ∈ preds(v)} σ(u), preds = neighbors one level up.
+    * Pass 2 (backward, by descending level): downstream path totals —
+    * P(v) = Σ_{w ∈ DAG-succ(v)} (1 + P(w)) (each succ contributes the
+    * path ending at w plus its extensions). Then stress(v) =
+    * Σ_roots σ_root(v) · P_root(v) over non-root rows, exactly the
+    * number of shortest root→t paths with v interior.
+    *
+    * Scale shape: state is (root, node, level) rows — sampled-roots ×
+    * reachable-set, the Brandes-subset working set; every round is one
+    * equi-join against the stationary edge list + one partial-agg
+    * shuffle, `localCheckpoint` per level keeps the plan flat (the CC
+    * lesson), and the loop exits as soon as a frontier empties. Path
+    * counts fit Long by orders of magnitude on banded near-dup graphs
+    * (cluster diameters are tiny); a pathological 2⁶³-path graph would
+    * need the DECIMAL widening documented at [[Similarity]]'s Gram
+    * kernel, not a different plan. */
+  def stress(s: SparkSession, d: String): DataFrame =
+    stressFromPairs(
+      Dedup.embedDup(s, d)
+        .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b")),
+      maxHops = 6, seed = _ % 2 === 0)
+      .select(col("id").as("vec_id"), col("stress"))
+      .orderBy("vec_id")
+
+  private[graft] def stressFromPairs(pairsDf: DataFrame, maxHops: Int,
+      seed: Column => Column): DataFrame = {
+    val pairs = pairsDf.localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    // forward: reached(root, id, sigma, lvl); level-k frontier rows are
+    // exactly the dist-k nodes, so "preds" is just the previous frontier
+    var reached = nodes.filter(seed(col("id")))
+      .select(col("id").as("root"), col("id"), lit(1L).as("sigma"), lit(0).as("lvl"))
+      .localCheckpoint()
+    var frontier = reached
+    var k = 1
+    var topLvl = 0
+    while (k <= maxHops && !frontier.isEmpty) {
+      val cand = frontier.select(col("root"), col("id").as("src"), col("sigma"))
+        .join(edges, "src")
+        .groupBy(col("root"), col("dst").as("id"))
+        .agg(sum("sigma").as("sigma"))
+      frontier = cand
+        .join(reached.select("root", "id"), Seq("root", "id"), "left_anti")
+        .withColumn("lvl", lit(k))
+        .localCheckpoint()
+      if (!frontier.isEmpty) { reached = reached.unionByName(frontier).localCheckpoint(); topLvl = k }
+      k += 1
+    }
+    // backward: P(root, v) = Σ_{succ w one level down} (1 + P(root, w))
+    var pAll = reached.filter(col("lvl") === topLvl)
+      .select(col("root"), col("id"), lit(0L).as("p"), col("lvl"))
+      .localCheckpoint()
+    for (lv <- (topLvl - 1) to 0 by -1) {
+      val pNext = pAll.filter(col("lvl") === lv + 1)
+        .select(col("root"), col("id").as("dst"), col("p").as("pw"))
+      val succSum = reached.filter(col("lvl") === lv)
+        .select(col("root"), col("id").as("src"))
+        .join(edges, "src")
+        .join(pNext, Seq("root", "dst"))
+        .groupBy(col("root"), col("src").as("id"))
+        .agg(sum(col("pw") + 1L).as("psum"))
+      val pk = reached.filter(col("lvl") === lv).select("root", "id")
+        .join(succSum, Seq("root", "id"), "left")
+        .select(col("root"), col("id"), coalesce(col("psum"), lit(0L)).as("p"),
+          lit(lv).as("lvl"))
+      pAll = pAll.unionByName(pk).localCheckpoint()
+    }
+    val contrib = reached.filter(col("lvl") > 0)
+      .join(pAll.select("root", "id", "p"), Seq("root", "id"))
+      .groupBy("id").agg(sum(col("sigma") * col("p")).as("stress"))
+    nodes.join(contrib, Seq("id"), "left")
+      .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress"))
+  }
+
+  /** SQL twin: identical per-root BFS-DAG double pass, unrolled 6
+    * levels each way (the [[bfsSql]] unroll discipline — DuckDB
+    * re-inlines non-MATERIALIZED CTE references, and recursive members
+    * cannot aggregate). */
+  val stressSql: String = {
+    val H = 6
+    val distRounds = (1 to H).map { k =>
+      s"""dd$k AS MATERIALIZED (
+         |  SELECT root, id, min(dist) AS dist FROM (
+         |    SELECT root, id, dist FROM dd${k - 1}
+         |    UNION ALL
+         |    SELECT p.root, e.dst AS id, p.dist + 1
+         |    FROM edges e JOIN dd${k - 1} p ON e.src = p.id
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(", ")
+    val sigRounds = (1 to H).map { k =>
+      s"""sg$k AS MATERIALIZED (
+         |  SELECT s.root, dv.id, CAST(sum(s.sigma) AS BIGINT) AS sigma, $k AS lvl
+         |  FROM sg${k - 1} s
+         |  JOIN edges e ON e.src = s.id
+         |  JOIN dist dv ON dv.root = s.root AND dv.id = e.dst AND dv.dist = $k
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(", ")
+    val pRounds = (H - 1) to 0 by -1 map { lv =>
+      s"""pp$lv AS MATERIALIZED (
+         |  SELECT v.root, v.id,
+         |    CAST(coalesce(sum(w.p + 1), 0) AS BIGINT) AS p, $lv AS lvl
+         |  FROM (SELECT root, id FROM sig WHERE lvl = $lv) v
+         |  LEFT JOIN edges e ON e.src = v.id
+         |  LEFT JOIN pp${lv + 1} w ON w.root = v.root AND w.id = e.dst
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    } mkString ", "
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb
+       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.4
+       |), edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id FROM edges
+       |), dd0 AS MATERIALIZED (
+       |  SELECT id AS root, id, 0 AS dist FROM nodes WHERE id % 2 = 0
+       |), $distRounds, dist AS MATERIALIZED (
+       |  SELECT root, id, dist FROM dd$H
+       |), sg0 AS MATERIALIZED (
+       |  SELECT id AS root, id, CAST(1 AS BIGINT) AS sigma, 0 AS lvl
+       |  FROM nodes WHERE id % 2 = 0
+       |), $sigRounds, sig AS MATERIALIZED (
+       |  ${(0 to H).map(k => s"SELECT root, id, sigma, lvl FROM sg$k").mkString("\n  UNION ALL\n  ")}
+       |), pp$H AS MATERIALIZED (
+       |  SELECT root, id, CAST(0 AS BIGINT) AS p, $H AS lvl FROM sig WHERE lvl = $H
+       |), $pRounds, pall AS MATERIALIZED (
+       |  ${(0 to H).map(k => s"SELECT root, id, p FROM pp$k").mkString("\n  UNION ALL\n  ")}
+       |), contrib AS MATERIALIZED (
+       |  SELECT sg.id, CAST(sum(sg.sigma * pa.p) AS BIGINT) AS stress
+       |  FROM sig sg JOIN pall pa ON pa.root = sg.root AND pa.id = sg.id
+       |  WHERE sg.lvl > 0 GROUP BY 1
+       |)
+       |SELECT n.id AS vec_id, CAST(coalesce(c.stress, 0) AS BIGINT) AS stress
+       |FROM nodes n LEFT JOIN contrib c ON c.id = n.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_stress" -> (stress _),
     "g_scc" -> (scc _),
     "g_wcc_incremental" -> (wccIncremental _),
     "g_modularity" -> (modularity _),
@@ -1255,6 +1425,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_stress" -> stressSql,
     "g_scc" -> sccSql,
     // the incremental path must equal the from-scratch clustering of
     // ALL edges — the full-recompute transitive closure IS its oracle

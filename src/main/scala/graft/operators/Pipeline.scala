@@ -356,6 +356,83 @@ object Pipeline {
       |SELECT doc_id, source, n_tok, cum_tok FROM cum
       |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- k-anonymity
+
+  /** K-ANONYMITY generalization ladder — the release-gating governance
+    * pass a user-derived training corpus needs before it ships: no
+    * published equivalence class of quasi-identifiers may contain fewer
+    * than k individuals. Quasi-identifier here is (nation, market
+    * segment) on `customer`; k = 5. The ladder generalizes, never
+    * drops: a customer publishes at the MOST SPECIFIC level whose
+    * group still clears k — level 0 = (nation, segment); groups under
+    * k cascade to level 1 = (nation, '*'); still-small remainders
+    * collapse into the level-2 ('*', '*') catch-all. Counts at each
+    * rung are over the rows still unplaced (the cascade semantics —
+    * counting already-placed rows would overstate the anonymity of the
+    * residue). Output: one row per published equivalence class with
+    * its level and size, plus the certificate column `k_ok` — true iff
+    * the class clears k or is the terminal catch-all (which may be
+    * small; that residue is the answer, not a violation).
+    *
+    * Scale shape: two narrow aggregations over the QI columns; the
+    * group-size tables are bounded by |nations| × |segments| (≤ a few
+    * hundred rows), so both placement joins broadcast — the fact table
+    * is scanned twice, shuffled never. At 100 TB the same plan holds:
+    * class census is partial-agg'd map-side, placement is a broadcast
+    * hash join against the census. */
+  def kanon(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val cust = graft.Tables.customer(s, d)
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").cast("string").as("nat"),
+        col("c_mktsegment").as("seg"))
+    val g0 = cust.groupBy("nat", "seg").agg(count(lit(1)).as("n0"))
+    val placed0 = cust.join(broadcast(g0), Seq("nat", "seg"))
+    val lvl0 = placed0.filter(col("n0") >= k)
+      .select(col("nat").as("qi_nation"), col("seg").as("qi_segment"), lit(0).as("level"))
+    val rest1 = placed0.filter(col("n0") < k).select("c_custkey", "nat", "seg")
+    val g1 = rest1.groupBy("nat").agg(count(lit(1)).as("n1"))
+    val placed1 = rest1.join(broadcast(g1), Seq("nat"))
+    val lvl1 = placed1.filter(col("n1") >= k)
+      .select(col("nat").as("qi_nation"), lit("*").as("qi_segment"), lit(1).as("level"))
+    val lvl2 = placed1.filter(col("n1") < k)
+      .select(lit("*").as("qi_nation"), lit("*").as("qi_segment"), lit(2).as("level"))
+    lvl0.unionByName(lvl1).unionByName(lvl2)
+      .groupBy("qi_nation", "qi_segment", "level")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(col("qi_nation"), col("qi_segment"), col("level"),
+        col("n_customers"),
+        (col("n_customers") >= k || col("level") === 2).as("k_ok"))
+      .orderBy("level", "qi_nation", "qi_segment")
+  }
+
+  val kanonSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS nat,
+      |    c_mktsegment AS seg
+      |  FROM customer
+      |), g0 AS (
+      |  SELECT nat, seg, count(*) AS n0 FROM c GROUP BY 1, 2
+      |), p0 AS (
+      |  SELECT c.c_custkey, c.nat, c.seg, g0.n0 FROM c JOIN g0 USING (nat, seg)
+      |), rest1 AS (
+      |  SELECT c_custkey, nat, seg FROM p0 WHERE n0 < 5
+      |), g1 AS (
+      |  SELECT nat, count(*) AS n1 FROM rest1 GROUP BY 1
+      |), p1 AS (
+      |  SELECT r.c_custkey, r.nat, g1.n1 FROM rest1 r JOIN g1 USING (nat)
+      |), placed AS (
+      |  SELECT nat AS qi_nation, seg AS qi_segment, 0 AS level FROM p0 WHERE n0 >= 5
+      |  UNION ALL
+      |  SELECT nat, '*', 1 FROM p1 WHERE n1 >= 5
+      |  UNION ALL
+      |  SELECT '*', '*', 2 FROM p1 WHERE n1 < 5
+      |)
+      |SELECT qi_nation, qi_segment, level, count(*) AS n_customers,
+      |  (count(*) >= 5 OR level = 2) AS k_ok
+      |FROM placed GROUP BY 1, 2, 3
+      |ORDER BY level, qi_nation, qi_segment""".stripMargin
+
   /** Deterministic shard manifest — the reproducibility artifact a
     * dataset release ships beside the data: documents assigned to 16
     * shards by the stable djb2 bucket, and per shard a doc count, char
@@ -2616,6 +2693,7 @@ object Pipeline {
     "p_dataset_diff" -> (datasetDiff _),
     "p_curriculum" -> (curriculum _),
     "p_quota" -> (quota _),
+    "p_kanon" -> (kanon _),
     "p_split" -> (stratSplit _),
     "p_pack" -> (pack _),
     "p_curate" -> (curate _),
@@ -2659,6 +2737,7 @@ object Pipeline {
     "p_dataset_diff" -> datasetDiffSql,
     "p_curriculum" -> curriculumSql,
     "p_quota" -> quotaSql,
+    "p_kanon" -> kanonSql,
     "p_split" -> splitSql,
     "p_pack" -> packSql,
     "p_curate" -> curateSql,
