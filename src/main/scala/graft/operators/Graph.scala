@@ -1406,7 +1406,128 @@ object Graph {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- deterministic walks
+
+  /** DEEPWALK CORPUS GENERATION — the graph-embedding bridge: truncated
+    * random walks over the embedding near-dup graph, reduced to the
+    * window-2 skip-gram co-occurrence counts that are word2vec's input
+    * (DeepWalk/node2vec = walks + word2vec; the engine's product is the
+    * walk corpus, the trainer is downstream). Walks are DETERMINISTIC:
+    * each walk seeds a 31-bit LCG with the djb2 of its walk key
+    * ("<node>#<replica>"), and step t moves to
+    * `nbrs[x_t mod deg]` over the SORTED neighbor list, x_t the LCG
+    * stream — per-walk RNG exactly as production walkers do it, but
+    * with the seed pinned so the corpus is bit-identical across
+    * engines, partitionings and reruns (no RNG state, the [[Pipeline]]
+    * p_split discipline). 2 replicas × 8 steps per node.
+    *
+    * Scale shape: the frontier frame is (walks × 1) rows carrying the
+    * walk path as a bounded array; each step is ONE broadcast join
+    * against the adjacency table (nodes-sized, persisted once).
+    * Walk count scales linearly with nodes and the pair explode is
+    * walks × window — never quadratic in the graph. At 10⁹ nodes the
+    * same plan holds with the adjacency bucketed instead of broadcast.
+    * Hub nodes don't skew: every walk row is the same width regardless
+    * of degree (element_at into the neighbor list, no neighbor
+    * explode). */
+  def walks(s: SparkSession, d: String): DataFrame = {
+    val L = 8
+    val pairs = Dedup.embedDup(s, d)
+      .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val adj = edges.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .withColumn("deg", size(col("nbrs")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = adj.select(col("src").as("node"))
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").cast("int").as("r"))))
+      .select(col("node"), col("r"),
+        graft.functions.Djb2.djb2_hash(
+          concat(col("node").cast("string"), lit("#"), col("r").cast("string")))
+          .bitwiseAND(lit(2147483647L)).as("x"),
+        array(col("node")).as("path"))
+    var walk = seeds.localCheckpoint()
+    for (_ <- 1 to L) {
+      walk = walk
+        .withColumn("x", pmod(col("x") * 1664525L + 1013904223L, lit(2147483648L)))
+        .join(broadcast(adj),
+          col("src") === element_at(col("path"), -1))
+        .withColumn("path",
+          concat(col("path"),
+            array(element_at(col("nbrs"), (pmod(col("x"), col("deg"))).cast("int") + 1))))
+        .select("node", "r", "x", "path")
+        .localCheckpoint()
+    }
+    val pos = walk
+      .select(col("node"), col("r"), posexplode(col("path")).as(Seq("pos", "v")))
+    val a = pos.select(col("node"), col("r"), col("pos").as("pa"), col("v").as("va"))
+    val b = pos.select(col("node"), col("r"), col("pos").as("pb"), col("v").as("vb"))
+    a.join(b, Seq("node", "r"))
+      .filter(col("pb") > col("pa") && col("pb") - col("pa") <= 2 && col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("node_a"),
+        greatest(col("va"), col("vb")).as("node_b"))
+      .groupBy("node_a", "node_b").agg(count(lit(1)).as("n_cooc"))
+      .orderBy("node_a", "node_b")
+  }
+
+  /** SQL twin: djb2 seed CTE (recursive over the walk-key string), then
+    * 8 unrolled LCG steps over the same sorted adjacency lists, then the
+    * identical window-2 pair aggregation. */
+  val walksSql: String = {
+    val L = 8
+    val steps = (1 to L).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.node, w.r, (w.x * 1664525 + 1013904223) % 2147483648 AS x,
+         |    list_append(w.path,
+         |      a.nbrs[CAST(((w.x * 1664525 + 1013904223) % 2147483648) % a.deg AS INT) + 1])
+         |      AS path
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.path[len(w.path)]
+         |)""".stripMargin
+    }.mkString(", ")
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""WITH RECURSIVE e0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), prs AS MATERIALIZED (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb
+       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.4
+       |), edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM prs UNION ALL SELECT pb, pa FROM prs
+       |), adj AS MATERIALIZED (
+       |  SELECT src, list(dst ORDER BY dst) AS nbrs, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY src
+       |), sk AS MATERIALIZED (
+       |  SELECT src AS node, r, CAST(src AS VARCHAR) || '#' || CAST(r AS VARCHAR) AS key
+       |  FROM adj, (SELECT unnest([0, 1]) AS r)
+       |), h AS (
+       |  SELECT node, r, key, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM sk
+       |  UNION ALL
+       |  SELECT node, r, key, i+1,
+       |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(key)
+       |), w0 AS MATERIALIZED (
+       |  SELECT node, r, CAST(hash % 2147483648 AS BIGINT) AS x, [node] AS path
+       |  FROM h WHERE i = length(key)+1
+       |), $steps, pos AS MATERIALIZED (
+       |  SELECT node, r, u.pos AS pos, u.v AS v FROM (
+       |    SELECT node, r,
+       |      unnest(list_transform(path, (el, i) -> struct_pack(pos := i, v := el))) AS u
+       |    FROM w$L)
+       |)
+       |SELECT least(a.v, b.v) AS node_a, greatest(a.v, b.v) AS node_b,
+       |  count(*) AS n_cooc
+       |FROM pos a JOIN pos b
+       |  ON a.node = b.node AND a.r = b.r AND b.pos > a.pos AND b.pos - a.pos <= 2
+       |  AND a.v <> b.v
+       |GROUP BY 1, 2 ORDER BY node_a, node_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_walks" -> (walks _),
     "g_stress" -> (stress _),
     "g_scc" -> (scc _),
     "g_wcc_incremental" -> (wccIncremental _),
@@ -1425,6 +1546,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_walks" -> walksSql,
     "g_stress" -> stressSql,
     "g_scc" -> sccSql,
     // the incremental path must equal the from-scratch clustering of
