@@ -1849,7 +1849,157 @@ object TextAnalysis {
        |WHERE ${ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)} >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------- WordPiece encode
+
+  /** WORDPIECE greedy longest-match-first encoding — the tokenizer
+    * family's third member beside BPE train/apply: BPE segments by
+    * replaying an ordered merge list, WordPiece segments by greedy
+    * maximal-munch against a piece VOCABULARY (initial pieces vs "##"
+    * continuations), which is how BERT-style tokenizers run in
+    * production. The vocab is derived from the corpus itself:
+    * frequency-thresholded word prefixes (len 2–4, top 300 by weighted
+    * count, ties by piece) as initial pieces, non-initial substrings
+    * (len 2–4, top 300) as continuations, plus ALL single characters in
+    * both (the progress guarantee — no unk token needed over [a-z]+
+    * terms). Encoding is VOCABULARY-LEVEL (the t_bpe_apply discipline):
+    * the greedy loop runs over DISTINCT terms — Heaps'-law-bounded,
+    * ≪ corpus at 100 TB — never row-by-row, and each round is one
+    * map-side expression against the two BROADCAST vocab arrays
+    * (bounded ≤ 300 + alphabet each by construction). Output: the
+    * realized piece table with corpus-weighted occurrence counts — the
+    * artifact a tokenizer release ships.
+    *
+    * Greedy semantics (pinned, mirrored in the oracle): at position
+    * p take the LONGEST len ∈ {4,3,2,1} whose substring is in the
+    * position-appropriate vocab (initial at p = 1, continuation
+    * after); single chars always match, so every term terminates in
+    * ≤ |term| steps. */
+  def wordpiece(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefTop = words.filter(length(col("term")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, least(4, length(term))), l -> substring(term, 1, l))"))
+        .as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .orderBy(desc("n"), col("piece")).limit(300)
+    val contTop = words.filter(length(col("term")) >= 3)
+      .select(explode(expr(
+        """flatten(transform(sequence(2, length(term) - 1),
+          |  p -> transform(sequence(2, least(4, length(term) - p + 1)),
+          |       l -> substring(term, p, l))))""".stripMargin)).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .orderBy(desc("n"), col("piece")).limit(300)
+    val initChars = words.select(expr("substring(term, 1, 1)").as("piece")).distinct()
+    val contChars = words.filter(length(col("term")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, length(term)), p -> substring(term, p, 1))")).as("piece"))
+      .distinct()
+    // bounded by construction (<= 300 + alphabet each) -> broadcast literals
+    val vInit = (prefTop.select("piece").collect().map(_.getString(0)) ++
+      initChars.collect().map(_.getString(0))).distinct.sorted
+    val vCont = (contTop.select("piece").collect().map(_.getString(0)) ++
+      contChars.collect().map(_.getString(0))).distinct.sorted
+    val initLit = lit(vInit)
+    val contLit = lit(vCont)
+    def matches(l: Int) =
+      (col("pos") + (l - 1) <= length(col("term"))) &&
+        when(col("pos") === 1, array_contains(initLit, expr(s"substring(term, pos, $l)")))
+          .otherwise(array_contains(contLit, expr(s"substring(term, pos, $l)")))
+    val pick = when(matches(4), 4).when(matches(3), 3).when(matches(2), 2).otherwise(1)
+    var state = words
+      .select(col("term"), col("cnt"), lit(1).as("pos"),
+        array().cast("array<string>").as("pieces"))
+      .localCheckpoint()
+    var done: DataFrame = state.filter(lit(false))
+    var round = 0
+    while (!state.isEmpty) {
+      round += 1
+      require(round <= 64, s"wordpiece segmentation did not terminate after $round rounds")
+      val stepped = state
+        .withColumn("pick", pick)
+        .withColumn("pieces", concat(col("pieces"), array(
+          when(col("pos") === 1, expr("substring(term, pos, pick)"))
+            .otherwise(concat(lit("##"), expr("substring(term, pos, pick)"))))))
+        .withColumn("pos", col("pos") + col("pick"))
+        .select("term", "cnt", "pos", "pieces")
+        .localCheckpoint()
+      done = done.unionByName(stepped.filter(col("pos") > length(col("term"))))
+      state = stepped.filter(col("pos") <= length(col("term"))).localCheckpoint()
+    }
+    done.select(explode(col("pieces")).as("piece"), col("cnt"))
+      .groupBy("piece")
+      .agg(sum("cnt").as("n_occ"))
+      .select(col("piece"),
+        when(col("piece").startsWith("##"), 1).otherwise(0).as("is_cont"),
+        col("n_occ"))
+      .orderBy("piece")
+  }
+
+  /** SQL twin: identical vocab CTEs (weighted top-300 + alphabet), then
+    * the greedy maximal-munch as ONE recursive CTE whose step computes
+    * the pick by length-guarded membership against the vocab tables. */
+  val wordpieceSql: String = {
+    def inV(l: Int): String =
+      s"""(pos + ${l - 1} <= length(term) AND (CASE WHEN pos = 1
+         |    THEN substr(term, pos, $l) IN (SELECT piece FROM vinit)
+         |    ELSE substr(term, pos, $l) IN (SELECT piece FROM vcont) END))""".stripMargin
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents
+       |  ) GROUP BY 1
+       |), preftop AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |      SELECT unnest(list_transform(generate_series(2, least(4, length(term))),
+       |        l -> substr(term, 1, l))) AS piece, cnt
+       |      FROM words WHERE length(term) >= 2
+       |    ) GROUP BY 1 ORDER BY n DESC, piece LIMIT 300
+       |  )
+       |), conttop AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |      SELECT unnest(flatten(list_transform(generate_series(2, length(term) - 1),
+       |        p -> list_transform(generate_series(2, least(4, length(term) - p + 1)),
+       |             l -> substr(term, p, l))))) AS piece, cnt
+       |      FROM words WHERE length(term) >= 3
+       |    ) GROUP BY 1 ORDER BY n DESC, piece LIMIT 300
+       |  )
+       |), vinit AS MATERIALIZED (
+       |  SELECT piece FROM preftop
+       |  UNION
+       |  SELECT DISTINCT substr(term, 1, 1) FROM words
+       |), vcont AS MATERIALIZED (
+       |  SELECT piece FROM conttop
+       |  UNION
+       |  SELECT DISTINCT unnest(list_transform(generate_series(2, length(term)),
+       |    p -> substr(term, p, 1))) FROM words WHERE length(term) >= 2
+       |), seg AS (
+       |  SELECT term, cnt, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM words
+       |  UNION ALL
+       |  SELECT term, cnt, pos + pick,
+       |    CASE WHEN pos = 1 THEN substr(term, pos, pick)
+       |         ELSE '##' || substr(term, pos, pick) END
+       |  FROM (
+       |    SELECT term, cnt, pos,
+       |      CASE WHEN ${inV(4)} THEN 4
+       |           WHEN ${inV(3)} THEN 3
+       |           WHEN ${inV(2)} THEN 2
+       |           ELSE 1 END AS pick
+       |    FROM seg WHERE pos <= length(term)
+       |  )
+       |)
+       |SELECT piece,
+       |  CASE WHEN piece LIKE '##%' THEN 1 ELSE 0 END AS is_cont,
+       |  CAST(sum(cnt) AS BIGINT) AS n_occ
+       |FROM seg WHERE piece IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY piece""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_wordpiece" -> (wordpiece _),
     "t_cdc_minhash" -> (cdcMinhash _),
     "t_unicode_norm" -> (unicodeNorm _),
     "t_skipgram_pairs" -> (skipgramPairs _),
@@ -1925,5 +2075,6 @@ object TextAnalysis {
     "t_langid" -> langidSql,
     "t_quality" -> qualitySql,
     "t_fingerprint" -> fingerprintSql,
-    "t_cdc_minhash" -> cdcMinhashSql)
+    "t_cdc_minhash" -> cdcMinhashSql,
+    "t_wordpiece" -> wordpieceSql)
 }
