@@ -1482,6 +1482,82 @@ object Multimodal {
       |  CAST(strlen(text) AS BIGINT) AS n_samples
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------------- FLAC
+
+  /** Header-only FLAC synthesis: "fLaC" magic + one STREAMINFO metadata
+    * block (marked last): fixed 4096 blocksize, unknown framesizes,
+    * 44.1 kHz stereo 16-bit packed into the spec's 20/3/5/36-bit field
+    * layout with total_samples = the text's UTF-8 byte count, and the
+    * 16-byte stream-MD5 slot carrying md5(text bytes) — every field a
+    * pure function of the document, so the parse side is analytically
+    * checkable. (Spec: xiph.org FLAC format §METADATA_BLOCK_STREAMINFO;
+    * a header-only file is a legal FLAC prefix.) */
+  private[graft] def encodeFlac(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(42)
+    out.write("fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0x80) // last-block flag | type 0 = STREAMINFO
+    out.write(0); out.write(0); out.write(34) // 24-bit BE block length
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def be24(v: Int): Unit = { out.write((v >> 16) & 0xff); be16(v & 0xffff) }
+    be16(4096); be16(4096) // min/max blocksize
+    be24(0); be24(0) // min/max framesize (0 = unknown)
+    // 64-bit pack: rate(20) | channels-1(3) | bps-1(5) | total_samples(36)
+    val packed = (44100L << 44) | (1L << 41) | (15L << 36) | bytes.length.toLong
+    (7 to 0 by -1).foreach(i => out.write(((packed >> (8 * i)) & 0xff).toInt))
+    out.write(java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    out.toByteArray
+  }
+
+  /** FLAC STREAMINFO parse — the lossless-audio twin of [[wavMeta]]:
+    * magic + block-header decode (last flag, type, 24-bit BE length)
+    * and the bit-packed 20/3/5/36 STREAMINFO fields recovered with
+    * shift/mask arithmetic on the big-endian 64-bit word, all
+    * DECLARATIVE substring + conv column ops (codegen'd, no codec).
+    * The stream-MD5 is surfaced as hex — the integrity handle an audio
+    * corpus dedups and verifies on without ever decoding frames. One
+    * scan, no shuffle: the 100 TB audio-catalog audit shape. */
+  def flacMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeFlac(t)) }))
+      .toDF("asset_id", "media")
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def be16(off: Int) = u8(off) * 256L + u8(off + 1)
+    def be24(off: Int) = u8(off) * 65536L + u8(off + 1) * 256L + u8(off + 2)
+    val packed = conv(hex(substring(col("media"), 19, 8)), 16, 10).cast("long")
+    assets.select(col("asset_id"),
+        (hex(substring(col("media"), 1, 4)) === "664C6143").as("valid_magic"),
+        (u8(5) >= 128L).as("is_last"),
+        (u8(5) % 128L).as("block_type"),
+        be24(6).as("block_len"),
+        be16(9).as("min_blocksize"), be16(11).as("max_blocksize"),
+        be24(13).as("min_framesize"), be24(16).as("max_framesize"),
+        shiftright(packed, 44).as("sample_rate"),
+        (shiftright(packed, 41).bitwiseAND(lit(7L)) + 1L).as("channels"),
+        (shiftright(packed, 36).bitwiseAND(lit(31L)) + 1L).as("bits_per_sample"),
+        packed.bitwiseAND(lit((1L << 36) - 1)).as("total_samples"),
+        lower(hex(substring(col("media"), 27, 16))).as("stream_md5"))
+      .orderBy("asset_id")
+  }
+
+  /** Every field is a pure function of the document (see encode), so
+    * the oracle states the analytic truth directly — a parse that
+    * misreads any bit fails the hex gate. */
+  val flacMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic, TRUE AS is_last,
+      |  CAST(0 AS BIGINT) AS block_type, CAST(34 AS BIGINT) AS block_len,
+      |  CAST(4096 AS BIGINT) AS min_blocksize, CAST(4096 AS BIGINT) AS max_blocksize,
+      |  CAST(0 AS BIGINT) AS min_framesize, CAST(0 AS BIGINT) AS max_framesize,
+      |  CAST(44100 AS BIGINT) AS sample_rate, CAST(2 AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(strlen(text) AS BIGINT) AS total_samples,
+      |  md5(text) AS stream_md5
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ---------------------------------------------------------------- WARC
 
   private val WarcVer = "WARC/1.0\r\n"
@@ -2144,6 +2220,7 @@ object Multimodal {
     "m_tar_index" -> (tarIndex _),
     "m_warc_records" -> (warcRecords _),
     "m_wav_meta" -> (wavMeta _),
+    "m_flac_meta" -> (flacMeta _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
     "m_cdc_chunks" -> (cdcChunks _),
@@ -2171,6 +2248,7 @@ object Multimodal {
     "m_tar_index" -> tarIndexSql,
     "m_warc_records" -> warcRecordsSql,
     "m_wav_meta" -> wavMetaSql,
+    "m_flac_meta" -> flacMetaSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,
     "m_cdc_chunks" -> cdcChunksSql,
