@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1482,6 +1482,114 @@ object Multimodal {
       |  CAST(strlen(text) AS BIGINT) AS n_samples
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------- safetensors
+
+  /** One SAFETENSORS shard (huggingface/safetensors spec): 8-byte LE
+    * header length, the JSON tensor table (space-padded to 8-byte
+    * alignment, as real writers emit), then the raw tensor buffers —
+    * here two I64 tensors, `labels` and `vec_ids`, written
+    * little-endian in vec_id order. The JSON is serialized with a
+    * FIXED field order so shard bytes are deterministic. */
+  private[graft] def encodeSafetensors(vecIds: Array[Long], labels: Array[Long]): Array[Byte] = {
+    val n = vecIds.length
+    val json = s"""{"labels":{"dtype":"I64","shape":[$n],"data_offsets":[0,${8L * n}]},""" +
+      s""""vec_ids":{"dtype":"I64","shape":[$n],"data_offsets":[${8L * n},${16L * n}]}}"""
+    val pad = (8 - json.length % 8) % 8
+    val header = json + (" " * pad)
+    val bb = java.nio.ByteBuffer.allocate(8 + header.length + 16 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(header.length.toLong)
+    bb.put(header.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    labels.foreach(bb.putLong)
+    vecIds.foreach(bb.putLong)
+    bb.array()
+  }
+
+  /** SAFETENSORS shard audit — the tensor-release format ML stacks
+    * actually load ([[npyTensor]]'s multi-tensor successor): embeddings
+    * are packed 4 shards × 2 I64 tensors by [[encodeSafetensors]], and
+    * the PARSE side recovers everything from the bytes alone,
+    * declaratively: the LE64 header length by per-byte conv arithmetic,
+    * the tensor table via `get_json_object` on the header slice (shape,
+    * dtype, data_offsets per tensor), and the tensor CONTENTS by
+    * exploding byte positions and reassembling each little-endian I64 —
+    * the sums certify the data section byte-for-byte, not just the
+    * metadata. `offsets_ok` checks the spec's contiguity invariant
+    * (labels end = vec_ids start, file length = 8 + header + last
+    * offset). One scan + one shard-level aggregate; at 100 TB each
+    * shard parses independently — the WebDataset/tar splittability
+    * argument, and the same groupByKey one-task-per-shard write shape
+    * as [[tfrecordIndex]]. */
+  def safetensors(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val shards = Tables.parallelize(Tables.embeddings(s, d))
+      .select((col("vec_id") % 4).cast("int").as("shard"), col("vec_id"),
+        col("label").cast("long").as("label"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        (shard, encodeSafetensors(rows.map(_._2), rows.map(_._3)))
+      }
+      .toDF("shard", "media")
+    def u8(b: Column, off: Column) =
+      conv(hex(substring(b, off.cast("int"), lit(1))), 16, 10).cast("long")
+    def le64(b: Column, off: Column): Column =
+      (0 to 7).map(i => u8(b, off + i) * (1L << (8 * i)): Column).reduce(_ + _)
+    val meta = shards
+      .withColumn("hlen", le64(col("media"), lit(1)))
+      .withColumn("json", expr("substring(media, 9, cast(hlen as int))").cast("string"))
+      .withColumn("n", get_json_object(col("json"), "$.labels.shape[0]").cast("long"))
+      .withColumn("lab_dtype", get_json_object(col("json"), "$.labels.dtype"))
+      .withColumn("vid_dtype", get_json_object(col("json"), "$.vec_ids.dtype"))
+      .withColumn("lab_end", get_json_object(col("json"), "$.labels.data_offsets[1]").cast("long"))
+      .withColumn("vid_beg", get_json_object(col("json"), "$.vec_ids.data_offsets[0]").cast("long"))
+      .withColumn("vid_end", get_json_object(col("json"), "$.vec_ids.data_offsets[1]").cast("long"))
+      .localCheckpoint()
+    val vals = meta
+      .select(col("shard"), col("media"), col("hlen"), col("n"), col("vid_beg"))
+      .withColumn("i", explode(expr("sequence(0, cast(n - 1 as int))")))
+      .select(col("shard"),
+        le64(col("media"), lit(9) + col("hlen") + col("i") * 8L).as("label_v"),
+        le64(col("media"), lit(9) + col("hlen") + col("vid_beg") + col("i") * 8L).as("vid_v"))
+      .groupBy("shard")
+      .agg(sum("label_v").as("labels_sum"), sum("vid_v").as("vecids_sum"))
+    meta.join(vals, "shard")
+      .select(col("shard"), col("n"), col("hlen").as("header_len"),
+        col("labels_sum"), col("vecids_sum"),
+        (col("lab_end") === col("vid_beg") && col("vid_end") === col("n") * 16L &&
+          length(col("media")).cast("long") === col("hlen") + col("vid_end") + 8L)
+          .as("offsets_ok"),
+        (col("lab_dtype") === "I64" && col("vid_dtype") === "I64").as("dtype_ok"))
+      .orderBy("shard")
+  }
+
+  /** Oracle: every field is analytic from the shard census — the JSON
+    * header is re-CONSTRUCTED textually (same fixed serialization) so
+    * header_len, including its 8-byte alignment padding, is derived,
+    * not assumed. */
+  val safetensorsSql: String =
+    """WITH m AS (
+      |  SELECT CAST(vec_id % 4 AS INT) AS shard, vec_id, CAST(label AS BIGINT) AS label
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(label) AS BIGINT) AS labels_sum,
+      |    CAST(sum(vec_id) AS BIGINT) AS vecids_sum
+      |  FROM m GROUP BY shard
+      |), j AS (
+      |  SELECT shard, n, labels_sum, vecids_sum,
+      |    '{"labels":{"dtype":"I64","shape":[' || n || '],"data_offsets":[0,' || 8*n ||
+      |    ']},"vec_ids":{"dtype":"I64","shape":[' || n || '],"data_offsets":[' || 8*n ||
+      |    ',' || 16*n || ']}}' AS json
+      |  FROM c
+      |)
+      |SELECT shard, n,
+      |  CAST(strlen(json) + (8 - strlen(json) % 8) % 8 AS BIGINT) AS header_len,
+      |  labels_sum, vecids_sum, TRUE AS offsets_ok, TRUE AS dtype_ok
+      |FROM j ORDER BY shard""".stripMargin
+
   // ---------------------------------------------------------------- FLAC
 
   /** Header-only FLAC synthesis: "fLaC" magic + one STREAMINFO metadata
@@ -2221,6 +2329,7 @@ object Multimodal {
     "m_warc_records" -> (warcRecords _),
     "m_wav_meta" -> (wavMeta _),
     "m_flac_meta" -> (flacMeta _),
+    "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
     "m_cdc_chunks" -> (cdcChunks _),
@@ -2249,6 +2358,7 @@ object Multimodal {
     "m_warc_records" -> warcRecordsSql,
     "m_wav_meta" -> wavMetaSql,
     "m_flac_meta" -> flacMetaSql,
+    "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,
     "m_cdc_chunks" -> cdcChunksSql,
