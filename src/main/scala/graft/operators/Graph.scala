@@ -1526,6 +1526,72 @@ object Graph {
        |GROUP BY 1, 2 ORDER BY node_a, node_b""".stripMargin
   }
 
+  // -------------------------------------------------------------- HITS
+
+  /** HITS (Kleinberg hubs & authorities) over the DIRECTED near-dup
+    * graph (edges low→high doc_id — the canonical orientation every
+    * pair table already carries), 2 full mutual-reinforcement rounds:
+    * a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v). UNNORMALIZED integer
+    * variant: per-round normalization is one GLOBAL scalar, so at any
+    * fixed round count the unnormalized scores rank IDENTICALLY to
+    * textbook HITS — and exact Long sums are bit-portable where the
+    * normalized floats are not (the [[pagerank]] integer-micros
+    * argument, stronger: no division at all). Two rounds ≡ one
+    * A^T·A / A·A^T application — the co-citation/co-reference
+    * strengths link analysis reads. Each half-round is one equi-join
+    * of the stationary edge list against a (node, score) table + one
+    * partial-agg shuffle; growth is bounded by (max degree)² per
+    * round pair, ~10⁴ per round at corpus degree scales — Long-safe
+    * by ~15 orders of magnitude. */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    var hub = nodes.withColumn("h", lit(1L))
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      auth = edges.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+      auth = nodes.join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")).localCheckpoint()
+      hub = edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+      hub = nodes.join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h")).localCheckpoint()
+    }
+    nodes.join(hub, "id").join(auth, "id")
+      .select(col("id").as("doc_id"), col("h").as("hub"), col("a").as("authority"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: 2 unrolled mutual-reinforcement rounds over the same
+    * directed pair list. */
+  val hitsSql: String = {
+    val rounds = (1 to 2).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT n.id, CAST(coalesce(sum(h.h), 0) AS BIGINT) AS a
+         |  FROM nodes n LEFT JOIN pairs e ON e.pb = n.id
+         |  LEFT JOIN h${r - 1} h ON h.id = e.pa
+         |  GROUP BY n.id
+         |), h$r AS MATERIALIZED (
+         |  SELECT n.id, CAST(coalesce(sum(a.a), 0) AS BIGINT) AS h
+         |  FROM nodes n LEFT JOIN pairs e ON e.pa = n.id
+         |  LEFT JOIN a$r a ON a.id = e.pb
+         |  GROUP BY n.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (SELECT pa AS id FROM pairs UNION ALL SELECT pb FROM pairs)
+       |), h0 AS MATERIALIZED (
+       |  SELECT id, CAST(1 AS BIGINT) AS h FROM nodes
+       |), $rounds
+       |SELECT n.id AS doc_id, h2.h AS hub, a2.a AS authority
+       |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- k-truss
 
   /** K-TRUSS decomposition (k = 3) — EDGE-level cohesion, the
@@ -1621,6 +1687,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_hits" -> (hits _),
     "g_ktruss" -> (ktruss _),
     "g_walks" -> (walks _),
     "g_stress" -> (stress _),
@@ -1641,6 +1708,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_hits" -> hitsSql,
     "g_ktruss" -> ktrussSql,
     "g_walks" -> walksSql,
     "g_stress" -> stressSql,
