@@ -230,6 +230,51 @@ object TextAnalysis {
       |FROM norm n JOIN h ON n.doc_id = h.doc_id AND h.i = length(n.t)+1
       |ORDER BY n.doc_id""".stripMargin
 
+  /** THRESHOLDED N-GRAM RELEASE — the Google-Books-style publication
+    * discipline for corpus statistics: publish a trigram's counts ONLY
+    * if it appears in >= 5 DISTINCT documents. A gram below that
+    * support is a memorization / re-identification channel (a trigram
+    * seen in one document IS a verbatim quote of that document), so
+    * the release suppresses it — k-anonymity over n-gram provenance,
+    * the same rule Google applied to the Books Ngram corpus (>= 40
+    * books) and LM training audits apply before publishing token
+    * statistics. Plan: shingle map-side, then TWO wordcount-shaped
+    * partial-agg shuffles — (gram, doc_id) support dedup, then the
+    * gram census — no window, no self-join; both shuffles key on the
+    * gram and combine map-side, so the layout holds at 100 TB where
+    * the gram table is Heaps'-law-bounded, far smaller than the
+    * corpus. THROWS if nothing was suppressed or nothing released —
+    * the threshold must be demonstrably load-bearing, not vacuous. */
+  def ngramRelease(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), explode(graft.functions.MinHashFns.word_shingles(
+        split(trim(col("text")), "[ \t\n\r]+"), 3, distinct = false)).as("gram"))
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("doc_support"), sum("c").as("total_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val suppressed = stats.filter(col("doc_support") < 5).limit(1).count()
+    require(suppressed > 0, "ngram release vacuous: no gram below the support threshold")
+    val released = stats.filter(col("doc_support") >= 5)
+    require(released.limit(1).count() > 0, "ngram release vacuous: nothing released")
+    released.orderBy(col("doc_support").desc, col("total_cnt").desc, col("gram"))
+  }
+
+  val ngramReleaseSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS t FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(t)-2, 0)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks
+      |)
+      |SELECT gram,
+      |  count(DISTINCT doc_id) AS doc_support,
+      |  count(*) AS total_cnt
+      |FROM grams GROUP BY gram HAVING doc_support >= 5
+      |ORDER BY doc_support DESC, total_cnt DESC, gram""".stripMargin
+
   /** Corpus-level bigram frequencies: top 20 word bigrams across all
     * documents (every occurrence counted, not per-doc distinct). The
     * classic n-gram language-model counting job: shingle map-side, one
@@ -2032,6 +2077,7 @@ object TextAnalysis {
     "t_chunk" -> (chunk _),
     "t_contentfilter" -> (contentFilter _),
     "t_ngram_freq" -> (ngramFreq _),
+    "t_ngram_release" -> (ngramRelease _),
     "t_collocations" -> (collocations _),
     "t_token_stats" -> (tokenStats _),
     "t_langid" -> (langid _),
@@ -2070,6 +2116,7 @@ object TextAnalysis {
     "t_chunk" -> chunkSql,
     "t_contentfilter" -> contentFilterSql,
     "t_ngram_freq" -> ngramFreqSql,
+    "t_ngram_release" -> ngramReleaseSql,
     "t_collocations" -> collocationsSql,
     "t_token_stats" -> tokenStatsSql,
     "t_langid" -> langidSql,
