@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.RelationalExt.queries ++
       operators.RelationalExt2.queries ++ operators.RelationalExt3.queries ++
       operators.RelationalExt4.queries ++ operators.RelationalExt5.queries ++
+      operators.RelationalExt6.queries ++
       operators.MapReduceQueries.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Pipeline.queries ++ operators.Graph.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.RelationalExt.oracles ++
       operators.RelationalExt2.oracles ++ operators.RelationalExt3.oracles ++
       operators.RelationalExt4.oracles ++ operators.RelationalExt5.oracles ++
+      operators.RelationalExt6.oracles ++
       operators.MapReduceQueries.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Pipeline.oracles ++ operators.Graph.oracles ++

@@ -1666,6 +1666,170 @@ object Multimodal {
       |  md5(text) AS stream_md5
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ----------------------------------------------------------------- PDF
+
+  /** documents → a real minimal PDF (header, catalog/pages/page object
+    * chain, one content stream carrying the text bytes, a correct xref
+    * table with byte-exact object offsets, trailer + startxref). Every
+    * offset is a pure function of the text's BYTE length, so the parse
+    * side has an analytic oracle — the [[encodeWav]]/[[encodeFlac]]
+    * contract for the one document container a scraped corpus holds
+    * more of than HTML. */
+  private[graft] def encodePdf(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val header = "%PDF-1.7\n"
+    val o1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+    val o2 = "2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+    val o3 = "3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R>>endobj\n"
+    val o4head = s"4 0 obj<</Length ${bytes.length}>>stream\n"
+    val o4tail = "\nendstream\nendobj\n"
+    val off1 = header.length
+    val off2 = off1 + o1.length
+    val off3 = off2 + o2.length
+    val off4 = off3 + o3.length
+    val startxref = off4 + o4head.length + bytes.length + o4tail.length
+    def ent(off: Int) = f"$off%010d 00000 n \n"
+    val xref = "xref\n0 5\n" + "0000000000 65535 f \n" +
+      ent(off1) + ent(off2) + ent(off3) + ent(off4) +
+      s"trailer<</Size 5/Root 1 0 R>>\nstartxref\n$startxref\n%%EOF"
+    val out = new java.io.ByteArrayOutputStream(startxref + xref.length)
+    out.write(header.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(o1.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(o2.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(o3.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(o4head.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(bytes)
+    out.write(o4tail.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(xref.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  /** PDF STRUCTURE parse — header version, object census from the xref
+    * subsection line, content-stream /Length, the startxref byte
+    * pointer, and %%EOF framing, all DECLARATIVE substring/regexp ops
+    * (PDF's skeleton is ASCII by spec — only stream payloads are
+    * binary, and this parse never enters them). The self-certifying
+    * field is `xref_ok`: the parsed startxref is dereferenced with a
+    * BYTE-offset substring into the BINARY column and must land
+    * exactly on the `xref` keyword — a parse that confuses chars with
+    * bytes (multi-byte corpus text!) or drifts by one fails the
+    * oracle's pinned TRUE, precisely the check a 100 TB PDF triage
+    * pass runs before handing files to a real renderer fleet. One
+    * scan, no shuffle, no codec. */
+  def pdfMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodePdf(t)) }))
+      .toDF("asset_id", "media")
+    // the ASCII trailer region (xref table + trailer + startxref tops
+    // out at 174 bytes): the last 200 bytes always cover it; a tail
+    // window that starts mid-payload only feeds extra bytes ahead of
+    // the end-anchored patterns
+    val tail = expr("string(substring(media, greatest(length(media) - 199, 1), 200))")
+    val full = expr("string(media)")
+    val sxr = regexp_extract(tail, "startxref\\n(\\d+)\\n%%EOF$", 1).cast("long")
+    assets.select(col("asset_id"),
+        (expr("string(substring(media, 1, 5))") === "%PDF-").as("valid_header"),
+        expr("string(substring(media, 6, 3))").as("version"),
+        regexp_extract(tail, "xref\\n0 (\\d+)\\n", 1).cast("int").as("n_objects"),
+        regexp_extract(full, "<</Length (\\d+)>>stream", 1).cast("long").as("stream_len"),
+        sxr.as("startxref"),
+        (expr("string(substring(media, " +
+          "cast(regexp_extract(string(substring(media, greatest(length(media) - 199, 1), 200)), " +
+          "'startxref\\\\n(\\\\d+)\\\\n%%EOF$', 1) as long) + 1, 4))") === "xref").as("xref_ok"),
+        tail.endsWith("%%EOF").as("valid_eof"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: startxref = 223 + digits(L) + L where L is the
+    * text's BYTE length (196 bytes of fixed skeleton before the length
+    * digits, 9 after them, 18 after the payload — see [[encodePdf]]);
+    * xref_ok/valid_eof pinned TRUE so the parse must be byte-exact. */
+  val pdfMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_header, '1.7' AS version,
+      |  5 AS n_objects, CAST(strlen(text) AS BIGINT) AS stream_len,
+      |  CAST(223 + length(CAST(strlen(text) AS VARCHAR)) + strlen(text) AS BIGINT) AS startxref,
+      |  TRUE AS xref_ok, TRUE AS valid_eof
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  // ---------------------------------------------------------------- WebP
+
+  /** documents → a WebP (RIFF/VP8L) container with a spec-correct
+    * lossless-stream header: RIFF framing, the VP8L chunk, the 0x2F
+    * signature byte and the bit-packed 14/14/1/3 dimensions word
+    * (width−1, height−1, alpha hint, version). Same 64-wide raster
+    * geometry as [[encodePng]]. The payload AFTER the header is the
+    * text bytes verbatim, not an entropy-coded stream (no WebP codec
+    * in the JDK) — the metadata pass under test never enters payload
+    * bytes, exactly the triage contract [[pdfMeta]] states. RIFF even-
+    * size padding is honored, so the container walks correctly. */
+  private[graft] def encodeWebp(text: String): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = math.max(1, (bytes.length + 63) / 64)
+    val chunkLen = 1 + 4 + bytes.length // signature + bits word + payload
+    val pad = chunkLen % 2
+    val riffSize = 4 + 8 + chunkLen + pad // "WEBP" + chunk header + chunk
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(x: String): Unit = { bb.put(x.getBytes("US-ASCII")); () }
+    fcc("RIFF"); bb.putInt(riffSize); fcc("WEBP")
+    fcc("VP8L"); bb.putInt(chunkLen)
+    bb.put(0x2f.toByte)
+    // 14-bit width-1 | 14-bit height-1 | 1-bit alpha | 3-bit version
+    bb.putInt((64 - 1) | ((h - 1) << 14))
+    bb.put(bytes)
+    if (pad == 1) bb.put(0.toByte)
+    bb.array()
+  }
+
+  /** WebP/VP8L header parse — RIFF + chunk framing plus the bit-packed
+    * dimensions word recovered with shift/mask arithmetic (the
+    * [[flacMeta]] discipline, little-endian this time), all
+    * declarative substring + conv ops. `size_ok` re-verifies the RIFF
+    * size field against actual container length INCLUDING the spec's
+    * even-size pad byte — the off-by-one every hand-rolled RIFF walker
+    * gets wrong, pinned TRUE by the oracle. */
+  def webpMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeWebp(t)) }))
+      .toDF("asset_id", "media")
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def le32(off: Int) = u8(off) + u8(off + 1) * 256L + u8(off + 2) * 65536L +
+      u8(off + 3) * 16777216L
+    val bits = le32(22)
+    assets.select(col("asset_id"),
+        (hex(substring(col("media"), 1, 4)) === "52494646" &&
+          hex(substring(col("media"), 9, 4)) === "57454250" &&
+          hex(substring(col("media"), 13, 4)) === "5650384C").as("valid_riff"),
+        (u8(21) === 0x2fL).as("valid_sig"),
+        le32(17).as("chunk_len"),
+        (bits.bitwiseAND(lit(0x3fffL)) + 1L).as("width"),
+        (shiftright(bits, 14).bitwiseAND(lit(0x3fffL)) + 1L).as("height"),
+        (shiftright(bits, 28).bitwiseAND(lit(1L)) === 1L).as("has_alpha"),
+        shiftright(bits, 29).bitwiseAND(lit(7L)).as("version"),
+        (le32(5) === expr("length(media)") - 8L).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: chunk_len = 5 + BYTE length (signature + bits
+    * word + payload); geometry matches the PNG raster; size_ok TRUE
+    * certifies the pad-byte arithmetic. */
+  val webpMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_riff, TRUE AS valid_sig,
+      |  CAST(5 + strlen(text) AS BIGINT) AS chunk_len,
+      |  CAST(64 AS BIGINT) AS width,
+      |  CAST(greatest((strlen(text) + 63) // 64, 1) AS BIGINT) AS height,
+      |  FALSE AS has_alpha, CAST(0 AS BIGINT) AS version,
+      |  TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ---------------------------------------------------------------- WARC
 
   private val WarcVer = "WARC/1.0\r\n"
@@ -2329,6 +2493,8 @@ object Multimodal {
     "m_warc_records" -> (warcRecords _),
     "m_wav_meta" -> (wavMeta _),
     "m_flac_meta" -> (flacMeta _),
+    "m_pdf_meta" -> (pdfMeta _),
+    "m_webp_meta" -> (webpMeta _),
     "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -2358,6 +2524,8 @@ object Multimodal {
     "m_warc_records" -> warcRecordsSql,
     "m_wav_meta" -> wavMetaSql,
     "m_flac_meta" -> flacMetaSql,
+    "m_pdf_meta" -> pdfMetaSql,
+    "m_webp_meta" -> webpMetaSql,
     "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,

@@ -1790,7 +1790,60 @@ object Dedup {
       |  TRUE AS zero_shuffle_dedup
       |FROM g""".stripMargin
 
+  /** EDIT-DISTANCE verification of the banded candidates — the
+    * character-level near-dup metric the shingle family can't see:
+    * Jaccard over 3-gram SETS is blind to repetition and ordering
+    * nuance, while Levenshtein prices every insertion/deletion/
+    * substitution, so scoring the SAME verified pair table
+    * ([[ngramJaccard]], j ≥ 0.5) with exact edit distance is the
+    * second-opinion pass a fuzzy-dedup pipeline runs before deleting
+    * (`is_near` = dist ≤ 20 % of the longer doc). Never all-pairs: the
+    * O(len²)-per-pair DP runs ONLY on banded-and-verified candidates —
+    * thousands of pairs at corpus scale, each a map-side expression
+    * (Spark's codegen'd `levenshtein`). Cross-engine parity trap,
+    * handled: DuckDB's levenshtein is BYTE-based where Spark's is
+    * code-point-based, so both engines score an ASCII projection
+    * (lowercased, non-printable-ASCII stripped) where bytes ≡ chars —
+    * also the right normalization (case/diacritic noise shouldn't
+    * count as edits a dedup decision cares about). */
+  def editDistance(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("doc_a", "doc_b")
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^\\x20-\\x7E]", "")).as("norm"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na"), col("nb")).cast("long").as("edit_dist"),
+        length(col("na")).cast("long").as("len_a"),
+        length(col("nb")).cast("long").as("len_b"))
+      .withColumn("rel_dist", ExactRound.r(col("edit_dist").cast("double") /
+        greatest(greatest(col("len_a"), col("len_b")), lit(1L)).cast("double"), 6))
+      .withColumn("is_near", col("rel_dist") <= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SQL twin: same pair table, same ASCII projection, DuckDB's
+    * byte-DP equals Spark's code-point DP on pure-ASCII input. */
+  val editDistanceSql: String =
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, nrm AS MATERIALIZED (
+       |  SELECT doc_id, lower(regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')) AS norm
+       |  FROM documents
+       |), scored AS (
+       |  SELECT p.pa AS doc_a, p.pb AS doc_b,
+       |    CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
+       |    CAST(length(a.norm) AS BIGINT) AS len_a,
+       |    CAST(length(b.norm) AS BIGINT) AS len_b
+       |  FROM pairs p JOIN nrm a ON a.doc_id = p.pa JOIN nrm b ON b.doc_id = p.pb
+       |)
+       |SELECT doc_a, doc_b, edit_dist, len_a, len_b,
+       |  ${ExactRound.rSql("CAST(edit_dist AS DOUBLE) / CAST(greatest(greatest(len_a, len_b), 1) AS DOUBLE)", 6)} AS rel_dist,
+       |  ${ExactRound.rSql("CAST(edit_dist AS DOUBLE) / CAST(greatest(greatest(len_a, len_b), 1) AS DOUBLE)", 6)} <= 0.2 AS is_near
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_edit_distance" -> (editDistance _),
     "d_cross_shard" -> (crossShard _),
     "d_prefix_dup" -> (prefixDup _),
     "d_source_overlap" -> (sourceOverlap _),
@@ -1818,6 +1871,7 @@ object Dedup {
     "d_embed_dup" -> (embedDup _))
 
   val oracles: Map[String, String] = Map(
+    "d_edit_distance" -> editDistanceSql,
     "d_cross_shard" -> crossShardSql,
     "d_prefix_dup" -> prefixDupSql,
     "d_source_overlap" -> sourceOverlapSql,

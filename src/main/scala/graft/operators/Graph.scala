@@ -1686,7 +1686,74 @@ object Graph {
        |ORDER BY node_a, node_b""".stripMargin
   }
 
+  // ---------------------------------------------------------- rich club
+
+  /** RICH-CLUB coefficient φ(k) for k = 0..4 — "do the hubs talk to
+    * each other?", the hub-interconnectivity census [[assortativity]]'s
+    * single correlation number can't localize: for each degree
+    * threshold k, restrict to nodes with degree > k and measure the
+    * realized fraction of possible edges among them, φ(k) =
+    * 2·E_k / (N_k·(N_k−1)). Exact integer numerator/denominator are
+    * emitted beside the one rounded IEEE division (the [[modularity]]
+    * exactness discipline), so the hash gate pins the counts, not a
+    * float. Plan shape: one degree aggregate, then the 5-row threshold
+    * table broadcasts against edges (each edge keeps the thresholds
+    * BOTH endpoint degrees clear — ≤5× edge fan-out, never quadratic)
+    * and against the degree table for node counts; no self-join, no
+    * per-k rescan of the pair derivation (shared via the memoized
+    * verified pair table). At 100 TB the degree table is the corpus'
+    * near-dup profile — millions of rows, broadcast-sized thresholds. */
+  def richClub(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val deg = pairs.select(col("a").as("id")).union(pairs.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ks = s.range(0, 5).select(col("id").cast("int").as("k"))
+    val nodesK = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val edgesK = pairs
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .crossJoin(broadcast(ks))
+      .filter(col("deg_a") > col("k") && col("deg_b") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nodesK.join(edgesK, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(col("n_nodes") >= 2,
+          ExactRound.r(lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+            (col("n_nodes").cast("double") * (col("n_nodes") - lit(1L)).cast("double")), 6))
+          .as("phi"))
+      .orderBy("k")
+  }
+
+  /** SQL twin: identical threshold fan-out over the same pair graph. */
+  val richClubSql: String =
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, deg AS MATERIALIZED (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT pa AS id FROM pairs UNION ALL SELECT pb FROM pairs)
+       |  GROUP BY id
+       |), ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS k
+       |), nk AS MATERIALIZED (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM deg, ks WHERE deg > k GROUP BY k
+       |), ek AS MATERIALIZED (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM pairs p
+       |  JOIN deg da ON da.id = p.pa
+       |  JOIN deg db ON db.id = p.pb, ks
+       |  WHERE da.deg > k AND db.deg > k GROUP BY k
+       |)
+       |SELECT nk.k, nk.n_nodes, CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       |  CASE WHEN nk.n_nodes >= 2 THEN ${ExactRound.rSql(
+             "2.0 * coalesce(ek.n_edges, 0) / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1))", 6)}
+       |  END AS phi
+       |FROM nk LEFT JOIN ek ON ek.k = nk.k
+       |ORDER BY nk.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_richclub" -> (richClub _),
     "g_hits" -> (hits _),
     "g_ktruss" -> (ktruss _),
     "g_walks" -> (walks _),
@@ -1708,6 +1775,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_richclub" -> richClubSql,
     "g_hits" -> hitsSql,
     "g_ktruss" -> ktrussSql,
     "g_walks" -> walksSql,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Seventh tranche of relational coverage (SURVEY.md §2B continued):
+  * the GAPS-AND-ISLANDS family — run-length analytics over an ordered
+  * key space, the one classic windowing shape the first 83 queries
+  * don't exercise (q34 densifies gaps, q37 imputes across them; neither
+  * DETECTS maximal runs).
+  */
+object RelationalExt6 {
+
+  /** GAPS-AND-ISLANDS: per-user maximal runs of CONSECUTIVE active
+    * days (a streak = an island in the day-number line). The textbook
+    * reduction — and the only one that stays a single pass — is the
+    * row_number difference trick: within a user, `day_number −
+    * row_number` is CONSTANT exactly on a consecutive run, so the
+    * maximal runs fall out of one window + one aggregate with no
+    * self-join and no per-day iteration (the naive LAG-based
+    * run-breaker needs a second running-sum window; this needs one).
+    *
+    * Scale shape: raw events collapse to distinct (user, day) at the
+    * FIRST aggregation (partial-agg map-side, so event volume never
+    * crosses the shuffle), then one per-user window over ≤ span-days
+    * rows and two tiny aggregates. The window partitions by user_id —
+    * millions of small partitions, never a global sort. Output: per
+    * user the island count, longest/total streak days, and first
+    * active day — the engagement-streak table every retention system
+    * derives (reference scope: its wordcount groups tokens; this
+    * groups an ordered key space — same shuffle, one window more). */
+  def q84Islands(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val grouped = days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+    val islands = grouped.groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max("len").as("longest_streak"),
+        sum("len").as("active_days"),
+        min("start_day").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  /** SQL twin: identical day-number − row_number island keying. */
+  val q84Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), g AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days
+      |), isl AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+      |    min(day) AS start_day
+      |  FROM g GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(sum(len) AS BIGINT) AS active_days,
+      |  min(start_day) AS first_day
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_islands" -> (q84Islands _))
+
+  val oracles: Map[String, String] = Map(
+    "q84_islands" -> q84Sql)
+}

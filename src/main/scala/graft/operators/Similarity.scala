@@ -1909,7 +1909,82 @@ object Similarity {
       |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY a.i, b.i ORDER BY a.i, b.i""".stripMargin
 
+  // ----------------------------------------------- binary quantization
+
+  /** BINARY (1-bit) QUANTIZATION ANN — the most aggressive point on the
+    * quantization ladder the family already walks ([[annMatryoshka]]
+    * truncates dims, [[sq8]] keeps 8 bits/dim, [[annPq]] keeps
+    * codebook ids): keep ONE bit per dimension (the sign), so a 64-dim
+    * float vector becomes 64 bits and coarse distance is a Hamming
+    * popcount — 256 B → 8 B per vector, and the scan is XOR+POPCNT,
+    * the cheapest instruction sequence an index can run. At 10⁹
+    * vectors the sign-bit index is 8 GB (RAM-resident on one node;
+    * the float corpus is 256 GB), which is exactly why binary
+    * quantization is the first-stage filter in modern two-stage
+    * retrieval (Jégou's sketches → rerank shape). Packing: dims 1-32 →
+    * word lo, 33-64 → word hi, each a non-negative 32-bit value in a
+    * BIGINT — two words instead of one sidesteps the sign bit of a
+    * 64-bit pack, costs nothing, and generalizes to any d as ⌈d/32⌉
+    * words. Coarse rank = Hamming(lo,hi) ascending (vec_id
+    * tie-break), top-50 candidates, exact-cosine re-rank to top-10
+    * emitting BOTH scores — the coarse→exact gap is the measured cost
+    * of keeping 1/64th of the bits. The pack is a fold inside
+    * whole-stage codegen (transform+aggregate over the array column);
+    * the corpus never self-joins (1-row query broadcast). */
+  def binaryHamming(s: SparkSession, d: String): DataFrame = {
+    val packLo =
+      "aggregate(transform(slice(v, 1, 32), (x, i) -> IF(x >= 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    val packHi =
+      "aggregate(transform(slice(v, 33, 32), (x, i) -> IF(x >= 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    val vs = vectors(s, d)
+      .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val coarse = vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)")).cast("int"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(50)
+    coarse
+      .select(col("vec_id"), col("hamming"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** SQL twin: identical 2×32-bit sign pack (DuckDB list lambdas are
+    * 1-based where Spark's are 0-based — both land each dim on the same
+    * bit), Hamming = popcount(xor) per word, same candidate cutoff and
+    * exact re-rank. */
+  val binaryHammingSql: String = {
+    def pack(lo: Int) =
+      s"CAST(list_sum(list_transform(v[$lo:${lo + 31}], " +
+        "(x, i) -> CASE WHEN x >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"
+    val rFull = graft.operators.ExactRound.rSql(
+      "list_inner_product(c.v, c.q_v) / (c.nrm * c.q_nrm)", 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id, v, nrm, ${pack(1)} AS lo, ${pack(33)} AS hi FROM e
+       |), q AS (SELECT v AS q_v, nrm AS q_nrm, lo AS q_lo, hi AS q_hi FROM p WHERE vec_id = 0
+       |), coarse AS (
+       |  SELECT p.vec_id, p.v, p.nrm, q.q_v, q.q_nrm,
+       |    CAST(bit_count(xor(p.lo, q.q_lo)) + bit_count(xor(p.hi, q.q_hi)) AS INT) AS hamming
+       |  FROM p, q WHERE p.vec_id <> 0
+       |  ORDER BY hamming, p.vec_id LIMIT 50
+       |)
+       |SELECT c.vec_id, c.hamming, $rFull AS cosine
+       |FROM coarse c
+       |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_binary_hamming" -> (binaryHamming _),
     "s_gram_matrix" -> (gramMatrix _),
     "s_ivf_batch" -> (ivfBatch _),
     "s_outliers" -> (outliers _),
@@ -1940,6 +2015,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_binary_hamming" -> binaryHammingSql,
     "s_gram_matrix" -> gramMatrixSql,
     "s_ivf_batch" -> ivfBatchSql,
     "s_outliers" -> outliersSql,

@@ -2043,7 +2043,63 @@ object TextAnalysis {
        |GROUP BY 1, 2 ORDER BY piece""".stripMargin
   }
 
+  /** SCRIPT-MIX / ENCODING-QA census per corpus language — the triage
+    * pass that catches mislabeled language tags, mojibake and
+    * copy-paste script mixing before a tokenizer ever sees the text:
+    * per document, exact counts of Latin letters, CJK ideographs
+    * (U+4E00–U+9FFF) and ASCII digits via the length-difference idiom
+    * (len(text) − len(text with class stripped) — one codegen'd regexp
+    * per class, no per-char explode, so the scan stays map-side where
+    * [[charDiversity]]'s per-char histogram shuffles), rolled up per
+    * lang tag: how many docs contain CJK at all, how many MIX Latin
+    * and CJK in one document (the mislabel/mojibake flag a language
+    *-ID audit reads first), and the corpus-exact char totals with one
+    * rounded Latin fraction. DuckDB parity traps, handled: its
+    * regexp_replace needs the explicit 'g' flag (first-match-only by
+    * default, unlike Spark), and its regex takes \\x{4e00} where
+    * Java takes the raw char range. */
+  def scriptProfile(s: SparkSession, d: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, ""))).cast("long")
+    Tables.documents(s, d)
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("latin"),
+        cnt("[一-鿿]").as("cjk"),
+        cnt("[0-9]").as("digit"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cjk") > 0, 1L).otherwise(0L)).as("docs_cjk"),
+        sum(when(col("cjk") > 0 && col("latin") > 0, 1L).otherwise(0L)).as("docs_mixed"),
+        sum("latin").as("latin_chars"),
+        sum("cjk").as("cjk_chars"),
+        sum("digit").as("digit_chars"),
+        sum("n_chars").as("total_chars"))
+      .withColumn("latin_frac",
+        ExactRound.r(col("latin_chars").cast("double") / col("total_chars"), 6))
+      .orderBy("lang")
+  }
+
+  /** SQL twin: same length-difference counting, 'g' flag spelled out. */
+  val scriptProfileSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+       |    CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cjk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_cjk,
+       |  CAST(sum(CASE WHEN cjk > 0 AND latin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_mixed,
+       |  CAST(sum(latin) AS BIGINT) AS latin_chars,
+       |  CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+       |  CAST(sum(digit) AS BIGINT) AS digit_chars,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  ${ExactRound.rSql("CAST(sum(latin) AS DOUBLE) / sum(n_chars)", 6)} AS latin_frac
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_script_profile" -> (scriptProfile _),
     "t_wordpiece" -> (wordpiece _),
     "t_cdc_minhash" -> (cdcMinhash _),
     "t_unicode_norm" -> (unicodeNorm _),
@@ -2085,6 +2141,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_script_profile" -> scriptProfileSql,
     "t_unicode_norm" -> unicodeNormSql,
     "t_skipgram_pairs" -> skipgramPairsSql,
     "t_code_detect" -> codeDetectSql,

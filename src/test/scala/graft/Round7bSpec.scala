@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 second tranche: gaps-and-islands, binary
+  * (1-bit) quantization ANN, PDF structure triage, rich-club. Each
+  * test re-derives the operator's claim independently (in-memory
+  * replay or an internal-consistency invariant), the family
+  * discipline — the DuckDB hash gate pins cross-engine equality, the
+  * spec pins the SEMANTICS. */
+class Round7bSpec extends SparkSpec {
+
+  test("q84_islands: streaks replay from the raw distinct (user, day) sets") {
+    val out = operators.RelationalExt6.q84Islands(spark, sf).collect()
+    assert(out.nonEmpty)
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    out.foreach { r =>
+      val ds = days(r.getLong(0))
+      // split the sorted day numbers into maximal consecutive runs
+      val runs = ds.tail.foldLeft(List(List(ds.head))) { (acc, d) =>
+        if (d == acc.head.head + 1) (d :: acc.head) :: acc.tail
+        else List(d) :: acc
+      }
+      assert(r.getLong(1) == runs.length.toLong, s"n_islands user ${r.getLong(0)}")
+      assert(r.getLong(2) == runs.map(_.length).max.toLong, "longest_streak")
+      assert(r.getLong(3) == ds.length.toLong, "active_days")
+      assert(r.getDate(4).toLocalDate.toEpochDay == ds.min, "first_day")
+    }
+  }
+
+  test("s_binary_hamming: hamming replays from an in-memory sign pack; rerank is exact") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach { i => if (v(i) >= 0) lo |= (1L << i) }
+      (32 until 64).foreach { i => if (v(i) >= 0) hi |= (1L << (i - 32)) }
+      (lo, hi)
+    }
+    val q = sig(vecs(0L))
+    val out = operators.Similarity.binaryHamming(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val s = sig(vecs(r.getLong(0)))
+      val expected = java.lang.Long.bitCount(s._1 ^ q._1) +
+        java.lang.Long.bitCount(s._2 ^ q._2)
+      assert(r.getInt(1) == expected, s"hamming vec ${r.getLong(0)}")
+    }
+    // final ordering is by exact cosine descending (vec_id tie-break)
+    val cos = out.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("m_pdf_meta: encodePdf is parseable and byte-exact; xref entries point at objects") {
+    val text = "hello pdf world"
+    val pdf = new String(multimodal.Multimodal.encodePdf(text),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(pdf.startsWith("%PDF-1.7\n"))
+    assert(pdf.endsWith("%%EOF"))
+    val sxr = "startxref\n(\\d+)\n%%EOF$".r.findFirstMatchIn(pdf).get.group(1).toInt
+    assert(pdf.substring(sxr, sxr + 4) == "xref", "startxref dereferences to the xref keyword")
+    // every in-use xref entry must point at "<n> 0 obj"
+    val entries = "\n(\\d{10}) 00000 n ".r.findAllMatchIn(pdf).map(_.group(1).toInt).toList
+    assert(entries.length == 4)
+    entries.zipWithIndex.foreach { case (off, i) =>
+      assert(pdf.substring(off, off + 7) == s"${i + 1} 0 obj", s"xref entry ${i + 1}")
+    }
+    assert(pdf.contains(s"<</Length ${text.length}>>stream\n" + text + "\nendstream"))
+  }
+
+  test("m_pdf_meta: multibyte payloads keep byte-exact offsets (bytes != chars)") {
+    val text = "naïve ☃ 中文 payload"
+    val bytes = multimodal.Multimodal.encodePdf(text)
+    val pdfAscii = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sxr = "startxref\n(\\d+)\n%%EOF$".r.findFirstMatchIn(pdfAscii).get.group(1).toInt
+    // the offset is a BYTE offset: dereference in the raw byte array
+    assert(new String(bytes.slice(sxr, sxr + 4),
+      java.nio.charset.StandardCharsets.US_ASCII) == "xref")
+    val utfLen = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(pdfAscii.contains(s"<</Length $utfLen>>stream"), "/Length counts bytes")
+    assert(utfLen != text.length, "the fixture must actually be multibyte")
+  }
+
+  test("d_edit_distance: levenshtein replays in-memory on the ASCII projection") {
+    val out = operators.Dedup.editDistance(spark, sf).collect()
+    assert(out.nonEmpty, "the near-dup pair table must be non-empty at sf0.001")
+    val norms = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "[^\\x20-\\x7E]", "")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    out.foreach { r =>
+      val (a, b) = (norms(r.getLong(0)), norms(r.getLong(1)))
+      assert(r.getLong(2) == lev(a, b).toLong,
+        s"edit_dist pair (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(3) == a.length.toLong && r.getLong(4) == b.length.toLong)
+    }
+  }
+
+  test("t_script_profile: counts replay in-memory; the zh tag is exposed as Latin-script") {
+    val out = operators.TextAnalysis.scriptProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langs = docs.map(_._1).distinct
+    langs.foreach { lang =>
+      val texts = docs.filter(_._1 == lang).map(_._2)
+      val r = out(lang)
+      assert(r.getLong(1) == texts.length.toLong, s"n_docs $lang")
+      def cnt(t: String, p: Char => Boolean) = t.count(p).toLong
+      val latin = texts.map(cnt(_, c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).sum
+      val cjk = texts.map(cnt(_, c => c >= '一' && c <= '鿿')).sum
+      assert(r.getLong(4) == latin, s"latin_chars $lang")
+      assert(r.getLong(5) == cjk, s"cjk_chars $lang")
+    }
+    // the profiler's real finding on this corpus: every lang tag —
+    // including zh — fronts Latin-script text (synthetic labels), which
+    // is exactly the mislabel signal the operator exists to surface
+    assert(out.values.forall(_.getLong(4) > 0), "all tags are Latin-script here")
+    if (out.contains("zh"))
+      assert(out("zh").getLong(2) == 0, "zh tag carries no CJK in this corpus")
+  }
+
+  test("m_webp_meta: encodeWebp header fields and RIFF pad arithmetic replay byte-level") {
+    // one even-length and one odd-length payload exercise the pad byte
+    Seq("even-length!", "odd length!").foreach { text =>
+      val b = multimodal.Multimodal.encodeWebp(text)
+      assert(new String(b.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WEBP")
+      assert(new String(b.slice(12, 16), "US-ASCII") == "VP8L")
+      def le32(off: Int) =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      assert(le32(4) == b.length - 8, "RIFF size covers everything after the size field")
+      val n = text.getBytes("UTF-8").length
+      assert(le32(16) == 5 + n, "chunk length excludes the pad byte")
+      assert((b.length - 8 - 12 - 5 - n) == (5 + n) % 2, "pad byte present iff chunk odd")
+      assert(b(20) == 0x2f.toByte)
+      val bits = le32(21)
+      assert((bits & 0x3fff) + 1 == 64, "width")
+      assert(((bits >> 14) & 0x3fff) + 1 == math.max(1, (n + 63) / 64), "height")
+      assert((bits >>> 28) == 0, "alpha hint and version zero")
+    }
+  }
+
+  test("g_richclub: node census is degree-threshold monotone and phi stays in [0,1]") {
+    val out = operators.Graph.richClub(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nodes = out.map(_.getLong(1))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => a >= b },
+      "raising k can only shrink the club")
+    val edges = out.map(_.getLong(2))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b },
+      "edges within the club shrink with it")
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      val phi = r.getDouble(3)
+      assert(phi >= 0.0 && phi <= 1.0, s"phi k=${r.getInt(0)}")
+      // phi replays exactly from the emitted integers
+      val n = r.getLong(1); val e = r.getLong(2)
+      val replay = math.round(2.0 * e / (n.toDouble * (n - 1).toDouble) * 1e6) / 1e6.toDouble
+      assert(phi == replay)
+    }
+  }
+}
