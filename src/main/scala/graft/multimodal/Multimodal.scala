@@ -1666,6 +1666,79 @@ object Multimodal {
       |  md5(text) AS stream_md5
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ----------------------------------------------------------------- BMP
+
+  /** Text → real BMP bytes through the JDK's BMP writer, same 64-wide
+    * grayscale raster as [[encodePng]]. BMP is the THIRD real-codec
+    * image path (PNG lossless, JPEG lossy, BMP uncompressed): the JDK
+    * emits the classic 54-byte BITMAPFILEHEADER+INFOHEADER, a 256-entry
+    * grayscale palette (8-bit indexed), then raw rows BOTTOM-UP — every
+    * header field is an analytic function of the text length (probed:
+    * offset 1078, fileSize 1078 + 64·h for a 64-wide row with zero
+    * padding since 64 ≡ 0 mod 4). */
+  private[graft] def encodeBmp(text: String, width: Int = ImgW): Array[Byte] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val w = math.max(1, width)
+    val h = math.max(1, (n + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      raster.setSample(p % w, p / w, 0, if (p < n) bytes(p) & 0xff else 0)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** BMP header parse — the DIB twin of [[pngMeta]] on the
+    * little-endian side: magic, file size, pixel-array offset (54-byte
+    * headers + 1024-byte palette), BITMAPINFOHEADER geometry
+    * (width/height/planes/bpp/compression/image size), all declarative
+    * substring + conv ops. `size_ok` cross-checks the header's file
+    * size against actual container length (pinned TRUE) — BMP's
+    * header-vs-truth mismatch is the classic malformed-upload signal a
+    * crawler triage pass screens on. */
+  def bmpMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeBmp(t)) }))
+      .toDF("asset_id", "media")
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def le16(off: Int) = u8(off) + u8(off + 1) * 256L
+    def le32(off: Int) = le16(off) + le16(off + 2) * 65536L
+    assets.select(col("asset_id"),
+        (hex(substring(col("media"), 1, 2)) === "424D").as("valid_magic"),
+        le32(3).as("file_size"),
+        le32(11).as("pixel_offset"),
+        le32(15).as("header_size"),
+        le32(19).as("width"), le32(23).as("height"),
+        le16(27).as("planes"), le16(29).as("bpp"),
+        le32(31).as("compression"), le32(35).as("image_size"),
+        (le32(3) === expr("length(media)")).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle from the probed JDK writer layout: h = ⌈bytes/64⌉
+    * (min 1), rows are 64 bytes (already 4-aligned, no padding). */
+  val bmpMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic,
+      |  CAST(1078 + 64 * greatest((strlen(text) + 63) // 64, 1) AS BIGINT) AS file_size,
+      |  CAST(1078 AS BIGINT) AS pixel_offset, CAST(40 AS BIGINT) AS header_size,
+      |  CAST(64 AS BIGINT) AS width,
+      |  CAST(greatest((strlen(text) + 63) // 64, 1) AS BIGINT) AS height,
+      |  CAST(1 AS BIGINT) AS planes, CAST(8 AS BIGINT) AS bpp,
+      |  CAST(0 AS BIGINT) AS compression,
+      |  CAST(64 * greatest((strlen(text) + 63) // 64, 1) AS BIGINT) AS image_size,
+      |  TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -2495,6 +2568,7 @@ object Multimodal {
     "m_flac_meta" -> (flacMeta _),
     "m_pdf_meta" -> (pdfMeta _),
     "m_webp_meta" -> (webpMeta _),
+    "m_bmp_meta" -> (bmpMeta _),
     "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -2526,6 +2600,7 @@ object Multimodal {
     "m_flac_meta" -> flacMetaSql,
     "m_pdf_meta" -> pdfMetaSql,
     "m_webp_meta" -> webpMetaSql,
+    "m_bmp_meta" -> bmpMetaSql,
     "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,

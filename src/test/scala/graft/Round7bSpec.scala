@@ -160,6 +160,25 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("m_bmp_meta: real-codec BMP round-trips losslessly and header fields replay") {
+    val text = "bmp raster payload 0123456789"
+    val b = multimodal.Multimodal.encodeBmp(text)
+    def le32(off: Int) =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    assert(b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+    val n = text.getBytes("UTF-8").length
+    val h = math.max(1, (n + 63) / 64)
+    assert(le32(2) == b.length, "header file size equals actual bytes")
+    assert(le32(2) == 1078 + 64 * h)
+    assert(le32(10) == 1078 && le32(14) == 40)
+    assert(le32(18) == 64 && le32(22) == h)
+    // BMP is uncompressed: the decoded raster is the text bytes verbatim
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val back = (0 until n).map(p => img.getRaster.getSample(p % 64, p / 64, 0).toByte)
+    assert(back == text.getBytes("UTF-8").toSeq, "lossless identity")
+  }
+
   test("g_richclub: node census is degree-threshold monotone and phi stays in [0,1]") {
     val out = operators.Graph.richClub(spark, sf).collect()
     assert(out.nonEmpty)

@@ -50,12 +50,30 @@ def load_new_old(argv):
 def main(argv):
     new, new_name, old, old_name = load_new_old(argv)
     ns, os_ = steady(new), steady(old)
-    print(f"new: {new_name}  ({len(ns)} queries, "
-          f"steady {sum(ns.values()):.1f} s, "
-          f"loadavg {new['full'].get('env', {}).get('loadavg', '?')})")
-    print(f"old: {old_name}  ({len(os_)} queries, "
-          f"steady {sum(os_.values()):.1f} s, "
-          f"loadavg {old['full'].get('env', {}).get('loadavg', '?')})")
+
+    def describe(name, doc, qs):
+        env = doc["full"].get("env", {})
+        gc = doc.get("summary", {}).get("gc_total_ms", "?")
+        print(f"{name}  ({len(qs)} queries, steady {sum(qs.values()):.1f} s, "
+              f"loadavg {env.get('loadavg', '?')}, "
+              f"heap {env.get('heap_max_mb', '?')} MB, gc {gc} ms)")
+
+    describe(f"new: {new_name}", new, ns)
+    describe(f"old: {old_name}", old, os_)
+    # GC tax is the classic confounder for uniform 1.5-2.5x drift across
+    # UNRELATED queries (allocation-heavy neighbors get collected during
+    # later queries' timing windows): a >5x gc_total_ms gap between the
+    # artifacts means per-query ratios are environment, not plans.
+    try:
+        g_new = float(new["summary"]["gc_total_ms"])
+        g_old = float(old["summary"]["gc_total_ms"])
+        if g_old > 0 and (g_new / g_old > 5 or g_old / g_new > 5):
+            print(f"WARNING: gc_total_ms differs {g_new / g_old:.1f}x between "
+                  "artifacts — uniform per-query drift below is likely GC/host "
+                  "noise, not plan regressions; re-run on a quiet host before "
+                  "acting on individual rows")
+    except (KeyError, TypeError, ValueError, ZeroDivisionError):
+        pass
 
     added = sorted(set(ns) - set(os_))
     removed = sorted(set(os_) - set(ns))
