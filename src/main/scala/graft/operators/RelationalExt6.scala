@@ -71,9 +71,60 @@ object RelationalExt6 {
       |  min(start_day) AS first_day
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** PER-GROUP EXACT MODE (argmax) WITHOUT A WINDOW — each user's most
+    * frequent event type, with count, total and share. The textbook
+    * plan ranks every (user, type) row with `row_number()` and keeps
+    * rank 1 — a full per-user sort whose only purpose is discarding
+    * everything but the top row. The scale-correct plan is the
+    * struct-ordering trick: `min(struct(-cnt, type))` is an ordinary
+    * partial-aggregable aggregate (field-wise lexicographic struct
+    * comparison ⇒ highest count, then SMALLEST type name — a
+    * deterministic, engine-portable tie-break), so the argmax
+    * collapses map-side and only one candidate row per (user,
+    * partition) ever crosses the shuffle — no sort, no window state.
+    * Two aggregates total: raw events collapse at the first
+    * (user, type) partial agg; everything after is bounded by distinct
+    * keys. The oracle replays via the window form — both engines must
+    * agree row-for-row, which certifies the tie-break really is total.
+    * Share = one IEEE division over exact Longs, rounded (the
+    * engine-wide ratio discipline). */
+  def q85ArgmaxMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("user_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("event_type").as("et"))).as("m"),
+        sum(col("cnt")).as("total_events"))
+      .select(col("user_id"),
+        col("m.et").as("modal_type"),
+        (-col("m.nc")).as("modal_cnt"),
+        col("total_events"),
+        ExactRound.r((-col("m.nc")).cast("double") / col("total_events"), 6)
+          .as("modal_share"))
+      .orderBy("user_id")
+  }
+
+  /** SQL twin — the window form the Spark side deliberately avoids;
+    * identical tie-break (count DESC, type ASC). */
+  val q85Sql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT user_id, event_type, cnt,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn,
+       |    CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total_events
+       |  FROM c
+       |)
+       |SELECT user_id, event_type AS modal_type, cnt AS modal_cnt, total_events,
+       |  ${ExactRound.rSql("CAST(cnt AS DOUBLE) / total_events", 6)} AS modal_share
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q84_islands" -> (q84Islands _))
+    "q84_islands" -> (q84Islands _),
+    "q85_argmax_mode" -> (q85ArgmaxMode _))
 
   val oracles: Map[String, String] = Map(
-    "q84_islands" -> q84Sql)
+    "q84_islands" -> q84Sql,
+    "q85_argmax_mode" -> q85Sql)
 }

@@ -160,6 +160,21 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("q85_argmax_mode: struct-min argmax equals an in-memory count + tie-break replay") {
+    val out = operators.RelationalExt6.q85ArgmaxMode(spark, sf).collect()
+    assert(out.nonEmpty)
+    val events = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = events.groupBy(_._1)
+    out.foreach { r =>
+      val cnts = byUser(r.getLong(0)).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // deterministic tie-break: highest count, then smallest type name
+      val (et, cnt) = cnts.toSeq.sortBy { case (t, c) => (-c, t) }.head
+      assert(r.getString(1) == et, s"modal_type user ${r.getLong(0)}")
+      assert(r.getLong(2) == cnt && r.getLong(3) == cnts.values.sum)
+    }
+  }
+
   test("m_bmp_meta: real-codec BMP round-trips losslessly and header fields replay") {
     val text = "bmp raster payload 0123456789"
     val b = multimodal.Multimodal.encodeBmp(text)
