@@ -1496,6 +1496,41 @@ object Pipeline {
     }
   }
 
+  /** XML ROUND-TRIP behind the same manifest gate as ORC/Avro/CSV —
+    * Spark 4 ships the (former spark-xml) source natively, and XML is
+    * still how a long tail of enterprise/scientific corpora arrive
+    * (PubMed, patents, Wikipedia dumps). Write: one `<doc>` row tag
+    * per document, shard-partitioned. Read: explicit schema (never
+    * inference — at 100 TB schema inference is a full extra scan),
+    * shard recovered from the partition directory. The writer
+    * entity-escapes markup and the reader reverses it; the manifest
+    * hash compares every text byte against the parquet truth, so ANY
+    * escaping/whitespace mangling turns the certificate red rather
+    * than passing quietly (the p_text_roundtrip discipline, delegated
+    * to the format's own codec). `ignoreSurroundingSpaces=false`
+    * pins the one reader default that silently rewrites data. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val out = java.nio.file.Files.createTempDirectory("graft_xml_rt_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"), bucket.as("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .option("rowTag", "doc").format("xml").save(out)
+      val back = s.read
+        .schema("doc_id LONG, n_chars LONG, text STRING")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(out)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          col("shard").cast("int").as("shard"))
+        .localCheckpoint()
+      manifestAgg(back)
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
   /** Avro record schema for one document. Kept as literal JSON: the
     * schema travels INSIDE each container file's header (that is
     * Avro's whole interchange contract), so the reader below never
@@ -2677,6 +2712,7 @@ object Pipeline {
     "p_csv_roundtrip" -> (csvRoundtrip _),
     "p_orc_roundtrip" -> (orcRoundtrip _),
     "p_avro_roundtrip" -> (avroRoundtrip _),
+    "p_xml_roundtrip" -> (xmlRoundtrip _),
     "p_zorder" -> (zorder _),
     "p_cdc_apply" -> (cdcApply _),
     "p_scd2" -> (scd2 _),
@@ -2714,6 +2750,7 @@ object Pipeline {
     "p_csv_roundtrip" -> csvRoundtripSql,
     "p_orc_roundtrip" -> manifestSql,
     "p_avro_roundtrip" -> manifestSql,
+    "p_xml_roundtrip" -> manifestSql,
     "p_zorder" -> zorderSql,
     "p_cdc_apply" -> cdcApplySql,
     "p_scd2" -> scd2Sql,

@@ -194,6 +194,26 @@ class Round7bSpec extends SparkSpec {
     assert(back == text.getBytes("UTF-8").toSeq, "lossless identity")
   }
 
+  test("p_xml_roundtrip: adversarial markup/unicode strings survive the XML codec") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a < b & c > d"),
+      (2L, "quotes \" and ' apostrophes"),
+      (3L, "entity-looking text &amp; &#60; stays literal"),
+      (4L, "naïve ☃ 中文 mixed"),
+      (5L, "]]> cdata terminator"))
+    val dir = java.nio.file.Files.createTempDirectory("xmlrt_spec_").toString
+    try {
+      rows.toDF("id", "text").write.mode("overwrite")
+        .option("rowTag", "doc").format("xml").save(dir)
+      val back = spark.read.schema("id LONG, text STRING")
+        .option("rowTag", "doc").option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.foreach { case (id, t) => assert(back(id) == t, s"row $id mangled") }
+    } finally Scratch.rmTree(dir)
+  }
+
   test("g_richclub: node census is degree-threshold monotone and phi stays in [0,1]") {
     val out = operators.Graph.richClub(spark, sf).collect()
     assert(out.nonEmpty)
