@@ -1739,6 +1739,61 @@ object Multimodal {
       |  TRUE AS size_ok
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------------- zstd
+
+  /** ZSTD FRAME header parse over REAL zstd-compressed documents (the
+    * JVM's zstd-jni, the exact codec Spark's own parquet/shuffle zstd
+    * path links): magic `28 B5 2F FD` (LE), the Frame_Header_Descriptor
+    * bit field (Frame_Content_Size flag, Single_Segment, checksum,
+    * dictionary id), and the variable-width Frame_Content_Size field
+    * (1 byte as-is / 2 bytes LE + 256 / 4 bytes LE — RFC 8878 §3.1.1),
+    * decoded declaratively with shift/mask substring+conv ops. The
+    * parsed content size must equal the document's BYTE length — the
+    * header-vs-truth check an object store runs to size decompression
+    * buffers WITHOUT trusting the payload; `roundtrip_ok` (real
+    * decompress equals source bytes) is pinned TRUE beside it. One
+    * scan; the codec runs batched in mapPartitions, the parse is
+    * codegen'd column ops. */
+  def zstdFrame(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) =>
+        val src = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val c = com.github.luben.zstd.Zstd.compress(src, 3)
+        val back = com.github.luben.zstd.Zstd.decompress(c, src.length)
+        (id, c, java.util.Arrays.equals(back, src))
+      }))
+      .toDF("asset_id", "media", "roundtrip_ok")
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def le16(off: Int) = u8(off) + u8(off + 1) * 256L
+    def le32(off: Int) = le16(off) + le16(off + 2) * 65536L
+    val fhd = u8(5)
+    val fcsFlag = shiftright(fhd, 6)
+    assets.select(col("asset_id"),
+        (hex(substring(col("media"), 1, 4)) === "28B52FFD").as("valid_magic"),
+        (shiftright(fhd, 5).bitwiseAND(lit(1L)) === 1L).as("single_segment"),
+        (shiftright(fhd, 2).bitwiseAND(lit(1L)) === 1L).as("has_checksum"),
+        fhd.bitwiseAND(lit(3L)).as("dict_id_flag"),
+        when(fcsFlag === 0L, u8(6))
+          .when(fcsFlag === 1L, le16(6) + 256L)
+          .when(fcsFlag === 2L, le32(6))
+          .as("content_size"),
+        col("roundtrip_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: content size is the document's byte length; the
+    * simple-API encoder always emits single-segment frames with an
+    * explicit FCS, no checksum, no dictionary. */
+  val zstdFrameSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic, TRUE AS single_segment,
+      |  FALSE AS has_checksum, CAST(0 AS BIGINT) AS dict_id_flag,
+      |  CAST(strlen(text) AS BIGINT) AS content_size, TRUE AS roundtrip_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -2569,6 +2624,7 @@ object Multimodal {
     "m_pdf_meta" -> (pdfMeta _),
     "m_webp_meta" -> (webpMeta _),
     "m_bmp_meta" -> (bmpMeta _),
+    "m_zstd_frame" -> (zstdFrame _),
     "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -2601,6 +2657,7 @@ object Multimodal {
     "m_pdf_meta" -> pdfMetaSql,
     "m_webp_meta" -> webpMetaSql,
     "m_bmp_meta" -> bmpMetaSql,
+    "m_zstd_frame" -> zstdFrameSql,
     "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,

@@ -194,6 +194,28 @@ class Round7bSpec extends SparkSpec {
     assert(back == text.getBytes("UTF-8").toSeq, "lossless identity")
   }
 
+  test("m_zstd_frame: FCS field width switches at 256 and 65792 bytes as parsed") {
+    // the three RFC 8878 content-size encodings the parser handles:
+    // 1-byte (<256), 2-byte LE + 256, 4-byte LE
+    Seq(100, 300, 70000).foreach { n =>
+      val src = Array.tabulate[Byte](n)(i => ('a' + i % 7).toByte)
+      val c = com.github.luben.zstd.Zstd.compress(src, 3)
+      assert((c(0) & 0xff) == 0x28 && (c(1) & 0xff) == 0xb5 &&
+        (c(2) & 0xff) == 0x2f && (c(3) & 0xff) == 0xfd)
+      val fhd = c(4) & 0xff
+      val fcsFlag = fhd >> 6
+      val parsed = fcsFlag match {
+        case 0 => (c(5) & 0xffL)
+        case 1 => ((c(5) & 0xffL) | ((c(6) & 0xffL) << 8)) + 256L
+        case 2 => (c(5) & 0xffL) | ((c(6) & 0xffL) << 8) |
+          ((c(7) & 0xffL) << 16) | ((c(8) & 0xffL) << 24)
+        case _ => fail(s"unexpected 8-byte FCS for n=$n")
+      }
+      assert(parsed == n.toLong, s"content size for n=$n (fcsFlag=$fcsFlag)")
+      assert(com.github.luben.zstd.Zstd.decompress(c, n).toSeq == src.toSeq)
+    }
+  }
+
   test("p_xml_roundtrip: adversarial markup/unicode strings survive the XML codec") {
     import spark.implicits._
     val rows = Seq(
