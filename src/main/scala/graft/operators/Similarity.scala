@@ -1983,7 +1983,87 @@ object Similarity {
        |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------- random projection (JL)
+
+  /** The deterministic ±1 Johnson-Lindenstrauss projection matrix,
+    * 16×64: sign(j,i) = parity of djb2("j:i") — reproducible on any
+    * engine/node with no RNG state to ship (the SimHash hyperplane
+    * discipline). Row j is exposed as a constant DOUBLE vector so the
+    * projection is 16 dot products against broadcast literals, reusing
+    * the [[graft.functions.VectorFns.dot_product]] ⇄ list_inner_product
+    * bit-parity contract — no new float-summation order to certify. */
+  private[graft] val jlSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val h = graft.functions.Djb2.hash(s"$j:$i".getBytes("US-ASCII"))
+        if ((h % 2 + 2) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** RANDOM-PROJECTION (Johnson-Lindenstrauss) coarse ANN — the
+    * dimensionality-reduction point on the quantization ladder
+    * [[annMatryoshka]] (truncation), [[sq8]] (8-bit), [[binaryHamming]]
+    * (1-bit) already walk: project 64 → 16 dims through a fixed ±1
+    * matrix (JL: pairwise cosines are preserved to O(1/√k) WITHOUT any
+    * trained structure — works on embeddings Matryoshka training never
+    * touched), rank coarsely in the 16-dim space, take top-50, re-rank
+    * exactly, emit both scores. 4× less index memory and arithmetic per
+    * scan, the same economics as truncation but model-agnostic. Each
+    * projected coordinate is one dot product against a constant
+    * vector — map-side, codegen'd, corpus never self-joins. */
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    def proj(v: Column): Column = array(
+      jlSigns.map(row => dot(v, typedlit(row))): _*)
+    val withP = vs.withColumn("p", proj(col("v")))
+    val q = withP.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"), col("p").as("q_p"))
+    val coarse = withP.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("norm"), col("q_v"), col("q_norm"),
+        ExactRound.r(dot(col("p"), col("q_p"))
+          / (sqrt(dot(col("p"), col("p"))) * sqrt(dot(col("q_p"), col("q_p")))), 6)
+          .as("proj_cosine"))
+      .orderBy(col("proj_cosine").desc, col("vec_id"))
+      .limit(50)
+    coarse
+      .select(col("vec_id"), col("proj_cosine"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** SQL twin: the same 16 literal sign rows (generated by the same
+    * Scala constant), list_inner_product per coordinate. */
+  val randomProjectionSql: String = {
+    val rows = jlSigns.map(r => r.map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]"))
+    val projList = rows.map(r => s"list_inner_product(v, $r)").mkString("[", ",\n    ", "]")
+    val rProj = graft.operators.ExactRound.rSql(
+      "list_inner_product(e.p, q.q_p) / (sqrt(list_inner_product(e.p, e.p)) * " +
+        "sqrt(list_inner_product(q.q_p, q.q_p)))", 6)
+    val rFull = graft.operators.ExactRound.rSql(
+      "list_inner_product(c.v, c.q_v) / (c.nrm * c.q_nrm)", 6)
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, v, nrm, $projList AS p FROM e0
+       |), q AS (SELECT v AS q_v, nrm AS q_nrm, p AS q_p FROM e WHERE vec_id = 0
+       |), coarse AS (
+       |  SELECT e.vec_id, e.v, e.nrm, q.q_v, q.q_nrm, $rProj AS proj_cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY proj_cosine DESC, e.vec_id LIMIT 50
+       |)
+       |SELECT c.vec_id, c.proj_cosine, $rFull AS cosine
+       |FROM coarse c
+       |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_random_projection" -> (randomProjection _),
     "s_binary_hamming" -> (binaryHamming _),
     "s_gram_matrix" -> (gramMatrix _),
     "s_ivf_batch" -> (ivfBatch _),
@@ -2015,6 +2095,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_random_projection" -> randomProjectionSql,
     "s_binary_hamming" -> binaryHammingSql,
     "s_gram_matrix" -> gramMatrixSql,
     "s_ivf_batch" -> ivfBatchSql,

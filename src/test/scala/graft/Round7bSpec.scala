@@ -194,6 +194,34 @@ class Round7bSpec extends SparkSpec {
     assert(back == text.getBytes("UTF-8").toSeq, "lossless identity")
   }
 
+  test("s_random_projection: projected cosines replay from the literal sign matrix") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def proj(v: Array[Double]): Array[Double] =
+      operators.Similarity.jlSigns.map(row =>
+        row.zip(v).map { case (s, x) => s * x }.sum).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val qp = proj(vecs(0L))
+    val out = operators.Similarity.randomProjection(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val replay = math.round(cos(proj(vecs(r.getLong(0))), qp) * 1e6) / 1e6.toDouble
+      // in-memory zip-fold vs the engine's index-order dot can differ in
+      // the last ULP before rounding; equality after 1e-9 tolerance is
+      // the semantic claim (the hex gate vs DuckDB pins bit-exactness)
+      assert(math.abs(r.getDouble(1) - replay) < 1e-6, s"proj cosine vec ${r.getLong(0)}")
+    }
+    // the sign matrix itself is balanced-ish: no row is constant
+    operators.Similarity.jlSigns.foreach { row =>
+      assert(row.toSet.size == 2, "a constant sign row projects onto the all-ones axis")
+    }
+  }
+
   test("m_zstd_frame: FCS field width switches at 256 and 65792 bytes as parsed") {
     // the three RFC 8878 content-size encodings the parser handles:
     // 1-byte (<256), 2-byte LE + 256, 4-byte LE
