@@ -696,11 +696,15 @@ object Dedup {
     * hamming ≤ 3 (pigeonhole: 4 chunks, at most 3 differing bits force
     * one identical chunk), so the blocked result equals this brute
     * force. */
-  val simhashSql: String = {
+  /** The simhash derivation as a reusable CTE fragment ending in
+    * `dsim(doc_id, bits)` — bits is the 64-entry 0/1 list in bit order.
+    * Must be spliced into a `WITH RECURSIVE` list (the djb2 member is
+    * recursive). Shared by [[simhashSql]] and [[simhashRecallSql]]. */
+  private[graft] val simhashCtes: String = {
     val avalanche = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
     val m64 = "CAST('18446744073709551616' AS HUGEINT)"
     val divs = (0 until 64).map(b => (BigInt(1) << b).toString).mkString("[", ", ", "]")
-    s"""WITH RECURSIVE doctok AS (
+    s"""doctok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS token FROM documents
        |), tokcnt AS (
        |  SELECT doc_id, token, count(*) AS cnt FROM doctok GROUP BY doc_id, token
@@ -729,15 +733,75 @@ object Dedup {
        |), dsim AS (
        |  SELECT doc_id, list(CASE WHEN acc > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
        |  FROM acc GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  /** Pairwise hamming over two dsim rows, as a SQL expression. */
+  private def dsimHammingSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN $a.bits[i] <> $b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH RECURSIVE $simhashCtes
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(list_sum(list_transform(generate_series(1, 64), i ->
-       |      CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |    ${dsimHammingSql("a", "b")} AS hamming
        |  FROM dsim a JOIN dsim b ON a.doc_id < b.doc_id
        |)
        |WHERE hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SIMHASH RECALL AUDIT — the measured answer to "can I dedup on
+    * SimHash alone?", the [[modalAgreement]] question asked of the
+    * OTHER cheap signature (Charikar'02 / the Google near-dup paper's
+    * operating point): every verified textual near-dup pair
+    * ([[ngramJaccard]], j ≥ 0.5) is scored with its documents' 64-bit
+    * SimHash hamming distance and rolled up per Jaccard decile —
+    * n_pairs, pairs caught at the paper's hamming ≤ 3 cut, at a loose
+    * ≤ 8 cut, the worst hamming in the bucket, and one rounded recall.
+    * A low recall row is the evidence (not the assumption) that
+    * SimHash blocking at that similarity level silently loses pairs
+    * the shingle path finds — exactly what an operator needs before
+    * swapping the cheap signature in at 100 TB. Scale shape: the pair
+    * table is post-filter tiny, the two signature joins are id
+    * equi-joins, the hamming is one codegen'd xor+popcount. */
+  def simhashRecall(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d)
+    val sims = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.MinHashFns.simhash64(split(trim(col("text")), WS)).as("sig"))
+    pairs
+      .join(sims.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sims.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .withColumn("j_bucket", floor(col("jaccard") * 10).cast("int"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("caught_h3"),
+        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("caught_h8"),
+        max("hamming").as("max_hamming"))
+      .withColumn("recall_h3",
+        ExactRound.r(col("caught_h3").cast("double") / col("n_pairs"), 6))
+      .orderBy("j_bucket")
+  }
+
+  /** SQL twin: verified pairs with their jaccard + the shared
+    * [[simhashCtes]] bit lists, hamming per pair, same decile rollup. */
+  val simhashRecallSql: String = {
+    val j = OracleCtes.ngramJaccardExpr
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, prj AS MATERIALIZED (
+       |  SELECT pa, pb, $j AS j FROM ng_pair WHERE $j >= 0.5
+       |), $simhashCtes, ham AS MATERIALIZED (
+       |  SELECT prj.j, ${dsimHammingSql("a", "b")} AS hamming
+       |  FROM prj JOIN dsim a ON a.doc_id = prj.pa JOIN dsim b ON b.doc_id = prj.pb
+       |)
+       |SELECT CAST(floor(j * 10) AS INT) AS j_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS caught_h3,
+       |  CAST(sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS caught_h8,
+       |  CAST(max(hamming) AS BIGINT) AS max_hamming,
+       |  ${ExactRound.rSql("CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS recall_h3
+       |FROM ham GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   // ------------------------------------------------- shared substrings
@@ -1844,6 +1908,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_edit_distance" -> (editDistance _),
+    "d_simhash_recall" -> (simhashRecall _),
     "d_cross_shard" -> (crossShard _),
     "d_prefix_dup" -> (prefixDup _),
     "d_source_overlap" -> (sourceOverlap _),
@@ -1872,6 +1937,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_edit_distance" -> editDistanceSql,
+    "d_simhash_recall" -> simhashRecallSql,
     "d_cross_shard" -> crossShardSql,
     "d_prefix_dup" -> prefixDupSql,
     "d_source_overlap" -> sourceOverlapSql,

@@ -222,6 +222,31 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("d_simhash_recall: bucket counts replay from per-pair hamming; recall is honest") {
+    val out = operators.Dedup.simhashRecall(spark, sf).collect()
+    assert(out.nonEmpty)
+    val pairs = operators.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.MinHashFns.simhash64(
+          split(trim(col("text")), "[ \t\n\r]+")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byBucket = pairs.groupBy { case (_, _, j) => math.floor(j * 10).toInt }
+    out.foreach { r =>
+      val bucket = byBucket(r.getInt(0))
+      val hams = bucket.map { case (a, b, _) =>
+        java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      }
+      assert(r.getLong(1) == bucket.length.toLong, "n_pairs")
+      assert(r.getLong(2) == hams.count(_ <= 3).toLong, "caught_h3")
+      assert(r.getLong(3) == hams.count(_ <= 8).toLong, "caught_h8")
+      assert(r.getLong(4) == hams.max, "max_hamming")
+    }
+    // every verified pair appears in exactly one bucket
+    assert(out.map(_.getLong(1)).sum == pairs.length.toLong)
+  }
+
   test("m_zstd_frame: FCS field width switches at 256 and 65792 bytes as parsed") {
     // the three RFC 8878 content-size encodings the parser handles:
     // 1-byte (<256), 2-byte LE + 256, 4-byte LE
