@@ -1752,7 +1752,118 @@ object Graph {
        |FROM nk LEFT JOIN ek ON ek.k = nk.k
        |ORDER BY nk.k""".stripMargin
 
+  // ------------------------------------------------- greedy coloring
+
+  /** DISTRIBUTED GREEDY COLORING via Luby-style maximal-independent-set
+    * rounds — the conflict-scheduling primitive (register allocation,
+    * parallel-update batching, mutex-free graph processing) the family
+    * lacks: in round r, an uncolored node joins color class r iff its
+    * per-round priority beats every UNCOLORED neighbor's — each round's
+    * winner set is independent by construction, and re-randomizing the
+    * priority per round (Luby'86) gives expected O(log n) rounds where
+    * a static priority degrades to the longest priority-descending
+    * path. Priorities are engine-portable pseudo-randomness: the djb2
+    * expression over "r#node" keys (the [[walks]] discipline) packed
+    * with the node id as tie-break, so every comparison is strict and
+    * both engines pick identical winner sets. FIXED 4 synchronous
+    * rounds + a `converged` certificate column (TRUE iff nothing was
+    * left uncolored — the honest cap the [[ktruss]] contract uses);
+    * uncolored survivors carry color −1. Per round: one equi-join of
+    * the shrinking active edge list against the priority table + one
+    * partial-agg max — work ∝ active edges, never n². */
+  def coloring(s: SparkSession, d: String): DataFrame = {
+    val rounds = 4
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    def prio(r: Int) =
+      (graft.functions.Djb2.djb2_hash(
+        concat(lit(r.toString), lit("#"), col("id").cast("string")))
+        .bitwiseAND(lit(2147483647L)) * 100000000L + col("id")).as("p")
+    var active = nodes.localCheckpoint()
+    var edges = pairs.select(col("a").as("u"), col("b").as("w"))
+      .union(pairs.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint()
+    var colored = nodes.filter(lit(false))
+      .select(col("id"), lit(-1).as("color"))
+    for (r <- 0 until rounds) {
+      val pr = active.select(col("id"), prio(r))
+      val nbrMax = edges
+        .join(pr.select(col("id").as("w"), col("p").as("pw")), "w")
+        .groupBy(col("u").as("id")).agg(max("pw").as("max_nbr"))
+      val winners = pr.join(nbrMax, Seq("id"), "left")
+        .filter(col("p") > coalesce(col("max_nbr"), lit(-1L)))
+        .select("id").localCheckpoint()
+      colored = colored.union(winners.select(col("id"), lit(r).as("color")))
+      active = active.join(winners, Seq("id"), "left_anti").localCheckpoint()
+      edges = edges
+        .join(active.select(col("id").as("u")), "u")
+        .join(active.select(col("id").as("w")), "w")
+        .select("u", "w").localCheckpoint()
+    }
+    val nUncolored = active.count()
+    nodes.join(colored, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("color"), lit(-1)).as("color"),
+        lit(nUncolored == 0).as("converged"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: the same 4 unrolled MIS rounds; priorities from the
+    * recursive djb2 CTE over identical "r#node" keys. */
+  val coloringSql: String = {
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val rounds = (0 until 4).map { r =>
+      s"""ce$r AS MATERIALIZED (
+         |  SELECT e.u, e.w FROM sym e
+         |  JOIN ca$r x ON x.id = e.u JOIN ca$r y ON y.id = e.w
+         |), cm$r AS MATERIALIZED (
+         |  SELECT e.u AS id, max(p.p) AS max_nbr
+         |  FROM ce$r e JOIN pri p ON p.id = e.w AND p.r = $r
+         |  GROUP BY e.u
+         |), cw$r AS MATERIALIZED (
+         |  SELECT a.id FROM ca$r a
+         |  JOIN pri p ON p.id = a.id AND p.r = $r
+         |  LEFT JOIN cm$r m ON m.id = a.id
+         |  WHERE p.p > coalesce(m.max_nbr, -1)
+         |), ca${r + 1} AS MATERIALIZED (
+         |  -- anti-join, not EXCEPT: under WITH RECURSIVE DuckDB rejects
+         |  -- set-op members that aren't UNION [ALL]
+         |  SELECT a.id FROM ca$r a LEFT JOIN cw$r w ON w.id = a.id
+         |  WHERE w.id IS NULL
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, sym AS MATERIALIZED (
+       |  SELECT pa AS u, pb AS w FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id FROM sym
+       |), sk AS (
+       |  SELECT id, r, CAST(r AS VARCHAR) || '#' || CAST(id AS VARCHAR) AS key
+       |  FROM nodes, (SELECT unnest([0, 1, 2, 3]) AS r)
+       |), ph AS (
+       |  SELECT id, r, key, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM sk
+       |  UNION ALL
+       |  SELECT id, r, key, i+1,
+       |    (hash*33 + ord(substr(key,i,1))) % $m64
+       |  FROM ph WHERE i <= length(key)
+       |), pri AS MATERIALIZED (
+       |  SELECT id, r, CAST(hash % 2147483648 AS BIGINT) * 100000000 + id AS p
+       |  FROM ph WHERE i = length(key)+1
+       |), ca0 AS MATERIALIZED (SELECT id FROM nodes
+       |), $rounds, col AS (
+       |  SELECT id, 0 AS color FROM cw0 UNION ALL SELECT id, 1 FROM cw1
+       |  UNION ALL SELECT id, 2 FROM cw2 UNION ALL SELECT id, 3 FROM cw3
+       |)
+       |SELECT n.id AS doc_id, CAST(coalesce(c.color, -1) AS INT) AS color,
+       |  (SELECT count(*) FROM ca4) = 0 AS converged
+       |FROM nodes n LEFT JOIN col c ON c.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_coloring" -> (coloring _),
     "g_richclub" -> (richClub _),
     "g_hits" -> (hits _),
     "g_ktruss" -> (ktruss _),
@@ -1775,6 +1886,7 @@ object Graph {
     "g_clustcoef" -> (clustCoef _))
 
   val oracles: Map[String, String] = Map(
+    "g_coloring" -> coloringSql,
     "g_richclub" -> richClubSql,
     "g_hits" -> hitsSql,
     "g_ktruss" -> ktrussSql,

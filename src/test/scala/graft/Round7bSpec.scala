@@ -222,6 +222,24 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("g_coloring: every color class is an independent set; converged means total") {
+    val out = operators.Graph.coloring(spark, sf).collect()
+    assert(out.nonEmpty)
+    val color = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val converged = out.head.getBoolean(2)
+    if (converged) assert(color.values.forall(_ >= 0), "converged ⇒ no -1 colors")
+    val edges = operators.Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(color(a) == -1 || color(a) != color(b),
+        s"edge ($a,$b) joins two color-${color(a)} nodes — not independent")
+    }
+    // greedy MIS can't skip a color class: classes are used in order
+    val used = color.values.filter(_ >= 0).toSet
+    assert((0 until used.size).forall(used.contains), "color classes are contiguous")
+  }
+
   test("d_simhash_recall: bucket counts replay from per-pair hamming; recall is honest") {
     val out = operators.Dedup.simhashRecall(spark, sf).collect()
     assert(out.nonEmpty)
