@@ -1624,7 +1624,10 @@ object TextAnalysis {
     * the round-[[BpeRounds]] merge applied (train's twin skips it —
     * the merge table doesn't need the final words; the encoder does),
     * then the same vocabulary join against per-doc term counts. */
-  val bpeApplySql: String = {
+  /** The encode-side CTE chain (vocab build → [[BpeRounds]] threaded
+    * merges → `wfin(term, n_syms)`), shared by [[bpeApplySql]] and
+    * [[fertilitySql]]. Splice as `WITH $bpeApplyChainSql, ...`. */
+  private val bpeApplyChainSql: String = {
     def pairsCte(wTbl: String, out: String): String =
       s"""$out AS (
          |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS n_occ FROM (
@@ -1647,7 +1650,7 @@ object TextAnalysis {
       Seq(pairsCte(s"w${k - 1}", s"p$k"), bestCte(s"p$k", s"b$k"),
         mergeCte(s"w${k - 1}", s"b$k", s"w$k"))
     }
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT term, regexp_replace(term, '(.)', '<\\1>', 'g') || '<_>' AS w,
        |    count(*) AS n
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
@@ -1658,7 +1661,11 @@ object TextAnalysis {
        |  SELECT term, CAST(len(string_split(substr(w, 2, length(w) - 2), '><')) AS BIGINT)
        |    AS n_syms
        |  FROM w$BpeRounds
-       |),
+       |)""".stripMargin
+  }
+
+  val bpeApplySql: String =
+    s"""WITH $bpeApplyChainSql,
        |docterms AS (
        |  SELECT doc_id, term, count(*) AS c FROM (
        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -1672,7 +1679,60 @@ object TextAnalysis {
             "CAST(sum(d.c * f.n_syms) AS DOUBLE) / sum(d.c * (length(d.term) + 1))", 6)} AS ratio
        |FROM docterms d JOIN wfin f USING (term)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** TOKENIZER FERTILITY by language — the multilingual-bias
+    * measurement every tokenizer report carries (Rust et al.'21 /
+    * the XLM-R appendix shape): pieces-per-word and pieces-per-base-
+    * symbol for the SAME merge table, rolled up per lang tag. A
+    * tokenizer trained on one distribution quietly taxes the others —
+    * a high-fertility language pays more sequence length (more
+    * compute, less context) for the same text, and this emits the
+    * per-lang number that decides whether the vocabulary needs
+    * rebalancing BEFORE a 100 TB encode run commits to it. Same scale
+    * shape as [[bpeApply]]: merges run on the distinct vocabulary,
+    * the corpus is scanned once for (lang, term) counts, fertility
+    * falls out of one join + one aggregate. Exact integer word/piece/
+    * char totals; two rounded ratios. */
+  def fertility(s: SparkSession, d: String): DataFrame = {
+    val wfin = bpeLoop(s, d)._2
+      .select(col("term"),
+        size(expr("split(substring(w, 2, length(w) - 2), '><')")).cast("long").as("n_syms"))
+    val langTerms = Tables.parallelize(Tables.documents(s, d))
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    langTerms.join(wfin, "term")
+      .groupBy("lang")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_syms")).as("n_pieces"),
+        sum(col("c") * (length(col("term")) + lit(1))).as("n_base"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_base"),
+        graft.operators.ExactRound.r(
+          col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"),
+        graft.operators.ExactRound.r(
+          col("n_pieces").cast("double") / col("n_base"), 6).as("compression"))
+      .orderBy("lang")
   }
+
+  /** SQL twin: the shared encode chain + a per-lang rollup. */
+  val fertilitySql: String =
+    s"""WITH $bpeApplyChainSql,
+       |lt AS (
+       |  SELECT lang, term, count(*) AS c FROM (
+       |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+       |    FROM documents
+       |  ) GROUP BY lang, term
+       |)
+       |SELECT l.lang,
+       |  CAST(sum(l.c) AS BIGINT) AS n_words,
+       |  CAST(sum(l.c * f.n_syms) AS BIGINT) AS n_pieces,
+       |  CAST(sum(l.c * (length(l.term) + 1)) AS BIGINT) AS n_base,
+       |  ${graft.operators.ExactRound.rSql(
+            "CAST(sum(l.c * f.n_syms) AS DOUBLE) / sum(l.c)", 6)} AS fertility,
+       |  ${graft.operators.ExactRound.rSql(
+            "CAST(sum(l.c * f.n_syms) AS DOUBLE) / sum(l.c * (length(l.term) + 1))", 6)} AS compression
+       |FROM lt l JOIN wfin f USING (term)
+       |GROUP BY l.lang ORDER BY l.lang""".stripMargin
 
   /** CODE-VS-PROSE detection — the curation split every mixed web
     * corpus needs before training (code and prose want different
@@ -2100,6 +2160,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_script_profile" -> (scriptProfile _),
+    "t_fertility" -> (fertility _),
     "t_wordpiece" -> (wordpiece _),
     "t_cdc_minhash" -> (cdcMinhash _),
     "t_unicode_norm" -> (unicodeNorm _),
@@ -2142,6 +2203,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t_script_profile" -> scriptProfileSql,
+    "t_fertility" -> fertilitySql,
     "t_unicode_norm" -> unicodeNormSql,
     "t_skipgram_pairs" -> skipgramPairsSql,
     "t_code_detect" -> codeDetectSql,

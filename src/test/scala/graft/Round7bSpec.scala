@@ -222,6 +222,22 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("t_fertility: per-lang piece/base totals equal t_bpe_apply's per-doc sums") {
+    val fert = operators.TextAnalysis.fertility(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val langOf = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = operators.TextAnalysis.bpeApply(spark, sf).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val byLang = perDoc.groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.map(_._3).sum)).toMap
+    // same merge table, same corpus — the two rollups must agree exactly
+    fert.foreach { case (lang, (pieces, base)) =>
+      assert(byLang(lang) == ((pieces, base)), s"lang $lang")
+    }
+    assert(fert.keySet == byLang.keySet)
+  }
+
   test("g_coloring: every color class is an independent set; converged means total") {
     val out = operators.Graph.coloring(spark, sf).collect()
     assert(out.nonEmpty)
