@@ -1739,6 +1739,75 @@ object Multimodal {
       |  TRUE AS size_ok
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // --------------------------------------------------- WebDataset pairs
+
+  /** WEBDATASET PAIRED-SAMPLE integrity audit — the curation check a
+    * multimodal tar corpus runs before training: WebDataset groups a
+    * sample's modalities by FILENAME STEM inside one shard tar
+    * (`000017.txt` + `000017.png` = one sample), and a missing member
+    * silently becomes a half-sample the loader either crashes on or
+    * drops. Every doc here becomes a txt member plus (for docs with
+    * `doc_id % 13 != 0` — a deterministic ~8 % breakage plant, the
+    * [[t_unicode_norm]] planted-fault discipline) a real PNG member;
+    * shards are real tars (one `mapGroups` task per shard, members
+    * stem-sorted for shuffle-order-proof bytes), the audit walks
+    * [[parseTar]]'s checksum-verified index, groups by stem and emits
+    * per-sample modality presence + completeness. The oracle states
+    * the plant analytically, so a parse that drops or duplicates any
+    * member turns the row red. Scale shape: one task per shard, audit
+    * is one groupBy over the member index — never the payload bytes. */
+  def wdsPaired(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    Tables.documents(s, d)
+      .select(bucket.as("shard"), col("doc_id"), col("text"))
+      .as[(Int, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.toArray.sortBy(_._2).flatMap { case (_, id, t) =>
+          val txt = (f"$id%08d.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (id % 13 != 0) Seq(txt, (f"$id%08d.png", encodePng(t))) else Seq(txt)
+        }
+        (shard, encodeTar(members.toSeq))
+      }
+      .flatMap { case (shard, tar) =>
+        parseTar(tar).map { case (name, _, size, ok, _) =>
+          (shard, name.takeWhile(_ != '.').toLong, name.dropWhile(_ != '.').drop(1),
+            size, ok)
+        }
+      }
+      .toDF("shard", "doc_id", "ext", "size_bytes", "cksum_ok")
+      .groupBy("shard", "doc_id")
+      .agg(max(when(col("ext") === "txt", col("cksum_ok"))).as("has_txt"),
+        coalesce(max(when(col("ext") === "png", col("cksum_ok"))), lit(false))
+          .as("has_img"),
+        max(when(col("ext") === "txt", col("size_bytes"))).as("txt_bytes"),
+        count(lit(1)).cast("int").as("n_members"))
+      .withColumn("complete", col("has_txt") && col("has_img"))
+      .orderBy("doc_id")
+  }
+
+  /** Analytic oracle: shard = C-parity djb2 % 16 (recursive CTE), txt
+    * always present, png present iff doc_id % 13 != 0. */
+  val wdsPairedSql: String =
+    """WITH RECURSIVE ds AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS key, strlen(text) AS n FROM documents
+      |), h AS (
+      |  SELECT doc_id, key, n, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM ds
+      |  UNION ALL
+      |  SELECT doc_id, key, n, i+1,
+      |    (hash*33 + ord(substr(key,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM h WHERE i <= length(key)
+      |)
+      |SELECT CAST(hash % 16 AS INT) AS shard, doc_id,
+      |  TRUE AS has_txt, doc_id % 13 <> 0 AS has_img,
+      |  CAST(n AS BIGINT) AS txt_bytes,
+      |  CAST(CASE WHEN doc_id % 13 <> 0 THEN 2 ELSE 1 END AS INT) AS n_members,
+      |  doc_id % 13 <> 0 AS complete
+      |FROM h WHERE i = length(key)+1
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- zstd
 
   /** ZSTD FRAME header parse over REAL zstd-compressed documents (the
@@ -2625,6 +2694,7 @@ object Multimodal {
     "m_webp_meta" -> (webpMeta _),
     "m_bmp_meta" -> (bmpMeta _),
     "m_zstd_frame" -> (zstdFrame _),
+    "m_wds_paired" -> (wdsPaired _),
     "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -2658,6 +2728,7 @@ object Multimodal {
     "m_webp_meta" -> webpMetaSql,
     "m_bmp_meta" -> bmpMetaSql,
     "m_zstd_frame" -> zstdFrameSql,
+    "m_wds_paired" -> wdsPairedSql,
     "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,

@@ -222,6 +222,19 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("m_wds_paired: the planted breakage is found, nothing else is flagged") {
+    val out = multimodal.Multimodal.wdsPaired(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(1)
+      assert(r.getBoolean(2), s"txt member of $id must parse checksum-clean")
+      assert(r.getBoolean(3) == (id % 13 != 0), s"img presence of $id")
+      assert(r.getBoolean(6) == (id % 13 != 0), s"completeness of $id")
+      assert(r.getInt(5) == (if (id % 13 != 0) 2 else 1), s"member count of $id")
+    }
+    assert(out.exists(!_.getBoolean(6)), "the plant must produce at least one half-sample")
+  }
+
   test("t_fertility: per-lang piece/base totals equal t_bpe_apply's per-doc sums") {
     val fert = operators.TextAnalysis.fertility(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
