@@ -609,6 +609,71 @@ object Dedup {
       |SELECT src AS doc_id, min(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** OVER-COLLAPSE audit of connected-component dedup — the false-merge
+    * risk transitive clustering carries by construction: A~B and B~C
+    * put A and C in one cluster even when jaccard(A, C) is 0, and at
+    * 100 TB a single hub document chains THOUSANDS of unrelated docs
+    * into one cluster that keep-one-per-cluster then decimates. Per
+    * multi-member cluster: ALL intra-cluster pairwise jaccards exactly
+    * (cluster-bounded k², never corpus-bounded — clusters are the
+    * OUTPUT of near-dup detection and small by construction; a
+    * pathological giant cluster is precisely what this audit exists to
+    * expose before the deduper trusts it), the weakest intra-cluster
+    * link, the realized edge density vs the transitive promise, and an
+    * `over_collapsed` flag (some member pair is below the 0.5 pairing
+    * threshold). The SemDeDup-era rule of thumb — verify the cluster,
+    * not the chain — as a measured table. */
+  def overcollapse(s: SparkSession, d: String): DataFrame = {
+    val members = dupClusters(s, d)
+    val sh = signatures(s, d).select(col("doc_id"), col("sh"))
+    val m = members.join(sh, "doc_id")
+    val intra = m.select(col("cluster_id"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(m.select(col("cluster_id"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "cluster_id")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("cluster_id"),
+        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("j"))
+    intra.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_verified_pairs"),
+        min("j").as("min_jaccard"))
+      .select(col("cluster_id"), col("n_pairs"), col("n_verified_pairs"),
+        ExactRound.r(col("n_verified_pairs").cast("double") / col("n_pairs"), 6)
+          .as("edge_density"),
+        col("min_jaccard"),
+        (col("min_jaccard") < 0.5).as("over_collapsed"))
+      .orderBy("cluster_id")
+  }
+
+  /** SQL twin: the dupClusters closure + exact jaccard over every
+    * intra-cluster pair (LEFT JOIN against ng_pair — a pair with zero
+    * shared shingles is jaccard 0, deliberately absent from ng_pair). */
+  val overcollapseSql: String =
+    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
+       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+       |), clusters AS MATERIALIZED (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |), intra AS MATERIALIZED (
+       |  SELECT m1.cluster_id, m1.doc_id AS da, m2.doc_id AS db
+       |  FROM clusters m1 JOIN clusters m2
+       |    ON m1.cluster_id = m2.cluster_id AND m1.doc_id < m2.doc_id
+       |), jj AS MATERIALIZED (
+       |  SELECT i.cluster_id,
+       |    coalesce(${ExactRound.rSql("CAST(p.isz AS DOUBLE) / (p.na + p.nb - p.isz)", 6)}, 0.0) AS j
+       |  FROM intra i LEFT JOIN ng_pair p ON p.pa = i.da AND p.pb = i.db
+       |)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_pairs,
+       |  ${ExactRound.rSql("CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS edge_density,
+       |  min(j) AS min_jaccard,
+       |  min(j) < 0.5 AS over_collapsed
+       |FROM jj GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document (token-frequency weighted), plus
@@ -1909,6 +1974,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_edit_distance" -> (editDistance _),
     "d_simhash_recall" -> (simhashRecall _),
+    "d_overcollapse" -> (overcollapse _),
     "d_cross_shard" -> (crossShard _),
     "d_prefix_dup" -> (prefixDup _),
     "d_source_overlap" -> (sourceOverlap _),
@@ -1938,6 +2004,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d_edit_distance" -> editDistanceSql,
     "d_simhash_recall" -> simhashRecallSql,
+    "d_overcollapse" -> overcollapseSql,
     "d_cross_shard" -> crossShardSql,
     "d_prefix_dup" -> prefixDupSql,
     "d_source_overlap" -> sourceOverlapSql,

@@ -222,6 +222,23 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("d_overcollapse: pair counts are k-choose-2 per cluster; density is honest") {
+    val out = operators.Dedup.overcollapse(spark, sf).collect()
+    assert(out.nonEmpty)
+    val sizes = operators.Dedup.dupClusters(spark, sf).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    out.foreach { r =>
+      val k = sizes(r.getLong(0))
+      assert(r.getLong(1) == k.toLong * (k - 1) / 2, s"n_pairs of cluster ${r.getLong(0)}")
+      assert(r.getLong(2) <= r.getLong(1), "verified pairs bounded by all pairs")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      // the flag is exactly the weakest-link rule
+      assert(r.getBoolean(5) == (r.getDouble(4) < 0.5))
+    }
+    // every multi-member cluster is audited, singletons are not
+    assert(out.length == sizes.count(_._2 >= 2))
+  }
+
   test("m_wds_paired: the planted breakage is found, nothing else is flagged") {
     val out = multimodal.Multimodal.wdsPaired(spark, sf).collect()
     assert(out.nonEmpty)
