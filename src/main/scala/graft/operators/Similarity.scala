@@ -2062,7 +2062,113 @@ object Similarity {
        |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------- quantizer recall panel
+
+  /** UNIFIED RECALL PANEL for the training-free coarse rankers — the
+    * family discipline ([[recallEval]] measures LSH/IVF/PQ) extended to
+    * the quantization ladder's new rungs: for the standard query, the
+    * coarse top-10 of (a) 1-bit binary Hamming, (b) 16-dim JL random
+    * projection, (c) 16-dim Matryoshka prefix truncation, each scored
+    * as overlap with the EXACT cosine top-10. One table answers the
+    * deployment question the individual operators each answer alone:
+    * which cheap first-stage ranker loses least on THIS corpus, before
+    * anyone buys its memory savings at 10⁹ vectors. Deterministic ties
+    * everywhere (metric, then vec_id), so both engines pick identical
+    * top-10 sets and the recall integers are exact. */
+  def quantizerRecall(s: SparkSession, d: String): DataFrame = {
+    val packLo =
+      "aggregate(transform(slice(v, 1, 32), (x, i) -> IF(x >= 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    val packHi =
+      "aggregate(transform(slice(v, 33, 32), (x, i) -> IF(x >= 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    def jl(v: Column): Column = array(jlSigns.map(row => dot(v, typedlit(row))): _*)
+    val vs = vectors(s, d)
+      .withColumn("lo", expr(packLo)).withColumn("hi", expr(packHi))
+      .withColumn("p", jl(col("v")))
+      .withColumn("pre", slice(col("v"), 1, 16))
+      .localCheckpoint()
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v"), col("norm").as("q_norm"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"),
+        col("p").as("q_p"), col("pre").as("q_pre"))
+    val corpus = vs.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    def cosOf(a: Column, b: Column): Column =
+      ExactRound.r(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    val exact = corpus
+      .select(col("vec_id"),
+        ExactRound.r(dot(col("v"), col("q_v")) / (col("norm") * col("q_norm")), 6)
+          .as("m"))
+      .orderBy(col("m").desc, col("vec_id")).limit(10)
+      .select(col("vec_id").as("truth_id"))
+    def panel(name: String, top: DataFrame): DataFrame =
+      top.join(exact, top("vec_id") === exact("truth_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), lit(10).as("k"), col("n_hits"),
+          ExactRound.r(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+    val ham = corpus
+      .withColumn("m", (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)")).cast("int"))
+      .orderBy(col("m"), col("vec_id")).limit(10).select("vec_id")
+    val jlTop = corpus.withColumn("m", cosOf(col("p"), col("q_p")))
+      .orderBy(col("m").desc, col("vec_id")).limit(10).select("vec_id")
+    val mat = corpus.withColumn("m", cosOf(col("pre"), col("q_pre")))
+      .orderBy(col("m").desc, col("vec_id")).limit(10).select("vec_id")
+    panel("binary_hamming", ham)
+      .unionAll(panel("jl_projection16", jlTop))
+      .unionAll(panel("matryoshka16", mat))
+      .orderBy("method")
+  }
+
+  /** SQL twin: same three coarse top-10s vs the exact top-10. */
+  val quantizerRecallSql: String = {
+    def pack(lo: Int) =
+      s"CAST(list_sum(list_transform(v[$lo:${lo + 31}], " +
+        "(x, i) -> CASE WHEN x >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"
+    val rows = jlSigns.map(r => r.map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]"))
+    val projList = rows.map(r => s"list_inner_product(v, $r)").mkString("[", ",\n    ", "]")
+    def rCos(a: String, b: String) = graft.operators.ExactRound.rSql(
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))", 6)
+    val rExact = graft.operators.ExactRound.rSql(
+      "list_inner_product(e.v, q.q_v) / (e.nrm * q.q_nrm)", 6)
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, v, nrm, ${pack(1)} AS lo, ${pack(33)} AS hi,
+       |    $projList AS p, v[1:16] AS pre
+       |  FROM e0
+       |), q AS (SELECT v AS q_v, nrm AS q_nrm, lo AS q_lo, hi AS q_hi,
+       |    p AS q_p, pre AS q_pre FROM e WHERE vec_id = 0
+       |), truth AS (
+       |  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY $rExact DESC, e.vec_id LIMIT 10
+       |), ham AS (
+       |  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY bit_count(xor(e.lo, q.q_lo)) + bit_count(xor(e.hi, q.q_hi)), e.vec_id
+       |  LIMIT 10
+       |), jl AS (
+       |  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY ${rCos("e.p", "q.q_p")} DESC, e.vec_id LIMIT 10
+       |), mat AS (
+       |  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY ${rCos("e.pre", "q.q_pre")} DESC, e.vec_id LIMIT 10
+       |), counts AS (
+       |  SELECT 'binary_hamming' AS method,
+       |    CAST((SELECT count(*) FROM ham WHERE vec_id IN (SELECT vec_id FROM truth)) AS BIGINT) AS n_hits
+       |  UNION ALL
+       |  SELECT 'jl_projection16',
+       |    CAST((SELECT count(*) FROM jl WHERE vec_id IN (SELECT vec_id FROM truth)) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'matryoshka16',
+       |    CAST((SELECT count(*) FROM mat WHERE vec_id IN (SELECT vec_id FROM truth)) AS BIGINT)
+       |)
+       |SELECT method, 10 AS k, n_hits,
+       |  ${graft.operators.ExactRound.rSql("CAST(n_hits AS DOUBLE) / 10.0", 6)} AS recall
+       |FROM counts ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_quantizer_recall" -> (quantizerRecall _),
     "s_random_projection" -> (randomProjection _),
     "s_binary_hamming" -> (binaryHamming _),
     "s_gram_matrix" -> (gramMatrix _),
@@ -2095,6 +2201,7 @@ object Similarity {
     "s_centroids" -> (centroids _))
 
   val oracles: Map[String, String] = Map(
+    "s_quantizer_recall" -> quantizerRecallSql,
     "s_random_projection" -> randomProjectionSql,
     "s_binary_hamming" -> binaryHammingSql,
     "s_gram_matrix" -> gramMatrixSql,

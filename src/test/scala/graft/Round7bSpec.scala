@@ -222,6 +222,39 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("s_quantizer_recall: hamming row replays from sign packs vs exact top-10") {
+    val out = operators.Similarity.quantizerRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("binary_hamming", "jl_projection16", "matryoshka16"))
+    assert(out.values.forall(n => n >= 0 && n <= 10))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def sig(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach(i => if (v(i) >= 0) lo |= (1L << i))
+      (32 until 64).foreach(i => if (v(i) >= 0) hi |= (1L << (i - 32)))
+      (lo, hi)
+    }
+    val q = vecs(0L); val qs = sig(q)
+    val others = vecs.view.filterKeys(_ != 0L).toSeq
+    // rounded-cosine ordering with vec_id tie-break, like the engine
+    val truth = others
+      .map { case (id, v) => (id, math.round(cos(v, q) * 1e6) / 1e6.toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val hamTop = others
+      .map { case (id, v) =>
+        val sv = sig(v)
+        (id, java.lang.Long.bitCount(sv._1 ^ qs._1) + java.lang.Long.bitCount(sv._2 ^ qs._2))
+      }
+      .sortBy { case (id, h) => (h, id) }.take(10).map(_._1)
+    assert(out("binary_hamming") == hamTop.count(truth).toLong)
+  }
+
   test("d_overcollapse: pair counts are k-choose-2 per cluster; density is honest") {
     val out = operators.Dedup.overcollapse(spark, sf).collect()
     assert(out.nonEmpty)
