@@ -2692,7 +2692,67 @@ object Pipeline {
       |  TRUE AS others_untouched
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  /** REFERENTIAL-INTEGRITY audit across the star schema's FK edges —
+    * the cross-TABLE contract [[dataContract]]'s per-table checks can't
+    * see (a column can be 100 % non-null and well-typed while every
+    * value points at a parent that no longer exists — the classic
+    * aftermath of a partial backfill or an out-of-order ingest). Per FK
+    * edge: child volume, ORPHANS (children whose parent key resolves
+    * nowhere — `left_anti`, the plan every FK checker should produce:
+    * broadcast the small parent keyset, never a full join), distinct
+    * child keys, and CHILDLESS parents (the reverse anti-join — not an
+    * error, but the number a retention/archival policy reads). Both
+    * engines MEASURE the orphan count rather than assuming the
+    * generator's integrity — a regenerated corpus that breaks an edge
+    * flips the row, which is the audit working. */
+  def referentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(ck).as("k"))
+      val p = parent.select(col(pk).as("k"))
+      val orphans = c.join(p, Seq("k"), "left_anti").count()
+      val childless = p.join(c, Seq("k"), "left_anti").count()
+      c.agg(count(lit(1)).as("n_child"), countDistinct(col("k")).as("n_child_keys"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_child_keys"),
+          lit(orphans).as("n_orphans"), lit(childless).as("n_childless_parents"))
+    }
+    edge("lineitem->orders", graft.Tables.lineitem(s, d), "l_orderkey",
+        graft.Tables.orders(s, d), "o_orderkey")
+      .unionAll(edge("orders->customer", graft.Tables.orders(s, d), "o_custkey",
+        graft.Tables.customer(s, d), "c_custkey"))
+      .unionAll(edge("customer->nation", graft.Tables.customer(s, d), "c_nationkey",
+        graft.Tables.nation(s, d), "n_nationkey"))
+      .unionAll(edge("supplier->nation", graft.Tables.supplier(s, d), "s_nationkey",
+        graft.Tables.nation(s, d), "n_nationkey"))
+      .unionAll(edge("lineitem->part", graft.Tables.lineitem(s, d), "l_partkey",
+        graft.Tables.part(s, d), "p_partkey"))
+      .orderBy("fk_edge")
+  }
+
+  /** SQL twin: identical anti-join measurements per edge. */
+  val referentialIntegritySql: String = {
+    def edge(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS fk_edge,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(count(DISTINCT $ck) AS BIGINT) AS n_child_keys,
+         |  CAST((SELECT count(*) FROM $child c
+         |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS BIGINT)
+         |    AS n_orphans,
+         |  CAST((SELECT count(*) FROM $parent p
+         |        WHERE NOT EXISTS (SELECT 1 FROM $child c WHERE c.$ck = p.$pk)) AS BIGINT)
+         |    AS n_childless_parents
+         |FROM $child""".stripMargin
+    Seq(
+      edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_referential_integrity" -> (referentialIntegrity _),
     "p_dynamic_overwrite" -> (dynamicOverwrite _),
     "p_zstd_parquet" -> (zstdParquet _),
     "p_range_layout" -> (rangeLayout _),
@@ -2738,6 +2798,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_referential_integrity" -> referentialIntegritySql,
     "p_sketch_incremental" -> sketchIncrementalSql,
     "p_split_leakage" -> splitLeakageSql,
     "p_upsample" -> upsampleSql,

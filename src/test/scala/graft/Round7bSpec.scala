@@ -222,6 +222,22 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("p_referential_integrity: orphan/childless counts replay from key sets") {
+    val out = operators.Pipeline.referentialIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 5)
+    val oKeys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val lKeys = Tables.lineitem(spark, sf).select("l_orderkey").collect()
+      .map(_.getLong(0))
+    val (nChild, orphans, childless) = out("lineitem->orders")
+    assert(nChild == lKeys.length.toLong)
+    assert(orphans == lKeys.count(k => !oKeys(k)).toLong)
+    assert(childless == oKeys.count(k => !lKeys.contains(k)).toLong)
+    // the generated star schema is orphan-free on every edge — measured
+    assert(out.values.forall(_._2 == 0L), "no FK edge carries orphans")
+  }
+
   test("s_quantizer_recall: hamming row replays from sign packs vs exact top-10") {
     val out = operators.Similarity.quantizerRecall(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
