@@ -2692,6 +2692,48 @@ object Pipeline {
       |  TRUE AS others_untouched
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  /** ENCRYPTION-AT-REST round-trip through Spark's NATIVE
+    * aes_encrypt/aes_decrypt (AES-GCM) — the compliance layer a
+    * regulated 100 TB corpus adds between curation and storage, behind
+    * the same manifest gate as every other lossless transform: each
+    * document's text is encrypted with an explicit per-row 12-byte IV
+    * derived from its doc_id (unique per row — GCM's only IV rule;
+    * DERIVED rather than random here so the certificate's bytes are
+    * deterministic; a production system uses random IVs and a real
+    * KMS key), decrypted back, and the decrypted corpus must
+    * manifest-hash-equal the parquet truth. `cipher_overhead_ok` pins
+    * GCM's exact framing arithmetic — Spark lays the ciphertext out
+    * as IV(12) ‖ ct(=plaintext bytes) ‖ tag(16), so every row's
+    * ciphertext is exactly plaintext + 28 bytes; a mode/padding drift
+    * flips it. Codegen'd expressions end to end, one scan, no UDF. */
+  def aesRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16)
+    val key = "graft-demo-key16" // 16 bytes -> AES-128; synthetic, in-repo by design
+    val enc = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), bucket.as("shard"),
+        expr("octet_length(text)").cast("long").as("plain_bytes"),
+        expr(s"aes_encrypt(text, '$key', 'GCM', 'DEFAULT', " +
+          "substring(unhex(md5(cast(doc_id AS string))), 1, 12))").as("ct"))
+    val back = enc
+      .withColumn("text", expr(s"cast(aes_decrypt(ct, '$key', 'GCM') AS string)"))
+      .withColumn("overhead_ok",
+        expr("octet_length(ct)").cast("long") === col("plain_bytes") + 28L)
+    val gate = manifestAgg(back.select(col("doc_id"), col("n_chars"), col("text"),
+      col("shard")))
+    val overhead = back.groupBy("shard")
+      .agg(min("overhead_ok").as("cipher_overhead_ok"))
+    gate.join(overhead, "shard")
+      .orderBy("shard")
+  }
+
+  /** SQL twin: the manifest truth (DuckDB cannot replay AES — the
+    * DECRYPTED corpus must equal the source, which is the whole
+    * certificate) + the framing flag pinned TRUE. */
+  val aesRoundtripSql: String =
+    manifestSql.replace(
+      "SELECT shard, count(*) AS n_docs,",
+      "SELECT shard, count(*) AS n_docs, TRUE AS cipher_overhead_ok,")
+
   /** REFERENTIAL-INTEGRITY audit across the star schema's FK edges —
     * the cross-TABLE contract [[dataContract]]'s per-table checks can't
     * see (a column can be 100 % non-null and well-typed while every
@@ -2753,6 +2795,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_referential_integrity" -> (referentialIntegrity _),
+    "p_aes_roundtrip" -> (aesRoundtrip _),
     "p_dynamic_overwrite" -> (dynamicOverwrite _),
     "p_zstd_parquet" -> (zstdParquet _),
     "p_range_layout" -> (rangeLayout _),
@@ -2799,6 +2842,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "p_referential_integrity" -> referentialIntegritySql,
+    "p_aes_roundtrip" -> aesRoundtripSql,
     "p_sketch_incremental" -> sketchIncrementalSql,
     "p_split_leakage" -> splitLeakageSql,
     "p_upsample" -> upsampleSql,

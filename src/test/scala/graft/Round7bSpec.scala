@@ -222,6 +222,36 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("p_aes_roundtrip: GCM framing and tamper detection behave as the certificate claims") {
+    import spark.implicits._
+    val df = Seq((1L, "secret payload"), (2L, "naïve ☃ 中文")).toDF("doc_id", "text")
+    val enc = df.selectExpr("doc_id", "octet_length(text) AS n",
+      "aes_encrypt(text, 'graft-demo-key16', 'GCM', 'DEFAULT', " +
+        "substring(unhex(md5(cast(doc_id AS string))), 1, 12)) AS ct")
+    val rows = enc.selectExpr("doc_id", "n", "octet_length(ct) AS c",
+      "cast(aes_decrypt(ct, 'graft-demo-key16', 'GCM') AS string) AS back",
+      "ct").collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) == r.getInt(1) + 28, "IV(12) + ct + tag(16) framing")
+    }
+    assert(rows.map(_.getString(3)).toSet == Set("secret payload", "naïve ☃ 中文"))
+    // same plaintext, same derived IV -> deterministic bytes (the
+    // certificate's reproducibility claim)
+    val again = df.selectExpr("aes_encrypt(text, 'graft-demo-key16', 'GCM', 'DEFAULT', " +
+      "substring(unhex(md5(cast(doc_id AS string))), 1, 12)) AS ct")
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(again.toSet == rows.map(_.getAs[Array[Byte]]("ct").toSeq).toSet)
+    // GCM authenticates: one flipped ciphertext byte must fail decryption
+    val tampered = rows.head.getAs[Array[Byte]]("ct").clone()
+    tampered(tampered.length - 1) = (tampered(tampered.length - 1) ^ 1).toByte
+    val err = intercept[Exception] {
+      Seq(tampered).toDF("ct")
+        .selectExpr("cast(aes_decrypt(ct, 'graft-demo-key16', 'GCM') AS string)")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("p_referential_integrity: orphan/childless counts replay from key sets") {
     val out = operators.Pipeline.referentialIntegrity(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
