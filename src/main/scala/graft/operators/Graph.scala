@@ -1752,6 +1752,77 @@ object Graph {
        |FROM nk LEFT JOIN ek ON ek.k = nk.k
        |ORDER BY nk.k""".stripMargin
 
+  // --------------------------------------------------------- 4-cliques
+
+  /** 4-CLIQUE (K₄) census per node — the next graphlet up from
+    * [[triangles]], and the feature graph-ML pipelines actually count
+    * (graphlet degree vectors): a node's K₄ membership separates
+    * "dense template family" (many K₄s) from "triangle-rich but
+    * hollow" neighborhoods that triangle counts alone can't tell
+    * apart. Runs on the cosine ≥ 0.25 embedding graph (one notch below
+    * [[ktruss]]'s 0.3 — measured: 0.3 carries 71 triangles but ZERO
+    * K₄s at sf0.01, 0.25 carries 50, so 0.25 is the first non-vacuous
+    * threshold; the certificate must certify something). Enumeration
+    * is the ordered extension join: each triangle (a < b < c) extends
+    * by d > c adjacent to ALL THREE — every K₄ counted exactly once,
+    * work ∝ triangles × max-degree (the standard ordered-enumeration
+    * envelope, never n²); per-node counts fall out of one explode +
+    * partial agg. Output: nodes with ≥1 K₄ and the global census as a
+    * cross-checkable total (each clique contributes exactly 4
+    * memberships — the spec's conservation law). */
+  def cliques4(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = 0.25)._1
+      .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
+      .localCheckpoint()
+    // triangles a < b < c via the ordered wedge join (edges carry a < b)
+    val tri = edges
+      .join(edges.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    // extend by d > c adjacent to all three — d > c > b > a means every
+    // edge to d keeps the (low, high) orientation, so plain equi-joins
+    val k4 = tri
+      .join(edges.select(col("a"), col("b").as("d")), "a")
+      .join(edges.select(col("a").as("b"), col("b").as("d")), Seq("b", "d"))
+      .join(edges.select(col("a").as("c"), col("b").as("d")), Seq("c", "d"))
+      .select(col("a"), col("b"), col("c"), col("d"))
+      .localCheckpoint()
+    Seq("a", "b", "c", "d")
+      .map(x => k4.select(col(x).as("vec_id")))
+      .reduce(_ unionAll _)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_cliques4"))
+      .orderBy("vec_id")
+  }
+
+  /** SQL twin: identical ordered triangle + extension joins on the
+    * same cosine ≥ 0.3 graph. */
+  val cliques4Sql: String = {
+    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""WITH e0v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), e AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM e0v a JOIN e0v b ON a.vec_id < b.vec_id
+       |  WHERE $cosine >= 0.25
+       |), tri AS MATERIALIZED (
+       |  SELECT ab.a, ab.b, bc.b AS c
+       |  FROM e ab JOIN e bc ON bc.a = ab.b
+       |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+       |), k4 AS MATERIALIZED (
+       |  SELECT t.a, t.b, t.c, ad.b AS d
+       |  FROM tri t
+       |  JOIN e ad ON ad.a = t.a
+       |  JOIN e bd ON bd.a = t.b AND bd.b = ad.b
+       |  JOIN e cd ON cd.a = t.c AND cd.b = ad.b
+       |)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cliques4 FROM (
+       |  SELECT a AS vec_id FROM k4 UNION ALL SELECT b FROM k4
+       |  UNION ALL SELECT c FROM k4 UNION ALL SELECT d FROM k4
+       |) GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------- greedy coloring
 
   /** DISTRIBUTED GREEDY COLORING via Luby-style maximal-independent-set
@@ -1864,6 +1935,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_coloring" -> (coloring _),
+    "g_cliques4" -> (cliques4 _),
     "g_richclub" -> (richClub _),
     "g_hits" -> (hits _),
     "g_ktruss" -> (ktruss _),
@@ -1887,6 +1959,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "g_coloring" -> coloringSql,
+    "g_cliques4" -> cliques4Sql,
     "g_richclub" -> richClubSql,
     "g_hits" -> hitsSql,
     "g_ktruss" -> ktrussSql,

@@ -222,6 +222,23 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("g_cliques4: membership conservation (4 per clique) and clique validity") {
+    val out = operators.Graph.cliques4(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total % 4 == 0, "every K4 contributes exactly 4 memberships")
+    if (out.nonEmpty) {
+      // every counted node must sit on >= 3 edges of the same graph
+      val edges = operators.Dedup.embedPairBlocks(
+        Tables.embeddings(spark, sf), t = 0.25)._1
+        .select(col("vec_a").cast("long"), col("vec_b").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      out.foreach(r => assert(deg(r.getLong(0)) >= 3,
+        s"node ${r.getLong(0)} in a K4 needs degree >= 3"))
+    }
+  }
+
   test("p_aes_roundtrip: GCM framing and tamper detection behave as the certificate claims") {
     import spark.implicits._
     val df = Seq((1L, "secret payload"), (2L, "naïve ☃ 中文")).toDF("doc_id", "text")
