@@ -1808,6 +1808,101 @@ object Multimodal {
       |FROM h WHERE i = length(key)+1
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- ID3
+
+  /** documents → an MP3-shaped asset: a spec-correct ID3v2.4 tag (the
+    * metadata block every audio crawler reads before touching frames)
+    * followed by the text bytes as opaque "audio" payload. Tag layout:
+    * 10-byte header with the SYNCSAFE 28-bit size (7 bits per byte,
+    * MSB clear — the format's trademark arithmetic), a TIT2 title
+    * frame (`doc-<id>`) and a COMM comment frame carrying the text
+    * (encoding 0, "eng", empty description) — both with syncsafe
+    * frame sizes, so the parse below must get the 7-bit decode right
+    * TWICE to walk the tag. */
+  private[graft] def encodeId3(id: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val title = s"doc-$id".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val tit2Body = 1 + title.length            // encoding byte + text
+    val commBody = 1 + 3 + 1 + payload.length  // enc + lang + NUL desc + text
+    val tagSize = (10 + tit2Body) + (10 + commBody)
+    val bb = java.nio.ByteBuffer.allocate(10 + tagSize + payload.length)
+    def ss4(v: Int): Unit = {
+      bb.put(((v >> 21) & 0x7f).toByte); bb.put(((v >> 14) & 0x7f).toByte)
+      bb.put(((v >> 7) & 0x7f).toByte); bb.put((v & 0x7f).toByte)
+    }
+    bb.put("ID3".getBytes("US-ASCII")); bb.put(4.toByte); bb.put(0.toByte)
+    bb.put(0.toByte); ss4(tagSize)
+    bb.put("TIT2".getBytes("US-ASCII")); ss4(tit2Body)
+    bb.put(0.toByte); bb.put(0.toByte) // frame flags
+    bb.put(0.toByte)                   // encoding: ISO-8859-1
+    bb.put(title)
+    bb.put("COMM".getBytes("US-ASCII")); ss4(commBody)
+    bb.put(0.toByte); bb.put(0.toByte)
+    bb.put(0.toByte); bb.put("eng".getBytes("US-ASCII")); bb.put(0.toByte)
+    bb.put(payload)     // COMM text
+    bb.put(payload)     // the "audio" region after the tag (opaque payload)
+    bb.array()
+  }
+
+  /** ID3v2.4 TAG parse — magic/version/flags, the syncsafe 28-bit tag
+    * size, the TIT2 frame walked to its title string, and the audio
+    * region sized from `total − 10 − tag_size` — all declarative
+    * substring + arithmetic (the syncsafe decode is four u8 reads and
+    * three shifts, codegen'd). `size_ok` pins the syncsafe arithmetic
+    * against the actual byte length: a parser that reads the size as a
+    * plain big-endian int (the classic ID3 bug — off by the MSB
+    * stuffing) lands 10.5 MB away on a real tag and flips the gate
+    * here. One scan, no codec, the audio-crawler triage shape. */
+  def id3Meta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeId3(id, t)) }))
+      .toDF("asset_id", "media")
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def ss4(off: Int) = u8(off) * 2097152L + u8(off + 1) * 16384L +
+      u8(off + 2) * 128L + u8(off + 3)
+    val tagSize = ss4(7)
+    val tit2Size = ss4(15)
+    // title payload sits after the 10-byte TIT2 header + 1 encoding
+    // byte (offset 22, 1-based); its length is the frame body minus
+    // the encoding byte — read through the SAME syncsafe decode the
+    // gate is certifying
+    val title = expr("string(substring(media, 22, " +
+      "cast(conv(hex(substring(media, 15, 1)), 16, 10) as int) * 2097152 + " +
+      "cast(conv(hex(substring(media, 16, 1)), 16, 10) as int) * 16384 + " +
+      "cast(conv(hex(substring(media, 17, 1)), 16, 10) as int) * 128 + " +
+      "cast(conv(hex(substring(media, 18, 1)), 16, 10) as int) - 1))")
+    assets.select(col("asset_id"),
+        (expr("string(substring(media, 1, 3))") === "ID3").as("valid_magic"),
+        u8(4).as("version_major"), u8(5).as("version_rev"), u8(6).as("flags"),
+        tagSize.as("tag_size"),
+        (expr("string(substring(media, 11, 4))") === "TIT2").as("has_title_frame"),
+        title.as("title"),
+        (expr("length(media)") - 10L - tagSize).as("audio_bytes"),
+        // TIT2(10 + 1 + |title|) + COMM(10 + 5 + |audio|) must equal the
+        // header's syncsafe size against the ACTUAL lengths
+        (tagSize === lit(26L) + (tit2Size - 1L) +
+          (expr("length(media)") - 10L - tagSize)).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: tag_size = 26 + len("doc-"+id) + byte length
+    * (TIT2 = 10+1+|title|, COMM = 10+5+|bytes|); audio region = the
+    * text bytes verbatim. */
+  val id3MetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic,
+      |  CAST(4 AS BIGINT) AS version_major, CAST(0 AS BIGINT) AS version_rev,
+      |  CAST(0 AS BIGINT) AS flags,
+      |  CAST(26 + length('doc-' || CAST(doc_id AS VARCHAR)) + strlen(text) AS BIGINT) AS tag_size,
+      |  TRUE AS has_title_frame,
+      |  'doc-' || CAST(doc_id AS VARCHAR) AS title,
+      |  CAST(strlen(text) AS BIGINT) AS audio_bytes,
+      |  TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ---------------------------------------------------------------- zstd
 
   /** ZSTD FRAME header parse over REAL zstd-compressed documents (the
@@ -2695,6 +2790,7 @@ object Multimodal {
     "m_bmp_meta" -> (bmpMeta _),
     "m_zstd_frame" -> (zstdFrame _),
     "m_wds_paired" -> (wdsPaired _),
+    "m_id3_meta" -> (id3Meta _),
     "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -2729,6 +2825,7 @@ object Multimodal {
     "m_bmp_meta" -> bmpMetaSql,
     "m_zstd_frame" -> zstdFrameSql,
     "m_wds_paired" -> wdsPairedSql,
+    "m_id3_meta" -> id3MetaSql,
     "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,
