@@ -122,6 +122,176 @@ object Multimodal {
     out.array()
   }
 
+  /** [[encodeExifJpeg]] plus a planted GPS block — the PII every
+    * privacy pipeline must strip from crawled photos: IFD0 gains a
+    * GPSInfo pointer (tag 34853) to a GPS sub-IFD carrying
+    * GPSLatitudeRef (inline ASCII) and GPSLatitude (3 RATIONALs
+    * derived from the id). Layout: header(8) + IFD0(2+3·12+4=42) +
+    * DateTime(20 @ 50) + GPS IFD(2+2·12+4=30 @ 70) + rationals(24
+    * @ 100). */
+  private[graft] def encodeExifGpsJpeg(id: Long, text: String): Array[Byte] = {
+    val jpeg = encodeJpeg(text)
+    val orientation = 1 + (id % 8).toInt
+    val dt = f"2024:${1 + id % 12}%02d:${1 + id % 28}%02d ${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
+    val dtBytes = (dt + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val tiff = java.nio.ByteBuffer.allocate(124)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(3)
+    tiff.putShort(274.toShort).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0)
+    tiff.putShort(306.toShort).putShort(2).putInt(20).putInt(50)
+    tiff.putShort(34853.toShort).putShort(4).putInt(1).putInt(70)
+    tiff.putInt(0) // next IFD
+    tiff.put(dtBytes) // @50
+    // GPS IFD @70
+    tiff.putShort(2)
+    tiff.putShort(1.toShort).putShort(2).putInt(2)
+      .put('N'.toByte).put(0.toByte).putShort(0) // GPSLatitudeRef inline
+    tiff.putShort(2.toShort).putShort(5).putInt(3).putInt(100) // GPSLatitude
+    tiff.putInt(0)
+    // 3 rationals @100: deg/min/sec derived from the id
+    tiff.putInt((id % 90).toInt).putInt(1)
+    tiff.putInt((id % 60).toInt).putInt(1)
+    tiff.putInt((id % 6000).toInt).putInt(100)
+    val exifSig = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+    val app1Len = 2 + exifSig.length + tiff.capacity()
+    val out = java.nio.ByteBuffer.allocate(jpeg.length + 2 + app1Len)
+    out.put(jpeg, 0, 2)
+    out.put(0xFF.toByte).put(0xE1.toByte)
+    out.putShort(app1Len.toShort)
+    out.put(exifSig).put(tiff.array())
+    out.put(jpeg, 2, jpeg.length - 2)
+    out.array()
+  }
+
+  /** EXIF GPS SCRUBBER — real metadata surgery, not re-encoding: parse
+    * the APP1 TIFF's IFD0 into (tag, type, count, value) entries, DROP
+    * tag 34853 (GPSInfo) and everything it points at, and re-serialize
+    * canonically (entries in tag order, out-of-line data appended in
+    * entry order after the IFD — exactly [[encodeExifJpeg]]'s layout,
+    * which is what makes the byte-identity certificate below possible).
+    * Image bytes after the APP1 segment pass through untouched. Only
+    * the II byte order and the value types the corpus emits are
+    * handled; anything unexpected throws rather than silently emitting
+    * a wrong "scrubbed" file — the only safe failure mode for a PII
+    * pass. */
+  private[graft] def stripExifGps(bytes: Array[Byte]): Array[Byte] = {
+    def u16be(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "not a JPEG")
+    require((bytes(2) & 0xff) == 0xff && (bytes(3) & 0xff) == 0xe1, "no APP1")
+    val app1Len = u16be(4)
+    val tiffBase = 12 // SOI(2) + marker(2) + len(2) + "Exif\0\0"(6)
+    val bb = java.nio.ByteBuffer.wrap(bytes, tiffBase, app1Len - 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'I' && bb.get() == 'I', "only II byte order emitted here")
+    require(bb.getShort() == 42)
+    val ifd0 = bb.getInt()
+    def rel(p: Int) = tiffBase + p
+    val n = java.nio.ByteBuffer.wrap(bytes, rel(ifd0), 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort()
+    case class Entry(tag: Int, typ: Int, count: Int, inline: Array[Byte], data: Array[Byte])
+    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
+    val entries = (0 until n).map { i =>
+      val eo = rel(ifd0) + 2 + 12 * i
+      val eb = java.nio.ByteBuffer.wrap(bytes, eo, 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val tag = eb.getShort() & 0xffff
+      val typ = eb.getShort() & 0xffff
+      val count = eb.getInt()
+      val valueBytes = typeSize(typ) * count
+      val inline = java.util.Arrays.copyOfRange(bytes, eo + 8, eo + 12)
+      val data =
+        if (valueBytes <= 4) Array.emptyByteArray
+        else {
+          val off = java.nio.ByteBuffer.wrap(inline)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+          java.util.Arrays.copyOfRange(bytes, rel(off), rel(off) + valueBytes)
+        }
+      Entry(tag, typ, count, inline, data)
+    }
+    val kept = entries.filter(_.tag != 34853).sortBy(_.tag)
+    val ifdBytes = 2 + 12 * kept.length + 4
+    var dataOff = 8 + ifdBytes
+    val tiffSize = 8 + ifdBytes + kept.map(_.data.length).sum
+    val out = java.nio.ByteBuffer.allocate(tiffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out.putShort(kept.length.toShort)
+    kept.foreach { e =>
+      out.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
+      if (e.data.isEmpty) out.put(e.inline)
+      else { out.putInt(dataOff); dataOff += e.data.length }
+    }
+    out.putInt(0)
+    kept.foreach(e => if (e.data.nonEmpty) out.put(e.data))
+    val exifSig = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+    val newApp1 = 2 + exifSig.length + tiffSize
+    // the APP1 segment spans marker(2) + payload(app1Len) starting at 2
+    val rest = java.util.Arrays.copyOfRange(bytes, 4 + app1Len, bytes.length)
+    val res = java.nio.ByteBuffer.allocate(2 + 2 + newApp1 + rest.length)
+    res.put(bytes, 0, 2)
+    res.put(0xFF.toByte).put(0xE1.toByte).putShort(newApp1.toShort)
+    res.put(exifSig).put(out.array()).put(rest)
+    res.array()
+  }
+
+  /** EXIF GPS SCRUB certificate — media PII removal ([[graft.operators.TextAnalysis]]'s
+    * t_scrub for photos): every asset is encoded WITH a GPS block
+    * ([[encodeExifGpsJpeg]]), passed through the real parse→filter→
+    * re-serialize surgery ([[stripExifGps]]), and certified three ways:
+    * `scrub_exact` — the scrubbed bytes are IDENTICAL to the
+    * GPS-free encoding of the same asset (canonical re-serialization
+    * makes the strongest possible claim: not "GPS looks gone" but
+    * "byte-for-byte the file that never had it"); `gps_gone` — a
+    * declarative re-parse of the scrubbed IFD finds no tag 34853; and
+    * the surviving metadata (orientation, DateTime) re-parsed intact.
+    * The JPEG image stream passes through untouched by construction.
+    * Scale shape: surgery is per-row JVM work in batched
+    * mapPartitions (byte slicing, no codec), the verification parse is
+    * codegen'd column ops. */
+  def exifScrub(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val rows = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(32).flatMap(_.map { case (id, t) =>
+        val withGps = encodeExifGpsJpeg(id, t)
+        val scrubbed = stripExifGps(withGps)
+        val reference = encodeExifJpeg(id, t)
+        (id, scrubbed, withGps.length.toLong,
+          java.util.Arrays.equals(scrubbed, reference))
+      }))
+      .toDF("asset_id", "media", "gps_bytes", "scrub_exact")
+    def u8(off: Int) = conv(hex(substring(col("media"), off, 1)), 16, 10).cast("long")
+    def le16(off: Int) = u8(off) + u8(off + 1) * 256L
+    // TIFF base is 1-based byte 13 (SOI 2 + APP1 marker 2 + len 2 +
+    // "Exif\0\0" 6); IFD0 count at +8, entries at +10/+22, orientation
+    // value at entry0+8, DateTime data at TIFF offset 38 (byte 51)
+    rows.select(col("asset_id"),
+        col("scrub_exact"),
+        le16(21).as("n_entries"),
+        (le16(23) =!= 34853L && le16(35) =!= 34853L).as("gps_gone"),
+        le16(31).as("orientation"),
+        expr("string(substring(media, 51, 19))").as("datetime"),
+        (col("gps_bytes") - expr("length(media)")).as("bytes_removed"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: scrub identity + GPS-block arithmetic (the GPS
+    * variant carries 66 more TIFF bytes: one IFD0 entry (12) + GPS IFD
+    * (30) + rationals (24)). */
+  val exifScrubSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS scrub_exact,
+      |  CAST(2 AS BIGINT) AS n_entries, TRUE AS gps_gone,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  printf('2024:%02d:%02d %02d:%02d:%02d',
+      |    1 + doc_id % 12, 1 + doc_id % 28, doc_id % 24, doc_id % 60, doc_id % 60)
+      |    AS datetime,
+      |  CAST(66 AS BIGINT) AS bytes_removed
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   /** Text → real GIF bytes, same raster construction as [[encodePng]]
     * through the JDK's GIF writer. GIF is palette-indexed (≤256
     * colors) and the raster is 8-bit grayscale, so — like PNG and
@@ -2791,6 +2961,7 @@ object Multimodal {
     "m_zstd_frame" -> (zstdFrame _),
     "m_wds_paired" -> (wdsPaired _),
     "m_id3_meta" -> (id3Meta _),
+    "m_exif_scrub" -> (exifScrub _),
     "m_safetensors" -> (safetensors _),
     "m_phash" -> (phash _),
     "m_sniff" -> (sniff _),
@@ -2826,6 +2997,7 @@ object Multimodal {
     "m_zstd_frame" -> zstdFrameSql,
     "m_wds_paired" -> wdsPairedSql,
     "m_id3_meta" -> id3MetaSql,
+    "m_exif_scrub" -> exifScrubSql,
     "m_safetensors" -> safetensorsSql,
     "m_phash" -> phashSql,
     "m_sniff" -> sniffSql,

@@ -239,6 +239,28 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("m_exif_scrub: surgery is byte-exact, reversible-free, and throws on bad input") {
+    val text = "scrub me please, roughly one raster row of text"
+    val withGps = multimodal.Multimodal.encodeExifGpsJpeg(7L, text)
+    val scrubbed = multimodal.Multimodal.stripExifGps(withGps)
+    val reference = multimodal.Multimodal.encodeExifJpeg(7L, text)
+    assert(scrubbed.toSeq == reference.toSeq,
+      "scrubbed file must be byte-identical to the never-had-GPS encoding")
+    assert(withGps.length - scrubbed.length == 66,
+      "GPS block = entry(12) + GPS IFD(30) + rationals(24)")
+    // the decoded image is untouched by the surgery
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(scrubbed))
+    assert(img != null && img.getWidth == 64)
+    // a PII pass must never silently emit on unexpected input
+    intercept[IllegalArgumentException] {
+      multimodal.Multimodal.stripExifGps("not a jpeg at all".getBytes)
+    }
+    val noApp1 = multimodal.Multimodal.encodeJpeg(text) // plain JPEG, no EXIF
+    intercept[IllegalArgumentException] {
+      multimodal.Multimodal.stripExifGps(noApp1)
+    }
+  }
+
   test("p_aes_roundtrip: GCM framing and tamper detection behave as the certificate claims") {
     import spark.implicits._
     val df = Seq((1L, "secret payload"), (2L, "naïve ☃ 中文")).toDF("doc_id", "text")
