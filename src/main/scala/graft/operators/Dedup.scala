@@ -609,6 +609,84 @@ object Dedup {
       |SELECT src AS doc_id, min(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** SHINGLE-WIDTH SENSITIVITY sweep — the OTHER dedup-tuning axis
+    * ([[thresholdSweep]] sweeps the jaccard threshold at fixed w = 3;
+    * this sweeps w at fixed 0.5): per width w ∈ {2, 3, 5}, the
+    * candidate volume (pairs sharing ≥ 1 shingle — the join cost a
+    * banding scheme must beat), the verified near-dup pairs at
+    * j ≥ 0.5, and the docs they cover. Short shingles inflate both
+    * candidates and matches (common-phrase collisions); long shingles
+    * miss edited near-dups — the sweep is the calibration run that
+    * picks w with evidence before a 100 TB pass commits to it (the
+    * CCNet-vs-Gopher choice). Each width is one shared-shingle
+    * equi-join + exact verify — the calibration runs on a sample at
+    * production scale, then the chosen w runs banded. */
+  def widthSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    def statsFor(w: Int): DataFrame = {
+      val sh = docs.select(col("doc_id"),
+          graft.functions.MinHashFns.word_shingles(split(trim(col("text")), WS), w).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = sh.select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+      val cands = toks.join(toks.select(col("doc_id").as("doc_b"), col("g")), "g")
+        .filter(col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val verified = cands.join(shA, "doc_a").join(shB, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))), 6).as("j"))
+        .localCheckpoint()
+      val dup = verified.filter(col("j") >= 0.5)
+      val nCand = cands.count()
+      val nPairs = dup.count()
+      val nDocs = dup.select(col("doc_a").as("id"))
+        .union(dup.select(col("doc_b").as("id"))).distinct().count()
+      sh.unpersist()
+      s.range(1).select(lit(w).as("w"), lit(nCand).as("n_candidates"),
+        lit(nPairs).as("n_pairs_05"), lit(nDocs).as("n_docs_dup"))
+    }
+    Seq(2, 3, 5).map(statsFor).reduce(_ unionAll _).orderBy("w")
+  }
+
+  /** SQL twin: per-width shared-shingle join + exact verify, widths
+    * unrolled. */
+  val widthSweepSql: String = {
+    def per(w: Int): String = {
+      val j = ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)
+      s"""gw$w AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${w - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks
+         |        FROM documents),
+         |    unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
+         |  WHERE len(toks) >= $w
+         |), sz$w AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n FROM gw$w GROUP BY doc_id
+         |), pr$w AS MATERIALIZED (
+         |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS isz
+         |  FROM gw$w a JOIN gw$w b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), jj$w AS MATERIALIZED (
+         |  SELECT p.pa, p.pb, $j AS j
+         |  FROM (SELECT pr.pa, pr.pb, pr.isz, sa.n AS na, sb.n AS nb
+         |        FROM pr$w pr JOIN sz$w sa ON sa.doc_id = pr.pa
+         |        JOIN sz$w sb ON sb.doc_id = pr.pb) p
+         |), st$w AS (
+         |  SELECT $w AS w,
+         |    CAST((SELECT count(*) FROM pr$w) AS BIGINT) AS n_candidates,
+         |    CAST((SELECT count(*) FROM jj$w WHERE j >= 0.5) AS BIGINT) AS n_pairs_05,
+         |    CAST((SELECT count(DISTINCT id) FROM (
+         |      SELECT pa AS id FROM jj$w WHERE j >= 0.5
+         |      UNION ALL SELECT pb FROM jj$w WHERE j >= 0.5)) AS BIGINT) AS n_docs_dup
+         |)""".stripMargin
+    }
+    s"""WITH ${Seq(2, 3, 5).map(per).mkString(", ")}
+       |SELECT * FROM st2 UNION ALL SELECT * FROM st3 UNION ALL SELECT * FROM st5
+       |ORDER BY w""".stripMargin
+  }
+
   /** OVER-COLLAPSE audit of connected-component dedup — the false-merge
     * risk transitive clustering carries by construction: A~B and B~C
     * put A and C in one cluster even when jaccard(A, C) is 0, and at
@@ -1975,6 +2053,7 @@ object Dedup {
     "d_edit_distance" -> (editDistance _),
     "d_simhash_recall" -> (simhashRecall _),
     "d_overcollapse" -> (overcollapse _),
+    "d_width_sweep" -> (widthSweep _),
     "d_cross_shard" -> (crossShard _),
     "d_prefix_dup" -> (prefixDup _),
     "d_source_overlap" -> (sourceOverlap _),
@@ -2005,6 +2084,7 @@ object Dedup {
     "d_edit_distance" -> editDistanceSql,
     "d_simhash_recall" -> simhashRecallSql,
     "d_overcollapse" -> overcollapseSql,
+    "d_width_sweep" -> widthSweepSql,
     "d_cross_shard" -> crossShardSql,
     "d_prefix_dup" -> prefixDupSql,
     "d_source_overlap" -> sourceOverlapSql,

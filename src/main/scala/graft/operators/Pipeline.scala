@@ -2692,6 +2692,79 @@ object Pipeline {
       |  TRUE AS others_untouched
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  /** MERGE-ON-READ vs COPY-ON-WRITE equivalence — the lakehouse delete
+    * decision as ONE measured table (p_deletion_vectors ships the MoR
+    * read path, p_forget the CoW surgery; this pins that they are the
+    * SAME logical table and prices them side by side): the same keyed
+    * delete runs through (a) a positional deletion-vector sidecar +
+    * anti-join read and (b) a REAL rewrite of affected shard files,
+    * per shard emitting the live counts (which must agree cell-by-cell
+    * — `paths_agree` is computed from the actual frames, not assumed),
+    * the rows each path filtered, and the rewrite bill: CoW rewrites
+    * every file containing ≥1 delete (here: all of them — the delete
+    * key is uncorrelated with the layout, the common worst case), MoR
+    * rewrites ZERO. At 100 TB that difference is the write
+    * amplification bill; the read-side cost MoR pays instead is the
+    * anti-join this very query executes. */
+  def morCowEquiv(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_morcow_").toString
+    try {
+      graft.Tables.documents(s, d)
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val base = s.read.parquet(out)
+        .select(col("shard"), col("doc_id"), col("n_chars"),
+          col("_metadata.row_index").as("pos"))
+      val isDel = col("doc_id") % 17 === 3
+      // MoR: positions resolved once into the sidecar, read = anti-join
+      val dv = base.filter(isDel).select(col("shard"), col("pos")).localCheckpoint()
+      val morLive = base.join(dv, Seq("shard", "pos"), "left_anti")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_live"), sum("n_chars").as("chars_live"))
+      // CoW: REALLY rewrite affected shards without the deleted rows
+      val cowDir = java.nio.file.Files.createTempDirectory("graft_morcow_v2_").toString
+      try {
+        s.read.parquet(out).filter(!isDel)
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(cowDir)
+        val cowLive = s.read.parquet(cowDir)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_live_cow"), sum("n_chars").as("chars_live_cow"))
+        val deletes = base.filter(isDel).groupBy("shard")
+          .agg(count(lit(1)).as("dv_positions"))
+        morLive.join(cowLive, "shard").join(deletes, Seq("shard"), "left")
+          .select(col("shard"), col("n_live"), col("chars_live"),
+            coalesce(col("dv_positions"), lit(0L)).as("dv_positions"),
+            (col("n_live") === col("n_live_cow") &&
+              col("chars_live") === col("chars_live_cow")).as("paths_agree"),
+            when(coalesce(col("dv_positions"), lit(0L)) > 0, 1).otherwise(0)
+              .as("cow_files_rewritten"),
+            lit(0).as("mor_files_rewritten"))
+          .orderBy("shard")
+          .localCheckpoint()
+      } finally graft.Scratch.rmTree(cowDir)
+    } finally graft.Scratch.rmTree(out)
+  }
+
+  /** Analytic oracle: live census per shard, delete census per shard,
+    * agreement pinned TRUE, the rewrite bill stated exactly. */
+  val morCowEquivSql: String =
+    """WITH del AS (
+      |  SELECT CAST(doc_id % 8 AS INT) AS shard, count(*) AS n_del
+      |  FROM documents WHERE doc_id % 17 = 3 GROUP BY 1
+      |)
+      |SELECT CAST(doc_id % 8 AS INT) AS shard,
+      |  count(*) FILTER (doc_id % 17 <> 3) AS n_live,
+      |  CAST(sum(n_chars) FILTER (doc_id % 17 <> 3) AS BIGINT) AS chars_live,
+      |  CAST(coalesce(any_value(d.n_del), 0) AS BIGINT) AS dv_positions,
+      |  TRUE AS paths_agree,
+      |  CAST(CASE WHEN coalesce(any_value(d.n_del), 0) > 0 THEN 1 ELSE 0 END AS INT)
+      |    AS cow_files_rewritten,
+      |  0 AS mor_files_rewritten
+      |FROM documents LEFT JOIN del d ON d.shard = CAST(doc_id % 8 AS INT)
+      |GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** ENCRYPTION-AT-REST round-trip through Spark's NATIVE
     * aes_encrypt/aes_decrypt (AES-GCM) — the compliance layer a
     * regulated 100 TB corpus adds between curation and storage, behind
@@ -2796,6 +2869,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_referential_integrity" -> (referentialIntegrity _),
     "p_aes_roundtrip" -> (aesRoundtrip _),
+    "p_mor_cow_equiv" -> (morCowEquiv _),
     "p_dynamic_overwrite" -> (dynamicOverwrite _),
     "p_zstd_parquet" -> (zstdParquet _),
     "p_range_layout" -> (rangeLayout _),
@@ -2843,6 +2917,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "p_referential_integrity" -> referentialIntegritySql,
     "p_aes_roundtrip" -> aesRoundtripSql,
+    "p_mor_cow_equiv" -> morCowEquivSql,
     "p_sketch_incremental" -> sketchIncrementalSql,
     "p_split_leakage" -> splitLeakageSql,
     "p_upsample" -> upsampleSql,

@@ -340,6 +340,21 @@ class Round7bSpec extends SparkSpec {
     assert(out("binary_hamming") == hamTop.count(truth).toLong)
   }
 
+  test("d_width_sweep: w=3 row equals the canonical pair table; candidates shrink with w") {
+    val out = operators.Dedup.widthSweep(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(2, 3, 5))
+    // monotonicity: longer shingles are rarer, so candidate volume shrinks
+    assert(out(2)._1 >= out(3)._1 && out(3)._1 >= out(5)._1)
+    // the w=3 verified count must equal the engine's canonical pair table
+    val canonical = operators.Dedup.ngramJaccard(spark, sf).count()
+    assert(out(3)._2 == canonical, "w=3 sweep row vs d_ngram_jaccard")
+    out.values.foreach { case (cand, pairs, docs) =>
+      assert(pairs <= cand, "verified pairs are a subset of candidates")
+      assert(docs <= 2 * pairs, "each pair covers at most 2 docs")
+    }
+  }
+
   test("d_overcollapse: pair counts are k-choose-2 per cluster; density is honest") {
     val out = operators.Dedup.overcollapse(spark, sf).collect()
     assert(out.nonEmpty)
