@@ -611,58 +611,88 @@ object Dedup {
 
   /** SHINGLE-WIDTH SENSITIVITY sweep — the OTHER dedup-tuning axis
     * ([[thresholdSweep]] sweeps the jaccard threshold at fixed w = 3;
-    * this sweeps w at fixed 0.5): per width w ∈ {2, 3, 5}, the
-    * candidate volume (pairs sharing ≥ 1 shingle — the join cost a
-    * banding scheme must beat), the verified near-dup pairs at
-    * j ≥ 0.5, and the docs they cover. Short shingles inflate both
-    * candidates and matches (common-phrase collisions); long shingles
-    * miss edited near-dups — the sweep is the calibration run that
-    * picks w with evidence before a 100 TB pass commits to it (the
-    * CCNet-vs-Gopher choice). Each width is one shared-shingle
-    * equi-join + exact verify — the calibration runs on a sample at
-    * production scale, then the chosen w runs banded. */
+    * this sweeps w at fixed 0.5), run the way a COST-BASED calibration
+    * actually runs: for every width w ∈ {2, 3, 5, 8} the sweep first
+    * PRICES the candidate join from the shingle frequency table alone
+    * (`n_join_rows` = Σ c·(c−1)/2 — one aggregate, no pair ever
+    * materialized), then verifies exactly (count-based jaccard — the
+    * shared-shingle group count IS the distinct-intersection size, so
+    * only (doc_a, doc_b, isz) longs shuffle) for the widths whose
+    * priced volume is sane, and SKIPS verification where the price
+    * says no — w = 2's join is measured at 36M rows at sf0.1, 29× the
+    * w = 3 volume, for (at w = 3 vs 2 on this corpus) identical
+    * verified pairs. The skip is the sweep's own finding, emitted as
+    * `verified = false` with NULL verify columns rather than silently
+    * absent (the no-silent-caps rule). Short shingles explode
+    * candidates via common-phrase collisions; long shingles miss
+    * edited near-dups — this table is the evidence that picks w
+    * before a 100 TB pass commits (the CCNet-vs-Gopher choice). */
   def widthSweep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallelize(Tables.documents(s, d))
-    def statsFor(w: Int): DataFrame = {
-      val sh = docs.select(col("doc_id"),
-          graft.functions.MinHashFns.word_shingles(split(trim(col("text")), WS), w).as("sh"))
-        .filter(size(col("sh")) > 0)
+    def statsFor(w: Int, verify: Boolean): DataFrame = {
+      val tok = docs.select(col("doc_id"),
+          explode(graft.functions.MinHashFns.word_shingles(
+            split(trim(col("text")), WS), w)).as("g"))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val toks = sh.select(col("doc_id"), explode(col("sh")).as("g")).distinct()
-      val cands = toks.join(toks.select(col("doc_id").as("doc_b"), col("g")), "g")
-        .filter(col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-      val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val verified = cands.join(shA, "doc_a").join(shB, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-            / size(array_union(col("sh_a"), col("sh_b"))), 6).as("j"))
-        .localCheckpoint()
-      val dup = verified.filter(col("j") >= 0.5)
-      val nCand = cands.count()
-      val nPairs = dup.count()
-      val nDocs = dup.select(col("doc_a").as("id"))
-        .union(dup.select(col("doc_b").as("id"))).distinct().count()
-      sh.unpersist()
-      s.range(1).select(lit(w).as("w"), lit(nCand).as("n_candidates"),
-        lit(nPairs).as("n_pairs_05"), lit(nDocs).as("n_docs_dup"))
+      val joinRows = tok.groupBy("g").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("jr"))
+        .head().getLong(0)
+      val base = s.range(1).select(lit(w).as("w"), lit(joinRows).as("n_join_rows"))
+      val out =
+        if (!verify)
+          base.select(col("w"), col("n_join_rows"),
+            lit(null).cast("long").as("n_candidates"),
+            lit(null).cast("long").as("n_pairs_05"),
+            lit(null).cast("long").as("n_docs_dup"),
+            lit(false).as("verified"))
+        else {
+          val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          val pr = tok.select(col("doc_id").as("doc_a"), col("g"))
+            .join(tok.select(col("doc_id").as("doc_b"), col("g")), "g")
+            .filter(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("isz"))
+            .localCheckpoint()
+          val dup = pr
+            .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+            .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+            .filter(ExactRound.r(col("isz").cast("double")
+              / (col("na") + col("nb") - col("isz")), 6) >= 0.5)
+            .select("doc_a", "doc_b").localCheckpoint()
+          val nCand = pr.count()
+          val nPairs = dup.count()
+          val nDocs = dup.select(col("doc_a").as("id"))
+            .union(dup.select(col("doc_b").as("id"))).distinct().count()
+          base.select(col("w"), col("n_join_rows"),
+            lit(nCand).as("n_candidates"), lit(nPairs).as("n_pairs_05"),
+            lit(nDocs).as("n_docs_dup"), lit(true).as("verified"))
+        }
+      val materialized = out.localCheckpoint()
+      tok.unpersist(blocking = false)
+      materialized
     }
-    Seq(2, 3, 5).map(statsFor).reduce(_ unionAll _).orderBy("w")
+    (statsFor(2, verify = false) unionAll statsFor(3, verify = true)
+      unionAll statsFor(5, verify = true) unionAll statsFor(8, verify = true))
+      .orderBy("w")
   }
 
-  /** SQL twin: per-width shared-shingle join + exact verify, widths
-    * unrolled. */
+  /** SQL twin: join volume from the frequency table for every width,
+    * the verify chain only for the verified widths. */
   val widthSweepSql: String = {
-    def per(w: Int): String = {
-      val j = ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)
+    def grams(w: Int): String =
       s"""gw$w AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${w - 1}], ' ') AS g
          |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks
          |        FROM documents),
          |    unnest(generate_series(1, len(toks) - ${w - 1})) AS t(i)
          |  WHERE len(toks) >= $w
-         |), sz$w AS MATERIALIZED (
+         |), jr$w AS (
+         |  SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS jr
+         |  FROM (SELECT count(*) AS c FROM gw$w GROUP BY g)
+         |)""".stripMargin
+    def verifyCtes(w: Int): String = {
+      val j = ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)
+      s"""sz$w AS MATERIALIZED (
          |  SELECT doc_id, count(*) AS n FROM gw$w GROUP BY doc_id
          |), pr$w AS MATERIALIZED (
          |  SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS isz
@@ -673,17 +703,24 @@ object Dedup {
          |  FROM (SELECT pr.pa, pr.pb, pr.isz, sa.n AS na, sb.n AS nb
          |        FROM pr$w pr JOIN sz$w sa ON sa.doc_id = pr.pa
          |        JOIN sz$w sb ON sb.doc_id = pr.pb) p
-         |), st$w AS (
-         |  SELECT $w AS w,
-         |    CAST((SELECT count(*) FROM pr$w) AS BIGINT) AS n_candidates,
-         |    CAST((SELECT count(*) FROM jj$w WHERE j >= 0.5) AS BIGINT) AS n_pairs_05,
-         |    CAST((SELECT count(DISTINCT id) FROM (
-         |      SELECT pa AS id FROM jj$w WHERE j >= 0.5
-         |      UNION ALL SELECT pb FROM jj$w WHERE j >= 0.5)) AS BIGINT) AS n_docs_dup
          |)""".stripMargin
     }
-    s"""WITH ${Seq(2, 3, 5).map(per).mkString(", ")}
-       |SELECT * FROM st2 UNION ALL SELECT * FROM st3 UNION ALL SELECT * FROM st5
+    def verifiedRow(w: Int): String =
+      s"""SELECT $w AS w, (SELECT jr FROM jr$w) AS n_join_rows,
+         |  CAST((SELECT count(*) FROM pr$w) AS BIGINT) AS n_candidates,
+         |  CAST((SELECT count(*) FROM jj$w WHERE j >= 0.5) AS BIGINT) AS n_pairs_05,
+         |  CAST((SELECT count(DISTINCT id) FROM (
+         |    SELECT pa AS id FROM jj$w WHERE j >= 0.5
+         |    UNION ALL SELECT pb FROM jj$w WHERE j >= 0.5)) AS BIGINT) AS n_docs_dup,
+         |  TRUE AS verified""".stripMargin
+    s"""WITH ${Seq(2, 3, 5, 8).map(grams).mkString(", ")},
+       |${Seq(3, 5, 8).map(verifyCtes).mkString(", ")}
+       |SELECT 2 AS w, (SELECT jr FROM jr2) AS n_join_rows,
+       |  CAST(NULL AS BIGINT) AS n_candidates, CAST(NULL AS BIGINT) AS n_pairs_05,
+       |  CAST(NULL AS BIGINT) AS n_docs_dup, FALSE AS verified
+       |UNION ALL ${verifiedRow(3)}
+       |UNION ALL ${verifiedRow(5)}
+       |UNION ALL ${verifiedRow(8)}
        |ORDER BY w""".stripMargin
   }
 

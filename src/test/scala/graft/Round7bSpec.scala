@@ -340,18 +340,23 @@ class Round7bSpec extends SparkSpec {
     assert(out("binary_hamming") == hamTop.count(truth).toLong)
   }
 
-  test("d_width_sweep: w=3 row equals the canonical pair table; candidates shrink with w") {
-    val out = operators.Dedup.widthSweep(spark, sf).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(out.keySet == Set(2, 3, 5))
-    // monotonicity: longer shingles are rarer, so candidate volume shrinks
-    assert(out(2)._1 >= out(3)._1 && out(3)._1 >= out(5)._1)
+  test("d_width_sweep: w=3 row equals the canonical pair table; pricing is monotone") {
+    val rows = operators.Dedup.widthSweep(spark, sf).collect()
+    val byW = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byW.keySet == Set(2, 3, 5, 8))
+    // join volume shrinks monotonically with width
+    val jr = Seq(2, 3, 5, 8).map(w => byW(w).getLong(1))
+    assert(jr.zip(jr.tail).forall { case (a, b) => a >= b }, s"join volume $jr")
+    // the cost-skipped width carries NULL verify columns + verified=false
+    assert(!byW(2).getBoolean(5) && byW(2).isNullAt(2) && byW(2).isNullAt(3))
     // the w=3 verified count must equal the engine's canonical pair table
     val canonical = operators.Dedup.ngramJaccard(spark, sf).count()
-    assert(out(3)._2 == canonical, "w=3 sweep row vs d_ngram_jaccard")
-    out.values.foreach { case (cand, pairs, docs) =>
-      assert(pairs <= cand, "verified pairs are a subset of candidates")
-      assert(docs <= 2 * pairs, "each pair covers at most 2 docs")
+    assert(byW(3).getLong(3) == canonical, "w=3 sweep row vs d_ngram_jaccard")
+    Seq(3, 5, 8).foreach { w =>
+      val r = byW(w)
+      assert(r.getBoolean(5))
+      assert(r.getLong(3) <= r.getLong(2), "verified pairs are a subset of candidates")
+      assert(r.getLong(4) <= 2 * r.getLong(3), "each pair covers at most 2 docs")
     }
   }
 
