@@ -2866,7 +2866,73 @@ object Pipeline {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
 
+  // ---------------------------------------------------- table fingerprint
+
+  /** ORDER-INDEPENDENT TABLE FINGERPRINT — the equality certificate two
+    * engines (or the two sides of a 100 TB migration) each compute over
+    * their OWN copy without sorting, co-shuffling, or moving a single
+    * row: every row folds to a 48-bit hash of a canonical string
+    * (delimited; integer-exact money via cents; ISO dates — no float
+    * formatting in the channel), and the table collapses through two
+    * COMMUTATIVE aggregates — `bit_xor` plus a modular sum (xor alone is
+    * blind to an even number of duplicate swaps, the sum alone to
+    * reorderings; the pair catches both) — and the row count.
+    * Partial-aggregable ⇒ map-side combine: each of 1000 executors ships
+    * 24 bytes to the final merge, the canonical shape of a
+    * cross-datacenter diff. The certificate recomputes the fingerprint
+    * over a DIFFERENTLY-PARTITIONED half-split traversal (repartition by
+    * an unrelated key, aggregate each half, merge xor-of-xors /
+    * sum-of-sums) and pins `order_invariant` TRUE — a fingerprint whose
+    * value depends on physical row order is useless as a migration
+    * check. 12 md5 hex chars (48 bits) keep the fold inside exact BIGINT
+    * arithmetic in BOTH engines (the oracle's strpos fold multiplies by
+    * at most 16^11 = 2^44, far from 2^63; the modular sum stays under
+    * 2^20 per row). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val canonical = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_linestatus"), round(col("l_quantity")).cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      col("l_shipdate").cast("date").cast("string"))
+    val h = conv(substring(md5(canonical), 1, 12), 16, 10).cast("long")
+    val rows = graft.Tables.lineitem(s, d)
+      .select(h.as("h"), (col("l_partkey") % 2).as("half"))
+    val direct = rows.agg(
+      count(lit(1)).as("n_rows"),
+      expr("bit_xor(h)").as("fp_xor"),
+      sum(col("h") % 1000003L).as("fp_sum_mod"))
+    val merged = rows.repartition(7, col("half"))
+      .groupBy("half")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("h") % 1000003L).as("sm"))
+      .agg(sum("n").as("n2"), expr("bit_xor(x)").as("x2"), sum("sm").as("s2"))
+    direct.crossJoin(broadcast(merged))
+      .select(col("n_rows"), col("fp_xor"), col("fp_sum_mod"),
+        (col("n_rows") === col("n2") && col("fp_xor") === col("x2") &&
+          col("fp_sum_mod") === col("s2")).as("order_invariant"))
+  }
+
+  /** SQL twin: identical canonical string and md5; the 48-bit value is
+    * folded from the hex chars with a strpos ladder (DuckDB has no
+    * base-16 `conv`), then the same xor / modular-sum / count collapse.
+    * `order_invariant` is pinned TRUE. */
+  val fingerprintSql: String = {
+    val terms = (0 until 12).map { i =>
+      s"CAST(strpos('0123456789abcdef', substr(h,${i + 1},1))-1 AS BIGINT) * ${1L << (4 * (11 - i))}"
+    }.mkString(" +\n    ")
+    s"""WITH c AS (
+       |  SELECT md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+       |    CAST(round(l_quantity) AS BIGINT), CAST(round(l_extendedprice*100) AS BIGINT),
+       |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS h
+       |  FROM lineitem
+       |), v AS (SELECT $terms AS h48 FROM c)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h48) AS fp_xor,
+       |  CAST(sum(h48 % 1000003) AS BIGINT) AS fp_sum_mod, TRUE AS order_invariant
+       |FROM v""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_fingerprint" -> (fingerprint _),
     "p_referential_integrity" -> (referentialIntegrity _),
     "p_aes_roundtrip" -> (aesRoundtrip _),
     "p_mor_cow_equiv" -> (morCowEquiv _),
@@ -2915,6 +2981,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_fingerprint" -> fingerprintSql,
     "p_referential_integrity" -> referentialIntegritySql,
     "p_aes_roundtrip" -> aesRoundtripSql,
     "p_mor_cow_equiv" -> morCowEquivSql,
