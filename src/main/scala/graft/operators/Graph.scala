@@ -397,6 +397,74 @@ object Graph {
        |FROM t6 ORDER BY doc_id""".stripMargin
   }
 
+  /** PIVOT ECCENTRICITY LOWER BOUNDS — the iFUB/HADI building block for
+    * diameter estimation at graph scale: exact all-pairs eccentricity is
+    * O(n·E) BFS runs, so production diameter estimators batch k pivot
+    * BFS traversals and bound ecc(v) ≥ max over pivots d(v, pivot)
+    * (equality at v's true farthest node; the bound tightens as pivots
+    * are added — the knob a 10⁹-node run turns). All k traversals share
+    * ONE stationary edge list; per-round state is (node, pivot) → dist
+    * keyed for the min-relax partial aggregate, so a round is one
+    * equi-join + one map-side-combining min — k-way parallelism with no
+    * extra passes over the edges. 6 synchronous rounds = the family's
+    * closure bound on this graph ([[bfs]]); per-round `localCheckpoint`
+    * keeps the iterative lineage flat. Output per node reaching ≥ 1
+    * pivot: the eccentricity lower bound, the farthest pivot (ties to
+    * the smallest pivot id via the min-struct argmax — deterministic,
+    * engine-portable), and how many pivots reached it (a per-node
+    * confidence census the estimator reads before trusting the bound). */
+  def eccentricity(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 5 === 0)
+      .select(col("id"), col("id").as("pv"), lit(0L).as("dist"))
+      .localCheckpoint()
+    (1 to 6).foreach { _ =>
+      val cand = edges.join(dist, edges("src") === dist("id"))
+        .select(col("dst").as("id"), col("pv"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(cand).groupBy("id", "pv").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.groupBy("id")
+      .agg(max("dist").as("ecc_lb"),
+        min(struct((-col("dist")).as("nd"), col("pv").as("p"))).as("m"),
+        count(lit(1)).as("n_pivots_reached"))
+      .select(col("id").as("doc_id"), col("ecc_lb"),
+        col("m.p").as("far_pivot"), col("n_pivots_reached"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: identical 6 unrolled (id, pivot)-keyed min-relax rounds;
+    * the argmax replays through a scalar composite key (−dist·2⁴⁰ + pv —
+    * unique, so `arg_min` equals the Spark side's min-struct) because
+    * DuckDB 1.0's arg_min takes no struct keys. */
+  val eccentricitySql: String = {
+    val iterations = (1 to 6).map { k =>
+      s"""t$k AS MATERIALIZED (
+         |  SELECT id, pv, min(dist) AS dist FROM (
+         |    SELECT id, pv, dist FROM t${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, t.pv, t.dist + 1 AS dist
+         |    FROM edges e JOIN t${k - 1} t ON e.src = t.id
+         |  ) GROUP BY id, pv
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.ngramPairs05}, edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
+       |), t0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS pv, CAST(0 AS BIGINT) AS dist
+       |  FROM edges WHERE src % 5 = 0
+       |), $iterations
+       |SELECT id AS doc_id, CAST(max(dist) AS BIGINT) AS ecc_lb,
+       |  arg_min(pv, -dist * 1099511627776 + pv) AS far_pivot,
+       |  CAST(count(*) AS BIGINT) AS n_pivots_reached
+       |FROM t6 GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   /** Semi-supervised label propagation over the embedding near-dup
     * graph: seed nodes (vec_id % 5 == 0) keep their known class label;
     * every other node takes the MODE of its neighbors' current labels
@@ -1952,6 +2020,7 @@ object Graph {
     "g_degree_stats" -> (degreeStats _),
     "g_community" -> (community _),
     "g_bfs" -> (bfs _),
+    "g_eccentricity" -> (eccentricity _),
     "g_pagerank" -> (pagerank _),
     "g_linkpred" -> (linkpred _),
     "g_triangles" -> (triangles _),
@@ -1978,6 +2047,7 @@ object Graph {
     "g_degree_stats" -> degreeStatsSql,
     "g_community" -> communitySql,
     "g_bfs" -> bfsSql,
+    "g_eccentricity" -> eccentricitySql,
     "g_pagerank" -> pagerankSql,
     "g_linkpred" -> linkpredSql,
     "g_triangles" -> trianglesSql,

@@ -612,6 +612,113 @@ object Similarity {
       |)
       |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** SAMPLED SILHOUETTE — the cluster-quality audit run after any
+    * k-means/IVF build: for a deterministic sample of vectors
+    * (vec_id % 20 == 3), a(i) = mean distance to its OWN cell's other
+    * members and b(i) = the smallest mean distance to ANY other cell;
+    * s(i) = (b−a)/max(a,b) ∈ [−1, 1] (negative = assigned to the wrong
+    * cell — the signal that triggers a re-train). Full silhouette is
+    * O(n²) distances and is never run at corpus scale; the production
+    * shape is exactly this sample × corpus scan (m·n work, one
+    * broadcast of the m sample rows, per-(sample, cell) partial
+    * aggregates — nothing data-sized crosses the shuffle). Numerics:
+    * pairwise squared-L2 through the engine's |a|²−2⟨a,b⟩+|b|²
+    * expansion, folded to INTEGER micros before the order-sensitive
+    * sums, ONE IEEE division per (sample, cell) mean, min-struct argmin
+    * for the nearest foreign cell (ties to the smaller cell id) — every
+    * double both engines compare is derived from identical integer
+    * sums, so the gate is bit-exact. A sample whose own cell is a
+    * singleton has no a(i); it reports NULL means and the conventional
+    * s = 0. */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d).select("vec_id", "v").localCheckpoint()
+    val cents = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    val assigned = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("cl"))
+      .localCheckpoint()
+    val samples = assigned.filter(col("vec_id") % 20 === 3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("cl").as("q_cl"))
+    val pc = assigned.crossJoin(broadcast(samples))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_cl"), col("cl"),
+        round(sqDist(col("v"), col("q_v")) * lit(1000000.0)).cast("long").as("dm"))
+      .groupBy("q_id", "q_cl", "cl")
+      .agg(sum("dm").as("sm"), count(lit(1)).as("n"))
+    val own = pc.filter(col("cl") === col("q_cl"))
+      .select(col("q_id"),
+        (col("sm").cast("double") / (col("n") * lit(1000000.0))).as("a_raw"))
+    val other = pc.filter(col("cl") =!= col("q_cl"))
+      .select(col("q_id"), col("cl"),
+        (col("sm").cast("double") / (col("n") * lit(1000000.0))).as("m"))
+      .groupBy("q_id")
+      .agg(min(struct(col("m").as("m"), col("cl").as("cl"))).as("mb"))
+      .select(col("q_id"), col("mb.m").as("b_raw"), col("mb.cl").as("nearest_other"))
+    samples.select("q_id", "q_cl")
+      .join(other, "q_id")
+      .join(own, Seq("q_id"), "left")
+      .select(col("q_id").as("vec_id"), col("q_cl").as("cluster"),
+        ExactRound.r(col("a_raw"), 6).as("a_mean"),
+        ExactRound.r(col("b_raw"), 6).as("b_mean"),
+        col("nearest_other"),
+        when(col("a_raw").isNull ||
+            greatest(col("a_raw"), col("b_raw")) === 0.0, lit(0.0))
+          .otherwise(ExactRound.r(
+            (col("b_raw") - col("a_raw")) / greatest(col("a_raw"), col("b_raw")), 6))
+          .as("silhouette"))
+      .orderBy("vec_id")
+  }
+
+  /** SQL twin: identical assignment, micros-folded pair sums, one
+    * division per mean, row_number argmin for the nearest foreign
+    * cell. */
+  val silhouetteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c AS (SELECT vec_id AS centroid_id, v AS c_v FROM e WHERE vec_id < 10),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, v, centroid_id AS cl FROM (
+       |    SELECT e.vec_id, e.v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+       |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+       |    FROM e, c
+       |  ) WHERE rn = 1
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS q_v, cl AS q_cl FROM asg WHERE vec_id % 20 = 3
+       |), pc AS MATERIALIZED (
+       |  SELECT q_id, q_cl, cl, CAST(sum(dm) AS BIGINT) AS sm, count(*) AS n FROM (
+       |    SELECT q.q_id, q.q_cl, a.cl,
+       |      CAST(round((list_inner_product(a.v, a.v) - 2*list_inner_product(a.v, q.q_v)
+       |        + list_inner_product(q.q_v, q.q_v)) * 1000000) AS BIGINT) AS dm
+       |    FROM q JOIN asg a ON a.vec_id <> q.q_id
+       |  ) GROUP BY 1, 2, 3
+       |), own AS (
+       |  SELECT q_id, CAST(sm AS DOUBLE) / (n * 1000000.0) AS a_raw
+       |  FROM pc WHERE cl = q_cl
+       |), oth AS (
+       |  SELECT q_id, m AS b_raw, cl AS nearest_other FROM (
+       |    SELECT q_id, cl, CAST(sm AS DOUBLE) / (n * 1000000.0) AS m,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY CAST(sm AS DOUBLE) / (n * 1000000.0), cl) AS rn
+       |    FROM pc WHERE cl <> q_cl
+       |  ) WHERE rn = 1
+       |)
+       |SELECT q.q_id AS vec_id, q.q_cl AS cluster,
+       |  ${ExactRound.rSql("own.a_raw", 6)} AS a_mean,
+       |  ${ExactRound.rSql("oth.b_raw", 6)} AS b_mean,
+       |  oth.nearest_other,
+       |  CASE WHEN own.a_raw IS NULL OR greatest(own.a_raw, oth.b_raw) = 0 THEN 0.0
+       |       ELSE ${ExactRound.rSql(
+                 "(oth.b_raw - own.a_raw) / greatest(own.a_raw, oth.b_raw)", 6)}
+       |  END AS silhouette
+       |FROM q JOIN oth USING (q_id) LEFT JOIN own USING (q_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** Lloyd's k-means — real ITERATIVE centroid refinement (what
     * [[centroids]]' fixed seeds and [[annIvf]]'s index build both
     * presuppose someone ran): two full assign→update rounds from the
@@ -2198,7 +2305,8 @@ object Similarity {
     "s_filtered_recall" -> (filteredRecall _),
     "s_kmeans_iter" -> (kmeansIter _),
     "s_ann_pq" -> (annPq _),
-    "s_centroids" -> (centroids _))
+    "s_centroids" -> (centroids _),
+    "s_silhouette" -> (silhouette _))
 
   val oracles: Map[String, String] = Map(
     "s_quantizer_recall" -> quantizerRecallSql,
@@ -2231,5 +2339,6 @@ object Similarity {
     "s_filtered_recall" -> filteredRecallSql,
     "s_kmeans_iter" -> kmeansIterSql,
     "s_ann_pq" -> annPqSql,
-    "s_centroids" -> centroidsSql)
+    "s_centroids" -> centroidsSql,
+    "s_silhouette" -> silhouetteSql)
 }

@@ -509,4 +509,105 @@ class Round7bSpec extends SparkSpec {
       assert(phi == replay)
     }
   }
+
+  test("p_fingerprint: xor/sum folds replay from an in-memory md5 pass; order-invariant") {
+    val out = operators.Pipeline.fingerprint(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getBoolean(3), "half-split repartitioned traversal must agree")
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate").cast("date").cast("string"))
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var xorFp = 0L; var sumFp = 0L
+    rows.foreach { row =>
+      val canonical = s"${row.getLong(0)}|${row.getInt(1)}|${row.getString(2)}|" +
+        s"${row.getString(3)}|${math.round(row.getDouble(4))}|" +
+        s"${math.round(row.getDouble(5) * 100)}|${row.getString(6)}"
+      val hex = md.digest(canonical.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      xorFp ^= h; sumFp += h % 1000003L
+    }
+    assert(r.getLong(0) == rows.length.toLong, "n_rows")
+    assert(r.getLong(1) == xorFp, "fp_xor")
+    assert(r.getLong(2) == sumFp, "fp_sum_mod")
+  }
+
+  test("g_eccentricity: bounds replay from an in-memory multi-source BFS") {
+    val pairs = operators.Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val pivots = nodes.filter(_ % 5 == 0).toSeq.sorted
+    // distances per pivot (hop-accurate via level sets)
+    val byPivot = pivots.map { p =>
+      var level = Map(p -> 0); var front = Set(p); var d = 0
+      while (front.nonEmpty) {
+        d += 1
+        val next = front.flatMap(adj(_)) -- level.keySet
+        next.foreach(n => level += n -> d)
+        front = next
+      }
+      p -> level
+    }
+    val out = operators.Graph.eccentricity(spark, sf).collect()
+    val expected = nodes.toSeq.sorted.flatMap { v =>
+      val reached = byPivot.flatMap { case (p, lv) => lv.get(v).map(p -> _) }
+      if (reached.isEmpty) None
+      else {
+        val ecc = reached.map(_._2).max
+        val far = reached.filter(_._2 == ecc).map(_._1).min
+        Some((v, ecc.toLong, far, reached.size.toLong))
+      }
+    }
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (v, ecc, far, n)) =>
+      assert(r.getLong(0) == v); assert(r.getLong(1) == ecc, s"ecc $v")
+      assert(r.getLong(2) == far, s"far_pivot $v"); assert(r.getLong(3) == n, s"n $v")
+    }
+  }
+
+  test("s_silhouette: a/b means and scores replay from an in-memory distance pass") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def sq(a: Array[Double], b: Array[Double]) = dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val cents = vecs.filter(_._1 < 10)
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cv) => (r6(sq(v, cv)), c) }.min._2
+    }
+    val out = operators.Similarity.silhouette(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getLong(0)
+      assert(q % 20 == 3)
+      assert(r.getLong(1) == assign(q), s"cluster $q")
+      val byCl = vecs.keys.filter(_ != q).toSeq.groupBy(assign)
+        .map { case (cl, ids) =>
+          val dms = ids.map(i => math.round(sq(vecs(i), vecs(q)) * 1e6))
+          cl -> (dms.sum.toDouble / (dms.length * 1e6))
+        }
+      val aOpt = byCl.get(assign(q))
+      val (bRaw, nearest) = byCl.filter(_._1 != assign(q)).toSeq
+        .map { case (cl, m) => (m, cl) }.min
+      assert(r.getDouble(3) == r6(bRaw), s"b_mean $q")
+      assert(r.getLong(4) == nearest, s"nearest_other $q")
+      aOpt match {
+        case Some(a) =>
+          assert(r.getDouble(2) == r6(a), s"a_mean $q")
+          val sil = if (math.max(a, bRaw) == 0) 0.0 else r6((bRaw - a) / math.max(a, bRaw))
+          assert(r.getDouble(5) == sil, s"silhouette $q")
+        case None =>
+          assert(r.isNullAt(2)); assert(r.getDouble(5) == 0.0)
+      }
+    }
+  }
 }
