@@ -2128,6 +2128,129 @@ object Multimodal {
       |  CAST(strlen(text) AS BIGINT) AS content_size, TRUE AS roundtrip_ok
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------------- avro
+
+  /** documents → a real single-record Avro OBJECT CONTAINER FILE built
+    * byte-by-byte to the public spec (magic `Obj\x01`; file-metadata
+    * map with `avro.codec`/`avro.schema` entries, zigzag-varint
+    * lengths; 16-byte sync marker repeated after every data block; one
+    * block of count/size varints + the text bytes as a `bytes`-typed
+    * record field). The fixed metadata makes every header offset a
+    * compile-time constant; only the block's THREE varints vary with
+    * the payload — exactly the fields the parse must decode to walk a
+    * real container. Sync bytes derive from md5(`doc-id`), so the
+    * header/trailer comparison is content-dependent, not a constant. */
+  private[graft] val avroSchemaJson: String =
+    """{"type":"record","name":"doc","fields":[{"name":"body","type":"bytes"}]}"""
+
+  private[graft] def encodeAvroOcf(id: Long, text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def zig(n: Long): Array[Byte] = {
+      var z = n << 1
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var more = true
+      while (more) {
+        val b = (z & 0x7f).toInt
+        z >>>= 7
+        more = z != 0
+        buf += (if (more) (b | 0x80) else b).toByte
+      }
+      buf.toArray
+    }
+    val out = new java.io.ByteArrayOutputStream(body.length + 160)
+    out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    out.write(zig(2), 0, 1)
+    def kv(k: String, v: Array[Byte]): Unit = {
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val kl = zig(kb.length); out.write(kl, 0, kl.length); out.write(kb, 0, kb.length)
+      val vl = zig(v.length); out.write(vl, 0, vl.length); out.write(v, 0, v.length)
+    }
+    kv("avro.codec", "null".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    kv("avro.schema", avroSchemaJson.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0)
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"doc-$id".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(sync, 0, 16)
+    val lenV = zig(body.length)
+    val one = zig(1); out.write(one, 0, one.length)
+    val szV = zig(lenV.length + body.length); out.write(szV, 0, szV.length)
+    out.write(lenV, 0, lenV.length); out.write(body, 0, body.length)
+    out.write(sync, 0, 16)
+    out.toByteArray
+  }
+
+  /** Bytes of the constant OCF header (everything before the first
+    * data block) — magic(4) + map count(1) + codec entry(1+10+1+4) +
+    * schema entry(1+11 + zig-width + |schema|) + terminator(1) +
+    * sync(16). Compile-time constant because the metadata is fixed. */
+  private[graft] val avroHeaderLen: Int =
+    4 + 1 + (1 + 10 + 1 + 4) + (1 + 11 + 2 + avroSchemaJson.length) + 1 + 16
+
+  /** AVRO OCF STRUCTURE parse — the container walk an ingest fleet does
+    * before handing blocks to a decoder: magic, the codec string pulled
+    * through the metadata map's own length varint, the data block's
+    * count/size zigzag varints decoded with a GENERIC variable-width
+    * (1–3 byte) when-chain — the corpus spans all widths the 553-byte
+    * max needs — and three self-certifying checks: `framing_ok` (inner
+    * length varint + its width must equal the block size — the
+    * cross-varint identity a mis-stride breaks), `sync_ok` (trailing
+    * sync equals header sync, byte-compared at a VARINT-COMPUTED
+    * offset), `size_ok` (total file length replays from the parsed
+    * sizes). One scan, codegen'd column ops; the encode runs batched in
+    * mapPartitions. */
+  def avroOcf(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) =>
+        (id, encodeAvroOcf(id, t))
+      }))
+      .toDF("asset_id", "media")
+    def u8(off: Column): Column =
+      conv(hex(col("media").substr(off, lit(1))), 16, 10).cast("long")
+    def varint(off: Column): (Column, Column) = {
+      val b0 = u8(off); val b1 = u8(off + 1); val b2 = u8(off + 2)
+      val v = when(b0 < 128, b0)
+        .when(b1 < 128, (b0 - 128) + b1 * 128)
+        .otherwise((b0 - 128) + (b1 - 128) * 128 + b2 * 16384)
+      val w = when(b0 < 128, lit(1L)).when(b1 < 128, lit(2L)).otherwise(lit(3L))
+      (v, w)
+    }
+    val hdr = lit(avroHeaderLen.toLong)
+    val (cntZ, w1) = varint(hdr + 1)
+    val (szZ, w2) = varint(hdr + 1 + w1)
+    val blockSize = shiftright(szZ, 1)
+    val (plZ, w3) = varint(hdr + w1 + w2 + 1)
+    val payloadLen = shiftright(plZ, 1)
+    // codec value: its length varint sits right after the 10-byte key
+    val codecLen = shiftright(u8(lit(17L)), 1)
+    assets.select(col("asset_id"),
+        (hex(col("media").substr(lit(1L), lit(4L))) === "4F626A01").as("valid_magic"),
+        col("media").substr(lit(18L), codecLen).cast("string").as("codec"),
+        shiftright(cntZ, 1).as("n_records"),
+        blockSize.as("block_size"),
+        payloadLen.as("payload_len"),
+        (payloadLen + w3 === blockSize).as("framing_ok"),
+        (col("media").substr(hdr - 15, lit(16L)) ===
+          col("media").substr(hdr + w1 + w2 + blockSize + 1, lit(16L))).as("sync_ok"),
+        (length(col("media")) === hdr + w1 + w2 + blockSize + 16L).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: block size = byte length + its own length
+    * varint's width (1 byte under 64, 2 under 8192 — zigzag doubles
+    * the value); every certificate column pinned. */
+  val avroOcfSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic, 'null' AS codec,
+      |  CAST(1 AS BIGINT) AS n_records,
+      |  CAST(strlen(text) + CASE WHEN strlen(text) < 64 THEN 1
+      |    WHEN strlen(text) < 8192 THEN 2 ELSE 3 END AS BIGINT) AS block_size,
+      |  CAST(strlen(text) AS BIGINT) AS payload_len,
+      |  TRUE AS framing_ok, TRUE AS sync_ok, TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -2959,6 +3082,7 @@ object Multimodal {
     "m_webp_meta" -> (webpMeta _),
     "m_bmp_meta" -> (bmpMeta _),
     "m_zstd_frame" -> (zstdFrame _),
+    "m_avro_ocf" -> (avroOcf _),
     "m_wds_paired" -> (wdsPaired _),
     "m_id3_meta" -> (id3Meta _),
     "m_exif_scrub" -> (exifScrub _),
@@ -2995,6 +3119,7 @@ object Multimodal {
     "m_webp_meta" -> webpMetaSql,
     "m_bmp_meta" -> bmpMetaSql,
     "m_zstd_frame" -> zstdFrameSql,
+    "m_avro_ocf" -> avroOcfSql,
     "m_wds_paired" -> wdsPairedSql,
     "m_id3_meta" -> id3MetaSql,
     "m_exif_scrub" -> exifScrubSql,

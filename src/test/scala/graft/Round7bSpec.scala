@@ -610,4 +610,33 @@ class Round7bSpec extends SparkSpec {
       }
     }
   }
+
+  test("m_avro_ocf: hand-built containers decode through the real Avro DataFileStream") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(5).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val bytes = multimodal.Multimodal.encodeAvroOcf(id, text)
+      val reader = new org.apache.avro.file.DataFileStream(
+        new java.io.ByteArrayInputStream(bytes),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      assert(reader.getMetaString("avro.codec") == "null")
+      assert(reader.hasNext)
+      val rec = reader.next()
+      val body = rec.get("body").asInstanceOf[java.nio.ByteBuffer]
+      val got = new Array[Byte](body.remaining()); body.get(got)
+      assert(java.util.Arrays.equals(got, text.getBytes("UTF-8")), s"body doc $id")
+      assert(!reader.hasNext, "exactly one record")
+      reader.close()
+    }
+    // the declarative parse agrees with the encoder's framing on every doc
+    val out = multimodal.Multimodal.avroOcf(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8),
+        s"certificates doc ${r.getLong(0)}")
+      assert(r.getString(2) == "null"); assert(r.getLong(3) == 1L)
+      assert(r.getLong(4) == r.getLong(5) + (if (r.getLong(5) < 64) 1 else 2))
+    }
+  }
 }
