@@ -2158,7 +2158,113 @@ object TextAnalysis {
        |  ${ExactRound.rSql("CAST(sum(latin) AS DOUBLE) / sum(n_chars)", 6)} AS latin_frac
        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Fixed RAKE stopword list (phrase breakers) — tiny by design: the
+    * algorithm's quality comes from the degree/frequency ratio, not the
+    * list, and a short explicit list keeps the oracle twin literal. */
+  private val rakeStop: Seq[String] = Seq(
+    "the", "of", "and", "a", "an", "in", "to", "is", "it", "that", "this",
+    "with", "for", "as", "on", "are", "be", "by", "or", "at", "from",
+    "was", "were", "not", "but")
+
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the unsupervised
+    * keyphrase pass a corpus-curation pipeline runs to label shards by
+    * topic: candidate phrases are maximal token runs broken at
+    * punctuation AND stopwords; each word scores degree/frequency
+    * (degree = the summed size of every phrase it appears in — words
+    * that live in long phrases beat words that appear alone), and a
+    * phrase scores the sum of its member words. Plan shape: one
+    * punctuation explode + one in-segment token explode (map-side), a
+    * per-(doc, segment) running stopword count (the gaps-and-islands
+    * window — phrases fall out of the group key, no self-join), one
+    * global word aggregate, one join back, one phrase aggregate, TopK.
+    * Nothing driver-side; the only global structure is the word score
+    * table, which shuffles by word exactly once. Numerics: word score
+    * = round(10⁶·deg/freq) held as INTEGER micros so the phrase score
+    * is an order-free long sum — the engine's exact-float discipline
+    * (a double sum of ratios would be accumulation-order-dependent).
+    * Output: top 15 phrases by (score, text) with occurrence and width
+    * census. */
+  def rake(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z0-9 ]+")).as(Seq("seg_pos", "seg")))
+      .select(col("doc_id"), col("seg_pos"),
+        posexplode(split(col("seg"), " +")).as(Seq("tok_pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("is_stop", col("w").isInCollection(rakeStop))
+    val runWin = Window.partitionBy("doc_id", "seg_pos").orderBy("tok_pos")
+    val phraseWin = Window.partitionBy("doc_id", "seg_pos", "brk")
+    val words = toks
+      .withColumn("brk", sum(when(col("is_stop"), 1L).otherwise(0L)).over(runWin))
+      .filter(!col("is_stop"))
+      .withColumn("psize", count(lit(1)).over(phraseWin))
+    val scores = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("psize").as("deg"))
+      .select(col("w"),
+        round(col("deg") * lit(1000000.0) / col("freq")).cast("long").as("score_m"))
+    words.join(scores, "w")
+      .groupBy("doc_id", "seg_pos", "brk")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tok_pos"), col("w")))),
+          x => x.getField("w"))).as("phrase"),
+        sum("score_m").as("sm"), count(lit(1)).as("nw"))
+      .groupBy("phrase")
+      .agg(max("sm").as("score_micros"), max("nw").as("n_words"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("score_micros").desc, col("phrase"))
+      .limit(15)
+  }
+
+  /** SQL twin: identical segmentation (1-based list positions shift the
+    * internal keys by a constant — grouping and ordering are
+    * unaffected), running stopword count, micros word scores, long
+    * phrase sums. */
+  val rakeSql: String = {
+    val stopList = rakeStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH segs AS (
+       |  SELECT doc_id, u.seg_pos AS seg_pos, u.seg AS seg FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      string_split_regex(lower(text), '[^a-z0-9 ]+'),
+       |      (x, i) -> struct_pack(seg_pos := i, seg := x))) AS u
+       |    FROM documents)
+       |), toks AS (
+       |  SELECT doc_id, seg_pos, t.tok_pos AS tok_pos, t.w AS w,
+       |    t.w IN ($stopList) AS is_stop
+       |  FROM (
+       |    SELECT doc_id, seg_pos, unnest(list_transform(
+       |      string_split_regex(seg, ' +'),
+       |      (x, i) -> struct_pack(tok_pos := i, w := x))) AS t
+       |    FROM segs)
+       |  WHERE t.w <> ''
+       |), runs AS (
+       |  SELECT doc_id, seg_pos, tok_pos, w, is_stop,
+       |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id, seg_pos ORDER BY tok_pos) AS brk
+       |  FROM toks
+       |), words AS (
+       |  SELECT doc_id, seg_pos, brk, tok_pos, w,
+       |    count(*) OVER (PARTITION BY doc_id, seg_pos, brk) AS psize
+       |  FROM runs WHERE NOT is_stop
+       |), scores AS (
+       |  SELECT w, CAST(round(sum(psize) * 1000000.0 / count(*)) AS BIGINT) AS score_m
+       |  FROM words GROUP BY w
+       |), phrases AS (
+       |  SELECT array_to_string(list(words.w ORDER BY tok_pos), ' ') AS phrase,
+       |    CAST(sum(score_m) AS BIGINT) AS sm, count(*) AS nw
+       |  FROM words JOIN scores ON words.w = scores.w
+       |  GROUP BY doc_id, seg_pos, brk
+       |)
+       |SELECT phrase, CAST(max(sm) AS BIGINT) AS score_micros,
+       |  CAST(max(nw) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM phrases GROUP BY phrase
+       |ORDER BY score_micros DESC, phrase LIMIT 15""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_rake" -> (rake _),
     "t_script_profile" -> (scriptProfile _),
     "t_fertility" -> (fertility _),
     "t_wordpiece" -> (wordpiece _),
@@ -2202,6 +2308,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_rake" -> rakeSql,
     "t_script_profile" -> scriptProfileSql,
     "t_fertility" -> fertilitySql,
     "t_unicode_norm" -> unicodeNormSql,

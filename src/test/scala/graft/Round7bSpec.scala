@@ -639,4 +639,36 @@ class Round7bSpec extends SparkSpec {
       assert(r.getLong(4) == r.getLong(5) + (if (r.getLong(5) < 64) 1 else 2))
     }
   }
+
+  test("t_rake: top phrases replay from an in-memory RAKE pass") {
+    val stop = Set("the", "of", "and", "a", "an", "in", "to", "is", "it", "that",
+      "this", "with", "for", "as", "on", "are", "be", "by", "or", "at", "from",
+      "was", "were", "not", "but")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // phrases per doc: split segments at punctuation, break runs at stopwords
+    val phrases = docs.flatMap { case (_, text) =>
+      text.toLowerCase.split("[^a-z0-9 ]+").flatMap { seg =>
+        val toks = seg.split(" +").filter(_.nonEmpty)
+        val runs = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+        toks.foreach { t => if (stop(t)) runs += scala.collection.mutable.ArrayBuffer.empty[String] else runs.last += t }
+        runs.filter(_.nonEmpty).map(_.toSeq)
+      }
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val deg = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val scoreM = freq.keys.map(w => w -> math.round(deg(w) * 1e6 / freq(w))).toMap
+    val byText = phrases.groupBy(_.mkString(" ")).map { case (txt, occ) =>
+      (txt, occ.head.map(scoreM).sum, occ.head.length.toLong, occ.length.toLong)
+    }
+    val expected = byText.toSeq.sortBy { case (txt, sm, _, _) => (-sm, txt) }.take(15)
+    val out = operators.TextAnalysis.rake(spark, sf).collect()
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (txt, sm, nw, no)) =>
+      assert(r.getString(0) == txt, s"phrase ${r.getString(0)} vs $txt")
+      assert(r.getLong(1) == sm, s"score $txt")
+      assert(r.getLong(2) == nw && r.getLong(3) == no, s"census $txt")
+    }
+  }
 }
