@@ -465,6 +465,116 @@ object Graph {
        |FROM t6 GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** MINIMUM SPANNING FOREST via distributed BORŮVKA — the clustering
+    * backbone (single-linkage dendrograms, network design) at graph
+    * scale: every component picks its minimum outgoing edge, picked
+    * edges join the forest, touched components contract, repeat —
+    * O(log n) rounds, each ONE equi-join + one partial-aggregable
+    * min-struct argmin (nothing resembling a global sort; Kruskal's
+    * sort-everything is the non-distributable formulation). Edge
+    * weights are 10⁶ − jaccard-micros with the (weight, a, b) composite
+    * as tie-break — UNIQUE keys, so the MSF is unique and
+    * engine-independent (the classic uniqueness theorem), which is what
+    * lets a SQL twin replay it without replaying the schedule.
+    * Contraction reuses [[Dedup.connectedComponents]] (partition-local
+    * union-find + pointer-jumping min-labels, convergence-probed, THROWS
+    * on cap) over the tiny component-graph of picked edges; the outer
+    * loop is data-driven with its own throwing cap, so an unconverged
+    * forest can never reach the gate silently. */
+  def mst(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+        (lit(1000000L) - round(col("jaccard") * lit(1000000.0)).cast("long")).as("wm"))
+      .localCheckpoint()
+    var comp = edges.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .select(col("id"), col("id").as("c")).localCheckpoint()
+    var forest: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 6) {
+      val ca = comp.select(col("id").as("a"), col("c").as("ca"))
+      val cb = comp.select(col("id").as("b"), col("c").as("cb"))
+      val ce = edges.join(ca, "a").join(cb, "b").filter(col("ca") =!= col("cb"))
+        .localCheckpoint()
+      if (ce.isEmpty) converged = true
+      else {
+        val dir = ce.select(col("ca").as("c"), col("cb").as("oc"), col("wm"), col("a"), col("b"))
+          .union(ce.select(col("cb").as("c"), col("ca").as("oc"), col("wm"), col("a"), col("b")))
+        val pick = dir.groupBy("c")
+          .agg(min(struct(col("wm"), col("a"), col("b"), col("oc"))).as("m"))
+          .select(col("c"), col("m.oc").as("oc"), col("m.a").as("ea"),
+            col("m.b").as("eb"), col("m.wm").as("ewm"))
+          .localCheckpoint()
+        val roundEdges = pick.select(col("ea"), col("eb"), col("ewm")).distinct()
+        forest = if (forest == null) roundEdges else forest.union(roundEdges)
+        val labels = Dedup.connectedComponents(pick.select("c", "oc"))
+        comp = comp.join(labels.withColumnRenamed("id", "c"), Seq("c"), "left")
+          .select(col("id"), coalesce(col("label"), col("c")).as("c"))
+          .localCheckpoint()
+      }
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException("g_mst: Borůvka exceeded the 6-round cap")
+    if (forest == null)
+      edges.filter(lit(false))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("wm").as("weight_micros"))
+    else
+      forest.distinct()
+        .select(col("ea").as("doc_a"), col("eb").as("doc_b"), col("ewm").as("weight_micros"))
+        .orderBy("doc_a", "doc_b")
+  }
+
+  /** SQL twin: 3 unrolled Borůvka rounds (row_number argmin on the same
+    * unique composite key), each followed by 6 min-relax label rounds
+    * over the picked component graph. Unique weights make the forest
+    * identical regardless of either engine's round schedule. */
+  val mstSql: String = {
+    def boruvkaRound(r: Int): String = {
+      val relax = (1 to 6).map { j =>
+        s"""ml${r}_$j AS MATERIALIZED (
+           |  SELECT n.c, min(l) AS l FROM (
+           |    SELECT c, l FROM ml${r}_${j - 1}
+           |    UNION ALL
+           |    SELECT me.c, ml.l FROM me$r me JOIN ml${r}_${j - 1} ml ON me.oc = ml.c
+           |  ) n GROUP BY n.c
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""dir$r AS (
+         |  SELECT x.c AS c, y.c AS oc, e.wm, e.a, e.b
+         |  FROM e JOIN comp${r - 1} x ON e.a = x.id JOIN comp${r - 1} y ON e.b = y.id
+         |  WHERE x.c <> y.c
+         |  UNION ALL
+         |  SELECT y.c, x.c, e.wm, e.a, e.b
+         |  FROM e JOIN comp${r - 1} x ON e.a = x.id JOIN comp${r - 1} y ON e.b = y.id
+         |  WHERE x.c <> y.c
+         |), pick$r AS MATERIALIZED (
+         |  SELECT c, oc, a, b, wm FROM (
+         |    SELECT c, oc, a, b, wm,
+         |      row_number() OVER (PARTITION BY c ORDER BY wm, a, b) AS rn
+         |    FROM dir$r) WHERE rn = 1
+         |), me$r AS MATERIALIZED (
+         |  SELECT c, oc FROM pick$r UNION ALL SELECT oc, c FROM pick$r
+         |), ml${r}_0 AS (
+         |  SELECT DISTINCT c, c AS l FROM me$r
+         |), $relax, comp$r AS MATERIALIZED (
+         |  SELECT p.id, coalesce(ml.l, p.c) AS c
+         |  FROM comp${r - 1} p LEFT JOIN ml${r}_6 ml ON p.c = ml.c
+         |)""".stripMargin
+    }
+    s"""WITH ${OracleCtes.ngramOverlap}, e AS MATERIALIZED (
+       |  SELECT pa AS a, pb AS b,
+       |    CAST(1000000 - round(${OracleCtes.ngramJaccardExpr} * 1000000) AS BIGINT) AS wm
+       |  FROM ng_pair WHERE ${OracleCtes.ngramJaccardExpr} >= 0.5
+       |), comp0 AS MATERIALIZED (
+       |  SELECT id, id AS c FROM (SELECT a AS id FROM e UNION SELECT b FROM e)
+       |), ${(1 to 3).map(boruvkaRound).mkString(", ")}
+       |SELECT DISTINCT a AS doc_a, b AS doc_b, wm AS weight_micros
+       |FROM (SELECT a, b, wm FROM pick1 UNION ALL SELECT a, b, wm FROM pick2
+       |      UNION ALL SELECT a, b, wm FROM pick3)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Semi-supervised label propagation over the embedding near-dup
     * graph: seed nodes (vec_id % 5 == 0) keep their known class label;
     * every other node takes the MODE of its neighbors' current labels
@@ -2021,6 +2131,7 @@ object Graph {
     "g_community" -> (community _),
     "g_bfs" -> (bfs _),
     "g_eccentricity" -> (eccentricity _),
+    "g_mst" -> (mst _),
     "g_pagerank" -> (pagerank _),
     "g_linkpred" -> (linkpred _),
     "g_triangles" -> (triangles _),
@@ -2048,6 +2159,7 @@ object Graph {
     "g_community" -> communitySql,
     "g_bfs" -> bfsSql,
     "g_eccentricity" -> eccentricitySql,
+    "g_mst" -> mstSql,
     "g_pagerank" -> pagerankSql,
     "g_linkpred" -> linkpredSql,
     "g_triangles" -> trianglesSql,

@@ -671,4 +671,28 @@ class Round7bSpec extends SparkSpec {
       assert(r.getLong(2) == nw && r.getLong(3) == no, s"census $txt")
     }
   }
+
+  test("g_mst: Borůvka forest equals an in-memory Kruskal (unique weights ⇒ unique MSF)") {
+    val edges = operators.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), 1000000L - math.round(r.getDouble(2) * 1e6)))
+    // Kruskal with union-find over the same unique (wm, a, b) order
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    val kruskal = edges.sortBy { case (a, b, w) => (w, a, b) }.filter { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); true } else false
+    }.map { case (a, b, w) => (a, b, w) }.sortBy(e => (e._1, e._2))
+    val out = operators.Graph.mst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == kruskal.length,
+      s"forest size ${out.length} vs kruskal ${kruskal.length}")
+    assert(out.toSeq == kruskal.toSeq)
+    // spanning invariant: |forest| = nodes − components
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comps = nodes.map(find).distinct
+    assert(out.length == nodes.length - comps.length)
+  }
 }
