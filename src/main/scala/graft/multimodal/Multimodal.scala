@@ -2251,6 +2251,102 @@ object Multimodal {
       |  TRUE AS framing_ok, TRUE AS sync_ok, TRUE AS size_ok
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------------- ebml
+
+  /** Minimal-width EBML vint (RFC 8794 §4): the leading-one bit of the
+    * FIRST byte encodes the width, value bits follow BIG-endian — the
+    * mirror image of Avro's little-endian zigzag, which is why the
+    * suite carries both decoders. All-ones patterns (127, 16383) mean
+    * "unknown size" and are skipped to the next width, per spec. */
+  private[graft] def ebmlVint(n: Long): Array[Byte] = {
+    require(n >= 0 && n < 0x1FFFFF - 1, s"vint out of 3-byte range: $n")
+    if (n < 127) Array((0x80 | n).toByte)
+    else if (n < 16383) Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    else Array((0x20 | (n >> 16)).toByte, ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+  }
+
+  /** documents → a real minimal WebM/Matroska skeleton (RFC 8794 EBML +
+    * the Matroska door ids): EBML header element `1A45DFA3` with
+    * EBMLVersion / ReadVersion / DocType("webm") / DocTypeVersion
+    * children, then a Segment `18538067` holding one Void element
+    * (`EC` — the spec's own padding id) whose size vint frames the
+    * text bytes. Every header offset is constant; the Segment and Void
+    * size vints vary with the payload — the fields the parse must
+    * actually decode. */
+  private[graft] def encodeEbml(text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    def w(bs: Array[Byte]): Unit = out.write(bs, 0, bs.length)
+    def id(bytes: Int*): Unit = bytes.foreach(out.write)
+    // EBML header: 4 fixed children = (2+1+1) + (2+1+1) + (2+1+4) + (2+1+1) = 19 bytes
+    val children = (2 + 1 + 1) + (2 + 1 + 1) + (2 + 1 + 4) + (2 + 1 + 1)
+    id(0x1A, 0x45, 0xDF, 0xA3); w(ebmlVint(children.toLong))
+    id(0x42, 0x86); w(ebmlVint(1)); out.write(1)          // EBMLVersion 1
+    id(0x42, 0xF7); w(ebmlVint(1)); out.write(1)          // EBMLReadVersion 1
+    id(0x42, 0x82); w(ebmlVint(4)); w("webm".getBytes)    // DocType
+    id(0x42, 0x87); w(ebmlVint(1)); out.write(2)          // DocTypeVersion 2
+    val voidBytes = ebmlVint(body.length.toLong)
+    val segPayload = 1 + voidBytes.length + body.length
+    id(0x18, 0x53, 0x80, 0x67); w(ebmlVint(segPayload.toLong))
+    out.write(0xEC); w(voidBytes); w(body)
+    out.toByteArray
+  }
+
+  /** EBML STRUCTURE parse — the demux-triage walk a video-ingest fleet
+    * runs before routing WebM shards to real decoders: magic, the
+    * DocType string pulled through ITS size vint, and the Segment/Void
+    * size vints decoded with a generic big-endian leading-one-width
+    * when-chain (1–3 bytes; the corpus spans 1- and 2-byte widths).
+    * `framing_ok` pins the cross-vint identity segment = id + vint
+    * width + payload; `size_ok` replays total file length from parsed
+    * sizes alone — a mis-stride anywhere flips one of the pinned
+    * booleans. One scan, codegen'd column ops. */
+  def ebmlMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeEbml(t)) }))
+      .toDF("asset_id", "media")
+    def u8(off: Column): Column =
+      conv(hex(col("media").substr(off, lit(1))), 16, 10).cast("long")
+    def vint(off: Column): (Column, Column) = {
+      val b0 = u8(off); val b1 = u8(off + 1); val b2 = u8(off + 2)
+      val v = when(b0 >= 128, b0 - 128)
+        .when(b0 >= 64, (b0 - 64) * 256 + b1)
+        .otherwise((b0 - 32) * 65536 + b1 * 256 + b2)
+      val w = when(b0 >= 128, lit(1L)).when(b0 >= 64, lit(2L)).otherwise(lit(3L))
+      (v, w)
+    }
+    val (hdrSize, hw) = vint(lit(5L))
+    val segOff = lit(4L) + hw + hdrSize          // 0-based bytes before Segment id
+    val (segSize, sw) = vint(segOff + 5)
+    val (voidSize, vw) = vint(segOff + 6 + sw)
+    assets.select(col("asset_id"),
+        (hex(col("media").substr(lit(1L), lit(4L))) === "1A45DFA3").as("valid_magic"),
+        col("media").substr(lit(17L), lit(4L)).cast("string").as("doc_type"),
+        hdrSize.as("header_size"),
+        segSize.as("segment_size"),
+        voidSize.as("payload_len"),
+        (segSize === lit(1L) + vw + voidSize).as("framing_ok"),
+        (length(col("media")) === segOff + 4 + sw + segSize).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: header children are 19 fixed bytes; segment size
+    * = 1 + vint width of the byte length (2 bytes from 127 up — the
+    * all-ones reservation shifts the 1-byte ceiling to 126) + the byte
+    * length; every certificate pinned. */
+  val ebmlMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic, 'webm' AS doc_type,
+      |  CAST(19 AS BIGINT) AS header_size,
+      |  CAST(strlen(text) + 1 + CASE WHEN strlen(text) < 127 THEN 1
+      |    WHEN strlen(text) < 16383 THEN 2 ELSE 3 END AS BIGINT) AS segment_size,
+      |  CAST(strlen(text) AS BIGINT) AS payload_len,
+      |  TRUE AS framing_ok, TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -3083,6 +3179,7 @@ object Multimodal {
     "m_bmp_meta" -> (bmpMeta _),
     "m_zstd_frame" -> (zstdFrame _),
     "m_avro_ocf" -> (avroOcf _),
+    "m_ebml_meta" -> (ebmlMeta _),
     "m_wds_paired" -> (wdsPaired _),
     "m_id3_meta" -> (id3Meta _),
     "m_exif_scrub" -> (exifScrub _),
@@ -3120,6 +3217,7 @@ object Multimodal {
     "m_bmp_meta" -> bmpMetaSql,
     "m_zstd_frame" -> zstdFrameSql,
     "m_avro_ocf" -> avroOcfSql,
+    "m_ebml_meta" -> ebmlMetaSql,
     "m_wds_paired" -> wdsPairedSql,
     "m_id3_meta" -> id3MetaSql,
     "m_exif_scrub" -> exifScrubSql,

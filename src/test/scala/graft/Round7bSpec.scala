@@ -695,4 +695,36 @@ class Round7bSpec extends SparkSpec {
     val comps = nodes.map(find).distinct
     assert(out.length == nodes.length - comps.length)
   }
+
+  test("m_ebml_meta: vint widths round-trip at the all-ones boundaries; certificates hold") {
+    // RFC 8794: 1-byte vints carry 0..126 (127 = unknown-size reservation)
+    def decode(bs: Array[Byte]): (Long, Int) = {
+      val b0 = bs(0) & 0xff
+      if (b0 >= 128) ((b0 - 128).toLong, 1)
+      else if (b0 >= 64) (((b0 - 64).toLong << 8) | (bs(1) & 0xff), 2)
+      else (((b0 - 32).toLong << 16) | ((bs(1) & 0xff) << 8) | (bs(2) & 0xff), 3)
+    }
+    Seq(0L, 1L, 126L, 127L, 128L, 553L, 16382L, 16383L, 20000L).foreach { n =>
+      val enc = multimodal.Multimodal.ebmlVint(n)
+      val (v, w) = decode(enc)
+      assert(v == n && w == enc.length, s"vint $n")
+      val expectW = if (n < 127) 1 else if (n < 16383) 2 else 3
+      assert(enc.length == expectW, s"width $n")
+    }
+    val out = multimodal.Multimodal.ebmlMeta(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(6) && r.getBoolean(7), s"doc ${r.getLong(0)}")
+      assert(r.getString(2) == "webm"); assert(r.getLong(3) == 19L)
+      val pl = r.getLong(5)
+      assert(r.getLong(4) == pl + 1 + (if (pl < 127) 1 else if (pl < 16383) 2 else 3))
+    }
+    // a corrupted Segment size vint must flip size_ok, not parse clean
+    val doc = Tables.documents(spark, sf).select("text").limit(1).collect()(0).getString(0)
+    val bytes = multimodal.Multimodal.encodeEbml(doc)
+    val segVintPos = 4 + 1 + 19 + 4 // prefix + header vint + children + segment id
+    bytes(segVintPos) = (bytes(segVintPos) ^ 0x01).toByte
+    val (segSize, sw) = decode(bytes.drop(segVintPos))
+    assert(4 + 1 + 19 + 4 + sw + segSize != bytes.length, "corrupt size must break replay")
+  }
 }
