@@ -120,11 +120,64 @@ object RelationalExt6 {
        |  ${ExactRound.rSql("CAST(cnt AS DOUBLE) / total_events", 6)} AS modal_share
        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** JOIN-STRATEGY HINT certificate — the knob a 100 TB job turns when
+    * the planner's size estimates are wrong (a "small" side that
+    * explodes after filters, or a huge side the stats undersell): the
+    * SAME orders⋈customer aggregate runs under all three strategy
+    * hints, the EXECUTED plan (AQE-final — probed after
+    * materialization) must carry the demanded operator, and all three
+    * answers must agree. The sharp edge this pins: customer is far
+    * below the broadcast threshold here, so an unhinted plan — and a
+    * hint-IGNORING planner — would broadcast all three; `merge` /
+    * `shuffle_hash` passing the probe certifies user hints outrank
+    * both the static threshold and AQE's runtime re-plan, which is the
+    * entire point of the hint surface. Throws (never returns wrong-plan
+    * rows) on a missing operator; results flow through the hash gate. */
+  def q86JoinHints(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanProbe
+    val orders = Tables.parallelize(Tables.orders(s, d))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    def variant(name: String, hint: String, expect: String): DataFrame = {
+      val joined = orders.join(cust.hint(hint), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .withColumn("variant", lit(name))
+      val m = joined.localCheckpoint()
+      val execs = PlanProbe.nodes(joined).map(_.getClass.getSimpleName)
+      if (!execs.exists(_.startsWith(expect)))
+        throw new IllegalStateException(
+          s"join hint '$hint' did not reach the executed plan as $expect (saw: " +
+            execs.distinct.mkString(", ") + ")")
+      m
+    }
+    variant("broadcast", "broadcast", "BroadcastHashJoin")
+      .unionByName(variant("merge", "merge", "SortMergeJoin"))
+      .unionByName(variant("shuffle_hash", "shuffle_hash", "ShuffledHashJoin"))
+      .select("variant", "c_nationkey", "n_orders", "n_customers")
+      .orderBy("variant", "c_nationkey")
+  }
+
+  /** SQL twin: one join, replicated under the three variant labels —
+    * hint paths may not change a single row. */
+  val q86Sql: String =
+    """WITH agg AS (
+      |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey
+      |)
+      |SELECT v.variant, a.c_nationkey, a.n_orders, a.n_customers
+      |FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) v(variant), agg a
+      |ORDER BY v.variant, a.c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_islands" -> (q84Islands _),
-    "q85_argmax_mode" -> (q85ArgmaxMode _))
+    "q85_argmax_mode" -> (q85ArgmaxMode _),
+    "q86_join_hints" -> (q86JoinHints _))
 
   val oracles: Map[String, String] = Map(
     "q84_islands" -> q84Sql,
-    "q85_argmax_mode" -> q85Sql)
+    "q85_argmax_mode" -> q85Sql,
+    "q86_join_hints" -> q86Sql)
 }

@@ -433,7 +433,7 @@ class Round7bSpec extends SparkSpec {
       .select(col("doc_id"),
         graft.functions.MinHashFns.simhash64(
           split(trim(col("text")), "[ \t\n\r]+")).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     val byBucket = pairs.groupBy { case (_, _, j) => math.floor(j * 10).toInt }
     out.foreach { r =>
       val bucket = byBucket(r.getInt(0))
@@ -726,5 +726,22 @@ class Round7bSpec extends SparkSpec {
     bytes(segVintPos) = (bytes(segVintPos) ^ 0x01).toByte
     val (segSize, sw) = decode(bytes.drop(segVintPos))
     assert(4 + 1 + 19 + 4 + sw + segSize != bytes.length, "corrupt size must break replay")
+  }
+
+  test("q86_join_hints: three hinted paths agree row-for-row and replay from raw keys") {
+    val out = operators.RelationalExt6.q86JoinHints(spark, sf).collect()
+    val byVariant = out.groupBy(_.getString(0))
+      .map { case (v, rs) => v -> rs.map(r => (r.getInt(1).toLong, r.getLong(2), r.getLong(3))).sorted.toSeq }
+    assert(byVariant.keySet == Set("broadcast", "merge", "shuffle_hash"))
+    assert(byVariant("broadcast") == byVariant("merge"))
+    assert(byVariant("merge") == byVariant("shuffle_hash"))
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val perNation = Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0)).filter(cust.contains).groupBy(cust)
+    byVariant("broadcast").foreach { case (nk, nOrders, nCust) =>
+      assert(nOrders == perNation(nk).length.toLong, s"orders nation $nk")
+      assert(nCust == perNation(nk).distinct.length.toLong, s"customers nation $nk")
+    }
   }
 }
