@@ -465,6 +465,64 @@ object Graph {
        |FROM t6 GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** WIDEST PATH (max-bottleneck) to the nearest exemplar seed — the
+    * (max, min) SEMIRING twin of [[bfs]]'s (min, +): a path's strength
+    * is its WEAKEST edge (jaccard micros), and each node reports the
+    * strongest path to any seed — the "how reliably is this document
+    * tied into its duplication neighborhood" score single-linkage
+    * clustering and trust propagation both read. Same stationary-edge
+    * relax shape as BFS: per round one equi-join + one
+    * partial-aggregable max of least(bottleneck, edge weight); the
+    * recurrence is monotone non-decreasing and pure integer, so rounds
+    * are order-independent and bit-portable. 6 synchronous rounds — the
+    * family's closure bound on this graph, same as [[bfs]]. */
+  def widestPath(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1000000.0)).cast("long").as("wm"))
+      .localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("wm"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("wm")))
+      .localCheckpoint()
+    var b = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 10 === 0)
+      .select(col("id"), lit(1000000L).as("bm"))
+      .localCheckpoint()
+    (1 to 6).foreach { _ =>
+      val cand = edges.join(b, edges("src") === b("id"))
+        .select(col("dst").as("id"), least(col("bm"), col("wm")).as("bm"))
+      b = b.union(cand).groupBy("id").agg(max("bm").as("bm")).localCheckpoint()
+    }
+    b.select(col("id").as("doc_id"), col("bm").as("bottleneck_micros"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL twin: 6 unrolled rounds of the identical max-of-least relax. */
+  val widestPathSql: String = {
+    val iterations = (1 to 6).map { k =>
+      s"""t$k AS MATERIALIZED (
+         |  SELECT id, max(bm) AS bm FROM (
+         |    SELECT id, bm FROM t${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, least(t${k - 1}.bm, e.wm) AS bm
+         |    FROM edges e JOIN t${k - 1} ON e.src = t${k - 1}.id
+         |  ) GROUP BY id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${OracleCtes.ngramOverlap}, wpairs AS MATERIALIZED (
+       |  SELECT pa, pb, CAST(round(${OracleCtes.ngramJaccardExpr} * 1000000) AS BIGINT) AS wm
+       |  FROM ng_pair WHERE ${OracleCtes.ngramJaccardExpr} >= 0.5
+       |), edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst, wm FROM wpairs
+       |  UNION ALL SELECT pb, pa, wm FROM wpairs
+       |), t0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS bm
+       |  FROM edges WHERE src % 10 = 0
+       |), $iterations
+       |SELECT id AS doc_id, bm AS bottleneck_micros
+       |FROM t6 ORDER BY doc_id""".stripMargin
+  }
+
   /** MINIMUM SPANNING FOREST via distributed BORŮVKA — the clustering
     * backbone (single-linkage dendrograms, network design) at graph
     * scale: every component picks its minimum outgoing edge, picked
@@ -2132,6 +2190,7 @@ object Graph {
     "g_bfs" -> (bfs _),
     "g_eccentricity" -> (eccentricity _),
     "g_mst" -> (mst _),
+    "g_widest_path" -> (widestPath _),
     "g_pagerank" -> (pagerank _),
     "g_linkpred" -> (linkpred _),
     "g_triangles" -> (triangles _),
@@ -2160,6 +2219,7 @@ object Graph {
     "g_bfs" -> bfsSql,
     "g_eccentricity" -> eccentricitySql,
     "g_mst" -> mstSql,
+    "g_widest_path" -> widestPathSql,
     "g_pagerank" -> pagerankSql,
     "g_linkpred" -> linkpredSql,
     "g_triangles" -> trianglesSql,

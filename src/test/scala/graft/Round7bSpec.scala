@@ -744,4 +744,34 @@ class Round7bSpec extends SparkSpec {
       assert(nCust == perNation(nk).distinct.length.toLong, s"customers nation $nk")
     }
   }
+
+  test("g_widest_path: bottlenecks replay from an in-memory maximin pass") {
+    val pairs = operators.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    val adj = (pairs.map { case (a, b, w) => (a, (b, w)) } ++
+        pairs.map { case (a, b, w) => (b, (a, w)) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seeds = adj.keySet.filter(_ % 10 == 0)
+    // fixpoint maximin (graphs here are tiny; iterate to stability)
+    var bm = seeds.map(_ -> 1000000L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      val next = collection.mutable.Map(bm.toSeq: _*)
+      bm.foreach { case (u, b) =>
+        adj(u).foreach { case (v, w) =>
+          val cand = math.min(b, w)
+          if (cand > next.getOrElse(v, Long.MinValue)) { next(v) = cand; changed = true }
+        }
+      }
+      bm = next.toMap
+    }
+    val out = operators.Graph.widestPath(spark, sf).collect()
+    assert(out.length == bm.size)
+    out.foreach { r =>
+      assert(r.getLong(1) == bm(r.getLong(0)), s"bottleneck ${r.getLong(0)}")
+    }
+    // seeds report full strength; non-seeds at most their best incident edge
+    out.filter(_.getLong(0) % 10 == 0).foreach(r => assert(r.getLong(1) == 1000000L))
+  }
 }
