@@ -171,13 +171,56 @@ object RelationalExt6 {
       |FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) v(variant), agg a
       |ORDER BY v.variant, a.c_nationkey""".stripMargin
 
+  /** ANSI ORDERED-SET AGGREGATES — `percentile_cont` / `percentile_disc`
+    * (WITHIN GROUP), the one SQL:2003 surface the suite's quantile work
+    * (q21 sketches, q40 medians) hadn't pinned. Cross-engine float
+    * parity is usually hopeless for interpolated percentiles (engines
+    * disagree on `a + f·(b−a)` vs `(1−f)·a + f·b` at the ULP) — it is
+    * EXACT here by construction: inputs are integer cents and the
+    * fractions are dyadic (.25/.5/.75), so every interpolation formula
+    * lands on the same exactly-representable dyadic rational, and the
+    * hex gate can pin doubles. percentile_disc certifies the subtler
+    * ANSI definition (least value with cume_dist ≥ f — NOT the nearest
+    * rank, and legitimately ≤ its _cont twin). Scale honesty: exact
+    * percentiles sort each group's multiset — not partial-aggregable;
+    * at 100 TB you reach for q21's mergeable sketch, and THIS op is the
+    * ANSI-semantics reference the sketch is judged against. */
+  def q87Percentiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.parallelize(Tables.lineitem(s, d))
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("value_c"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY value_c)").as("p25_cont"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY value_c)").as("p50_cont"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY value_c)").as("p75_cont"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value_c)")
+          .cast("long").as("p25_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value_c)")
+          .cast("long").as("p75_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** SQL twin: DuckDB's quantile_cont/quantile_disc implement the same
+    * ANSI definitions ((n−1)·f interpolation; least-cume_dist disc). */
+  val q87Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.25) AS p25_cont,
+      |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.50) AS p50_cont,
+      |  quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.75) AS p75_cont,
+      |  CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.25) AS BIGINT) AS p25_disc,
+      |  CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.75) AS BIGINT) AS p75_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_islands" -> (q84Islands _),
     "q85_argmax_mode" -> (q85ArgmaxMode _),
-    "q86_join_hints" -> (q86JoinHints _))
+    "q86_join_hints" -> (q86JoinHints _),
+    "q87_percentiles" -> (q87Percentiles _))
 
   val oracles: Map[String, String] = Map(
     "q84_islands" -> q84Sql,
     "q85_argmax_mode" -> q85Sql,
-    "q86_join_hints" -> q86Sql)
+    "q86_join_hints" -> q86Sql,
+    "q87_percentiles" -> q87Sql)
 }

@@ -774,4 +774,28 @@ class Round7bSpec extends SparkSpec {
     // seeds report full strength; non-seeds at most their best incident edge
     out.filter(_.getLong(0) % 10 == 0).foreach(r => assert(r.getLong(1) == 1000000L))
   }
+
+  test("q87_percentiles: ANSI cont/disc replay from an in-memory sorted pass") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    def cont(xs: Array[Long], f: Double): Double = {
+      val pos = (xs.length - 1) * f
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < xs.length) xs(lo) + frac * (xs(lo + 1) - xs(lo)) else xs(lo).toDouble
+    }
+    def disc(xs: Array[Long], f: Double): Long = xs(math.ceil(xs.length * f).toInt - 1)
+    val out = operators.RelationalExt6.q87Percentiles(spark, sf).collect()
+    assert(out.length == rows.size)
+    out.foreach { r =>
+      val xs = rows(r.getString(0))
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(r.getDouble(2) == cont(xs, 0.25), s"p25_cont ${r.getString(0)}")
+      assert(r.getDouble(3) == cont(xs, 0.50), s"p50_cont ${r.getString(0)}")
+      assert(r.getDouble(4) == cont(xs, 0.75), s"p75_cont ${r.getString(0)}")
+      assert(r.getLong(5) == disc(xs, 0.25), s"p25_disc ${r.getString(0)}")
+      assert(r.getLong(6) == disc(xs, 0.75), s"p75_disc ${r.getString(0)}")
+    }
+  }
 }
