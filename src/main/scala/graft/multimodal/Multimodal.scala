@@ -2347,6 +2347,105 @@ object Multimodal {
       |  TRUE AS framing_ok, TRUE AS size_ok
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // --------------------------------------------------------------- G.711
+
+  /** G.711 μ-LAW encode (ITU-T spec arithmetic): bias 132, clamp 32635,
+    * 8 exponent segments, 4-bit mantissa, ones-complement byte. Pure
+    * integer — bit-portable to the oracle's CASE ladder. */
+  private[graft] def ulawEncode(x0: Int): Int = {
+    var x = x0
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 132
+    var exp = 7; var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
+  /** μ-law decode: the segment-cell midpoint ((8·mant + 132) · 2^exp −
+    * 132), signed. */
+  private[graft] def ulawDecode(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    val m = (((u & 0x0f) << 3) + 132) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) -(m - 132) else m - 132
+  }
+
+  /** G.711 μ-LAW COMPANDING audit — the telephony/ASR-corpus codec
+    * (8-bit log PCM): every synthesized 16-bit sample (the engine's
+    * (codepoint−64)·256 PCM map, clamped) is companded to one μ-law
+    * byte and expanded back, and THREE certificates are pinned per
+    * document: `bound_ok` (each error ≤ half its segment's step,
+    * 2^(exp+2) — the property that makes log companding transparent for
+    * speech), exact error sums/maxima (order-free integer aggregates),
+    * and `code_sum` (the summed encoded bytes — a content checksum of
+    * the companded stream both engines must reproduce bit-for-bit from
+    * the SPEC ARITHMETIC, not a shared implementation). JVM loop runs
+    * batched in mapPartitions (the codec shape); the oracle replays the
+    * identical integer CASE ladder per codepoint. */
+  def pcmUlaw(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, text) =>
+        var n = 0L; var errSum = 0L; var errMax = 0L
+        var codeSum = 0L; var boundOk = true
+        val it = text.codePoints().iterator()
+        while (it.hasNext) {
+          val v0 = (it.next() - 64) * 256
+          val v = math.max(-32768, math.min(32767, v0))
+          val u = ulawEncode(v)
+          val dec = ulawDecode(u)
+          val exp = ((~u & 0xff) >> 4) & 0x07
+          val err = math.abs(v.toLong - dec)
+          n += 1; errSum += err; errMax = math.max(errMax, err)
+          codeSum += u
+          if (err > (1L << (exp + 2))) boundOk = false
+        }
+        (id, n, errSum, errMax, boundOk, codeSum)
+      }))
+      .toDF("asset_id", "n_samples", "err_sum", "err_max", "bound_ok", "code_sum")
+      .orderBy("asset_id")
+  }
+
+  /** SQL twin: the same bias/clamp/segment/mantissa integer ladder per
+    * codepoint, aggregated with order-free sums. */
+  val pcmUlawSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
+      |), pcm AS (
+      |  SELECT doc_id,
+      |    greatest(-32768, least(32767, (ord(substr(text, i, 1)) - 64) * 256)) AS v
+      |  FROM chars
+      |), enc AS (
+      |  SELECT doc_id, v,
+      |    CASE WHEN v < 0 THEN 128 ELSE 0 END AS sgn,
+      |    least(abs(v), 32635) + 132 AS x
+      |  FROM pcm
+      |), seg AS (
+      |  SELECT doc_id, v, sgn, x,
+      |    CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6 WHEN x >= 4096 THEN 5
+      |         WHEN x >= 2048 THEN 4 WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+      |         WHEN x >= 256 THEN 1 ELSE 0 END AS e
+      |  FROM enc
+      |), cod AS (
+      |  SELECT doc_id, v, e,
+      |    255 - (sgn + e * 16 + ((x >> (e + 3)) & 15)) AS u,
+      |    (((((x >> (e + 3)) & 15) * 8) + 132) << e) - 132 AS mag
+      |  FROM seg
+      |), err AS (
+      |  SELECT doc_id, u, e,
+      |    abs(v - (CASE WHEN v < 0 THEN -mag ELSE mag END)) AS ae
+      |  FROM cod
+      |)
+      |SELECT doc_id AS asset_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(ae) AS BIGINT) AS err_sum, CAST(max(ae) AS BIGINT) AS err_max,
+      |  bool_and(ae <= (1 << (e + 2))) AS bound_ok,
+      |  CAST(sum(u) AS BIGINT) AS code_sum
+      |FROM err GROUP BY doc_id ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -3180,6 +3279,7 @@ object Multimodal {
     "m_zstd_frame" -> (zstdFrame _),
     "m_avro_ocf" -> (avroOcf _),
     "m_ebml_meta" -> (ebmlMeta _),
+    "m_pcm_ulaw" -> (pcmUlaw _),
     "m_wds_paired" -> (wdsPaired _),
     "m_id3_meta" -> (id3Meta _),
     "m_exif_scrub" -> (exifScrub _),
@@ -3218,6 +3318,7 @@ object Multimodal {
     "m_zstd_frame" -> zstdFrameSql,
     "m_avro_ocf" -> avroOcfSql,
     "m_ebml_meta" -> ebmlMetaSql,
+    "m_pcm_ulaw" -> pcmUlawSql,
     "m_wds_paired" -> wdsPairedSql,
     "m_id3_meta" -> id3MetaSql,
     "m_exif_scrub" -> exifScrubSql,

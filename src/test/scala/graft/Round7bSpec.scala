@@ -798,4 +798,30 @@ class Round7bSpec extends SparkSpec {
       assert(r.getLong(6) == disc(xs, 0.75), s"p75_disc ${r.getString(0)}")
     }
   }
+
+  test("m_pcm_ulaw: exhaustive 16-bit round-trip bound; decode is monotone per sign") {
+    import multimodal.Multimodal.{ulawEncode, ulawDecode}
+    // ITU anchor points
+    assert(ulawEncode(0) == 0xff, "positive zero is 0xFF")
+    assert(ulawDecode(0xff) == 0)
+    assert(ulawDecode(ulawEncode(32767)) == 32124, "clamp region decodes to segment max")
+    var x = -32768
+    while (x <= 32767) {
+      val u = ulawEncode(x)
+      val dec = ulawDecode(u)
+      val exp = ((~u & 0xff) >> 4) & 0x07
+      assert(math.abs(x.toLong - dec) <= (1L << (exp + 2)) ||
+        math.abs(x) > 32635, s"bound at $x")
+      x += 1
+    }
+    // decode magnitude is strictly monotone over the positive code space
+    val mags = (0 to 127).map(c => ulawDecode(~c & 0xff))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a < b })
+    val out = multimodal.Multimodal.pcmUlaw(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(4), s"bound_ok doc ${r.getLong(0)}")
+      assert(r.getLong(2) <= r.getLong(1) * r.getLong(3), "sum <= n * max")
+    }
+  }
 }
