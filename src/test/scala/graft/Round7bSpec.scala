@@ -433,7 +433,7 @@ class Round7bSpec extends SparkSpec {
       .select(col("doc_id"),
         graft.functions.MinHashFns.simhash64(
           split(trim(col("text")), "[ \t\n\r]+")).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byBucket = pairs.groupBy { case (_, _, j) => math.floor(j * 10).toInt }
     out.foreach { r =>
       val bucket = byBucket(r.getInt(0))
