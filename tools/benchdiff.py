@@ -62,12 +62,15 @@ def main(argv):
     describe(f"old: {old_name}", old, os_)
     # GC tax is the classic confounder for uniform 1.5-2.5x drift across
     # UNRELATED queries (allocation-heavy neighbors get collected during
-    # later queries' timing windows): a >5x gc_total_ms gap between the
-    # artifacts means per-query ratios are environment, not plans.
+    # later queries' timing windows): a large gc_total_ms gap between the
+    # artifacts means per-query ratios are environment, not plans. The
+    # threshold is 2.5x (was 5x): a measured 4.2x GC gap produced five
+    # phantom >1.5x flags that all cleared under SPARK_GRAFT_ONLY
+    # isolation (1.9/4.2/4.9 s vs 1.6/4.0/5.1 committed).
     try:
         g_new = float(new["summary"]["gc_total_ms"])
         g_old = float(old["summary"]["gc_total_ms"])
-        if g_old > 0 and (g_new / g_old > 5 or g_old / g_new > 5):
+        if g_old > 0 and (g_new / g_old > 2.5 or g_old / g_new > 2.5):
             print(f"WARNING: gc_total_ms differs {g_new / g_old:.1f}x between "
                   "artifacts — uniform per-query drift below is likely GC/host "
                   "noise, not plan regressions; re-run on a quiet host before "
