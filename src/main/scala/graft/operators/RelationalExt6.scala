@@ -212,7 +212,58 @@ object RelationalExt6 {
       |  CAST(quantile_disc(CAST(round(l_extendedprice*100) AS BIGINT), 0.75) AS BIGINT) AS p75_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) over an irregular event series — the
+    * IoT/finance aggregate a plain mean gets WRONG on uneven sampling
+    * (a sensor that reports hourly when stable and per-second when
+    * failing must not let the failure burst dominate): each reading is
+    * weighted by how long it remained current (one `lead` window per
+    * user — no self-join, no densification), and the integral
+    * accumulates as exact INTEGER cents·milliseconds so partial sums
+    * are order-free (value cents ≤ 10⁴ × month-of-millis ≤ 2.7·10⁹
+    * × 10³ events ≈ 2.7·10¹⁶, far inside Long under ANSI overflow
+    * checks); ONE IEEE division per user at the end. Scale shape: the
+    * window partitions by user — millions of small partitions, no
+    * global sort; the aggregate collapses map-side. Single-event users
+    * (no interval) and zero-span users (degenerate integral) are
+    * excluded symmetrically on both engines. */
+  def q88Twap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.normalizeTs(Tables.parallelize(Tables.events(s, d)))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        round(col("value") * 100).cast("long").as("vc"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("vc"), expr("(nxt - us) div 1000").as("dur"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("dur").as("span_ms"),
+        sum(col("vc") * col("dur")).as("wsum"))
+      .filter(col("span_ms") > 0)
+      .select(col("user_id"), col("n_segments"), col("span_ms"),
+        ExactRound.r(col("wsum").cast("double") / col("span_ms"), 6).as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  /** SQL twin: identical lead-window segmentation and integer folds. */
+  val q88Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    CAST(round(value*100) AS BIGINT) AS vc, event_id FROM events
+       |), seg AS (
+       |  SELECT user_id, vc,
+       |    (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) // 1000 AS dur
+       |  FROM ev
+       |), agg AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(sum(dur) AS BIGINT) AS span_ms, CAST(sum(vc*dur) AS BIGINT) AS wsum
+       |  FROM seg WHERE dur IS NOT NULL GROUP BY user_id
+       |)
+       |SELECT user_id, n_segments, span_ms,
+       |  ${ExactRound.rSql("CAST(wsum AS DOUBLE) / span_ms", 6)} AS twap_cents
+       |FROM agg WHERE span_ms > 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_twap" -> (q88Twap _),
     "q84_islands" -> (q84Islands _),
     "q85_argmax_mode" -> (q85ArgmaxMode _),
     "q86_join_hints" -> (q86JoinHints _),
@@ -222,5 +273,6 @@ object RelationalExt6 {
     "q84_islands" -> q84Sql,
     "q85_argmax_mode" -> q85Sql,
     "q86_join_hints" -> q86Sql,
-    "q87_percentiles" -> q87Sql)
+    "q87_percentiles" -> q87Sql,
+    "q88_twap" -> q88Sql)
 }

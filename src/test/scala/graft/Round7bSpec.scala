@@ -824,4 +824,29 @@ class Round7bSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1) * r.getLong(3), "sum <= n * max")
     }
   }
+
+  test("q88_twap: duration-weighted means replay from an in-memory integral") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"), round(col("value") * 100).cast("long"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = operators.RelationalExt6.q88Twap(spark, sf).collect()
+    val byUser = ev.groupBy(_._1)
+    out.foreach { r =>
+      val rows = byUser(r.getLong(0)).sortBy(t => (t._2, t._4))
+      val segs = rows.zip(rows.tail).map { case ((_, us, vc, _), (_, nxt, _, _)) =>
+        (vc, (nxt - us) / 1000)
+      }
+      val span = segs.map(_._2).sum
+      val wsum = segs.map { case (vc, d) => vc * d }.sum
+      assert(r.getLong(1) == segs.length.toLong, "n_segments")
+      assert(r.getLong(2) == span, "span_ms")
+      assert(r.getDouble(3) == math.round(wsum.toDouble / span * 1e6) / 1e6, "twap")
+    }
+    // every multi-event user with positive span is present
+    val expected = byUser.count { case (_, rows) =>
+      rows.length > 1 && (rows.map(_._2).max - rows.map(_._2).min) / 1000 > 0
+    }
+    assert(out.length == expected)
+  }
 }
