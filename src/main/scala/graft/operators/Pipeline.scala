@@ -2931,7 +2931,54 @@ object Pipeline {
        |FROM v""".stripMargin
   }
 
+  /** DETERMINISTIC EXACT-k SAMPLE by hash ranking — the reproducible
+    * alternative to reservoir sampling for eval-set carving and debug
+    * slices: rank every row by md5 of a salted key, keep the k
+    * smallest. Unlike `TABLESAMPLE`/`rand()` this is a pure function of
+    * the DATA (same k rows on any cluster, any partitioning, any day —
+    * re-runs and backfills see the identical sample), and unlike
+    * driver-side reservoirs it is DISTRIBUTIVE: per-partition top-k
+    * merge to a global top-k, which is exactly Spark's
+    * TakeOrderedAndProject plan (k·P rows to the driver, no global
+    * sort). The certificate computes the sample a second way —
+    * per-djb2-shard local top-k, then a merge of the 16 shard lists —
+    * and THROWS unless the two sets are identical: that merge
+    * equivalence is the property that lets 1000 executors sample
+    * without coordination. */
+  def sampleExactK(s: SparkSession, d: String): DataFrame = {
+    val k = 50
+    val h = md5(concat_ws("-", lit("doc"), col("doc_id"), lit("salt42")))
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), h.as("h"))
+    val global = docs.orderBy(col("h"), col("doc_id")).limit(k).localCheckpoint()
+    val shardW = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    val merged = docs
+      .withColumn("shard",
+        graft.functions.Djb2.djb2_partition(col("doc_id").cast("string"), 16))
+      .withColumn("rn", row_number().over(shardW)).filter(col("rn") <= k)
+      .orderBy(col("h"), col("doc_id")).limit(k)
+    val agree = global.join(merged.select(col("doc_id").as("doc_id2")),
+      col("doc_id") === col("doc_id2")).count()
+    if (agree != k)
+      throw new IllegalStateException(
+        s"shard-merged top-$k disagrees with the global top-$k ($agree/$k shared)")
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("doc_id"))
+    global.select(row_number().over(rankW).as("rank_n"), col("doc_id"),
+        substring(col("h"), 1, 12).as("h12"), lit(true).as("merge_agrees"))
+      .orderBy("rank_n")
+  }
+
+  /** SQL twin: same salted-md5 ranking, k smallest. */
+  val sampleExactKSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5('doc' || '-' || doc_id || '-' || 'salt42') AS h FROM documents
+      |), top AS (SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 50)
+      |SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS INT) AS rank_n, doc_id,
+      |  substr(h, 1, 12) AS h12, TRUE AS merge_agrees
+      |FROM top ORDER BY rank_n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_sample_exact_k" -> (sampleExactK _),
     "p_fingerprint" -> (fingerprint _),
     "p_referential_integrity" -> (referentialIntegrity _),
     "p_aes_roundtrip" -> (aesRoundtrip _),
@@ -2981,6 +3028,7 @@ object Pipeline {
     "p_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    "p_sample_exact_k" -> sampleExactKSql,
     "p_fingerprint" -> fingerprintSql,
     "p_referential_integrity" -> referentialIntegritySql,
     "p_aes_roundtrip" -> aesRoundtripSql,

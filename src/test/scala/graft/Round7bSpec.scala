@@ -849,4 +849,21 @@ class Round7bSpec extends SparkSpec {
     }
     assert(out.length == expected)
   }
+
+  test("p_sample_exact_k: the sample is the k md5-smallest keys, stable and exact") {
+    val out = operators.Pipeline.sampleExactK(spark, sf).collect()
+    assert(out.length == 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+      .map { id =>
+        val h = md.digest(s"doc-$id-salt42".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (h, id)
+      }.sorted.take(50)
+    out.zip(all).zipWithIndex.foreach { case ((r, (h, id)), i) =>
+      assert(r.getInt(0) == i + 1, "rank")
+      assert(r.getLong(1) == id, s"doc at rank ${i + 1}")
+      assert(r.getString(2) == h.take(12), "hash prefix")
+      assert(r.getBoolean(3))
+    }
+  }
 }
