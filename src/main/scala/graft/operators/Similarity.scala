@@ -719,6 +719,88 @@ object Similarity {
        |FROM q JOIN oth USING (q_id) LEFT JOIN own USING (q_id)
        |ORDER BY vec_id""".stripMargin
 
+  /** INCREMENTAL IVF MAINTENANCE — the insert path of a living vector
+    * index: new vectors (vec_id % 7 == 1, the held-out "today's batch")
+    * are assigned to the EXISTING centroids (trained on the base corpus
+    * only — no retrain, the whole point of incremental load), and the
+    * operator emits the per-cell health report an index operator reads
+    * before deciding to re-cluster: base/new membership, growth share,
+    * and the mean assignment distance of old vs new members — a NEW
+    * mean drifting above the base mean is the drift signal that
+    * triggers the q-means rebuild ([[kmeansIter]]). Scale shape: one
+    * broadcast of k centroids, one argmin window per side, per-cell
+    * partial aggregates; the insert batch never touches the base rows.
+    * Numerics: micros-folded distance sums, one IEEE division per
+    * (cell, side) — hex-exact. */
+  def incrementalIvf(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d).select("vec_id", "v").localCheckpoint()
+    val base = vs.filter(col("vec_id") % 7 =!= 1)
+    val incoming = vs.filter(col("vec_id") % 7 === 1)
+    val cents = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("v").as("c_v"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    def assign(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          ExactRound.r(sqDist(col("v"), col("c_v")), 6).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("dist") * lit(1000000.0)).cast("long").as("dm"))
+    def cellStats(side: DataFrame, nCol: String, mCol: String): DataFrame =
+      assign(side).groupBy("centroid_id")
+        .agg(count(lit(1)).as(nCol), sum("dm").as(s"${nCol}_sm"))
+        .select(col("centroid_id"), col(nCol),
+          ExactRound.r(col(s"${nCol}_sm").cast("double") / (col(nCol) * lit(1000000.0)), 6)
+            .as(mCol))
+    cellStats(base, "n_base", "mean_dist_base")
+      .join(cellStats(incoming, "n_new", "mean_dist_new"), Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        ExactRound.r(coalesce(col("n_new"), lit(0L)).cast("double") / col("n_base"), 6)
+          .as("growth"),
+        col("mean_dist_base"), col("mean_dist_new"))
+      .orderBy("centroid_id")
+  }
+
+  /** SQL twin: identical frozen-centroid assignment on both sides of
+    * the split, micros means, LEFT join for cells the batch missed. */
+  val incrementalIvfSql: String = {
+    def assignSql(filter: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, centroid_id, CAST(round(dist * 1000000) AS BIGINT) AS dm FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+         |        + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000 AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round((list_inner_product(e.v, e.v) - 2*list_inner_product(e.v, c.c_v)
+         |          + list_inner_product(c.c_v, c.c_v)) * 1000000) / 1000000, c.centroid_id) AS rn
+         |    FROM e, c WHERE $filter
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS centroid_id, v AS c_v FROM e
+       |  WHERE vec_id < 10 AND vec_id % 7 <> 1
+       |), ${assignSql("e.vec_id % 7 <> 1", "ab")}, ${assignSql("e.vec_id % 7 = 1", "an")},
+       |sb AS (
+       |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_base,
+       |    ${ExactRound.rSql("CAST(sum(dm) AS DOUBLE) / (count(*) * 1000000.0)", 6)}
+       |      AS mean_dist_base
+       |  FROM ab GROUP BY centroid_id
+       |), sn AS (
+       |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_new,
+       |    ${ExactRound.rSql("CAST(sum(dm) AS DOUBLE) / (count(*) * 1000000.0)", 6)}
+       |      AS mean_dist_new
+       |  FROM an GROUP BY centroid_id
+       |)
+       |SELECT sb.centroid_id, sb.n_base, coalesce(sn.n_new, 0) AS n_new,
+       |  ${ExactRound.rSql("CAST(coalesce(sn.n_new, 0) AS DOUBLE) / sb.n_base", 6)} AS growth,
+       |  sb.mean_dist_base, sn.mean_dist_new
+       |FROM sb LEFT JOIN sn USING (centroid_id)
+       |ORDER BY sb.centroid_id""".stripMargin
+  }
+
   /** Lloyd's k-means — real ITERATIVE centroid refinement (what
     * [[centroids]]' fixed seeds and [[annIvf]]'s index build both
     * presuppose someone ran): two full assign→update rounds from the
@@ -2306,7 +2388,8 @@ object Similarity {
     "s_kmeans_iter" -> (kmeansIter _),
     "s_ann_pq" -> (annPq _),
     "s_centroids" -> (centroids _),
-    "s_silhouette" -> (silhouette _))
+    "s_silhouette" -> (silhouette _),
+    "s_incremental_ivf" -> (incrementalIvf _))
 
   val oracles: Map[String, String] = Map(
     "s_quantizer_recall" -> quantizerRecallSql,
@@ -2340,5 +2423,6 @@ object Similarity {
     "s_kmeans_iter" -> kmeansIterSql,
     "s_ann_pq" -> annPqSql,
     "s_centroids" -> centroidsSql,
-    "s_silhouette" -> silhouetteSql)
+    "s_silhouette" -> silhouetteSql,
+    "s_incremental_ivf" -> incrementalIvfSql)
 }

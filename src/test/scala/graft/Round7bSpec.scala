@@ -866,4 +866,35 @@ class Round7bSpec extends SparkSpec {
       assert(r.getBoolean(3))
     }
   }
+
+  test("s_incremental_ivf: cell growth and means replay from an in-memory assign") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def sq(a: Array[Double], b: Array[Double]) = dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val cents = vecs.filter { case (id, _) => id < 10 && id % 7 != 1 }
+    def assign(ids: Iterable[Long]) = ids.map { id =>
+      val c = cents.toSeq.map { case (cid, cv) => (r6(sq(vecs(id), cv)), cid) }.min._2
+      (c, math.round(r6(sq(vecs(id), cents(c))) * 1e6))
+    }
+    val base = assign(vecs.keys.filter(_ % 7 != 1)).groupBy(_._1)
+    val nw = assign(vecs.keys.filter(_ % 7 == 1)).groupBy(_._1)
+    val out = operators.Similarity.incrementalIvf(spark, sf).collect()
+    assert(out.length == base.size)
+    out.foreach { r =>
+      val c = r.getLong(0)
+      val b = base(c).map(_._2)
+      assert(r.getLong(1) == b.size.toLong, s"n_base $c")
+      assert(r.getDouble(4) == r6(b.sum.toDouble / (b.size * 1e6)), s"mean base $c")
+      nw.get(c) match {
+        case Some(xs) =>
+          assert(r.getLong(2) == xs.size.toLong, s"n_new $c")
+          assert(r.getDouble(5) == r6(xs.map(_._2).sum.toDouble / (xs.size * 1e6)))
+        case None => assert(r.getLong(2) == 0L); assert(r.isNullAt(5))
+      }
+      assert(r.getDouble(3) == r6(r.getLong(2).toDouble / r.getLong(1)), s"growth $c")
+    }
+  }
 }
