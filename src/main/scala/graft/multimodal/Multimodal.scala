@@ -2446,6 +2446,84 @@ object Multimodal {
       |  CAST(sum(u) AS BIGINT) AS code_sum
       |FROM err GROUP BY doc_id ORDER BY asset_id""".stripMargin
 
+  // ----------------------------------------------------------------- ogg
+
+  /** documents → one real OGG page (RFC 3533): capture pattern `OggS`,
+    * version 0, header-type 0x04 (end-of-stream), granule position =
+    * payload byte length (LE64), serial = doc_id (LE32), page 0, CRC
+    * field zeroed (OGG's CRC32 uses a bespoke polynomial; the byte
+    * SLOT is parsed, its value is not certified), then the LACING
+    * TABLE — the container's own length encoding: ⌊L/255⌋ full
+    * segments of 255 plus one final segment of L mod 255 (a payload
+    * that is an exact multiple of 255 legally ends with a ZERO lacing
+    * value — the edge the formula keeps). */
+  private[graft] def encodeOgg(id: Long, text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nFull = body.length / 255
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    out.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    out.write(0); out.write(4)
+    def le(v: Long, bytes: Int): Unit =
+      (0 until bytes).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    le(body.length.toLong, 8)           // granule position
+    le(id & 0xffffffffL, 4)             // bitstream serial
+    le(0L, 4)                           // page sequence
+    le(0L, 4)                           // crc slot (not certified)
+    out.write(nFull + 1)                // segment count
+    (0 until nFull).foreach(_ => out.write(255))
+    out.write(body.length % 255)        // final lacing value
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** OGG PAGE parse — the demux walk before handing packets to a Vorbis/
+    * Opus decoder: capture pattern, LE64 granule, LE32 serial, and the
+    * LACING reconstruction (payload length = 255·(n_seg−1) + last
+    * lacing value, with every non-final lacing byte pinned 0xFF via a
+    * hex-vs-repeat comparison — a table mis-stride cannot pass).
+    * `size_ok` replays total page length from the parsed segment count
+    * and lacing alone. One scan, codegen'd column ops. */
+  def oggPages(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeOgg(id, t)) }))
+      .toDF("asset_id", "media")
+    def u8(off: Column): Column =
+      conv(hex(col("media").substr(off, lit(1))), 16, 10).cast("long")
+    def leN(off: Int, n: Int): Column =
+      (0 until n).map(i => u8(lit((off + i).toLong)) * (1L << (8 * i)) : Column)
+        .reduce(_ + _)
+    val nSeg = u8(lit(27L))
+    val lastLacing = u8(lit(27L) + nSeg)
+    val payloadLen = (nSeg - 1L) * 255L + lastLacing
+    assets.select(col("asset_id"),
+        (col("media").substr(lit(1L), lit(4L)).cast("string") === "OggS").as("valid_magic"),
+        u8(lit(5L)).as("version"), u8(lit(6L)).as("header_type"),
+        leN(7, 8).as("granule"), leN(15, 4).as("serial"),
+        nSeg.as("n_segments"), payloadLen.as("payload_len"),
+        // all-0xFF check: the hex rendering of the non-final lacing
+        // region may contain no nibble other than F (FF is the only
+        // byte whose hex is pure F), and the empty region is vacuous
+        (translate(hex(col("media").substr(lit(28L), nSeg - 1L)), "F", "") === "")
+          .as("lacing_ok"),
+        (length(col("media")) === lit(27L) + nSeg + payloadLen).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: n_segments = ⌊L/255⌋ + 1, granule = payload = L,
+    * serial = doc_id; every certificate pinned. */
+  val oggPagesSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic,
+      |  CAST(0 AS BIGINT) AS version, CAST(4 AS BIGINT) AS header_type,
+      |  CAST(strlen(text) AS BIGINT) AS granule, doc_id AS serial,
+      |  CAST(strlen(text) // 255 + 1 AS BIGINT) AS n_segments,
+      |  CAST(strlen(text) AS BIGINT) AS payload_len,
+      |  TRUE AS lacing_ok, TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -3280,6 +3358,7 @@ object Multimodal {
     "m_avro_ocf" -> (avroOcf _),
     "m_ebml_meta" -> (ebmlMeta _),
     "m_pcm_ulaw" -> (pcmUlaw _),
+    "m_ogg_pages" -> (oggPages _),
     "m_wds_paired" -> (wdsPaired _),
     "m_id3_meta" -> (id3Meta _),
     "m_exif_scrub" -> (exifScrub _),
@@ -3319,6 +3398,7 @@ object Multimodal {
     "m_avro_ocf" -> avroOcfSql,
     "m_ebml_meta" -> ebmlMetaSql,
     "m_pcm_ulaw" -> pcmUlawSql,
+    "m_ogg_pages" -> oggPagesSql,
     "m_wds_paired" -> wdsPairedSql,
     "m_id3_meta" -> id3MetaSql,
     "m_exif_scrub" -> exifScrubSql,

@@ -897,4 +897,26 @@ class Round7bSpec extends SparkSpec {
       assert(r.getDouble(3) == r6(r.getLong(2).toDouble / r.getLong(1)), s"growth $c")
     }
   }
+
+  test("m_ogg_pages: lacing arithmetic survives the multiple-of-255 edge") {
+    // payloads straddling the lacing boundary, incl. the exact multiple
+    Seq(1, 254, 255, 256, 510, 511).foreach { n =>
+      val b = multimodal.Multimodal.encodeOgg(7L, "x" * n)
+      assert(new String(b.slice(0, 4), "US-ASCII") == "OggS")
+      val nSeg = b(26) & 0xff
+      assert(nSeg == n / 255 + 1, s"n_segments for $n")
+      val lacing = b.slice(27, 27 + nSeg).map(_ & 0xff)
+      assert(lacing.init.forall(_ == 255) && lacing.last == n % 255, s"lacing $n")
+      assert(lacing.sum == n, s"lacing sum $n")
+      assert(b.length == 27 + nSeg + n, s"page length $n")
+    }
+    val out = multimodal.Multimodal.oggPages(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(8) && r.getBoolean(9), s"doc ${r.getLong(0)}")
+      assert(r.getLong(4) == r.getLong(7), "granule equals payload length")
+      assert(r.getLong(5) == r.getLong(0), "serial equals doc id")
+      assert(r.getLong(6) == r.getLong(7) / 255 + 1, "segment count")
+    }
+  }
 }
