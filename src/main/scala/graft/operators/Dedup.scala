@@ -1189,6 +1189,62 @@ object Dedup {
       |SELECT src AS vec_id, min(dst) AS cluster_id
       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
 
+  /** CLUSTER LABEL PURITY — the audit that decides whether CC near-dup
+    * clusters can double as SEMANTIC groups: each embedding cluster
+    * ([[embedClusters]]) scored against the corpus' ground-truth
+    * `label` column — size, distinct labels, the modal label
+    * (min-struct argmax, ties to the smaller label — deterministic and
+    * engine-portable) and purity = modal share. Low purity means
+    * transitive closure glued semantically-unrelated docs (the
+    * d_overcollapse failure mode seen from the LABEL side); an
+    * operator reads this before using dedup clusters for anything but
+    * dedup. Two partial-aggregable aggregates over the label table —
+    * nothing cluster-sized crosses the shuffle twice. */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    embedClusters(s, d).join(labels, "vec_id")
+      .groupBy("cluster_id", "lbl").agg(count(lit(1)).as("cnt"))
+      .groupBy("cluster_id")
+      .agg(sum("cnt").as("size"), count(lit(1)).as("n_labels"),
+        min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+      .select(col("cluster_id"), col("size"), col("n_labels"),
+        col("m.l").as("modal_label"), (-col("m.nc")).as("modal_cnt"),
+        ExactRound.r((-col("m.nc")).cast("double") / col("size"), 6).as("purity"))
+      .orderBy("cluster_id")
+  }
+
+  /** SQL twin: same recursive-CC clusters, scalar-key arg_min for the
+    * modal label (modal count = max(cnt) — the argmax's own count). */
+  val clusterPuritySql: String =
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS pa, b.vec_id AS pb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.4
+      |), edges AS (
+      |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, g.eb FROM reach r JOIN edges g ON r.dst = g.ea
+      |), cl AS (
+      |  SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+      |), lc AS (
+      |  SELECT cl.cluster_id, CAST(em.label AS BIGINT) AS lbl,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM cl JOIN embeddings em USING (vec_id) GROUP BY 1, 2
+      |)
+      |SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS size,
+      |  CAST(count(*) AS BIGINT) AS n_labels,
+      |  arg_min(lbl, -cnt * 1099511627776 + lbl) AS modal_label,
+      |  CAST(max(cnt) AS BIGINT) AS modal_cnt,
+      |  ${graft.operators.ExactRound.rSql("CAST(max(cnt) AS DOUBLE) / sum(cnt)", 6)} AS purity
+      |FROM lc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Bloom-filter decontamination pre-filter — the membership sketch a
     * 100 TB pipeline consults BEFORE paying any join: train-split
     * fingerprints set k=3 positions (salted djb2, the engine's own
@@ -2104,6 +2160,7 @@ object Dedup {
     "d_bloom_ngram" -> (bloomNgram _),
     "d_incremental_minhash" -> (incrementalMinhash _),
     "d_embed_clusters" -> (embedClusters _),
+    "d_cluster_purity" -> (clusterPurity _),
     "d_exact" -> (exact _),
     "d_url_dedup" -> (urlDedup _),
     "d_bucketed_dedup" -> (bucketedDedup _),
@@ -2135,6 +2192,7 @@ object Dedup {
     "d_bloom_ngram" -> bloomNgramSql,
     "d_incremental_minhash" -> incrementalMinhashSql,
     "d_embed_clusters" -> embedClustersSql,
+    "d_cluster_purity" -> clusterPuritySql,
     "d_exact" -> exactSql,
     "d_url_dedup" -> urlDedupSql,
     "d_bucketed_dedup" -> bucketedDedupSql,

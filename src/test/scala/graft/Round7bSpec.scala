@@ -919,4 +919,35 @@ class Round7bSpec extends SparkSpec {
       assert(r.getLong(6) == r.getLong(7) / 255 + 1, "segment count")
     }
   }
+
+  test("d_cluster_purity: purity replays from in-memory CC + label counts") {
+    val pairs = operators.Dedup.embedDup(spark, sf).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (c, vs) => c -> vs.map(labels) }
+    val out = operators.Dedup.clusterPurity(spark, sf).collect()
+    assert(out.length == byCluster.size)
+    out.foreach { r =>
+      val ls = byCluster(r.getLong(0))
+      val counts = ls.groupBy(identity).map { case (l, xs) => (l, xs.length.toLong) }
+      val (modal, cnt) = counts.toSeq.map { case (l, c) => (-c, l) }.min match {
+        case (nc, l) => (l, -nc)
+      }
+      assert(r.getLong(1) == ls.length.toLong, "size")
+      assert(r.getLong(2) == counts.size.toLong, "n_labels")
+      assert(r.getLong(3) == modal && r.getLong(4) == cnt, s"modal ${r.getLong(0)}")
+      assert(r.getDouble(5) == math.round(cnt.toDouble / ls.length * 1e6) / 1e6)
+    }
+  }
 }
