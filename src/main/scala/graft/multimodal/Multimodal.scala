@@ -2524,6 +2524,61 @@ object Multimodal {
       |  TRUE AS lacing_ok, TRUE AS size_ok
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ------------------------------------------------------------------ ar
+
+  /** documents → a real Unix `ar` archive (the .deb / static-library
+    * container): global magic "!<arch>\n", one 60-byte member header —
+    * 16-char name, 12+6+6+8 chars of decimal metadata, a 10-char
+    * DECIMAL-ASCII size field (the format's length encoding: the third
+    * dialect in the suite, beside Avro's LE zigzag and EBML's
+    * BE leading-one vints), the "`\n" end-of-header magic — then the
+    * payload padded to EVEN length with '\n' (the alignment rule that
+    * trips naive writers on odd payloads). */
+  private[graft] def encodeAr(text: String): Array[Byte] = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def pad(v: String, n: Int) = (v + " " * n).substring(0, n)
+    val hdr = "!<arch>\n" + pad("doc.txt/", 16) + pad("0", 12) + pad("0", 6) +
+      pad("0", 6) + pad("100644", 8) + pad(body.length.toString, 10) + "`\n"
+    val out = new java.io.ByteArrayOutputStream(body.length + 72)
+    out.write(hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 68)
+    out.write(body, 0, body.length)
+    if (body.length % 2 == 1) out.write('\n')
+    out.toByteArray
+  }
+
+  /** AR ARCHIVE parse: global + end-of-header magics, trimmed name and
+    * mode, the decimal-ASCII size field through trim+cast, and the
+    * even-alignment identity `size_ok` (total = 68 + size + size mod 2)
+    * that a writer which forgot the pad byte fails on every odd
+    * payload. One scan, codegen'd column ops. */
+  def arMeta(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val assets = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeAr(t)) }))
+      .toDF("asset_id", "media")
+    def str(off: Int, len: Int): Column =
+      col("media").substr(lit(off.toLong), lit(len.toLong)).cast("string")
+    val size = trim(str(57, 10)).cast("long")
+    assets.select(col("asset_id"),
+        (str(1, 8) === "!<arch>\n").as("valid_magic"),
+        trim(str(9, 16)).as("member_name"),
+        trim(str(49, 8)).as("mode"),
+        size.as("member_size"),
+        (hex(col("media").substr(lit(67L), lit(2L))) === "600A").as("end_magic_ok"),
+        (length(col("media")) === lit(68L) + size + pmod(size, lit(2L))).as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Analytic oracle: size = byte length; all certificates pinned. */
+  val arMetaSql: String =
+    """SELECT doc_id AS asset_id, TRUE AS valid_magic, 'doc.txt/' AS member_name,
+      |  '100644' AS mode, CAST(strlen(text) AS BIGINT) AS member_size,
+      |  TRUE AS end_magic_ok, TRUE AS size_ok
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ----------------------------------------------------------------- PDF
 
   /** documents → a real minimal PDF (header, catalog/pages/page object
@@ -3359,6 +3414,7 @@ object Multimodal {
     "m_ebml_meta" -> (ebmlMeta _),
     "m_pcm_ulaw" -> (pcmUlaw _),
     "m_ogg_pages" -> (oggPages _),
+    "m_ar_archive" -> (arMeta _),
     "m_wds_paired" -> (wdsPaired _),
     "m_id3_meta" -> (id3Meta _),
     "m_exif_scrub" -> (exifScrub _),
@@ -3399,6 +3455,7 @@ object Multimodal {
     "m_ebml_meta" -> ebmlMetaSql,
     "m_pcm_ulaw" -> pcmUlawSql,
     "m_ogg_pages" -> oggPagesSql,
+    "m_ar_archive" -> arMetaSql,
     "m_wds_paired" -> wdsPairedSql,
     "m_id3_meta" -> id3MetaSql,
     "m_exif_scrub" -> exifScrubSql,

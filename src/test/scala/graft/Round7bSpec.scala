@@ -950,4 +950,23 @@ class Round7bSpec extends SparkSpec {
       assert(r.getDouble(5) == math.round(cnt.toDouble / ls.length * 1e6) / 1e6)
     }
   }
+
+  test("m_ar_archive: header layout is byte-exact; odd payloads carry the pad byte") {
+    Seq("odd", "even", "x" * 99, "y" * 100).foreach { text =>
+      val b = multimodal.Multimodal.encodeAr(text)
+      assert(new String(b.slice(0, 8), "US-ASCII") == "!<arch>\n")
+      assert(new String(b.slice(8, 24), "US-ASCII").trim == "doc.txt/")
+      val n = text.getBytes("UTF-8").length
+      assert(new String(b.slice(56, 66), "US-ASCII").trim.toInt == n, "decimal size")
+      assert(b(66) == '`' && b(67) == '\n', "end-of-header magic")
+      assert(b.length == 68 + n + n % 2, s"even alignment for $n")
+      if (n % 2 == 1) assert(b.last == '\n', "pad byte")
+    }
+    val out = multimodal.Multimodal.arMeta(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(5) && r.getBoolean(6), s"doc ${r.getLong(0)}")
+      assert(r.getString(2) == "doc.txt/" && r.getString(3) == "100644")
+    }
+  }
 }
