@@ -2375,9 +2375,12 @@ object Multimodal {
     * (8-bit log PCM): every synthesized 16-bit sample (the engine's
     * (codepoint−64)·256 PCM map, clamped) is companded to one μ-law
     * byte and expanded back, and THREE certificates are pinned per
-    * document: `bound_ok` (each error ≤ half its segment's step,
-    * 2^(exp+2) — the property that makes log companding transparent for
-    * speech), exact error sums/maxima (order-free integer aggregates),
+    * document: `bound_ok` (each IN-RANGE error ≤ half its segment's
+    * step, 2^(exp+2) — the property that makes log companding
+    * transparent for speech; samples beyond the encoder's ±32635 clamp
+    * carry clamp error, not quantization error, and are excluded on
+    * both engines), exact error sums/maxima (order-free integer
+    * aggregates),
     * and `code_sum` (the summed encoded bytes — a content checksum of
     * the companded stream both engines must reproduce bit-for-bit from
     * the SPEC ARITHMETIC, not a shared implementation). JVM loop runs
@@ -2402,7 +2405,12 @@ object Multimodal {
           val err = math.abs(v.toLong - dec)
           n += 1; errSum += err; errMax = math.max(errMax, err)
           codeSum += u
-          if (err > (1L << (exp + 2))) boundOk = false
+          // the half-step bound only holds INSIDE the codec's input
+          // range: the encoder clamps magnitude at 32635, so a PCM
+          // sample beyond that carries clamp error (up to 643 at
+          // 32767), not quantization error — exclude it, same CASE on
+          // the oracle side
+          if (math.abs(v) <= 32635 && err > (1L << (exp + 2))) boundOk = false
         }
         (id, n, errSum, errMax, boundOk, codeSum)
       }))
@@ -2411,7 +2419,10 @@ object Multimodal {
   }
 
   /** SQL twin: the same bias/clamp/segment/mantissa integer ladder per
-    * codepoint, aggregated with order-free sums. */
+    * codepoint, aggregated with order-free sums; documents LEFT JOIN
+    * the grouped aggregates so an EMPTY document emits the same
+    * zero-filled row the Spark side does (generate_series(1,0) is
+    * empty, which would otherwise drop the doc from GROUP BY). */
   val pcmUlawSql: String =
     """WITH chars AS (
       |  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text FROM documents
@@ -2436,15 +2447,24 @@ object Multimodal {
       |    (((((x >> (e + 3)) & 15) * 8) + 132) << e) - 132 AS mag
       |  FROM seg
       |), err AS (
-      |  SELECT doc_id, u, e,
+      |  SELECT doc_id, u, e, v,
       |    abs(v - (CASE WHEN v < 0 THEN -mag ELSE mag END)) AS ae
       |  FROM cod
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |    CAST(sum(ae) AS BIGINT) AS err_sum, CAST(max(ae) AS BIGINT) AS err_max,
+      |    bool_and(CASE WHEN abs(v) <= 32635 THEN ae <= (1 << (e + 2)) ELSE TRUE END) AS bound_ok,
+      |    CAST(sum(u) AS BIGINT) AS code_sum
+      |  FROM err GROUP BY doc_id
       |)
-      |SELECT doc_id AS asset_id, CAST(count(*) AS BIGINT) AS n_samples,
-      |  CAST(sum(ae) AS BIGINT) AS err_sum, CAST(max(ae) AS BIGINT) AS err_max,
-      |  bool_and(ae <= (1 << (e + 2))) AS bound_ok,
-      |  CAST(sum(u) AS BIGINT) AS code_sum
-      |FROM err GROUP BY doc_id ORDER BY asset_id""".stripMargin
+      |SELECT d.doc_id AS asset_id,
+      |  coalesce(a.n_samples, 0) AS n_samples,
+      |  coalesce(a.err_sum, 0) AS err_sum,
+      |  coalesce(a.err_max, 0) AS err_max,
+      |  coalesce(a.bound_ok, TRUE) AS bound_ok,
+      |  coalesce(a.code_sum, 0) AS code_sum
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY asset_id""".stripMargin
 
   // ----------------------------------------------------------------- ogg
 
@@ -2460,6 +2480,12 @@ object Multimodal {
   private[graft] def encodeOgg(id: Long, text: String): Array[Byte] = {
     val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val nFull = body.length / 255
+    // RFC 3533: one page carries at most 255 lacing values; past that
+    // the segment-count byte would silently wrap (ByteArrayOutputStream
+    // .write keeps the low 8 bits) and corrupt the container — fail
+    // loudly like ebmlVint's range guard instead
+    require(nFull + 1 <= 255,
+      s"encodeOgg: payload ${body.length} B exceeds the 65 KB single-page limit (doc $id)")
     val out = new java.io.ByteArrayOutputStream(body.length + 64)
     out.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
     out.write(0); out.write(4)

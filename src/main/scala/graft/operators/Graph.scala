@@ -474,8 +474,16 @@ object Graph {
     * relax shape as BFS: per round one equi-join + one
     * partial-aggregable max of least(bottleneck, edge weight); the
     * recurrence is monotone non-decreasing and pure integer, so rounds
-    * are order-independent and bit-portable. 6 synchronous rounds — the
-    * family's closure bound on this graph, same as [[bfs]]. */
+    * are order-independent and bit-portable. Unlike BFS, the maximin
+    * fixpoint is NOT bounded by the hop diameter (a max-bottleneck path
+    * can be hop-longer than any shortest path), so the loop iterates to
+    * CONVERGENCE — the state is monotone (ids only added, bottlenecks
+    * only rise), so a stable (count, Σbm) pair certifies the fixpoint —
+    * with a THROWING 12-round cap; an under-converged result can never
+    * reach the gate silently. The SQL twin unrolls the full 12-round
+    * budget: past the fixpoint each round is a no-op, so whenever the
+    * Spark side converges within the cap both engines emit the same
+    * fixpoint. */
   def widestPath(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.ngramJaccard(s, d)
       .select(col("doc_a"), col("doc_b"),
@@ -488,18 +496,37 @@ object Graph {
       .filter(col("id") % 10 === 0)
       .select(col("id"), lit(1000000L).as("bm"))
       .localCheckpoint()
-    (1 to 6).foreach { _ =>
+    // monotone-state convergence probe: node ids are only ever added and
+    // bottlenecks only ever rise, so (row count, Σ bm) stable across a
+    // round == fixpoint. One tiny two-aggregate action per round.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("bm")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(b)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 12) {
       val cand = edges.join(b, edges("src") === b("id"))
         .select(col("dst").as("id"), least(col("bm"), col("wm")).as("bm"))
       b = b.union(cand).groupBy("id").agg(max("bm").as("bm")).localCheckpoint()
+      val nfp = fingerprint(b)
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException("g_widest_path: maximin fixpoint exceeded the 12-round cap")
     b.select(col("id").as("doc_id"), col("bm").as("bottleneck_micros"))
       .orderBy("doc_id")
   }
 
-  /** SQL twin: 6 unrolled rounds of the identical max-of-least relax. */
+  /** SQL twin: the full 12-round budget unrolled (the Spark side's
+    * throwing cap) of the identical max-of-least relax — rounds past
+    * the fixpoint are no-ops, so the unrolled depth dominates any
+    * converged Spark run. */
   val widestPathSql: String = {
-    val iterations = (1 to 6).map { k =>
+    val iterations = (1 to 12).map { k =>
       s"""t$k AS MATERIALIZED (
          |  SELECT id, max(bm) AS bm FROM (
          |    SELECT id, bm FROM t${k - 1}
@@ -520,7 +547,7 @@ object Graph {
        |  FROM edges WHERE src % 10 = 0
        |), $iterations
        |SELECT id AS doc_id, bm AS bottleneck_micros
-       |FROM t6 ORDER BY doc_id""".stripMargin
+       |FROM t12 ORDER BY doc_id""".stripMargin
   }
 
   /** MINIMUM SPANNING FOREST via distributed BORŮVKA — the clustering
@@ -583,18 +610,26 @@ object Graph {
         .orderBy("doc_a", "doc_b")
   }
 
-  /** SQL twin: 3 unrolled Borůvka rounds (row_number argmin on the same
-    * unique composite key), each followed by 6 min-relax label rounds
-    * over the picked component graph. Unique weights make the forest
-    * identical regardless of either engine's round schedule. */
+  /** SQL twin: 6 unrolled Borůvka rounds — the SAME budget as the Spark
+    * side's throwing cap, so the SQL forest can never be shallower than
+    * a Spark run that passed its own cap (rounds past convergence pick
+    * nothing and are no-ops). Each round's contraction runs 7 min-label
+    * relax rounds with POINTER DOUBLING (each round also folds l(l(c))),
+    * so label chains up to depth 2⁶ = 64 collapse — dominating the
+    * convergence-verified union-find the Spark side uses, where the old
+    * 6 one-hop rounds silently truncated any picked-edge chain deeper
+    * than 6. Unique composite weights make the forest identical
+    * regardless of either engine's round schedule. */
   val mstSql: String = {
     def boruvkaRound(r: Int): String = {
-      val relax = (1 to 6).map { j =>
+      val relax = (1 to 7).map { j =>
         s"""ml${r}_$j AS MATERIALIZED (
            |  SELECT n.c, min(l) AS l FROM (
            |    SELECT c, l FROM ml${r}_${j - 1}
            |    UNION ALL
            |    SELECT me.c, ml.l FROM me$r me JOIN ml${r}_${j - 1} ml ON me.oc = ml.c
+           |    UNION ALL
+           |    SELECT a.c, b.l FROM ml${r}_${j - 1} a JOIN ml${r}_${j - 1} b ON a.l = b.c
            |  ) n GROUP BY n.c
            |)""".stripMargin
       }.mkString(", ")
@@ -617,7 +652,7 @@ object Graph {
          |  SELECT DISTINCT c, c AS l FROM me$r
          |), $relax, comp$r AS MATERIALIZED (
          |  SELECT p.id, coalesce(ml.l, p.c) AS c
-         |  FROM comp${r - 1} p LEFT JOIN ml${r}_6 ml ON p.c = ml.c
+         |  FROM comp${r - 1} p LEFT JOIN ml${r}_7 ml ON p.c = ml.c
          |)""".stripMargin
     }
     s"""WITH ${OracleCtes.ngramOverlap}, e AS MATERIALIZED (
@@ -626,10 +661,9 @@ object Graph {
        |  FROM ng_pair WHERE ${OracleCtes.ngramJaccardExpr} >= 0.5
        |), comp0 AS MATERIALIZED (
        |  SELECT id, id AS c FROM (SELECT a AS id FROM e UNION SELECT b FROM e)
-       |), ${(1 to 3).map(boruvkaRound).mkString(", ")}
+       |), ${(1 to 6).map(boruvkaRound).mkString(", ")}
        |SELECT DISTINCT a AS doc_a, b AS doc_b, wm AS weight_micros
-       |FROM (SELECT a, b, wm FROM pick1 UNION ALL SELECT a, b, wm FROM pick2
-       |      UNION ALL SELECT a, b, wm FROM pick3)
+       |FROM (${(1 to 6).map(r => s"SELECT a, b, wm FROM pick$r").mkString(" UNION ALL ")})
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
