@@ -4,6 +4,7 @@
 Usage:
   python3 tools/benchdiff.py                 # new=BENCH_local.json, old=HEAD's copy
   python3 tools/benchdiff.py NEW.json OLD.json
+  python3 tools/benchdiff.py --no-triage ... # skip isolation re-runs
 
 Compares per-query STEADY seconds (the attributable pass — cold mixes in
 codegen/JIT warm-up) between two bench artifacts and FAILS (exit 1) when
@@ -12,11 +13,22 @@ absolute growth. Both gates are required: a 0.1 s -> 0.2 s blip is
 jitter, not a plan regression, and a 5 s -> 6 s drift is real work even
 though the ratio is small — hence the separate absolute-growth report.
 
+SELF-TRIAGE: full-suite per-query attribution is GC/host-noisy (three
+consecutive r7 runs flagged DISJOINT "regression" sets, up to 13x
+phantom ratios), so a raw flag is a hypothesis, not a verdict. When
+flags survive the threshold gates, the flagged queries are re-measured
+in ISOLATION — a fresh sbt JVM with SPARK_GRAFT_ONLY=<flagged> against
+the new artifact's own sf dir — and only a flag that REPRODUCES under
+isolation (same ratio+absolute gates vs old) FAILs; the rest are
+reported as suite/GC noise. --no-triage restores the raw one-shot gate
+(CI without sbt, or when the isolation pass already ran by hand).
+
 New/removed queries are informational (the suite is expected to grow).
 Host load is printed from each artifact's env so a loaded-host run is
 readable as such rather than as a code regression.
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -27,6 +39,38 @@ ABS_ALERT_SEC = 1.5   # pure absolute growth worth flagging even at low ratio
 
 def steady(doc):
     return {k: v for k, v in doc["full"]["queries_steady"].items() if v >= 0}
+
+
+def isolate(flagged, sf_dir):
+    """Re-measure the flagged queries in a fresh JVM (SPARK_GRAFT_ONLY)
+    and return their isolated steady seconds, or None if the run could
+    not be executed (no sbt, bad sf dir) — caller falls back to the raw
+    gate rather than silently passing."""
+    names = ",".join(sorted(flagged))
+    out = "/tmp/benchdiff_iso.json"
+    if os.path.exists(out):
+        os.remove(out)
+    env = dict(os.environ,
+               SPARK_GRAFT_ONLY=names,
+               SPARK_GRAFT_BENCH_OUT=out,
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    print(f"\ntriage: re-measuring {len(flagged)} flagged quer"
+          f"{'y' if len(flagged) == 1 else 'ies'} in isolation "
+          f"(fresh JVM, SPARK_GRAFT_ONLY={names}) ...")
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           env=env, cwd=repo, capture_output=True, text=True,
+                           timeout=1800)
+        if r.returncode != 0 or not os.path.exists(out):
+            print("triage: isolation run FAILED — falling back to the raw gate")
+            print((r.stdout or "")[-2000:])
+            return None
+        with open(out) as f:
+            return steady(json.load(f))
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"triage: isolation run unavailable ({e}) — raw gate applies")
+        return None
 
 
 def load_new_old(argv):
@@ -48,6 +92,8 @@ def load_new_old(argv):
 
 
 def main(argv):
+    do_triage = "--no-triage" not in argv
+    argv = [a for a in argv if a != "--no-triage"]
     new, new_name, old, old_name = load_new_old(argv)
     ns, os_ = steady(new), steady(old)
 
@@ -106,9 +152,32 @@ def main(argv):
             for k, a, b, r in sorted(rows, key=lambda t: -t[3]):
                 print(f"  {k:30s} {a:7.2f} s -> {b:7.2f} s  ({r:.2f}x)")
 
+    if regressions and do_triage:
+        iso = isolate([k for k, _, _, _ in regressions],
+                      new.get("full", {}).get("sf", "/root/testdata/sf0.1"))
+        if iso is not None:
+            confirmed, noise = [], []
+            for k, a, b, r in regressions:
+                i = iso.get(k)
+                if i is None:
+                    confirmed.append((k, a, b, r))  # vanished from iso run = suspicious
+                    print(f"  {k:30s} missing from isolation artifact — kept as FAIL")
+                elif i / a > RATIO_MAX and i - a > ABS_FLOOR_SEC:
+                    confirmed.append((k, a, i, i / a))
+                    print(f"  {k:30s} REPRODUCED in isolation: "
+                          f"{a:.2f} s -> {i:.2f} s ({i / a:.2f}x; suite run said {b:.2f} s)")
+                else:
+                    noise.append(k)
+                    print(f"  {k:30s} cleared in isolation: {a:.2f} s -> {i:.2f} s "
+                          f"(suite run said {b:.2f} s — GC/suite noise)")
+            if noise:
+                print(f"triage: {len(noise)} flag(s) were suite/GC noise")
+            regressions = confirmed
+
     if regressions:
         print(f"\nFAIL: {len(regressions)} per-query steady regression(s) "
-              f"beyond {RATIO_MAX}x (+{ABS_FLOOR_SEC} s floor)")
+              f"beyond {RATIO_MAX}x (+{ABS_FLOOR_SEC} s floor)" +
+              (" — isolation-confirmed" if do_triage else " (raw, untriaged)"))
         return 1
     print(f"\nOK: no steady regression beyond {RATIO_MAX}x "
           f"(+{ABS_FLOOR_SEC} s floor) across {len(set(ns) & set(os_))} shared queries")
