@@ -629,10 +629,21 @@ object Dedup {
     * before a 100 TB pass commits (the CCNet-vs-Gopher choice). */
   def widthSweep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallelize(Tables.documents(s, d))
+    // ONE scan+tokenize pass serves all four widths (the widths differ
+    // only in the shingle window over the same token array), and every
+    // distinct/freq/self-join downstream runs on 64-BIT SHINGLE HASHES
+    // (word_hashes, native expr) instead of up-to-60-char strings — the
+    // [[setsimJoin]] discipline: candidate generation and verify
+    // shuffle 8-byte longs; a 64-bit collision (P < 1e-9 on any real
+    // vocabulary) could only perturb counts, and the string-exact
+    // DuckDB twin re-derives every count from the strings, so the gate
+    // would flag it.
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), WS).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def statsFor(w: Int, verify: Boolean): DataFrame = {
-      val tok = docs.select(col("doc_id"),
-          explode(graft.functions.MinHashFns.word_shingles(
-            split(trim(col("text")), WS), w)).as("g"))
+      val tok = toks.select(col("doc_id"),
+          explode(graft.functions.MinHashFns.word_hashes(
+            graft.functions.MinHashFns.word_shingles(col("toks"), w))).as("g"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val joinRows = tok.groupBy("g").agg(count(lit(1)).as("c"))
@@ -671,9 +682,24 @@ object Dedup {
       tok.unpersist(blocking = false)
       materialized
     }
-    (statsFor(2, verify = false) unionAll statsFor(3, verify = true)
-      unionAll statsFor(5, verify = true) unionAll statsFor(8, verify = true))
-      .orderBy("w")
+    // the four width pipelines are independent DAGs over the one
+    // persisted token table and each is a chain of SMALL jobs (price
+    // agg, candidate join, two count passes) — run them CONCURRENTLY so
+    // the scheduler overlaps their short stages instead of paying ~16
+    // sequential job latencies (each width's result is a checkpointed
+    // 1-row frame, so the futures only race on job submission, not on
+    // shared mutable state). Materialize the token table once BEFORE
+    // forking so the widths don't duplicate the scan into the persist.
+    toks.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val frames = Seq((2, false), (3, true), (5, true), (8, true))
+      .map { case (w, v) => Future(statsFor(w, v)) }
+      .map(Await.result(_, Duration.Inf))
+    val out = frames.reduce(_ unionAll _).orderBy("w")
+    toks.unpersist(blocking = false)
+    out
   }
 
   /** SQL twin: join volume from the frequency table for every width,
