@@ -21,6 +21,18 @@ object ProbeStream {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wall vs work: sum of task run times per 2-second window tells
+    // whether a slow batch is executing tasks or waiting on driver-side
+    // latencies (planning, state commits, WAL) — the cheap first split
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskN = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (e.taskInfo != null) {
+          taskMs.addAndGet(e.taskInfo.duration); taskN.incrementAndGet()
+        }
+      }
+    })
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -34,7 +46,8 @@ object ProbeStream {
     })
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(query)(spark, sfDir).count()
-    System.err.println(f"[probe] $query total ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
+    System.err.println(f"[probe] $query total ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows, " +
+      s"taskTime=${taskMs.get()} ms across ${taskN.get()} tasks")
     spark.stop()
   }
 }

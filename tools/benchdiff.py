@@ -54,6 +54,10 @@ def isolate(flagged, sf_dir):
                SPARK_GRAFT_ONLY=names,
                SPARK_GRAFT_BENCH_OUT=out,
                SPARK_GRAFT_SF_DIR=sf_dir)
+    # match the driver's parallelism (local[32]) unless the caller
+    # explicitly pinned one — a local[4] isolation run would exaggerate
+    # any parallel query's time and could fake a confirmation
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
     print(f"\ntriage: re-measuring {len(flagged)} flagged quer"
           f"{'y' if len(flagged) == 1 else 'ies'} in isolation "
           f"(fresh JVM, SPARK_GRAFT_ONLY={names}) ...")
