@@ -2263,7 +2263,218 @@ object TextAnalysis {
        |ORDER BY score_micros DESC, phrase LIMIT 15""".stripMargin
   }
 
+  /** UNIGRAM-LM (SentencePiece-style) tokenizer trainer — the third
+    * tokenizer family in production use beside BPE ([[bpeTrain]]) and
+    * WordPiece ([[wordpiece]]): seed a substring inventory from the
+    * term table, then EM — E-step Viterbi-segments every DISTINCT term
+    * against the current piece scores, M-step re-scores pieces from
+    * realized usage and PRUNES the inventory (SentencePiece's
+    * vocabulary-shrink step) — two rounds. The corpus enters ONLY via
+    * term counts (the [[bpeTrain]] discipline): every join/DP below is
+    * vocabulary-sized, nothing corpus-sized crosses a shuffle, and the
+    * piece inventory is bounded (≤ 300 multi-char + alphabet) so it
+    * broadcasts.
+    *
+    * Objective (pinned): textbook unigram-LM Viterbi maximizes the
+    * product of piece probabilities, whose cross-engine replay would
+    * inherit each engine's libm `ln` (the engine-wide no-log
+    * discipline — see [[bigramRatio]]). The engine instead pins the
+    * integer-exact lexicographic surrogate (FEWEST pieces, then MAX
+    * summed integer piece score, then lexicographically smallest
+    * segmentation): fewest-pieces is the dominant term of the
+    * probability product (every extra piece multiplies by p ≪ 1), the
+    * score sum orders within a piece-count class, and the lex tail
+    * makes the optimum UNIQUE — which is what lets DuckDB replay the
+    * identical segmentation. The DP prunes to the single best partial
+    * per (term, pos) each round — EXACT for this objective: suffix
+    * cost is prefix-independent, lower k always dominates, and
+    * equal-(pos, k) seg strings have equal length so the lex
+    * tie-break is preserved under common-suffix append.
+    *
+    * Trainer scope is pinned to ASCII terms of ≤ 12 chars (the
+    * max_sentencepiece_length discipline, and the byte-vs-codepoint
+    * parity rule: JVM substring walks UTF-16 units, DuckDB substr
+    * walks codepoints — ASCII makes them the same walk). */
+  def unigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(split(trim(col("text")), "[ \t\n\r]+")).as("term"))
+      .filter(col("term").rlike("^[!-~]{1,12}$"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: every substring of length 1..4 of every distinct term,
+    // frequency-weighted by term count (overlapping occurrences count)
+    val subs = words.select(col("cnt"), explode(expr(
+        """flatten(transform(sequence(1, length(term)),
+          |  p -> transform(sequence(p, least(p + 3, length(term))),
+          |       q -> substring(term, p, q - p + 1))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars1 = subs.filter(length(col("piece")) === 1)
+    val top300 = subs.filter(length(col("piece")) >= 2)
+      .orderBy(desc("f"), col("piece")).limit(300)
+    val inv1 = chars1.unionByName(top300)
+
+    // Viterbi over the BROADCAST piece table, one mapPartitions pass:
+    // the DP is per-term independent and the inventory is bounded by
+    // construction (≤ 300 multi-char + alphabet — the [[wordpiece]]
+    // collect bound), so segmentation is a per-partition scan over the
+    // distributed term table, not an iterative distributed job (a
+    // round-per-position DataFrame DP measured ~50 scheduled jobs for
+    // vocabulary-sized data). Per position the DP keeps the single
+    // best (k asc, score desc, seg asc) partial — exact for the
+    // lexicographic objective (see the operator scaladoc).
+    def viterbi(inventory: DataFrame): DataFrame = {
+      val pieces: Map[String, Long] = inventory.select("piece", "f").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = s.sparkContext.broadcast(pieces)
+      val session = s
+      import session.implicits._
+      words.select(col("term"), col("cnt")).as[(String, Long)]
+        .mapPartitions { it =>
+          val inv = bc.value
+          it.map { case (term, cnt) =>
+            val n = term.length
+            // best(i) = (pieces, score, seg) for term[0, i), null if unreachable
+            val best = new Array[(Long, Long, String)](n + 1)
+            best(0) = (0L, 0L, "")
+            var i = 1
+            while (i <= n) {
+              var bk = Long.MaxValue; var bs = Long.MinValue; var bg: String = null
+              var l = 1
+              while (l <= 4 && l <= i) {
+                val start = i - l
+                if (best(start) != null) {
+                  val p = term.substring(start, i)
+                  inv.get(p) match {
+                    case Some(sc) =>
+                      val (k0, s0, g0) = best(start)
+                      val k = k0 + 1; val sN = s0 + sc
+                      val g = if (g0.isEmpty) p else g0 + " " + p
+                      if (k < bk || (k == bk && (sN > bs ||
+                          (sN == bs && (bg == null || g < bg))))) {
+                        bk = k; bs = sN; bg = g
+                      }
+                    case None => ()
+                  }
+                }
+                l += 1
+              }
+              if (bg != null) best(i) = (bk, bs, bg)
+              i += 1
+            }
+            (term, cnt, if (best(n) == null) "" else best(n)._3)
+          }
+        }
+        .toDF("term", "cnt", "seg")
+        .filter(col("seg") =!= "")
+    }
+    def usage(seg: DataFrame): DataFrame =
+      seg.select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("u"))
+
+    val u1 = usage(viterbi(inv1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // M-step prune: keep the 200 most-used pieces, plus every single
+    // char (coverage: any term stays segmentable), re-scored by usage
+    val kept = u1.orderBy(desc("u"), col("piece")).limit(200)
+    val charsAll = chars1.select(col("piece")).join(u1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("u"), lit(0L)).as("u"))
+    val inv2 = kept.unionByName(charsAll).groupBy("piece").agg(max("u").as("f"))
+    val u2 = usage(viterbi(inv2))
+    val totDf = u2.agg(sum("u").as("tot"))
+    u2.crossJoin(broadcast(totDf))
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("u").as("n_uses"), expr("(1000000 * u) div tot").as("p_us"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n_uses"), col("piece"))).cast("long"))
+      .select("rank", "piece", "piece_len", "n_uses", "p_us")
+      .orderBy("rank")
+  }
+
+  /** SQL twin: the identical seed/EM/Viterbi pipeline with both DP
+    * rounds unrolled to the 12-position budget (terms are capped at 12
+    * chars, pieces are ≥ 1 char, so 12 rounds dominate any term). */
+  val unigramLmSql: String = {
+    def viterbiCtes(tag: String, inv: String): String = {
+      val rounds = (1 to 12).map { r =>
+        s"""vb${tag}e_$r AS (
+           |  SELECT term, cnt, pos, k, score, seg,
+           |    unnest(generate_series(pos, least(pos + 3, length(term)))) AS q
+           |  FROM vb${tag}_${r - 1} WHERE pos <= length(term)
+           |), vb${tag}_$r AS MATERIALIZED (
+           |  SELECT term, cnt, pos, k, score, seg FROM (
+           |    SELECT e.term, e.cnt, e.pos + length(i.piece) AS pos,
+           |      e.k + 1 AS k, e.score + i.f AS score,
+           |      CASE WHEN e.seg = '' THEN i.piece
+           |           ELSE e.seg || ' ' || i.piece END AS seg,
+           |      row_number() OVER (PARTITION BY e.term, e.pos + length(i.piece)
+           |        ORDER BY e.k + 1, e.score + i.f DESC,
+           |          CASE WHEN e.seg = '' THEN i.piece
+           |               ELSE e.seg || ' ' || i.piece END) AS rn
+           |    FROM (SELECT term, cnt, pos, k, score, seg,
+           |            substr(term, pos, q - pos + 1) AS piece
+           |          FROM vb${tag}e_$r) e
+           |    JOIN $inv i USING (piece)
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val doneUnion = (1 to 12)
+        .map(r => s"SELECT term, cnt, k, score, seg FROM vb${tag}_$r WHERE pos > length(term)")
+        .mkString(" UNION ALL ")
+      s"""vb${tag}_0 AS (
+         |  SELECT term, cnt, 1 AS pos, CAST(0 AS BIGINT) AS k,
+         |    CAST(0 AS BIGINT) AS score, '' AS seg FROM words
+         |), $rounds, seg$tag AS MATERIALIZED (
+         |  SELECT term, cnt, seg FROM (
+         |    SELECT term, cnt, seg,
+         |      row_number() OVER (PARTITION BY term ORDER BY k, score DESC, seg) AS rn
+         |    FROM ($doneUnion)
+         |  ) WHERE rn = 1
+         |), u$tag AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS u
+         |  FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM seg$tag)
+         |  GROUP BY 1
+         |)""".stripMargin
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r]+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[!-~]{1,12}$$')
+       |  GROUP BY w
+       |), subs0 AS (
+       |  SELECT term, cnt, unnest(generate_series(1, length(term))) AS p FROM words
+       |), subs1 AS (
+       |  SELECT term, cnt, p,
+       |    unnest(generate_series(p, least(p + 3, length(term)))) AS q
+       |  FROM subs0
+       |), subs AS MATERIALIZED (
+       |  SELECT substr(term, p, q - p + 1) AS piece, CAST(sum(cnt) AS BIGINT) AS f
+       |  FROM subs1 GROUP BY 1
+       |), chars1 AS (SELECT piece, f FROM subs WHERE length(piece) = 1
+       |), top300 AS (
+       |  SELECT piece, f FROM subs WHERE length(piece) >= 2
+       |  ORDER BY f DESC, piece LIMIT 300
+       |), inv1 AS MATERIALIZED (
+       |  SELECT * FROM chars1 UNION ALL SELECT * FROM top300
+       |), ${viterbiCtes("1", "inv1")},
+       |kept AS (SELECT piece, u FROM u1 ORDER BY u DESC, piece LIMIT 200),
+       |charsall AS (
+       |  SELECT c.piece, coalesce(u1.u, 0) AS u FROM chars1 c LEFT JOIN u1 USING (piece)
+       |), inv2 AS MATERIALIZED (
+       |  SELECT piece, CAST(max(u) AS BIGINT) AS f
+       |  FROM (SELECT * FROM kept UNION ALL SELECT * FROM charsall) GROUP BY piece
+       |), ${viterbiCtes("2", "inv2")}
+       |SELECT row_number() OVER (ORDER BY u DESC, piece) AS rank, piece,
+       |  CAST(length(piece) AS BIGINT) AS piece_len, u AS n_uses,
+       |  CAST((1000000 * u) // (SELECT sum(u) FROM u2) AS BIGINT) AS p_us
+       |FROM u2
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_unigram_lm" -> (unigramLm _),
     "t_rake" -> (rake _),
     "t_script_profile" -> (scriptProfile _),
     "t_fertility" -> (fertility _),
@@ -2308,6 +2519,7 @@ object TextAnalysis {
     "t_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "t_unigram_lm" -> unigramLmSql,
     "t_rake" -> rakeSql,
     "t_script_profile" -> scriptProfileSql,
     "t_fertility" -> fertilitySql,

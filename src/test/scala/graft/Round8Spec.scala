@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for round 8: unigram-LM tokenizer trainer, plus the
+  * ADVICE-driven convergence/certificate hardening. Each test
+  * re-derives the operator's claim independently — the DuckDB hash
+  * gate pins cross-engine equality, the spec pins the SEMANTICS. */
+class Round8Spec extends SparkSpec {
+
+  test("t_unigram_lm: final pieces tile the corpus exactly; probabilities sum from usage") {
+    val out = operators.TextAnalysis.unigramLm(spark, sf).collect()
+    assert(out.nonEmpty)
+    // coverage invariant: every included term is fully segmented, so
+    // Σ n_uses·piece_len over the final piece table equals the total
+    // included character mass Σ cnt·len(term)
+    val charMass = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "[ \t\n\r]+")).as("term"))
+      .filter(col("term").rlike("^[!-~]{1,12}$"))
+      .agg(sum(length(col("term")))).head().getLong(0)
+    val pieceMass = out.map(r => r.getLong(3) * r.getLong(2)).sum
+    assert(pieceMass == charMass, s"piece char mass $pieceMass != corpus $charMass")
+    // ranks are 1..n in (n_uses desc, piece asc) order and p_us is the
+    // integer-micros share of total usage
+    val totalUses = out.map(_.getLong(3)).sum
+    out.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1, "rank sequence")
+      assert(r.getLong(4) == 1000000L * r.getLong(3) / totalUses, s"p_us of ${r.getString(1)}")
+      assert(r.getLong(3) >= 1, "unused piece survived the prune")
+      assert(r.getString(1).length == r.getLong(2), "piece_len")
+    }
+    // EM actually concentrated: multi-char pieces captured usage (the
+    // corpus is word-templated, so pure char fallback would be a bug)
+    assert(out.filter(_.getLong(2) >= 2).map(_.getLong(3)).sum > 0L)
+  }
+
+  test("t_unigram_lm: segmentation objective is fewest-pieces-first with score then lex ties") {
+    // in-memory mini-trainer replay of the pinned DP on a synthetic
+    // inventory: "abcd" with pieces {abcd} beats {ab,cd} beats chars;
+    // with equal piece-count, higher score wins; then lex
+    def viterbi(term: String, inv: Map[String, Long]): String = {
+      val n = term.length
+      val best = new Array[(Long, Long, String)](n + 1)
+      best(0) = (0L, 0L, "")
+      for (i <- 1 to n) {
+        var cur: (Long, Long, String) = null
+        for (l <- 1 to math.min(4, i); start = i - l if best(start) != null) {
+          val p = term.substring(start, i)
+          inv.get(p).foreach { sc =>
+            val cand = (best(start)._1 + 1, best(start)._2 + sc,
+              if (best(start)._3.isEmpty) p else best(start)._3 + " " + p)
+            if (cur == null || cand._1 < cur._1 ||
+              (cand._1 == cur._1 && (cand._2 > cur._2 ||
+                (cand._2 == cur._2 && cand._3 < cur._3)))) cur = cand
+          }
+        }
+        best(i) = cur
+      }
+      best(n)._3
+    }
+    val base = Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L)
+    assert(viterbi("abcd", base + ("abcd" -> 1L)) == "abcd")
+    assert(viterbi("abcd", base + ("ab" -> 99L, "cd" -> 99L)) == "ab cd")
+    // equal piece count (2), score picks the heavier split (11 > 10)
+    assert(viterbi("abcd", base + ("ab" -> 5L, "cd" -> 5L, "abc" -> 10L)) == "abc d")
+    // equal count and score -> lexicographically smallest segmentation
+    assert(viterbi("abab", Map("ab" -> 2L, "a" -> 1L, "b" -> 1L, "aba" -> 3L)) == "ab ab")
+  }
+
+  test("g_widest_path: bottlenecks equal the in-memory maximin fixpoint (no round cap)") {
+    val out = operators.Graph.widestPath(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = operators.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1000000)))
+    val adj = pairs.flatMap { case (a, b, w) => Seq(a -> (b, w), b -> (a, w)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var bm = adj.keys.filter(_ % 10 == 0).map(_ -> 1000000L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      val next = collection.mutable.Map(bm.toSeq: _*)
+      bm.foreach { case (id, b) =>
+        adj.getOrElse(id, Array.empty[(Long, Long)]).foreach { case (dst, w) =>
+          val cand = math.min(b, w)
+          if (next.getOrElse(dst, Long.MinValue) < cand) { next(dst) = cand; changed = true }
+        }
+      }
+      bm = next.toMap
+    }
+    assert(out == bm, "Spark maximin fixpoint != in-memory fixpoint")
+  }
+
+  test("m_pcm_ulaw: bound certificate excludes only clamped samples and holds in-range") {
+    val rows = graft.multimodal.Multimodal.pcmUlaw(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(4), s"bound_ok false for asset ${r.getLong(0)}"))
+    // direct codec check across the full 16-bit range: in-range samples
+    // obey the half-step bound, clamped ones exceed it (the reason for
+    // the exclusion) — exercised beyond the corpus's codepoints
+    var worstInRange = 0L
+    var clampViolates = false
+    var v = -32768
+    while (v <= 32767) {
+      val u = graft.multimodal.Multimodal.ulawEncode(v)
+      val dec = graft.multimodal.Multimodal.ulawDecode(u)
+      val exp = ((~u & 0xff) >> 4) & 0x07
+      val err = math.abs(v.toLong - dec)
+      val bound = 1L << (exp + 2)
+      if (math.abs(v) <= 32635) worstInRange = math.max(worstInRange, err - bound)
+      else if (err > bound) clampViolates = true
+      v += 1
+    }
+    assert(worstInRange <= 0, "half-step bound broken inside codec range")
+    assert(clampViolates, "clamp region unexpectedly satisfies the bound (exclusion vacuous?)")
+  }
+
+  test("m_ogg_pages: encoder refuses payloads beyond the single-page segment limit") {
+    val e = intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.encodeOgg(7L, "x" * 65025)
+    }
+    assert(e.getMessage.contains("single-page limit"))
+    // boundary: 65024 bytes = 254 full segments + final 254 lacing = 255 entries
+    val page = graft.multimodal.Multimodal.encodeOgg(8L, "x" * 65024)
+    assert((page(26) & 0xff) == 255)
+  }
+}
