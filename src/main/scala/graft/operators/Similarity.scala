@@ -580,6 +580,170 @@ object Similarity {
        |ORDER BY query_id, rank_n""".stripMargin
   }
 
+  /** HNSW-style TWO-LAYER hierarchical graph search — the upper layer
+    * over [[graphSearch]]'s base-layer greedy beam, completing the
+    * graph-ANN hierarchy: a deterministic 1-in-16 node sample forms the
+    * UPPER layer (HNSW's level-1, the classic 1/e^λ level assignment
+    * made reproducible), wired by the SAME bucketed kNN construction as
+    * the base graph; every query first walks the upper layer (2 greedy
+    * rounds, beam 2) from the ONE global entry point (min upper id —
+    * HNSW's single entry), and the per-query upper-layer winner seeds
+    * the base-layer walk (3 rounds, beam 3, identical step to
+    * [[graphSearch]]). Beside the top-3 results the operator EMITS its
+    * own audit: the same-budget FLAT walk (base layer straight from the
+    * global entry) is run alongside, and each row carries both walks'
+    * distinct scored-candidate counts plus the flat walk's best cosine —
+    * the measured evidence for what the hierarchy buys (a per-query
+    * entry near the target region) and what it costs (the upper-layer
+    * scoring). Scale shape: both graphs come from bucketed self-joins
+    * (never all-pairs — the upper layer is 16× sparser still), queries
+    * broadcast, the corpus never self-joins during search, and every
+    * round is one equi-join + window top-k. */
+  def hnsw(s: SparkSession, d: String): DataFrame = {
+    val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .localCheckpoint()
+    val qs = b.filter(col("vec_id") % 25 === 7)
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("norm").as("qn"))
+      .localCheckpoint()
+    val corpus = b.select(col("vec_id").as("id"), col("v"), col("norm"))
+    def knnGraph(nodes: DataFrame, k: Int): DataFrame = {
+      val byA = Window.partitionBy("a").orderBy(col("cos").desc, col("nb"))
+      nodes.as("x")
+        .join(nodes.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("nb"),
+          ExactRound.r(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(byA)).filter(col("rn") <= k)
+        .select("a", "nb").localCheckpoint()
+    }
+    val g0 = knnGraph(b, 5)
+    // the sparse upper layer needs LONGER-RANGE links than the base
+    // layer (HNSW's upper levels are exactly the long-link levels): the
+    // full plane code would scatter the 1-in-16 sample into singleton
+    // buckets and freeze the walk at the entry point, so the upper
+    // graph buckets on the 2 low planes only (4 coarse cells)
+    val upper = b.filter(col("vec_id") % 16 === 0)
+      .withColumn("bucket", col("bucket") % 4)
+      .localCheckpoint()
+    val g1 = knnGraph(upper, 3)
+    val entryDf = upper.agg(min("vec_id").as("entry")).localCheckpoint()
+    val wq = Window.partitionBy("q").orderBy(col("cos").desc, col("id"))
+    // one greedy-beam step over graph g; returns (new beam with rn, the
+    // scored candidate set for the walk's cost audit)
+    def step(beam: DataFrame, g: DataFrame, width: Int): (DataFrame, DataFrame) = {
+      val cand = beam.select("q", "id")
+        .union(beam.select("q", "id").join(g, col("id") === col("a"))
+          .select(col("q"), col("nb").as("id")))
+        .filter(col("id") =!= col("q"))
+        .distinct()
+      val scored = cand.join(corpus, "id").join(broadcast(qs), "q")
+        .select(col("q"), col("id"),
+          ExactRound.r(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cos"))
+        .localCheckpoint()
+      (scored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= width)
+        .localCheckpoint(), scored.select("q", "id"))
+    }
+    val u0 = qs.select(col("q")).crossJoin(broadcast(entryDf))
+      .select(col("q"), col("entry").as("id"))
+    val (u1, cu1) = step(u0, g1, 2)
+    val (u2, cu2) = step(u1, g1, 2)
+    val seedHier = u2.filter(col("rn") === 1).select(col("q"), col("id"))
+    val (h1, ch1) = step(seedHier, g0, 3)
+    val (h2, ch2) = step(h1, g0, 3)
+    val (h3, ch3) = step(h2, g0, 3)
+    val (f1, cf1) = step(u0, g0, 3)
+    val (f2, cf2) = step(f1, g0, 3)
+    val (f3, cf3) = step(f2, g0, 3)
+    def scoredPerQ(cs: Seq[DataFrame], name: String): DataFrame =
+      cs.reduce(_ union _).distinct().groupBy("q").agg(count(lit(1)).as(name))
+    val nHier = scoredPerQ(Seq(cu1, cu2, ch1, ch2, ch3), "n_scored_hier")
+    val nFlat = scoredPerQ(Seq(cf1, cf2, cf3), "n_scored_flat")
+    val flatTop = f3.filter(col("rn") === 1).select(col("q"), col("cos").as("flat_top_cos"))
+    h3.select(col("q"), col("rn"), col("id"), col("cos"))
+      .join(seedHier.select(col("q"), col("id").as("entry_id")), "q")
+      .join(nHier, "q").join(nFlat, "q").join(flatTop, "q")
+      .select(col("q").as("query_id"), col("rn").cast("long").as("rank_n"),
+        col("id").as("vec_id"), col("cos"), col("entry_id"),
+        col("n_scored_hier"), col("n_scored_flat"), col("flat_top_cos"))
+      .orderBy("query_id", "rank_n")
+  }
+
+  /** Oracle: identical two-layer construction and walks, all rounds
+    * unrolled, same candidate-count audit. */
+  val hnswSql: String = {
+    def planeLitS(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeLitS(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    def cosOf(xv: String, xn: String, yv: String, yn: String) =
+      graft.operators.ExactRound.rSql(s"list_inner_product($xv, $yv) / ($xn * $yn)", 6)
+    def knn(name: String, src: String, k: Int): String =
+      s"""${name}i AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS nb,
+         |    ${cosOf("x.v", "x.nrm", "y.v", "y.nrm")} AS cos
+         |  FROM $src x JOIN $src y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |), $name AS MATERIALIZED (
+         |  SELECT a, nb FROM (
+         |    SELECT a, nb, row_number() OVER (PARTITION BY a ORDER BY cos DESC, nb) AS rn
+         |    FROM ${name}i) WHERE rn <= $k
+         |)""".stripMargin
+    def stepS(prev: String, g: String, width: Int, tag: String): String =
+      s"""sc$tag AS MATERIALIZED (
+         |  SELECT c.q, c.id, ${cosOf("x.v", "x.nrm", "qq.qv", "qq.qn")} AS cos
+         |  FROM (
+         |    SELECT DISTINCT q, id FROM (
+         |      SELECT b.q, $g.nb AS id FROM $prev b JOIN $g ON $g.a = b.id
+         |      UNION ALL SELECT q, id FROM $prev
+         |    ) WHERE id <> q
+         |  ) c JOIN eb x ON c.id = x.vec_id JOIN qs qq ON c.q = qq.q
+         |), b$tag AS MATERIALIZED (
+         |  SELECT q, id, cos, rn FROM (
+         |    SELECT q, id, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, id) AS rn
+         |    FROM sc$tag) WHERE rn <= $width
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), eb AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM e
+       |), qs AS MATERIALIZED (
+       |  SELECT vec_id AS q, v AS qv, nrm AS qn FROM eb WHERE vec_id % 25 = 7
+       |), ${knn("g0", "eb", 5)},
+       |up AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, bucket % 4 AS bucket FROM eb WHERE vec_id % 16 = 0),
+       |${knn("g1", "up", 3)},
+       |ent AS (SELECT min(vec_id) AS entry FROM up),
+       |b_u0 AS (SELECT q, (SELECT entry FROM ent) AS id FROM qs),
+       |${stepS("b_u0", "g1", 2, "_u1")}, ${stepS("b_u1", "g1", 2, "_u2")},
+       |seedh AS (SELECT q, id FROM b_u2 WHERE rn = 1),
+       |${stepS("seedh", "g0", 3, "_h1")}, ${stepS("b_h1", "g0", 3, "_h2")},
+       |${stepS("b_h2", "g0", 3, "_h3")},
+       |${stepS("b_u0", "g0", 3, "_f1")}, ${stepS("b_f1", "g0", 3, "_f2")},
+       |${stepS("b_f2", "g0", 3, "_f3")},
+       |nh AS (
+       |  SELECT q, CAST(count(*) AS BIGINT) AS n_scored_hier FROM (
+       |    SELECT DISTINCT q, id FROM (
+       |      SELECT q, id FROM sc_u1 UNION ALL SELECT q, id FROM sc_u2
+       |      UNION ALL SELECT q, id FROM sc_h1 UNION ALL SELECT q, id FROM sc_h2
+       |      UNION ALL SELECT q, id FROM sc_h3)
+       |  ) GROUP BY q
+       |), nf AS (
+       |  SELECT q, CAST(count(*) AS BIGINT) AS n_scored_flat FROM (
+       |    SELECT DISTINCT q, id FROM (
+       |      SELECT q, id FROM sc_f1 UNION ALL SELECT q, id FROM sc_f2
+       |      UNION ALL SELECT q, id FROM sc_f3)
+       |  ) GROUP BY q
+       |), ft AS (SELECT q, cos AS flat_top_cos FROM b_f3 WHERE rn = 1)
+       |SELECT h.q AS query_id, CAST(h.rn AS BIGINT) AS rank_n, h.id AS vec_id, h.cos,
+       |  sh.id AS entry_id, nh.n_scored_hier, nf.n_scored_flat, ft.flat_top_cos
+       |FROM b_h3 h JOIN seedh sh ON h.q = sh.q
+       |JOIN nh ON h.q = nh.q JOIN nf ON h.q = nf.q JOIN ft ON h.q = ft.q
+       |ORDER BY query_id, rank_n""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -2380,6 +2544,7 @@ object Similarity {
     "s_ann_lsh" -> (annLsh _),
     "s_nndescent" -> (nnDescent _),
     "s_graph_search" -> (graphSearch _),
+    "s_hnsw" -> (hnsw _),
     "s_ivf_pq" -> (annIvfPq _),
     "s_maxsim" -> (maxSim _),
     "s_ann_ivf" -> (annIvf _),
@@ -2415,6 +2580,7 @@ object Similarity {
     "s_ann_lsh" -> annLshSql,
     "s_nndescent" -> nnDescentSql,
     "s_graph_search" -> graphSearchSql,
+    "s_hnsw" -> hnswSql,
     "s_ivf_pq" -> annIvfPqSql,
     "s_maxsim" -> maxSimSql,
     "s_ann_ivf" -> annIvfSql,

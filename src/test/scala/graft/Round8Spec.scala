@@ -67,6 +67,35 @@ class Round8Spec extends SparkSpec {
     assert(viterbi("abab", Map("ab" -> 2L, "a" -> 1L, "b" -> 1L, "aba" -> 3L)) == "ab ab")
   }
 
+  test("s_hnsw: entries come from the upper sample; walks are monotone vs the global entry") {
+    val out = graft.operators.Similarity.hnsw(spark, sf).collect()
+    assert(out.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val globalEntry = vecs.keys.filter(_ % 16 == 0).min
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      val r = d / (math.sqrt(x.map(t => t * t).sum) * math.sqrt(y.map(t => t * t).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      // ranks 1..3, cosines non-increasing
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length))
+      assert(byRank.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      // entry is an upper-layer node, and both greedy walks only improve
+      // on the global entry's own cosine (beams retain their seed)
+      val entry = byRank.head.getLong(4)
+      assert(entry % 16 == 0, s"entry $entry not in upper sample")
+      val base = cos(q, globalEntry)
+      assert(byRank.head.getDouble(3) >= base, s"hier walk below entry cos for q=$q")
+      assert(byRank.head.getDouble(7) >= base, s"flat walk below entry cos for q=$q")
+      assert(byRank.head.getLong(5) >= 1 && byRank.head.getLong(6) >= 1)
+    }
+  }
+
   test("g_widest_path: bottlenecks equal the in-memory maximin fixpoint (no round cap)") {
     val out = operators.Graph.widestPath(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
