@@ -370,6 +370,41 @@ object Multimodal {
     bb.array()
   }
 
+  /** Text → a minimal MPEG-1 Layer III (MP3) elementary stream: a
+    * sequence of real frames, each a 4-byte big-endian header (11-bit
+    * sync, version 11 = MPEG-1, layer 01 = III, no CRC → 0xFF 0xFB)
+    * followed by filler payload. Per-frame VARIABLE bitrate and
+    * padding are driven by the document's codepoints (cyclic), so a
+    * parser must actually read every header to find the next frame:
+    * frame i picks bitrate {64, 96, 128, 160} kbps (table indices
+    * 5/7/9/10) from cp % 4 and the padding bit from (cp / 4) % 2.
+    * Sample rate is pinned at 48 kHz (index 01) so the Layer III
+    * frame-length formula 144·bitrate/48000 + pad = 3·kbps + pad is
+    * exact integer arithmetic — no rounding divergence channel.
+    * Frame count = 4 + len % 5 (0 for empty text). */
+  private[graft] def encodeMp3(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    if (cps.isEmpty) return Array.emptyByteArray
+    val n = 4 + cps.length % 5
+    val out = new java.io.ByteArrayOutputStream(n * 484)
+    val idxOf = Array(5, 7, 9, 10)
+    var i = 0
+    while (i < n) {
+      val cp = cps(i % cps.length)
+      val bi = cp % 4
+      val pad = (cp / 4) % 2
+      val kbps = 64 + 32 * bi
+      val frameLen = 3 * kbps + pad
+      out.write(0xff); out.write(0xfb)
+      out.write((idxOf(bi) << 4) | (1 << 2) | (pad << 1))
+      out.write(0xc4)
+      var j = 4
+      while (j < frameLen) { out.write(0x55); j += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Text → a minimal ISO BMFF (MP4) file: `ftyp` (isom), `moov`
     * holding a v0 `mvhd` (timescale 1000, duration 40 ms/byte) plus
     * one `trak`(`tkhd`) per track (1 + len % 2 tracks), then `mdat`
@@ -1123,6 +1158,86 @@ object Multimodal {
         expr(trakWalk).as("n_traks"))
       .orderBy("asset_id")
   }
+
+  /** MPEG AUDIO FRAME WALK — the mainstream audio container the m_*
+    * family was missing (every podcast/music crawl is full of MP3):
+    * frame i+1 starts where frame i's HEADER says it ends
+    * (144·bitrate/samplerate + padding — the bitrate is in the frame,
+    * so VBR streams can only be walked, never strided), and the walk
+    * re-verifies the 11-bit sync plus version/layer bits at every
+    * boundary — a one-byte framing error desynchronizes every later
+    * frame and flips `all_sync`/`size_ok`. Declarative aggregate-fold
+    * walk (codegen'd conv/substring integer arithmetic, no UDF) over
+    * the [[encodeMp3]] stream; certificates: frame count, exact
+    * 24 ms/frame duration (1152 samples at 48 kHz), summed per-frame
+    * kbps (the VBR profile), padding census, every-boundary sync, and
+    * final-offset-equals-EOF. */
+  def mp3Frames(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    def be1(o: String) = s"CAST(conv(hex(substring(media, ($o) + 1, 1)), 16, 10) AS INT)"
+    val b2 = be1("acc.off + 2")
+    val idx = s"(($b2) div 16)"
+    val pad = s"((($b2) div 2) % 2)"
+    val kbps = s"(CASE $idx WHEN 5 THEN 64 WHEN 7 THEN 96 WHEN 9 THEN 128 WHEN 10 THEN 160 ELSE 0 END)"
+    val sync = s"(${be1("acc.off")} = 255 AND ${be1("acc.off + 1")} = 251 AND " +
+      s"((($b2) div 4) % 4) = 1 AND $kbps > 0)"
+    val walk =
+      s"""aggregate(sequence(1, 8),
+         |  named_struct('off', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),
+         |    'sk', CAST(0 AS BIGINT), 'np', CAST(0 AS BIGINT), 'ok', true),
+         |  (acc, i) -> IF(acc.off >= length(media), acc,
+         |    IF($sync,
+         |      named_struct('off', CAST(acc.off + 3 * $kbps + $pad AS BIGINT),
+         |        'n', CAST(acc.n + 1 AS BIGINT),
+         |        'sk', CAST(acc.sk + $kbps AS BIGINT),
+         |        'np', CAST(acc.np + $pad AS BIGINT), 'ok', acc.ok),
+         |      named_struct('off', CAST(length(media) AS BIGINT), 'n', acc.n,
+         |        'sk', acc.sk, 'np', acc.np, 'ok', false))),
+         |  acc -> named_struct('n', acc.n, 'dur', 24 * acc.n, 'sk', acc.sk,
+         |    'np', acc.np, 'ok', acc.ok, 'szok', acc.off = length(media)))""".stripMargin
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, t) => (id, encodeMp3(t)) }))
+      .toDF("asset_id", "media")
+      .withColumn("w", expr(walk))
+      .select(col("asset_id"),
+        col("w.n").cast("long").as("n_frames"),
+        col("w.dur").cast("long").as("duration_ms"),
+        col("w.sk").cast("long").as("sum_kbps"),
+        col("w.np").cast("long").as("n_padded"),
+        col("w.ok").as("all_sync"), col("w.szok").as("size_ok"))
+      .orderBy("asset_id")
+  }
+
+  /** Oracle: the closed-form twin of encoder+walk (both are pure
+    * functions of the text's codepoints); empty docs keep their
+    * zero-frame row via the LEFT JOIN (the [[pcmUlawSql]] rule). */
+  val mp3FramesSql: String =
+    """WITH fr0 AS (
+      |  SELECT doc_id, length(text) AS ln,
+      |    unnest(generate_series(1, CASE WHEN length(text) = 0 THEN 0
+      |                               ELSE 4 + length(text) % 5 END)) AS i,
+      |    text
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, ord(substr(text, CAST(1 + ((i - 1) % ln) AS INT), 1)) AS cp
+      |  FROM fr0
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |    CAST(sum(64 + 32 * (cp % 4)) AS BIGINT) AS sum_kbps,
+      |    CAST(sum((cp // 4) % 2) AS BIGINT) AS n_padded
+      |  FROM fr GROUP BY doc_id
+      |)
+      |SELECT d.doc_id AS asset_id,
+      |  coalesce(a.n_frames, 0) AS n_frames,
+      |  24 * coalesce(a.n_frames, 0) AS duration_ms,
+      |  coalesce(a.sum_kbps, 0) AS sum_kbps,
+      |  coalesce(a.n_padded, 0) AS n_padded,
+      |  TRUE AS all_sync, TRUE AS size_ok
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY asset_id""".stripMargin
 
   val mp4BoxesSql: String =
     """SELECT doc_id AS asset_id, 'ftyp,moov,mdat' AS box_types,
@@ -3458,6 +3573,7 @@ object Multimodal {
     "m_gif_meta" -> (gifMeta _),
     "m_tiff_meta" -> (tiffMeta _),
     "m_mp4_boxes" -> (mp4Boxes _),
+    "m_mp3_frames" -> (mp3Frames _),
     "m_resize" -> (resize _),
     "m_frames_meta" -> (framesMeta _),
     "m_wav_energy" -> (wavEnergy _),
@@ -3499,6 +3615,7 @@ object Multimodal {
     "m_gif_meta" -> gifMetaSql,
     "m_tiff_meta" -> tiffMetaSql,
     "m_mp4_boxes" -> mp4BoxesSql,
+    "m_mp3_frames" -> mp3FramesSql,
     "m_resize" -> resizeSql,
     "m_frames_meta" -> framesMetaSql,
     "m_wav_energy" -> wavEnergySql,

@@ -143,6 +143,23 @@ class Round8Spec extends SparkSpec {
     assert(clampViolates, "clamp region unexpectedly satisfies the bound (exclusion vacuous?)")
   }
 
+  test("m_mp3_frames: encoder emits spec-exact headers; lengths follow the Layer III formula") {
+    // "AB" -> cps (65, 66), 6 frames cycling: 65 -> bi=1 (96 kbps, idx 7),
+    // pad (65/4)%2=0; 66 -> bi=2 (128 kbps, idx 9), pad (66/4)%2=0
+    val m = graft.multimodal.Multimodal.encodeMp3("AB")
+    assert((m(0) & 0xff) == 0xff && (m(1) & 0xff) == 0xfb, "sync+version+layer")
+    assert((m(2) & 0xff) == ((7 << 4) | 4), "bitrate idx 7, 48 kHz, no pad")
+    val f0 = 3 * 96
+    assert((m(f0) & 0xff) == 0xff && (m(f0 + 2) & 0xff) == ((9 << 4) | 4), "frame 1 header")
+    // total bytes = sum of per-frame 3*kbps+pad over the 6-frame cycle
+    val exp = Seq(96, 128, 96, 128, 96, 128).map(_ * 3).sum
+    assert(m.length == exp, s"stream length ${m.length} != $exp")
+    // odd codepoint exercises the padding bit: 'F' = 70 -> (70/4)%2 = 1
+    val p = graft.multimodal.Multimodal.encodeMp3("F")
+    assert(((p(2) >> 1) & 1) == 1, "padding bit")
+    assert(graft.multimodal.Multimodal.encodeMp3("").isEmpty)
+  }
+
   test("m_ogg_pages: encoder refuses payloads beyond the single-page segment limit") {
     val e = intercept[IllegalArgumentException] {
       graft.multimodal.Multimodal.encodeOgg(7L, "x" * 65025)
