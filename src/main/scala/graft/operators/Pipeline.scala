@@ -938,6 +938,135 @@ object Pipeline {
       |SELECT 3, n_docs, total_chars, content_md5, TRUE FROM vall
       |ORDER BY version""".stripMargin
 
+  /** TWO-LEVEL MANIFEST PLANNING (the Iceberg/Delta-manifest kernel,
+    * completing the table-format family beside [[timeTravel]]'s JSONL
+    * log and [[zorder]]'s min-max skipping): data files carry
+    * per-file stats in a MANIFEST, manifests carry partition values +
+    * aggregated stats in a MANIFEST LIST, and query planning walks the
+    * tree top-down — manifest-list row → partition-prune whole
+    * manifests (their files are never even LISTED), surviving
+    * manifest → min/max-prune files, surviving files → scan. That
+    * two-level cut is what makes 100 TB planning O(manifests) driver
+    * work instead of O(files): a million-file table has ~thousands of
+    * manifest rows. Layout here: parity is the partition (2
+    * manifests), each partition range-split into doc_id quartile
+    * files with real (rows, min, max, Σchars) stats; the probe query
+    * (odd parity ∧ doc_id ∈ [mx/2, 3·mx/4)) partition-prunes the even
+    * manifest and range-prunes most odd files. Planning is
+    * driver-side over MANIFEST ROWS only (≤ 2 + 4 rows — the
+    * [[zorder]] discipline: driver over manifest entries, never
+    * data); `prune_sound` pins the pruned scan's aggregates equal to
+    * the full predicate's (a wrong min/max or a mis-pruned file flips
+    * it), and the scan counts are read from the REAL surviving
+    * parquet, certifying the manifests describe the files that were
+    * actually written. */
+  def icebergManifest(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_icb_").toString
+    try {
+      val docs = graft.Tables.documents(s, d).select("doc_id", "n_chars", "text")
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val lo = mx / 2
+      val hi = 3 * (mx / 4)
+      val keyed = docs
+        .withColumn("parity", col("doc_id") % 2)
+        .withColumn("q", expr(s"(doc_id * 4) div ${mx + 1}"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-file stats BEFORE writing — bounded: 8 manifest entries
+      val stats = keyed.groupBy("parity", "q")
+        .agg(count(lit(1)).as("n_rows"), min("doc_id").as("mn"),
+          max("doc_id").as("mxid"), sum("n_chars").as("sc"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._2))
+      stats.foreach { case (p, q, _, _, _, _) =>
+        keyed.filter(col("parity") === p && col("q") === q)
+          .select("doc_id", "n_chars", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/p${p}_q$q")
+      }
+      val manifestDir = new java.io.File(out, "_manifests"); manifestDir.mkdirs()
+      stats.groupBy(_._1).foreach { case (p, fs) =>
+        val lines = fs.map { case (_, q, n, mn, mxid, sc) =>
+          s"""{"file":"p${p}_q$q","n_rows":$n,"mn":$mn,"mx":$mxid,"sc":$sc}"""
+        }
+        java.nio.file.Files.writeString(
+          new java.io.File(manifestDir, s"manifest_p$p.json").toPath,
+          lines.mkString("\n") + "\n")
+      }
+      val listLines = stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fs) =>
+        s"""{"manifest":"manifest_p$p.json","parity":$p,"n_files":${fs.length},""" +
+          s""""n_rows":${fs.map(_._3).sum},"mn":${fs.map(_._4).min},"mx":${fs.map(_._5).max}}"""
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(out, "manifest_list.json").toPath,
+        listLines.mkString("\n") + "\n")
+      // ---- PLANNING: manifest-list rows only (driver, ≤ 2) ----
+      val mlist = s.read.schema("manifest STRING, parity LONG, n_files LONG, n_rows LONG, mn LONG, mx LONG")
+        .json(s"$out/manifest_list.json").collect()
+      val readManifests = mlist.filter(_.getAs[Long]("parity") == 1L)
+      // surviving manifests' file rows (driver, ≤ 4)
+      val fileRows = readManifests.flatMap { m =>
+        s.read.schema("file STRING, n_rows LONG, mn LONG, mx LONG, sc LONG")
+          .json(new java.io.File(manifestDir, m.getAs[String]("manifest")).toString)
+          .collect()
+      }
+      val survivors = fileRows.filter(f =>
+        f.getAs[Long]("mx") >= lo && f.getAs[Long]("mn") < hi)
+      // scan only the surviving REAL files; compute the result and the
+      // scan cost from the files themselves, not the manifests
+      val scanned = s.read.parquet(survivors.map(f => s"$out/${f.getAs[String]("file")}"): _*)
+      val nScanned = scanned.count()
+      val res = scanned.filter(col("doc_id") % 2 === 1 &&
+          col("doc_id") >= lo && col("doc_id") < hi)
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc")).head()
+      // soundness oracle: the same predicate over the full table
+      val full = keyed.filter(col("parity") === 1 &&
+          col("doc_id") >= lo && col("doc_id") < hi)
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc")).head()
+      keyed.unpersist(blocking = false)
+      val session = s
+      import session.implicits._
+      Seq((mlist.length.toLong, readManifests.length.toLong,
+        fileRows.length.toLong, survivors.length.toLong, nScanned,
+        res.getLong(0), res.getLong(1),
+        res.getLong(0) == full.getLong(0) && res.getLong(1) == full.getLong(1)))
+        .toDF("n_manifests_total", "n_manifests_read", "n_files_listed",
+          "n_files_scanned", "n_rows_scanned", "n_rows_result",
+          "sum_chars_result", "prune_sound")
+    } finally {
+      graft.Scratch.rmTree(out)
+    }
+  }
+
+  /** SQL twin: the manifest tree replayed analytically from the table
+    * (stats per (parity, quartile) group = the manifests' content). */
+  val icebergManifestSql: String =
+    """WITH b AS (
+      |  SELECT max(doc_id) AS mx, max(doc_id) // 2 AS lo,
+      |    3 * (max(doc_id) // 4) AS hi FROM documents
+      |), f AS (
+      |  SELECT doc_id % 2 AS parity, (doc_id * 4) // (mx + 1) AS q,
+      |    doc_id, n_chars, lo, hi
+      |  FROM documents, b
+      |), files AS (
+      |  SELECT parity, q, CAST(count(*) AS BIGINT) AS n_rows,
+      |    min(doc_id) AS mn, max(doc_id) AS mxid
+      |  FROM f GROUP BY parity, q
+      |), scanned AS (
+      |  SELECT fl.* FROM files fl, b WHERE parity = 1 AND mxid >= lo AND mn < hi
+      |), res AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows_result,
+      |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars_result
+      |  FROM f WHERE parity = 1 AND doc_id >= lo AND doc_id < hi
+      |)
+      |SELECT CAST(2 AS BIGINT) AS n_manifests_total,
+      |  CAST(1 AS BIGINT) AS n_manifests_read,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM files WHERE parity = 1) AS n_files_listed,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM scanned) AS n_files_scanned,
+      |  (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) FROM scanned) AS n_rows_scanned,
+      |  res.n_rows_result, res.sum_chars_result, TRUE AS prune_sound
+      |FROM res""".stripMargin
+
   /** DATA-CONTRACT VALIDATION — the dbt-test / Great-Expectations
     * gate every production pipeline runs before publishing a batch
     * (distinct from [[corruptRecords]], which quarantines unparseable
@@ -3008,6 +3137,7 @@ object Pipeline {
     "p_scd2" -> (scd2 _),
     "p_bloom_index" -> (bloomIndex _),
     "p_time_travel" -> (timeTravel _),
+    "p_iceberg_manifest" -> (icebergManifest _),
     "p_vacuum" -> (vacuum _),
     "p_data_contract" -> (dataContract _),
     "p_forget" -> (forget _),
@@ -3051,6 +3181,7 @@ object Pipeline {
     "p_scd2" -> scd2Sql,
     "p_bloom_index" -> bloomIndexSql,
     "p_time_travel" -> timeTravelSql,
+    "p_iceberg_manifest" -> icebergManifestSql,
     "p_vacuum" -> vacuumSql,
     "p_file_metadata" -> fileMetadataSql,
     "p_deletion_vectors" -> deletionVectorsSql,
