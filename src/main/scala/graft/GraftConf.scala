@@ -42,6 +42,37 @@ object GraftConf {
     * change for the same reason. */
   val throttleCapPerDay: Long = 3L
 
+  /** Wedge budget for the triangle-family graph operators
+    * ([[graft.operators.Graph.cliques4]]/[[graft.operators.Graph.ktruss]]):
+    * the ordered wedge join's row count is Σ_v d(v)·(d(v)−1)/2, priced
+    * from the degree table BEFORE the join is paid (the
+    * d_width_sweep cost-calibration discipline). A cosine threshold
+    * sitting inside the unrelated-pair noise floor makes the edge set
+    * ~n²·p dense and triangle work n³ — the round-8 scale probe
+    * measured exactly that (10× corpus → ~1000× shuffle, 109 GB, DNF),
+    * so a priced join beyond this budget THROWS with retuning guidance
+    * instead of silently grinding. sf0.1 prices ~7·10⁷ — two orders
+    * of headroom. */
+  val maxWedges: Long = 2L * 1000 * 1000 * 1000
+
+  /** Candidate budget for the embedding pair-block join
+    * ([[graft.operators.Dedup.embedPairBlocks]]): the cell join's row
+    * count Σ probes(c)·members(c), priced from two narrow aggregates
+    * before any vector rides a shuffle. sf0.1 prices 4·10⁶ (the
+    * angular prune is void on the synthetic corpus — every vector
+    * probes every cell, making the join n²); 25× headroom here, and
+    * the 10× probe corpus (4·10⁸) correctly THROWS. */
+  val maxEmbedCandidates: Long = 100L * 1000 * 1000
+
+  /** Cumulative (root, node) state budget for multi-source BFS
+    * operators ([[graft.operators.Graph.stress]]): state is
+    * roots × reachable, which goes quadratic once a similarity-graph
+    * threshold drops into the unrelated-pair cosine tail and the
+    * components coalesce. Counted per round on the already-
+    * materialized frontier (one cached-block pass), THROWS over
+    * budget. sf0.1 uses ~10⁵ rows — three orders of headroom. */
+  val maxBfsStateRows: Long = 100L * 1000 * 1000
+
   /** Conf key overriding streaming shuffle sizing: stateful streaming
     * allocates one state store per shuffle partition per micro-batch,
     * so deployments with known key cardinality pin this. */

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-probe corpus builder: writes an N×-replicated copy of a
+  * testdata dir so the heaviest queries can be measured at 1× and N×
+  * and their empirical scaling exponents committed (SCALING.md) —
+  * turning the 100 TB posture from a plan-shape argument into a
+  * measured curve.
+  *
+  * Replication must not CHANGE the statistics it claims to scale:
+  *  - documents: replica i's tokens are bijectively renamed
+  *    (`tok` → `tok_rI` via one regexp), which preserves every
+  *    within-replica count/shingle/duplicate relation EXACTLY while
+  *    making cross-replica similarity zero — naive duplication would
+  *    multiply every near-dup cluster by N and the pair tables by N²,
+  *    a quadratic blow-up the GENERATOR injected, not the algorithm.
+  *  - embeddings: replica i's vectors are cyclically dimension-rotated
+  *    by i — an orthogonal transform per replica, so norms and every
+  *    within-replica dot product survive bit-exactly while
+  *    cross-replica cosines decohere to unrelated-pair levels.
+  *  - ids shift by i·(max+1), preserving the mod-k seed densities the
+  *    operators key on.
+  * All other tables byte-copy at 1× so every query's inputs resolve.
+  *
+  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N>
+  */
+object ScaleReplica {
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val out = args(1); val n = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 until n).map { i =>
+      val txt = if (i == 0) col("text")
+        else regexp_replace(col("text"), "([^ \\t\\n\\r]+)", s"$$1_r$i")
+      docs.select((col("doc_id") + lit(i * maxDoc)).as("doc_id"), txt.as("text"),
+        col("lang"), col("source"),
+        (if (i == 0) col("n_chars") else length(txt).cast("long")).as("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(math.max(4, cpus.toInt))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    (0 until n).map { i =>
+      val k = i % dim
+      val rot = if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      emb.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(math.max(4, cpus.toInt))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"scale-replica: wrote ${n}x documents/embeddings to $out")
+    spark.stop()
+  }
+}

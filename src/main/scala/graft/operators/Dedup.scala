@@ -1157,6 +1157,28 @@ object Dedup {
     val probes = angles.join(broadcast(radii), "cell")
       .filter(col("ang") - col("r") <= acosT + eps)
       .select(col("vec_id"), col("cell"))
+    // PRICE the cell-candidate join before paying it (the width-sweep
+    // cost-calibration discipline): its row count is exactly
+    // Σ_cell probes(c)·members(c), two narrow aggregates over tables
+    // already persisted above. On a corpus whose cosine threshold sits
+    // inside the unrelated-pair noise floor the angular prune is void
+    // (every vector probes every cell) and the join is n² — the
+    // round-8 10× scale probe measured 109 GB of shuffle and a host
+    // OOM from exactly this shape. Over budget THROWS with retuning
+    // guidance instead of grinding: at real scale the answer is a
+    // threshold above the noise floor (where the prune bites and the
+    // √n cell geometry holds) or a sketch prefilter, not a bigger
+    // cluster.
+    val priced = probes.groupBy("cell").agg(count(lit(1)).as("p"))
+      .join(assigned.groupBy("cell").agg(count(lit(1)).as("m")), "cell")
+      .agg(sum(col("p") * col("m")).cast("long"))
+      .head().getLong(0)
+    if (priced > graft.GraftConf.maxEmbedCandidates)
+      throw new IllegalStateException(
+        s"embedPairBlocks: candidate join priced at $priced rows " +
+          s"(cap ${graft.GraftConf.maxEmbedCandidates}) at t=$t — the angular prune is " +
+          "void (threshold inside the unrelated-pair cosine noise floor); raise t above " +
+          "the noise floor or add a sketch prefilter before the exact verify")
     val a = probes
       .join(assigned.select(col("vec_id"), col("v").as("v_a"), col("norm").as("n_a")), "vec_id")
       .select(col("cell"), col("vec_id").as("vec_a"), col("v_a"), col("n_a"))

@@ -1567,7 +1567,15 @@ object Graph {
     var frontier = reached
     var k = 1
     var topLvl = 0
-    while (k <= maxHops && !frontier.isEmpty) {
+    // multi-source BFS state is roots × reachable — on a similarity
+    // graph whose threshold sits in the unrelated-pair cosine tail,
+    // edges grow ~n²·p, components coalesce, and the state goes
+    // quadratic (the round-8 10× scale probe measured 0.7 MB → 1 GB
+    // shuffle and a DNF from exactly this). Budget the cumulative
+    // state and THROW with retuning guidance rather than grind.
+    var stateRows = 0L
+    var frontierRows = 1L
+    while (k <= maxHops && frontierRows > 0) {
       val cand = frontier.select(col("root"), col("id").as("src"), col("sigma"))
         .join(edges, "src")
         .groupBy(col("root"), col("dst").as("id"))
@@ -1576,7 +1584,15 @@ object Graph {
         .join(reached.select("root", "id"), Seq("root", "id"), "left_anti")
         .withColumn("lvl", lit(k))
         .localCheckpoint()
-      if (!frontier.isEmpty) { reached = reached.unionByName(frontier).localCheckpoint(); topLvl = k }
+      frontierRows = frontier.count()
+      stateRows += frontierRows
+      if (stateRows > graft.GraftConf.maxBfsStateRows)
+        throw new IllegalStateException(
+          s"stress: multi-source BFS state passed $stateRows rows " +
+            s"(cap ${graft.GraftConf.maxBfsStateRows}) — the similarity graph is " +
+            "noise-floor dense at this threshold; raise the cosine threshold or " +
+            "sample the root set")
+      if (frontierRows > 0) { reached = reached.unionByName(frontier).localCheckpoint(); topLvl = k }
       k += 1
     }
     // backward: P(root, v) = Σ_{succ w one level down} (1 + P(root, w))
@@ -1891,6 +1907,8 @@ object Graph {
     var edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = 0.3)._1
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
       .localCheckpoint()
+    // rounds only shrink the edge set, so round 1's price bounds them all
+    priceWedges(edges, "g_ktruss")
     def supports(e: DataFrame): DataFrame = {
       val adj = e.select(col("a").as("u"), col("b").as("w"))
         .union(e.select(col("b").as("u"), col("a").as("w")))
@@ -2040,10 +2058,35 @@ object Graph {
     * partial agg. Output: nodes with ≥1 K₄ and the global census as a
     * cross-checkable total (each clique contributes exactly 4
     * memberships — the spec's conservation law). */
+
+  /** DENSITY GUARD for the triangle family: PRICE the ordered wedge
+    * join from the degree table (Σ d·(d−1)/2 — one aggregate, no pair
+    * materialized; the d_width_sweep discipline) and THROW when it
+    * exceeds [[graft.GraftConf.maxWedges]]. Triangle/clique work on a
+    * similarity graph is only tractable when the graph is SPARSE; a
+    * cosine threshold inside the unrelated-pair noise floor makes
+    * edges ~n²·p and wedges ~n·d̄² — the round-8 10× scale probe
+    * measured 109 GB of shuffle and a DNF from exactly this, so the
+    * operator now fails loudly with retuning guidance (raise the
+    * threshold out of the noise floor, or k-core–prune first) instead
+    * of silently grinding the cluster. */
+  private def priceWedges(edges: DataFrame, who: String): Unit = {
+    val priced = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+      .agg(sum(col("dg") * (col("dg") - 1) / 2).cast("long"))
+      .head().getLong(0)
+    if (priced > graft.GraftConf.maxWedges)
+      throw new IllegalStateException(
+        s"$who: wedge join priced at $priced rows (cap ${graft.GraftConf.maxWedges}) — " +
+          "the similarity graph is noise-floor dense at this threshold; raise the cosine " +
+          "threshold above the unrelated-pair tail or k-core-prune the graph first")
+  }
+
   def cliques4(s: SparkSession, d: String): DataFrame = {
     val edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = 0.25)._1
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
       .localCheckpoint()
+    priceWedges(edges, "g_cliques4")
     // triangles a < b < c via the ordered wedge join (edges carry a < b)
     val tri = edges
       .join(edges.select(col("a").as("b"), col("b").as("c")), "b")
