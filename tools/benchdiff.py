@@ -157,14 +157,24 @@ def main(argv):
                 print(f"  {k:30s} {a:7.2f} s -> {b:7.2f} s  ({r:.2f}x)")
 
     if regressions and do_triage:
-        iso = isolate([k for k, _, _, _ in regressions],
-                      new.get("full", {}).get("sf", "/root/testdata/sf0.1"))
+        sf = new.get("full", {}).get("sf", "/root/testdata/sf0.1")
+        iso = isolate([k for k, _, _, _ in regressions], sf)
+        if iso is not None and any(iso.get(k, -1) <= 0 for k, _, _, _ in regressions):
+            # a query can fail transiently in the isolation JVM (host
+            # settling after the big suite run) — one retry before a
+            # missing measurement is allowed to FAIL the gate
+            print("triage: isolation artifact incomplete — one retry")
+            iso2 = isolate([k for k, _, _, _ in regressions if iso.get(k, -1) <= 0], sf)
+            if iso2 is not None:
+                iso.update({k: v for k, v in iso2.items() if v > 0})
         if iso is not None:
             confirmed, noise = [], []
             for k, a, b, r in regressions:
                 i = iso.get(k)
+                if i is not None and i <= 0:
+                    i = None
                 if i is None:
-                    confirmed.append((k, a, b, r))  # vanished from iso run = suspicious
+                    confirmed.append((k, a, b, r))  # vanished twice = suspicious
                     print(f"  {k:30s} missing from isolation artifact — kept as FAIL")
                 elif i / a > RATIO_MAX and i - a > ABS_FLOOR_SEC:
                     confirmed.append((k, a, i, i / a))
