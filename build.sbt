@@ -69,6 +69,24 @@ javaOptions ++= {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite) {
         val d = new java.io.File(shm, "graft-tmp"); d.mkdirs()
+        // a SIGKILLed JVM (OOM, driver timeout) cannot run its cleanup
+        // hooks and leaves block-manager/scratch trees pinned in RAM
+        // until reboot — sweep anything stale at project load (live
+        // runs keep touching their dirs, so 2 h of silence means dead)
+        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+          val stale = f.lastModified() < cutoff &&
+            (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-") ||
+              f.getName.startsWith("temporary") || f.getName.startsWith("graft"))
+          if (stale) {
+            def rm(p: java.io.File): Unit = {
+              if (p.isDirectory && !java.nio.file.Files.isSymbolicLink(p.toPath))
+                Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+              p.delete(); ()
+            }
+            rm(f)
+          }
+        }
         Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
       } else Seq.empty[String]
   }

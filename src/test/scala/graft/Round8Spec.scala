@@ -96,6 +96,55 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("p_iceberg_manifest: planning replays from the table; pruning is sound and non-vacuous") {
+    val r = operators.Pipeline.icebergManifest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getBoolean(7), "prune_sound")
+    // replay the manifest tree in memory from documents
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val mx = docs.map(_._1).max
+    val (lo, hi) = (mx / 2, 3 * (mx / 4))
+    val files = docs.groupBy { case (id, _) => (id % 2, id * 4 / (mx + 1)) }
+    val oddFiles = files.filter(_._1._1 == 1L)
+    val survivors = oddFiles.filter { case (_, rows) =>
+      rows.map(_._1).max >= lo && rows.map(_._1).min < hi }
+    val res = docs.filter { case (id, _) => id % 2 == 1 && id >= lo && id < hi }
+    assert(row.getLong(0) == 2 && row.getLong(1) == 1, "manifest counts")
+    assert(row.getLong(2) == oddFiles.size.toLong, "files listed")
+    assert(row.getLong(3) == survivors.size.toLong, "files scanned")
+    assert(row.getLong(4) == survivors.values.map(_.length).sum.toLong, "rows scanned")
+    assert(row.getLong(5) == res.length.toLong && row.getLong(6) == res.map(_._2).sum)
+    // the kernel's point: pruning actually bit on this layout
+    assert(row.getLong(3) < row.getLong(2), "file pruning vacuous")
+    assert(row.getLong(4) > row.getLong(5), "scan cost should exceed result rows")
+  }
+
+  test("m_mp3_frames: the declarative walk equals an in-memory frame-by-frame parse") {
+    val out = graft.multimodal.Multimodal.mp3Frames(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val m = graft.multimodal.Multimodal.encodeMp3(docs(r.getLong(0)))
+      // independent imperative walk over the real bytes
+      var off = 0; var n = 0L; var sk = 0L; var np = 0L; var ok = true
+      while (off < m.length && ok) {
+        ok = (m(off) & 0xff) == 0xff && (m(off + 1) & 0xff) == 0xfb
+        val b2 = m(off + 2) & 0xff
+        val kbps = (b2 >> 4) match {
+          case 5 => 64; case 7 => 96; case 9 => 128; case 10 => 160; case _ => 0 }
+        ok &&= kbps > 0 && ((b2 >> 2) & 3) == 1
+        if (ok) { val pad = (b2 >> 1) & 1; off += 3 * kbps + pad; n += 1; sk += kbps; np += pad }
+      }
+      assert(ok && off == m.length, s"walk desync for doc ${r.getLong(0)}")
+      assert(r.getLong(1) == n && r.getLong(2) == 24 * n &&
+        r.getLong(3) == sk && r.getLong(4) == np)
+      assert(r.getBoolean(5) && r.getBoolean(6))
+    }
+  }
+
   test("g_widest_path: bottlenecks equal the in-memory maximin fixpoint (no round cap)") {
     val out = operators.Graph.widestPath(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
