@@ -744,6 +744,81 @@ object Similarity {
        |ORDER BY query_id, rank_n""".stripMargin
   }
 
+  /** COSINE NOISE-FLOOR audit — the pre-flight check a similarity
+    * threshold must pass before any graph/dedup/clique operator trusts
+    * it (the round-8 scale probe's lesson, operationalized): sample
+    * unrelated pairs DETERMINISTICALLY (fixed id strides 1/7/61/127 —
+    * O(n) pairs, one equi-join per stride, no self-join), measure the
+    * fraction scoring above each candidate threshold, and convert it
+    * into the quantities the engine's cost guards charge in — implied
+    * edge density, expected degree, and the PRICED wedge volume
+    * n·d̄²/2, with `guard_ok` evaluating that price against
+    * [[graft.GraftConf.maxWedges]]. A threshold whose row says
+    * guard_ok=false WILL be thrown out by [[graft.operators.Graph]]'s
+    * triangle family at this corpus scale — this table is how an
+    * operator picks the threshold BEFORE a 100 TB pass commits, the
+    * same calibration role [[graft.operators.Dedup.widthSweep]] plays
+    * for shingle width. All arithmetic integer-or-rounded (micros,
+    * one rounded division) so the twin replays it bit-exactly. */
+  def noiseFloor(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDf = e.agg(count(lit(1)).as("n"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
+    val pairs = Seq(1L, 7L, 61L, 127L).map { k =>
+      e.select((col("vec_id") + k).as("ib"), col("v").as("va"), col("norm").as("na"))
+        .join(b, "ib")
+        .select(ExactRound.r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+    }.reduce(_ unionAll _)
+    val thresholds = Seq(0.25, 0.3, 0.4, 0.5, 0.6)
+    pairs.select(explode(array(thresholds.map(lit): _*)).as("threshold"), col("cos"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L)).as("n_ge"))
+      .crossJoin(broadcast(nDf))
+      .select(col("threshold"), col("n_pairs"), col("n_ge"), col("n"),
+        expr("(1000000 * n_ge) div n_pairs").as("density_micros"),
+        ExactRound.r((col("n") - 1) * col("n_ge") / col("n_pairs"), 6).as("est_degree"))
+      .withColumn("est_wedges",
+        round(col("n") * col("est_degree") * col("est_degree") / 2).cast("long"))
+      .withColumn("guard_ok", col("est_wedges") <= lit(graft.GraftConf.maxWedges))
+      .drop("n")
+      .orderBy("threshold")
+  }
+
+  /** Oracle: identical stride pairs, thresholds, and guard arithmetic. */
+  val noiseFloorSql: String = {
+    val cos = graft.operators.ExactRound.rSql(
+      "list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    val strides = Seq(1, 7, 61, 127).map { k =>
+      s"SELECT $cos AS cos FROM e a JOIN e b ON b.vec_id = a.vec_id + $k"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e
+       |), pairs AS MATERIALIZED ($strides
+       |), th AS (SELECT unnest([0.25, 0.3, 0.4, 0.5, 0.6]) AS threshold
+       |), agg AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN cos >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+       |  FROM pairs, th GROUP BY threshold
+       |)
+       |SELECT threshold, n_pairs, n_ge, density_micros, est_degree,
+       |  CAST(round(n * est_degree * est_degree / 2) AS BIGINT) AS est_wedges,
+       |  CAST(round(n * est_degree * est_degree / 2) AS BIGINT)
+       |    <= ${graft.GraftConf.maxWedges} AS guard_ok
+       |FROM (
+       |  SELECT threshold, n_pairs, n_ge,
+       |    CAST((1000000 * n_ge) // n_pairs AS BIGINT) AS density_micros,
+       |    ${graft.operators.ExactRound.rSql("(n - 1) * n_ge / n_pairs", 6)} AS est_degree,
+       |    n
+       |  FROM agg, nn
+       |)
+       |ORDER BY threshold""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -2545,6 +2620,7 @@ object Similarity {
     "s_nndescent" -> (nnDescent _),
     "s_graph_search" -> (graphSearch _),
     "s_hnsw" -> (hnsw _),
+    "s_noise_floor" -> (noiseFloor _),
     "s_ivf_pq" -> (annIvfPq _),
     "s_maxsim" -> (maxSim _),
     "s_ann_ivf" -> (annIvf _),
@@ -2581,6 +2657,7 @@ object Similarity {
     "s_nndescent" -> nnDescentSql,
     "s_graph_search" -> graphSearchSql,
     "s_hnsw" -> hnswSql,
+    "s_noise_floor" -> noiseFloorSql,
     "s_ivf_pq" -> annIvfPqSql,
     "s_maxsim" -> maxSimSql,
     "s_ann_ivf" -> annIvfSql,

@@ -96,6 +96,40 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("s_noise_floor: densities replay from the stride pairs; wedge price ties to the guard") {
+    val out = graft.operators.Similarity.noiseFloor(spark, sf).collect()
+      .sortBy(_.getDouble(0))
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.25, 0.3, 0.4, 0.5, 0.6))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val n = vecs.size
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pairCos = for {
+      k <- Seq(1L, 7L, 61L, 127L)
+      (id, v) <- vecs
+      w <- vecs.get(id + k)
+    } yield cos(v, w)
+    out.foreach { r =>
+      val t = r.getDouble(0)
+      val ge = pairCos.count(_ >= t).toLong
+      assert(r.getLong(1) == pairCos.size.toLong, "n_pairs")
+      assert(r.getLong(2) == ge, s"n_ge at $t")
+      assert(r.getLong(3) == 1000000L * ge / pairCos.size, "density_micros")
+      val d = BigDecimal((n - 1).toDouble * ge / pairCos.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == d, "est_degree")
+      assert(r.getLong(5) == math.round(n * d * d / 2), "est_wedges")
+      assert(r.getBoolean(6) == (r.getLong(5) <= graft.GraftConf.maxWedges), "guard_ok")
+    }
+    // density is monotone non-increasing in the threshold
+    assert(out.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("p_iceberg_manifest: planning replays from the table; pruning is sound and non-vacuous") {
     val r = operators.Pipeline.icebergManifest(spark, sf).collect()
     assert(r.length == 1)
