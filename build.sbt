@@ -71,11 +71,24 @@ javaOptions ++= {
         val d = new java.io.File(shm, "graft-tmp"); d.mkdirs()
         // a SIGKILLed JVM (OOM, driver timeout) cannot run its cleanup
         // hooks and leaves block-manager/scratch trees pinned in RAM
-        // until reboot — sweep anything stale at project load (live
-        // runs keep touching their dirs, so 2 h of silence means dead)
+        // until reboot — sweep anything stale at project load. Liveness
+        // is the NEWEST mtime anywhere in the tree, not the top-level
+        // dir's: a directory's mtime only moves when its DIRECT children
+        // change, so a live run writing into nested blockmgr/checkpoint
+        // subdirs for hours looked stale to the r8 sweep and a
+        // concurrent sbt launch could delete its shuffle/WAL mid-run
+        // (ADVICE r8). A live JVM writes shuffle/WAL files continuously,
+        // so any fresh file in the tree means alive; the walk short-
+        // circuits on the first fresh file it finds.
         val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        def newestIsFresh(p: java.io.File): Boolean = {
+          if (p.lastModified() >= cutoff) true
+          else if (p.isDirectory && !java.nio.file.Files.isSymbolicLink(p.toPath))
+            Option(p.listFiles()).getOrElse(Array.empty).exists(newestIsFresh)
+          else false
+        }
         Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-          val stale = f.lastModified() < cutoff &&
+          val stale = !newestIsFresh(f) &&
             (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-") ||
               f.getName.startsWith("temporary") || f.getName.startsWith("graft"))
           if (stale) {

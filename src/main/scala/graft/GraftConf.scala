@@ -55,6 +55,49 @@ object GraftConf {
     * of headroom. */
   val maxWedges: Long = 2L * 1000 * 1000 * 1000
 
+  /** Threshold-SELECTION budget for the similarity-graph family
+    * ([[graft.operators.Graph.cliques4]]/[[graft.operators.Graph.ktruss]]):
+    * the smallest ladder threshold whose noise-floor-priced wedge
+    * volume (round(n·d̄²/2), estimated from the deterministic stride
+    * sample — [[graft.operators.Similarity.noiseFloor]]) fits this
+    * budget becomes the effective threshold. Deliberately ~10× below
+    * [[maxWedges]]: the hard cap is "refuse rather than OOM", this is
+    * "pick a threshold that runs COMFORTABLY" — the round-8 probe
+    * measured the 0.3 graph at 10× pricing ~2·10⁸ wedges and still
+    * DNF-ing inside a 420 s probe window (5 peeling rounds × a 5 GB
+    * wedge shuffle each), so comfort is the right selection bar.
+    * COUPLED TO ORACLES: the SQL twins replay the identical selection
+    * arithmetic, so the effective threshold is part of each operator's
+    * cross-engine contract, not a runtime heuristic. */
+  val wedgeTarget: Long = 100L * 1000 * 1000
+
+  /** The threshold ladder the similarity-graph family may auto-lift
+    * through (ascending; the top rung is the fallback when even it
+    * prices over [[wedgeTarget]] — at that density the corpus has no
+    * meaningful similarity structure to mine). Mirrored as literals in
+    * the SQL twins and in [[graft.operators.Similarity.noiseFloor]]'s
+    * audit rows. */
+  val cosineLadder: Seq[Double] = Seq(0.25, 0.3, 0.4, 0.5, 0.6)
+
+  /** Pair budget for the BLOCK-PARTITIONED exact brute verify
+    * ([[graft.operators.Dedup.embedPairBlocks]]'s fallback when the
+    * priced cell-candidate join says the angular prune is void —
+    * isotropic corpora, thresholds inside the noise floor): n·(n−1)/2
+    * dot products, computed in-stream inside whole-stage codegen with
+    * shuffle bounded at O(n·√pairs/blockRows) vector bytes (each
+    * vector rides ≤ B+1 block-pair partitions, never n²). 2.5·10⁹
+    * pairs ≈ 1.6·10¹¹ multiply-adds at dim 64 — minutes on one node,
+    * bounded memory; beyond it the exact all-pairs answer is
+    * genuinely super-cluster-scale and the operator refuses with the
+    * priced volume. The 10× probe corpus needs 2·10⁸ (12× headroom). */
+  val maxBrutePairs: Long = 2500L * 1000 * 1000
+
+  /** Rows per block for the brute verify's block-pair join: sized so a
+    * block-pair task (~rows² dots) is a few seconds of vectorized
+    * compute and a buffered join group (rows · dim doubles ≈ 0.5 MB)
+    * always fits executor memory. */
+  val embedBruteBlockRows: Int = 1000
+
   /** Candidate budget for the embedding pair-block join
     * ([[graft.operators.Dedup.embedPairBlocks]]): the cell join's row
     * count Σ probes(c)·members(c), priced from two narrow aggregates
@@ -72,6 +115,23 @@ object GraftConf {
     * materialized frontier (one cached-block pass), THROWS over
     * budget. sf0.1 uses ~10⁵ rows — three orders of headroom. */
   val maxBfsStateRows: Long = 100L * 1000 * 1000
+
+  /** Root-sampling TARGET for multi-source BFS: [[graft.operators.Graph.stress]]
+    * now SIZES its root set before the walk instead of discovering
+    * mid-flight that the state went quadratic — the smallest modulus m
+    * in [[stressRootModuli]] whose priced state bound
+    * seeds(m)·n_nodes fits this target is selected (seeds(m) = exact
+    * count of nodes with id % m = 0; the bound is conservative — one
+    * giant component — so the walk stays under [[maxBfsStateRows]] by
+    * construction and the hard throw becomes a never-fires backstop).
+    * COUPLED TO ORACLES: the SQL twin replays the identical census +
+    * selection, so the sampled root set is part of the contract. */
+  val bfsStateTarget: Long = 20L * 1000 * 1000
+
+  /** The modulus ladder for [[bfsStateTarget]]'s root sampling
+    * (ascending; top rung is the fallback). Mirrored as literals in
+    * the stress SQL twin. */
+  val stressRootModuli: Seq[Long] = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
 
   /** Conf key overriding streaming shuffle sizing: stateful streaming
     * allocates one state store per shuffle partition per micro-batch,

@@ -24,11 +24,23 @@ import org.apache.spark.sql.functions._
   *    operators key on.
   * All other tables byte-copy at 1× so every query's inputs resolve.
   *
-  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N>
+  * With a 4th arg `facts`, the relational fact tables
+  * (orders/lineitem/events) replicate too — order/event PRIMARY keys
+  * shift by i·(max+1) (lineitem follows its orderkey, so order→lines
+  * join cardinality is preserved exactly), while FOREIGN keys into the
+  * dimension tables (custkey/partkey/suppkey/user_id) stay unshifted:
+  * dims remain 1× and each dim key simply carries N× fact rows — the
+  * honest fact-grows-faster-than-dimension shape a real warehouse
+  * scales in, and exactly what the §2B relational probe needs (joins
+  * stay referentially intact, group counts scale linearly, skewed
+  * keys get N× hotter).
+  *
+  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N> [facts]
   */
 object ScaleReplica {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val n = args(2).toInt
+    val facts = args.length > 3 && args(3) == "facts"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,6 +66,14 @@ object ScaleReplica {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // replica i's rotation is i mod dim, so replicas i and i+dim would
+    // be EXACT duplicates up to id shift — silently re-injecting the
+    // quadratic cross-replica pair blow-up the rotation exists to
+    // prevent (and corrupting every measured exponent). Fail loudly.
+    require(n <= dim,
+      s"ScaleReplica: N=$n exceeds embedding dim=$dim — replica rotations would " +
+        "collide (i and i+dim identical) and cross-replica cosines stop decohering; " +
+        "compose a second per-replica transform before probing past dim x")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until n).map { i =>
       val k = i % dim
@@ -66,14 +86,38 @@ object ScaleReplica {
       .repartition(math.max(4, cpus.toInt))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events").foreach { t =>
+    val copied = if (facts) {
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val maxOrd = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      (0 until n).map { i =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrd))
+      }.reduce(_ unionByName _)
+        .repartition(math.max(4, cpus.toInt))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until n).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
+      }.reduce(_ unionByName _)
+        .repartition(math.max(4, cpus.toInt))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      (0 until n).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * maxEv))
+      }.reduce(_ unionByName _)
+        .repartition(math.max(4, cpus.toInt))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      Seq("region", "nation", "customer", "supplier", "part")
+    } else Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    copied.foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"scale-replica: wrote ${n}x documents/embeddings to $out")
+    println(s"scale-replica: wrote ${n}x documents/embeddings" +
+      (if (facts) "/orders/lineitem/events" else "") + s" to $out")
     spark.stop()
   }
 }

@@ -1173,27 +1173,87 @@ object Dedup {
       .join(assigned.groupBy("cell").agg(count(lit(1)).as("m")), "cell")
       .agg(sum(col("p") * col("m")).cast("long"))
       .head().getLong(0)
-    if (priced > graft.GraftConf.maxEmbedCandidates)
+    val pairs = if (priced > graft.GraftConf.maxEmbedCandidates) {
+      // The priced candidate join says the angular prune is VOID at
+      // this (threshold, corpus) — every vector probes every cell, so
+      // the cell path would shuffle ~n² vector-carrying rows (the r8
+      // 10× probe measured 109 GB and a host OOM from exactly this).
+      // Fall back to the exact BLOCK-PARTITIONED brute verify below —
+      // same output, bounded shuffle — and release the cell machinery.
+      angles.unpersist(blocking = false)
+      assigned.unpersist(blocking = false)
+      bruteVerify(e, n, t)
+    } else {
+      val a = probes
+        .join(assigned.select(col("vec_id"), col("v").as("v_a"), col("norm").as("n_a")), "vec_id")
+        .select(col("cell"), col("vec_id").as("vec_a"), col("v_a"), col("n_a"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        col("v").as("v_b"), col("norm").as("n_b"))
+      a.join(b, "cell")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
+        .filter(col("cosine") >= t)
+        // no dedup needed: a pair (u,w) is emitted only via u's probe row
+        // for w's unique home cell (probes are unique per (vec, cell)), so
+        // the vec_a < vec_b filter leaves exactly one row per pair
+        .orderBy("vec_a", "vec_b")
+    }
+    (pairs, probes)
+  }
+
+  /** Exact all-pairs cosine verify with BOUNDED shuffle — the scale-safe
+    * fallback when [[embedPairBlocks]]'s priced candidate join proves
+    * the angular prune void (isotropic corpus / threshold inside the
+    * noise floor; on such data NO exact metric blocking can prune —
+    * high-dimensional concentration puts every cell radius near 90°,
+    * which is information-theoretic, not an implementation limit).
+    * Shape: vectors land in B = ⌈n/blockRows⌉ id-hash blocks; the
+    * B·(B+1)/2 unordered block PAIRS become the join key, so each
+    * vector rides at most B+1 partitions (O(n·B) vector bytes of
+    * shuffle — 10× probe: ~4·10⁵ rows ≈ 0.2 GB, vs the 109 GB the
+    * naive cell join paid) and the n²/2 dot products stream through
+    * the join's codegen'd filter/project, never materializing. Work is
+    * priced first — n(n−1)/2 over [[graft.GraftConf.maxBrutePairs]]
+    * still REFUSES with the volume, because past that the exact
+    * answer is genuinely super-node-scale and the caller should be on
+    * a lifted threshold ([[Similarity.effectiveThreshold]]) where
+    * blocking prunes. Block-pair tasks are uniform (≤ blockRows² dots
+    * each), so the stage is skew-free by construction. */
+  private[graft] def bruteVerify(e: DataFrame, n: Long, t: Double): DataFrame = {
+    import graft.functions.VectorFns.dot_product
+    val nPairs = n * (n - 1) / 2
+    if (nPairs > graft.GraftConf.maxBrutePairs)
       throw new IllegalStateException(
-        s"embedPairBlocks: candidate join priced at $priced rows " +
-          s"(cap ${graft.GraftConf.maxEmbedCandidates}) at t=$t — the angular prune is " +
-          "void (threshold inside the unrelated-pair cosine noise floor); raise t above " +
-          "the noise floor or add a sketch prefilter before the exact verify")
-    val a = probes
-      .join(assigned.select(col("vec_id"), col("v").as("v_a"), col("norm").as("n_a")), "vec_id")
-      .select(col("cell"), col("vec_id").as("vec_a"), col("v_a"), col("n_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("v").as("v_b"), col("norm").as("n_b"))
-    val pairs = a.join(b, "cell")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+        s"embedPairBlocks: exact verify priced at $nPairs pairs " +
+          s"(cap ${graft.GraftConf.maxBrutePairs}) at t=$t with the angular prune void — " +
+          "raise t above the measured noise floor (s_noise_floor / " +
+          "Similarity.effectiveThreshold) so blocking prunes, or accept an " +
+          "approximate prefilter; an exact all-pairs answer at this volume is the " +
+          "workload, not a plan defect")
+    val s = e.sparkSession
+    val nb = math.max(1, math.ceil(n.toDouble / graft.GraftConf.embedBruteBlockRows).toInt)
+    import s.implicits._
+    val bp = (for { ba <- 0 until nb; bb <- ba until nb } yield (ba.toLong * nb + bb, ba, bb))
+      .toDF("pid", "ba", "bb")
+    val withB = e.withColumn("blk", pmod(col("vec_id"), lit(nb)).cast("int"))
+    val lefts = withB.join(broadcast(bp), col("blk") === col("ba"))
+      .select(col("pid"), (col("ba") === col("bb")).as("same"),
+        col("vec_id").as("ia"), col("v").as("v_a"), col("norm").as("n_a"))
+    val rights = withB.join(broadcast(bp), col("blk") === col("bb"))
+      .select(col("pid"), col("vec_id").as("ib"), col("v").as("v_b"), col("norm").as("n_b"))
+    lefts.join(rights, "pid")
+      // same-block pids see each unordered pair twice (both sides carry
+      // the block) — keep the ordered half; cross-block pids see it
+      // exactly once (each endpoint sits on the side its block landed)
+      .filter(!col("same") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"),
+        // dot is element-commutative, so (v_a,v_b) order never affects
+        // the accumulated double — bit-identical to the oracle's a<b form
         ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= t)
-      // no dedup needed: a pair (u,w) is emitted only via u's probe row
-      // for w's unique home cell (probes are unique per (vec, cell)), so
-      // the vec_a < vec_b filter leaves exactly one row per pair
       .orderBy("vec_a", "vec_b")
-    (pairs, probes)
   }
 
   val embedDupSql: String =

@@ -1544,13 +1544,41 @@ object Graph {
     * (cluster diameters are tiny); a pathological 2⁶³-path graph would
     * need the DECIMAL widening documented at [[Similarity]]'s Gram
     * kernel, not a different plan. */
-  def stress(s: SparkSession, d: String): DataFrame =
-    stressFromPairs(
-      Dedup.embedDup(s, d)
-        .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b")),
-      maxHops = 6, seed = _ % 2 === 0)
+  def stress(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embedDup(s, d)
+      .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
+    val m = stressRootModulus(pairs)
+    stressFromPairs(pairs, maxHops = 6, seed = _ % m === 0)
       .select(col("id").as("vec_id"), col("stress"))
       .orderBy("vec_id")
+  }
+
+  /** ADAPTIVE ROOT SAMPLING (r8's "sampled-source count adapts to
+    * component mass", priced before the walk): multi-source BFS state
+    * is bounded above by seeds·n_nodes (the one-giant-component worst
+    * case — conservative by design, so the walk fits
+    * [[graft.GraftConf.bfsStateTarget]] BY CONSTRUCTION and the hard
+    * [[graft.GraftConf.maxBfsStateRows]] throw becomes a never-fires
+    * backstop). One census pass computes n_nodes and the exact seed
+    * count at every [[graft.GraftConf.stressRootModuli]] rung; the
+    * smallest fitting modulus wins (top rung as fallback). At the
+    * driver's test scales the bound is ~10³–10⁵ so m stays 2 — the
+    * historical seed set — while the 10× noise-floor corpus sizes
+    * itself down instead of DNF-ing. The SQL twin replays the same
+    * census + selection, keeping the root set cross-engine exact. */
+  private[graft] def stressRootModulus(pairs: DataFrame): Long = {
+    val nodes = pairs.select(col("a").as("id")).union(pairs.select(col("b").as("id"))).distinct()
+    val ms = graft.GraftConf.stressRootModuli
+    val aggs = count(lit(1)).as("n") +:
+      ms.map(m => sum(when(col("id") % m === 0, 1L).otherwise(0L)).as(s"s$m"))
+    val r = nodes.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    // empty graph → sums are null; any modulus is vacuously fine
+    def seeds(i: Int): Long = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+    ms.zipWithIndex
+      .find { case (_, i) => seeds(i) * n <= graft.GraftConf.bfsStateTarget }
+      .map(_._1).getOrElse(ms.last)
+  }
 
   private[graft] def stressFromPairs(pairsDf: DataFrame, maxHops: Int,
       seed: Column => Column): DataFrame = {
@@ -1669,13 +1697,22 @@ object Graph {
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), nodes AS MATERIALIZED (
        |  SELECT DISTINCT src AS id FROM edges
+       |), mseed AS (
+       |  SELECT m, CAST(count(*) FILTER (WHERE id % m = 0) AS BIGINT) AS seeds,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM nodes, (SELECT unnest([${graft.GraftConf.stressRootModuli.mkString(", ")}]) AS m)
+       |  GROUP BY m
+       |), mm AS MATERIALIZED (
+       |  SELECT coalesce(min(CASE WHEN seeds * n_nodes <= ${graft.GraftConf.bfsStateTarget}
+       |                      THEN m END), ${graft.GraftConf.stressRootModuli.last}) AS m
+       |  FROM mseed
        |), dd0 AS MATERIALIZED (
-       |  SELECT id AS root, id, 0 AS dist FROM nodes WHERE id % 2 = 0
+       |  SELECT id AS root, id, 0 AS dist FROM nodes WHERE id % (SELECT m FROM mm) = 0
        |), $distRounds, dist AS MATERIALIZED (
        |  SELECT root, id, dist FROM dd$H
        |), sg0 AS MATERIALIZED (
        |  SELECT id AS root, id, CAST(1 AS BIGINT) AS sigma, 0 AS lvl
-       |  FROM nodes WHERE id % 2 = 0
+       |  FROM nodes WHERE id % (SELECT m FROM mm) = 0
        |), $sigRounds, sig AS MATERIALIZED (
        |  ${(0 to H).map(k => s"SELECT root, id, sigma, lvl FROM sg$k").mkString("\n  UNION ALL\n  ")}
        |), pp$H AS MATERIALIZED (
@@ -1904,7 +1941,10 @@ object Graph {
   def ktruss(s: SparkSession, d: String): DataFrame = {
     val k = 3
     val rounds = 4
-    var edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = 0.3)._1
+    // 0.3 is the semantic floor; auto-lifted out of the noise floor by
+    // the same measured selection as [[cliques4]] (twin replays it)
+    val t = Similarity.effectiveThreshold(s, d, requested = 0.3)
+    var edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = t)._1
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
       .localCheckpoint()
     // rounds only shrink the edge set, so round 1's price bounds them all
@@ -1950,14 +1990,14 @@ object Graph {
          |)""".stripMargin
     }.mkString(", ")
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH e0v AS MATERIALIZED (
+    s"""WITH ${OracleCtes.effTCtes(0.3)}, e0v AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings
        |), e0 AS MATERIALIZED (
        |  SELECT a.vec_id AS pa, b.vec_id AS pb
        |  FROM e0v a JOIN e0v b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.3
+       |  WHERE $cosine >= (SELECT t FROM nf_efft)
        |), $rounds, adj4 AS MATERIALIZED (
        |  SELECT pa AS u, pb AS w FROM e4 UNION ALL SELECT pb, pa FROM e4
        |), supf AS MATERIALIZED (
@@ -2083,7 +2123,15 @@ object Graph {
   }
 
   def cliques4(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = 0.25)._1
+    // SCALE-SAFE THRESHOLD: 0.25 is the semantic floor (first
+    // non-vacuous rung on the test corpus); the noise-floor audit may
+    // LIFT it out of the unrelated-pair cosine tail before any edge is
+    // materialized (Similarity.effectiveThreshold — r8's priced throw
+    // turned into an execution path; the SQL twin replays the same
+    // selection, so the lifted threshold stays oracle-exact at every
+    // scale). priceWedges stays as the measured-degree backstop.
+    val t = Similarity.effectiveThreshold(s, d, requested = 0.25)
+    val edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = t)._1
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
       .localCheckpoint()
     priceWedges(edges, "g_cliques4")
@@ -2111,14 +2159,14 @@ object Graph {
     * same cosine ≥ 0.3 graph. */
   val cliques4Sql: String = {
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH e0v AS MATERIALIZED (
+    s"""WITH ${OracleCtes.effTCtes(0.25)}, e0v AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings
        |), e AS MATERIALIZED (
        |  SELECT a.vec_id AS a, b.vec_id AS b
        |  FROM e0v a JOIN e0v b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.25
+       |  WHERE $cosine >= (SELECT t FROM nf_efft)
        |), tri AS MATERIALIZED (
        |  SELECT ab.a, ab.b, bc.b AS c
        |  FROM e ab JOIN e bc ON bc.a = ab.b

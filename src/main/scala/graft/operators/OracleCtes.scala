@@ -70,4 +70,45 @@ private[graft] object OracleCtes {
     s"""pairs AS MATERIALIZED (
        |  SELECT pa, pb FROM ng_pair WHERE $ngramJaccardExpr >= 0.5
        |)""".stripMargin
+
+  /** CTEs replaying [[Similarity.effectiveThreshold]]'s noise-floor
+    * threshold auto-lift bit-exactly (same stride sample, same
+    * integer/rounded arithmetic, same ladder and budget literals from
+    * [[graft.GraftConf]]) — ends with `nf_efft(t)`, the effective
+    * cosine threshold a similarity-graph twin must build its edge set
+    * at: `WHERE cosine >= (SELECT t FROM nf_efft)`. Prefix `nf_` to
+    * stay clear of consumer names. */
+  def effTCtes(requested: Double): String = {
+    val cos = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    val strides = Seq(1, 7, 61, 127).map { k =>
+      s"SELECT $cos AS cos FROM nf_e a JOIN nf_e b ON b.vec_id = a.vec_id + $k"
+    }.mkString(" UNION ALL ")
+    val ladder = graft.GraftConf.cosineLadder.mkString(", ")
+    val top = graft.GraftConf.cosineLadder.max
+    s"""nf_e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), nf_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nf_e
+       |), nf_pairs AS MATERIALIZED ($strides
+       |), nf_th AS (SELECT unnest([$ladder]) AS threshold
+       |), nf_agg AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN cos >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+       |  FROM nf_pairs, nf_th GROUP BY threshold
+       |), nf_wedges AS (
+       |  SELECT threshold,
+       |    CAST(round(n * est_degree * est_degree / 2) AS BIGINT) AS est_wedges
+       |  FROM (
+       |    SELECT threshold,
+       |      ${ExactRound.rSql("(n - 1) * n_ge / n_pairs", 6)} AS est_degree, n
+       |    FROM nf_agg, nf_n)
+       |), nf_efft AS (
+       |  SELECT coalesce(
+       |    min(CASE WHEN threshold >= $requested
+       |             AND est_wedges <= ${graft.GraftConf.wedgeTarget}
+       |        THEN threshold END), $top) AS t
+       |  FROM nf_wedges
+       |)""".stripMargin
+  }
 }

@@ -1013,23 +1013,33 @@ object Pipeline {
       val survivors = fileRows.filter(f =>
         f.getAs[Long]("mx") >= lo && f.getAs[Long]("mn") < hi)
       // scan only the surviving REAL files; compute the result and the
-      // scan cost from the files themselves, not the manifests
-      val scanned = s.read.parquet(survivors.map(f => s"$out/${f.getAs[String]("file")}"): _*)
-      val nScanned = scanned.count()
-      val res = scanned.filter(col("doc_id") % 2 === 1 &&
-          col("doc_id") >= lo && col("doc_id") < hi)
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc")).head()
+      // scan cost from the files themselves, not the manifests.
+      // Degenerate-corpus guards (ADVICE r8): zero survivors means a
+      // zero-scan result row, not a zero-path parquet read; a probe
+      // range holding no odd docs leaves sum(n_chars) null — read
+      // through the same coalesce-to-0 the SQL twin applies.
+      def agg0(r: org.apache.spark.sql.Row): (Long, Long) =
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      val (nScanned, resN, resSc) =
+        if (survivors.isEmpty) (0L, 0L, 0L)
+        else {
+          val scanned = s.read.parquet(survivors.map(f => s"$out/${f.getAs[String]("file")}"): _*)
+          val n = scanned.count()
+          val (rn, rsc) = agg0(scanned.filter(col("doc_id") % 2 === 1 &&
+              col("doc_id") >= lo && col("doc_id") < hi)
+            .agg(count(lit(1)).as("n"), sum("n_chars").as("sc")).head())
+          (n, rn, rsc)
+        }
       // soundness oracle: the same predicate over the full table
-      val full = keyed.filter(col("parity") === 1 &&
+      val (fullN, fullSc) = agg0(keyed.filter(col("parity") === 1 &&
           col("doc_id") >= lo && col("doc_id") < hi)
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc")).head()
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc")).head())
       keyed.unpersist(blocking = false)
       val session = s
       import session.implicits._
       Seq((mlist.length.toLong, readManifests.length.toLong,
         fileRows.length.toLong, survivors.length.toLong, nScanned,
-        res.getLong(0), res.getLong(1),
-        res.getLong(0) == full.getLong(0) && res.getLong(1) == full.getLong(1)))
+        resN, resSc, resN == fullN && resSc == fullSc))
         .toDF("n_manifests_total", "n_manifests_read", "n_files_listed",
           "n_files_scanned", "n_rows_scanned", "n_rows_result",
           "sum_chars_result", "prune_sound")

@@ -760,30 +760,63 @@ object Similarity {
     * same calibration role [[graft.operators.Dedup.widthSweep]] plays
     * for shingle width. All arithmetic integer-or-rounded (micros,
     * one rounded division) so the twin replays it bit-exactly. */
-  def noiseFloor(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDf = e.agg(count(lit(1)).as("n"))
-    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
-    val pairs = Seq(1L, 7L, 61L, 127L).map { k =>
-      e.select((col("vec_id") + k).as("ib"), col("v").as("va"), col("norm").as("na"))
-        .join(b, "ib")
-        .select(ExactRound.r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
-    }.reduce(_ unionAll _)
-    val thresholds = Seq(0.25, 0.3, 0.4, 0.5, 0.6)
-    pairs.select(explode(array(thresholds.map(lit): _*)).as("threshold"), col("cos"))
-      .groupBy("threshold")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L)).as("n_ge"))
-      .crossJoin(broadcast(nDf))
-      .select(col("threshold"), col("n_pairs"), col("n_ge"), col("n"),
-        expr("(1000000 * n_ge) div n_pairs").as("density_micros"),
-        ExactRound.r((col("n") - 1) * col("n_ge") / col("n_pairs"), 6).as("est_degree"))
-      .withColumn("est_wedges",
-        round(col("n") * col("est_degree") * col("est_degree") / 2).cast("long"))
+  def noiseFloor(s: SparkSession, d: String): DataFrame =
+    noiseStats(s, d)
       .withColumn("guard_ok", col("est_wedges") <= lit(graft.GraftConf.maxWedges))
       .drop("n")
       .orderBy("threshold")
+
+  /** The stride-sampled noise-floor statistics behind [[noiseFloor]]
+    * AND the graph family's threshold auto-lift ([[effectiveThreshold]])
+    * — memoized via [[Shared.memo]] so one O(n) measurement per
+    * session serves s_noise_floor, g_cliques4 and g_ktruss (and fixes
+    * the r8 persist leak: nothing stays pinned after the memo's
+    * one-time parquet write). Columns: (threshold, n_pairs, n_ge, n,
+    * density_micros, est_degree, est_wedges), one row per
+    * [[graft.GraftConf.cosineLadder]] rung. The inputs are O(n)
+    * stride-pair scans — never a self-join — so this pre-flight is
+    * affordable at ANY corpus scale. */
+  private[graft] def noiseStats(s: SparkSession, d: String): DataFrame =
+    Shared.memo(s, d, "noise_stats") {
+      val e = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
+      val nDf = e.agg(count(lit(1)).as("n"))
+      val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("norm").as("nb"))
+      val pairs = Seq(1L, 7L, 61L, 127L).map { k =>
+        e.select((col("vec_id") + k).as("ib"), col("v").as("va"), col("norm").as("na"))
+          .join(b, "ib")
+          .select(ExactRound.r(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      }.reduce(_ unionAll _)
+      pairs.select(explode(array(graft.GraftConf.cosineLadder.map(lit): _*)).as("threshold"), col("cos"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cos") >= col("threshold"), 1L).otherwise(0L)).as("n_ge"))
+        .crossJoin(broadcast(nDf))
+        .select(col("threshold"), col("n_pairs"), col("n_ge"), col("n"),
+          expr("(1000000 * n_ge) div n_pairs").as("density_micros"),
+          ExactRound.r((col("n") - 1) * col("n_ge") / col("n_pairs"), 6).as("est_degree"))
+        .withColumn("est_wedges",
+          round(col("n") * col("est_degree") * col("est_degree") / 2).cast("long"))
+    }
+
+  /** THE SCALE-SAFE EXECUTION PATH the round-8 guards pointed at: pick
+    * the smallest [[graft.GraftConf.cosineLadder]] rung ≥ `requested`
+    * whose noise-floor-priced wedge volume fits
+    * [[graft.GraftConf.wedgeTarget]] — i.e. auto-lift a similarity-graph
+    * threshold OUT of the unrelated-pair cosine noise floor before any
+    * edge is materialized, instead of throwing after pricing (r8) or
+    * OOMing (r7 and earlier). Falls back to the top rung when even it
+    * prices dense (the corpus then has no exploitable similarity
+    * structure; downstream hard caps still protect execution).
+    * Deterministic — stride sample, exact integer/rounded arithmetic —
+    * and REPLAYED VERBATIM by the SQL twins
+    * ([[OracleCtes.effTCtes]]), so the selected threshold is part of
+    * each operator's cross-engine contract at every scale. The 5-row
+    * collect is driver-side planning over a fixed-size table. */
+  private[graft] def effectiveThreshold(s: SparkSession, d: String, requested: Double): Double = {
+    val wedges = noiseStats(s, d).select("threshold", "est_wedges").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val ladder = graft.GraftConf.cosineLadder.filter(_ >= requested)
+    ladder.find(t => wedges(t) <= graft.GraftConf.wedgeTarget).getOrElse(ladder.max)
   }
 
   /** Oracle: identical stride pairs, thresholds, and guard arithmetic. */

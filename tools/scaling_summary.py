@@ -47,8 +47,8 @@ def main(argv):
     out = "\n".join(lines)
     print(out)
     if len(argv) > 4:
-        with open(argv[4]) as f:
-            pass  # caller assembles the full doc; table only here
+        with open(argv[4], "w") as f:
+            f.write(out + "\n")
     return 0
 
 
