@@ -83,6 +83,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // PRE-EXISTING host pressure, sampled before the bench adds its own
+    // 32 threads to the 1-min average — the end-of-run loadavg in `env`
+    // mostly measures the bench itself. This is what decides whether
+    // the artifact is a quiet-host number a BASELINE table may cite.
+    def readLoadavg(): String = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    val loadAvgStart = readLoadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -131,6 +139,11 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       s
     }
+
+    // measurement aid: pin the streaming codegen decision for crossover
+    // experiments (BASELINE.md §streaming-codegen); unset → adaptive
+    sys.env.get("SPARK_GRAFT_STREAM_CODEGEN")
+      .foreach(v => spark.conf.set(graft.GraftConf.streamCodegenKey, v))
 
     // iteration aid (the Verify pattern): SPARK_GRAFT_ONLY=a,b times just
     // those queries; driver leaves it unset → full sweep
@@ -193,12 +206,17 @@ object Bench {
     // rerun; recording heap/GC/cores/loadavg makes host pressure
     // readable from the artifact alone
     val rt = Runtime.getRuntime
-    val loadAvg = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
-    } catch { case _: Throwable => "" }
+    val loadAvg = readLoadavg()
+    // loaded-host classification keys on the 1-min average BEFORE the
+    // bench ran: >2.0 of external load on this 32-core host measurably
+    // contaminates per-query numbers (r8: driver run at loadavg 8.42 ->
+    // 223.5 s vs the quiet-host 169.6 s, disjoint phantom risers)
+    val load1Start = try loadAvgStart.split(",")(0).toDouble catch { case _: Throwable => 0.0 }
+    val loadedHost = load1Start > 2.0
     val gcNames = gcBeans.map(_.getName).mkString("+")
     val env = s""""env":{"heap_max_mb":${rt.maxMemory / (1 << 20)},""" +
-      s""""processors":${rt.availableProcessors},"gc":"$gcNames","loadavg":"$loadAvg"}"""
+      s""""processors":${rt.availableProcessors},"gc":"$gcNames","loadavg":"$loadAvg",""" +
+      s""""loadavg_start":"$loadAvgStart","loaded_host":$loadedHost}"""
 
     val fullLine =
       s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${jsonNum(secsOf(cold))},""" +
@@ -235,7 +253,14 @@ object Bench {
     // in the repo working tree; the round-close commit preserves it, and
     // git history keeps one snapshot per round. Timestamped, best-effort
     // (a read-only cwd must not fail the bench itself).
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    // Artifact hygiene (r8 judge note): a loaded-host run must never
+    // OVERWRITE the quiet-host artifact the committed BASELINE numbers
+    // are read from — divert it to <name>.loaded.json so the two can
+    // be diffed without forensics.
+    val benchOut0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    val benchOut =
+      if (loadedHost) benchOut0.replaceAll("\\.json$", "") + ".loaded.json"
+      else benchOut0
     try {
       val ts = java.time.Instant.now().toString
       java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut),

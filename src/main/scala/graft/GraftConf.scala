@@ -138,6 +138,23 @@ object GraftConf {
     * so deployments with known key cardinality pin this. */
   val streamShuffleKey: String = "graft.stream.shuffle"
 
+  /** Conf key pinning the streaming whole-stage-codegen decision
+    * ("true"/"false"); unset → decided by source volume against
+    * [[streamCodegenBytes]]. */
+  val streamCodegenKey: String = "graft.stream.codegen"
+
+  /** Source-volume crossover for whole-stage codegen in streaming
+    * queries. Each micro-batch re-plans with per-batch literals
+    * (watermark, batch id), so codegen classes are janino-compiled +
+    * JIT'd per batch and executed ONCE — a fixed per-batch tax that
+    * only pays for itself once batches are large. Measured r9
+    * (BASELINE.md §streaming-codegen, 5 heaviest st_* in fresh JVMs):
+    * codegen-off wins at 2 MB (r8's −29% family number) and still by
+    * ~12% at 17 MB of source; at 82 MB codegen-on wins ~21% on the
+    * linear queries (e.g. st_sliding 15.5 s vs 20.9 s). The default
+    * flips codegen on above the measured midpoint. */
+  val streamCodegenBytes: Long = 48L * 1024 * 1024
+
   /** Default streaming state-store sizing: one store per this many
     * source bytes (capped at session parallelism). See
     * [[graft.streaming.EventStream.streamShufflePartitions]]. */

@@ -66,22 +66,34 @@ object ScaleReplica {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    // replica i's rotation is i mod dim, so replicas i and i+dim would
-    // be EXACT duplicates up to id shift — silently re-injecting the
-    // quadratic cross-replica pair blow-up the rotation exists to
-    // prevent (and corrupting every measured exponent). Fail loudly.
-    require(n <= dim,
-      s"ScaleReplica: N=$n exceeds embedding dim=$dim — replica rotations would " +
-        "collide (i and i+dim identical) and cross-replica cosines stop decohering; " +
-        "compose a second per-replica transform before probing past dim x")
+    // replica i's rotation alone is i mod dim, so replicas i and i+dim
+    // would be EXACT duplicates up to id shift — silently re-injecting
+    // the quadratic cross-replica pair blow-up the transform exists to
+    // prevent. Past dim replicas, COMPOSE the rotation with a
+    // deterministic per-group sign mask (group g = i / dim flips
+    // dimension j iff the low bit of a Knuth-hash of (j, g) is set):
+    // sign flips are orthogonal, so norms and every within-replica dot
+    // product still survive bit-exactly, while any two replicas differ
+    // in rotation or mask and their cross cosines decohere. Capacity
+    // dim·2^dim ≫ any probe N; still fail loudly past what the mask
+    // construction supports.
+    require(n <= dim * 64,
+      s"ScaleReplica: N=$n exceeds ${dim * 64} supported replicas (dim=$dim x 64 sign groups)")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until n).map { i =>
       val k = i % dim
+      val g = i / dim
       val rot = if (k == 0) col("embedding")
         else concat(slice(col("embedding"), k + 1, dim - k),
           slice(col("embedding"), 1, k))
+      val flipped = if (g == 0) rot else {
+        val signs = array((0 until dim).map { j =>
+          lit(if ((((j.toLong + g * 1009L) * 2654435761L >> 7) & 1L) == 1L) -1.0f else 1.0f)
+        }: _*)
+        zip_with(rot, signs, (x, s) => x * s)
+      }
       emb.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
-        rot.as("embedding"), col("label"))
+        flipped.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .repartition(math.max(4, cpus.toInt))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -102,11 +114,25 @@ object ScaleReplica {
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       val ev = spark.read.parquet(s"$src/events.parquet")
       val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      // events must land as a single FLAT FILE named events.parquet:
+      // the streaming source reads `pathGlobFilter=events.parquet`
+      // against the dir, which matches files, not directories — a
+      // directory-shaped replica silently streams ZERO rows (caught
+      // when the x10f codegen-crossover runs came back 7x faster than
+      // 1x). Write to a temp dir, then move the one part file out.
+      val tmpEv = s"$out/_tmp_events"
       (0 until n).map { i =>
         ev.withColumn("event_id", col("event_id") + lit(i * maxEv))
       }.reduce(_ unionByName _)
-        .repartition(math.max(4, cpus.toInt))
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmpEv)
+      val part = new java.io.File(tmpEv).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmpEv"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.Scratch.rmTree(tmpEv)
       Seq("region", "nation", "customer", "supplier", "part")
     } else Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")

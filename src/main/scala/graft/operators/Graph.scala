@@ -1521,11 +1521,13 @@ object Graph {
     * graph ([[Dedup.embedDup]], shared across the graph family) — its
     * components reach size ~8 with genuine interior nodes, so the
     * measure is exercised, where the 3-gram graph's 2-cliques would
-    * make every stress trivially 0. Sources are sampled (vec_id % 2 ==
-    * 0) — the standard Brandes-subset estimator shape; hop cap 6 on
+    * make every stress trivially 0. Sources are sampled (vec_id %
+    * m == 0, m priced per corpus by [[stressRootModulus]] — the
+    * standard Brandes-subset estimator shape with the subset SIZE now
+    * adaptive; test scales keep the historical m = 2); hop cap 6 on
     * BOTH passes (diameters here are far below it, so this is the full
     * closure; the cap is part of the contract and mirrored in the
-    * oracle).
+    * oracle, as is the modulus census).
     *
     * Pass 1 (forward, per root): BFS levels with path counts —
     * σ(v) = Σ_{u ∈ preds(v)} σ(u), preds = neighbors one level up.
@@ -1924,8 +1926,13 @@ object Graph {
     * even when both endpoints have high degree. Runs on the cosine ≥
     * 0.3 embedding graph (the 0.4 near-dup graph is triangle-sparse —
     * 2 triangles at sf0.01 — while 0.3 carries a real truss: 193 of
-    * 990 edges survive) built by the SAME provably-complete cell-
-    * blocked candidate machinery as [[Dedup.embedDup]], never an
+    * 990 edges survive); 0.3 is the SEMANTIC FLOOR — the noise-floor
+    * audit may lift the effective threshold out of the unrelated-pair
+    * cosine tail ([[Similarity.effectiveThreshold]], twin-replayed, so
+    * the lift is oracle-exact; at the driver's test scales nothing
+    * lifts). Edges come from the SAME provably-complete candidate
+    * machinery as [[Dedup.embedDup]] (cell-blocked, or the priced
+    * block-brute verify when the prune is void), never an unbounded
     * all-pairs join. FIXED 4 synchronous peeling rounds on both
     * engines (round count is part of the contract) + a `converged`
     * certificate column — true iff the last round removed nothing, so
@@ -2090,7 +2097,12 @@ object Graph {
     * apart. Runs on the cosine ≥ 0.25 embedding graph (one notch below
     * [[ktruss]]'s 0.3 — measured: 0.3 carries 71 triangles but ZERO
     * K₄s at sf0.01, 0.25 carries 50, so 0.25 is the first non-vacuous
-    * threshold; the certificate must certify something). Enumeration
+    * threshold; the certificate must certify something). 0.25 is the
+    * semantic FLOOR: the noise-floor audit lifts the effective
+    * threshold when 0.25 sits inside the unrelated-pair cosine tail
+    * ([[Similarity.effectiveThreshold]], replayed by the twin — the
+    * 10× probe lifts to 0.4 and completes in 13 s where r8 OOM'd at
+    * 109 GB; test scales never lift). Enumeration
     * is the ordered extension join: each triangle (a < b < c) extends
     * by d > c adjacent to ALL THREE — every K₄ counted exactly once,
     * work ∝ triangles × max-degree (the standard ordered-enumeration
@@ -2156,7 +2168,7 @@ object Graph {
   }
 
   /** SQL twin: identical ordered triangle + extension joins on the
-    * same cosine ≥ 0.3 graph. */
+    * same auto-thresholded graph (effTCtes replays the ladder pick). */
   val cliques4Sql: String = {
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
     s"""WITH ${OracleCtes.effTCtes(0.25)}, e0v AS MATERIALIZED (

@@ -99,18 +99,19 @@ object EventStream {
     * the cap keeps stores from outnumbering cores. Deployments with
     * known key cardinality/throughput can pin `graft.stream.shuffle`
     * instead. */
+  private[graft] def sourceBytes(s: SparkSession, d: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(d, "events.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
+
   private[graft] def streamShufflePartitions(s: SparkSession, d: String): Int =
     s.conf.getOption(graft.GraftConf.streamShuffleKey).map(_.toInt).getOrElse {
-      val bytes =
-        try {
-          val p = new org.apache.hadoop.fs.Path(d, "events.parquet")
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
-        } catch { case _: Throwable => 0L }
-      math.max(1, math.min((bytes / graft.GraftConf.streamBytesPerStore + 1).toInt,
+      math.max(1, math.min((sourceBytes(s, d) / graft.GraftConf.streamBytesPerStore + 1).toInt,
         s.sparkContext.defaultParallelism))
     }
 
-  /** Restores the session shuffle conf after `body`. */
+  /** Restores the session shuffle/codegen confs after `body`. */
   private def withStreamShuffle[T](s: SparkSession, d: String)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevWsc = s.conf.get("spark.sql.codegen.wholeStage")
@@ -121,10 +122,16 @@ object EventStream {
     // janino compile + HotSpot JIT that then executes ONCE over a
     // micro-batch (measured: 1.8-2.7 s of steady-pass JIT per stateful
     // query, against micro-batches of at most a few hundred thousand
-    // rows). Interpreted expression evaluation wins at micro-batch
-    // size; a high-throughput deployment with large batches should
-    // flip this back (it is set/restored per query, not globally).
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    // rows — codegen-off won the family by 29% at that size, r8).
+    // ADAPTIVE since r9: the same fixed per-batch compile tax
+    // AMORTIZES once batches are large, so the decision now follows
+    // measured source volume against the committed crossover
+    // (GraftConf.streamCodegenBytes, measurement in BASELINE.md);
+    // deployments pin it via the graft.stream.codegen conf.
+    val codegen = s.conf.getOption(graft.GraftConf.streamCodegenKey)
+      .map(_.toBoolean)
+      .getOrElse(sourceBytes(s, d) >= graft.GraftConf.streamCodegenBytes)
+    s.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
