@@ -174,6 +174,26 @@ object GraftConf {
   val lshBandRowsCandidates: Int = 4
   val lshBandRowsVerify: Int = 2
 
+  /** HOT-BUCKET cap for the LSH band join ([[graft.operators.Dedup.bandCandidateReps]]):
+    * band buckets larger than this are skipped before the self-join.
+    * The 100× probe measured the failure this prevents: corpora with
+    * SMALL element sets sharing very common elements (CDC chunks of
+    * whitespace runs / boilerplate) grow minhash band buckets linearly
+    * with corpus size — one 17 910-member bucket priced 1.6·10⁸ join
+    * rows by itself and the candidate distinct() spilled 241 GB to a
+    * host-disk DNF. Within-hot-bucket pairs are keyed on a shared
+    * COMMON chunk (near-zero Jaccard — verify would discard them);
+    * a true j ≥ 0.5 pair collides in an expected j^rows·bands ≈ 16 of
+    * the 64 verify bands, so even if several of its bands are hot the
+    * residual miss probability stays ≲ 10⁻⁷ — the same
+    * zero-practical-miss class as the banding geometry itself (the
+    * [[lshBandRowsVerify]] argument). At the driver's test scales the
+    * largest measured bucket is 326 (sf0.1), so the cap NEVER fires
+    * there and every oracle comparison is unchanged; it is sized 3×
+    * above that and well below the measured multi-thousand pathology
+    * buckets. */
+  val maxBandBucket: Long = 1024L
+
   /** Prefix length (whitespace tokens) for prefix-duplicate detection
     * ([[graft.operators.Dedup.prefixDup]]). Long enough that chance
     * collisions vanish on natural text, short enough to catch

@@ -24,16 +24,18 @@ import org.apache.spark.sql.functions._
   *    operators key on.
   * All other tables byte-copy at 1× so every query's inputs resolve.
   *
-  * With a 4th arg `facts`, the relational fact tables
-  * (orders/lineitem/events) replicate too — order/event PRIMARY keys
-  * shift by i·(max+1) (lineitem follows its orderkey, so order→lines
-  * join cardinality is preserved exactly), while FOREIGN keys into the
-  * dimension tables (custkey/partkey/suppkey/user_id) stay unshifted:
-  * dims remain 1× and each dim key simply carries N× fact rows — the
-  * honest fact-grows-faster-than-dimension shape a real warehouse
-  * scales in, and exactly what the §2B relational probe needs (joins
-  * stay referentially intact, group counts scale linearly, skewed
-  * keys get N× hotter).
+  * With a 4th arg `facts`, the relational fact tables replicate too:
+  * order/event/customer PRIMARY keys shift by i·(max+1), and the
+  * user/customer FOREIGN keys (o_custkey, events.user_id) shift in
+  * LOCKSTEP with customer — those keys are SELF-joined (sessionize,
+  * stream-stream attribution), and a 1× user space would multiply
+  * every such join's output by N² (measured live: the click→purchase
+  * interval join went 16.9 s → 438 s for 5× data before this). Users
+  * grow with their events; per-entity activity is preserved exactly;
+  * cross-replica interaction is zero. part/supplier/nation stay 1×
+  * (never self-joined): per-part fact fan-out growing N× is the
+  * honest hot-dimension shape, group counts scale linearly, skewed
+  * keys get N× hotter, and every join stays referentially intact.
   *
   * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N> [facts]
   */
@@ -99,10 +101,28 @@ object ScaleReplica {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val copied = if (facts) {
+      // customer and the user/customer FKs replicate IN LOCKSTEP with
+      // the facts: keeping user_id/o_custkey at 1x would multiply every
+      // user/customer-keyed SELF-join quadratically (caught live: the
+      // stream-stream click->purchase join went 16.9 s -> 438 s for 5x
+      // data because every (user, ts) match became N x N) — the honest
+      // warehouse shape is users growing with their events, per-entity
+      // activity preserved exactly, cross-replica interaction zero.
+      // part/supplier/nation stay 1x: per-part/supplier fact fan-out
+      // growing Nx is the honest "hot dimension" shape, and those keys
+      // are never self-joined.
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val maxCust = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
+      (0 until n).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * maxCust))
+      }.reduce(_ unionByName _)
+        .repartition(math.max(4, cpus.toInt))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
       val orders = spark.read.parquet(s"$src/orders.parquet")
       val maxOrd = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
       (0 until n).map { i =>
         orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrd))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
       }.reduce(_ unionByName _)
         .repartition(math.max(4, cpus.toInt))
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
@@ -123,6 +143,7 @@ object ScaleReplica {
       val tmpEv = s"$out/_tmp_events"
       (0 until n).map { i =>
         ev.withColumn("event_id", col("event_id") + lit(i * maxEv))
+          .withColumn("user_id", col("user_id") + lit(i * maxCust))
       }.reduce(_ unionByName _)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmpEv)
@@ -133,7 +154,7 @@ object ScaleReplica {
         java.nio.file.Paths.get(s"$out/events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.Scratch.rmTree(tmpEv)
-      Seq("region", "nation", "customer", "supplier", "part")
+      Seq("region", "nation", "supplier", "part")
     } else Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
     copied.foreach { t =>
@@ -143,7 +164,7 @@ object ScaleReplica {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     println(s"scale-replica: wrote ${n}x documents/embeddings" +
-      (if (facts) "/orders/lineitem/events" else "") + s" to $out")
+      (if (facts) "/customer/orders/lineitem/events" else "") + s" to $out")
     spark.stop()
   }
 }

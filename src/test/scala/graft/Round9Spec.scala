@@ -90,6 +90,31 @@ class Round9Spec extends SparkSpec {
     assert(operators.Graph.stressRootModulus(empty) == 2L)
   }
 
+  test("bandCandidateReps: hot buckets are pruned; true near-dups survive via selective bands") {
+    import spark.implicits._
+    val cap = GraftConf.maxBandBucket.toInt
+    // 128-perm signatures, 2-row bands -> band 0 = (sig(0), sig(1)).
+    // Plant cap+76 docs whose band 0 is one shared hot key (the
+    // common-chunk shape the 100x probe measured at 17910 members);
+    // docs 0 and 1 additionally share ALL their remaining bands.
+    val n = cap + 76
+    def sig(i: Long): Seq[Long] = {
+      val base = if (i <= 1) 0L else i // docs 0,1 share bands 1..63
+      // doc 1's band 0 differs (distinct signatures -> two rep groups,
+      // so the survivor is a REP pair, not an intra-group expansion)
+      val band0 = if (i == 1) Seq(999L, 998L) else Seq(7L, 13L)
+      band0 ++ (2 until 128).map(j => base * 1000 + j)
+    }
+    val sigs = (0L until n.toLong).map(i => (i, sig(i))).toDF("doc_id", "sig")
+    val cands = operators.Dedup.bandCandidateReps(
+      operators.Dedup.sigGroups(sigs), bandRows = GraftConf.lshBandRowsVerify)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot band-0 bucket (n > cap members) contributed nothing...
+    assert(!cands.contains((2L, 3L)), "pair sharing ONLY the hot bucket must be pruned")
+    assert(cands == Set((0L, 1L)),
+      s"only the genuinely-similar pair survives, via its 63 selective bands; got ${cands.size}")
+  }
+
   test("noiseStats memo: one measurement per session serves floor audit and threshold picks") {
     val a = operators.Similarity.noiseStats(spark, sf)
     val b = operators.Similarity.noiseStats(spark, sf)
