@@ -201,6 +201,15 @@ object GraftConf {
     * COUPLED TO THE ORACLE (the SQL twin slices the same count). */
   val prefixDupTokens: Int = 8
 
+  /** Target bucket population for the graph-ANN construction's
+    * hyperplane hash ([[graft.operators.Similarity]] nnDescent /
+    * graphSearch / hnsw): the adaptive plane count picks the smallest
+    * p with 2^p · this ≥ n, bounding the bucketed kNN self-join at
+    * ~n·annBucketRows rows (the r9 100× probe measured the fixed-p
+    * alternative at 2.5·10⁹ rows and ~126 GB of spill). COUPLED TO
+    * ORACLES — the twins replay the same ladder. */
+  val annBucketRows: Long = 1000L
+
   /** Floor on the angular-cell count for exact embedding near-dup
     * blocking (cells scale as ⌈√n⌉ above it). Below ~32 cells the
     * per-cell populations are so large that blocking stops pruning. */

@@ -306,10 +306,17 @@ object Similarity {
     * into the plan — at scale these are tiny broadcast constants. */
   private val NumPlanes = 4
   private val Dim = 64
-  private lazy val planes: Seq[Seq[Double]] = {
+  private val MaxPlanes = 16
+
+  /** 16-plane deterministic pool (seed 42, row-major fill — the first
+    * NumPlanes rows are bit-identical to the historical 4-plane set,
+    * so fixed-plane consumers are unchanged). */
+  private lazy val planePool: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+    Seq.fill(MaxPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
+
+  private lazy val planes: Seq[Seq[Double]] = planePool.take(NumPlanes)
 
   private def planeLit(p: Seq[Double]): Column = array(p.map(lit): _*)
 
@@ -317,6 +324,45 @@ object Similarity {
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, planeLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** ADAPTIVE plane count for the graph-ANN construction (the r9 100×
+    * finding): a FIXED 2⁴-bucket hash means bucket populations grow
+    * linearly with the corpus and the kNN-graph self-join
+    * quadratically — measured 2.5·10⁹ join rows / ~126 GB of spill /
+    * exponent 1.1–1.3 at 200 k vectors. The smallest p with
+    * 2^p · annBucketRows ≥ n keeps bucket populations ≤ ~1000 and the
+    * join volume ≈ n·1000 — linear in the corpus. Pure integer
+    * arithmetic, REPLAYED by the SQL twins ([[adaptivePlanesSql]]), so
+    * the graph is part of the cross-engine contract; at the driver's
+    * test scales (n ≤ 2000) p stays 4 and nothing changes. */
+  private[graft] def adaptivePlaneCount(n: Long): Int =
+    (NumPlanes to MaxPlanes)
+      .find(p => (1L << p) * graft.GraftConf.annBucketRows >= n)
+      .getOrElse(MaxPlanes)
+
+  private def bucketOfN(v: Column, p: Int): Column =
+    planePool.take(p).zipWithIndex.map { case (pl, i) =>
+      when(dot(v, planeLit(pl)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** SQL twin of [[adaptivePlaneCount]] + the p-gated bucket
+    * expression: returns (the `apl(p)` CTE body, the bucket expression
+    * over the 16-plane pool with planes ≥ p contributing 0). */
+  private def adaptivePlanesSql: (String, String) = {
+    def planeLitS(pl: Seq[Double]): String = pl.mkString("[", ", ", "]")
+    val ladder = (NumPlanes to MaxPlanes).mkString(", ")
+    val apl =
+      s"""apl AS MATERIALIZED (
+         |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << p) * ${graft.GraftConf.annBucketRows} >= n
+         |                   THEN p END), $MaxPlanes) AS p
+         |  FROM (SELECT unnest([$ladder]) AS p),
+         |       (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         |)""".stripMargin
+    val bucketExpr = planePool.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN $i < (SELECT p FROM apl) AND list_inner_product(v, ${planeLitS(pl)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    (apl, bucketExpr)
+  }
 
   /** Random-hyperplane LSH ANN with hamming-1 multiprobe: the corpus is
     * bucketed by hyperplane signature; the query (vec_id = 0) probes its
@@ -386,8 +432,9 @@ object Similarity {
     * one descent round recovers most of what the bucket init misses. */
   def nnDescent(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = adaptivePlaneCount(Tables.embeddings(s, d).select("vec_id").count())
     val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOfN(col("v"), p))
       .localCheckpoint()
     val byA = Window.partitionBy("a").orderBy(col("cos").desc, col("nb"))
     val g0 = b.as("x")
@@ -430,13 +477,10 @@ object Similarity {
   }
 
   val nnDescentSql: String = {
-    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val (aplCte, bucketExpr) = adaptivePlanesSql
     def cosOf(xv: String, xn: String, yv: String, yn: String) =
       graft.operators.ExactRound.rSql(s"list_inner_product($xv, $yv) / ($xn * $yn)", 6)
-    s"""WITH e AS (
+    s"""WITH $aplCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings
@@ -495,8 +539,9 @@ object Similarity {
     * speed/recall trade of every graph index; recall measurement
     * belongs to [[nnDescent]]/[[recallEval]]'s harnesses. */
   def graphSearch(s: SparkSession, d: String): DataFrame = {
+    val p = adaptivePlaneCount(Tables.embeddings(s, d).select("vec_id").count())
     val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOfN(col("v"), p))
       .localCheckpoint()
     val byA = Window.partitionBy("a").orderBy(col("cos").desc, col("nb"))
     val g0 = b.as("x")
@@ -533,10 +578,7 @@ object Similarity {
 
   /** Oracle: identical graph, identical unrolled 3-round walk. */
   val graphSearchSql: String = {
-    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val (aplCte, bucketExpr) = adaptivePlanesSql
     def cosOf(xv: String, xn: String, yv: String, yn: String) =
       graft.operators.ExactRound.rSql(s"list_inner_product($xv, $yv) / ($xn * $yn)", 6)
     val rounds = (1 to 3).map { r =>
@@ -556,7 +598,7 @@ object Similarity {
          |  SELECT q, id FROM s$r WHERE rn <= 3
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e AS (
+    s"""WITH $aplCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings
@@ -600,8 +642,9 @@ object Similarity {
     * broadcast, the corpus never self-joins during search, and every
     * round is one equi-join + window top-k. */
   def hnsw(s: SparkSession, d: String): DataFrame = {
+    val p = adaptivePlaneCount(Tables.embeddings(s, d).select("vec_id").count())
     val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", bucketOfN(col("v"), p))
       .localCheckpoint()
     val qs = b.filter(col("vec_id") % 25 === 7)
       .select(col("vec_id").as("q"), col("v").as("qv"), col("norm").as("qn"))
@@ -625,7 +668,10 @@ object Similarity {
     // buckets and freeze the walk at the entry point, so the upper
     // graph buckets on the 2 low planes only (4 coarse cells)
     val upper = b.filter(col("vec_id") % 16 === 0)
-      .withColumn("bucket", col("bucket") % 4)
+      // coarse-cell count follows the base plane count (p=4 -> the
+      // historical 4 cells); the 16x-sparser layer keeps ~annBucketRows
+      // per cell as the corpus grows
+      .withColumn("bucket", col("bucket") % lit(1 << math.max(2, p - 4)))
       .localCheckpoint()
     val g1 = knnGraph(upper, 3)
     val entryDf = upper.agg(min("vec_id").as("entry")).localCheckpoint()
@@ -673,10 +719,7 @@ object Similarity {
   /** Oracle: identical two-layer construction and walks, all rounds
     * unrolled, same candidate-count audit. */
   val hnswSql: String = {
-    def planeLitS(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_inner_product(v, ${planeLitS(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val (aplCte, bucketExpr) = adaptivePlanesSql
     def cosOf(xv: String, xn: String, yv: String, yn: String) =
       graft.operators.ExactRound.rSql(s"list_inner_product($xv, $yv) / ($xn * $yn)", 6)
     def knn(name: String, src: String, k: Int): String =
@@ -703,7 +746,7 @@ object Similarity {
          |    SELECT q, id, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, id) AS rn
          |    FROM sc$tag) WHERE rn <= $width
          |)""".stripMargin
-    s"""WITH e AS (
+    s"""WITH $aplCte, e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings
@@ -713,7 +756,9 @@ object Similarity {
        |  SELECT vec_id AS q, v AS qv, nrm AS qn FROM eb WHERE vec_id % 25 = 7
        |), ${knn("g0", "eb", 5)},
        |up AS MATERIALIZED (
-       |  SELECT vec_id, v, nrm, bucket % 4 AS bucket FROM eb WHERE vec_id % 16 = 0),
+       |  SELECT vec_id, v, nrm,
+       |    bucket % (1 << greatest(2, (SELECT p FROM apl) - 4)) AS bucket
+       |  FROM eb WHERE vec_id % 16 = 0),
        |${knn("g1", "up", 3)},
        |ent AS (SELECT min(vec_id) AS entry FROM up),
        |b_u0 AS (SELECT q, (SELECT entry FROM ent) AS id FROM qs),
