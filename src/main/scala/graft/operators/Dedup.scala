@@ -193,30 +193,32 @@ object Dedup {
     val banded = reps.select(col("doc_id"),
       posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), bandRows)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    // (banded is re-derived per consumer below — cheap: one projection
-    // over the already-persisted signature groups, no persist to leak)
-    // HOT-BUCKET PRUNE (the r9 100x finding): buckets keyed on a
-    // corpus-common element (whitespace-run CDC chunks, boilerplate
-    // shingles) grow linearly with the corpus and their self-join
-    // quadratically — one 17910-member bucket priced 1.6e8 rows and the
-    // candidate distinct() spilled 241 GB to a disk DNF. Buckets past
-    // GraftConf.maxBandBucket are skipped: their internal pairs share
-    // only the common element (near-zero similarity — verify would
-    // discard every one), and a TRUE near-dup pair still collides in
-    // its ~j^rows*bands other, selective bands (residual miss < 1e-7,
-    // the same class as the banding geometry's own). The hot-key table
-    // is tiny by construction -> broadcast anti-join, one extra
-    // partial-agg scan of the persisted band table.
-    val hot = banded.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > graft.GraftConf.maxBandBucket)
-      .select("band_idx", "band_hash")
-    val pruned = banded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
-    val a = pruned.select(col("band_idx"), col("band_hash"), col("doc_id").as("rep_a"))
-    val b = pruned.select(col("band_idx"), col("band_hash"), col("doc_id").as("rep_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("rep_a") < col("rep_b"))
-      .select("rep_a", "rep_b")
+    // BUCKET-LOCAL pair generation with the HOT-BUCKET PRUNE built in
+    // (the r9 100x finding): buckets keyed on a corpus-common element
+    // (whitespace-run CDC chunks, boilerplate shingles) grow linearly
+    // with the corpus and their pair set quadratically — one
+    // 17910-member bucket priced 1.6e8 rows by itself and the
+    // candidate distinct() spilled 241 GB to a disk DNF. Each band
+    // bucket is gathered into ONE sorted member array (bounded:
+    // arrays past GraftConf.maxBandBucket are dropped BEFORE any pair
+    // exists — within-hot-bucket pairs share only the common element,
+    // verify would discard every one, and a TRUE near-dup pair still
+    // collides in its ~j^rows·bands other, selective bands; residual
+    // miss < 1e-7, the banding geometry's own class) and ordered
+    // pairs explode in-stage. One single-sided shuffle replaces the
+    // r8 two-sided bucket self-join — the cap costs NEGATIVE time.
+    // Skew-safe by the same cap: ≤ cap²/2 pair rows per bucket row.
+    val pairsInBucket = {
+      val ms = col("ms")
+      explode(flatten(transform(ms, (x, i) =>
+        transform(slice(ms, i + lit(2), size(ms)),
+          y => struct(x.as("rep_a"), y.as("rep_b"))))))
+    }
+    banded.groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .filter(size(col("ms")) <= graft.GraftConf.maxBandBucket.toInt)
+      .select(pairsInBucket.as("p"))
+      .select(col("p.rep_a"), col("p.rep_b"))
       .distinct()
   }
 
