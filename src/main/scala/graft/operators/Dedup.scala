@@ -1794,11 +1794,43 @@ object Dedup {
       .orderBy("band_rows")
   }
 
+  /** The DuckDB 128-perm MinHash signature replay over the document
+    * shingle table — CTE chain ending in `sigs(doc_id, sig)`; splice
+    * as `WITH RECURSIVE $minhashSigCtes, ...`. Shared by the lshTune
+    * and hotBuckets oracles (one definition of the djb2 + affine-perm
+    * arithmetic both must match bit-for-bit). */
+  private lazy val minhashSigCtes: String = {
+    val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
+    val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
+    s"""${OracleCtes.ngramOverlap}, docsh AS MATERIALIZED (
+       |  SELECT doc_id, g AS shingle FROM ng_grams
+       |), shing AS MATERIALIZED (SELECT DISTINCT shingle FROM docsh
+       |), h AS (
+       |  SELECT shingle, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM shing
+       |  UNION ALL
+       |  SELECT shingle, i+1,
+       |    (hash*33 + ord(substr(shingle,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(shingle)
+       |), sh31 AS MATERIALIZED (
+       |  SELECT shingle, CAST(hash % 2147483648 AS BIGINT) AS h31
+       |  FROM h WHERE i = length(shingle)+1
+       |), perms AS MATERIALIZED (
+       |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
+       |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
+       |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
+       |), sigv AS MATERIALIZED (
+       |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
+       |  FROM docsh d JOIN sh31 s USING (shingle), perms pm
+       |  GROUP BY d.doc_id, pm.p
+       |), sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(sv ORDER BY p) AS sig
+       |  FROM sigv GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   /** Oracle: the [[minhashLshSql]] signature replay, then a brute pair
     * scan per band width. */
   val lshTuneSql: String = {
-    val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
-    val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
     // band candidates via slice-explode + equi-join (one bands table
     // per r, hash join on (band, slice) — DuckDB lists hash/compare
     // structurally), NOT the old O(n²) nested-loop bandHit filter:
@@ -1828,30 +1860,7 @@ object Dedup {
          |  FROM cand$r c LEFT JOIN ng_pair p ON p.pa = c.pa AND p.pb = c.pb
          |)""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE ${OracleCtes.ngramOverlap}, docsh AS MATERIALIZED (
-       |  SELECT doc_id, g AS shingle FROM ng_grams
-       |), shing AS MATERIALIZED (SELECT DISTINCT shingle FROM docsh
-       |), h AS (
-       |  SELECT shingle, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM shing
-       |  UNION ALL
-       |  SELECT shingle, i+1,
-       |    (hash*33 + ord(substr(shingle,i,1))) % CAST('18446744073709551616' AS HUGEINT)
-       |  FROM h WHERE i <= length(shingle)
-       |), sh31 AS MATERIALIZED (
-       |  SELECT shingle, CAST(hash % 2147483648 AS BIGINT) AS h31
-       |  FROM h WHERE i = length(shingle)+1
-       |), perms AS MATERIALIZED (
-       |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
-       |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
-       |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
-       |), sigv AS MATERIALIZED (
-       |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
-       |  FROM docsh d JOIN sh31 s USING (shingle), perms pm
-       |  GROUP BY d.doc_id, pm.p
-       |), sigs AS MATERIALIZED (
-       |  SELECT doc_id, list(sv ORDER BY p) AS sig
-       |  FROM sigv GROUP BY doc_id
-       |), $bands, truth AS (
+    s"""WITH RECURSIVE $minhashSigCtes, $bands, truth AS (
        |  SELECT count(*) AS n_true FROM ng_pair WHERE $jaccardSqlExpr >= 0.5
        |), cfg AS (
        |$configs
@@ -1863,6 +1872,76 @@ object Dedup {
        |  CASE WHEN t.n_true = 0 THEN 0.0
        |       ELSE CAST(n_found AS DOUBLE) / t.n_true END AS recall
        |FROM cfg, truth t
+       |ORDER BY band_rows""".stripMargin
+  }
+
+  // ------------------------------------------------- hot-bucket census
+
+  /** LSH BAND-BUCKET CENSUS — the pre-flight audit the r9 100× probe
+    * taught (operationalized the way [[graft.operators.Similarity.noiseFloor]]
+    * operationalizes the cosine tail): before a banded dedup pass
+    * commits at scale, measure the bucket-size distribution per band
+    * geometry and PRICE the candidate join it implies. Corpus-common
+    * elements (whitespace-run CDC chunks, boilerplate shingles) grow
+    * some buckets linearly with the corpus — the probe measured a
+    * 17 910-member bucket whose pairs alone were 1.6·10⁸ rows and a
+    * 241 GB-spill disk DNF — so [[bandCandidateReps]] drops buckets
+    * past [[graft.GraftConf.maxBandBucket]]; this table is how an
+    * operator SEES that decision coming: per geometry, the occupied
+    * bucket count, the largest bucket, how many buckets the cap would
+    * drop, and the pair volume with and without the prune. All counts
+    * are exact integers over the distinct-signature (rep) table, the
+    * same unit [[bandCandidateReps]] pairs on. The census groups by
+    * the band's VALUE (the SQL twin by the signature slice, the Spark
+    * side by its 64-bit band hash — equal slices always hash equal,
+    * and a cross-slice collision (~2⁻⁶⁴) is the same accepted
+    * equivalence as [[minhashLshSql]]'s). */
+  def hotBuckets(s: SparkSession, d: String): DataFrame = {
+    val reps = signatures(s, d).select("sig").dropDuplicates("sig")
+    val cap = graft.GraftConf.maxBandBucket
+    Seq(2, 4, 8).map { r =>
+      reps.select(posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), r)))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+        .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("b")).as("max_bucket"),
+          sum(when(col("b") > cap, 1L).otherwise(0L)).as("n_hot"),
+          sum(col("b") * (col("b") - 1) / 2).cast("long").as("pairs_all"),
+          sum(when(col("b") <= cap, col("b") * (col("b") - 1) / 2).otherwise(lit(0L)))
+            .cast("long").as("pairs_kept"))
+        .select(lit(r.toLong).as("band_rows"), lit((NumPerms / r).toLong).as("n_bands"),
+          col("n_buckets"), col("max_bucket"), col("n_hot"),
+          col("pairs_all"), col("pairs_kept"),
+          (col("n_hot") > 0).as("cap_fires"))
+    }.reduce(_ unionByName _)
+      .orderBy("band_rows")
+  }
+
+  /** Oracle: identical census over the slice-valued buckets of the
+    * replayed signature table. */
+  val hotBucketsSql: String = {
+    val cap = graft.GraftConf.maxBandBucket
+    val per = Seq(2, 4, 8).map { r =>
+      s"""SELECT $r AS band_rows, ${128 / r} AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(b) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN b > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+         |  CAST(sum(b * (b - 1) // 2) AS BIGINT) AS pairs_all,
+         |  CAST(sum(CASE WHEN b <= $cap THEN b * (b - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_kept,
+         |  sum(CASE WHEN b > $cap THEN 1 ELSE 0 END) > 0 AS cap_fires
+         |FROM (
+         |  SELECT bd, slice, count(*) AS b FROM (
+         |    SELECT bd, sig[$r*bd+1 : $r*bd+$r] AS slice FROM (
+         |      SELECT sig, unnest(generate_series(0, ${128 / r - 1})) AS bd FROM reps))
+         |  GROUP BY bd, slice
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $minhashSigCtes, reps AS MATERIALIZED (
+       |  SELECT DISTINCT sig FROM sigs
+       |)
+       |SELECT CAST(band_rows AS BIGINT) AS band_rows, CAST(n_bands AS BIGINT) AS n_bands,
+       |  n_buckets, max_bucket, n_hot, pairs_all, pairs_kept, cap_fires
+       |FROM ($per)
        |ORDER BY band_rows""".stripMargin
   }
 
@@ -2284,6 +2363,7 @@ object Dedup {
     "d_keep_best" -> (keepBest _),
     "d_keep_all" -> (keepAll _),
     "d_lsh_tune" -> (lshTune _),
+    "d_hot_buckets" -> (hotBuckets _),
     "d_cluster_stats" -> (clusterStats _),
     "d_bloom" -> (bloom _),
     "d_bloom_ngram" -> (bloomNgram _),
@@ -2316,6 +2396,7 @@ object Dedup {
     "d_keep_best" -> keepBestSql,
     "d_keep_all" -> keepAllSql,
     "d_lsh_tune" -> lshTuneSql,
+    "d_hot_buckets" -> hotBucketsSql,
     "d_cluster_stats" -> clusterStatsSql,
     "d_bloom" -> bloomSql,
     "d_bloom_ngram" -> bloomNgramSql,

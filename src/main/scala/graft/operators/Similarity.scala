@@ -897,6 +897,73 @@ object Similarity {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** HYPERPLANE BUCKET CENSUS — the pre-flight audit behind
+    * [[adaptivePlaneCount]], emitted as a table (the s_noise_floor
+    * discipline applied to the graph-ANN construction): for every
+    * ladder rung p, the occupied-bucket count, the largest bucket and
+    * the PRICED kNN-construction join volume Σ b·(b−1) (both
+    * orientations — exactly the `x.bucket = y.bucket AND x ≠ y` join's
+    * row count), with `chosen` marking the rung the engine will run.
+    * The r9 100× probe measured why this table must exist: the fixed
+    * p = 4 rung prices 2.5·10⁹ join rows at 200 k vectors (126 GB of
+    * spill, exponent 1.1–1.3) where the chosen rung prices ~n·1000.
+    * One 16-plane scan computes the full-code bucket; every rung is a
+    * low-bit mask of it (plane i contributes bit i), so the census is
+    * one corpus scan + 13 vocabulary-sized aggregates. All counts are
+    * exact integers; the twin replays the plane pool and the ladder
+    * pick verbatim. */
+  def bucketCensus(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).select("vec_id").count()
+    val chosen = adaptivePlaneCount(n)
+    val b16 = vectors(s, d).select(bucketOfN(col("v"), MaxPlanes).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = (NumPlanes to MaxPlanes).map { p =>
+      b16.select(pmod(col("b"), lit(1 << p)).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_occupied"),
+          max(col("c")).as("max_bucket"),
+          sum(col("c") * (col("c") - 1)).cast("long").as("join_rows"))
+        .select(lit(p.toLong).as("p"), lit((1L << p)).as("n_cells"),
+          col("n_occupied"), col("max_bucket"), col("join_rows"),
+          lit(p == chosen).as("chosen"))
+    }.reduce(_ unionByName _)
+      .orderBy("p")
+      .localCheckpoint()
+    b16.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: identical 16-plane code, mask ladder and chosen-rung
+    * arithmetic. */
+  val bucketCensusSql: String = {
+    def planeLitS(pl: Seq[Double]): String = pl.mkString("[", ", ", "]")
+    val b16 = planePool.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN list_inner_product(v, ${planeLitS(pl)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val ladder = (NumPlanes to MaxPlanes).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), b16 AS MATERIALIZED (
+       |  SELECT $b16 AS b FROM e
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e
+       |), chosen AS (
+       |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << p) * ${graft.GraftConf.annBucketRows} >= n
+       |                   THEN p END), $MaxPlanes) AS cp
+       |  FROM (SELECT unnest([$ladder]) AS p), nn
+       |), census AS (
+       |  SELECT p, bk, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT p, b % (1 << p) AS bk FROM b16, (SELECT unnest([$ladder]) AS p))
+       |  GROUP BY p, bk
+       |)
+       |SELECT CAST(p AS BIGINT) AS p, (CAST(1 AS BIGINT) << p) AS n_cells,
+       |  CAST(count(*) AS BIGINT) AS n_occupied,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c * (c - 1)) AS BIGINT) AS join_rows,
+       |  p = (SELECT cp FROM chosen) AS chosen
+       |FROM census GROUP BY p
+       |ORDER BY p""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -2699,6 +2766,7 @@ object Similarity {
     "s_graph_search" -> (graphSearch _),
     "s_hnsw" -> (hnsw _),
     "s_noise_floor" -> (noiseFloor _),
+    "s_bucket_census" -> (bucketCensus _),
     "s_ivf_pq" -> (annIvfPq _),
     "s_maxsim" -> (maxSim _),
     "s_ann_ivf" -> (annIvf _),
@@ -2736,6 +2804,7 @@ object Similarity {
     "s_graph_search" -> graphSearchSql,
     "s_hnsw" -> hnswSql,
     "s_noise_floor" -> noiseFloorSql,
+    "s_bucket_census" -> bucketCensusSql,
     "s_ivf_pq" -> annIvfPqSql,
     "s_maxsim" -> maxSimSql,
     "s_ann_ivf" -> annIvfSql,

@@ -115,6 +115,43 @@ class Round9Spec extends SparkSpec {
       s"only the genuinely-similar pair survives, via its 63 selective bands; got ${cands.size}")
   }
 
+  test("d_hot_buckets: census invariants hold and the cap is silent at test scale") {
+    val rows = operators.Dedup.hotBuckets(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 128 / r.getLong(0), "n_bands")
+      assert(r.getLong(4) <= r.getLong(2), "n_hot <= n_buckets")
+      assert(r.getLong(6) <= r.getLong(5), "pairs_kept <= pairs_all")
+      assert(r.getLong(3) >= 1, "max_bucket")
+      // the cap never fires at the driver's corpora (3x headroom over
+      // the measured sf0.1 maximum) - oracle behavior is unchanged
+      assert(!r.getBoolean(7) && r.getLong(4) == 0, "cap fired at test scale")
+      assert(r.getLong(5) == r.getLong(6), "prune changed pair volume at test scale")
+    }
+  }
+
+  test("s_bucket_census: mask-ladder monotonicity and the chosen rung's arithmetic") {
+    val rows = operators.Similarity.bucketCensus(spark, sf).collect().sortBy(_.getLong(0))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(0)).toSeq == (4L to 16L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == (1L << r.getLong(0)), "n_cells")
+      assert(r.getLong(2) <= math.min(r.getLong(1), n), "occupied bound")
+    }
+    // refining the mask can only split buckets: occupied grows, the
+    // largest bucket and the priced join volume never grow
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(2), "occupied monotone")
+      assert(b.getLong(3) <= a.getLong(3), "max_bucket monotone")
+      assert(b.getLong(4) <= a.getLong(4), "join_rows monotone")
+    case _ => ()
+    }
+    val chosen = rows.filter(_.getBoolean(5)).map(_.getLong(0))
+    assert(chosen.length == 1, "exactly one chosen rung")
+    assert(chosen.head == operators.Similarity.adaptivePlaneCount(n).toLong)
+    assert((1L << chosen.head) * GraftConf.annBucketRows >= n, "chosen rung fits the target")
+  }
+
   test("noiseStats memo: one measurement per session serves floor audit and threshold picks") {
     val a = operators.Similarity.noiseStats(spark, sf)
     val b = operators.Similarity.noiseStats(spark, sf)
