@@ -150,6 +150,10 @@ object ScaleReplica {
       val part = new java.io.File(tmpEv).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file under $tmpEv"))
+      // a previous run (or any Spark write) may have left a DIRECTORY
+      // at the destination — REPLACE_EXISTING can't replace a non-empty
+      // dir (DirectoryNotEmptyException), so clear whatever is there
+      graft.Scratch.rmTree(s"$out/events.parquet")
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$out/events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

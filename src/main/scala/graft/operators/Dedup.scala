@@ -1906,9 +1906,12 @@ object Dedup {
         .agg(count(lit(1)).as("n_buckets"),
           max(col("b")).as("max_bucket"),
           sum(when(col("b") > cap, 1L).otherwise(0L)).as("n_hot"),
-          sum(col("b") * (col("b") - 1) / 2).cast("long").as("pairs_all"),
-          sum(when(col("b") <= cap, col("b") * (col("b") - 1) / 2).otherwise(lit(0L)))
-            .cast("long").as("pairs_kept"))
+          // `div`, not `/`: long division keeps the sums exact integers
+          // past 2^53 on the pathological corpora this census audits —
+          // the DuckDB twin's `//` arithmetic is the contract
+          sum(expr("b * (b - 1) div 2")).as("pairs_all"),
+          sum(when(col("b") <= cap, expr("b * (b - 1) div 2")).otherwise(lit(0L)))
+            .as("pairs_kept"))
         .select(lit(r.toLong).as("band_rows"), lit((NumPerms / r).toLong).as("n_bands"),
           col("n_buckets"), col("max_bucket"), col("n_hot"),
           col("pairs_all"), col("pairs_kept"),
