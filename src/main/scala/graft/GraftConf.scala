@@ -76,8 +76,16 @@ object GraftConf {
     * prices over [[wedgeTarget]] — at that density the corpus has no
     * meaningful similarity structure to mine). Mirrored as literals in
     * the SQL twins and in [[graft.operators.Similarity.noiseFloor]]'s
-    * audit rows. */
-  val cosineLadder: Seq[Double] = Seq(0.25, 0.3, 0.4, 0.5, 0.6)
+    * audit rows.
+    *
+    * r10 extended the ladder past 0.6: the unrelated-pair cosine
+    * noise floor RISES with corpus size (max of ~n²/2 N(0, 1/dim)
+    * draws — ≈ 0.86 at 200 k dim-64 vectors), so at 100× every rung
+    * of the old ladder sat inside the noise tail and the family could
+    * only refuse. The high rungs are also where SimHash banding
+    * ([[graft.operators.EmbedBands]]) prunes hard enough to replace
+    * the exact all-pairs verify past [[maxBrutePairs]]. */
+  val cosineLadder: Seq[Double] = Seq(0.25, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
   /** Pair budget for the BLOCK-PARTITIONED exact brute verify
     * ([[graft.operators.Dedup.embedPairBlocks]]'s fallback when the
@@ -189,9 +197,15 @@ object GraftConf {
     * zero-practical-miss class as the banding geometry itself (the
     * [[lshBandRowsVerify]] argument). At the driver's test scales the
     * largest measured bucket is 326 (sf0.1), so the cap NEVER fires
-    * there and every oracle comparison is unchanged; it is sized 3×
-    * above that and well below the measured multi-thousand pathology
-    * buckets. */
+    * there on the real corpora; it is sized 3× above that and well
+    * below the measured multi-thousand pathology buckets.
+    *
+    * r10: the cap is REPLAYED by the SQL twins (minhashLsh, lshTune —
+    * cold-bucket candidate joins over the distinct-signature census)
+    * and oracle-gated exactly where it fires by d_cap_fires' planted
+    * pathology corpus, so the prune is a cross-engine contract, not a
+    * Spark-side divergence (ADVICE r9). d_ngram_jaccard keeps its
+    * brute-force twin with the probabilistic contract documented. */
   val maxBandBucket: Long = 1024L
 
   /** Prefix length (whitespace tokens) for prefix-duplicate detection
@@ -214,4 +228,42 @@ object GraftConf {
     * blocking (cells scale as ⌈√n⌉ above it). Below ~32 cells the
     * per-cell populations are so large that blocking stops pruning. */
   val minEmbedCells: Int = 32
+
+  /** Target band-bucket population for the SimHash-banded embedding
+    * pair path ([[graft.operators.EmbedBands]]) — the execution path
+    * past [[maxBrutePairs]] where the exact verify refuses. The
+    * adaptive plane count per band is the smallest r with
+    * 2^r · this ≥ n, so the bucket self-join prices ≈ L·n·this rows
+    * (linear in the corpus) instead of L·n²/2^r with a fixed r.
+    * Smaller than [[annBucketRows]] deliberately: the pair path pays
+    * bucket² verifies per bucket, the ANN path only bucket·k.
+    * COUPLED TO ORACLES — the twins replay the same ladder. */
+  val bandBucketRows: Long = 256L
+
+  /** Band-count ceiling for the SimHash-banded pair path: a ladder
+    * rung is only BANDABLE at plane count r when
+    * recall ≥ [[bandRecallTarget]] is reachable within this many
+    * bands ([[graft.operators.EmbedBands.lTable]]); thresholds deep
+    * in the noise floor (low t, high r) need hundreds of bands for
+    * useful recall — at that point banding costs more than it prunes
+    * and the threshold must lift instead. */
+  val maxBands: Int = 32
+
+  /** Per-qualifying-pair recall floor the banded path's geometry is
+    * solved for: L = the smallest band count with
+    * 1 − (1 − q(t)^r)^L ≥ this, q(t) = 1 − acos(t)/π (the
+    * random-hyperplane collision rate — Rademacher ±1 planes
+    * approximate it at dim 64; EmbedBandsSpec pins the realized
+    * recall on planted pairs). A pair AT the threshold has exactly
+    * this survival probability; anything more similar survives with
+    * higher probability, so the bound is per-pair and one-sided. */
+  val bandRecallTarget: Double = 0.95
+
+  /** Priced backstop for the banded bucket self-join
+    * (Σ kept-bucket b·(b−1)/2, one aggregate over the bucket census
+    * before the join is paid): the adaptive geometry targets
+    * ~L·n·[[bandBucketRows]] ≈ 10⁹ at 200 k vectors, so this only
+    * fires on a corpus so skewed that even capped buckets blow the
+    * envelope — refuse with the priced volume rather than grind. */
+  val maxBandedCandidates: Long = 20L * 1000 * 1000 * 1000
 }

@@ -280,11 +280,19 @@ object Dedup {
     * side joins on a 64-bit band hash rather than the slice itself;
     * equal slices always hash equal, and unequal-slice hash collisions
     * (~2⁻⁶⁴) are removed by the est_jaccard ≥ 0.3 filter, so the results
-    * coincide. */
+    * coincide.
+    *
+    * r10: the twin now REPLAYS [[bandCandidateReps]]'s hot-bucket cap
+    * (ADVICE r9): a cross-group pair is a candidate iff it collides in
+    * at least one band whose distinct-signature bucket holds ≤
+    * [[graft.GraftConf.maxBandBucket]] members, and identical-signature
+    * pairs stay candidates unconditionally (the intra-group append) —
+    * so the cross-engine contract holds VERBATIM even on corpora where
+    * the cap fires (d_cap_fires pins exactly that regime; at the
+    * driver's scales the largest bucket is 326 and nothing changes). */
   val minhashLshSql: String = {
     val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
     val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
-    val bandEq = (1 to 4).map(j => s"a.sig[4*bd+$j] = b.sig[4*bd+$j]").mkString(" AND ")
     s"""WITH RECURSIVE docs AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(len(toks)-2, 0)),
@@ -313,20 +321,54 @@ object Dedup {
        |  GROUP BY d.doc_id, pm.p
        |), sigs AS (
        |  SELECT doc_id, list(sv ORDER BY p) AS sig FROM sigv GROUP BY doc_id
+       |), bnd AS MATERIALIZED (
+       |  SELECT doc_id, bd, sig[4*bd+1 : 4*bd+4] AS slice FROM (
+       |    SELECT doc_id, sig, unnest(generate_series(0, 31)) AS bd FROM sigs)
+       |), bsz AS MATERIALIZED (
+       |  SELECT bd, slice, count(*) AS b FROM (
+       |    SELECT bd, sig[4*bd+1 : 4*bd+4] AS slice FROM (
+       |      SELECT sig, unnest(generate_series(0, 31)) AS bd FROM (SELECT DISTINCT sig FROM sigs)))
+       |  GROUP BY bd, slice
+       |), cold AS MATERIALIZED (
+       |  SELECT n.doc_id, n.bd, n.slice FROM bnd n
+       |  JOIN bsz z ON z.bd = n.bd AND z.slice = n.slice
+       |  WHERE z.b <= ${graft.GraftConf.maxBandBucket}
+       |), cand AS MATERIALIZED (
+       |  -- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE,
+       |  -- DuckDB 1.0.0 treats a CTE-body UNION as the recursive
+       |  -- (non-deduplicating) combinator
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM cold a JOIN cold b ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  )
        |)
        |SELECT doc_a, doc_b, est_jaccard FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    round(len(list_filter(generate_series(1, 128), i -> a.sig[i] = b.sig[i])) / 128.0, 6) AS est_jaccard,
-       |    len(list_filter(generate_series(0, 31), bd -> $bandEq)) AS nbands
-       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(len(list_filter(generate_series(1, 128), i -> a.sig[i] = b.sig[i])) / 128.0, 6) AS est_jaccard
+       |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_a JOIN sigs b ON b.doc_id = c.doc_b
        |)
-       |WHERE nbands > 0 AND est_jaccard >= 0.3
+       |WHERE est_jaccard >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Exact n-gram Jaccard dedup: LSH candidates (64 bands × 2 rows — miss
     * probability at j=0.5 is (1-0.25)^64 ≈ 1e-8, so the result equals the
     * brute-force oracle) verified by exact shingle-set intersection.
+    *
+    * CONTRACT PRECISION (ADVICE r9): "equals the brute-force oracle"
+    * is unconditional only while no band bucket exceeds
+    * [[graft.GraftConf.maxBandBucket]] (every driver scale — the
+    * largest measured bucket is 326). Once the cap fires (corpus-
+    * common shingles at 100×), the contract is PROBABILISTIC: a true
+    * j ≥ 0.5 pair collides in ~j²·64 ≈ 16 selective bands, so losing
+    * its hot bands leaves a residual miss ≲ 10⁻⁷ — the same class as
+    * the banding geometry itself. The cap-fires regime has its own
+    * oracle-gated query (d_cap_fires: the twin replays the cap and
+    * pins that every planted true pair still survives), and
+    * d_hot_buckets prices the drop before a pass commits.
     * Memoized per (session, dir) via [[Shared.memo]]: this verified pair
     * table is the input to most of the graph family and half the dedup
     * family, and the band + verify joins downstream of the persisted
@@ -376,7 +418,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         ExactRound.r(dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cosine"))
-      .withColumn("caught", coalesce(col("cosine") >= 0.4, lit(false)))
+      // "caught" evaluates against the threshold embedding dedup
+      // ACTUALLY runs at ([[embedDup]]'s noise-floor-lifted 0.4) —
+      // an audit pinned to the unlifted literal would report the
+      // wrong modality gap the moment the lift fires at scale
+      .withColumn("caught",
+        coalesce(col("cosine") >= lit(Similarity.effectiveThreshold(s, d, requested = 0.4)),
+          lit(false)))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -397,7 +445,7 @@ object Dedup {
     * j ≥ 0.5 pairs joined to per-id embedding cosines. */
   val modalAgreementSql: String = {
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH ${OracleCtes.ngramOverlap}, tp AS MATERIALIZED (
+    s"""WITH ${OracleCtes.ngramOverlap}, ${OracleCtes.effTCtes(0.4)}, tp AS MATERIALIZED (
       |  SELECT pa, pb, $jaccardSqlExpr AS jaccard
       |  FROM ng_pair WHERE $jaccardSqlExpr >= 0.5
       |), e AS (
@@ -407,7 +455,7 @@ object Dedup {
       |)
       |SELECT tp.pa AS doc_a, tp.pb AS doc_b, tp.jaccard,
       |  $cosine AS cosine,
-      |  coalesce($cosine >= 0.4, FALSE) AS caught
+      |  coalesce($cosine >= (SELECT t FROM nf_efft), FALSE) AS caught
       |FROM tp LEFT JOIN e a ON a.vec_id = tp.pa LEFT JOIN e b ON b.vec_id = tp.pb
       |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -1108,7 +1156,27 @@ object Dedup {
   // ------------------------------------------------------------ embedding
 
   /** Embedding near-dup pairs at cosine ≥ 0.4 (synthetic-data calibration;
-    * real corpora use ~0.95) — exact, with NO cartesian product.
+    * real corpora use ~0.95) — exact below the
+    * [[graft.GraftConf.maxBrutePairs]] envelope, with NO cartesian
+    * product.
+    *
+    * r10 SCALE CONTRACT (shared by the six graph consumers): the
+    * requested 0.4 is a FLOOR — [[Similarity.effectiveThreshold]]
+    * lifts it out of the unrelated-pair cosine noise floor, which
+    * RISES with corpus size (≈ 0.86 at 200 k dim-64 vectors — at
+    * that scale a 0.4 edge is statistically meaningless, so the lift
+    * is the semantics, not an approximation). Below the exact-verify
+    * envelope the pair set is EXACT at the lifted threshold; past it
+    * construction switches to the SimHash-banded, exactly-verified
+    * path ([[EmbedBands.bandedPairs]]) with per-pair recall ≥
+    * [[graft.GraftConf.bandRecallTarget]]. Both the lift and the
+    * gate are replayed verbatim by the SQL twins
+    * ([[OracleCtes.embedPairsCtes]]), so the brute-force oracle
+    * contract below holds EXACTLY at every scale the oracle runs,
+    * and the banded contract is the same cross-engine construction
+    * one decade up. At the driver's test scales nothing lifts and
+    * nothing bands — the historical exact-at-0.4 results are
+    * unchanged.
     *
     * Pivot-based metric blocking on the unit sphere with PER-VECTOR probe
     * pruning: every vector v is assigned to its angularly-nearest of
@@ -1138,7 +1206,9 @@ object Dedup {
   def embedDup(s: SparkSession, d: String): DataFrame =
     // memoized: the cell-blocked verify joins feed six graph/dedup
     // consumers per session — share the verified pair table, not the work
-    Shared.memo(s, d, "embed_dup")(embedPairBlocks(Tables.embeddings(s, d), t = 0.4)._1)
+    Shared.memo(s, d, "embed_dup")(
+        embedPairBlocks(Tables.embeddings(s, d),
+          t = Similarity.effectiveThreshold(s, d, requested = 0.4))._1)
       .orderBy("vec_a", "vec_b")
 
   /** Blocking machinery shared by [[embedDup]] and the DedupSpec pruning
@@ -1149,14 +1219,33 @@ object Dedup {
     import graft.functions.VectorFns.{dot_product, l2_norm}
     val acosT = math.acos(t)
     val eps = 1e-6 // FP slack on the prune bound: borderline cells verify instead of pruning
-    def ang(cosine: Column): Column = acos(least(greatest(cosine, lit(-1.0)), lit(1.0)))
     val e = e0
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2_norm(col("v")))
     // metadata-only count on parquet inputs; cells ~ √n keeps membership
     // and probe lists O(√n) as the corpus scales
     val n = e0.select("vec_id").count()
+    // THE EXACT-VS-BANDED GATE (r10): past maxBrutePairs even the
+    // block-partitioned brute verify is super-node-scale (2·10¹⁰
+    // dim-64 dots at 200 k vectors), so construction switches to the
+    // SimHash-banded exactly-verified path — recall per qualifying
+    // pair ≥ bandRecallTarget, same output columns. The gate is ONE
+    // integer comparison on n, replayed verbatim by every consumer
+    // twin (OracleCtes.embedPairsCtes) — deliberately NOT the cell
+    // price: the cell decision only picks between two EXACT plans,
+    // while this gate changes the contract, so it must be cheap for
+    // the oracle to replay. Callers reach here with a threshold the
+    // noise-floor audit already lifted (effectiveThreshold), which on
+    // the banded side only selects BANDABLE rungs.
+    if (n * (n - 1) / 2 > graft.GraftConf.maxBrutePairs) {
+      val pairs = EmbedBands.bandedPairs(e, n, t)
+      // the cell-probe table is a pruning diagnostic of the exact
+      // path; the banded path has no cells — empty, same schema
+      val probes = e.select(col("vec_id"), col("vec_id").as("cell")).limit(0)
+      return (pairs, probes)
+    }
     val numCells = math.max(graft.GraftConf.minEmbedCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+    def ang(cosine: Column): Column = acos(least(greatest(cosine, lit(-1.0)), lit(1.0)))
     val cents = e.filter(col("vec_id") < numCells)
       .select(col("vec_id").as("cell"), col("v").as("c_v"), col("norm").as("c_norm"))
     // one narrow (vec, cell, ang) table feeds BOTH the nearest-cell
@@ -1278,15 +1367,9 @@ object Dedup {
   }
 
   val embedDupSql: String =
-    s"""WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings
-      |)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cosine
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.4
+    s"""WITH ${OracleCtes.embedPairsCtes(0.4)}
+      |SELECT pa AS vec_a, pb AS vec_b, cosine
+      |FROM pairs
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Semantic dedup groups: connected components over the embedding
@@ -1300,15 +1383,7 @@ object Dedup {
       .orderBy("vec_id")
 
   val embedClustersSql: String =
-    s"""WITH RECURSIVE e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings
-      |), pairs AS (
-      |  SELECT a.vec_id AS pa, b.vec_id AS pb
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  WHERE ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.4
-      |), edges AS (
+    s"""WITH RECURSIVE ${OracleCtes.embedPairsCtes(0.4)}, edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
       |), reach AS (
       |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
@@ -1346,15 +1421,7 @@ object Dedup {
   /** SQL twin: same recursive-CC clusters, scalar-key arg_min for the
     * modal label (modal count = max(cnt) — the argmax's own count). */
   val clusterPuritySql: String =
-    s"""WITH RECURSIVE e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings
-      |), pairs AS (
-      |  SELECT a.vec_id AS pa, b.vec_id AS pb
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  WHERE ${graft.operators.ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= 0.4
-      |), edges AS (
+    s"""WITH RECURSIVE ${OracleCtes.embedPairsCtes(0.4)}, edges AS (
       |  SELECT pa AS ea, pb AS eb FROM pairs UNION SELECT pb, pa FROM pairs
       |), reach AS (
       |  SELECT DISTINCT ea AS src, ea AS dst FROM edges
@@ -1839,15 +1906,37 @@ object Dedup {
     // multi-band hits to one row exactly as the per-pair EXISTS did.
     // Candidate jaccard comes from a LEFT JOIN against ng_pair —
     // a candidate absent there shares zero shingles, jaccard 0.0.
+    // r10 (ADVICE r9): the hot-bucket cap is replayed per geometry —
+    // cross-group candidates only through buckets whose
+    // distinct-signature population is <= maxBandBucket, plus the
+    // unconditional identical-signature (intra-group) pairs, exactly
+    // bandCandidateReps' construction
     val bands = Seq(2, 4, 8).map { r =>
       s"""bands$r AS MATERIALIZED (
          |  SELECT doc_id, bd, sig[$r*bd+1 : $r*bd+$r] AS slice FROM (
          |    SELECT doc_id, sig, unnest(generate_series(0, ${128 / r - 1})) AS bd FROM sigs
          |  )
+         |), cold$r AS MATERIALIZED (
+         |  SELECT n.doc_id, n.bd, n.slice FROM bands$r n
+         |  JOIN (
+         |    SELECT bd, slice, count(*) AS b FROM (
+         |      SELECT bd, sig[$r*bd+1 : $r*bd+$r] AS slice FROM (
+         |        SELECT sig, unnest(generate_series(0, ${128 / r - 1})) AS bd
+         |        FROM (SELECT DISTINCT sig FROM sigs)))
+         |    GROUP BY bd, slice
+         |  ) z ON z.bd = n.bd AND z.slice = n.slice
+         |  WHERE z.b <= ${graft.GraftConf.maxBandBucket}
          |), cand$r AS MATERIALIZED (
-         |  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-         |  FROM bands$r a JOIN bands$r b
-         |    ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id
+         |  -- DISTINCT over UNION ALL: CTE-body UNION inside WITH
+         |  -- RECURSIVE is non-deduplicating in DuckDB 1.0.0
+         |  SELECT DISTINCT pa, pb FROM (
+         |    SELECT a.doc_id AS pa, b.doc_id AS pb
+         |    FROM cold$r a JOIN cold$r b
+         |      ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id
+         |    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+         |  )
          |)""".stripMargin
     }.mkString(", ")
     val jacOnPair = ExactRound.rSql("CAST(p.isz AS DOUBLE) / (p.na + p.nb - p.isz)", 6)
@@ -1946,6 +2035,158 @@ object Dedup {
        |  n_buckets, max_bucket, n_hot, pairs_all, pairs_kept, cap_fires
        |FROM ($per)
        |ORDER BY band_rows""".stripMargin
+  }
+
+  // ---------------------------------------------------- cap-fires gate
+
+  /** THE CAP-FIRES REGIME, ORACLE-GATED (r9 verdict #7): at the
+    * driver's corpus scales [[graft.GraftConf.maxBandBucket]] never
+    * fires (largest measured bucket 326), so the 100×-critical prune
+    * inside [[bandCandidateReps]] was unit-tested but never
+    * hash-compared against DuckDB. This query manufactures the exact
+    * pathology the cap exists for — the CDC/boilerplate shape where
+    * EVERY document shares one corpus-common shingle — from the
+    * documents table deterministically (12 planted docs per source
+    * id, text `c1 c2 c3 u<pid>`: two shingles, one shared by the
+    * whole corpus, j = 1/3 between unrelated docs — a FALSE candidate
+    * the verify would discard after the join already blew up), plus
+    * planted TRUE near-dups (source ids ≡ 0 mod 10 re-issue doc k=1's
+    * unique token with one extra trailing token: j = 2/3 ≥ 0.5).
+    * The common-shingle band buckets hold ~n/4 distinct signatures
+    * (6 000 planted docs at sf0.01 → ~1 500 ≫ cap), so the cap FIRES
+    * on every band it was designed for, while each true pair still
+    * collides through its size-2 unique-shingle buckets; the output
+    * pins `cap_fired=true`, the post-cap candidate count, and
+    * `found_all_planted` — every true pair survives the prune. The
+    * twin replays planted corpus, signatures, banding, the cap and
+    * the verify verbatim, so the prune's semantics are part of the
+    * cross-engine contract exactly where they bite. */
+  def capFires(s: SparkSession, d: String): DataFrame = {
+    val m = 12
+    val cap = graft.GraftConf.maxBandBucket
+    val r = graft.GraftConf.lshBandRowsVerify
+    val src = Tables.documents(s, d).select("doc_id")
+    val planted = src
+      .select(col("doc_id").as("src_id"), explode(sequence(lit(0), lit(m - 1))).as("k"))
+      .select((col("src_id") * m + col("k")).as("doc_id"),
+        when(col("k") === m - 1 && col("src_id") % 10 === 0,
+          concat(lit("c1 c2 c3 u"), (col("src_id") * m + 1).cast("string"), lit(" x")))
+          .otherwise(concat(lit("c1 c2 c3 u"), (col("src_id") * m + col("k")).cast("string")))
+          .as("text"))
+    // cached like every signature table (CacheManager dedupes per plan);
+    // the planted corpus is 2 shingles/doc, so the entry is tiny
+    val sigs = signaturesOf(planted)
+    val census = sigs.select("sig").dropDuplicates("sig")
+      .select(posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), r)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("b"))
+      .agg(count(lit(1)).as("n_buckets"), max("b").as("max_bucket"),
+        sum(when(col("b") > cap, 1L).otherwise(0L)).as("n_hot"))
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val isz = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val candAgg = bandCandidates(sigs.select("doc_id", "sig"), bandRows = r)
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jacc",
+        ExactRound.r(isz / (size(col("sh_a")) + size(col("sh_b")) - isz), 6))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_found"))
+    val plantedAgg = src.filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)).as("n_planted"))
+    val docsAgg = src.agg((count(lit(1)) * m).as("n_docs"))
+    census.crossJoin(candAgg).crossJoin(plantedAgg).crossJoin(docsAgg)
+      .select(lit(r.toLong).as("band_rows"), col("n_docs"),
+        col("n_buckets"), col("max_bucket"), col("n_hot"),
+        (col("n_hot") > 0).as("cap_fired"),
+        col("n_candidates"), col("n_found"), col("n_planted"),
+        (col("n_found") === col("n_planted")).as("found_all_planted"))
+  }
+
+  /** Oracle: the full planted-corpus replay — construction, djb2 +
+    * affine-perm signatures, per-geometry slice buckets, the
+    * distinct-signature cap, candidate generation (cold-bucket
+    * self-join + unconditional intra-group pairs) and the exact
+    * shingle verify. */
+  val capFiresSql: String = {
+    val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
+    val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
+    val cap = graft.GraftConf.maxBandBucket
+    val r = graft.GraftConf.lshBandRowsVerify
+    val nb = 128 / r
+    val iszS = "CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)"
+    val jacc = ExactRound.rSql(s"$iszS / (len(da.sh) + len(db.sh) - $iszS)", 6)
+    s"""WITH RECURSIVE pd AS MATERIALIZED (
+       |  SELECT s.doc_id * 12 + g.k AS pid,
+       |    CASE WHEN g.k = 11 AND s.doc_id % 10 = 0
+       |         THEN 'c1 c2 c3 u' || CAST(s.doc_id * 12 + 1 AS VARCHAR) || ' x'
+       |         ELSE 'c1 c2 c3 u' || CAST(s.doc_id * 12 + g.k AS VARCHAR) END AS text
+       |  FROM (SELECT doc_id FROM documents) s,
+       |       (SELECT unnest(generate_series(0, 11)) AS k) g
+       |), docs AS MATERIALIZED (
+       |  SELECT pid AS doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT pid, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM pd)
+       |  WHERE len(toks) >= 3
+       |), docsh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs
+       |), shing AS MATERIALIZED (SELECT DISTINCT shingle FROM docsh
+       |), h AS (
+       |  SELECT shingle, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM shing
+       |  UNION ALL
+       |  SELECT shingle, i+1,
+       |    (hash*33 + ord(substr(shingle,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM h WHERE i <= length(shingle)
+       |), sh31 AS MATERIALIZED (
+       |  SELECT shingle, CAST(hash % 2147483648 AS BIGINT) AS h31
+       |  FROM h WHERE i = length(shingle)+1
+       |), perms AS MATERIALIZED (
+       |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
+       |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
+       |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
+       |), sigv AS MATERIALIZED (
+       |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
+       |  FROM docsh d JOIN sh31 s USING (shingle), perms pm
+       |  GROUP BY d.doc_id, pm.p
+       |), sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(sv ORDER BY p) AS sig FROM sigv GROUP BY doc_id
+       |), bsz AS MATERIALIZED (
+       |  SELECT bd, slice, count(*) AS b FROM (
+       |    SELECT bd, sig[$r*bd+1 : $r*bd+$r] AS slice FROM (
+       |      SELECT sig, unnest(generate_series(0, ${nb - 1})) AS bd
+       |      FROM (SELECT DISTINCT sig FROM sigs)))
+       |  GROUP BY bd, slice
+       |), censu AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |    CAST(max(b) AS BIGINT) AS max_bucket,
+       |    CAST(sum(CASE WHEN b > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+       |  FROM bsz
+       |), cold AS MATERIALIZED (
+       |  SELECT n.doc_id, n.bd, n.slice FROM (
+       |    SELECT doc_id, bd, sig[$r*bd+1 : $r*bd+$r] AS slice FROM (
+       |      SELECT doc_id, sig, unnest(generate_series(0, ${nb - 1})) AS bd FROM sigs)
+       |  ) n JOIN bsz z ON z.bd = n.bd AND z.slice = n.slice
+       |  WHERE z.b <= $cap
+       |), cand AS MATERIALIZED (
+       |  -- DISTINCT over UNION ALL: CTE-body UNION inside WITH
+       |  -- RECURSIVE is non-deduplicating in DuckDB 1.0.0
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM cold a JOIN cold b ON a.bd = b.bd AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT a.doc_id, b.doc_id
+       |    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  )
+       |), ver AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(sum(CASE WHEN $jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |  FROM cand c JOIN docs da ON da.doc_id = c.doc_a JOIN docs db ON db.doc_id = c.doc_b
+       |), pl AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents WHERE doc_id % 10 = 0
+       |), nd AS (SELECT CAST(12 * count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT CAST($r AS BIGINT) AS band_rows, n_docs, n_buckets, max_bucket, n_hot,
+       |  n_hot > 0 AS cap_fired, n_candidates, n_found, n_planted,
+       |  n_found = n_planted AS found_all_planted
+       |FROM censu, ver, pl, nd""".stripMargin
   }
 
   // ------------------------------------------------------ keep-best
@@ -2367,6 +2608,7 @@ object Dedup {
     "d_keep_all" -> (keepAll _),
     "d_lsh_tune" -> (lshTune _),
     "d_hot_buckets" -> (hotBuckets _),
+    "d_cap_fires" -> (capFires _),
     "d_cluster_stats" -> (clusterStats _),
     "d_bloom" -> (bloom _),
     "d_bloom_ngram" -> (bloomNgram _),
@@ -2400,6 +2642,7 @@ object Dedup {
     "d_keep_all" -> keepAllSql,
     "d_lsh_tune" -> lshTuneSql,
     "d_hot_buckets" -> hotBucketsSql,
+    "d_cap_fires" -> capFiresSql,
     "d_cluster_stats" -> clusterStatsSql,
     "d_bloom" -> bloomSql,
     "d_bloom_ngram" -> bloomNgramSql,

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash-BANDED embedding pair construction — the execution path the
+  * r9 verdict left open: past [[graft.GraftConf.maxBrutePairs]] the
+  * exact all-pairs cosine verify is genuinely super-node-scale
+  * (2·10¹⁰ dim-64 dots at 200 k vectors) and
+  * [[Dedup.embedPairBlocks]] could only REFUSE with the priced
+  * volume. This object makes that decade RUN: candidates come from L
+  * independent r-plane random-hyperplane (SimHash) bands — two
+  * vectors are candidates iff they agree on ALL r sign bits of at
+  * least one band — verified exactly by cosine, so every emitted pair
+  * is a true ≥ t pair and a qualifying pair is missed only if it
+  * splits in all L bands: recall ≥ 1 − (1 − q^r)^L ≥
+  * [[graft.GraftConf.bandRecallTarget]] per pair, q = 1 − acos(t)/π.
+  * The geometry is solved per (threshold, corpus): r adapts so bucket
+  * populations stay ≈ [[graft.GraftConf.bandBucketRows]] (join volume
+  * L·n·bucketRows — linear in the corpus), L comes from the
+  * compile-time [[lTable]]. Both choices are pure integer arithmetic
+  * over literals, REPLAYED VERBATIM by the SQL twins
+  * ([[OracleCtes.embedPairsCtes]]), so the banded result is part of
+  * the cross-engine contract, not a heuristic.
+  *
+  * The planes are RADEMACHER (±1 components) rather than Gaussian:
+  * sign-of-dot against a ±1 vector is a sum of exact IEEE negations in
+  * index order, bit-identical in Spark and DuckDB (the
+  * `list_inner_product` contract every cosine twin already relies
+  * on), and the ±1 pattern derives from splitmix-style integer
+  * hashing both engines compute exactly — no RNG state, no float
+  * literals to ship. At dim 64 a Rademacher hyperplane's collision
+  * rate tracks the uniform-hyperplane 1 − θ/π within sampling noise
+  * (EmbedBandsSpec pins realized recall on planted pairs).
+  */
+private[graft] object EmbedBands {
+  import graft.functions.VectorFns.dot_product
+
+  /** Embedding dimension the sign pool is laid out for (the synthetic
+    * corpus'; a different-dim deployment regenerates the pool — the
+    * formula is dimension-parametric). */
+  val Dim: Int = 64
+
+  val MinPlanes: Int = 4
+  val MaxPlanes: Int = 16
+
+  /** ±1 component of global plane `gp` at dimension `i`: parity of
+    * two ITERATED SQUARINGS mod the Mersenne prime 2³¹−1 of
+    * k = gp·Dim + i + 1 — h₁ = (k² + 2654435761) mod p,
+    * h₂ = (h₁² + k) mod p, sign = +1 iff h₂ even. Pure BIGINT
+    * arithmetic (h₁² < 2⁶² — no overflow in either engine); the SQL
+    * twin computes the identical expression ([[signSql]]), Scala
+    * bakes the results as ±1.0 literals into the plan. The iterated
+    * quadratic map is deliberate: a single multiplicative hash is
+    * LINEAR in k and produced near-identical planes at small index
+    * offsets (measured: plane-pair correlation 1.0, banded recall
+    * 0.69 vs the 0.95 design), and one squaring has the mirror
+    * symmetry h(k) = h(S−k); squaring twice with the +k
+    * re-injection leaves no structural collision family — measured
+    * max |plane correlation| 0.81 over 512 planes (the random-±1
+    * tail) and realized recall 0.92/0.96 at sf0.01/sf0.1. */
+  def sign(gp: Int, i: Int): Double = {
+    val k = gp.toLong * Dim + i + 1
+    val h1 = (k * k + 2654435761L) % 2147483647L
+    val h2 = (h1 * h1 + k) % 2147483647L
+    if (h2 % 2 == 0) 1.0 else -1.0
+  }
+
+  /** The SQL expression computing [[sign]] for DuckDB, over integer
+    * columns `gp` and `i` (both 0-based). */
+  def signSql(gp: String, i: String): String = {
+    val k = s"(CAST($gp AS BIGINT) * $Dim + $i + 1)"
+    val h1 = s"(($k * $k + 2654435761) % 2147483647)"
+    val h2 = s"(($h1 * $h1 + $k) % 2147483647)"
+    s"CASE WHEN $h2 % 2 = 0 THEN 1.0 ELSE -1.0 END"
+  }
+
+  private def planeLit(gp: Int): Column =
+    array((0 until Dim).map(i => lit(sign(gp, i))): _*)
+
+  /** Smallest plane count r with 2^r · bandBucketRows ≥ n — bucket
+    * populations ≈ bandBucketRows as the corpus scales (the
+    * [[Similarity]] adaptive-plane discipline, retargeted for the
+    * pair path's bucket² verify cost). Capped at [[MaxPlanes]]: past
+    * 2¹⁶·256 ≈ 1.7·10⁷ vectors buckets grow linearly again and a
+    * deployment re-solves the geometry (wider pool) as a code change,
+    * like every other [[graft.GraftConf]] budget. */
+  def bandPlaneCount(n: Long): Int =
+    (MinPlanes to MaxPlanes)
+      .find(r => (1L << r) * graft.GraftConf.bandBucketRows >= n)
+      .getOrElse(MaxPlanes)
+
+  /** (threshold rung, planes-per-band r) → smallest band count L with
+    * per-pair recall 1 − (1 − q^r)^L ≥
+    * [[graft.GraftConf.bandRecallTarget]], absent when no
+    * L ≤ [[graft.GraftConf.maxBands]] reaches it (the rung is NOT
+    * BANDABLE at that corpus size — the threshold sits too deep in
+    * the angular noise for banding to prune). Computed once from the
+    * ladder literals; the SQL twins receive THESE integers as a
+    * literal lookup table ([[lTableSql]]), so both engines share one
+    * geometry by construction — no cross-engine pow/acos ever runs. */
+  val lTable: Map[(Double, Int), Int] = {
+    val target = graft.GraftConf.bandRecallTarget
+    (for {
+      t <- graft.GraftConf.cosineLadder
+      r <- MinPlanes to MaxPlanes
+      q = 1.0 - math.acos(t) / math.Pi
+      pBand = math.pow(q, r)
+      l = math.ceil(math.log(1.0 - target) / math.log1p(-pBand)).toInt
+      if l >= 1 && l <= graft.GraftConf.maxBands
+    } yield (t, r) -> l).toMap
+  }
+
+  /** [[lTable]] as a DuckDB VALUES literal `(t, r, l)` — only the
+    * bandable rows exist; consumers LEFT JOIN and read NULL as "not
+    * bandable". Spliced by [[OracleCtes.effTCtes]] as the `ep_lt`
+    * CTE. */
+  def lTableSql: String =
+    lTable.toSeq.sortBy { case ((t, r), _) => (t, r) }
+      .map { case ((t, r), l) => s"($t, $r, $l)" }
+      .mkString("(VALUES ", ", ", ") v(t, r, l)")
+
+  /** True iff rung `t` can run the banded path at corpus size `n`. */
+  def bandable(t: Double, n: Long): Boolean =
+    lTable.contains((t, bandPlaneCount(n)))
+
+  /** The largest bandable rung at corpus size `n` — the banded path's
+    * threshold fallback (0.95 is bandable at every r ≤ 16, so this is
+    * total). */
+  def maxBandableRung(n: Long): Double = {
+    val r = bandPlaneCount(n)
+    graft.GraftConf.cosineLadder.filter(t => lTable.contains((t, r))).max
+  }
+
+  /** Exact-verified banded pairs at cosine ≥ t over (vec_id, v, norm)
+    * rows — same output columns as the exact paths
+    * ([[Dedup.embedPairBlocks]]), recall per qualifying pair ≥
+    * [[graft.GraftConf.bandRecallTarget]] by the [[lTable]] geometry.
+    *
+    * Shape, stage by stage (the 100 TB read):
+    *  1. One corpus scan computes all L band signatures per vector
+    *     (L·r ≤ 512 sign-dots of ±1 literals — a few kFLOP per row)
+    *     and explodes to (band, sig, vec_id, v, norm): n·L rows.
+    *  2. A bucket census (count per (band, sig)) drops hot buckets
+    *     past [[graft.GraftConf.maxBandBucket]] BEFORE any pair
+    *     exists (the r9 LSH lesson: corpus-common structure grows
+    *     buckets linearly and their pair sets quadratically; a true
+    *     ≥ t pair still collides in its other, selective bands) and
+    *     PRICES the kept self-join — over
+    *     [[graft.GraftConf.maxBandedCandidates]] refuses with the
+    *     volume. The census is vocabulary-sized (≤ 2^r·L rows) and
+    *     broadcast back.
+    *  3. The bucket self-join: both sides ≈ n·L vector-carrying rows
+    *     hashed on (band, sig); join groups are ≤ maxBandBucket rows,
+    *     so tasks are uniform and the ≥ t filter's dot products
+    *     stream through whole-stage codegen — candidates are never
+    *     materialized, exactly [[Dedup.bruteVerify]]'s discipline.
+    *  4. distinct() runs on SURVIVORS only (a pair colliding in
+    *     several bands yields identical rows) — output-sized, the
+    *     opposite of the r8 candidate-distinct that spilled 241 GB.
+    */
+  def bandedPairs(e: DataFrame, n: Long, t: Double): DataFrame = {
+    val r = bandPlaneCount(n)
+    val l = lTable.getOrElse((t, r),
+      throw new IllegalArgumentException(
+        s"bandedPairs: rung $t is not bandable at r=$r planes " +
+          s"(recall ${graft.GraftConf.bandRecallTarget} unreachable within " +
+          s"${graft.GraftConf.maxBands} bands) — callers pick the threshold via " +
+          "Similarity.effectiveThreshold, which only selects bandable rungs here"))
+    val bandSig: Column = array((0 until l).map { b =>
+      (0 until r).map { i =>
+        when(dot_product(col("v"), planeLit(b * r + i)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val sigs = e.select(col("vec_id"), col("v"), col("norm"),
+        posexplode(bandSig).as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = sigs.groupBy("band", "sig").agg(count(lit(1)).as("bc"))
+      .filter(col("bc").between(2L, graft.GraftConf.maxBandBucket))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val priced = census.agg(coalesce(sum(expr("bc * (bc - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    if (priced > graft.GraftConf.maxBandedCandidates) {
+      sigs.unpersist(blocking = false); census.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"bandedPairs: capped bucket self-join priced at $priced rows " +
+          s"(cap ${graft.GraftConf.maxBandedCandidates}) at t=$t, r=$r, L=$l — " +
+          "the corpus is band-degenerate at this geometry; raise the threshold " +
+          "or retune GraftConf.bandBucketRows")
+    }
+    val kept = sigs.join(broadcast(census.select("band", "sig")), Seq("band", "sig"))
+    val a = kept.select(col("band"), col("sig"),
+      col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = kept.select(col("band"), col("sig"),
+      col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    val out = a.join(b, Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
+      .filter(col("cosine") >= t)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+      .localCheckpoint()
+    sigs.unpersist(blocking = false); census.unpersist(blocking = false)
+    out
+  }
+
+  /** SQL replay of [[bandedPairs]] as CTEs ending in
+    * `ep_band(pa, pb, cosine)`, over CTEs [[OracleCtes.effTCtes]]
+    * already defines: vectors `nf_e(vec_id, v, nrm)`, count
+    * `nf_n(n)`, effective threshold `nf_efft(t)`, gate
+    * `ep_gate(banded)`, plane count `ep_r(r)` and the L lookup
+    * `ep_lt(t, r, l)`. The band CTEs are themselves gated on
+    * `banded` so an exact-path corpus (every driver scale) never
+    * pays them. */
+  def bandedPairsSql: String = {
+    val cap = graft.GraftConf.maxBandBucket
+    s"""ep_geom AS (
+       |  SELECT coalesce((SELECT l FROM ep_lt
+       |                   WHERE ep_lt.t = (SELECT t FROM nf_efft)
+       |                     AND ep_lt.r = (SELECT r FROM ep_r)), 0) AS l
+       |), ep_pl AS MATERIALIZED (
+       |  SELECT gp, list_transform(generate_series(0, ${Dim - 1}),
+       |                            i -> ${signSql("gp", "i")}) AS pv
+       |  FROM (SELECT unnest(generate_series(0,
+       |          (SELECT l FROM ep_geom) * (SELECT r FROM ep_r) - 1)) AS gp)
+       |  WHERE (SELECT banded FROM ep_gate)
+       |), ep_sig AS MATERIALIZED (
+       |  SELECT e.vec_id, p.gp // (SELECT r FROM ep_r) AS band,
+       |    CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0
+       |             THEN (CAST(1 AS BIGINT) << (p.gp % (SELECT r FROM ep_r)))
+       |             ELSE 0 END) AS BIGINT) AS sig
+       |  FROM nf_e e, ep_pl p
+       |  GROUP BY e.vec_id, p.gp // (SELECT r FROM ep_r)
+       |), ep_census AS MATERIALIZED (
+       |  SELECT band, sig FROM ep_sig GROUP BY band, sig
+       |  HAVING count(*) BETWEEN 2 AND $cap
+       |), ep_band AS MATERIALIZED (
+       |  SELECT DISTINCT pa, pb, cosine FROM (
+       |    SELECT a.vec_id AS pa, b.vec_id AS pb,
+       |      ${ExactRound.rSql("list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)", 6)} AS cosine
+       |    FROM ep_sig a
+       |    JOIN ep_sig b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |    JOIN ep_census c ON c.band = a.band AND c.sig = a.sig
+       |    JOIN nf_e ea ON ea.vec_id = a.vec_id
+       |    JOIN nf_e eb ON eb.vec_id = b.vec_id
+       |  ) WHERE cosine >= (SELECT t FROM nf_efft)
+       |)""".stripMargin
+  }
+}

@@ -294,19 +294,10 @@ object Graph {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** SQL twin of [[linkpred]] on the same pair graph (brute-force cosine
-    * pairs — identical to [[Dedup.embedDupSql]]'s formulation). */
+  /** SQL twin of [[linkpred]] on the same pair graph
+    * ([[OracleCtes.embedPairsCtes]] — the shared gate/lift replay). */
   val linkpredSql: String = {
-    val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings
-       |), pairs AS (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.4
-       |), edges AS (
+    s"""WITH ${OracleCtes.embedPairsCtes(0.4)}, edges AS (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), deg AS (
        |  SELECT src, count(*) AS deg FROM edges GROUP BY src
@@ -738,15 +729,8 @@ object Graph {
          |  SELECT m.id, m.label FROM m$k m WHERE m.id NOT IN (SELECT id FROM seeds)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e0 AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
-       |         label
-       |  FROM embeddings
-       |), pairs AS (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.4
+    s"""WITH ${OracleCtes.embedPairsCtes(0.4)}, e0 AS (
+       |  SELECT vec_id, label FROM embeddings
        |), edges AS (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), nodes AS (
@@ -1023,15 +1007,8 @@ object Graph {
          |  SELECT m.id, m.label FROM m$k m WHERE m.id NOT IN (SELECT id FROM seeds)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e0 AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
-       |         label
-       |  FROM embeddings
-       |), pairs AS (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.4
+    s"""WITH ${OracleCtes.embedPairsCtes(0.4)}, e0 AS (
+       |  SELECT vec_id, label FROM embeddings
        |), edges AS (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), nodes AS (
@@ -1254,15 +1231,8 @@ object Graph {
          |  SELECT m.id, m.label FROM m$k m WHERE m.id NOT IN (SELECT id FROM seeds)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e0 AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
-       |         label
-       |  FROM embeddings
-       |), pairs AS (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.4
+    s"""WITH ${OracleCtes.embedPairsCtes(0.4)}, e0 AS (
+       |  SELECT vec_id, label FROM embeddings
        |), edges AS (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), nodes AS (
@@ -1589,6 +1559,21 @@ object Graph {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    // ADJACENCY-LIST FRONTIER (r10, the r9 verdict's #2): the 12
+    // per-level joins used to re-shuffle the EDGE list every round
+    // (frontier ⋈ edges on src exchanges both sides — the 10× probe
+    // measured 0.7 MB → 2.7 GB total shuffle and ~10.6 GB of sort
+    // spill from exactly this). The edge list is now grouped ONCE
+    // into (src, nbrs[]) — the groupBy already leaves it
+    // hash-partitioned on src, and persisting keeps that layout, so
+    // every round's join exchanges only the FRONTIER (state-sized,
+    // not edge-sized) or broadcasts outright when the adjacency table
+    // is small; neighbor expansion happens narrow-side via explode
+    // into the same partial-aggregated (root, id) shuffle as before.
+    // Pure plan reshape — row-for-row identical sums, same oracle.
+    val adj = edges.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // forward: reached(root, id, sigma, lvl); level-k frontier rows are
     // exactly the dist-k nodes, so "preds" is just the previous frontier
     var reached = nodes.filter(seed(col("id")))
@@ -1607,8 +1592,9 @@ object Graph {
     var frontierRows = 1L
     while (k <= maxHops && frontierRows > 0) {
       val cand = frontier.select(col("root"), col("id").as("src"), col("sigma"))
-        .join(edges, "src")
-        .groupBy(col("root"), col("dst").as("id"))
+        .join(adj, "src")
+        .select(col("root"), col("sigma"), explode(col("nbrs")).as("id"))
+        .groupBy(col("root"), col("id"))
         .agg(sum("sigma").as("sigma"))
       frontier = cand
         .join(reached.select("root", "id"), Seq("root", "id"), "left_anti")
@@ -1634,7 +1620,8 @@ object Graph {
         .select(col("root"), col("id").as("dst"), col("p").as("pw"))
       val succSum = reached.filter(col("lvl") === lv)
         .select(col("root"), col("id").as("src"))
-        .join(edges, "src")
+        .join(adj, "src")
+        .select(col("root"), col("src"), explode(col("nbrs")).as("dst"))
         .join(pNext, Seq("root", "dst"))
         .groupBy(col("root"), col("src").as("id"))
         .agg(sum(col("pw") + 1L).as("psum"))
@@ -1644,6 +1631,8 @@ object Graph {
           lit(lv).as("lvl"))
       pAll = pAll.unionByName(pk).localCheckpoint()
     }
+    // both passes are checkpointed — nothing downstream reads adj
+    adj.unpersist(blocking = false)
     val contrib = reached.filter(col("lvl") > 0)
       .join(pAll.select("root", "id", "p"), Seq("root", "id"))
       .groupBy("id").agg(sum(col("sigma") * col("p")).as("stress"))
@@ -1687,15 +1676,7 @@ object Graph {
          |)""".stripMargin
     } mkString ", "
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH e0 AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings
-       |), pairs AS MATERIALIZED (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.4
-       |), edges AS MATERIALIZED (
+    s"""WITH ${OracleCtes.embedPairsCtes(0.4)}, edges AS MATERIALIZED (
        |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), nodes AS MATERIALIZED (
        |  SELECT DISTINCT src AS id FROM edges
@@ -1812,16 +1793,8 @@ object Graph {
          |)""".stripMargin
     }.mkString(", ")
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH RECURSIVE e0 AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings
-       |), prs AS MATERIALIZED (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= 0.4
-       |), edges AS MATERIALIZED (
-       |  SELECT pa AS src, pb AS dst FROM prs UNION ALL SELECT pb, pa FROM prs
+    s"""WITH RECURSIVE ${OracleCtes.embedPairsCtes(0.4)}, edges AS MATERIALIZED (
+       |  SELECT pa AS src, pb AS dst FROM pairs UNION ALL SELECT pb, pa FROM pairs
        |), adj AS MATERIALIZED (
        |  SELECT src, list(dst ORDER BY dst) AS nbrs, CAST(count(*) AS BIGINT) AS deg
        |  FROM edges GROUP BY src
@@ -1997,14 +1970,8 @@ object Graph {
          |)""".stripMargin
     }.mkString(", ")
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH ${OracleCtes.effTCtes(0.3)}, e0v AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings
-       |), e0 AS MATERIALIZED (
-       |  SELECT a.vec_id AS pa, b.vec_id AS pb
-       |  FROM e0v a JOIN e0v b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= (SELECT t FROM nf_efft)
+    s"""WITH ${OracleCtes.embedPairsCtes(0.3)}, e0 AS MATERIALIZED (
+       |  SELECT pa, pb FROM pairs
        |), $rounds, adj4 AS MATERIALIZED (
        |  SELECT pa AS u, pb AS w FROM e4 UNION ALL SELECT pb, pa FROM e4
        |), supf AS MATERIALIZED (
@@ -2171,14 +2138,8 @@ object Graph {
     * same auto-thresholded graph (effTCtes replays the ladder pick). */
   val cliques4Sql: String = {
     val cosine = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
-    s"""WITH ${OracleCtes.effTCtes(0.25)}, e0v AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings
-       |), e AS MATERIALIZED (
-       |  SELECT a.vec_id AS a, b.vec_id AS b
-       |  FROM e0v a JOIN e0v b ON a.vec_id < b.vec_id
-       |  WHERE $cosine >= (SELECT t FROM nf_efft)
+    s"""WITH ${OracleCtes.embedPairsCtes(0.25)}, e AS MATERIALIZED (
+       |  SELECT pa AS a, pb AS b FROM pairs
        |), tri AS MATERIALIZED (
        |  SELECT ab.a, ab.b, bc.b AS c
        |  FROM e ab JOIN e bc ON bc.a = ab.b

@@ -77,7 +77,15 @@ private[graft] object OracleCtes {
     * [[graft.GraftConf]]) — ends with `nf_efft(t)`, the effective
     * cosine threshold a similarity-graph twin must build its edge set
     * at: `WHERE cosine >= (SELECT t FROM nf_efft)`. Prefix `nf_` to
-    * stay clear of consumer names. */
+    * stay clear of consumer names.
+    *
+    * Also defines (r10) the exact-vs-banded machinery the selection
+    * now depends on: `ep_gate(banded)` — true past the
+    * [[graft.GraftConf.maxBrutePairs]] exact envelope, `ep_r(r)` —
+    * [[EmbedBands.bandPlaneCount]], and `ep_lt(t, r, l)` — the
+    * [[EmbedBands.lTable]] literal. On the banded side a rung must
+    * also be BANDABLE (a row in ep_lt at this r); the fallback is the
+    * ladder top when exact, the top bandable rung when banded. */
   def effTCtes(requested: Double): String = {
     val cos = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
     val strides = Seq(1, 7, 61, 127).map { k =>
@@ -90,6 +98,13 @@ private[graft] object OracleCtes {
        |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings
        |), nf_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nf_e
+       |), ep_gate AS (
+       |  SELECT n * (n - 1) // 2 > ${graft.GraftConf.maxBrutePairs} AS banded FROM nf_n
+       |), ep_lt AS (SELECT t, r, l FROM ${EmbedBands.lTableSql}
+       |), ep_r AS (
+       |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << r) * ${graft.GraftConf.bandBucketRows} >= n
+       |                   THEN r END), ${EmbedBands.MaxPlanes}) AS r
+       |  FROM (SELECT unnest([${(EmbedBands.MinPlanes to EmbedBands.MaxPlanes).mkString(", ")}]) AS r), nf_n
        |), nf_pairs AS MATERIALIZED ($strides
        |), nf_th AS (SELECT unnest([$ladder]) AS threshold
        |), nf_agg AS (
@@ -105,10 +120,41 @@ private[graft] object OracleCtes {
        |    FROM nf_agg, nf_n)
        |), nf_efft AS (
        |  SELECT coalesce(
-       |    min(CASE WHEN threshold >= $requested
-       |             AND est_wedges <= ${graft.GraftConf.wedgeTarget}
-       |        THEN threshold END), $top) AS t
-       |  FROM nf_wedges
+       |    min(CASE WHEN w.threshold >= $requested
+       |             AND w.est_wedges <= ${graft.GraftConf.wedgeTarget}
+       |             AND ((NOT (SELECT banded FROM ep_gate)) OR lt.l IS NOT NULL)
+       |        THEN w.threshold END),
+       |    CASE WHEN NOT (SELECT banded FROM ep_gate) THEN $top
+       |         ELSE (SELECT max(t) FROM ep_lt WHERE r = (SELECT r FROM ep_r)) END) AS t
+       |  FROM nf_wedges w
+       |  LEFT JOIN ep_lt lt ON lt.t = w.threshold AND lt.r = (SELECT r FROM ep_r)
+       |)""".stripMargin
+  }
+
+  /** The embedding near-dup pair list as CTE `pairs(pa, pb, cosine)`
+    * — the ONE cross-engine construction every embedding-graph twin
+    * consumes, replaying [[Dedup.embedPairBlocks]]'s r10 gate
+    * verbatim: below the [[graft.GraftConf.maxBrutePairs]] envelope
+    * the pairs are the EXACT brute-force set at the
+    * [[Similarity.effectiveThreshold]]-lifted threshold (the cell /
+    * block-brute Spark paths are exact, so brute SQL is their twin);
+    * past it they are the SimHash-banded, exactly-verified set
+    * ([[EmbedBands.bandedPairsSql]]) with per-pair recall ≥
+    * [[graft.GraftConf.bandRecallTarget]]. Splices [[effTCtes]];
+    * both branches are gated on `ep_gate` so only the live one
+    * computes. */
+  def embedPairsCtes(requested: Double): String = {
+    val cos = ExactRound.rSql("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)
+    s"""${effTCtes(requested)}, ep_exact AS MATERIALIZED (
+       |  SELECT pa, pb, cosine FROM (
+       |    SELECT a.vec_id AS pa, b.vec_id AS pb, $cos AS cosine
+       |    FROM nf_e a JOIN nf_e b ON a.vec_id < b.vec_id
+       |    WHERE NOT (SELECT banded FROM ep_gate)
+       |  ) WHERE cosine >= (SELECT t FROM nf_efft)
+       |), ${EmbedBands.bandedPairsSql}, pairs AS MATERIALIZED (
+       |  SELECT pa, pb, cosine FROM ep_exact
+       |  UNION ALL
+       |  SELECT pa, pb, cosine FROM ep_band
        |)""".stripMargin
   }
 }

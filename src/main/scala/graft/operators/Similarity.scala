@@ -858,10 +858,26 @@ object Similarity {
     * each operator's cross-engine contract at every scale. The 5-row
     * collect is driver-side planning over a fixed-size table. */
   private[graft] def effectiveThreshold(s: SparkSession, d: String, requested: Double): Double = {
-    val wedges = noiseStats(s, d).select("threshold", "est_wedges").collect()
-      .map(r => (r.getDouble(0), r.getLong(1))).toMap
-    val ladder = graft.GraftConf.cosineLadder.filter(_ >= requested)
-    ladder.find(t => wedges(t) <= graft.GraftConf.wedgeTarget).getOrElse(ladder.max)
+    val rows = noiseStats(s, d).select("threshold", "est_wedges", "n").collect()
+    val wedges = rows.map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val n = rows.headOption.map(_.getLong(2)).getOrElse(0L)
+    // past the exact-verify envelope the edge set comes from the
+    // SimHash-banded path, so the selected rung must also be BANDABLE
+    // (recall >= bandRecallTarget reachable within maxBands at this
+    // corpus' adaptive plane count) — the r10 piece that turned the
+    // 100x priced refusal into an execution path
+    val exactOk = n < 2 || n * (n - 1) / 2 <= graft.GraftConf.maxBrutePairs
+    def usable(t: Double): Boolean = exactOk || EmbedBands.bandable(t, n)
+    graft.GraftConf.cosineLadder.filter(_ >= requested)
+      .find(t => wedges(t) <= graft.GraftConf.wedgeTarget && usable(t))
+      .getOrElse(
+        // fallbacks (also covering requested above the ladder top,
+        // where the filtered ladder is empty): the top rung on the
+        // exact path — matching the twin's coalesce — or the top
+        // BANDABLE rung on the banded path (0.95 is bandable at
+        // every plane count, so this is total)
+        if (exactOk) graft.GraftConf.cosineLadder.max
+        else EmbedBands.maxBandableRung(n))
   }
 
   /** Oracle: identical stride pairs, thresholds, and guard arithmetic. */
@@ -877,7 +893,7 @@ object Similarity {
        |  FROM embeddings
        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e
        |), pairs AS MATERIALIZED ($strides
-       |), th AS (SELECT unnest([0.25, 0.3, 0.4, 0.5, 0.6]) AS threshold
+       |), th AS (SELECT unnest([${graft.GraftConf.cosineLadder.mkString(", ")}]) AS threshold
        |), agg AS (
        |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
        |    CAST(sum(CASE WHEN cos >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
@@ -962,6 +978,109 @@ object Similarity {
        |  p = (SELECT cp FROM chosen) AS chosen
        |FROM census GROUP BY p
        |ORDER BY p""".stripMargin
+  }
+
+  /** SimHash-BANDED near-dup pair construction, run UNCONDITIONALLY
+    * (the production engine only takes this path past
+    * [[graft.GraftConf.maxBrutePairs]] — [[Dedup.embedPairBlocks]]'s
+    * r10 gate — so without this query the 100×-critical code would be
+    * unit-tested but never oracle-gated; this is the same discipline
+    * that put d_hot_buckets behind the LSH cap). Threshold: the
+    * smallest [[graft.GraftConf.cosineLadder]] rung ≥ 0.4 that is
+    * BANDABLE at this corpus' plane count (0.4 itself at the driver's
+    * scales — 59 planted pairs at sf0.01, 920 at sf0.1 — lifting
+    * automatically on bigger corpora exactly like the production
+    * selection). Every emitted pair is exactly verified (cosine
+    * recomputed, bit-identical to the twin); a qualifying pair is
+    * missed only with probability ≤ 1 −
+    * [[graft.GraftConf.bandRecallTarget]] (EmbedBandsSpec pins the
+    * realized recall against the exact pair set). The twin replays
+    * planes, signatures, bucket cap, verify and distinct verbatim —
+    * the banded construction is a cross-engine contract, not a
+    * Spark-side heuristic. */
+  def bandEdges(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns.l2_norm
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2_norm(col("v")))
+    val n = e.count()
+    val r = EmbedBands.bandPlaneCount(n)
+    val t = graft.GraftConf.cosineLadder.filter(_ >= 0.4)
+      .find(tt => EmbedBands.lTable.contains((tt, r)))
+      .getOrElse(EmbedBands.maxBandableRung(n))
+    EmbedBands.bandedPairs(e, n, t)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Oracle: identical geometry selection (ep_lt literal + integer
+    * plane ladder), forced-banded gate, and the full
+    * [[EmbedBands.bandedPairsSql]] replay. */
+  val bandEdgesSql: String = {
+    val ladder = graft.GraftConf.cosineLadder.mkString(", ")
+    s"""WITH nf_e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), nf_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nf_e
+       |), ep_gate AS (SELECT true AS banded
+       |), ep_lt AS (SELECT t, r, l FROM ${EmbedBands.lTableSql}
+       |), ep_r AS (
+       |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << r) * ${graft.GraftConf.bandBucketRows} >= n
+       |                   THEN r END), ${EmbedBands.MaxPlanes}) AS r
+       |  FROM (SELECT unnest([${(EmbedBands.MinPlanes to EmbedBands.MaxPlanes).mkString(", ")}]) AS r), nf_n
+       |), nf_efft AS (
+       |  SELECT coalesce(
+       |    min(CASE WHEN w.t >= 0.4 AND lt.l IS NOT NULL THEN w.t END),
+       |    (SELECT max(t) FROM ep_lt WHERE r = (SELECT r FROM ep_r))) AS t
+       |  FROM (SELECT unnest([$ladder]) AS t) w
+       |  LEFT JOIN ep_lt lt ON lt.t = w.t AND lt.r = (SELECT r FROM ep_r)
+       |), ${EmbedBands.bandedPairsSql}
+       |SELECT pa AS vec_a, pb AS vec_b, cosine FROM ep_band
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** BAND-GEOMETRY CENSUS — the audit table behind the banded path's
+    * threshold selection (the s_bucket_census discipline applied to
+    * [[EmbedBands]]): one row per ladder rung with the corpus' plane
+    * count, the solved band count L (NULL when recall ≥
+    * bandRecallTarget is unreachable within maxBands — the rung is
+    * not bandable), and whether the corpus is still inside the exact
+    * envelope. This is the table an operator reads to see WHY
+    * [[effectiveThreshold]] lifted past a rung at scale. Pure
+    * integer/literal arithmetic on both engines. */
+  def bandGeometry(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).select("vec_id").count()
+    val r = EmbedBands.bandPlaneCount(n)
+    val exactPath = n < 2 || n * (n - 1) / 2 <= graft.GraftConf.maxBrutePairs
+    import s.implicits._
+    graft.GraftConf.cosineLadder.map { t =>
+      val l = EmbedBands.lTable.get((t, r))
+      (t, r.toLong, l.map(_.toLong), l.isDefined, n, exactPath)
+    }.toDF("threshold", "band_planes", "n_bands", "bandable", "n", "exact_path")
+      .orderBy("threshold")
+  }
+
+  /** Oracle: the same ep_lt literal, plane-ladder minimum and
+    * brute-envelope comparison. */
+  val bandGeometrySql: String = {
+    val ladder = graft.GraftConf.cosineLadder.mkString(", ")
+    s"""WITH nf_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |), ep_lt AS (SELECT t, r, l FROM ${EmbedBands.lTableSql}
+       |), ep_r AS (
+       |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << r) * ${graft.GraftConf.bandBucketRows} >= n
+       |                   THEN r END), ${EmbedBands.MaxPlanes}) AS r
+       |  FROM (SELECT unnest([${(EmbedBands.MinPlanes to EmbedBands.MaxPlanes).mkString(", ")}]) AS r), nf_n
+       |)
+       |SELECT w.t AS threshold,
+       |  CAST((SELECT r FROM ep_r) AS BIGINT) AS band_planes,
+       |  CAST(lt.l AS BIGINT) AS n_bands,
+       |  lt.l IS NOT NULL AS bandable,
+       |  (SELECT n FROM nf_n) AS n,
+       |  (SELECT n * (n - 1) // 2 <= ${graft.GraftConf.maxBrutePairs} FROM nf_n) AS exact_path
+       |FROM (SELECT unnest([$ladder]) AS t) w
+       |LEFT JOIN ep_lt lt ON lt.t = w.t AND lt.r = (SELECT r FROM ep_r)
+       |ORDER BY threshold""".stripMargin
   }
 
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
@@ -2767,6 +2886,8 @@ object Similarity {
     "s_hnsw" -> (hnsw _),
     "s_noise_floor" -> (noiseFloor _),
     "s_bucket_census" -> (bucketCensus _),
+    "s_band_edges" -> (bandEdges _),
+    "s_band_geometry" -> (bandGeometry _),
     "s_ivf_pq" -> (annIvfPq _),
     "s_maxsim" -> (maxSim _),
     "s_ann_ivf" -> (annIvf _),
@@ -2805,6 +2926,8 @@ object Similarity {
     "s_hnsw" -> hnswSql,
     "s_noise_floor" -> noiseFloorSql,
     "s_bucket_census" -> bucketCensusSql,
+    "s_band_edges" -> bandEdgesSql,
+    "s_band_geometry" -> bandGeometrySql,
     "s_ivf_pq" -> annIvfPqSql,
     "s_maxsim" -> maxSimSql,
     "s_ann_ivf" -> annIvfSql,

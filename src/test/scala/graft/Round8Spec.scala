@@ -99,7 +99,9 @@ class Round8Spec extends SparkSpec {
   test("s_noise_floor: densities replay from the stride pairs; wedge price ties to the guard") {
     val out = graft.operators.Similarity.noiseFloor(spark, sf).collect()
       .sortBy(_.getDouble(0))
-    assert(out.map(_.getDouble(0)).toSeq == Seq(0.25, 0.3, 0.4, 0.5, 0.6))
+    // one row per ladder rung (r10 extended the ladder past 0.6 for
+    // the banded path — the audit follows GraftConf, not a literal)
+    assert(out.map(_.getDouble(0)).toSeq == GraftConf.cosineLadder)
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
