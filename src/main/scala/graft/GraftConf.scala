@@ -133,8 +133,17 @@ object GraftConf {
     * giant component — so the walk stays under [[maxBfsStateRows]] by
     * construction and the hard throw becomes a never-fires backstop).
     * COUPLED TO ORACLES: the SQL twin replays the identical census +
-    * selection, so the sampled root set is part of the contract. */
-  val bfsStateTarget: Long = 20L * 1000 * 1000
+    * selection, so the sampled root set is part of the contract.
+    *
+    * r10 retune 2·10⁷ → 5·10⁶: each BFS level's aggregation input is
+    * state × avg-degree rows, and the r10 10× probe measured the
+    * 2·10⁷ target driving ~9.5 GB of per-level agg/sort spill at the
+    * 12 GB probe heap — the Brandes-subset estimator loses nothing
+    * by sampling 4× fewer roots, the walk's working set now fits
+    * executor memory with headroom, and the driver's test scales
+    * still select m = 2 (the full historical seed set), so every
+    * oracle comparison is unchanged. */
+  val bfsStateTarget: Long = 5L * 1000 * 1000
 
   /** The modulus ladder for [[bfsStateTarget]]'s root sampling
     * (ascending; top rung is the fallback). Mirrored as literals in

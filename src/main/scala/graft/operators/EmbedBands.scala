@@ -188,12 +188,25 @@ private[graft] object EmbedBands {
           "the corpus is band-degenerate at this geometry; raise the threshold " +
           "or retune GraftConf.bandBucketRows")
     }
+    // size-targeted layout + SHUFFLE-HASH self-join: the rows carry
+    // 520-byte vectors, and a sort-merge join would SORT both sides —
+    // the r10 x100 probe measured ~10 GB of sort spill at a 12 GB
+    // driver heap from exactly that. Hash join groups are bounded by
+    // the bucket cap (≤ maxBandBucket rows buffered), and targeting
+    // ~64 MB of vector rows per partition keeps each task's build map
+    // small at ANY corpus size. Both sides derive from the same
+    // repartitioned frame, so ReuseExchange ships ONE shuffle, read
+    // twice.
+    val targetParts = math.max(
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.ceil(n.toDouble * l * (8 * Dim + 80) / (64L << 20)).toInt)
     val kept = sigs.join(broadcast(census.select("band", "sig")), Seq("band", "sig"))
+      .repartition(targetParts, col("band"), col("sig"))
     val a = kept.select(col("band"), col("sig"),
       col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
     val b = kept.select(col("band"), col("sig"),
       col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    val out = a.join(b, Seq("band", "sig"))
+    val out = a.join(b.hint("SHUFFLE_HASH"), Seq("band", "sig"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))

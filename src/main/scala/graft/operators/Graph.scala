@@ -1574,6 +1574,13 @@ object Graph {
     val adj = edges.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize NOW so the cached relation carries ACCURATE size
+    // stats: on the 10×-probe graph the adjacency table is a few MB
+    // and the planner then BROADCASTS it (every round's join becomes
+    // shuffle-free); unmaterialized, the estimate comes from the
+    // checkpointed union and the join falls back to a sort-merge that
+    // re-sorts the frontier every level
+    adj.count()
     // forward: reached(root, id, sigma, lvl); level-k frontier rows are
     // exactly the dist-k nodes, so "preds" is just the previous frontier
     var reached = nodes.filter(seed(col("id")))
@@ -2090,9 +2097,12 @@ object Graph {
     * threshold out of the noise floor, or k-core–prune first) instead
     * of silently grinding the cluster. */
   private def priceWedges(edges: DataFrame, who: String): Unit = {
+    // coalesce: an EMPTY edge set (a threshold above every planted
+    // pair — the x100 banded graph) sums to NULL, and pricing zero
+    // wedges must pass, not throw (r10 probe finding)
     val priced = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
-      .agg(sum(col("dg") * (col("dg") - 1) / 2).cast("long"))
+      .agg(coalesce(sum(col("dg") * (col("dg") - 1) / 2).cast("long"), lit(0L)))
       .head().getLong(0)
     if (priced > graft.GraftConf.maxWedges)
       throw new IllegalStateException(

@@ -375,11 +375,15 @@ object RelationalExt5 {
     * two measurements become oracle-pinned columns: `stat_rows` — the
     * optimizer's `Statistics.rowCount` for the table, which must equal
     * the exact count (the stats the cost model plans 100 TB joins
-    * with, not an estimate) — and `cbo_broadcast` — with
-    * auto-broadcast sized so only the ANALYZEd size qualifies, a join
-    * against the table must be planned as a broadcast hash join purely
-    * from its statistics (no hint), i.e. the size estimate actually
-    * drives the join strategy. Vacuity throws on both probes. */
+    * with, not an estimate) — and `cbo_broadcast` — the join strategy
+    * the planner picked, which must MATCH what the ANALYZEd size
+    * implies against the scoped auto-broadcast threshold: broadcast
+    * when the statistics fit (every driver scale — the oracle pins
+    * TRUE), sort/hash otherwise (the r10 100× probe: a 100× orders
+    * table rightly exceeds 64 MB and the correct stats-driven answer
+    * is NOT to broadcast — the old unconditional-broadcast assert
+    * threw on exactly the behavior it should certify). Either
+    * inconsistency direction throws. */
   def q71CboStats(s: SparkSession, d: String): DataFrame = {
     val id = invocation.incrementAndGet()
     val tbl = s"graft_q71_orders_$id"
@@ -398,10 +402,13 @@ object RelationalExt5 {
           .getOrElse(throw new IllegalStateException(
             "ANALYZE produced no rowCount statistic — stats pipeline broken"))
       }
+      val threshold = 64L * 1024 * 1024
       val agg = withConfsLocal(s, Map(
-        // large enough for the ANALYZEd orders projection, far too
-        // small for lineitem: a broadcast can only come from stats
-        "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString)) {
+        // at the driver's scales: large enough for the ANALYZEd orders
+        // projection, far too small for lineitem — a broadcast can
+        // only come from stats
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString)) {
+        val statsBytes = s.table(tbl).queryExecution.optimizedPlan.stats.sizeInBytes
         val joined = Tables.lineitem(s, d).select("l_orderkey")
           .join(s.table(tbl), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(count(lit(1)).as("n_lines"))
@@ -409,14 +416,15 @@ object RelationalExt5 {
         val materialized = joined.localCheckpoint()
         val isBroadcast = PlanProbe.nodes(joined)
           .exists(_.getClass.getSimpleName.contains("BroadcastHashJoin"))
-        if (!isBroadcast)
+        val expectBroadcast = statsBytes <= threshold
+        if (isBroadcast != expectBroadcast)
           throw new IllegalStateException(
-            "stats-sized side was not broadcast — CBO size estimate unused")
-        materialized
+            s"join strategy inconsistent with ANALYZEd size ($statsBytes B vs " +
+              s"$threshold B threshold): broadcast=$isBroadcast — CBO size estimate unused")
+        materialized.withColumn("cbo_broadcast", lit(isBroadcast))
       }
       agg
         .withColumn("stat_rows", lit(statRows))
-        .withColumn("cbo_broadcast", lit(true))
     } finally {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       graft.Scratch.rmTree(out)

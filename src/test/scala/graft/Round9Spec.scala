@@ -80,11 +80,12 @@ class Round9Spec extends SparkSpec {
     val pairs = operators.Dedup.embedDup(spark, sf)
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
     assert(operators.Graph.stressRootModulus(pairs) == 2L)
-    // synthetic giant component big enough that m=2 busts the target:
-    // path graph over 7000 nodes -> seeds(2)=3500, bound 2.45e7 > 2e7;
-    // m=4 -> 1750*7000 = 1.225e7 <= 2e7
+    // synthetic giant component big enough that m=2 busts the target
+    // (r10 retuned bfsStateTarget to 5e6): path graph over 7000 nodes
+    // -> seeds(2)=3500, bound 2.45e7 > 5e6; m=16 -> 438*7000 =
+    // 3.07e6 <= 5e6 (m=8 prices 6.13e6, still over)
     val big = (0L until 6999L).map(i => (i, i + 1)).toDF("a", "b")
-    assert(operators.Graph.stressRootModulus(big) == 4L)
+    assert(operators.Graph.stressRootModulus(big) == 16L)
     // empty graph: any modulus is vacuously fine, smallest wins
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(operators.Graph.stressRootModulus(empty) == 2L)
