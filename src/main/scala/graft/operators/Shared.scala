@@ -56,15 +56,30 @@ private[graft] object Shared {
 
   /** Build-once/reuse-after memo: the first caller materializes `build`
     * as one parquet file under the scratch root, later callers read it.
-    * computeIfAbsent serializes concurrent first-builders per key. */
+    *
+    * REENTRANT by design (r10): `build` runs OUTSIDE the map update.
+    * Memos nest here — dup_clusters builds over the ngram_jaccard
+    * memo, embed_dup's threshold reads the noise_stats memo — and
+    * ConcurrentHashMap.computeIfAbsent throws "Recursive update" when
+    * a nested computeIfAbsent lands in the same BIN, which is a
+    * hash-layout accident: r1–r9 never collided, the r10 key set did,
+    * and three Bench queries failed order-dependently. The race this
+    * opens (two concurrent first-builders both materialize; putIfAbsent
+    * keeps one, the loser's file is orphaned in scratch) is benign —
+    * the frames are deterministic, so both copies are identical, and
+    * every caller reads through the single winning path. */
   def memo(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
-    val path = done.computeIfAbsent(keyOf(s, d, name), { _ =>
-      val out = root + "/" + name + "-" + seq.incrementAndGet()
-      // one file: these are verified output tables (pairs/labels), tiny
-      // by construction; a single split keeps the read side trivial
-      build.coalesce(1).write.mode("overwrite").parquet(out)
-      out
-    })
+    val k = keyOf(s, d, name)
+    val path = done.get(k) match {
+      case null =>
+        val out = root + "/" + name + "-" + seq.incrementAndGet()
+        // one file: these are verified output tables (pairs/labels), tiny
+        // by construction; a single split keeps the read side trivial
+        build.coalesce(1).write.mode("overwrite").parquet(out)
+        val prev = done.putIfAbsent(k, out)
+        if (prev == null) out else prev
+      case p => p
+    }
     s.read.parquet(path)
   }
 
@@ -78,12 +93,17 @@ private[graft] object Shared {
     * CHECKPOINTS are per-run state, not derived input — a reused
     * checkpoint would resume instead of replay). */
   def memoDir(s: SparkSession, d: String, name: String)(build: java.io.File => Unit): java.io.File = {
-    val path = done.computeIfAbsent(keyOf(s, d, "dir:" + name), { _ =>
-      val dir = new java.io.File(root, name + "-" + seq.incrementAndGet())
-      dir.mkdirs()
-      build(dir)
-      dir.toString
-    })
+    // same reentrancy discipline as [[memo]]: build outside the update
+    val k = keyOf(s, d, "dir:" + name)
+    val path = done.get(k) match {
+      case null =>
+        val dir = new java.io.File(root, name + "-" + seq.incrementAndGet())
+        dir.mkdirs()
+        build(dir)
+        val prev = done.putIfAbsent(k, dir.toString)
+        if (prev == null) dir.toString else prev
+      case p => p
+    }
     new java.io.File(path)
   }
 }
