@@ -160,23 +160,10 @@ private[graft] object EmbedBands {
     *     opposite of the r8 candidate-distinct that spilled 241 GB.
     */
   def bandedPairs(e: DataFrame, n: Long, t: Double): DataFrame = {
-    val r = bandPlaneCount(n)
-    val l = lTable.getOrElse((t, r),
-      throw new IllegalArgumentException(
-        s"bandedPairs: rung $t is not bandable at r=$r planes " +
-          s"(recall ${graft.GraftConf.bandRecallTarget} unreachable within " +
-          s"${graft.GraftConf.maxBands} bands) — callers pick the threshold via " +
-          "Similarity.effectiveThreshold, which only selects bandable rungs here"))
-    val bandSig: Column = array((0 until l).map { b =>
-      (0 until r).map { i =>
-        when(dot_product(col("v"), planeLit(b * r + i)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    val sigs = e.select(col("vec_id"), col("v"), col("norm"),
-        posexplode(bandSig).as(Seq("band", "sig")))
+    val (r, l) = geometry(n, t)
+    val sigs = bandSigs(e, r, l)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val census = sigs.groupBy("band", "sig").agg(count(lit(1)).as("bc"))
-      .filter(col("bc").between(2L, graft.GraftConf.maxBandBucket))
+    val census = keptCensus(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val priced = census.agg(coalesce(sum(expr("bc * (bc - 1) div 2")), lit(0L)))
       .head().getLong(0)
@@ -188,17 +175,53 @@ private[graft] object EmbedBands {
           "the corpus is band-degenerate at this geometry; raise the threshold " +
           "or retune GraftConf.bandBucketRows")
     }
-    // size-targeted layout + SHUFFLE-HASH self-join: the rows carry
-    // 520-byte vectors, and a sort-merge join would SORT both sides —
-    // the r10 x100 probe measured ~10 GB of sort spill at a 12 GB
-    // driver heap from exactly that. Hash join groups are bounded by
-    // the bucket cap (≤ maxBandBucket rows buffered), and targeting
-    // ~64 MB of vector rows per partition keeps each task's build map
-    // small at ANY corpus size. Both sides derive from the same
-    // repartitioned frame, so ReuseExchange ships ONE shuffle, read
-    // twice.
+    val out = verifyJoin(sigs, census, n, l, t).localCheckpoint()
+    sigs.unpersist(blocking = false); census.unpersist(blocking = false)
+    out
+  }
+
+  private def geometry(n: Long, t: Double): (Int, Int) = {
+    val r = bandPlaneCount(n)
+    val l = lTable.getOrElse((t, r),
+      throw new IllegalArgumentException(
+        s"bandedPairs: rung $t is not bandable at r=$r planes " +
+          s"(recall ${graft.GraftConf.bandRecallTarget} unreachable within " +
+          s"${graft.GraftConf.maxBands} bands) — callers pick the threshold via " +
+          "Similarity.effectiveThreshold, which only selects bandable rungs here"))
+    (r, l)
+  }
+
+  /** (vec_id, v, norm, band, sig): one corpus scan computes all L
+    * band signatures and explodes them. */
+  private def bandSigs(e: DataFrame, r: Int, l: Int): DataFrame = {
+    val bandSig: Column = array((0 until l).map { b =>
+      (0 until r).map { i =>
+        when(dot_product(col("v"), planeLit(b * r + i)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    e.select(col("vec_id"), col("v"), col("norm"),
+      posexplode(bandSig).as(Seq("band", "sig")))
+  }
+
+  /** Buckets that will JOIN: ≥ 2 members (singletons pair with
+    * nothing) and ≤ the hot-bucket cap. */
+  private def keptCensus(sigs: DataFrame): DataFrame =
+    sigs.groupBy("band", "sig").agg(count(lit(1)).as("bc"))
+      .filter(col("bc").between(2L, graft.GraftConf.maxBandBucket))
+
+  /** Size-targeted layout + SHUFFLE-HASH self-join: the rows carry
+    * 520-byte vectors, and a sort-merge join would SORT both sides —
+    * the r10 x100 probe measured ~10 GB of sort spill at a 12 GB
+    * driver heap from exactly that. Hash join groups are bounded by
+    * the bucket cap (≤ maxBandBucket rows buffered), and targeting
+    * ~64 MB of vector rows per partition keeps each task's build map
+    * small at ANY corpus size. Both sides derive from the same
+    * repartitioned frame, so ReuseExchange ships ONE shuffle, read
+    * twice — EmbedBandsSpec pins both plan properties. */
+  private[graft] def verifyJoin(sigs: DataFrame, census: DataFrame,
+      n: Long, l: Int, t: Double): DataFrame = {
     val targetParts = math.max(
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      sigs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       math.ceil(n.toDouble * l * (8 * Dim + 80) / (64L << 20)).toInt)
     val kept = sigs.join(broadcast(census.select("band", "sig")), Seq("band", "sig"))
       .repartition(targetParts, col("band"), col("sig"))
@@ -206,16 +229,22 @@ private[graft] object EmbedBands {
       col("vec_id").as("vec_a"), col("v").as("v_a"), col("norm").as("n_a"))
     val b = kept.select(col("band"), col("sig"),
       col("vec_id").as("vec_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    val out = a.join(b.hint("SHUFFLE_HASH"), Seq("band", "sig"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("band", "sig"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= t)
       .distinct()
       .orderBy("vec_a", "vec_b")
-      .localCheckpoint()
-    sigs.unpersist(blocking = false); census.unpersist(blocking = false)
-    out
+  }
+
+  /** The full banded construction WITHOUT the final checkpoint — the
+    * plan-shape certificate surface (a checkpointed frame erases its
+    * plan). Same stages as [[bandedPairs]] minus persist/price. */
+  private[graft] def bandedPairsPlan(e: DataFrame, n: Long, t: Double): DataFrame = {
+    val (r, l) = geometry(n, t)
+    val sigs = bandSigs(e, r, l)
+    verifyJoin(sigs, keptCensus(sigs), n, l, t)
   }
 
   /** SQL replay of [[bandedPairs]] as CTEs ending in

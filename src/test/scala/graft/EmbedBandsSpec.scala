@@ -92,6 +92,28 @@ class EmbedBandsSpec extends SparkSpec {
     assert(pairs.count() > 0 && probes.columns.toSeq == Seq("vec_id", "cell"))
   }
 
+  test("banded verify-join plan: shuffled-hash (no sort) over one reused exchange") {
+    // the r10 x100 finding as a standing certificate: a sort-merge
+    // join SORTS both 520-byte-vector sides (~10 GB of measured
+    // spill); the plan must hash-join, and the two self-join sides
+    // must ship ONE exchange (ReuseExchange), not two
+    import graft.functions.VectorFns.l2_norm
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2_norm(col("v")))
+    val n = e.count()
+    val plan = EmbedBands.bandedPairsPlan(e, n, t = 0.4)
+    plan.localCheckpoint() // execute so AQE's final plan exists
+    val nodes = org.apache.spark.sql.graftbridge.PlanProbe.nodes(plan)
+      .map(_.getClass.getSimpleName)
+    assert(nodes.exists(_.contains("ShuffledHashJoin")),
+      s"verify join must be shuffled-hash, saw: ${nodes.filter(_.contains("Join")).distinct}")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "verify join fell back to sort-merge — the x100 spill shape")
+    assert(nodes.exists(_.contains("ReusedExchange")),
+      "self-join sides must reuse one exchange")
+  }
+
   test("effectiveThreshold: unchanged at test scales, and requested above the ladder top falls back") {
     // ADVICE r9: requested > ladder.max used to throw on the empty
     // filtered ladder; now it falls back to the unfiltered top
