@@ -217,6 +217,21 @@ object GraftConf {
     * brute-force twin with the probabilistic contract documented. */
   val maxBandBucket: Long = 1024L
 
+  /** Target bytes of (planner-estimated) table data per bucket for the
+    * bucketed-layout join certificate
+    * ([[graft.operators.RelationalExt4.q56BucketJoin]]): the bucket
+    * count is the power of two that brings the LARGER side's estimate
+    * under this per bucket, floored at [[bucketMinCount]] — a fixed
+    * count eventually makes each bucket corpus-sized (the r10 100×
+    * probe's exp-0.67 finding), while a size-derived power of two is
+    * the layout a 100 TB table would actually be written with (pow2 so
+    * a future reader can coalesce 2ⁿ→2ᵐ without re-shuffling). The
+    * CERTIFICATE (zero exchanges below the join) is count-independent:
+    * both sides are written with the SAME derived count. */
+  val bucketTargetBytes: Long = 32L * 1024 * 1024
+  val bucketMinCount: Int = 8
+  val bucketMaxCount: Int = 1 << 12
+
   /** Prefix length (whitespace tokens) for prefix-duplicate detection
     * ([[graft.operators.Dedup.prefixDup]]). Long enough that chance
     * collisions vanish on natural text, short enough to catch

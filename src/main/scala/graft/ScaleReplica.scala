@@ -37,12 +37,17 @@ import org.apache.spark.sql.functions._
   * honest hot-dimension shape, group counts scale linearly, skewed
   * keys get N× hotter, and every join stays referentially intact.
   *
-  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N> [facts]
+  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N> [facts|embonly]
+  * (`embonly` writes ONLY the replicated embeddings table — the banded
+  * path's 1000x envelope probe needs 2e6 vectors, ~50 MB, and nothing
+  * else; replicating 1000x documents would cost minutes and a GB for
+  * tables the probe never reads.)
   */
 object ScaleReplica {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val n = args(2).toInt
     val facts = args.length > 3 && args(3) == "facts"
+    val embOnly = args.length > 3 && args(3) == "embonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,6 +59,7 @@ object ScaleReplica {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
 
+    if (!embOnly) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     (0 until n).map { i =>
@@ -65,6 +71,7 @@ object ScaleReplica {
     }.reduce(_ unionByName _)
       .repartition(math.max(4, cpus.toInt))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -96,11 +103,20 @@ object ScaleReplica {
       }
       emb.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
         flipped.as("embedding"), col("label"))
-    }.reduce(_ unionByName _)
-      .repartition(math.max(4, cpus.toInt))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }.grouped(64).toSeq match {
+      // one N-way union is fine at probe N ≤ ~100; a 1000-branch
+      // left-deep union (the embonly envelope probe) makes analysis
+      // super-linear, so chunk the union and append per chunk —
+      // identical rows, bounded plan size
+      case chunks =>
+        graft.Scratch.rmTree(s"$out/embeddings.parquet")
+        chunks.foreach(g => g.reduce(_ unionByName _)
+          .repartition(math.max(4, cpus.toInt))
+          .write.mode("append").parquet(s"$out/embeddings.parquet"))
+    }
 
-    val copied = if (facts) {
+    val copied = if (embOnly) Seq.empty[String]
+    else if (facts) {
       // customer and the user/customer FKs replicate IN LOCKSTEP with
       // the facts: keeping user_id/o_custkey at 1x would multiply every
       // user/customer-keyed SELF-join quadratically (caught live: the
@@ -167,8 +183,10 @@ object ScaleReplica {
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"scale-replica: wrote ${n}x documents/embeddings" +
-      (if (facts) "/customer/orders/lineitem/events" else "") + s" to $out")
+    println(s"scale-replica: wrote ${n}x " +
+      (if (embOnly) "embeddings"
+       else "documents/embeddings" + (if (facts) "/customer/orders/lineitem/events" else "")) +
+      s" to $out")
     spark.stop()
   }
 }

@@ -27,7 +27,27 @@ object Verify {
       case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
       case None     => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
+    // RANDOMIZED execution order (r10 verdict item 8): the Shared.memo
+    // recursive-update bug hid for five rounds because Verify's fixed
+    // map order never exercised the colliding nesting — only Bench's
+    // sorted order did. Shuffling per run makes the CORRECTNESS gate
+    // itself the order-stress: every query must be order-independent,
+    // so any order-sensitive state bug eventually lands on a failing
+    // permutation here instead of surviving to a bench. The seed is
+    // printed (and overridable via SPARK_GRAFT_ORDER_SEED) so a
+    // failing permutation is replayable; SPARK_GRAFT_ORDER=sorted
+    // restores a deterministic sweep for bisection.
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      sys.env.get("SPARK_GRAFT_ORDER") match {
+        case Some("sorted") => selected.toSeq.sortBy(_._1)
+        case _ =>
+          val seed = sys.env.get("SPARK_GRAFT_ORDER_SEED").map(_.toLong)
+            .getOrElse(System.nanoTime())
+          System.err.println(s"[verify] query order: shuffled, seed=$seed " +
+            "(replay with SPARK_GRAFT_ORDER_SEED, or SPARK_GRAFT_ORDER=sorted)")
+          new scala.util.Random(seed).shuffle(selected.toSeq.sortBy(_._1))
+      }
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

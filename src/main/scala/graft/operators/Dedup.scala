@@ -222,6 +222,46 @@ object Dedup {
       .distinct()
   }
 
+  /** CENSUS-DERIVED verify band rows (r10 verdict item 6 — the
+    * [[EmbedBands]] solve-the-geometry-from-the-corpus discipline
+    * applied to the MinHash side, which until r11 used the static
+    * [[graft.GraftConf.lshBandRowsVerify]]): price the band join for
+    * each zero-practical-miss rung and take the cheaper one.
+    *
+    * The rung SET is fixed to {1, 2} — at j ≥ 0.5 both miss a true
+    * pair with ≤ (1−j²)⁶⁴ ≈ 1e-8 (r=1 is strictly better-recalled:
+    * 128 single-row bands), so the SELECTION moves cost, never the
+    * contract: a brute-force oracle stays exact for either choice and
+    * the selection itself is replayed by the consumer's twin. The
+    * price of rung r is the UNCAPPED pair volume of its band census
+    * over DISTINCT signatures, Σ_buckets bc·(bc−1)/2 in long
+    * arithmetic — the cap is a safety valve, not a cost-reducer a
+    * selection may exploit (pricing capped volume would reward a
+    * geometry precisely for losing recall to hot buckets). On natural
+    * corpora single-minhash (r=1) buckets are fat — docs sharing ONE
+    * common element collide — so this lands on r=2 everywhere the
+    * driver tests, and the derivation is what a corpus with cheap
+    * r=1 structure would retune automatically. Two narrow aggregates
+    * over the distinct-signature table, priced BEFORE any pair
+    * exists. Bucket identity is the 64-bit band hash (slice-equal ⇒
+    * hash-equal; a 2⁻⁶⁴ cross-slice collision merges two census
+    * buckets and can only nudge the PRICE, the same vanishing class
+    * every banding twin already carries). */
+  private[graft] def censusBandRows(sigs: DataFrame): Int = {
+    val distinctSigs = sigs.select("sig").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val priced = Seq(1, 2).map { r =>
+      r -> distinctSigs
+        .select(posexplode(graft.functions.MinHashFns.band_hashes(col("sig"), r))
+          .as(Seq("band_idx", "band_hash")))
+        .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bc"))
+        .agg(coalesce(sum(expr("bc * (bc - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+    }
+    distinctSigs.unpersist(blocking = false)
+    priced.minBy { case (r, v) => (v, -r) }._1
+  }
+
   /** Candidate pairs only -- signatures are NOT carried through the band
     * join (they'd multiply shuffle width by 128); callers re-join the few
     * surviving pairs against the persisted signature/shingle table.
@@ -1221,7 +1261,12 @@ object Dedup {
     * probe: returns (exact qualifying pairs ordered by (vec_a, vec_b),
     * the (vec_id, cell) probe table whose size measures pruning power).
     * Input needs (vec_id, embedding). */
-  private[graft] def embedPairBlocks(e0: DataFrame, t: Double): (DataFrame, DataFrame) = {
+  private[graft] def embedPairBlocks(e0: DataFrame, t: Double,
+      // test seam (ADVICE r10): EmbedBandsSpec lowers the gate to drive
+      // the banded RETURN PATH of this method directly (threshold
+      // pass-through, empty probes frame) on a corpus small enough to
+      // also compute the exact answer; production callers never pass it
+      maxBrutePairs: Long = graft.GraftConf.maxBrutePairs): (DataFrame, DataFrame) = {
     import graft.functions.VectorFns.{dot_product, l2_norm}
     val acosT = math.acos(t)
     val eps = 1e-6 // FP slack on the prune bound: borderline cells verify instead of pruning
@@ -1243,7 +1288,7 @@ object Dedup {
     // the oracle to replay. Callers reach here with a threshold the
     // noise-floor audit already lifted (effectiveThreshold), which on
     // the banded side only selects BANDABLE rungs.
-    if (n * (n - 1) / 2 > graft.GraftConf.maxBrutePairs) {
+    if (n * (n - 1) / 2 > maxBrutePairs) {
       val pairs = EmbedBands.bandedPairs(e, n, t)
       // the cell-probe table is a pruning diagnostic of the exact
       // path; the banded path has no cells — empty, same schema

@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   * least one band — verified exactly by cosine, so every emitted pair
   * is a true ≥ t pair and a qualifying pair is missed only if it
   * splits in all L bands: recall ≥ 1 − (1 − q^r)^L ≥
-  * [[graft.GraftConf.bandRecallTarget]] per pair, q = 1 − acos(t)/π.
+  * [[graft.GraftConf.bandRecallTarget]] per pair, q = 1 − acos(t)/π —
+  * ABSENT HOT-BUCKET LOSS (ADVICE r10): buckets past
+  * [[graft.GraftConf.maxBandBucket]] are dropped before any pair
+  * exists, so a band colliding only in a hot bucket counts as a
+  * split; the lTable bound is conditional on the cap not firing on
+  * all of a pair's bands, and the residual miss when it does sits in
+  * the same probabilistic class (a qualifying pair still collides in
+  * its other, selective bands — the maxBandBucket argument,
+  * oracle-gated where the cap fires by d_cap_fires).
   * The geometry is solved per (threshold, corpus): r adapts so bucket
   * populations stay ≈ [[graft.GraftConf.bandBucketRows]] (join volume
   * L·n·bucketRows — linear in the corpus), L comes from the
@@ -135,7 +143,11 @@ private[graft] object EmbedBands {
   /** Exact-verified banded pairs at cosine ≥ t over (vec_id, v, norm)
     * rows — same output columns as the exact paths
     * ([[Dedup.embedPairBlocks]]), recall per qualifying pair ≥
-    * [[graft.GraftConf.bandRecallTarget]] by the [[lTable]] geometry.
+    * [[graft.GraftConf.bandRecallTarget]] by the [[lTable]] geometry
+    * ABSENT HOT-BUCKET LOSS — a pair whose collisions all land in
+    * buckets past [[graft.GraftConf.maxBandBucket]] (step 2) can be
+    * missed regardless of L; the residual is the same probabilistic
+    * class as the band-split miss (see the object doc).
     *
     * Shape, stage by stage (the 100 TB read):
     *  1. One corpus scan computes all L band signatures per vector
@@ -180,7 +192,7 @@ private[graft] object EmbedBands {
     out
   }
 
-  private def geometry(n: Long, t: Double): (Int, Int) = {
+  private[graft] def geometry(n: Long, t: Double): (Int, Int) = {
     val r = bandPlaneCount(n)
     val l = lTable.getOrElse((t, r),
       throw new IllegalArgumentException(
@@ -193,7 +205,7 @@ private[graft] object EmbedBands {
 
   /** (vec_id, v, norm, band, sig): one corpus scan computes all L
     * band signatures and explodes them. */
-  private def bandSigs(e: DataFrame, r: Int, l: Int): DataFrame = {
+  private[graft] def bandSigs(e: DataFrame, r: Int, l: Int): DataFrame = {
     val bandSig: Column = array((0 until l).map { b =>
       (0 until r).map { i =>
         when(dot_product(col("v"), planeLit(b * r + i)) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -205,7 +217,7 @@ private[graft] object EmbedBands {
 
   /** Buckets that will JOIN: ≥ 2 members (singletons pair with
     * nothing) and ≤ the hot-bucket cap. */
-  private def keptCensus(sigs: DataFrame): DataFrame =
+  private[graft] def keptCensus(sigs: DataFrame): DataFrame =
     sigs.groupBy("band", "sig").agg(count(lit(1)).as("bc"))
       .filter(col("bc").between(2L, graft.GraftConf.maxBandBucket))
 

@@ -97,28 +97,53 @@ object RelationalExt {
     *    rows strictly-below / at-or-below the returned value)
     * — and the DuckDB oracle computes the same exact side with literal
     * TRUE flags, turning the sketch contract into a bit-exact row match.
-    * The rank re-check is one extra broadcast-join scan; the sketch
-    * aggregate itself is the usual one-pass partial/final HLL merge. */
+    * All three passes (sketch, median, rank re-check) consume ONE
+    * shared exchange of the projected table (ReusedExchange-certified
+    * in the result path), so lineitem is scanned once. */
   def q21Approx(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey", "l_extendedprice")
-    val sketch = li.groupBy("l_returnflag")
+    // ONE lineitem scan for all three passes (r10 verdict item 5: the
+    // sketch + rank-certification double scan was the suite's
+    // three-round suite-context canary AND its 100×-probe spiller):
+    // every branch below consumes this identical repartition, so
+    // ReuseExchange/AQE stage reuse ships ONE shuffle read three times
+    // — certified below like q83. Two load-bearing choices: (a) the
+    // key is NOT flag alone — 3 flag values would put the whole table
+    // in 3 partitions; hashing in partkey/price keeps full
+    // parallelism. (b) ALL THREE projected columns appear in the
+    // partitioning expressions, which makes the exchange PRUNE-PROOF:
+    // column pruning would otherwise push each branch's narrower
+    // Project below the exchange (counts needs partkey, medians needs
+    // price), making the three exchanges non-identical and silently
+    // un-reusable — a column referenced by the partitioning itself
+    // can never be pruned, so all branches share one bit-identical
+    // exchange. Downstream aggregates shuffle only partial-agg-sized
+    // rows on their own keys.
+    val liP = li.repartition(
+      col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    val counts = liP.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // percentile in its OWN branch (not mixed with countDistinct): the
+    // combined aggregate's Expand put >128 distinct grouping keys into
+    // ObjectHashAggregate, tripping its sort-based fallback — a full
+    // sort of 2× the table, the 4 GB the 100× probe measured spilling.
+    // Alone, the percentile groups by 3 flags and never falls back.
+    val medians = liP.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
     // rank check: the fraction of rows below the sketch's median estimate
     // must sit within eps=0.001 (plus slack) of 0.5 on both sides
-    val ranks = li
-      .join(broadcast(sketch.select("l_returnflag", "approx_median")), "l_returnflag")
+    val ranks = liP
+      .join(broadcast(medians), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
         (sum(when(col("l_extendedprice") < col("approx_median"), 1L).otherwise(0L))
           / count(lit(1))).as("frac_lt"),
         (sum(when(col("l_extendedprice") <= col("approx_median"), 1L).otherwise(0L))
           / count(lit(1))).as("frac_le"))
-    sketch.join(broadcast(ranks), "l_returnflag")
+    val res = counts.join(broadcast(ranks), "l_returnflag")
       .select(
         col("l_returnflag"),
         col("exact_parts"),
@@ -127,6 +152,15 @@ object RelationalExt {
           <= col("exact_parts") * lit(0.15)).as("hll_ok"),
         (col("frac_lt") <= 0.51 && col("frac_le") >= 0.49).as("median_ok"))
       .orderBy("l_returnflag")
+    // the one-scan claim as a standing certificate (the q83 discipline):
+    // three consumers of one exchange must leave ≥ 2 ReusedExchange
+    // nodes in the executed plan — a regression to per-branch scans
+    // flips the gate, not just a bench number
+    val materialized = res.localCheckpoint()
+    if (org.apache.spark.sql.graftbridge.PlanProbe.reusedExchanges(res) < 2)
+      throw new IllegalStateException(
+        "q21_approx: lineitem exchange not reused across the sketch/median/rank branches")
+    materialized
   }
 
   val q21Sql: String =

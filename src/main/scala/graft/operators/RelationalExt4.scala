@@ -33,8 +33,10 @@ object RelationalExt4 {
   private val invocation = new AtomicLong(0L)
 
   /** BUCKETED-LAYOUT JOIN ELIMINATION. orders and lineitem are written
-    * as parquet tables `bucketBy(8, <orderkey>)` + `sortBy` — each
-    * side `repartition(8, key)`-ed first so every bucket is exactly ONE
+    * as parquet tables `bucketBy(n, <orderkey>)` + `sortBy`, n derived
+    * from the larger side's size ([[bucketCountFor]] — 8 at the
+    * driver's scales, growing as a power of two with the data) — each
+    * side `repartition(n, key)`-ed first so every bucket is exactly ONE
     * file (repartition's HashPartitioning and the bucket id are the
     * same pmod(murmur3) function, so task i holds precisely bucket i).
     * The fact-fact join then runs as a sort-merge join whose both
@@ -57,23 +59,46 @@ object RelationalExt4 {
     *
     * Business result: per-priority line counts + exact-micros revenue
     * over the joined facts. */
+  /** Size-derived bucket count (r10 verdict item 4): the smallest power
+    * of two putting the larger side's planner estimate under
+    * [[graft.GraftConf.bucketTargetBytes]] per bucket, clamped to
+    * [[graft.GraftConf.bucketMinCount]]..[[graft.GraftConf.bucketMaxCount]].
+    * Deterministic integer arithmetic over the scan estimate — at the
+    * driver's scales it lands on the floor (8, the historical layout),
+    * at 100× it grows with the data so no bucket is ever corpus-sized. */
+  private[graft] def bucketCountFor(sizeBytes: BigInt): Int = {
+    val target = graft.GraftConf.bucketTargetBytes
+    val needed = ((sizeBytes max BigInt(1)) + target - 1) / target
+    val capped = (needed min BigInt(graft.GraftConf.bucketMaxCount)).toInt
+    val p2 = Integer.highestOneBit(math.max(1, capped))
+    val ceil2 = if (p2 == capped) p2 else p2 << 1
+    math.max(graft.GraftConf.bucketMinCount, ceil2)
+  }
+
   def q56BucketJoin(s: SparkSession, d: String): DataFrame = {
     val id = invocation.incrementAndGet()
     val tO = s"graft_q56_orders_$id"
     val tL = s"graft_q56_lineitem_$id"
     val out = java.nio.file.Files.createTempDirectory("graft_q56_").toString
     try {
-      Tables.orders(s, d)
-        .select("o_orderkey", "o_orderpriority")
-        .repartition(8, col("o_orderkey"))
+      val ordersProj = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      val lineitemProj = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      // ONE count for BOTH sides, from the larger (bucketed joins need
+      // equal counts to stay exchange-free; Spark's bucket coalescing
+      // could relax this to a 2^k multiple, but equal is the layout a
+      // warehouse co-bucketing a fact pair would write)
+      val nBuckets = bucketCountFor(
+        lineitemProj.queryExecution.optimizedPlan.stats.sizeInBytes max
+          ordersProj.queryExecution.optimizedPlan.stats.sizeInBytes)
+      ordersProj
+        .repartition(nBuckets, col("o_orderkey"))
         .write.mode("overwrite").option("path", s"$out/orders")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(tO)
-      Tables.lineitem(s, d)
-        .select("l_orderkey", "l_extendedprice")
-        .repartition(8, col("l_orderkey"))
+      lineitemProj
+        .repartition(nBuckets, col("l_orderkey"))
         .write.mode("overwrite").option("path", s"$out/lineitem")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(tL)
       val agg = s.table(tO).hint("merge")
         .join(s.table(tL).hint("merge"), col("o_orderkey") === col("l_orderkey"))

@@ -39,10 +39,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (longs/doubles are exact through parquet) — and every consumer is
   * oracle-gated per query. */
 private[graft] object Shared {
-  // key -> materialized parquet path; the VALUE is a path, not a
-  // DataFrame, so nothing here pins RDD blocks or cache entries
-  private val done = new ConcurrentHashMap[String, String]()
+  // key -> task materializing the parquet/dir path; the task's VALUE is
+  // a path, not a DataFrame, so nothing here pins RDD blocks or cache
+  // entries. A FutureTask per key restores computeIfAbsent's per-key
+  // serialization WITHOUT its bin lock (ADVICE r10): putIfAbsent only
+  // inserts the not-yet-run task — no user code under the CHM lock, so
+  // nested memo builds can never hit "Recursive update" — and a
+  // concurrent second caller WAITS on the winner's task instead of
+  // duplicating the Spark jobs and orphaning a scratch directory.
+  private val done = new ConcurrentHashMap[String, java.util.concurrent.FutureTask[String]]()
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run-or-wait on the per-key task; a FAILED build is evicted so a
+    * later caller can retry instead of reading a poisoned task for the
+    * rest of the session (builds are deterministic, but their FAILURES
+    * need not be — an executor OOM under memory pressure is transient). */
+  private def runOrJoin(k: String)(build: () => String): String = {
+    val ft = new java.util.concurrent.FutureTask[String](() => build())
+    val task = Option(done.putIfAbsent(k, ft)).getOrElse { ft.run(); ft }
+    try task.get()
+    catch {
+      // the BUILD failed — evict so a later caller retries
+      case e: java.util.concurrent.ExecutionException =>
+        done.remove(k, task); throw e.getCause
+      // the WAITER was interrupted — the winner's task may be fine;
+      // leave it for the next caller
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+    }
+  }
 
   private lazy val root: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-shared-")
@@ -57,28 +82,24 @@ private[graft] object Shared {
   /** Build-once/reuse-after memo: the first caller materializes `build`
     * as one parquet file under the scratch root, later callers read it.
     *
-    * REENTRANT by design (r10): `build` runs OUTSIDE the map update.
-    * Memos nest here — dup_clusters builds over the ngram_jaccard
-    * memo, embed_dup's threshold reads the noise_stats memo — and
+    * REENTRANT by design (r10): `build` runs OUTSIDE the map update —
+    * memos nest here (dup_clusters builds over the ngram_jaccard memo,
+    * embed_dup's threshold reads the noise_stats memo), and
     * ConcurrentHashMap.computeIfAbsent throws "Recursive update" when
-    * a nested computeIfAbsent lands in the same BIN, which is a
-    * hash-layout accident: r1–r9 never collided, the r10 key set did,
-    * and three Bench queries failed order-dependently. The race this
-    * opens (two concurrent first-builders both materialize; putIfAbsent
-    * keeps one, the loser's file is orphaned in scratch) is benign —
-    * the frames are deterministic, so both copies are identical, and
-    * every caller reads through the single winning path. */
+    * a nested computeIfAbsent lands in the same BIN, a hash-layout
+    * accident the r10 key set surfaced. r11 closes the gap the r10
+    * rewrite opened (ADVICE r10): first-builds are again serialized
+    * PER KEY via a [[runOrJoin]] FutureTask, so two concurrent first
+    * callers run ONE build (the loser waits on the winner) — no
+    * duplicated Spark jobs, no orphaned scratch directory — while the
+    * task body still executes outside any CHM bin lock. */
   def memo(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
-    val k = keyOf(s, d, name)
-    val path = done.get(k) match {
-      case null =>
-        val out = root + "/" + name + "-" + seq.incrementAndGet()
-        // one file: these are verified output tables (pairs/labels), tiny
-        // by construction; a single split keeps the read side trivial
-        build.coalesce(1).write.mode("overwrite").parquet(out)
-        val prev = done.putIfAbsent(k, out)
-        if (prev == null) out else prev
-      case p => p
+    val path = runOrJoin(keyOf(s, d, name)) { () =>
+      val out = root + "/" + name + "-" + seq.incrementAndGet()
+      // one file: these are verified output tables (pairs/labels), tiny
+      // by construction; a single split keeps the read side trivial
+      build.coalesce(1).write.mode("overwrite").parquet(out)
+      out
     }
     s.read.parquet(path)
   }
@@ -93,16 +114,12 @@ private[graft] object Shared {
     * CHECKPOINTS are per-run state, not derived input — a reused
     * checkpoint would resume instead of replay). */
   def memoDir(s: SparkSession, d: String, name: String)(build: java.io.File => Unit): java.io.File = {
-    // same reentrancy discipline as [[memo]]: build outside the update
-    val k = keyOf(s, d, "dir:" + name)
-    val path = done.get(k) match {
-      case null =>
-        val dir = new java.io.File(root, name + "-" + seq.incrementAndGet())
-        dir.mkdirs()
-        build(dir)
-        val prev = done.putIfAbsent(k, dir.toString)
-        if (prev == null) dir.toString else prev
-      case p => p
+    // same reentrancy + per-key-serialization discipline as [[memo]]
+    val path = runOrJoin(keyOf(s, d, "dir:" + name)) { () =>
+      val dir = new java.io.File(root, name + "-" + seq.incrementAndGet())
+      dir.mkdirs()
+      build(dir)
+      dir.toString
     }
     new java.io.File(path)
   }

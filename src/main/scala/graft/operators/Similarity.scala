@@ -993,8 +993,12 @@ object Similarity {
     * selection). Every emitted pair is exactly verified (cosine
     * recomputed, bit-identical to the twin); a qualifying pair is
     * missed only with probability ≤ 1 −
-    * [[graft.GraftConf.bandRecallTarget]] (EmbedBandsSpec pins the
-    * realized recall against the exact pair set). The twin replays
+    * [[graft.GraftConf.bandRecallTarget]] ABSENT HOT-BUCKET LOSS — a
+    * pair whose band collisions all land in buckets past
+    * [[graft.GraftConf.maxBandBucket]] can be missed regardless of L,
+    * a residual in the same probabilistic class (both engines drop
+    * the SAME buckets, so the twin match is unaffected; EmbedBandsSpec
+    * pins the realized recall against the exact pair set). The twin replays
     * planes, signatures, bucket cap, verify and distinct verbatim —
     * the banded construction is a cross-engine contract, not a
     * Spark-side heuristic. */

@@ -1893,12 +1893,17 @@ object TextAnalysis {
     * K=16 rolling hash, boundaries at hash % 64 = 0) RESYNCHRONIZES right
     * after the insertion, so all but the first chunk hashes are unchanged.
     * Each document is reduced to its distinct chunk-md5 SET; a 128-perm
-    * MinHash signature over that set feeds the 64-band × 2-row LSH join
-    * (miss probability at j = 0.5: (1 − 0.25)^64 ≈ 1e-8 — the
-    * [[Dedup.ngramJaccard]] completeness argument verbatim, so the result
-    * equals the brute-force oracle), and surviving candidates are verified
-    * by EXACT chunk-set intersection. Output: pairs with chunk-set
-    * Jaccard ≥ 0.5.
+    * MinHash signature over that set feeds the LSH band join at a
+    * CENSUS-DERIVED rows-per-band ([[Dedup.censusBandRows]], r11: the
+    * EmbedBands solve-geometry-from-the-corpus discipline on the
+    * MinHash side — both rungs {1, 2} miss a true j ≥ 0.5 pair with
+    * ≤ (1 − 0.25)^64 ≈ 1e-8, the [[Dedup.ngramJaccard]] completeness
+    * argument verbatim, so the selection moves COST only and the
+    * result still equals the brute-force oracle; the chosen rung is
+    * emitted as the oracle-pinned `band_rows` column, the census
+    * selection replayed by the twin), and surviving candidates are
+    * verified by EXACT chunk-set intersection. Output: pairs with
+    * chunk-set Jaccard ≥ 0.5 plus the geometry column.
     *
     * Scale shape: chunk fingerprints are ~1 row per 64 input bytes and
     * the band join is the [[Dedup.bandCandidates]] canonicalize-
@@ -1925,19 +1930,35 @@ object TextAnalysis {
     val sigs = sets
       .withColumn("sig", graft.functions.MinHashFns.minhash_sig(col("chs")))
       .select(col("doc_id"), col("sig"))
-    val cands = Dedup.bandCandidates(sigs, bandRows = graft.GraftConf.lshBandRowsVerify)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // census-derived geometry (priced over distinct signatures BEFORE
+    // any pair exists) — lands on rung 2 on every driver corpus
+    val chosenR = Dedup.censusBandRows(sigs)
+    val cands = Dedup.bandCandidates(sigs, bandRows = chosenR)
     val ca = sets.select(col("doc_id").as("doc_a"), col("chs").as("ch_a"))
     val cb = sets.select(col("doc_id").as("doc_b"), col("chs").as("ch_b"))
     cands.join(ca, "doc_a").join(cb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         ExactRound.r(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
-          / size(array_union(col("ch_a"), col("ch_b"))), 6).as("cdc_jaccard"))
+          / size(array_union(col("ch_a"), col("ch_b"))), 6).as("cdc_jaccard"),
+        lit(chosenR.toLong).as("band_rows"))
       .filter(col("cdc_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Brute-force chunk-set Jaccard over the byte-exact SQL chunker. */
-  val cdcMinhashSql: String =
+  /** Brute-force chunk-set Jaccard over the byte-exact SQL chunker,
+    * plus the census-derived geometry replay: the `csel_*` CTEs
+    * recompute the 128-perm signatures over the chunk sets (the
+    * [[Dedup]] minhashSigCtes djb2 + affine-perm arithmetic verbatim,
+    * over chunk hashes instead of shingles), census both rungs over
+    * DISTINCT signatures (bucket identity = the r-slice itself;
+    * Spark's 64-bit band hash merges buckets only at the 2⁻⁶⁴
+    * cross-slice-collision class), and re-run the identical
+    * min-priced selection — pinning `band_rows` bit-exactly while the
+    * pair rows stay the brute-force contract. */
+  val cdcMinhashSql: String = {
+    val pa = graft.functions.MinHashImpl.permA.mkString("[", ", ", "]")
+    val pb = graft.functions.MinHashImpl.permB.mkString("[", ", ", "]")
     s"""WITH RECURSIVE ${graft.multimodal.Multimodal.cdcChunkCte}, sets AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, chunk_hash FROM ch
        |), sz AS MATERIALIZED (
@@ -1946,13 +1967,52 @@ object TextAnalysis {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
        |  FROM sets a JOIN sets b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
+       |), csel_de AS MATERIALIZED (
+       |  SELECT DISTINCT chunk_hash AS elem FROM sets
+       |), csel_h AS (
+       |  SELECT elem, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM csel_de
+       |  UNION ALL
+       |  SELECT elem, i+1,
+       |    (hash*33 + ord(substr(elem,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM csel_h WHERE i <= length(elem)
+       |), csel_h31 AS MATERIALIZED (
+       |  SELECT elem, CAST(hash % 2147483648 AS BIGINT) AS h31
+       |  FROM csel_h WHERE i = length(elem)+1
+       |), csel_pm AS MATERIALIZED (
+       |  SELECT i-1 AS p, pal[i] AS a, pbl[i] AS b
+       |  FROM (SELECT unnest(generate_series(1, 128)) AS i),
+       |       (SELECT $pa::BIGINT[] AS pal, $pb::BIGINT[] AS pbl)
+       |), csel_sv AS MATERIALIZED (
+       |  SELECT d.doc_id, pm.p, min((pm.a * s.h31 + pm.b) % 2147483647) AS sv
+       |  FROM sets d JOIN csel_h31 s ON s.elem = d.chunk_hash, csel_pm pm
+       |  GROUP BY d.doc_id, pm.p
+       |), csel_sd AS MATERIALIZED (
+       |  SELECT DISTINCT sig FROM (
+       |    SELECT doc_id, list(sv ORDER BY p) AS sig FROM csel_sv GROUP BY doc_id)
+       |), csel_c1 AS (
+       |  SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS pr FROM (
+       |    SELECT bd, slice, count(*) AS c FROM (
+       |      SELECT sig[bd+1 : bd+1] AS slice, bd
+       |      FROM (SELECT sig, unnest(generate_series(0, 127)) AS bd FROM csel_sd))
+       |    GROUP BY bd, slice)
+       |), csel_c2 AS (
+       |  SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS pr FROM (
+       |    SELECT bd, slice, count(*) AS c FROM (
+       |      SELECT sig[2*bd+1 : 2*bd+2] AS slice, bd
+       |      FROM (SELECT sig, unnest(generate_series(0, 63)) AS bd FROM csel_sd))
+       |    GROUP BY bd, slice)
+       |), csel_rr AS (
+       |  SELECT CASE WHEN (SELECT pr FROM csel_c1) < (SELECT pr FROM csel_c2)
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS r
        |)
        |SELECT doc_a, doc_b,
-       |  ${ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)} AS cdc_jaccard
+       |  ${ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)} AS cdc_jaccard,
+       |  (SELECT r FROM csel_rr) AS band_rows
        |FROM (SELECT ov.doc_a, ov.doc_b, ov.isz, sa.n AS na, sb.n AS nb
        |      FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a JOIN sz sb ON sb.doc_id = ov.doc_b)
        |WHERE ${ExactRound.rSql("CAST(isz AS DOUBLE) / (na + nb - isz)", 6)} >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------------- WordPiece encode
 

@@ -92,6 +92,34 @@ class EmbedBandsSpec extends SparkSpec {
     assert(pairs.count() > 0 && probes.columns.toSeq == Seq("vec_id", "cell"))
   }
 
+  test("embedPairBlocks banded branch: seam-forced gate returns banded pairs + empty probes") {
+    // ADVICE r10: the banded RETURN PATH of embedPairBlocks (threshold
+    // pass-through, empty probes frame schema) was only covered
+    // indirectly via bandedPairs — drive it directly through the
+    // package-private gate seam on a corpus small enough to also hold
+    // the banded reference result
+    import graft.functions.VectorFns.l2_norm
+    val t = 0.4
+    val (pairs, probes) =
+      operators.Dedup.embedPairBlocks(Tables.embeddings(spark, sf), t = t, maxBrutePairs = 0L)
+    // probes: the exact path's pruning diagnostic — banded path has no
+    // cells, so the frame must be EMPTY with the exact path's schema
+    assert(probes.columns.toSeq == Seq("vec_id", "cell") && probes.count() == 0L,
+      "banded branch must return an empty probes frame with the exact path's schema")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2_norm(col("v")))
+    val n = e.count()
+    val reference = EmbedBands.bandedPairs(e, n, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the seam passes t THROUGH unchanged and returns bandedPairs'
+    // result verbatim — set equality, not subset
+    assert(got == reference,
+      s"banded branch result diverges from bandedPairs: ${got.size} vs ${reference.size}")
+    assert(got.nonEmpty, "vacuous: no banded pairs at the test scale")
+  }
+
   test("banded verify-join plan: shuffled-hash (no sort) over one reused exchange") {
     // the r10 x100 finding as a standing certificate: a sort-merge
     // join SORTS both 520-byte-vector sides (~10 GB of measured
