@@ -137,6 +137,17 @@ object Bench {
       // 2.6 s -> 32 s in the steady pass of one run, cold pass fine).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // ... and no leftover memory-sink tables: every streaming query
+      // leaves its named memory sink registered (the full result table,
+      // DRIVER-resident), and at 100× ten accumulated sinks plus the
+      // next query's state put the steady pass into a GC death spiral
+      // the cold pass never sees (measured: st_session_window steady
+      // 690 s of GC in the r11 xf100 suite run after ten cold sinks,
+      // where the same query completes in a fresh JVM). The df was
+      // counted above, so the data is unreachable once the view drops.
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
       s
     }
 
@@ -144,6 +155,9 @@ object Bench {
     // experiments (BASELINE.md §streaming-codegen); unset → adaptive
     sys.env.get("SPARK_GRAFT_STREAM_CODEGEN")
       .foreach(v => spark.conf.set(graft.GraftConf.streamCodegenKey, v))
+    // same pin for the adaptive state-store backend (r11)
+    sys.env.get("SPARK_GRAFT_STREAM_STATESTORE")
+      .foreach(v => spark.conf.set(graft.GraftConf.streamStateStoreKey, v))
 
     // iteration aid (the Verify pattern): SPARK_GRAFT_ONLY=a,b times just
     // those queries; driver leaves it unset → full sweep

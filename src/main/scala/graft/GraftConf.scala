@@ -177,6 +177,27 @@ object GraftConf {
     * [[graft.streaming.EventStream.streamShufflePartitions]]. */
   val streamBytesPerStore: Long = 32L * 1024 * 1024
 
+  /** Conf key pinning the streaming state-store BACKEND ("rocksdb" /
+    * "hdfs"); unset → decided by source volume against
+    * [[streamRocksDbBytes]]. */
+  val streamStateStoreKey: String = "graft.stream.statestore"
+
+  /** Source-volume crossover for the RocksDB state-store provider in
+    * streaming queries (r11, found by the 100× streaming probe): the
+    * default HDFS-backed store keeps every partition's state map plus
+    * retained versions ON HEAP — at 100× lockstep-FK events the
+    * session-window state thrashed a 12 GB heap (st_session_window
+    * steady 124.7 s with 103 s of GC in isolation; the 10-query suite
+    * JVM died outright with heap OOM). RocksDB keeps state off-heap
+    * and is what a production 100 TB stream runs; below the crossover
+    * the on-heap store's zero-serialization lookups win at
+    * micro-batch sizes (the [[streamCodegenBytes]] discipline, same
+    * measurement shape). 128 MB: well above every driver scale (sf0.1
+    * events = 2 MB), below the 159 MB 100× corpus that exhibited the
+    * thrash. transformWithState queries pin RocksDB regardless (API
+    * requirement). */
+  val streamRocksDbBytes: Long = 128L * 1024 * 1024
+
   /** MinHash LSH band geometry, in signature rows per band over the
     * 128-permutation signature ([[graft.functions.MinHashImpl.NumPerms]]).
     *  - 4 rows × 32 bands: the candidate-generation regime for j ≥ 0.5
@@ -189,6 +210,15 @@ object GraftConf {
     * retune edits both sides — which is exactly what d_lsh_tune's
     * precision/recall sweep exists to inform. */
   val lshBandRowsCandidates: Int = 4
+  /** Static default for the verify regime. r11: t_cdc_minhash now
+    * DERIVES its verify rows from a priced census over its corpus'
+    * distinct signatures ([[graft.operators.Dedup.censusBandRows]] —
+    * the EmbedBands solve-geometry-from-the-corpus discipline; the
+    * selection is rung-restricted to the zero-practical-miss pair
+    * {1, 2}, so it moves cost, never results). The remaining static
+    * consumers (d_ngram_jaccard, d_cap_fires, the pair-graph memo)
+    * keep this value: their twins unroll the 2-row slices as
+    * literals, so a retune is a both-sides code change. */
   val lshBandRowsVerify: Int = 2
 
   /** HOT-BUCKET cap for the LSH band join ([[graft.operators.Dedup.bandCandidateReps]]):

@@ -133,6 +133,10 @@ object Probe11 {
               expr("transform(v, (x, j) -> x + CASE WHEN j = CAST(m % 64 AS INT) " +
                 "THEN 0.05d * (1 + m % 7) ELSE 0d END)").as("v"))
             .withColumn("norm", l2_norm(col("v")))
+            // limit+crossJoin collapse to ~1 partition; spread the
+            // synthetic corpus like a real scan would arrive (the
+            // first degen run ground 4e9 dots on one 5.5 GiB slice)
+            .repartition(64)
         }
         val n = e.count()
         val r = operators.EmbedBands.bandPlaneCount(n)
@@ -141,9 +145,13 @@ object Probe11 {
         println(s"n=$n r=$r (MaxPlanes=${operators.EmbedBands.MaxPlanes}) " +
           s"rung=$t L=$l bucketTarget=${GraftConf.bandBucketRows}")
         val sigs = stage(s, "sigs") {
-          val f = operators.EmbedBands.bandSigs(e, r, l)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          println(s"  sig rows: ${f.count()}"); f
+          // input sized + DISK_ONLY like bandedPairs itself — fat
+          // post-explode partitions killed a 12 GB heap at 1000×
+          val parts = math.max(32,
+            math.ceil(n.toDouble * l * (8 * operators.EmbedBands.Dim + 80) / (64L << 20)).toInt)
+          val f = operators.EmbedBands.bandSigs(e.repartition(parts), r, l)
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          println(s"  sig rows: ${f.count()} ($parts input parts)"); f
         }
         stage(s, "census_audit") {
           val full = sigs.groupBy("band", "sig").agg(count(lit(1)).as("bc"))

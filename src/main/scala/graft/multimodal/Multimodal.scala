@@ -1609,29 +1609,47 @@ object Multimodal {
     // assets (measured: 69 → 5531 pairs at sf0.01), the phash analog of
     // letterboxing — a production image phash resizes to a fixed tiny
     // raster first, which is the same "no dead pixels" discipline.
-    val pixels = docs.as[(Long, String)]
+    // Per-ASSET hash computation in the decode pass (r11 100× probe
+    // finding): the old shape exploded every pixel into an
+    // (asset, pos) row stream and re-aggregated — ~9·10⁸ skinny rows
+    // through one shuffle at 100× (measured: 4.1 GB shuffle write,
+    // 13.5 GB sort spill at the 12 GB probe heap) for a value that is
+    // a pure function of each asset's OWN pixels. The hash folds into
+    // the SAME per-partition loop that already runs the ImageIO codec
+    // (the multimodal family's per-partition imperative seam): one
+    // primitive pass accumulates the 64 segment sums + total, the 64
+    // mean-bits pack into the four 16-bit chunks, and only
+    // (asset_id, c0..c3) ever leaves the partition — zero shuffle,
+    // zero spill, bit-identical (same `pos*64 div n` bucketing, same
+    // long arithmetic; an empty segment yields bit = (0 > 0) = false
+    // exactly like the exploded form's absent group). A first r11 cut
+    // as slice-aggregate Column HOFs was bit-identical but 3.6× slower
+    // at 1× (interpreted per-element lambdas + slice copies) — the
+    // codec loop is the right home for per-pixel work.
+    val sig = docs.as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val (w, h, px) = decodeGray(encodePng(text, width = text.length))
-        (id, (w * h).toLong, px)
+        val n = w * h
+        val seg = new Array[Long](64)
+        var total = 0L
+        var p = 0
+        while (p < n) {
+          val v = px(p).toLong
+          seg(((p.toLong * 64) / n).toInt) += v
+          total += v
+          p += 1
+        }
+        val c = new Array[Long](4)
+        var b = 0
+        while (b < 64) {
+          // segment b covers positions [ceil(b*n/64), ceil((b+1)*n/64))
+          val len = ((b + 1).toLong * n + 63) / 64 - (b.toLong * n + 63) / 64
+          if (seg(b) * n > total * len) c(b / 16) += 1L << (15 - b % 16)
+          b += 1
+        }
+        (id, c(0), c(1), c(2), c(3))
       })
-      .toDF("asset_id", "n", "px")
-    val chars = pixels.select(col("asset_id"), col("n"),
-        posexplode(col("px")).as(Seq("pos", "pv")))
-      .select(col("asset_id"), col("n"),
-        expr("(pos * 64) div n").as("bucket"), col("pv").cast("long").as("cp"))
-    val seg = chars.groupBy("asset_id", "n", "bucket")
-      .agg(sum("cp").as("seg_sum"), count(lit(1)).as("seg_len"))
-    val tot = chars.groupBy("asset_id").agg(sum("cp").as("total"))
-    val bits = seg.join(tot, "asset_id")
-      .select(col("asset_id"), col("bucket"),
-        (col("seg_sum") * col("n") > col("total") * col("seg_len")).as("bit"))
-    val chunkSums = (0 to 3).map { j =>
-      expr(s"""sum(CASE WHEN bucket div 16 = $j AND bit
-              | THEN shiftleft(CAST(1 AS BIGINT), CAST(15 - bucket % 16 AS INT))
-              | ELSE CAST(0 AS BIGINT) END)""".stripMargin).as(s"c$j")
-    }
-    val sig = bits.groupBy("asset_id")
-      .agg(chunkSums.head, chunkSums.tail: _*)
+      .toDF("asset_id", "c0", "c1", "c2", "c3")
       .localCheckpoint()
     // canonicalize-before-pair (the Dedup.bandCandidates hot-key guard):
     // assets with an identical 64-bit hash are interchangeable in every
@@ -1643,10 +1661,30 @@ object Multimodal {
       .partitionBy("c0", "c1", "c2", "c3")
     val groups = sig.withColumn("rep", min("asset_id").over(wSig))
     val reps = groups.filter(col("asset_id") === col("rep"))
+    // VERIFY IN-STREAM (r11 100× probe finding #2): a 16-bit chunk has
+    // only 65 536 values, so hot chunk values make each per-chunk
+    // bucket join quadratic in its bucket — at 100× the candidate
+    // stream hit ~10⁹ rows and the distinct() SORTED it (measured:
+    // 13.5 GB spill, the same number first mis-attributed to the pixel
+    // explode — the explode fix alone left the spill intact). The
+    // EmbedBands verify-join discipline applies verbatim: carry both
+    // sides' four chunks through the join and filter hamming ≤ 3
+    // INSIDE the join stage, so candidates stream through whole-stage
+    // codegen and only true near-dup survivors ever materialize into
+    // the distinct. Identical output (members share their rep's exact
+    // signature, so rep-level hamming IS member-level hamming).
+    val repHam = (0 to 3).map(j =>
+      expr(s"bit_count(la$j ^ rb$j)")).reduce(_ + _)
     val repPairs = (0 to 3).map { j =>
-        val l = reps.select(col("asset_id").as("ra"), col(s"c$j").as("bk"))
-        val r = reps.select(col("asset_id").as("rb"), col(s"c$j").as("bk"))
-        l.join(r, Seq("bk")).filter(col("ra") < col("rb")).select("ra", "rb")
+        val l = reps.select(col("asset_id").as("ra"),
+          col("c0").as("la0"), col("c1").as("la1"),
+          col("c2").as("la2"), col("c3").as("la3"), col(s"c$j").as("bk"))
+        val r = reps.select(col("asset_id").as("rb"),
+          col("c0").as("rb0"), col("c1").as("rb1"),
+          col("c2").as("rb2"), col("c3").as("rb3"), col(s"c$j").as("bk"))
+        l.join(r, Seq("bk")).filter(col("ra") < col("rb"))
+          .filter(repHam <= 3)
+          .select("ra", "rb")
       }.reduce(_ union _).distinct()
     val members = groups.select(col("rep"), col("asset_id"))
     val cross = repPairs

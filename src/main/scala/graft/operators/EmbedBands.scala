@@ -173,8 +173,29 @@ private[graft] object EmbedBands {
     */
   def bandedPairs(e: DataFrame, n: Long, t: Double): DataFrame = {
     val (r, l) = geometry(n, t)
-    val sigs = bandSigs(e, r, l)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Scale-safe persist of the vector-carrying sigs frame (r11 1000×
+    // probe — the first single-node wall of the banded path, found one
+    // decade past where it last ran): the explode makes each scan
+    // split's sig partition ~L× its size (~1.4 GB at n = 2·10⁶ on the
+    // raw file layout), and persisting THAT killed a 12 GB heap twice
+    // over — MEMORY_AND_DISK died in the columnar UNROLL, and even
+    // DISK_ONLY died in the CachedBatch ColumnBuilder's ByteBuffer
+    // churn (GC overhead limit, stack = ColumnBuilder.ensureFreeSpace;
+    // 32 concurrent fat-partition builders). Two coupled fixes:
+    //  - size the INPUT partitioning so post-explode partitions are
+    //    ~64 MB (the verifyJoin targetParts arithmetic one stage
+    //    earlier) — the repartition shuffles only the pre-explode
+    //    vector rows, 1/L of the sig volume, linear;
+    //  - DISK_ONLY: the two consumers (census, verify join) re-read a
+    //    sequential local file instead of RECOMPUTING ~L·r sign-dots
+    //    per row (measured 42 s at 100×, 223 s at 1000×), with no
+    //    resident columnar cache competing with the join's memory.
+    // The census below stays in memory: it is vocabulary-sized.
+    val sigParts = math.max(
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.ceil(n.toDouble * l * (8 * Dim + 80) / (64L << 20)).toInt)
+    val sigs = bandSigs(e.repartition(sigParts), r, l)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val census = keptCensus(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val priced = census.agg(coalesce(sum(expr("bc * (bc - 1) div 2")), lit(0L)))

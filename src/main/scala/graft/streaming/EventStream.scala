@@ -132,9 +132,33 @@ object EventStream {
       .map(_.toBoolean)
       .getOrElse(sourceBytes(s, d) >= graft.GraftConf.streamCodegenBytes)
     s.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+    // ADAPTIVE STATE-STORE BACKEND (r11, the codegen discipline applied
+    // to state): the default HDFS-backed provider holds every store's
+    // map + retained versions on heap — the 100× streaming probe
+    // measured st_session_window at 124.7 s steady with 103 s of GC,
+    // and the shared 10-query probe JVM heap-OOM'd. Past the measured
+    // crossover (GraftConf.streamRocksDbBytes) state moves to RocksDB
+    // (off-heap, the production backend at 100 TB); below it the
+    // on-heap store's zero-serialization lookups keep winning at
+    // micro-batch size. Only ever SETS RocksDB (restoring after), so a
+    // transformWithState query's own RocksDB pin is never overridden;
+    // deployments pin via graft.stream.statestore = rocksdb|hdfs.
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevStore = s.conf.getOption(storeKey)
+    val rocks = s.conf.getOption(graft.GraftConf.streamStateStoreKey) match {
+      case Some("rocksdb") => true
+      case Some(_)         => false
+      case None => sourceBytes(s, d) >= graft.GraftConf.streamRocksDbBytes
+    }
+    if (rocks) s.conf.set(storeKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      if (rocks) prevStore match {
+        case Some(v) => s.conf.set(storeKey, v)
+        case None => s.conf.unset(storeKey)
+      }
     }
   }
 
