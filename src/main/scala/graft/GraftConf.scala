@@ -320,4 +320,58 @@ object GraftConf {
     * fires on a corpus so skewed that even capped buckets blow the
     * envelope — refuse with the priced volume rather than grind. */
   val maxBandedCandidates: Long = 20L * 1000 * 1000 * 1000
+
+  /** Bytes one SURVIVOR pair row occupies in the banded verify join's
+    * post-filter shuffle (the distinct's input): two longs + one
+    * double (24 B) plus UnsafeRow/compression framing. Deliberately a
+    * round upper bound — it converts the census's priced candidate
+    * count and the pilot-sampled survivor count into BYTES, the unit
+    * the refusal budget is denominated in. */
+  val bandedSurvivorRowBytes: Long = 32L
+
+  /** Safety multiplier on the pilot-sampled survivor estimate before
+    * it is compared to the shuffle budget: covers sampling variance
+    * (the sample is ~[[bandedSampleCandidates]] candidates, so the
+    * survivor estimate's relative error is small whenever the decision
+    * is close) and bucket-level skew between the sampled and unsampled
+    * buckets. */
+  val bandedSampleSafety: Long = 4L
+
+  /** Target CANDIDATE volume for the banded path's pilot sample: when
+    * the worst-case survivor bound (priced ·
+    * [[bandedSurvivorRowBytes]]) exceeds the shuffle budget, the
+    * survivor RATE is measured on a deterministic 1/K bucket sample
+    * with K = ⌈priced / this⌉ — ~2·10⁷ sampled candidates is a few
+    * seconds of dot products at any corpus size, and enough survivors
+    * to estimate within the safety factor. */
+  val bandedSampleCandidates: Long = 20L * 1000 * 1000
+
+  /** Session-conf pin for the banded path's survivor-stream shuffle
+    * budget in bytes; unset, the budget derives from the node's
+    * actual resources ([[bandedShuffleBudgetBytes]]). */
+  val bandedShuffleBudgetKey = "graft.banded.shuffleBudgetBytes"
+
+  /** The RESOURCE-DERIVED shuffle budget for the banded pair path's
+    * survivor stream (r11 verdict item 1): the band-degenerate middle
+    * regime — a corpus whose TRUE pair set is output-quadratic —
+    * prices its candidates UNDER the cluster-sized
+    * [[maxBandedCandidates]] and then fills a single node's shuffle
+    * disk with survivors (measured: >60 GB before the r11 1000×
+    * planted corpus killed the node). The budget that decision needs
+    * is this deployment's, not a constant: half the usable space of
+    * the configured shuffle dirs, times the executor count (each
+    * executor contributes its local disks to the shuffle at scale;
+    * in local mode the one node is the whole cluster). Deployments
+    * with asymmetric disks pin [[bandedShuffleBudgetKey]] instead. */
+  def bandedShuffleBudgetBytes(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption(bandedShuffleBudgetKey).map(_.toLong).getOrElse {
+      val dirs = s.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      val usable = dirs.map(p => new java.io.File(p).getUsableSpace).sum
+      // statusTracker lists the driver too in cluster mode; local mode
+      // has exactly one entry (the driver IS the executor)
+      val execs = math.max(1, s.sparkContext.statusTracker.getExecutorInfos.length - 1)
+      usable / 2 * execs
+    }
 }

@@ -37,17 +37,21 @@ import org.apache.spark.sql.functions._
   * honest hot-dimension shape, group counts scale linearly, skewed
   * keys get N× hotter, and every join stays referentially intact.
   *
-  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N> [facts|embonly]
+  * Usage: runMain graft.ScaleReplica <srcDir> <outDir> <N> [facts|embonly|eventsonly]
   * (`embonly` writes ONLY the replicated embeddings table — the banded
   * path's 1000x envelope probe needs 2e6 vectors, ~50 MB, and nothing
   * else; replicating 1000x documents would cost minutes and a GB for
-  * tables the probe never reads.)
+  * tables the probe never reads. `eventsonly` replicates events +
+  * customer in lockstep — the r12 streaming 1000x probe — and copies
+  * every other table at 1x; compose from an already-facts-scaled src
+  * (xf100 x 10 = 1000x) so N stays small enough for a flat union.)
   */
 object ScaleReplica {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val n = args(2).toInt
     val facts = args.length > 3 && args(3) == "facts"
     val embOnly = args.length > 3 && args(3) == "embonly"
+    val evOnly = args.length > 3 && args(3) == "eventsonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +63,7 @@ object ScaleReplica {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
 
-    if (!embOnly) {
+    if (!embOnly && !evOnly) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     (0 until n).map { i =>
@@ -73,6 +77,7 @@ object ScaleReplica {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
+    if (!evOnly) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // replica i's rotation alone is i mod dim, so replicas i and i+dim
@@ -114,8 +119,42 @@ object ScaleReplica {
           .repartition(math.max(4, cpus.toInt))
           .write.mode("append").parquet(s"$out/embeddings.parquet"))
     }
+    }
 
     val copied = if (embOnly) Seq.empty[String]
+    else if (evOnly) {
+      // events + customer in LOCKSTEP (the facts-mode argument: user_id
+      // shifts by i*maxCust so per-user activity is preserved exactly
+      // and cross-replica interaction is zero); everything else 1x
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val maxCust = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
+      (0 until n).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * maxCust))
+      }.reduce(_ unionByName _)
+        .repartition(math.max(4, cpus.toInt))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      // same single-FLAT-FILE requirement as facts mode (the streaming
+      // source's pathGlobFilter matches files, not directories)
+      val tmpEv = s"$out/_tmp_events"
+      (0 until n).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * maxEv))
+          .withColumn("user_id", col("user_id") + lit(i * maxCust))
+      }.reduce(_ unionByName _)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmpEv)
+      val part = new java.io.File(tmpEv).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmpEv"))
+      graft.Scratch.rmTree(s"$out/events.parquet")
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.Scratch.rmTree(tmpEv)
+      Seq("region", "nation", "supplier", "part", "orders", "lineitem",
+        "documents", "embeddings")
+    }
     else if (facts) {
       // customer and the user/customer FKs replicate IN LOCKSTEP with
       // the facts: keeping user_id/o_custkey at 1x would multiply every
@@ -185,6 +224,7 @@ object ScaleReplica {
     }
     println(s"scale-replica: wrote ${n}x " +
       (if (embOnly) "embeddings"
+       else if (evOnly) "events/customer"
        else "documents/embeddings" + (if (facts) "/customer/orders/lineitem/events" else "")) +
       s" to $out")
     spark.stop()

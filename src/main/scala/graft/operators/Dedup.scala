@@ -1209,7 +1209,13 @@ object Dedup {
     * envelope the pair set is EXACT at the lifted threshold; past it
     * construction switches to the SimHash-banded, exactly-verified
     * path ([[EmbedBands.bandedPairs]]) with per-pair recall ≥
-    * [[graft.GraftConf.bandRecallTarget]]. Both the lift and the
+    * [[graft.GraftConf.bandRecallTarget]] CONDITIONAL on the
+    * hot-bucket cap not absorbing all of a pair's band collisions —
+    * a pair colliding only in buckets past
+    * [[graft.GraftConf.maxBandBucket]] can be missed regardless of
+    * the band count (the residual-miss class
+    * [[EmbedBands.bandedPairs]] documents and d_cap_fires gates;
+    * every EMITTED pair is exactly verified either way). Both the lift and the
     * gate are replayed verbatim by the SQL twins
     * ([[OracleCtes.embedPairsCtes]]), so the brute-force oracle
     * contract below holds EXACTLY at every scale the oracle runs,
@@ -1280,7 +1286,8 @@ object Dedup {
     // block-partitioned brute verify is super-node-scale (2·10¹⁰
     // dim-64 dots at 200 k vectors), so construction switches to the
     // SimHash-banded exactly-verified path — recall per qualifying
-    // pair ≥ bandRecallTarget, same output columns. The gate is ONE
+    // pair ≥ bandRecallTarget absent hot-bucket loss (cap-conditional,
+    // see bandedPairs), same output columns. The gate is ONE
     // integer comparison on n, replayed verbatim by every consumer
     // twin (OracleCtes.embedPairsCtes) — deliberately NOT the cell
     // price: the cell decision only picks between two EXACT plans,

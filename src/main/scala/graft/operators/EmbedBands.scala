@@ -208,6 +208,26 @@ private[graft] object EmbedBands {
           "the corpus is band-degenerate at this geometry; raise the threshold " +
           "or retune GraftConf.bandBucketRows")
     }
+    // SURVIVOR-STREAM budget (r11 verdict item 1): the candidate cap
+    // above prices CLUSTER capacity; this one prices THIS deployment's
+    // shuffle disk, pilot-sampling the survivor rate when the worst
+    // case would not fit — so the band-degenerate middle regime
+    // refuses BEFORE the distinct writes a byte, and an isotropic
+    // corpus at the same candidate price proceeds (its measured
+    // survivor rate is ~10⁻⁴).
+    val dec = budgetDecision(sigs, census, priced, n, l, t,
+      graft.GraftConf.bandedShuffleBudgetBytes(e.sparkSession))
+    if (dec.refused) {
+      sigs.unpersist(blocking = false); census.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"bandedPairs: survivor stream estimated at ${dec.estBytes} B " +
+          s"(${dec.sampSurvivors} survivors in a 1/${dec.sampleK} bucket sample × " +
+          s"safety ${graft.GraftConf.bandedSampleSafety}) against a " +
+          s"${dec.budgetBytes} B shuffle budget at t=$t, r=$r, L=$l — the corpus' " +
+          "TRUE pair set is output-quadratic at this threshold; raise the " +
+          s"threshold, or pin ${graft.GraftConf.bandedShuffleBudgetKey} if this " +
+          "deployment's shuffle capacity is larger than the derived budget")
+    }
     val out = verifyJoin(sigs, census, n, l, t).localCheckpoint()
     sigs.unpersist(blocking = false); census.unpersist(blocking = false)
     out
@@ -252,6 +272,17 @@ private[graft] object EmbedBands {
     * repartitioned frame, so ReuseExchange ships ONE shuffle, read
     * twice — EmbedBandsSpec pins both plan properties. */
   private[graft] def verifyJoin(sigs: DataFrame, census: DataFrame,
+      n: Long, l: Int, t: Double): DataFrame =
+    verifySurvivors(sigs, census, n, l, t)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+
+  /** The verify join's PRE-DISTINCT survivor stream — the rows the
+    * final distinct must shuffle (a pair appears once per band it
+    * collides in). Factored out of [[verifyJoin]] so
+    * [[budgetDecision]]'s pilot sample can COUNT survivors on a
+    * bucket subset without paying the distinct. */
+  private[graft] def verifySurvivors(sigs: DataFrame, census: DataFrame,
       n: Long, l: Int, t: Double): DataFrame = {
     val targetParts = math.max(
       sigs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
@@ -267,8 +298,72 @@ private[graft] object EmbedBands {
       .select(col("vec_a"), col("vec_b"),
         ExactRound.r(dot_product(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= t)
-      .distinct()
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic per-bucket hash for the pilot sample — the [[sign]]
+    * iterated-squaring map over the bucket identity (band, sig), BIGINT
+    * arithmetic both engines compute exactly (k₀ ≤ 32·2¹⁶, so k₀² and
+    * h₁² both sit far under 2⁶³): a bucket is SAMPLED iff
+    * hash % K = 0. A linear combination alone would correlate with the
+    * signature structure it samples (the r10 plane-hash lesson). */
+  private[graft] def bucketHash(band: Column, sig: Column): Column = {
+    val k0 = band.cast("long") * lit(65536L) + sig + lit(1L)
+    val h1 = (k0 * k0 + lit(2654435761L)) % lit(2147483647L)
+    (h1 * h1 + k0) % lit(2147483647L)
+  }
+
+  /** [[bucketHash]] for the SQL twins, over BIGINT columns/exprs. */
+  def bucketHashSql(band: String, sig: String): String = {
+    val k0 = s"(CAST($band AS BIGINT) * 65536 + $sig + 1)"
+    val h1 = s"(($k0 * $k0 + 2654435761) % 2147483647)"
+    s"(($h1 * $h1 + $k0) % 2147483647)"
+  }
+
+  /** One survivor-budget decision: (refused?, and every number that
+    * produced the verdict, so callers can emit the decision as an
+    * oracle-visible row). `sampleK = 0, sampSurvivors = -1` means the
+    * worst-case bound already fit and no sample ran. */
+  final case class BudgetDecision(priced: Long, boundBytes: Long,
+      budgetBytes: Long, sampleK: Long, sampSurvivors: Long,
+      estBytes: Long, refused: Boolean)
+
+  /** Price the verify join's SURVIVOR stream against a BYTES budget
+    * (r11 verdict item 1 — the band-degenerate middle regime): the
+    * census's candidate count bounds the survivors from above, but an
+    * output-quadratic corpus (4 000 jitter clusters × 500 members in
+    * the r11 planted probe) turns most candidates INTO survivors and
+    * fills the node's shuffle disk at a candidate price a cluster
+    * would absorb, while an isotropic corpus at the same price
+    * survives ~10⁻⁴ of them. So the decision is two-tier:
+    *
+    *  1. worst case first — priced · [[graft.GraftConf
+    *     .bandedSurvivorRowBytes]] within budget proceeds free
+    *     (every driver-scale corpus lands here: no sample, no cost);
+    *  2. otherwise measure the survivor RATE on a deterministic
+    *     1/K bucket sample (K = ⌈priced / sampleTarget⌉, buckets
+    *     chosen by [[bucketHash]] % K = 0 — ~sampleTarget candidate
+    *     dots, seconds at any scale) and extrapolate with the
+    *     [[graft.GraftConf.bandedSampleSafety]] factor.
+    *
+    * Every number is deterministic integer arithmetic over the corpus
+    * and literals, so a gated query can pin the decision cross-engine
+    * (s_band_budget); the BUDGET itself is the only resource-derived
+    * input ([[graft.GraftConf.bandedShuffleBudgetBytes]]) and enters
+    * the pin as a literal. */
+  private[graft] def budgetDecision(sigs: DataFrame, census: DataFrame,
+      priced: Long, n: Long, l: Int, t: Double, budgetBytes: Long,
+      sampleTarget: Long = graft.GraftConf.bandedSampleCandidates): BudgetDecision = {
+    val rowBytes = graft.GraftConf.bandedSurvivorRowBytes
+    val bound = priced * rowBytes
+    if (bound <= budgetBytes)
+      BudgetDecision(priced, bound, budgetBytes, 0L, -1L, bound, refused = false)
+    else {
+      val k = math.max(1L, (priced + sampleTarget - 1) / sampleTarget)
+      val sampled = census.filter(bucketHash(col("band"), col("sig")) % k === 0L)
+      val samp = verifySurvivors(sigs, sampled, n, l, t).count()
+      val est = samp * k * graft.GraftConf.bandedSampleSafety * rowBytes
+      BudgetDecision(priced, bound, budgetBytes, k, samp, est, est > budgetBytes)
+    }
   }
 
   /** The full banded construction WITHOUT the final checkpoint — the

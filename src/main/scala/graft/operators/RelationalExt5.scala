@@ -410,11 +410,25 @@ object RelationalExt5 {
         // projection, far too small for lineitem — a broadcast can
         // only come from stats
         "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString)) {
-        val statsBytes = s.table(tbl).queryExecution.optimizedPlan.stats.sizeInBytes
         val joined = Tables.lineitem(s, d).select("l_orderkey")
           .join(s.table(tbl), col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(count(lit(1)).as("n_lines"))
           .orderBy("o_orderpriority")
+        // the estimate the PLANNER actually consults (ADVICE r11): the
+        // join's build-side LOGICAL SUBTREE statistics in the optimized
+        // plan — column pruning and projection estimation applied — not
+        // the raw ANALYZEd table size. Near the 64 MB boundary the two
+        // legitimately disagree (the planner prices the pruned
+        // projection, which is smaller than the table), and an
+        // expectation derived from the raw size THREW on correct
+        // planner behavior at boundary scales.
+        val joinNode = joined.queryExecution.optimizedPlan.collectFirst {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.getOrElse(throw new IllegalStateException(
+          "q71: no Join in the optimized plan — the stats certificate has no subject"))
+        val statsBytes = Seq(joinNode.left, joinNode.right)
+          .find(_.output.exists(_.name == "o_orderpriority"))
+          .getOrElse(joinNode.right).stats.sizeInBytes
         // certify the STATIC plan (queryExecution.sparkPlan — the
         // physical plan chosen from the ANALYZEd statistics, before the
         // InsertAdaptiveSparkPlan preparation wraps it): AQE may later
@@ -431,8 +445,9 @@ object RelationalExt5 {
         val expectBroadcast = statsBytes <= threshold
         if (isBroadcast != expectBroadcast)
           throw new IllegalStateException(
-            s"static join strategy inconsistent with ANALYZEd size ($statsBytes B vs " +
-              s"$threshold B threshold): broadcast=$isBroadcast — CBO size estimate unused")
+            s"static join strategy inconsistent with the build-side subtree estimate " +
+              s"($statsBytes B vs $threshold B threshold): broadcast=$isBroadcast — " +
+              "CBO size estimate unused")
         val materialized = joined.localCheckpoint()
         materialized.withColumn("cbo_broadcast", lit(isBroadcast))
       }

@@ -50,13 +50,33 @@ private[graft] object Shared {
   private val done = new ConcurrentHashMap[String, java.util.concurrent.FutureTask[String]]()
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // keys whose build is running ON THIS THREAD — the self-cycle guard
+  // (ADVICE r11): a build that (transitively) memoizes its OWN key
+  // would get its own still-running FutureTask back from putIfAbsent
+  // and task.get() would block the thread forever with no diagnostic.
+  // Not reachable from the current key graph (memo nesting is a DAG:
+  // dup_clusters → ngram_jaccard, embed_dup → noise_stats), but the
+  // failure mode of a future edge is a silent hang — fail loud instead.
+  private val inFlight = ThreadLocal.withInitial[java.util.HashSet[String]](
+    () => new java.util.HashSet[String]())
+
   /** Run-or-wait on the per-key task; a FAILED build is evicted so a
     * later caller can retry instead of reading a poisoned task for the
     * rest of the session (builds are deterministic, but their FAILURES
     * need not be — an executor OOM under memory pressure is transient). */
   private def runOrJoin(k: String)(build: () => String): String = {
+    val mine = inFlight.get()
+    if (mine.contains(k))
+      throw new IllegalStateException(
+        s"Shared.memo cycle: key '$k' requested while its own build is running " +
+          s"on this thread (in-flight: ${mine.toArray.mkString(", ")}) — a wait " +
+          "here would deadlock the thread on its own task")
     val ft = new java.util.concurrent.FutureTask[String](() => build())
-    val task = Option(done.putIfAbsent(k, ft)).getOrElse { ft.run(); ft }
+    val task = Option(done.putIfAbsent(k, ft)).getOrElse {
+      mine.add(k)
+      try ft.run() finally mine.remove(k)
+      ft
+    }
     try task.get()
     catch {
       // the BUILD failed — evict so a later caller retries

@@ -1087,6 +1087,152 @@ object Similarity {
        |ORDER BY threshold""".stripMargin
   }
 
+  /** SURVIVOR-BUDGET DECISION PIN (r11 verdict item 1) — the banded
+    * path's second refusal tier made oracle-visible: the candidate cap
+    * ([[graft.GraftConf.maxBandedCandidates]]) prices CLUSTER
+    * capacity, but the r11 planted output-quadratic corpus priced
+    * UNDER it and still filled a single node's shuffle disk with
+    * SURVIVORS (>60 GB before the node died) — so
+    * [[EmbedBands.budgetDecision]] now prices the survivor stream in
+    * BYTES against a resource-derived budget, pilot-sampling the
+    * survivor rate on a deterministic 1/K bucket subset when the
+    * worst-case bound does not fit. This query runs the PRODUCTION
+    * decision function three times under pinned (budget,
+    * sample-target) literals covering every branch — worst-case bound
+    * fits (no sample runs), K = 1 (the sample is the whole corpus, so
+    * the estimate is exact), and K > 1 (the [[EmbedBands.bucketHash]]
+    * subset) — and emits every number the verdict derives from, so
+    * both the arithmetic and the hash sampling are cross-engine
+    * contracts. The RESOURCE-derived budget
+    * ([[graft.GraftConf.bandedShuffleBudgetBytes]]) is the one input
+    * the oracle cannot see; it enters production decisions only, and
+    * the planted-corpus probe (SCALING.md r12) measures it firing. */
+  def bandBudget(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns.l2_norm
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2_norm(col("v")))
+    val n = e.count()
+    val r = EmbedBands.bandPlaneCount(n)
+    val t = graft.GraftConf.cosineLadder.filter(_ >= 0.4)
+      .find(tt => EmbedBands.lTable.contains((tt, r)))
+      .getOrElse(EmbedBands.maxBandableRung(n))
+    val l = EmbedBands.lTable((t, r))
+    val sigs = EmbedBands.bandSigs(e, r, l)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = EmbedBands.keptCensus(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val priced = census.agg(coalesce(sum(expr("bc * (bc - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    val combos = Seq(
+      (1000000000000000L, graft.GraftConf.bandedSampleCandidates), // bound fits
+      (4096L, graft.GraftConf.bandedSampleCandidates), // K = 1: exact estimate
+      (4096L, 20000L)) // K > 1: the hash-sampled subset
+    val rows = combos.map { case (budget, target) =>
+      val dec = EmbedBands.budgetDecision(sigs, census, priced, n, l, t, budget, target)
+      (budget, target, dec.priced, dec.boundBytes, dec.sampleK,
+        dec.sampSurvivors, dec.estBytes, dec.refused)
+    }
+    sigs.unpersist(blocking = false); census.unpersist(blocking = false)
+    import s.implicits._
+    rows.toDF("budget_bytes", "sample_target", "priced", "bound_bytes",
+        "sample_k", "samp_survivors", "est_bytes", "refused")
+      .orderBy("budget_bytes", "sample_target")
+  }
+
+  /** Oracle: the bandEdges geometry prelude, a bucket census WITH
+    * counts, per-bucket pre-distinct survivor counts (a pair counted
+    * once per colliding band — the distinct's actual input), then the
+    * identical two-tier decision arithmetic per pinned combo,
+    * [[EmbedBands.bucketHashSql]] selecting the K > 1 sample. */
+  val bandBudgetSql: String = {
+    val ladder = graft.GraftConf.cosineLadder.mkString(", ")
+    val cap = graft.GraftConf.maxBandBucket
+    val rowBytes = graft.GraftConf.bandedSurvivorRowBytes
+    val safety = graft.GraftConf.bandedSampleSafety
+    val sampleCands = graft.GraftConf.bandedSampleCandidates
+    s"""WITH nf_e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings
+       |), nf_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nf_e
+       |), ep_gate AS (SELECT true AS banded
+       |), ep_lt AS (SELECT t, r, l FROM ${EmbedBands.lTableSql}
+       |), ep_r AS (
+       |  SELECT coalesce(min(CASE WHEN (CAST(1 AS BIGINT) << r) * ${graft.GraftConf.bandBucketRows} >= n
+       |                   THEN r END), ${EmbedBands.MaxPlanes}) AS r
+       |  FROM (SELECT unnest([${(EmbedBands.MinPlanes to EmbedBands.MaxPlanes).mkString(", ")}]) AS r), nf_n
+       |), nf_efft AS (
+       |  SELECT coalesce(
+       |    min(CASE WHEN w.t >= 0.4 AND lt.l IS NOT NULL THEN w.t END),
+       |    (SELECT max(t) FROM ep_lt WHERE r = (SELECT r FROM ep_r))) AS t
+       |  FROM (SELECT unnest([$ladder]) AS t) w
+       |  LEFT JOIN ep_lt lt ON lt.t = w.t AND lt.r = (SELECT r FROM ep_r)
+       |), ep_geom AS (
+       |  SELECT coalesce((SELECT l FROM ep_lt
+       |                   WHERE ep_lt.t = (SELECT t FROM nf_efft)
+       |                     AND ep_lt.r = (SELECT r FROM ep_r)), 0) AS l
+       |), ep_pl AS MATERIALIZED (
+       |  SELECT gp, list_transform(generate_series(0, ${EmbedBands.Dim - 1}),
+       |                            i -> ${EmbedBands.signSql("gp", "i")}) AS pv
+       |  FROM (SELECT unnest(generate_series(0,
+       |          (SELECT l FROM ep_geom) * (SELECT r FROM ep_r) - 1)) AS gp)
+       |), ep_sig AS MATERIALIZED (
+       |  SELECT e.vec_id, p.gp // (SELECT r FROM ep_r) AS band,
+       |    CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0
+       |             THEN (CAST(1 AS BIGINT) << (p.gp % (SELECT r FROM ep_r)))
+       |             ELSE 0 END) AS BIGINT) AS sig
+       |  FROM nf_e e, ep_pl p
+       |  GROUP BY e.vec_id, p.gp // (SELECT r FROM ep_r)
+       |), bb_census AS MATERIALIZED (
+       |  SELECT band, sig, CAST(count(*) AS BIGINT) AS bc FROM ep_sig
+       |  GROUP BY band, sig HAVING count(*) BETWEEN 2 AND $cap
+       |), bb_priced AS (
+       |  SELECT CAST(coalesce(sum(bc * (bc - 1) // 2), 0) AS BIGINT) AS priced FROM bb_census
+       |), bb_surv AS MATERIALIZED (
+       |  SELECT c.band, c.sig, ${EmbedBands.bucketHashSql("c.band", "c.sig")} AS bh,
+       |    CAST(count(*) AS BIGINT) AS sv
+       |  FROM bb_census c
+       |  JOIN ep_sig a ON a.band = c.band AND a.sig = c.sig
+       |  JOIN ep_sig b ON b.band = c.band AND b.sig = c.sig AND a.vec_id < b.vec_id
+       |  JOIN nf_e ea ON ea.vec_id = a.vec_id
+       |  JOIN nf_e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${ExactRound.rSql("list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)", 6)}
+       |          >= (SELECT t FROM nf_efft)
+       |  GROUP BY c.band, c.sig
+       |), bb_combo AS (
+       |  SELECT * FROM (VALUES
+       |    (CAST(1000000000000000 AS BIGINT), CAST($sampleCands AS BIGINT)),
+       |    (CAST(4096 AS BIGINT), CAST($sampleCands AS BIGINT)),
+       |    (CAST(4096 AS BIGINT), CAST(20000 AS BIGINT))) c(budget_bytes, sample_target)
+       |), bb_k AS (
+       |  SELECT budget_bytes, sample_target,
+       |    (SELECT priced FROM bb_priced) AS priced,
+       |    (SELECT priced FROM bb_priced) * $rowBytes AS bound_bytes,
+       |    CASE WHEN (SELECT priced FROM bb_priced) * $rowBytes <= budget_bytes
+       |         THEN CAST(0 AS BIGINT)
+       |         ELSE greatest(CAST(1 AS BIGINT),
+       |           ((SELECT priced FROM bb_priced) + sample_target - 1) // sample_target)
+       |    END AS sample_k
+       |  FROM bb_combo
+       |)
+       |SELECT budget_bytes, sample_target, priced, bound_bytes, sample_k,
+       |  samp_survivors, est_bytes,
+       |  CASE WHEN sample_k = 0 THEN FALSE ELSE est_bytes > budget_bytes END AS refused
+       |FROM (
+       |  SELECT *,
+       |    CASE WHEN sample_k = 0 THEN bound_bytes
+       |         ELSE samp_survivors * sample_k * $safety * $rowBytes END AS est_bytes
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN sample_k = 0 THEN CAST(-1 AS BIGINT)
+       |           ELSE CAST(coalesce((SELECT sum(sv) FROM bb_surv s
+       |                               WHERE s.bh % sample_k = 0), 0) AS BIGINT)
+       |      END AS samp_survivors
+       |    FROM bb_k))
+       |ORDER BY budget_bytes, sample_target""".stripMargin
+  }
+
   /** One Lloyd assignment step from seeded centroids (vec_id < 10): each
     * vector → nearest centroid by squared L2. Broadcast centroids, single
     * corpus scan — the building block of distributed k-means. */
@@ -2892,6 +3038,7 @@ object Similarity {
     "s_bucket_census" -> (bucketCensus _),
     "s_band_edges" -> (bandEdges _),
     "s_band_geometry" -> (bandGeometry _),
+    "s_band_budget" -> (bandBudget _),
     "s_ivf_pq" -> (annIvfPq _),
     "s_maxsim" -> (maxSim _),
     "s_ann_ivf" -> (annIvf _),
@@ -2932,6 +3079,7 @@ object Similarity {
     "s_bucket_census" -> bucketCensusSql,
     "s_band_edges" -> bandEdgesSql,
     "s_band_geometry" -> bandGeometrySql,
+    "s_band_budget" -> bandBudgetSql,
     "s_ivf_pq" -> annIvfPqSql,
     "s_maxsim" -> maxSimSql,
     "s_ann_ivf" -> annIvfSql,

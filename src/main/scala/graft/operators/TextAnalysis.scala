@@ -1937,13 +1937,20 @@ object TextAnalysis {
     val cands = Dedup.bandCandidates(sigs, bandRows = chosenR)
     val ca = sets.select(col("doc_id").as("doc_a"), col("chs").as("ch_a"))
     val cb = sets.select(col("doc_id").as("doc_b"), col("chs").as("ch_b"))
-    cands.join(ca, "doc_a").join(cb, "doc_b")
+    // materialize, then RELEASE both persists (ADVICE r11): Bench
+    // clears persistent RDDs between queries, but Verify's 349-query
+    // sweep runs in one JVM and un-released MEMORY_AND_DISK blocks
+    // accumulate for the whole run — the bandedPairs checkpoint-and-
+    // release discipline, applied here
+    val out = cands.join(ca, "doc_a").join(cb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         ExactRound.r(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
           / size(array_union(col("ch_a"), col("ch_b"))), 6).as("cdc_jaccard"),
         lit(chosenR.toLong).as("band_rows"))
       .filter(col("cdc_jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    sets.unpersist(blocking = false); sigs.unpersist(blocking = false)
+    out.orderBy("doc_a", "doc_b")
   }
 
   /** Brute-force chunk-set Jaccard over the byte-exact SQL chunker,

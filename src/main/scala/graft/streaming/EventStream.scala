@@ -113,6 +113,18 @@ object EventStream {
 
   /** Restores the session shuffle/codegen confs after `body`. */
   private def withStreamShuffle[T](s: SparkSession, d: String)(body: => T): T = {
+    // parse BOTH pins before mutating any session conf: a fail-loud
+    // rejection below must not leave half the harness confs applied
+    // (the restore runs in the finally around `body`, which a bad-pin
+    // sys.error would never reach)
+    val pinnedRocks: Option[Boolean] =
+      s.conf.getOption(graft.GraftConf.streamStateStoreKey) match {
+        case Some("rocksdb") => Some(true)
+        case Some("hdfs")    => Some(false)
+        case Some(bad)       => sys.error(
+          s"${graft.GraftConf.streamStateStoreKey} must be 'rocksdb' or 'hdfs', got '$bad'")
+        case None => None
+      }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevWsc = s.conf.get("spark.sql.codegen.wholeStage")
     s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s, d).toString)
@@ -145,11 +157,14 @@ object EventStream {
     // deployments pin via graft.stream.statestore = rocksdb|hdfs.
     val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val prevStore = s.conf.getOption(storeKey)
-    val rocks = s.conf.getOption(graft.GraftConf.streamStateStoreKey) match {
-      case Some("rocksdb") => true
-      case Some(_)         => false
-      case None => sourceBytes(s, d) >= graft.GraftConf.streamRocksDbBytes
-    }
+    // fail-loud pin (ADVICE r11): the codegen pin above throws on a
+    // non-boolean via toBoolean, and a `match` that defaulted any
+    // non-"rocksdb" string to the HDFS backend would turn a typo
+    // ("RocksDB", "true") into a silent re-exposure of the 100× heap
+    // OOM this backend decision exists to prevent — pinnedRocks was
+    // parsed (and rejected loudly) BEFORE any conf mutation above.
+    val rocks = pinnedRocks.getOrElse(
+      sourceBytes(s, d) >= graft.GraftConf.streamRocksDbBytes)
     if (rocks) s.conf.set(storeKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body finally {

@@ -5,6 +5,16 @@ Usage:
   python3 tools/benchdiff.py                 # new=BENCH_local.json, old=HEAD's copy
   python3 tools/benchdiff.py NEW.json OLD.json
   python3 tools/benchdiff.py --no-triage ... # skip isolation re-runs
+  python3 tools/benchdiff.py --no-ab ...     # skip the host-drift A/B
+  python3 tools/benchdiff.py --ab-commit=SHA # A/B against this commit
+
+HOST-DRIFT A/B: when the suite-total steady drifts more than 15% vs the
+old artifact, the prior commit is rebuilt in a throwaway worktree and
+the FULL bench re-run on today's host; one command then prints both
+numbers plus the attribution line (host drift vs code delta), and every
+per-query gate below is rebased on the same-day baseline. This is the
+r11 lesson automated: cross-session absolutes on this VM drift +/-25%
+for reasons loadavg does not capture.
 
 Compares per-query STEADY seconds (the attributable pass — cold mixes in
 codegen/JIT warm-up) between two bench artifacts and FAILS (exit 1) when
@@ -35,6 +45,7 @@ import sys
 RATIO_MAX = 1.5       # steady ratio above this AND ...
 ABS_FLOOR_SEC = 0.5   # ... absolute growth above this = regression
 ABS_ALERT_SEC = 1.5   # pure absolute growth worth flagging even at low ratio
+AB_DRIFT = 0.15       # suite-total drift beyond this triggers the host A/B
 
 
 def steady(doc):
@@ -77,6 +88,54 @@ def isolate(flagged, sf_dir):
         return None
 
 
+def ab_rerun_old(old_commit, sf_dir):
+    """HOST-DRIFT A/B (r11 verdict item 5, automating what r11 ran by
+    hand): rebuild the PRIOR commit in a throwaway worktree and re-run
+    the full bench on TODAY's host, so a suite-total drift can be
+    attributed to the node or to the code with one command. Returns the
+    A/B artifact dict, or None if the rebuild/run could not execute —
+    callers fall back to the stale-baseline comparison with a warning,
+    never silently pass. Cross-session absolute numbers on this VM
+    drift +/-25% for reasons loadavg does not capture; same-day A/B is
+    the only honest comparison (measured r11: a '229 vs 182.5 s
+    regression' read 228.3 s from the prior commit the same hour)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wt = "/tmp/benchdiff_ab_wt"
+    out = "/tmp/benchdiff_ab.json"
+    subprocess.run(["git", "worktree", "remove", "--force", wt],
+                   cwd=repo, capture_output=True)
+    r = subprocess.run(["git", "worktree", "add", "--force", wt, old_commit],
+                       cwd=repo, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(f"A/B: worktree add failed — {r.stderr.strip()[:500]}")
+        return None
+    try:
+        if os.path.exists(out):
+            os.remove(out)
+        env = dict(os.environ,
+                   SPARK_GRAFT_BENCH_OUT=out,
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        env.pop("SPARK_GRAFT_ONLY", None)  # the A/B is the FULL suite
+        env.setdefault("SPARK_GRAFT_CPUS", "32")
+        print(f"A/B: building {old_commit[:9]} in {wt} and running the full "
+              "bench on today's host (this is the expensive, honest step) ...")
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           env=env, cwd=wt, capture_output=True, text=True,
+                           timeout=5400)
+        if r.returncode != 0 or not os.path.exists(out):
+            print("A/B: prior-commit bench FAILED — stale baseline applies")
+            print((r.stdout or "")[-2000:])
+            return None
+        with open(out) as f:
+            return json.load(f)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"A/B: unavailable ({e}) — stale baseline applies")
+        return None
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=repo, capture_output=True)
+
+
 def load_new_old(argv):
     new_path = argv[1] if len(argv) > 1 else "BENCH_local.json"
     with open(new_path) as f:
@@ -97,7 +156,13 @@ def load_new_old(argv):
 
 def main(argv):
     do_triage = "--no-triage" not in argv
-    argv = [a for a in argv if a != "--no-triage"]
+    do_ab = "--no-ab" not in argv
+    ab_commit = None
+    for a in list(argv):
+        if a.startswith("--ab-commit="):
+            ab_commit = a.split("=", 1)[1]
+            argv.remove(a)
+    argv = [a for a in argv if a not in ("--no-triage", "--no-ab")]
     new, new_name, old, old_name = load_new_old(argv)
     ns, os_ = steady(new), steady(old)
 
@@ -127,6 +192,42 @@ def main(argv):
                   "acting on individual rows")
     except (KeyError, TypeError, ValueError, ZeroDivisionError):
         pass
+
+    # HOST-DRIFT A/B: a suite-total drift beyond AB_DRIFT vs the prior
+    # committed artifact is not actionable as-is (node drift and code
+    # drift are indistinguishable across sessions) — rebuild the prior
+    # commit and measure it on TODAY's host, then rebase every
+    # per-query gate below on that same-day baseline.
+    total_new = sum(ns.values())
+    total_old = sum(os_.values())
+    if do_ab and total_old > 0 and \
+            abs(total_new - total_old) / total_old > AB_DRIFT:
+        if ab_commit is None:
+            ab_commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, check=True).stdout.strip()
+        print(f"\nHOST-DRIFT A/B: steady total {total_new:.1f} s vs "
+              f"{total_old:.1f} s ({total_new / total_old:.2f}x) exceeds "
+              f"{AB_DRIFT:.0%} — re-measuring the prior commit on today's host")
+        sf_dir = new.get("full", {}).get("sf", "/root/testdata/sf0.1")
+        ab = ab_rerun_old(ab_commit, sf_dir)
+        if ab is None:
+            print("A/B: could not run — per-query rows below compare against "
+                  "the STALE committed baseline; treat them as hypotheses")
+        else:
+            ab_s = steady(ab)
+            total_ab = sum(ab_s.values())
+            host = (total_ab - total_old) / total_old
+            code = (total_new - total_ab) / total_ab if total_ab > 0 else 0.0
+            verdict = ("parity — the drift is the HOST"
+                       if abs(code) <= AB_DRIFT else "CODE-CAUSED — chase it")
+            print(f"A/B attribution: {ab_commit[:9]} code on today's host = "
+                  f"{total_ab:.1f} s (committed artifact said {total_old:.1f} s "
+                  f"-> host drift {host:+.0%}); new code today = {total_new:.1f} s "
+                  f"-> code delta {code:+.0%} ({verdict})")
+            os_ = ab_s
+            old_name = f"{old_name} [A/B-rebased: {ab_commit[:9]} on today's host]"
+            describe(f"old (rebased): {old_name}", ab, ab_s)
 
     added = sorted(set(ns) - set(os_))
     removed = sorted(set(os_) - set(ns))
