@@ -217,10 +217,18 @@ object ScaleReplica {
     } else Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
     copied.foreach { t =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$src/$t.parquet"),
-        java.nio.file.Paths.get(s"$out/$t.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // a composed src (eventsonly from an already-scaled dir) has
+      // DIRECTORY-shaped tables — Files.copy of a directory copies the
+      // empty dir entry only, silently emptying the table; copy the
+      // tree (flat testdata files take the single-file branch)
+      def copyTree(from: java.io.File, to: java.io.File): Unit =
+        if (from.isDirectory) {
+          to.mkdirs()
+          from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+        } else java.nio.file.Files.copy(from.toPath, to.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.Scratch.rmTree(s"$out/$t.parquet")
+      copyTree(new java.io.File(s"$src/$t.parquet"), new java.io.File(s"$out/$t.parquet"))
     }
     println(s"scale-replica: wrote ${n}x " +
       (if (embOnly) "embeddings"

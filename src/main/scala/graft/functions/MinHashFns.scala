@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -122,6 +122,74 @@ object MinHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Exact set Jaccard of two SORTED long arrays in one merge pass —
+    * set semantics throughout (duplicate neighbors skipped on both
+    * sides, so the value is bit-identical to
+    * size(array_intersect)/size(array_union) on the same inputs: the
+    * same two exact integers enter the same one IEEE division). The
+    * r12 stage probe measured WHY this exists: array_intersect +
+    * array_union each build a per-row hash set AND materialize a
+    * result array, ~110 µs per candidate pair at dedup verify scale —
+    * the whole verify stage's cost; a merge over doc-sorted arrays is
+    * ~|A|+|B| long comparisons with zero allocation. Callers sort
+    * ONCE per document (sort_array before the candidate fan-out),
+    * never per pair. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var da = 0L; var db = 0L; var isz = 0L // distinct counts + intersection
+    var lastA = 0L; var haveA = false
+    var lastB = 0L; var haveB = false
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) {
+        if (!haveA || lastA != x) { da += 1; isz += 1 }
+        if (!haveB || lastB != y) db += 1
+        lastA = x; haveA = true; lastB = y; haveB = true
+        i += 1; j += 1
+      } else if (x < y) {
+        if (!haveA || lastA != x) da += 1
+        lastA = x; haveA = true; i += 1
+      } else {
+        if (!haveB || lastB != y) db += 1
+        lastB = y; haveB = true; j += 1
+      }
+    }
+    while (i < na) {
+      val x = a.getLong(i)
+      if (!haveA || lastA != x) da += 1
+      lastA = x; haveA = true; i += 1
+    }
+    while (j < nb) {
+      val y = b.getLong(j)
+      if (!haveB || lastB != y) db += 1
+      lastB = y; haveB = true; j += 1
+    }
+    val union = da + db - isz
+    if (union == 0) 0.0 else isz.toDouble / union
+  }
+
+  /** Distinct-intersection COUNT of two SORTED long arrays — the same
+    * merge pass as [[jaccardSorted]] when the caller needs the raw
+    * overlap (containment denominators differ from Jaccard's union);
+    * bit-identical to size(array_intersect) on the same inputs. */
+  def overlapSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var isz = 0L
+    var last = 0L; var have = false
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) {
+        if (!have || last != x) { isz += 1 }
+        last = x; have = true
+        i += 1; j += 1
+      } else if (x < y) i += 1
+      else j += 1
+    }
+    isz
+  }
+
   /** Fraction of equal signature positions — the MinHash Jaccard estimate.
     * Compares over the common prefix so short/mismatched arrays degrade
     * rather than index out of bounds. */
@@ -229,6 +297,47 @@ case class WordHashes(child: Expression) extends UnaryExpression with ArrayInput
   override def prettyName: String = "word_hashes"
 }
 
+/** (array<long> SORTED, array<long> SORTED) → exact set Jaccard as one
+  * codegen'd merge pass — see [[MinHashImpl.jaccardSorted]] for the
+  * measured rationale (the r12 d_setsim_join verify-stage fix). */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard expects two array<long>, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashImpl.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard = copy(l, r)
+  override def prettyName: String = "sorted_jaccard"
+}
+
+/** (array<long> SORTED, array<long> SORTED) → distinct-intersection
+  * count, one codegen'd merge pass ([[MinHashImpl.overlapSorted]]). */
+case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap expects two array<long>, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashImpl.overlapSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashImpl.overlapSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlap = copy(l, r)
+  override def prettyName: String = "sorted_overlap"
+}
+
 /** array<string> tokens → 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression with ArrayInputCheck {
   override def expectedElement: DataType = StringType
@@ -248,6 +357,10 @@ object MinHashFns {
   def band_hashes(c: Column, bandRows: Int): Column =
     ColumnBridge.column(BandHashes(ColumnBridge.expression(c), bandRows))
   def word_hashes(c: Column): Column = ColumnBridge.column(WordHashes(ColumnBridge.expression(c)))
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sorted_overlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedOverlap(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def est_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(EstJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -520,9 +520,13 @@ object Dedup {
     // this result for exact equality against the string-exact LSH path
     // and the brute-force oracle on every run.
     // three consumers (token explode + both verify sides) — persist, or the
-    // scan+shingle chain recomputes per consumer (measured 4x on signatures)
+    // scan+shingle chain recomputes per consumer (measured 4x on signatures).
+    // hs is SORTED per document at build time (n docs, one codegen'd sort
+    // each) so the verify's set Jaccard is a single merge pass per
+    // candidate pair — see the verify-stage note below
     val sh = withShingles(s, d)
-      .select(col("doc_id"), graft.functions.MinHashFns.word_hashes(col("sh")).as("hs"))
+      .select(col("doc_id"),
+        sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val freq = tokens.groupBy("h").agg(count(lit(1)).as("f"))
@@ -545,10 +549,25 @@ object Dedup {
       .distinct()
     val shA = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    cands.join(shA, "doc_a").join(shB, "doc_b")
+    // VERIFY stage, two r12 stage-probe findings (the probe measured
+    // verify at 121 s of the 154 s total at 100×, everything else
+    // linear and small):
+    //  - SHUFFLE_HASH on the array-carrying doc sides (the
+    //    EmbedBands.verifyJoin lesson): a sort-merge join would SORT
+    //    candidate rows carrying ~100-long arrays; hash joins build on
+    //    the narrow doc table and STREAM the candidates through one
+    //    codegen stage.
+    //  - sorted_jaccard instead of array_intersect/array_union: those
+    //    two each build a per-row hash set AND materialize a result
+    //    array — measured ~110 µs PER CANDIDATE PAIR, the entire
+    //    verify cost. One merge pass over the doc-sorted arrays
+    //    computes the bit-identical set Jaccard (same two exact
+    //    integers, same one IEEE division) with zero allocation.
+    cands.join(shA.hint("SHUFFLE_HASH"), "doc_a")
+      .join(shB.hint("SHUFFLE_HASH"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        ExactRound.r(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
-          / size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
   }
@@ -1750,8 +1769,12 @@ object Dedup {
     * its postings), which shards work without affecting exactness. */
   def containmentJoin(s: SparkSession, d: String): DataFrame = {
     val t = 0.8
+    // hs sorted per doc + merge-pass overlap in the verify — the
+    // setsimJoin r12 verify-stage findings apply verbatim here (same
+    // candidate ⋈ doc-array joins, same per-pair set intersection)
     val sh = withShingles(s, d)
-      .select(col("doc_id"), graft.functions.MinHashFns.word_hashes(col("sh")).as("hs"))
+      .select(col("doc_id"),
+        sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val freq = tokens.groupBy("h").agg(count(lit(1)).as("f"))
@@ -1773,10 +1796,12 @@ object Dedup {
       .distinct()
     val shS = sh.select(col("doc_id").as("doc_small"), col("hs").as("hs_s"))
     val shB = sh.select(col("doc_id").as("doc_big"), col("hs").as("hs_b"))
-    cands.join(shS, "doc_small").join(shB, "doc_big")
+    cands.join(shS.hint("SHUFFLE_HASH"), "doc_small")
+      .join(shB.hint("SHUFFLE_HASH"), "doc_big")
       .select(col("doc_small"), col("doc_big"),
-        ExactRound.r(size(array_intersect(col("hs_s"), col("hs_b"))).cast("double")
-          / size(col("hs_s")), 6).as("containment"))
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_overlap(col("hs_s"), col("hs_b")).cast("double")
+            / size(col("hs_s")), 6).as("containment"))
       .filter(col("containment") >= t)
       .orderBy("doc_small", "doc_big")
   }

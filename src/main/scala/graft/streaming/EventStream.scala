@@ -194,6 +194,32 @@ object EventStream {
     }
   }
 
+  /** PROBE-ONLY file-sink drain (the r12 1000× lesson): a memory sink
+    * holds the COMPLETE result table on the driver, and at 1000× the
+    * serialized result blows `spark.driver.maxResultSize` before the
+    * state store is even stressed — measured: st_session_window's
+    * session table exceeded 1 GiB from 4 of its tasks. The production
+    * shape for a complete-mode aggregate is foreachBatch → files
+    * (executor-side writes, nothing driver-resident); this drain runs
+    * the IDENTICAL pipeline under the identical harness wrapper, so
+    * the adaptive codegen/state-store decisions apply unchanged. The
+    * gate queries keep the memory sink deliberately (the oracle reads
+    * the table); scale probes use this. */
+  private[graft] def runToFileSink(s: SparkSession, d: String, df: DataFrame,
+      mode: String, out: String): Unit =
+    withStreamShuffle(s, d) {
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-fsink-ckpt-").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode(if (mode == "complete") "overwrite" else "append").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
   /** Tumbling 5-minute window counts/sums per event type via a real
     * streaming query. Each parquet file is a micro-batch; complete mode +
     * memory sink materializes the final state — and in complete mode the
@@ -353,6 +379,15 @@ object EventStream {
       .orderBy("user_id", "session_start")
 
   private def runSessionStream(s: SparkSession, d: String): DataFrame = {
+    val sessions = sessionFsmStream(s, d)
+    val name = "graft_st_sessionize_stream"
+    runToMemorySink(s, d, sessions, name, "append")
+    s.table(name)
+  }
+
+  /** The flatMapGroupsWithState session FSM without a sink — shared by
+    * [[runSessionStream]] (memory sink) and the 1000× file-sink probe. */
+  private[graft] def sessionFsmStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val session = s
     import session.implicits._
@@ -403,10 +438,7 @@ object EventStream {
           out.iterator
       }
       .toDF("user_id", "start_us", "end_us", "n_events", "total_value", "closed_by")
-
-    val name = "graft_st_sessionize_stream"
-    runToMemorySink(s, d, sessions, name, "append")
-    s.table(name)
+    sessions
   }
 
   /** Oracle for [[sessionizeStreamClosed]]: the batch gaps-and-islands
@@ -514,7 +546,16 @@ object EventStream {
     * merged state; one micro-batch means the watermark never evicts,
     * so the result is a pure function of the data. */
   def sessionWindowAgg(s: SparkSession, d: String): DataFrame = {
-    val stream = eventStream(s, d)
+    val stream = sessionWindowStream(s, d)
+    val name = "graft_st_session_window"
+    runToMemorySink(s, d, stream, name, "complete")
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
+  /** The session-window pipeline without a sink — shared by the gate
+    * query above (memory sink) and the 1000× file-sink probe. */
+  private[graft] def sessionWindowStream(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
@@ -522,10 +563,6 @@ object EventStream {
         date_format(col("session_window.start"), fmt).as("session_start"),
         date_format(col("session_window.end"), fmt).as("session_end"),
         col("n_events"), col("total_value"))
-    val name = "graft_st_session_window"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("user_id", "session_start")
-  }
 
   /** SQL twin: gaps-and-islands with the two session_window deltas —
     * `>=` break (touching windows don't merge) and end = max + gap. */

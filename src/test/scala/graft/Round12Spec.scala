@@ -89,6 +89,33 @@ class Round12Spec extends SparkSpec {
     assert(dec.refused == (dec.estBytes > 0L))
   }
 
+  test("sorted_jaccard / sorted_overlap equal the array_intersect/array_union formulation bit-for-bit") {
+    // the r12 d_setsim_join verify fix: one merge pass over doc-sorted
+    // arrays must produce the SAME two exact integers (and therefore
+    // the same one IEEE division) as Spark's set-semantics
+    // array_intersect/array_union, including under duplicates
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 300).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(1L, 1L, 2L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.MinHashFns.sorted_jaccard(col("a"), col("b")).as("j"),
+      graft.functions.MinHashFns.sorted_overlap(col("a"), col("b")).as("o"),
+      when(size(array_union(col("a"), col("b"))) === 0, 0.0)
+        .otherwise(size(array_intersect(col("a"), col("b"))).cast("double")
+          / size(array_union(col("a"), col("b")))).as("jRef"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("oRef")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), s"jaccard mismatch: $r")
+      assert(r.getLong(1) == r.getLong(3), s"overlap mismatch: $r")
+    }
+  }
+
   test("bandedPairs: an output-quadratic corpus REFUSES on the survivor budget before the distinct") {
     // the r11 planted-corpus failure mode in miniature: every pair a
     // survivor, so the pilot-sampled estimate blows a small pinned

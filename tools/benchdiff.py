@@ -59,8 +59,14 @@ def isolate(flagged, sf_dir):
     gate rather than silently passing."""
     names = ",".join(sorted(flagged))
     out = "/tmp/benchdiff_iso.json"
-    if os.path.exists(out):
-        os.remove(out)
+    # Bench diverts its artifact to <name>.loaded.json when the pre-run
+    # 1-min loadavg > 2 (e.g. right after the big suite run that
+    # produced the flags) — accept either name, the diversion only
+    # annotates host state
+    out_loaded = "/tmp/benchdiff_iso.loaded.json"
+    for p in (out, out_loaded):
+        if os.path.exists(p):
+            os.remove(p)
     env = dict(os.environ,
                SPARK_GRAFT_ONLY=names,
                SPARK_GRAFT_BENCH_OUT=out,
@@ -77,11 +83,17 @@ def isolate(flagged, sf_dir):
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            env=env, cwd=repo, capture_output=True, text=True,
                            timeout=1800)
-        if r.returncode != 0 or not os.path.exists(out):
+        got = out if os.path.exists(out) else (
+            out_loaded if os.path.exists(out_loaded) else None)
+        if r.returncode != 0 or got is None:
             print("triage: isolation run FAILED — falling back to the raw gate")
             print((r.stdout or "")[-2000:])
             return None
-        with open(out) as f:
+        if got == out_loaded:
+            print("triage: isolation artifact diverted to .loaded.json "
+                  "(host still settling) — using it; re-check by hand if a "
+                  "flag is borderline")
+        with open(got) as f:
             return steady(json.load(f))
     except (OSError, subprocess.TimeoutExpired) as e:
         print(f"triage: isolation run unavailable ({e}) — raw gate applies")
