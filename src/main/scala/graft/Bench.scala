@@ -259,14 +259,6 @@ object Bench {
       s""""shuffle_write_total_mb":${steady.map(_._2.shufWriteMb).sum},""" +
       s""""shuffle_read_total_mb":${steady.map(_._2.shufReadMb).sum},""" +
       s""""spilled_total_mb":${steady.map(_._2.spillMb).sum},$env,"sf":"$sfDir"}"""
-    println(fullLine)
-    println(summaryLine)
-    // DURABLE artifact: the driver keeps only a 2000-char stdout TAIL, so
-    // the per-query half of every round's driver bench died with stdout
-    // (r5's full numbers are unrecoverable). Write BOTH lines to a file
-    // in the repo working tree; the round-close commit preserves it, and
-    // git history keeps one snapshot per round. Timestamped, best-effort
-    // (a read-only cwd must not fail the bench itself).
     // Artifact hygiene (r8 judge note): a loaded-host run must never
     // OVERWRITE the quiet-host artifact the committed BASELINE numbers
     // are read from — divert it to <name>.loaded.json so the two can
@@ -275,6 +267,39 @@ object Bench {
     val benchOut =
       if (loadedHost) benchOut0.replaceAll("\\.json$", "") + ".loaded.json"
       else benchOut0
+    println(fullLine)
+    println(summaryLine)
+    // CONTRACT line, printed LAST (r12 verdict item 8): the driver keeps
+    // only a ~2000-char stdout TAIL and parses it against the
+    // {"metric","value","unit","queries","sf"} contract — the 15 KB
+    // fullLine truncates out of the tail and the summaryLine above lacks
+    // "unit"/"queries", so BENCH_r08–r12 all recorded parsed:null. This
+    // line carries the contract fields with a queries map filled
+    // slowest-steady-first under a strict character budget, so the WHOLE
+    // line survives the tail cut even with sbt's trailing
+    // "[success] Total time" line inside the same 2000 chars. The full
+    // per-query data lives in the fullLine and the file artifact.
+    val contractBudget = 1800
+    def jq(k: String, v: Double): String = "\"" + k + "\":" + f"$v%.3f"
+    val slowest = steady.filter(_._2.secs >= 0).sortBy(-_._2.secs)
+    val head =
+      s"""{"metric":"total","value":${total(steady)},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${steady.size},"n_failed":${steady.count(_._2.secs < 0)},""" +
+      s""""note":"steady pass; top slowest only - full map in $benchOut","queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    slowest.foreach { case (k, s) =>
+      val piece = (if (first) "" else ",") + jq(k, s.secs)
+      if (sb.length + piece.length + 2 <= contractBudget) { sb.append(piece); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
+    // DURABLE artifact: the driver keeps only a 2000-char stdout TAIL, so
+    // the per-query half of every round's driver bench died with stdout
+    // (r5's full numbers are unrecoverable). Write BOTH lines to a file
+    // in the repo working tree; the round-close commit preserves it, and
+    // git history keeps one snapshot per round. Timestamped, best-effort
+    // (a read-only cwd must not fail the bench itself).
     try {
       val ts = java.time.Instant.now().toString
       java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut),

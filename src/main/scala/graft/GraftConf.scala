@@ -368,7 +368,31 @@ object GraftConf {
       val dirs = s.sparkContext.getConf
         .get("spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp"))
         .split(",").map(_.trim).filter(_.nonEmpty)
-      val usable = dirs.map(p => new java.io.File(p).getUsableSpace).sum
+      // Only dirs that EXIST contribute (a not-yet-created shuffle dir
+      // reports getUsableSpace = 0, which would zero the whole budget
+      // and refuse every sampled corpus spuriously), and two entries on
+      // the SAME filesystem count its space once (a comma-list of
+      // subdirs of one disk must not double the budget past real
+      // capacity) — dedupe on the FileStore identity.
+      val stores = dirs.map(p => new java.io.File(p))
+        .filter(_.isDirectory)
+        .flatMap { f =>
+          try Some(java.nio.file.Files.getFileStore(f.toPath) -> f.getUsableSpace)
+          catch { case _: java.io.IOException => None }
+        }
+        .groupBy(_._1).map(_._2.head._2)
+      val usable0 = stores.sum
+      // fall back to the JVM tmpdir before failing: a budget of 0 means
+      // the refusal tier fires on EVERY corpus it samples, which is a
+      // misconfiguration, not a measurement
+      val usable =
+        if (usable0 > 0) usable0
+        else new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace
+      if (usable <= 0)
+        throw new IllegalStateException(
+          s"bandedShuffleBudgetBytes: no usable space under spark.local.dir=" +
+            s"${dirs.mkString(",")} or java.io.tmpdir — pin $bandedShuffleBudgetKey " +
+            "to this deployment's shuffle capacity")
       // statusTracker lists the driver too in cluster mode; local mode
       // has exactly one entry (the driver IS the executor)
       val execs = math.max(1, s.sparkContext.statusTracker.getExecutorInfos.length - 1)

@@ -219,10 +219,15 @@ private[graft] object EmbedBands {
       graft.GraftConf.bandedShuffleBudgetBytes(e.sparkSession))
     if (dec.refused) {
       sigs.unpersist(blocking = false); census.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"bandedPairs: survivor stream estimated at ${dec.estBytes} B " +
+      val basis =
+        if (dec.sampCandidates == 0L)
+          s"(1/${dec.sampleK} bucket sample selected NO candidates — no " +
+            "measurement exists, worst-case bound applies)"
+        else
           s"(${dec.sampSurvivors} survivors in a 1/${dec.sampleK} bucket sample × " +
-          s"safety ${graft.GraftConf.bandedSampleSafety}) against a " +
+            s"safety ${graft.GraftConf.bandedSampleSafety})"
+      throw new IllegalStateException(
+        s"bandedPairs: survivor stream estimated at ${dec.estBytes} B $basis against a " +
           s"${dec.budgetBytes} B shuffle budget at t=$t, r=$r, L=$l — the corpus' " +
           "TRUE pair set is output-quadratic at this threshold; raise the " +
           s"threshold, or pin ${graft.GraftConf.bandedShuffleBudgetKey} if this " +
@@ -321,11 +326,15 @@ private[graft] object EmbedBands {
 
   /** One survivor-budget decision: (refused?, and every number that
     * produced the verdict, so callers can emit the decision as an
-    * oracle-visible row). `sampleK = 0, sampSurvivors = -1` means the
-    * worst-case bound already fit and no sample ran. */
+    * oracle-visible row). `sampleK = 0, sampCandidates = sampSurvivors
+    * = -1` means the worst-case bound already fit and no sample ran;
+    * `sampleK > 0, sampCandidates = 0, sampSurvivors = -1` means the
+    * 1/K hash selected no candidate-bearing bucket, so NO measurement
+    * exists and the decision falls back to the (over-budget)
+    * worst-case bound — refuse. */
   final case class BudgetDecision(priced: Long, boundBytes: Long,
-      budgetBytes: Long, sampleK: Long, sampSurvivors: Long,
-      estBytes: Long, refused: Boolean)
+      budgetBytes: Long, sampleK: Long, sampCandidates: Long,
+      sampSurvivors: Long, estBytes: Long, refused: Boolean)
 
   /** Price the verify join's SURVIVOR stream against a BYTES budget
     * (r11 verdict item 1 — the band-degenerate middle regime): the
@@ -356,13 +365,31 @@ private[graft] object EmbedBands {
     val rowBytes = graft.GraftConf.bandedSurvivorRowBytes
     val bound = priced * rowBytes
     if (bound <= budgetBytes)
-      BudgetDecision(priced, bound, budgetBytes, 0L, -1L, bound, refused = false)
+      BudgetDecision(priced, bound, budgetBytes, 0L, -1L, -1L, bound, refused = false)
     else {
       val k = math.max(1L, (priced + sampleTarget - 1) / sampleTarget)
       val sampled = census.filter(bucketHash(col("band"), col("sig")) % k === 0L)
-      val samp = verifySurvivors(sigs, sampled, n, l, t).count()
-      val est = samp * k * graft.GraftConf.bandedSampleSafety * rowBytes
-      BudgetDecision(priced, bound, budgetBytes, k, samp, est, est > budgetBytes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // an EMPTY sample is the absence of a measurement, not a measured
+      // rate of 0: when the 1/K hash lands on no candidate-bearing
+      // bucket, extrapolating samp = 0 would wave through the exact
+      // output-quadratic regime this budget guards — fall back to the
+      // worst-case bound (which is over budget here, so refuse). The
+      // candidate count comes from the vocabulary-sized census, so the
+      // check costs nothing before the verify dots run.
+      val sampCand = sampled
+        .agg(coalesce(sum(expr("bc * (bc - 1) div 2")), lit(0L))).head().getLong(0)
+      val dec =
+        if (sampCand == 0L)
+          BudgetDecision(priced, bound, budgetBytes, k, 0L, -1L, bound, refused = true)
+        else {
+          val samp = verifySurvivors(sigs, sampled, n, l, t).count()
+          val est = samp * k * graft.GraftConf.bandedSampleSafety * rowBytes
+          BudgetDecision(priced, bound, budgetBytes, k, sampCand, samp, est,
+            est > budgetBytes)
+        }
+      sampled.unpersist(blocking = false)
+      dec
     }
   }
 

@@ -1131,12 +1131,12 @@ object Similarity {
     val rows = combos.map { case (budget, target) =>
       val dec = EmbedBands.budgetDecision(sigs, census, priced, n, l, t, budget, target)
       (budget, target, dec.priced, dec.boundBytes, dec.sampleK,
-        dec.sampSurvivors, dec.estBytes, dec.refused)
+        dec.sampCandidates, dec.sampSurvivors, dec.estBytes, dec.refused)
     }
     sigs.unpersist(blocking = false); census.unpersist(blocking = false)
     import s.implicits._
     rows.toDF("budget_bytes", "sample_target", "priced", "bound_bytes",
-        "sample_k", "samp_survivors", "est_bytes", "refused")
+        "sample_k", "samp_candidates", "samp_survivors", "est_bytes", "refused")
       .orderBy("budget_bytes", "sample_target")
   }
 
@@ -1189,6 +1189,10 @@ object Similarity {
        |  GROUP BY band, sig HAVING count(*) BETWEEN 2 AND $cap
        |), bb_priced AS (
        |  SELECT CAST(coalesce(sum(bc * (bc - 1) // 2), 0) AS BIGINT) AS priced FROM bb_census
+       |), bb_cand AS MATERIALIZED (
+       |  SELECT band, sig, ${EmbedBands.bucketHashSql("band", "sig")} AS bh,
+       |    CAST(bc * (bc - 1) // 2 AS BIGINT) AS cand
+       |  FROM bb_census
        |), bb_surv AS MATERIALIZED (
        |  SELECT c.band, c.sig, ${EmbedBands.bucketHashSql("c.band", "c.sig")} AS bh,
        |    CAST(count(*) AS BIGINT) AS sv
@@ -1217,19 +1221,27 @@ object Similarity {
        |  FROM bb_combo
        |)
        |SELECT budget_bytes, sample_target, priced, bound_bytes, sample_k,
-       |  samp_survivors, est_bytes,
-       |  CASE WHEN sample_k = 0 THEN FALSE ELSE est_bytes > budget_bytes END AS refused
+       |  samp_candidates, samp_survivors, est_bytes,
+       |  CASE WHEN sample_k = 0 THEN FALSE
+       |       WHEN samp_candidates = 0 THEN TRUE
+       |       ELSE est_bytes > budget_bytes END AS refused
        |FROM (
        |  SELECT *,
-       |    CASE WHEN sample_k = 0 THEN bound_bytes
+       |    CASE WHEN sample_k = 0 OR samp_candidates = 0 THEN bound_bytes
        |         ELSE samp_survivors * sample_k * $safety * $rowBytes END AS est_bytes
        |  FROM (
        |    SELECT *,
-       |      CASE WHEN sample_k = 0 THEN CAST(-1 AS BIGINT)
+       |      CASE WHEN sample_k = 0 OR samp_candidates = 0 THEN CAST(-1 AS BIGINT)
        |           ELSE CAST(coalesce((SELECT sum(sv) FROM bb_surv s
        |                               WHERE s.bh % sample_k = 0), 0) AS BIGINT)
        |      END AS samp_survivors
-       |    FROM bb_k))
+       |    FROM (
+       |      SELECT *,
+       |        CASE WHEN sample_k = 0 THEN CAST(-1 AS BIGINT)
+       |             ELSE CAST(coalesce((SELECT sum(cand) FROM bb_cand c
+       |                                 WHERE c.bh % sample_k = 0), 0) AS BIGINT)
+       |        END AS samp_candidates
+       |      FROM bb_k)))
        |ORDER BY budget_bytes, sample_target""".stripMargin
   }
 

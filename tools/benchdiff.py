@@ -114,6 +114,12 @@ def ab_rerun_old(old_commit, sf_dir):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     wt = "/tmp/benchdiff_ab_wt"
     out = "/tmp/benchdiff_ab.json"
+    # Bench diverts its artifact to <name>.loaded.json when the pre-run
+    # 1-min loadavg > 2 — which is the NORMAL state right after the big
+    # suite run that triggered this A/B. Accept either name (mirroring
+    # isolate()); discarding a ~90-min full-suite rerun because of the
+    # diversion would silently fall back to the stale baseline.
+    out_loaded = "/tmp/benchdiff_ab.loaded.json"
     subprocess.run(["git", "worktree", "remove", "--force", wt],
                    cwd=repo, capture_output=True)
     r = subprocess.run(["git", "worktree", "add", "--force", wt, old_commit],
@@ -122,8 +128,9 @@ def ab_rerun_old(old_commit, sf_dir):
         print(f"A/B: worktree add failed — {r.stderr.strip()[:500]}")
         return None
     try:
-        if os.path.exists(out):
-            os.remove(out)
+        for p in (out, out_loaded):
+            if os.path.exists(p):
+                os.remove(p)
         env = dict(os.environ,
                    SPARK_GRAFT_BENCH_OUT=out,
                    SPARK_GRAFT_SF_DIR=sf_dir)
@@ -134,11 +141,17 @@ def ab_rerun_old(old_commit, sf_dir):
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            env=env, cwd=wt, capture_output=True, text=True,
                            timeout=5400)
-        if r.returncode != 0 or not os.path.exists(out):
+        got = out if os.path.exists(out) else (
+            out_loaded if os.path.exists(out_loaded) else None)
+        if r.returncode != 0 or got is None:
             print("A/B: prior-commit bench FAILED — stale baseline applies")
             print((r.stdout or "")[-2000:])
             return None
-        with open(out) as f:
+        if got == out_loaded:
+            print("A/B: artifact diverted to .loaded.json (host still under "
+                  "the suite run's load) — using it; BOTH sides of this A/B "
+                  "ran on the same loaded host, so the comparison stands")
+        with open(got) as f:
             return json.load(f)
     except (OSError, subprocess.TimeoutExpired) as e:
         print(f"A/B: unavailable ({e}) — stale baseline applies")
@@ -158,9 +171,12 @@ def load_new_old(argv):
         old_name = argv[2]
     else:
         # previous committed artifact: BENCH_local.json as of HEAD
+        # (cwd pinned to the repo — the script must work when invoked
+        # from anywhere, same fix as ab_rerun_old)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         blob = subprocess.run(
             ["git", "show", "HEAD:BENCH_local.json"],
-            capture_output=True, text=True, check=True).stdout
+            cwd=repo, capture_output=True, text=True, check=True).stdout
         old = json.loads(blob)
         old_name = "HEAD:BENCH_local.json"
     return new, new_path, old, old_name
@@ -215,9 +231,27 @@ def main(argv):
     if do_ab and total_old > 0 and \
             abs(total_new - total_old) / total_old > AB_DRIFT:
         if ab_commit is None:
-            ab_commit = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                capture_output=True, text=True, check=True).stdout.strip()
+            # HEAD is only the right A/B commit when the old artifact
+            # came from HEAD (the default load path); an explicit
+            # OLD.json may have been produced by any commit, and
+            # rebuilding HEAD would attribute the drift against the
+            # wrong code — require --ab-commit there.
+            if len(argv) > 2:
+                print("\nA/B: explicit OLD artifact given but no --ab-commit= "
+                      "— cannot know which commit produced it; skipping the "
+                      "A/B (pass --ab-commit=SHA to enable). Per-query rows "
+                      "below compare against the STALE artifact.")
+            else:
+                repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                r = subprocess.run(["git", "rev-parse", "HEAD"],
+                                   cwd=repo, capture_output=True, text=True)
+                if r.returncode == 0:
+                    ab_commit = r.stdout.strip()
+                else:
+                    print(f"\nA/B: git rev-parse HEAD failed "
+                          f"({r.stderr.strip()[:200]}) — stale baseline applies")
+    if do_ab and ab_commit is not None and total_old > 0 and \
+            abs(total_new - total_old) / total_old > AB_DRIFT:
         print(f"\nHOST-DRIFT A/B: steady total {total_new:.1f} s vs "
               f"{total_old:.1f} s ({total_new / total_old:.2f}x) exceeds "
               f"{AB_DRIFT:.0%} — re-measuring the prior commit on today's host")
