@@ -351,6 +351,16 @@ object GraftConf {
     * actual resources ([[bandedShuffleBudgetBytes]]). */
   val bandedShuffleBudgetKey = "graft.banded.shuffleBudgetBytes"
 
+  /** Priced bytes per CANDIDATE row on the AllPairs prefix-filter
+    * paths (setsimJoin / containmentJoin): the pre-distinct candidate
+    * stream is (doc_a, doc_b, n_a, n_b) = 32 B of UnsafeRow payload
+    * through the distinct's shuffle write (r12 verdict item 2 — the
+    * planted hot-token corpus regime, where one token survives the
+    * prefix filter in every document and the candidate distinct
+    * explodes output-quadratically exactly like the r11
+    * band-degenerate survivor stream did). */
+  val allPairsCandRowBytes: Long = 32L
+
   /** The RESOURCE-DERIVED shuffle budget for the banded pair path's
     * survivor stream (r11 verdict item 1): the band-degenerate middle
     * regime — a corpus whose TRUE pair set is output-quadratic —

@@ -509,36 +509,125 @@ object Dedup {
     * Produces exactly the same result as [[ngramJaccard]] (both equal the
     * brute-force oracle); this is the deterministic-guarantee variant,
     * that one the constant-work-per-doc variant. */
-  def setsimJoin(s: SparkSession, d: String): DataFrame = {
-    val t = 0.5
-    // the whole pipeline runs on 64-bit shingle hashes (word_hashes,
-    // native expr): candidate generation and verify shuffle 8-byte longs
-    // instead of ~25-char strings. AllPairs only needs SOME consistent
-    // global order, so rare-first on (hash frequency, hash) is as valid
-    // as on strings; a 64-bit collision (P < 1e-9 on any real vocabulary)
-    // could only perturb the Jaccard value — and the spec cross-checks
-    // this result for exact equality against the string-exact LSH path
-    // and the brute-force oracle on every run.
-    // three consumers (token explode + both verify sides) — persist, or the
-    // scan+shingle chain recomputes per consumer (measured 4x on signatures).
-    // hs is SORTED per document at build time (n docs, one codegen'd sort
-    // each) so the verify's set Jaccard is a single merge pass per
-    // candidate pair — see the verify-stage note below
+  /** Shared AllPairs preparation (setsim + containment): 64-bit
+    * shingle-hash tokens (one row per (doc, distinct gram) —
+    * word_shingles dedupes grams per doc, so the hash multiset IS the
+    * gram set up to 64-bit collisions), the global hash-frequency
+    * table extended with DENSE VOCABULARY IDS (rank of the hash in
+    * the h-sorted vocabulary — distributed sort + zipWithIndex, a
+    * vocabulary-sized job at any corpus size), and the per-document
+    * delta-varint PACKED sorted-id signature the verify stage ships
+    * instead of raw `array<long>` hashes. The remap is a bijection:
+    * every set size / intersection / union — and therefore every
+    * Jaccard and containment VALUE — is unchanged bit-for-bit, but
+    * sorted dense ids have average gap |vocab|/|doc| and pack at
+    * ~2–3 B per token instead of 8 B + array overhead, cutting the
+    * candidate-linear verify shuffle (~25 GB at 100×, the dedup
+    * family's dominant scale cost — r12 verdict item 1) ~4×. */
+  private[graft] final case class AllPairsPrep(
+      toks: DataFrame, packed: DataFrame, tokens: DataFrame) {
+    /** Drop every persisted frame — the refusal path must not leak
+      * cached blocks into a long-lived session. */
+    def unpersistAll(): Unit = {
+      toks.unpersist(blocking = false)
+      packed.unpersist(blocking = false)
+      tokens.unpersist(blocking = false)
+    }
+  }
+
+  private def allPairsPrep(s: SparkSession, d: String): AllPairsPrep = {
     val sh = withShingles(s, d)
-      .select(col("doc_id"),
-        sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), graft.functions.MinHashFns.word_hashes(col("sh")).as("hs"))
+    // two consumers (freq, dict join) — persist, or the scan+shingle
+    // chain recomputes per consumer (measured 4x on signatures)
     val tokens = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = tokens.groupBy("h").agg(count(lit(1)).as("f"))
-    // per doc: rank hashes rare-first with a window and keep rank ≤
-    // prefix length — no per-doc collect_list + array sort, just one
-    // shuffle-sort by doc that spills instead of buffering
+    import s.implicits._
+    val dict = freq.orderBy("h").select(col("h"), col("f")).as[(Long, Long)].rdd
+      .zipWithIndex()
+      .map { case ((h, f), i) => (h, f, i) }
+      .toDF("h", "f", "hid")
+    // toks feeds the prefix window AND the packed build; packed feeds
+    // both verify sides — persist each once instead of recomputing the
+    // token join / per-doc pack per consumer
+    val toks = tokens.join(dict, "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val packed = toks.groupBy("doc_id")
+      .agg(graft.functions.PackedSetFns.pack_sorted(
+          sort_array(collect_list(col("hid")))).as("p"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    AllPairsPrep(toks, packed, tokens)
+  }
+
+  /** Bytes-denominated refusal for the AllPairs candidate stream (r12
+    * verdict item 2): `priced` counts the rows entering the candidate
+    * `distinct()` (exactly, up to the length filter, which only
+    * shrinks it) from the prefix census — cheap integer arithmetic on
+    * aggregates, BEFORE any pair row exists. A planted hot-token
+    * corpus (one token surviving the prefix filter in every document)
+    * explodes that distinct output-quadratically exactly like the r11
+    * band-degenerate survivor stream; the budget is the same
+    * resource-derived one the banded path prices against. Unlike the
+    * banded path there is no survivor-rate pilot tier: every candidate
+    * reaches the distinct whether or not it verifies, so the priced
+    * count IS the shuffled volume, not a worst-case bound. */
+  private def allPairsRefuseIfOverBudget(s: SparkSession, path: String,
+      priced: Long, cleanup: => Unit): Unit = {
+    val budget = graft.GraftConf.bandedShuffleBudgetBytes(s)
+    val bound = priced * graft.GraftConf.allPairsCandRowBytes
+    if (bound > budget) {
+      cleanup
+      throw new IllegalStateException(
+        s"$path: prefix-filter candidate stream priced at $priced rows " +
+          s"($bound B at ${graft.GraftConf.allPairsCandRowBytes} B/row) against a " +
+          s"$budget B shuffle budget — the corpus has a degenerate hot-token " +
+          "prefix (candidates are output-quadratic); raise the threshold, or pin " +
+          s"${graft.GraftConf.bandedShuffleBudgetKey} if this deployment's shuffle " +
+          "capacity is larger than the derived budget")
+    }
+  }
+
+  /** Per-doc rare-first prefix for the Jaccard AllPairs join: rank ≤
+    * n − ⌈t·n⌉ + 1 over (global hash frequency, hash) — one window per
+    * doc, no per-doc collect_list + array sort, a shuffle-sort that
+    * spills instead of buffering. */
+  private[graft] def setsimPrefix(toks: DataFrame, t: Double): DataFrame = {
     val wDoc = Window.partitionBy("doc_id")
-    val pe = tokens.join(freq, "h")
+    toks
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rnk", row_number().over(wDoc.orderBy("f", "h")))
       .filter(col("rnk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
       .select(col("doc_id"), col("n"), col("h"))
+  }
+
+  /** Exact pre-length-filter candidate count of the Jaccard AllPairs
+    * join: Σ_h c_h·(c_h−1)/2 over the prefix census. */
+  private[graft] def setsimCandPriced(pe: DataFrame): Long =
+    pe.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))).head().getLong(0)
+
+  def setsimJoin(s: SparkSession, d: String): DataFrame = {
+    val t = 0.5
+    // the whole pipeline runs on 64-bit shingle hashes (word_hashes,
+    // native expr): candidate generation shuffles 8-byte longs instead
+    // of ~25-char strings, and the verify ships packed dense-id sets
+    // (see allPairsPrep). AllPairs only needs SOME consistent global
+    // order, so rare-first on (hash frequency, hash) is as valid as on
+    // strings; a 64-bit collision (P < 1e-9 on any real vocabulary)
+    // could only perturb the Jaccard value — and the spec cross-checks
+    // this result for exact equality against the string-exact LSH path
+    // and the brute-force oracle on every run.
+    val prep = allPairsPrep(s, d)
+    val pe = setsimPrefix(prep.toks, t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate budget BEFORE the distinct: Σ_h c_h·(c_h−1)/2 over the
+    // prefix census — see allPairsRefuseIfOverBudget
+    val priced = setsimCandPriced(pe)
+    allPairsRefuseIfOverBudget(s, "setsimJoin", priced, {
+      pe.unpersist(blocking = false); prep.unpersistAll()
+    })
     val a = pe.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
     val b = pe.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"))
     val cands = a.join(b, "h")
@@ -547,27 +636,26 @@ object Dedup {
       .filter(col("n_b") >= col("n_a") * t && col("n_b") <= col("n_a") / t)
       .select("doc_a", "doc_b")
       .distinct()
-    val shA = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    // VERIFY stage, two r12 stage-probe findings (the probe measured
-    // verify at 121 s of the 154 s total at 100×, everything else
-    // linear and small):
-    //  - SHUFFLE_HASH on the array-carrying doc sides (the
+    val pA = prep.packed.select(col("doc_id").as("doc_a"), col("p").as("p_a"))
+    val pB = prep.packed.select(col("doc_id").as("doc_b"), col("p").as("p_b"))
+    // VERIFY stage, r12/r13 findings (the r12 probe measured verify at
+    // 121 s of the 154 s total at 100×, everything else linear):
+    //  - SHUFFLE_HASH on the signature-carrying doc sides (the
     //    EmbedBands.verifyJoin lesson): a sort-merge join would SORT
-    //    candidate rows carrying ~100-long arrays; hash joins build on
-    //    the narrow doc table and STREAM the candidates through one
-    //    codegen stage.
-    //  - sorted_jaccard instead of array_intersect/array_union: those
-    //    two each build a per-row hash set AND materialize a result
-    //    array — measured ~110 µs PER CANDIDATE PAIR, the entire
-    //    verify cost. One merge pass over the doc-sorted arrays
-    //    computes the bit-identical set Jaccard (same two exact
-    //    integers, same one IEEE division) with zero allocation.
-    cands.join(shA.hint("SHUFFLE_HASH"), "doc_a")
-      .join(shB.hint("SHUFFLE_HASH"), "doc_b")
+    //    candidate rows carrying signatures; hash joins build on the
+    //    doc table and STREAM the candidates through one codegen stage.
+    //  - packed_jaccard over delta-varint dense-id sets instead of
+    //    sorted_jaccard over raw hash arrays: the candidate rows carry
+    //    the first side's signature through the SECOND join's shuffle
+    //    (the 25 GB at 100×), and packed ids are ~4× smaller with the
+    //    same one-merge-pass, zero-allocation verify — bit-identical
+    //    values (same exact integers, same one IEEE division;
+    //    Round13Spec pins equality against sorted_jaccard).
+    cands.join(pA.hint("SHUFFLE_HASH"), "doc_a")
+      .join(pB.hint("SHUFFLE_HASH"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         ExactRound.r(
-          graft.functions.MinHashFns.sorted_jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard"))
+          graft.functions.PackedSetFns.packed_jaccard(col("p_a"), col("p_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
   }
@@ -1767,41 +1855,59 @@ object Dedup {
     * The container side keeps full posting lists; at web scale the df
     * head would be band-partitioned (a hot boilerplate shingle fans out
     * its postings), which shards work without affecting exactness. */
-  def containmentJoin(s: SparkSession, d: String): DataFrame = {
-    val t = 0.8
-    // hs sorted per doc + merge-pass overlap in the verify — the
-    // setsimJoin r12 verify-stage findings apply verbatim here (same
-    // candidate ⋈ doc-array joins, same per-pair set intersection)
-    val sh = withShingles(s, d)
-      .select(col("doc_id"),
-        sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tokens = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val freq = tokens.groupBy("h").agg(count(lit(1)).as("f"))
+  /** Frequency-ranked token rows for the containment join (window
+    * reused by the prefix and the full `all` side). */
+  private[graft] def containmentRanked(toks: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy("doc_id")
-    val ranked = tokens.join(freq, "h")
+    toks
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rnk", row_number().over(wDoc.orderBy("f", "h")))
-    // prefix length n − ⌈0.8n⌉ + 1 in EXACT integer arithmetic
-    // (⌈4n/5⌉ = (4n+4) div 5): double rounding of n*0.8 can shorten the
-    // prefix at threshold sizes, which would be a silent false negative
-    val pref = ranked
+  }
+
+  /** Containment prefix: length n − ⌈0.8n⌉ + 1 in EXACT integer
+    * arithmetic (⌈4n/5⌉ = (4n+4) div 5) — double rounding of n*0.8 can
+    * shorten the prefix at threshold sizes, which would be a silent
+    * false negative. */
+  private[graft] def containmentPrefix(ranked: DataFrame): DataFrame =
+    ranked
       .filter(col("rnk") <= expr("n - (4*n + 4) div 5 + 1"))
-      .select(col("doc_id").as("doc_small"), col("n").as("n_s"), col("h"))
+      .select(col("doc_id").as("doc_small"), col("n").as("n_s"), col("h"), col("f"))
+
+  /** Exact pre-orientation-filter candidate count of the containment
+    * join: the container side keeps FULL posting lists, so each prefix
+    * row meets f_h rows of `all` (one of them its own doc) —
+    * priced = Σ_pref (f − 1). */
+  private[graft] def containmentCandPriced(pref: DataFrame): Long =
+    pref.agg(coalesce(sum(col("f") - 1), lit(0L))).head().getLong(0)
+
+  def containmentJoin(s: SparkSession, d: String): DataFrame = {
+    val t = 0.8
+    // packed dense-id signatures + merge-pass overlap in the verify —
+    // the setsimJoin r12/r13 verify-stage findings apply verbatim here
+    // (same candidate ⋈ doc-signature joins, same per-pair merge)
+    val prep = allPairsPrep(s, d)
+    val ranked = containmentRanked(prep.toks)
+    val pref = containmentPrefix(ranked)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val priced = containmentCandPriced(pref)
+    allPairsRefuseIfOverBudget(s, "containmentJoin", priced, {
+      pref.unpersist(blocking = false); prep.unpersistAll()
+    })
     val all = ranked.select(col("doc_id").as("doc_big"), col("n").as("n_b"), col("h"))
     val cands = pref.join(all, "h")
       .filter(col("n_s") < col("n_b") ||
         (col("n_s") === col("n_b") && col("doc_small") < col("doc_big")))
       .select("doc_small", "doc_big")
       .distinct()
-    val shS = sh.select(col("doc_id").as("doc_small"), col("hs").as("hs_s"))
-    val shB = sh.select(col("doc_id").as("doc_big"), col("hs").as("hs_b"))
-    cands.join(shS.hint("SHUFFLE_HASH"), "doc_small")
-      .join(shB.hint("SHUFFLE_HASH"), "doc_big")
+    val pS = prep.packed.select(
+      col("doc_id").as("doc_small"), col("p").as("p_s"), col("n").as("n_small"))
+    val pB = prep.packed.select(col("doc_id").as("doc_big"), col("p").as("p_b"))
+    cands.join(pS.hint("SHUFFLE_HASH"), "doc_small")
+      .join(pB.hint("SHUFFLE_HASH"), "doc_big")
       .select(col("doc_small"), col("doc_big"),
         ExactRound.r(
-          graft.functions.MinHashFns.sorted_overlap(col("hs_s"), col("hs_b")).cast("double")
-            / size(col("hs_s")), 6).as("containment"))
+          graft.functions.PackedSetFns.packed_overlap(col("p_s"), col("p_b")).cast("double")
+            / col("n_small"), 6).as("containment"))
       .filter(col("containment") >= t)
       .orderBy("doc_small", "doc_big")
   }
@@ -1821,6 +1927,111 @@ object Dedup {
        |FROM ng_pair
        |WHERE $cont >= 0.8
        |ORDER BY doc_small, doc_big""".stripMargin
+  }
+
+  // -------------------------------------------- AllPairs candidate budget
+
+  /** CANDIDATE-BUDGET DECISION PIN (r12 verdict item 2) — the AllPairs
+    * prefix-filter paths' refusal tier made oracle-visible, the
+    * s_band_budget / d_cap_fires discipline: [[setsimJoin]] and
+    * [[containmentJoin]] price their pre-distinct candidate stream
+    * from the prefix census ([[setsimCandPriced]] /
+    * [[containmentCandPriced]] — exact integer arithmetic over the
+    * same rare-first prefixes the joins actually build) and refuse
+    * against the resource-derived shuffle budget BEFORE any pair row
+    * exists. This query runs the PRODUCTION census + decision
+    * arithmetic under pinned budget literals covering both branches
+    * (proceed / refuse) for both paths; the RESOURCE-derived budget is
+    * the one input the oracle cannot see (it enters production
+    * decisions only), so the pin substitutes literals exactly like
+    * s_band_budget does. The twin replays the whole chain — distinct
+    * word-3-grams, the djb2·φ⁻¹ 64-bit hash ([[graft.functions
+    * .MinHashImpl.wordHashes]]), global frequency, the (f, h)
+    * rare-first windows, both prefix-length formulas, both censuses —
+    * in integer arithmetic both engines compute exactly. */
+  def setsimBudget(s: SparkSession, d: String): DataFrame = {
+    val prep = allPairsPrep(s, d)
+    val pe = setsimPrefix(prep.toks, 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pricedSetsim = setsimCandPriced(pe)
+    pe.unpersist(blocking = false)
+    val pref = containmentPrefix(containmentRanked(prep.toks))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pricedCont = containmentCandPriced(pref)
+    pref.unpersist(blocking = false)
+    prep.unpersistAll()
+    val budgets = Seq(64L, 1000000000000000L) // refuse / proceed
+    val rows = for {
+      (path, priced) <- Seq(("containment", pricedCont), ("setsim", pricedSetsim))
+      budget <- budgets
+    } yield {
+      val bound = priced * graft.GraftConf.allPairsCandRowBytes
+      (path, budget, priced, bound, bound > budget)
+    }
+    import s.implicits._
+    rows.toDF("path", "budget_bytes", "priced", "bound_bytes", "refused")
+      .orderBy("path", "budget_bytes")
+  }
+
+  /** Oracle: distinct grams → per-gram djb2 (recursive chain, HUGEINT
+    * 2⁶⁴ wraparound) × the golden-ratio avalanche constant, folded to
+    * the SIGNED 64-bit value Spark orders by; then the two prefix
+    * censuses and the priced×rowBytes decision per pinned budget.
+    * The u64·u64 avalanche multiply would overflow INT128, so the
+    * constant is split into 32-bit halves:
+    * a·b mod 2⁶⁴ = ((a·b_hi mod 2³²)·2³² + a·b_lo) mod 2⁶⁴ with
+    * 0x9E3779B97F4A7C15 = 2654435769·2³² + 2135587861 — every
+    * intermediate stays under 2⁹⁶. */
+  val setsimBudgetSql: String = {
+    val rowBytes = graft.GraftConf.allPairsCandRowBytes
+    s"""WITH RECURSIVE sb_grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g FROM (
+       |      SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks)-2, 0))) AS i
+       |      FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r]+') AS toks FROM documents)
+       |      WHERE len(toks) >= 3
+       |    )
+       |  )
+       |), sb_dg AS MATERIALIZED (
+       |  SELECT DISTINCT g FROM sb_grams
+       |), sb_hc AS (
+       |  SELECT g, 1 AS i, CAST(5381 AS HUGEINT) AS hash FROM sb_dg
+       |  UNION ALL
+       |  SELECT g, i+1,
+       |    (hash*33 + ord(substr(g,i,1))) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM sb_hc WHERE i <= length(g)
+       |), sb_h AS MATERIALIZED (
+       |  SELECT g,
+       |    CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+       |              THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS h
+       |  FROM (SELECT g,
+       |          (((hash * 2654435769) % 4294967296) * 4294967296 + hash * 2135587861)
+       |            % CAST('18446744073709551616' AS HUGEINT) AS hu
+       |        FROM sb_hc WHERE i = length(g)+1)
+       |), sb_tok AS MATERIALIZED (
+       |  SELECT t.doc_id, hh.h FROM sb_grams t JOIN sb_h hh ON hh.g = t.g
+       |), sb_f AS MATERIALIZED (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS f FROM sb_tok GROUP BY h
+       |), sb_rk AS MATERIALIZED (
+       |  SELECT t.doc_id, t.h, f.f,
+       |    CAST(count(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY f.f, t.h) AS rnk
+       |  FROM sb_tok t JOIN sb_f f ON f.h = t.h
+       |), sb_ps AS (
+       |  SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS priced
+       |  FROM (SELECT count(*) AS c FROM sb_rk
+       |        WHERE rnk <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1 GROUP BY h)
+       |), sb_pc AS (
+       |  SELECT CAST(coalesce(sum(f - 1), 0) AS BIGINT) AS priced
+       |  FROM sb_rk WHERE rnk <= n - (4*n + 4) // 5 + 1
+       |)
+       |SELECT path, budget_bytes, priced, priced * $rowBytes AS bound_bytes,
+       |  priced * $rowBytes > budget_bytes AS refused
+       |FROM (SELECT 'setsim' AS path, (SELECT priced FROM sb_ps) AS priced
+       |      UNION ALL
+       |      SELECT 'containment' AS path, (SELECT priced FROM sb_pc) AS priced),
+       |     (SELECT unnest([CAST(64 AS BIGINT), CAST(1000000000000000 AS BIGINT)]) AS budget_bytes)
+       |ORDER BY path, budget_bytes""".stripMargin
   }
 
   // -------------------------------------------------- cluster report
@@ -2696,6 +2907,7 @@ object Dedup {
     "d_source_overlap" -> (sourceOverlap _),
     "d_threshold_sweep" -> (thresholdSweep _),
     "d_containment_join" -> (containmentJoin _),
+    "d_setsim_budget" -> (setsimBudget _),
     "d_keep_best" -> (keepBest _),
     "d_keep_all" -> (keepAll _),
     "d_lsh_tune" -> (lshTune _),
@@ -2730,6 +2942,7 @@ object Dedup {
     "d_source_overlap" -> sourceOverlapSql,
     "d_threshold_sweep" -> thresholdSweepSql,
     "d_containment_join" -> containmentJoinSql,
+    "d_setsim_budget" -> setsimBudgetSql,
     "d_keep_best" -> keepBestSql,
     "d_keep_all" -> keepAllSql,
     "d_lsh_tune" -> lshTuneSql,

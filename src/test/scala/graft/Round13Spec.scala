@@ -48,6 +48,79 @@ class Round13Spec extends SparkSpec {
       s"a measured zero rate is a measurement and proceeds: $dec")
   }
 
+  test("packed_jaccard / packed_overlap equal sorted_jaccard / sorted_overlap bit-for-bit") {
+    // r12 verdict item 1: the verify stage ships delta-varint packed
+    // dense-id sets instead of raw hash arrays — the merge pass over
+    // the varint streams must produce the SAME exact integers (and the
+    // same one IEEE division) as the sorted-array merge, including
+    // under duplicates and one-side-exhausted tails (the r13 drain bug:
+    // an undrained cursor re-read varints past the stream)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map { _ =>
+      val na = rnd.nextInt(60); val nb = rnd.nextInt(60)
+      // small id space forces collisions/duplicates and long shared runs
+      val a = Array.fill(na)(rnd.nextInt(80).toLong).sorted
+      val b = Array.fill(nb)(rnd.nextInt(80).toLong).sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("pa", graft.functions.PackedSetFns.pack_sorted(col("a")))
+      .withColumn("pb", graft.functions.PackedSetFns.pack_sorted(col("b")))
+      .select(
+        graft.functions.MinHashFns.sorted_jaccard(col("a"), col("b")).as("j_arr"),
+        graft.functions.PackedSetFns.packed_jaccard(col("pa"), col("pb")).as("j_pk"),
+        graft.functions.MinHashFns.sorted_overlap(col("a"), col("b")).as("o_arr"),
+        graft.functions.PackedSetFns.packed_overlap(col("pa"), col("pb")).as("o_pk"))
+      .collect()
+    df.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"jaccard mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(r.getLong(2) == r.getLong(3), s"overlap mismatch: $r")
+    }
+  }
+
+  test("pack_sorted round-trips and fails loud on unsorted / negative input") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ids = Array(0L, 0L, 3L, 7L, 7L, 1L << 40, (1L << 40) + 1)
+    val packed = graft.functions.PackedSetImpl.pack(new GenericArrayData(ids))
+    val back = graft.functions.PackedSetImpl.unpack(packed)
+    assert((0 until back.numElements()).map(back.getLong).toArray.sameElements(ids))
+    assert(graft.functions.PackedSetImpl.size(packed) == ids.length)
+    intercept[IllegalArgumentException] {
+      graft.functions.PackedSetImpl.pack(new GenericArrayData(Array(5L, 4L)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PackedSetImpl.pack(new GenericArrayData(Array(-1L)))
+    }
+  }
+
+  test("AllPairs candidate budget: a pinned tiny budget refuses BEFORE the distinct; a huge one proceeds") {
+    // r12 verdict item 2 — the refusal wiring on the production paths.
+    // The decision arithmetic itself is oracle-gated (d_setsim_budget);
+    // here the session pin drives both branches through setsimJoin and
+    // containmentJoin against the fixture corpus.
+    val key = GraftConf.bandedShuffleBudgetKey
+    spark.conf.set(key, "64") // any real corpus prices over 2 candidates
+    try {
+      val ex = intercept[IllegalStateException] {
+        operators.Dedup.queries("d_setsim_join")(spark, sf).count()
+      }
+      assert(ex.getMessage.contains("candidate stream priced") &&
+        ex.getMessage.contains("setsimJoin"), ex.getMessage)
+      val ex2 = intercept[IllegalStateException] {
+        operators.Dedup.queries("d_containment_join")(spark, sf).count()
+      }
+      assert(ex2.getMessage.contains("containmentJoin"), ex2.getMessage)
+    } finally spark.conf.unset(key)
+    // default resource-derived budget: both proceed (and stay correct —
+    // the full-result equality is the oracle gate's job; a smoke count
+    // here keeps the spec fast)
+    assert(operators.Dedup.queries("d_setsim_join")(spark, sf).count() > 0)
+  }
+
   test("bandedShuffleBudgetBytes: nonexistent dirs don't zero the budget; duplicate dirs don't double it") {
     // ADVICE r12: File.getUsableSpace on a not-yet-created spark.local.dir
     // returns 0 (would refuse every sampled corpus), and two entries on
