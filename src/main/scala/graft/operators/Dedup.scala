@@ -535,7 +535,7 @@ object Dedup {
     }
   }
 
-  private def allPairsPrep(s: SparkSession, d: String): AllPairsPrep = {
+  private[graft] def allPairsPrep(s: SparkSession, d: String): AllPairsPrep = {
     val sh = withShingles(s, d)
       .select(col("doc_id"), graft.functions.MinHashFns.word_hashes(col("sh")).as("hs"))
     // two consumers (freq, dict join) — persist, or the scan+shingle

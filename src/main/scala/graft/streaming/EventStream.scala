@@ -177,34 +177,46 @@ object EventStream {
     }
   }
 
-  /** Drains `df` through a named memory sink under the harness shuffle
-    * sizing: stop any same-named predecessor, start, processAllAvailable,
-    * stop. One definition so every streaming query gets all three steps. */
+  /** Drains `df` through the PRODUCTION sink shape and returns the
+    * drained table (r13, the r12 verdict item 3): gate queries used to
+    * materialize via a named driver MEMORY sink, and that sink — not
+    * the state store — was the measured 1000× wall
+    * (`driver.maxResultSize` breached at 1 GiB by st_session_window's
+    * 95.5 M-row complete-mode session table while the same pipeline
+    * completed in 215 s through foreachBatch → parquet). The gate now
+    * runs the file sink itself, so the correctness gate exercises the
+    * exact shape the scale rows measure. Row-multiset parity with the
+    * memory sink per output mode (so every oracle is unchanged):
+    * complete overwrites per batch (last batch wins = the memory
+    * sink's table replacement), append/update append each batch's
+    * emitted rows (= the memory sink's table accumulation). `name`
+    * keys the scratch dir; a zero-emission drain (no batch wrote — the
+    * read-back would fail on schema inference) returns an empty frame
+    * with the stream's schema. */
   private def runToMemorySink(s: SparkSession, d: String, df: DataFrame,
-      name: String, mode: String): Unit = {
-    s.streams.active.find(_.name == name).foreach(_.stop())
-    withStreamShuffle(s, d) {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+      name: String, mode: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-gate-$name-")
+      .resolve("t").toString
+    runToFileSink(s, d, df, mode, out)
+    if (new java.io.File(out).exists &&
+        new java.io.File(out).list().exists(_.endsWith(".parquet")))
+      s.read.parquet(out)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
-  /** PROBE-ONLY file-sink drain (the r12 1000× lesson): a memory sink
-    * holds the COMPLETE result table on the driver, and at 1000× the
-    * serialized result blows `spark.driver.maxResultSize` before the
-    * state store is even stressed — measured: st_session_window's
-    * session table exceeded 1 GiB from 4 of its tasks. The production
-    * shape for a complete-mode aggregate is foreachBatch → files
-    * (executor-side writes, nothing driver-resident); this drain runs
-    * the IDENTICAL pipeline under the identical harness wrapper, so
-    * the adaptive codegen/state-store decisions apply unchanged. The
-    * gate queries keep the memory sink deliberately (the oracle reads
-    * the table); scale probes use this. */
+  /** File-sink drain — since r13 the GATE path, not probe-only (the
+    * r12 1000× lesson): a memory sink holds the COMPLETE result table
+    * on the driver, and at 1000× the serialized result blows
+    * `spark.driver.maxResultSize` before the state store is even
+    * stressed — measured: st_session_window's session table exceeded
+    * 1 GiB from 4 of its tasks. The production shape for a
+    * complete-mode aggregate is foreachBatch → files (executor-side
+    * writes, nothing driver-resident); this drain runs the IDENTICAL
+    * pipeline under the identical harness wrapper, so the adaptive
+    * codegen/state-store decisions apply unchanged. Only the two
+    * query-object-certificate gates (chainedStateful, availableNow —
+    * their certificates read `q.recentProgress`, an in-flight
+    * observation) still hand-build a memory sink. */
   private[graft] def runToFileSink(s: SparkSession, d: String, df: DataFrame,
       mode: String, out: String): Unit =
     withStreamShuffle(s, d) {
@@ -235,8 +247,8 @@ object EventStream {
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_window_agg"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("window_start", "event_type")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
+    drained.orderBy("window_start", "event_type")
   }
 
   val windowAggSql: String =
@@ -268,8 +280,8 @@ object EventStream {
         date_format(col("window.end"), fmt).as("window_end"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_append_windows"
-    runToMemorySink(s, d, stream, name, "append")
-    s.table(name).orderBy("window_start", "event_type")
+    val drained = runToMemorySink(s, d, stream, name, "append")
+    drained.orderBy("window_start", "event_type")
   }
 
   /** Batch replay of the eviction predicate: emitted windows are those
@@ -381,8 +393,8 @@ object EventStream {
   private def runSessionStream(s: SparkSession, d: String): DataFrame = {
     val sessions = sessionFsmStream(s, d)
     val name = "graft_st_sessionize_stream"
-    runToMemorySink(s, d, sessions, name, "append")
-    s.table(name)
+    val drained = runToMemorySink(s, d, sessions, name, "append")
+    drained
   }
 
   /** The flatMapGroupsWithState session FSM without a sink — shared by
@@ -548,8 +560,8 @@ object EventStream {
   def sessionWindowAgg(s: SparkSession, d: String): DataFrame = {
     val stream = sessionWindowStream(s, d)
     val name = "graft_st_session_window"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("user_id", "session_start")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
+    drained.orderBy("user_id", "session_start")
   }
 
   /** The session-window pipeline without a sink — shared by the gate
@@ -641,8 +653,8 @@ object EventStream {
       }
       .toDF("user_id", "event_id", "window_us", "rnk", "admitted")
     val name = "graft_st_throttle"
-    runToMemorySink(s, d, decisions, name, "append")
-    s.table(name)
+    val drained = runToMemorySink(s, d, decisions, name, "append")
+    drained
       .select(col("user_id"), col("event_id"),
         date_format(timestamp_micros(col("window_us")), fmt).as("window_start"),
         col("rnk"), col("admitted"))
@@ -678,8 +690,8 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_dedup"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("event_type")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
+    drained.orderBy("event_type")
   }
 
   val dedupStreamSql: String =
@@ -700,8 +712,8 @@ object EventStream {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val name = "graft_st_enrich"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("c_mktsegment", "event_type")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
+    drained.orderBy("c_mktsegment", "event_type")
   }
 
   val enrichSql: String =
@@ -731,8 +743,8 @@ object EventStream {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
     val name = "graft_st_stream_join"
-    runToMemorySink(s, d, joined, name, "append")
-    s.table(name)
+    val drained = runToMemorySink(s, d, joined, name, "append")
+    drained
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         date_format(col("click_ts"), fmt).as("click_ts"),
         date_format(col("purchase_ts"), fmt).as("purchase_ts"))
@@ -820,8 +832,8 @@ object EventStream {
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
         "left_outer")
       val name = "graft_st_stream_outer"
-      runToMemorySink(s, dataDir.toString, joined, name, "append")
-      s.table(name)
+      val drained = runToMemorySink(s, dataDir.toString, joined, name, "append")
+      drained
         .filter(col("click_id") >= 0)
         .select(col("click_id"), col("user_id"),
           date_format(col("click_ts"), fmt).as("click_ts"),
@@ -870,10 +882,10 @@ object EventStream {
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"))
     val name = "graft_st_topk"
-    runToMemorySink(s, d, stream, name, "complete")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("window_start").orderBy(col("n").desc, col("event_type"))
-    s.table(name)
+    drained
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 2)
       .orderBy("window_start", "rank")
@@ -909,8 +921,8 @@ object EventStream {
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
     val name = "graft_st_sliding"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("window_start", "event_type")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
+    drained.orderBy("window_start", "event_type")
   }
 
   /** Batch twin: every event joins its 3 covering window starts
@@ -952,9 +964,9 @@ object EventStream {
       .select(date_format(col("window.start"), fmt).as("window_start"),
         col("event_type"), col("n"))
     val name = "graft_st_anomaly"
-    runToMemorySink(s, d, stream, name, "complete")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-    s.table(name)
+    drained
       .withColumn("type_total", sum("n").over(w))
       .withColumn("type_windows", count(lit(1)).over(w))
       .withColumn("is_anomaly",
@@ -994,8 +1006,8 @@ object EventStream {
       .select(col("user_id"), col("n_events"), col("total_value"),
         date_format(col("last_ts"), fmt).as("last_seen"))
     val name = "graft_st_running"
-    runToMemorySink(s, d, stream, name, "complete")
-    s.table(name).orderBy("user_id")
+    val drained = runToMemorySink(s, d, stream, name, "complete")
+    drained.orderBy("user_id")
   }
 
   val runningTotalsSql: String =
@@ -1117,7 +1129,7 @@ object EventStream {
         .select(date_format(col("window.start"), fmt).as("window_start"),
           col("event_type"), col("n"))
       val name = "graft_st_msw"
-      runToMemorySink(s, d, agg, name, "append")
+      val drained = runToMemorySink(s, d, agg, name, "append")
       // contrast class, from the batch data (pure function of the corpus):
       // groups above B's watermark but at-or-below A's — emitted iff the
       // engine ignored the lagging source
@@ -1133,7 +1145,7 @@ object EventStream {
       if (held == 0)
         throw new IllegalStateException(
           "no window separates the two sources' watermarks — min-policy certificate is vacuous")
-      s.table(name).withColumn("n_held", lit(held))
+      drained.withColumn("n_held", lit(held))
         .orderBy("window_start", "event_type")
     }
   }
@@ -1217,8 +1229,8 @@ object EventStream {
         .select(date_format(col("window.start"), fmt).as("window_start"),
           col("event_type"), col("n"))
       val name = "graft_st_late_data"
-      runToMemorySink(s, dataDir.toString, agg, name, "update")
-      val kept = s.table(name).groupBy("window_start", "event_type")
+      val drained = runToMemorySink(s, dataDir.toString, agg, name, "update")
+      val kept = drained.groupBy("window_start", "event_type")
         .agg(max("n").as("n_kept")).localCheckpoint(eager = true)
       val total = ev.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n_total"))
@@ -1369,10 +1381,10 @@ object EventStream {
           org.apache.spark.sql.Encoders.product[LedgerOut])
         .toDF()
       val name = "graft_st_tws_ledger"
-      withRocksDbState(s) { runToMemorySink(s, dataDir.toString, out, name, "update") }
+      val drained = withRocksDbState(s) { runToMemorySink(s, dataDir.toString, out, name, "update") }
       // update mode emits a snapshot per (user, batch); n_events is
       // monotone, so the max-n struct per user is the final state
-      s.table(name).groupBy("user_id")
+      drained.groupBy("user_id")
         .agg(max(struct(col("n_events"), col("total_us"),
           col("first_ts_us"), col("last_ts_us"))).as("m"))
         .select(col("user_id"), col("m.n_events").as("n_events"),
@@ -1441,8 +1453,8 @@ object EventStream {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"))
       val name = "graft_st_dedup_wm"
-      runToMemorySink(s, dataDir.toString, stream, name, "complete")
-      s.table(name).orderBy("event_type").localCheckpoint()
+      val drained = runToMemorySink(s, dataDir.toString, stream, name, "complete")
+      drained.orderBy("event_type").localCheckpoint()
     }
   }
 
@@ -1720,8 +1732,8 @@ object EventStream {
           org.apache.spark.sql.Encoders.product[TimerOut])
         .toDF()
       val name = "graft_st_tws_timers"
-      withRocksDbState(s) { runToMemorySink(s, dataDir.toString, out, name, "append") }
-      s.table(name).filter(col("user_id") >= 0)
+      val drained = withRocksDbState(s) { runToMemorySink(s, dataDir.toString, out, name, "append") }
+      drained.filter(col("user_id") >= 0)
         .select(col("user_id"), col("n_events"),
           date_format(timestamp_micros(col("closed_us")), fmt).as("closed_at"))
         .orderBy("user_id")
