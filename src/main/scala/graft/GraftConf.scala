@@ -361,6 +361,20 @@ object GraftConf {
     * band-degenerate survivor stream did). */
   val allPairsCandRowBytes: Long = 32L
 
+  /** Fixed per-candidate overhead of the AllPairs VERIFY-stream price
+    * (r13, measured at the 1000× setsim probe): the verify stage
+    * ships every distinct candidate through TWO shuffle-hash joins,
+    * the second carrying the first side's packed signature — so its
+    * bytes are ≈ candidates × (ids + row overhead + 2·avg signature).
+    * The r12 candidate tier priced only the 32 B distinct rows and
+    * correctly let the 1000× distinct proceed (14 GB against a 40 GB
+    * budget) — and then the UNPRICED verify stream (315.6 M
+    * candidates × ~208 B ≈ 65 GB + join spill) filled the node's
+    * scratch and died on ENOSPC. Same lesson as the r11
+    * band-degenerate survivor stream, one tier up: every stream that
+    * scales with candidates must be priced before it is launched. */
+  val allPairsVerifyRowOverheadBytes: Long = 48L
+
   /** The RESOURCE-DERIVED shuffle budget for the banded pair path's
     * survivor stream (r11 verdict item 1): the band-degenerate middle
     * regime — a corpus whose TRUE pair set is output-quadratic —

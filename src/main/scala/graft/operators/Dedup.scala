@@ -574,19 +574,55 @@ object Dedup {
     * reaches the distinct whether or not it verifies, so the priced
     * count IS the shuffled volume, not a worst-case bound. */
   private def allPairsRefuseIfOverBudget(s: SparkSession, path: String,
-      priced: Long, cleanup: => Unit): Unit = {
+      priced: Long, nDocs: Long, totSigBytes: Long, cleanup: => Unit): Unit = {
     val budget = graft.GraftConf.bandedShuffleBudgetBytes(s)
-    val bound = priced * graft.GraftConf.allPairsCandRowBytes
-    if (bound > budget) {
+    val candBound = priced * graft.GraftConf.allPairsCandRowBytes
+    val avgSig = allPairsAvgSigBytes(nDocs, totSigBytes)
+    val verifyBound = allPairsVerifyBound(priced, avgSig)
+    if (candBound > budget) {
       cleanup
       throw new IllegalStateException(
         s"$path: prefix-filter candidate stream priced at $priced rows " +
-          s"($bound B at ${graft.GraftConf.allPairsCandRowBytes} B/row) against a " +
+          s"($candBound B at ${graft.GraftConf.allPairsCandRowBytes} B/row) against a " +
           s"$budget B shuffle budget — the corpus has a degenerate hot-token " +
           "prefix (candidates are output-quadratic); raise the threshold, or pin " +
           s"${graft.GraftConf.bandedShuffleBudgetKey} if this deployment's shuffle " +
           "capacity is larger than the derived budget")
     }
+    // VERIFY tier (r13, the measured 1000× ENOSPC): the candidate
+    // distinct can fit while the verify join's signature-carrying
+    // stream does not — price it from the packed table's own byte
+    // totals before any candidate row rides a shuffle.
+    if (verifyBound > budget) {
+      cleanup
+      throw new IllegalStateException(
+        s"$path: verify stream priced at $priced candidates × " +
+          s"(${graft.GraftConf.allPairsVerifyRowOverheadBytes} + 2·$avgSig avg-signature B) " +
+          s"= $verifyBound B against a $budget B shuffle budget — the corpus' " +
+          "near-dup candidate volume exceeds this deployment's shuffle capacity " +
+          "(measured: 65 GB of verify shuffle ENOSPC'd a single node at 1000× " +
+          "before this tier existed); shrink the corpus per pass, raise the " +
+          s"threshold, or pin ${graft.GraftConf.bandedShuffleBudgetKey} on a " +
+          "deployment with more aggregate shuffle disk")
+    }
+  }
+
+  /** Ceil average packed-signature bytes — integer arithmetic only, so
+    * the oracle twin replays it exactly. */
+  private[graft] def allPairsAvgSigBytes(nDocs: Long, totSigBytes: Long): Long =
+    if (nDocs <= 0L) 0L else (totSigBytes + nDocs - 1L) / nDocs
+
+  /** Verify-stream bytes bound: every priced candidate crosses the two
+    * verify joins carrying ids + one packed signature per side. */
+  private[graft] def allPairsVerifyBound(priced: Long, avgSig: Long): Long =
+    priced * (graft.GraftConf.allPairsVerifyRowOverheadBytes + 2L * avgSig)
+
+  /** (doc count, total packed-signature bytes) of the prep's packed
+    * table — the one aggregate the verify tier prices from. */
+  private[graft] def packedSigStats(packed: DataFrame): (Long, Long) = {
+    val r = packed.agg(count(lit(1)).as("nd"),
+      coalesce(sum(length(col("p"))), lit(0L)).as("tb")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Per-doc rare-first prefix for the Jaccard AllPairs join: rank ≤
@@ -625,7 +661,8 @@ object Dedup {
     // candidate budget BEFORE the distinct: Σ_h c_h·(c_h−1)/2 over the
     // prefix census — see allPairsRefuseIfOverBudget
     val priced = setsimCandPriced(pe)
-    allPairsRefuseIfOverBudget(s, "setsimJoin", priced, {
+    val (nDocs, totSig) = packedSigStats(prep.packed)
+    allPairsRefuseIfOverBudget(s, "setsimJoin", priced, nDocs, totSig, {
       pe.unpersist(blocking = false); prep.unpersistAll()
     })
     val a = pe.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
@@ -1890,7 +1927,8 @@ object Dedup {
     val pref = containmentPrefix(ranked)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val priced = containmentCandPriced(pref)
-    allPairsRefuseIfOverBudget(s, "containmentJoin", priced, {
+    val (nDocs, totSig) = packedSigStats(prep.packed)
+    allPairsRefuseIfOverBudget(s, "containmentJoin", priced, nDocs, totSig, {
       pref.unpersist(blocking = false); prep.unpersistAll()
     })
     val all = ranked.select(col("doc_id").as("doc_big"), col("n").as("n_b"), col("h"))
@@ -1959,17 +1997,25 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pricedCont = containmentCandPriced(pref)
     pref.unpersist(blocking = false)
+    val (nDocs, totSig) = packedSigStats(prep.packed)
     prep.unpersistAll()
-    val budgets = Seq(64L, 1000000000000000L) // refuse / proceed
+    val avgSig = allPairsAvgSigBytes(nDocs, totSig)
+    // three pinned budgets per path: refuse-both / the tier separator
+    // (64 B/candidate sits between the 32 B candidate price and the
+    // 48+2·avgSig verify price, so the VERIFY tier alone refuses —
+    // the exact regime the measured 1000× ENOSPC ran in) / proceed
     val rows = for {
       (path, priced) <- Seq(("containment", pricedCont), ("setsim", pricedSetsim))
-      budget <- budgets
+      budget <- Seq(64L, 64L * math.max(priced, 2L), 1000000000000000L)
     } yield {
       val bound = priced * graft.GraftConf.allPairsCandRowBytes
-      (path, budget, priced, bound, bound > budget)
+      val vBound = allPairsVerifyBound(priced, avgSig)
+      (path, budget, priced, bound, bound > budget,
+        avgSig, vBound, vBound > budget)
     }
     import s.implicits._
-    rows.toDF("path", "budget_bytes", "priced", "bound_bytes", "refused")
+    rows.toDF("path", "budget_bytes", "priced", "bound_bytes", "refused",
+        "avg_sig_bytes", "verify_bound_bytes", "verify_refused")
       .orderBy("path", "budget_bytes")
   }
 
@@ -1984,6 +2030,14 @@ object Dedup {
     * intermediate stays under 2⁹⁶. */
   val setsimBudgetSql: String = {
     val rowBytes = graft.GraftConf.allPairsCandRowBytes
+    val vOverhead = graft.GraftConf.allPairsVerifyRowOverheadBytes
+    // unsigned-LEB128 length of a non-negative BIGINT — the exact
+    // per-value byte count PackedSetImpl.writeVarint produces (ids
+    // here are dense vocabulary ranks, far below the 2³⁵ top case)
+    def vl(x: String): String =
+      s"""(CASE WHEN $x < 128 THEN 1 WHEN $x < 16384 THEN 2
+         |  WHEN $x < 2097152 THEN 3 WHEN $x < 268435456 THEN 4
+         |  WHEN $x < 34359738368 THEN 5 ELSE 9 END)""".stripMargin
     s"""WITH RECURSIVE sb_grams AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, g FROM (
        |    SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g FROM (
@@ -2024,13 +2078,34 @@ object Dedup {
        |), sb_pc AS (
        |  SELECT CAST(coalesce(sum(f - 1), 0) AS BIGINT) AS priced
        |  FROM sb_rk WHERE rnk <= n - (4*n + 4) // 5 + 1
+       |), sb_hid AS MATERIALIZED (
+       |  SELECT h, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS hid FROM sb_f
+       |), sb_gap AS (
+       |  SELECT doc_id, hid,
+       |    hid - lag(hid) OVER (PARTITION BY doc_id ORDER BY hid) AS gap
+       |  FROM (SELECT t.doc_id, i.hid FROM sb_tok t JOIN sb_hid i USING (h))
+       |), sb_sig AS MATERIALIZED (
+       |  -- exact pack_sorted bytes per doc: varint(count) + varint(v0)
+       |  -- + varint(gap) for the rest (LEB128, delta over sorted ids)
+       |  SELECT doc_id,
+       |    CAST(${vl("count(*)")}
+       |      + sum(${vl("(CASE WHEN gap IS NULL THEN hid ELSE gap END)")}) AS BIGINT) AS sig_bytes
+       |  FROM sb_gap GROUP BY doc_id
+       |), sb_avg AS (
+       |  SELECT CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((sum(sig_bytes) + count(*) - 1) // count(*) AS BIGINT) END AS avg_sig
+       |  FROM sb_sig
        |)
        |SELECT path, budget_bytes, priced, priced * $rowBytes AS bound_bytes,
-       |  priced * $rowBytes > budget_bytes AS refused
+       |  priced * $rowBytes > budget_bytes AS refused,
+       |  (SELECT avg_sig FROM sb_avg) AS avg_sig_bytes,
+       |  priced * ($vOverhead + 2 * (SELECT avg_sig FROM sb_avg)) AS verify_bound_bytes,
+       |  priced * ($vOverhead + 2 * (SELECT avg_sig FROM sb_avg)) > budget_bytes AS verify_refused
        |FROM (SELECT 'setsim' AS path, (SELECT priced FROM sb_ps) AS priced
        |      UNION ALL
        |      SELECT 'containment' AS path, (SELECT priced FROM sb_pc) AS priced),
-       |     (SELECT unnest([CAST(64 AS BIGINT), CAST(1000000000000000 AS BIGINT)]) AS budget_bytes)
+       |     LATERAL (SELECT unnest([CAST(64 AS BIGINT), 64 * greatest(priced, 2),
+       |                             CAST(1000000000000000 AS BIGINT)]) AS budget_bytes)
        |ORDER BY path, budget_bytes""".stripMargin
   }
 

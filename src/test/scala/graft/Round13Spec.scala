@@ -121,6 +121,46 @@ class Round13Spec extends SparkSpec {
     assert(operators.Dedup.queries("d_setsim_join")(spark, sf).count() > 0)
   }
 
+  test("AllPairs VERIFY budget tier: candidate-fits / verify-doesn't refuses before the verify join") {
+    // r13, the measured 1000× ENOSPC: the candidate tier priced 14 GB
+    // against a 40 GB budget and correctly proceeded — then the
+    // UNPRICED verify stream (315.6 M candidates × ~208 B ≈ 65 GB)
+    // filled the node. The budget query's mid row pins exactly this
+    // regime (budget = 64 B/candidate: above the 32 B candidate price,
+    // below the 48 + 2·avgSig verify price), and the production path
+    // must refuse on the VERIFY tier before any candidate row shuffles.
+    val rows = operators.Dedup.queries("d_setsim_budget")(spark, sf)
+      .filter(col("path") === "setsim").orderBy("budget_bytes").collect()
+    assert(rows.length == 3)
+    val mid = rows(1)
+    assert(mid.getAs[Long]("priced") > 0L, s"fixture corpus must price candidates: $mid")
+    assert(mid.getAs[Long]("avg_sig_bytes") > 8L,
+      s"signatures must out-price the 64 B/cand separator: $mid")
+    assert(!mid.getAs[Boolean]("refused") && mid.getAs[Boolean]("verify_refused"),
+      s"mid budget must separate the tiers: $mid")
+    val key = GraftConf.bandedShuffleBudgetKey
+    spark.conf.set(key, mid.getAs[Long]("budget_bytes").toString)
+    try {
+      val ex = intercept[IllegalStateException] {
+        operators.Dedup.queries("d_setsim_join")(spark, sf).count()
+      }
+      assert(ex.getMessage.contains("verify stream priced") &&
+        !ex.getMessage.contains("candidate stream priced"), ex.getMessage)
+    } finally spark.conf.unset(key)
+    // containment: same regime through ITS own mid row (its census
+    // prices differently, so the separator is path-specific)
+    val cmid = operators.Dedup.queries("d_setsim_budget")(spark, sf)
+      .filter(col("path") === "containment").orderBy("budget_bytes").collect()(1)
+    assert(!cmid.getAs[Boolean]("refused") && cmid.getAs[Boolean]("verify_refused"), s"$cmid")
+    spark.conf.set(key, cmid.getAs[Long]("budget_bytes").toString)
+    try {
+      val ex2 = intercept[IllegalStateException] {
+        operators.Dedup.queries("d_containment_join")(spark, sf).count()
+      }
+      assert(ex2.getMessage.contains("verify stream priced"), ex2.getMessage)
+    } finally spark.conf.unset(key)
+  }
+
   test("bandedShuffleBudgetBytes: nonexistent dirs don't zero the budget; duplicate dirs don't double it") {
     // ADVICE r12: File.getUsableSpace on a not-yet-created spark.local.dir
     // returns 0 (would refuse every sampled corpus), and two entries on
