@@ -156,8 +156,10 @@ object Probe13 {
             stage(s"w$w-verify") {
               val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
               val dup = pr
-                .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-                .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+                .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))
+                  .hint("SHUFFLE_HASH"), "doc_a")
+                .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+                  .hint("SHUFFLE_HASH"), "doc_b")
                 .filter(operators.ExactRound.r(col("isz").cast("double")
                   / (col("na") + col("nb") - col("isz")), 6) >= 0.5)
                 .select("doc_a", "doc_b")

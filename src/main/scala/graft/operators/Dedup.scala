@@ -917,9 +917,17 @@ object Dedup {
             .filter(col("doc_a") < col("doc_b"))
             .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("isz"))
             .localCheckpoint()
+          // SHUFFLE_HASH on the doc-size sides (r13 width attribution:
+          // SMJ sorted the 113 M-row pair side TWICE against a 500 k-row
+          // size table — 9.4 GB of sort spill at 100×; hash joins build
+          // on the small side and stream the pairs): broadcast would
+          // also work here but dies at billion-doc scale, shuffle-hash
+          // holds at any |docs|
           val dup = pr
-            .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-            .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+            .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))
+              .hint("SHUFFLE_HASH"), "doc_a")
+            .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+              .hint("SHUFFLE_HASH"), "doc_b")
             .filter(ExactRound.r(col("isz").cast("double")
               / (col("na") + col("nb") - col("isz")), 6) >= 0.5)
             .select("doc_a", "doc_b").localCheckpoint()
