@@ -497,14 +497,19 @@ object Graph {
     var fp = fingerprint(b)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 12) {
-      val cand = edges.join(b, edges("src") === b("id"))
-        .select(col("dst").as("id"), least(col("bm"), col("wm")).as("bm"))
-      b = b.union(cand).groupBy("id").agg(max("bm").as("bm")).localCheckpoint()
-      val nfp = fingerprint(b)
-      converged = nfp == fp
-      fp = nfp
-      rounds += 1
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the rounds (Shared.withLoopParallelism rationale)
+    val nEdges = edges.count()
+    Shared.withLoopParallelism(s, nEdges) {
+      while (!converged && rounds < 12) {
+        val cand = edges.join(b, edges("src") === b("id"))
+          .select(col("dst").as("id"), least(col("bm"), col("wm")).as("bm"))
+        b = b.union(cand).groupBy("id").agg(max("bm").as("bm")).localCheckpoint()
+        val nfp = fingerprint(b)
+        converged = nfp == fp
+        fp = nfp
+        rounds += 1
+      }
     }
     if (!converged)
       throw new IllegalStateException("g_widest_path: maximin fixpoint exceeded the 12-round cap")
@@ -567,28 +572,33 @@ object Graph {
     var forest: DataFrame = null
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 6) {
-      val ca = comp.select(col("id").as("a"), col("c").as("ca"))
-      val cb = comp.select(col("id").as("b"), col("c").as("cb"))
-      val ce = edges.join(ca, "a").join(cb, "b").filter(col("ca") =!= col("cb"))
-        .localCheckpoint()
-      if (ce.isEmpty) converged = true
-      else {
-        val dir = ce.select(col("ca").as("c"), col("cb").as("oc"), col("wm"), col("a"), col("b"))
-          .union(ce.select(col("cb").as("c"), col("ca").as("oc"), col("wm"), col("a"), col("b")))
-        val pick = dir.groupBy("c")
-          .agg(min(struct(col("wm"), col("a"), col("b"), col("oc"))).as("m"))
-          .select(col("c"), col("m.oc").as("oc"), col("m.a").as("ea"),
-            col("m.b").as("eb"), col("m.wm").as("ewm"))
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the rounds (Shared.withLoopParallelism rationale)
+    val nEdges = edges.count()
+    Shared.withLoopParallelism(s, nEdges) {
+      while (!converged && rounds < 6) {
+        val ca = comp.select(col("id").as("a"), col("c").as("ca"))
+        val cb = comp.select(col("id").as("b"), col("c").as("cb"))
+        val ce = edges.join(ca, "a").join(cb, "b").filter(col("ca") =!= col("cb"))
           .localCheckpoint()
-        val roundEdges = pick.select(col("ea"), col("eb"), col("ewm")).distinct()
-        forest = if (forest == null) roundEdges else forest.union(roundEdges)
-        val labels = Dedup.connectedComponents(pick.select("c", "oc"))
-        comp = comp.join(labels.withColumnRenamed("id", "c"), Seq("c"), "left")
-          .select(col("id"), coalesce(col("label"), col("c")).as("c"))
-          .localCheckpoint()
+        if (ce.isEmpty) converged = true
+        else {
+          val dir = ce.select(col("ca").as("c"), col("cb").as("oc"), col("wm"), col("a"), col("b"))
+            .union(ce.select(col("cb").as("c"), col("ca").as("oc"), col("wm"), col("a"), col("b")))
+          val pick = dir.groupBy("c")
+            .agg(min(struct(col("wm"), col("a"), col("b"), col("oc"))).as("m"))
+            .select(col("c"), col("m.oc").as("oc"), col("m.a").as("ea"),
+              col("m.b").as("eb"), col("m.wm").as("ewm"))
+            .localCheckpoint()
+          val roundEdges = pick.select(col("ea"), col("eb"), col("ewm")).distinct()
+          forest = if (forest == null) roundEdges else forest.union(roundEdges)
+          val labels = Dedup.connectedComponents(pick.select("c", "oc"))
+          comp = comp.join(labels.withColumnRenamed("id", "c"), Seq("c"), "left")
+            .select(col("id"), coalesce(col("label"), col("c")).as("c"))
+            .localCheckpoint()
+        }
+        rounds += 1
       }
-      rounds += 1
     }
     if (!converged)
       throw new IllegalStateException("g_mst: Borůvka exceeded the 6-round cap")
@@ -812,17 +822,25 @@ object Graph {
       .localCheckpoint()
     var removedInLast = 0L
     var round = 0
-    while (round < 4) {
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= 2).select(col("src").as("k"))
-      val next = edges
-        .join(keep.withColumnRenamed("k", "src"), "src", "left_semi")
-        .join(keep.withColumnRenamed("k", "dst"), "dst", "left_semi")
-        .select("src", "dst")
-        .localCheckpoint()
-      removedInLast = edges.count() - next.count()
-      edges = next
-      round += 1
+    // one count per round (the previous round's count is remembered, not
+    // re-run); loop partitions from the measured edge count with AQE's
+    // per-stage jobs off (Shared.withLoopParallelism rationale)
+    var edgeCount = edges.count()
+    Shared.withLoopParallelism(s, edgeCount) {
+      while (round < 4) {
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 2).select(col("src").as("k"))
+        val next = edges
+          .join(keep.withColumnRenamed("k", "src"), "src", "left_semi")
+          .join(keep.withColumnRenamed("k", "dst"), "dst", "left_semi")
+          .select("src", "dst")
+          .localCheckpoint()
+        val nextCount = next.count()
+        removedInLast = edgeCount - nextCount
+        edgeCount = nextCount
+        edges = next
+        round += 1
+      }
     }
     val coreDeg = edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
     allNodes.join(coreDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
@@ -1360,7 +1378,15 @@ object Graph {
     * distributed SCC. Result: the SCC size census
     * (size, n_sccs, n_nodes), analytic in N. */
   def scc(s: SparkSession, d: String): DataFrame = {
-    val ids = Tables.parallelize(Tables.documents(s, d))
+    // No Tables.parallelize here (r13): the loop's per-row work is a few
+    // long comparisons, so spreading a small scan over defaultParallelism
+    // only multiplies task-launch latency through every one of the
+    // ~O(log D) checkpointed rounds (measured: 173 jobs / 2224 tasks at
+    // sf0.1 — the task count was 32x the data's need). Partitioning now
+    // derives from the scan's splits + AQE coalescing, which is the
+    // scale-adaptive shape: a 100 TB scan has thousands of splits and
+    // the loop inherits them.
+    val ids = Tables.documents(s, d)
       .select(col("doc_id").as("id")).localCheckpoint(eager = true)
     val within = ids.filter(col("id") % 8 < 7)
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
@@ -1380,6 +1406,9 @@ object Graph {
     // active population is one subtraction, not a per-round count()
     // action over the anti-joined survivor frame
     var activeCount = active.count()
+    // loop shuffle partitions sized from the measured node count; AQE's
+    // per-stage jobs off for the rounds (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, activeCount) {
     while (activeCount > 0) {
       outer += 1
       if (outer > 20) throw new IllegalStateException(
@@ -1408,16 +1437,21 @@ object Graph {
         val in = eAct
           .join(color.select(col("id").as("src"), col("c").as("cs")), "src")
           .groupBy(col("dst").as("id")).agg(max("cs").as("cin"))
+        // carry the pre-round color as c0 through the relax+jump so the
+        // convergence test is a SCAN of the just-checkpointed blocks
+        // (guide §2.4: the old `next ⋈ color on id` change-count join
+        // was a per-round two-exchange shuffle spent re-deriving a
+        // column the round already had in hand)
         val relaxed = color.join(in, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("c").as("c0"),
             greatest(col("c"), coalesce(col("cin"), lit(Long.MinValue))).as("c"))
         val next = relaxed
           .join(relaxed.select(col("id").as("c"), col("c").as("cc")), Seq("c"), "left")
-          .select(col("id"), greatest(col("c"), coalesce(col("cc"), col("c"))).as("c"))
+          .select(col("id"), col("c0"),
+            greatest(col("c"), coalesce(col("cc"), col("c"))).as("c"))
           .localCheckpoint(eager = true)
-        changed = next.join(color.withColumnRenamed("c", "c0"), "id")
-          .filter(col("c") =!= col("c0")).count()
-        color = next
+        changed = next.filter(col("c") =!= col("c0")).count()
+        color = next.select("id", "c")
       }
       // phase 2: backward containment within the color class
       var mark = color.withColumn("m", col("id") === col("c"))
@@ -1450,6 +1484,7 @@ object Graph {
         .localCheckpoint(eager = true)
       activeCount -= nMarked // newly has exactly nMarked rows, all active
     }
+    } // withLoopParallelism
     claimed.reduce(_ unionByName _)
       .groupBy("scc_id").agg(count(lit(1)).as("size"))
       .groupBy("size")
@@ -1582,11 +1617,17 @@ object Graph {
     // re-sorts the frontier every level
     adj.count()
     // forward: reached(root, id, sigma, lvl); level-k frontier rows are
-    // exactly the dist-k nodes, so "preds" is just the previous frontier
-    var reached = nodes.filter(seed(col("id")))
+    // exactly the dist-k nodes, so "preds" is just the previous frontier.
+    // r13: per-level frontiers are kept as a LIST of checkpointed frames
+    // and `reached` is their lazy union — the old per-round
+    // `reached.unionByName(frontier).localCheckpoint()` re-materialized
+    // the ENTIRE cumulative state every level (O(levels²) rows written)
+    // for data that was already in checkpointed blocks.
+    var levels = List(nodes.filter(seed(col("id")))
       .select(col("id").as("root"), col("id"), lit(1L).as("sigma"), lit(0).as("lvl"))
-      .localCheckpoint()
-    var frontier = reached
+      .localCheckpoint())
+    def reached: DataFrame = levels.reduce(_ unionByName _)
+    var frontier = levels.head
     var k = 1
     var topLvl = 0
     // multi-source BFS state is roots × reachable — on a similarity
@@ -1597,6 +1638,10 @@ object Graph {
     // state and THROW with retuning guidance rather than grind.
     var stateRows = 0L
     var frontierRows = 1L
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the rounds (Shared.withLoopParallelism rationale)
+    val nEdgeRows = edges.count()
+    Shared.withLoopParallelism(pairsDf.sparkSession, nEdgeRows) {
     while (k <= maxHops && frontierRows > 0) {
       val cand = frontier.select(col("root"), col("id").as("src"), col("sigma"))
         .join(adj, "src")
@@ -1615,29 +1660,43 @@ object Graph {
             s"(cap ${graft.GraftConf.maxBfsStateRows}) — the similarity graph is " +
             "noise-floor dense at this threshold; raise the cosine threshold or " +
             "sample the root set")
-      if (frontierRows > 0) { reached = reached.unionByName(frontier).localCheckpoint(); topLvl = k }
+      if (frontierRows > 0) { levels = levels :+ frontier; topLvl = k }
       k += 1
     }
-    // backward: P(root, v) = Σ_{succ w one level down} (1 + P(root, w))
-    var pAll = reached.filter(col("lvl") === topLvl)
+    } // withLoopParallelism (forward)
+    // backward: P(root, v) = Σ_{succ w one level down} (1 + P(root, w)).
+    // r13: per-level P frames are checkpointed individually and unioned
+    // lazily at the end (same rationale as the forward pass — the old
+    // cumulative pAll re-checkpoint rewrote every earlier level's rows
+    // each round); each level's join reads the PREVIOUS level's frame
+    // directly instead of filtering it back out of the accumulated union.
+    // levels are appended strictly in level order (the loop stops at the
+    // first empty frontier), so list index == lvl — no action needed
+    val byLvl: Map[Int, DataFrame] = levels.zipWithIndex.map(_.swap).toMap
+    var pPrev = byLvl(topLvl)
       .select(col("root"), col("id"), lit(0L).as("p"), col("lvl"))
       .localCheckpoint()
+    var pLevels = List(pPrev)
+    Shared.withLoopParallelism(pairsDf.sparkSession, nEdgeRows) {
     for (lv <- (topLvl - 1) to 0 by -1) {
-      val pNext = pAll.filter(col("lvl") === lv + 1)
-        .select(col("root"), col("id").as("dst"), col("p").as("pw"))
-      val succSum = reached.filter(col("lvl") === lv)
+      val pNext = pPrev.select(col("root"), col("id").as("dst"), col("p").as("pw"))
+      val succSum = byLvl(lv)
         .select(col("root"), col("id").as("src"))
         .join(adj, "src")
         .select(col("root"), col("src"), explode(col("nbrs")).as("dst"))
         .join(pNext, Seq("root", "dst"))
         .groupBy(col("root"), col("src").as("id"))
         .agg(sum(col("pw") + 1L).as("psum"))
-      val pk = reached.filter(col("lvl") === lv).select("root", "id")
+      val pk = byLvl(lv).select("root", "id")
         .join(succSum, Seq("root", "id"), "left")
         .select(col("root"), col("id"), coalesce(col("psum"), lit(0L)).as("p"),
           lit(lv).as("lvl"))
-      pAll = pAll.unionByName(pk).localCheckpoint()
+        .localCheckpoint()
+      pLevels = pLevels :+ pk
+      pPrev = pk
     }
+    } // withLoopParallelism (backward)
+    val pAll = pLevels.reduce(_ unionByName _)
     // both passes are checkpointed — nothing downstream reads adj
     adj.unpersist(blocking = false)
     val contrib = reached.filter(col("lvl") > 0)
