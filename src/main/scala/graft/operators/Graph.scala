@@ -681,9 +681,18 @@ object Graph {
     * lesson). Unreached nodes stay unlabeled and are emitted with
     * label −1. */
   def community(s: SparkSession, d: String): DataFrame =
-    communityFromPairs(s, d, Dedup.embedDup(s, d)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
-      .localCheckpoint())
+    communityLabels(s, d).orderBy("vec_id")
+
+  /** Memoized [[communityFromPairs]] over the embedDup graph (r13):
+    * three queries (g_community, g_modularity, g_conductance) each
+    * re-ran the identical 3-round propagation per invocation — the
+    * label table is node-sized verified output (longs + a boolean),
+    * exactly the [[graft.operators.Shared.memo]] contract. */
+  private[graft] def communityLabels(s: SparkSession, d: String): DataFrame =
+    Shared.memo(s, d, "community_labels")(
+      communityFromPairs(s, d, Dedup.embedDup(s, d)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        .localCheckpoint()))
 
   /** [[community]] over a pre-built (and checkpointed) pair table —
     * lets [[modularity]] audit the SAME candidate graph without paying
@@ -700,18 +709,22 @@ object Graph {
       .select(col("id"), col("label").cast("long").as("label"))
       .localCheckpoint()
     var labels = seeds
-    for (_ <- 1 to 3) {
-      val votes = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"), col("label"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("id").orderBy(col("n").desc, col("label"))
-      val modes = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label"))
-      // seeds are clamped; non-seeds take this round's mode
-      labels = seeds.union(
-          modes.join(seeds.select("id"), Seq("id"), "left_anti"))
-        .localCheckpoint()
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the rounds (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, edges.count()) {
+      for (_ <- 1 to 3) {
+        val votes = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("id").orderBy(col("n").desc, col("label"))
+        val modes = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("label"))
+        // seeds are clamped; non-seeds take this round's mode
+        labels = seeds.union(
+            modes.join(seeds.select("id"), Seq("id"), "left_anti"))
+          .localCheckpoint()
+      }
     }
     nodes.join(labels, Seq("id"), "left")
       .select(col("id").as("vec_id"),
@@ -969,7 +982,7 @@ object Graph {
     val pairs = Dedup.embedDup(s, d)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
       .localCheckpoint()
-    val lab = communityFromPairs(s, d, pairs)
+    val lab = communityLabels(s, d)
       .select(col("vec_id").as("id"), col("pred_label").as("com"))
       .localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -1199,7 +1212,7 @@ object Graph {
     val pairs = Dedup.embedDup(s, d)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
       .localCheckpoint()
-    val lab = communityFromPairs(s, d, pairs)
+    val lab = communityLabels(s, d)
       .select(col("vec_id").as("id"), col("pred_label").as("com"))
       .localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -1821,16 +1834,21 @@ object Graph {
           .bitwiseAND(lit(2147483647L)).as("x"),
         array(col("node")).as("path"))
     var walk = seeds.localCheckpoint()
-    for (_ <- 1 to L) {
-      walk = walk
-        .withColumn("x", pmod(col("x") * 1664525L + 1013904223L, lit(2147483648L)))
-        .join(broadcast(adj),
-          col("src") === element_at(col("path"), -1))
-        .withColumn("path",
-          concat(col("path"),
-            array(element_at(col("nbrs"), (pmod(col("x"), col("deg"))).cast("int") + 1))))
-        .select("node", "r", "x", "path")
-        .localCheckpoint()
+    // loop partitions from the measured walker count, AQE's per-stage
+    // jobs off for the steps (Shared.withLoopParallelism); the adjacency
+    // side stays a broadcast, so steps are shuffle-free either way
+    Shared.withLoopParallelism(s, walk.count()) {
+      for (_ <- 1 to L) {
+        walk = walk
+          .withColumn("x", pmod(col("x") * 1664525L + 1013904223L, lit(2147483648L)))
+          .join(broadcast(adj),
+            col("src") === element_at(col("path"), -1))
+          .withColumn("path",
+            concat(col("path"),
+              array(element_at(col("nbrs"), (pmod(col("x"), col("deg"))).cast("int") + 1))))
+          .select("node", "r", "x", "path")
+          .localCheckpoint()
+      }
     }
     val pos = walk
       .select(col("node"), col("r"), posexplode(col("path")).as(Seq("pos", "v")))
@@ -1915,15 +1933,19 @@ object Graph {
       .union(edges.select(col("dst").as("id"))).distinct()
     var hub = nodes.withColumn("h", lit(1L))
     var auth: DataFrame = null
-    for (_ <- 1 to 2) {
-      auth = edges.join(hub.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
-      auth = nodes.join(auth, Seq("id"), "left")
-        .select(col("id"), coalesce(col("a"), lit(0L)).as("a")).localCheckpoint()
-      hub = edges.join(auth.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
-      hub = nodes.join(hub, Seq("id"), "left")
-        .select(col("id"), coalesce(col("h"), lit(0L)).as("h")).localCheckpoint()
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the rounds (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, edges.count()) {
+      for (_ <- 1 to 2) {
+        auth = edges.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+        auth = nodes.join(auth, Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0L)).as("a")).localCheckpoint()
+        hub = edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+        hub = nodes.join(hub, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0L)).as("h")).localCheckpoint()
+      }
     }
     nodes.join(hub, "id").join(auth, "id")
       .select(col("id").as("doc_id"), col("h").as("hub"), col("a").as("authority"))
@@ -1990,7 +2012,7 @@ object Graph {
     // 0.3 is the semantic floor; auto-lifted out of the noise floor by
     // the same measured selection as [[cliques4]] (twin replays it)
     val t = Similarity.effectiveThreshold(s, d, requested = 0.3)
-    var edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = t)._1
+    var edges = Dedup.embedPairsMemo(s, d, t)
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
       .localCheckpoint()
     // rounds only shrink the edge set, so round 1's price bounds them all
@@ -2004,11 +2026,15 @@ object Graph {
     }
     var prevN = -1L
     var lastN = edges.count()
-    for (_ <- 1 to rounds) {
-      edges = edges.join(supports(edges), Seq("a", "b"), "left")
-        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select("a", "b").localCheckpoint()
-      prevN = lastN; lastN = edges.count()
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the peeling rounds (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, lastN) {
+      for (_ <- 1 to rounds) {
+        edges = edges.join(supports(edges), Seq("a", "b"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+          .select("a", "b").localCheckpoint()
+        prevN = lastN; lastN = edges.count()
+      }
     }
     edges.join(supports(edges).withColumnRenamed("sup", "support"), Seq("a", "b"), "left")
       .select(col("a").as("node_a"), col("b").as("node_b"),
@@ -2179,7 +2205,7 @@ object Graph {
     // selection, so the lifted threshold stays oracle-exact at every
     // scale). priceWedges stays as the measured-degree backstop.
     val t = Similarity.effectiveThreshold(s, d, requested = 0.25)
-    val edges = Dedup.embedPairBlocks(Tables.embeddings(s, d), t = t)._1
+    val edges = Dedup.embedPairsMemo(s, d, t)
       .select(col("vec_a").cast("long").as("a"), col("vec_b").cast("long").as("b"))
       .localCheckpoint()
     priceWedges(edges, "g_cliques4")
@@ -2262,20 +2288,24 @@ object Graph {
       .localCheckpoint()
     var colored = nodes.filter(lit(false))
       .select(col("id"), lit(-1).as("color"))
-    for (r <- 0 until rounds) {
-      val pr = active.select(col("id"), prio(r))
-      val nbrMax = edges
-        .join(pr.select(col("id").as("w"), col("p").as("pw")), "w")
-        .groupBy(col("u").as("id")).agg(max("pw").as("max_nbr"))
-      val winners = pr.join(nbrMax, Seq("id"), "left")
-        .filter(col("p") > coalesce(col("max_nbr"), lit(-1L)))
-        .select("id").localCheckpoint()
-      colored = colored.union(winners.select(col("id"), lit(r).as("color")))
-      active = active.join(winners, Seq("id"), "left_anti").localCheckpoint()
-      edges = edges
-        .join(active.select(col("id").as("u")), "u")
-        .join(active.select(col("id").as("w")), "w")
-        .select("u", "w").localCheckpoint()
+    // loop partitions from the measured edge count, AQE's per-stage
+    // jobs off for the MIS rounds (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, edges.count()) {
+      for (r <- 0 until rounds) {
+        val pr = active.select(col("id"), prio(r))
+        val nbrMax = edges
+          .join(pr.select(col("id").as("w"), col("p").as("pw")), "w")
+          .groupBy(col("u").as("id")).agg(max("pw").as("max_nbr"))
+        val winners = pr.join(nbrMax, Seq("id"), "left")
+          .filter(col("p") > coalesce(col("max_nbr"), lit(-1L)))
+          .select("id").localCheckpoint()
+        colored = colored.union(winners.select(col("id"), lit(r).as("color")))
+        active = active.join(winners, Seq("id"), "left_anti").localCheckpoint()
+        edges = edges
+          .join(active.select(col("id").as("u")), "u")
+          .join(active.select(col("id").as("w")), "w")
+          .select("u", "w").localCheckpoint()
+      }
     }
     val nUncolored = active.count()
     nodes.join(colored, Seq("id"), "left")
