@@ -864,8 +864,10 @@ object Pipeline {
   private def buildVersionedLayout(
       s: SparkSession, d: String, out: String, logDir: java.io.File): Unit = {
     val docs = graft.Tables.documents(s, d).select("doc_id", "n_chars", "text")
-    def writeFiles(df: DataFrame, names: Seq[String]): Unit =
-      names.zipWithIndex.foreach { case (name, i) =>
+    // per-file writes within a version are independent single-file jobs
+    // on disjoint tmp dirs — overlap them (Shared.awaitAll, guide §2.6)
+    def writeFiles(df: DataFrame, names: Seq[String]): Unit = {
+      graft.operators.Shared.awaitAll[Unit](names.zipWithIndex.map { case (name, i) => () =>
         // split on (doc_id div 2) so BOTH parity halves spread over
         // all n files (an even doc_id mod 4 can only be 0 or 2 —
         // keying on it directly would write empty files)
@@ -876,7 +878,9 @@ object Pipeline {
         java.nio.file.Files.move(part.toPath,
           new java.io.File(out, s"$name.parquet").toPath)
         graft.Scratch.rmTree(s"$out/tmp_$name")
-      }
+      })
+      ()
+    }
     def commit(v: Int, adds: Seq[String], removes: Seq[String]): Unit = {
       val lines =
         adds.map(f => s"""{"version":$v,"action":"add","file":"$f.parquet"}""") ++
@@ -993,11 +997,13 @@ object Pipeline {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5)))
         .sortBy(t => (t._1, t._2))
-      stats.foreach { case (p, q, _, _, _, _) =>
+      // 8 independent single-file writes from the persisted frame —
+      // overlap them (Shared.awaitAll, guide §2.6)
+      graft.operators.Shared.awaitAll[Unit](stats.toSeq.map { case (p, q, _, _, _, _) => () =>
         keyed.filter(col("parity") === p && col("q") === q)
           .select("doc_id", "n_chars", "text")
           .coalesce(1).write.mode("overwrite").parquet(s"$out/p${p}_q$q")
-      }
+      })
       val manifestDir = new java.io.File(out, "_manifests"); manifestDir.mkdirs()
       stats.groupBy(_._1).foreach { case (p, fs) =>
         val lines = fs.map { case (_, q, n, mn, mxid, sc) =>

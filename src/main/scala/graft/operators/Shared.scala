@@ -144,6 +144,20 @@ private[graft] object Shared {
     new java.io.File(path)
   }
 
+  /** Run independent thunks as concurrent driver threads and wait for
+    * all (r13, guide §2.6 "overlap independent jobs"): Spark happily
+    * runs several jobs at once inside one application — sequential
+    * driver loops over independent single-file writes / small jobs pay
+    * one full job+commit latency each for no reason. Futures race only
+    * on job submission; callers guarantee the thunks touch disjoint
+    * state (separate output dirs, separate frames). */
+  def awaitAll[T](thunks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    thunks.map(t => Future(t())).map(f => Await.result(f, Duration.Inf))
+  }
+
   /** Iterative-loop harness (r13, guide §2's "derive partitioning from
     * input size, not a constant"): runs `body` — a driver loop of small
     * checkpointed rounds — with `spark.sql.shuffle.partitions` derived
