@@ -95,6 +95,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // guide §3.1/§9 (r13): planner may choose shuffled-hash join when
+      // it fits — same preference as GraftSession; results invariant
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // static conf: a ~100-query engine blows the default 100-entry
       // generated-class cache and re-compiles plans every pass
       .config("spark.sql.codegen.cache.maxEntries", "5000")

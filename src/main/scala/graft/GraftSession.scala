@@ -20,6 +20,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // guide §3.1/§9: let the planner pick shuffled-hash over
+      // sort-merge when its size conditions fit (broadcast still wins
+      // when a side fits under the threshold; explicit merge-hint
+      // certificates are unaffected — hints outrank the preference).
+      // Array/struct-carrying joins are the measured winners: SMJ sorts
+      // the wide side, SHJ builds on the small side and streams.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // static conf: a ~100-query engine blows the default 100-entry
       // generated-class cache and re-compiles plans every pass
       .config("spark.sql.codegen.cache.maxEntries", "5000")

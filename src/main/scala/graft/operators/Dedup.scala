@@ -420,15 +420,25 @@ object Dedup {
   private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
     val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify).select("doc_a", "doc_b")
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // r13: sorted_jaccard over hashed sorted shingles + SHUFFLE_HASH on
+    // the array-carrying sides (the r12 d_setsim_join verify lesson;
+    // word_hashes collision argument as at [[widthSweep]]) — same exact
+    // integers, same one IEEE division, string-exact twin unchanged
+    val shA = hashedShingleSide(sigs, "doc_a", "sh_a")
+    val shB = hashedShingleSide(sigs, "doc_b", "sh_b")
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** One doc side of a hashed-shingle verify join: sorted 64-bit
+    * shingle hashes, ready for [[graft.functions.MinHashFns.sorted_jaccard]]. */
+  private def hashedShingleSide(sigs: DataFrame, idCol: String, arrCol: String): DataFrame =
+    sigs.select(col("doc_id").as(idCol),
+      sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as(arrCol))
 
   /** MODALITY-AGREEMENT audit — the measured answer to "can I dedup on
     * embeddings alone?": every TEXT near-dup pair ([[ngramJaccard]],
@@ -1027,15 +1037,16 @@ object Dedup {
     * not the chain — as a measured table. */
   def overcollapse(s: SparkSession, d: String): DataFrame = {
     val members = dupClusters(s, d)
-    val sh = signatures(s, d).select(col("doc_id"), col("sh"))
+    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild)
+    val sh = hashedShingleSide(signatures(s, d), "doc_id", "sh")
     val m = members.join(sh, "doc_id")
     val intra = m.select(col("cluster_id"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(m.select(col("cluster_id"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         "cluster_id")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("cluster_id"),
-        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("j"))
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
     intra.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_verified_pairs"),
@@ -1135,14 +1146,15 @@ object Dedup {
     val sigs = signatures(s, d)
     val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify)
       .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild)
+    val shA = hashedShingleSide(sigs, "doc_a", "sh_a")
+    val shB = hashedShingleSide(sigs, "doc_b", "sh_b")
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(
         when(pmod(col("doc_a"), lit(2)) === 0, col("doc_a")).otherwise(col("doc_b")).as("train_doc"),
         when(pmod(col("doc_a"), lit(2)) === 1, col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
-        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("eval_doc", "train_doc")
   }
@@ -1766,12 +1778,13 @@ object Dedup {
       .filter(col("p") =!= col("q"))
       .select(least(col("p"), col("q")).as("doc_a"), greatest(col("p"), col("q")).as("doc_b"))
       .distinct()
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild)
+    val shA = hashedShingleSide(sigs, "doc_a", "sh_a")
+    val shB = hashedShingleSide(sigs, "doc_b", "sh_b")
     cands.join(shA, "doc_a").join(shB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        ExactRound.r(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .withColumn("delta_internal",
         (col("doc_a") % 10 === 0) && (col("doc_b") % 10 === 0))
@@ -2210,8 +2223,21 @@ object Dedup {
     * unaffected). */
   def lshTune(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
-    val shA = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // r13: verify over SORTED 64-BIT SHINGLE HASHES with the
+    // sorted_jaccard merge pass instead of per-pair
+    // array_intersect/array_union over string arrays (the r12
+    // d_setsim_join lesson: ~110 µs/pair of hash-set build + result
+    // array, the whole verify cost). Join strategy is left to the
+    // planner (preferSortMergeJoin=false session-wide: broadcast when
+    // a doc side fits, shuffled-hash past that — an explicit
+    // SHUFFLE_HASH hint here measurably LOST to broadcast at bench
+    // scale). Same exact integers, same one IEEE division — the
+    // word_hashes collision argument is [[widthSweep]]'s verbatim, and
+    // the string-exact twin would flag a collision.
+    val shA = sigs.select(col("doc_id").as("doc_a"),
+      sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"),
+      sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("sh_b"))
     val cand2 = bandCandidates(sigs.select("doc_id", "sig"), bandRows = 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE shingle verify over the superset candidate list = the truth
@@ -2219,8 +2245,7 @@ object Dedup {
     val truthPairs = cand2
       .join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jacc", ExactRound.r(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6))
+        graft.functions.MinHashFns.sorted_jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -90,16 +90,19 @@ object RelationalExt4 {
       val nBuckets = bucketCountFor(
         lineitemProj.queryExecution.optimizedPlan.stats.sizeInBytes max
           ordersProj.queryExecution.optimizedPlan.stats.sizeInBytes)
-      ordersProj
-        .repartition(nBuckets, col("o_orderkey"))
-        .write.mode("overwrite").option("path", s"$out/orders")
-        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(tO)
-      lineitemProj
-        .repartition(nBuckets, col("l_orderkey"))
-        .write.mode("overwrite").option("path", s"$out/lineitem")
-        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(tL)
+      // the two bucketed-table writes are independent — overlap them
+      // (Shared.awaitAll, guide §2.6)
+      Shared.awaitAll[Unit](Seq(
+        () => ordersProj
+          .repartition(nBuckets, col("o_orderkey"))
+          .write.mode("overwrite").option("path", s"$out/orders")
+          .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(tO),
+        () => lineitemProj
+          .repartition(nBuckets, col("l_orderkey"))
+          .write.mode("overwrite").option("path", s"$out/lineitem")
+          .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(tL)))
       val agg = s.table(tO).hint("merge")
         .join(s.table(tL).hint("merge"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")

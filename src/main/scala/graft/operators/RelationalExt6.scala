@@ -151,9 +151,13 @@ object RelationalExt6 {
             execs.distinct.mkString(", ") + ")")
       m
     }
-    variant("broadcast", "broadcast", "BroadcastHashJoin")
-      .unionByName(variant("merge", "merge", "SortMergeJoin"))
-      .unionByName(variant("shuffle_hash", "shuffle_hash", "ShuffledHashJoin"))
+    // the three hint variants are independent certificate jobs —
+    // overlap them (Shared.awaitAll, guide §2.6)
+    Shared.awaitAll[DataFrame](Seq(
+        () => variant("broadcast", "broadcast", "BroadcastHashJoin"),
+        () => variant("merge", "merge", "SortMergeJoin"),
+        () => variant("shuffle_hash", "shuffle_hash", "ShuffledHashJoin")))
+      .reduce(_ unionByName _)
       .select("variant", "c_nationkey", "n_orders", "n_customers")
       .orderBy("variant", "c_nationkey")
   }
