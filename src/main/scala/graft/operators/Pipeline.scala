@@ -137,9 +137,15 @@ object Pipeline {
     * approx_percentile with a documented rank-error bound; the staging
     * mechanics are unchanged). */
   def curriculum(s: SparkSession, d: String): DataFrame = {
+    // r13: materialize the quality-score projection ONCE — it feeds both
+    // the percentile-edge aggregate and the staging pass, and without the
+    // checkpoint the whole regex-heavy score subtree computed twice
+    // (guide §2.4: don't compute things you already have). Narrow frame:
+    // three longs per doc.
     val q = TextAnalysis.quality(s, d)
       .select(col("doc_id"), col("n_tokens"),
         round(col("quality_score") * 1000000).cast("long").as("sm"))
+      .localCheckpoint()
     val edges = q.agg(expr("percentile(sm, array(0.2D, 0.4D, 0.6D, 0.8D))").as("es"))
       .select((1 to 4).map(k => element_at(col("es"), k).as(s"e$k")): _*)
     val stage = (1 to 4).map(k => (col("sm") > col(s"e$k")).cast("long"))
