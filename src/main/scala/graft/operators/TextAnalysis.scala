@@ -1951,8 +1951,17 @@ object TextAnalysis {
     // any pair exists) — lands on rung 2 on every driver corpus
     val chosenR = Dedup.censusBandRows(sigs)
     val cands = Dedup.bandCandidates(sigs, bandRows = chosenR)
-    val ca = sets.select(col("doc_id").as("doc_a"), col("chs").as("ch_a"))
-    val cb = sets.select(col("doc_id").as("doc_b"), col("chs").as("ch_b"))
+    // r13: the exact verify runs sorted_jaccard over 64-bit hashes of
+    // the chunk md5s instead of array_intersect/array_union over the
+    // md5 STRING arrays (the d_lsh_tune treatment; signature/candidate
+    // arithmetic stays on the md5 strings the oracle replays). Same
+    // exact integers, same one IEEE division; the word_hashes collision
+    // argument is d_width_sweep's, and the string-exact twin would
+    // flag a collision.
+    val ca = sets.select(col("doc_id").as("doc_a"),
+      sort_array(graft.functions.MinHashFns.word_hashes(col("chs"))).as("ch_a"))
+    val cb = sets.select(col("doc_id").as("doc_b"),
+      sort_array(graft.functions.MinHashFns.word_hashes(col("chs"))).as("ch_b"))
     // materialize, then RELEASE both persists (ADVICE r11): Bench
     // clears persistent RDDs between queries, but Verify's 349-query
     // sweep runs in one JVM and un-released MEMORY_AND_DISK blocks
@@ -1960,8 +1969,9 @@ object TextAnalysis {
     // release discipline, applied here
     val out = cands.join(ca, "doc_a").join(cb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        ExactRound.r(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
-          / size(array_union(col("ch_a"), col("ch_b"))), 6).as("cdc_jaccard"),
+        ExactRound.r(
+          graft.functions.MinHashFns.sorted_jaccard(col("ch_a"), col("ch_b")), 6)
+          .as("cdc_jaccard"),
         lit(chosenR.toLong).as("band_rows"))
       .filter(col("cdc_jaccard") >= 0.5)
       .localCheckpoint()
