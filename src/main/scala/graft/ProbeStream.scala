@@ -13,9 +13,10 @@ object ProbeStream {
   def main(args: Array[String]): Unit = {
     val query = args.headOption.getOrElse("st_stream_stream_outer")
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -44,10 +45,20 @@ object ProbeStream {
           s"wm=${p.eventTime.get("watermark")}")
       }
     })
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(query)(spark, sfDir).count()
-    System.err.println(f"[probe] $query total ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows, " +
-      s"taskTime=${taskMs.get()} ms across ${taskN.get()} tasks")
+    // two passes: the first warms codegen/JIT and any session memos, the
+    // second is the STEADY attribution (the bench's steady-pass shape)
+    Seq("cold", "steady").foreach { pass =>
+      taskMs.set(0); taskN.set(0)
+      System.err.println(s"[probe] ---- $pass pass ----")
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(query)(spark, sfDir).count()
+      System.err.println(f"[probe] $query $pass total ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows, " +
+        s"taskTime=${taskMs.get()} ms across ${taskN.get()} tasks")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect().filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     spark.stop()
   }
 }

@@ -285,6 +285,35 @@ case class BandHashes(child: Expression, bandRows: Int) extends UnaryExpression 
   override def prettyName: String = "band_hashes"
 }
 
+/** THE 64-BIT-COLLISION ARGUMENT — single source of truth (r14).
+  *
+  * Every verify site that computes an "exact" set measure over
+  * [[WordHashes]] / hashed chunk fingerprints instead of the strings
+  * themselves — [[SortedJaccard]], [[SortedOverlap]], the hashed
+  * distinct/frequency counts in `widthSweep` — is exact UP TO 64-BIT
+  * HASH COLLISIONS, and leans on this one argument:
+  *
+  *  1. Equal strings always hash equal, so a collision can only MERGE
+  *     two distinct elements — it can inflate an intersection or
+  *     deflate a union/count, never the reverse; the failure mode is a
+  *     perturbed ratio, not a missed/phantom row class.
+  *  2. The collision probability is birthday-bounded: for a pair with
+  *     n_A, n_B elements it is ≈ n_A·n_B·2⁻⁶⁴ (< 10⁻⁹ even at
+  *     million-element documents), and across a corpus with V distinct
+  *     shingles ≈ V²·2⁻⁶⁵ — at 100 TB (V ~ 10¹²) that is ~3%, which is
+  *     why production at that scale would widen to 128-bit hashes
+  *     (same merge-pass code, two longs per element); at every tested
+  *     SF it is vanishing.
+  *  3. The DuckDB oracle twins re-derive the same measures from the
+  *     STRINGS, so any collision that perturbed a result would fail
+  *     the hash gate — the approximation is continuously audited, not
+  *     assumed.
+  *
+  * Sites that cite this anchor: Dedup.ngramJaccardBuild, d_lsh_tune,
+  * d_overcollapse, d_contamination, d_incremental_minhash and
+  * widthSweep (Dedup.scala), t_cdc_minhash (TextAnalysis.scala). */
+object Hash64Collision
+
 /** array<string> shingles → array<long> per-element 64-bit hashes. */
 case class WordHashes(child: Expression) extends UnaryExpression with ArrayInputCheck {
   override def expectedElement: DataType = StringType

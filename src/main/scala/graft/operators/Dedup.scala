@@ -422,7 +422,7 @@ object Dedup {
     val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify).select("doc_a", "doc_b")
     // r13: sorted_jaccard over hashed sorted shingles + SHUFFLE_HASH on
     // the array-carrying sides (the r12 d_setsim_join verify lesson;
-    // word_hashes collision argument as at [[widthSweep]]) — same exact
+    // collision bound: [[graft.functions.Hash64Collision]]) — same exact
     // integers, same one IEEE division, string-exact twin unchanged
     val shA = hashedShingleSide(sigs, "doc_a", "sh_a")
     val shB = hashedShingleSide(sigs, "doc_b", "sh_b")
@@ -897,10 +897,9 @@ object Dedup {
     // distinct/freq/self-join downstream runs on 64-BIT SHINGLE HASHES
     // (word_hashes, native expr) instead of up-to-60-char strings — the
     // [[setsimJoin]] discipline: candidate generation and verify
-    // shuffle 8-byte longs; a 64-bit collision (P < 1e-9 on any real
-    // vocabulary) could only perturb counts, and the string-exact
-    // DuckDB twin re-derives every count from the strings, so the gate
-    // would flag it.
+    // shuffle 8-byte longs; the accepted collision bound is
+    // [[graft.functions.Hash64Collision]] (merge-only failure mode,
+    // birthday-bounded, string-exact DuckDB twin audits it).
     val toks = docs.select(col("doc_id"), split(trim(col("text")), WS).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def statsFor(w: Int, verify: Boolean): DataFrame = {
@@ -1037,7 +1036,8 @@ object Dedup {
     * not the chain — as a measured table. */
   def overcollapse(s: SparkSession, d: String): DataFrame = {
     val members = dupClusters(s, d)
-    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild)
+    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild;
+    // collision bound: [[graft.functions.Hash64Collision]])
     val sh = hashedShingleSide(signatures(s, d), "doc_id", "sh")
     val m = members.join(sh, "doc_id")
     val intra = m.select(col("cluster_id"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -1146,7 +1146,8 @@ object Dedup {
     val sigs = signatures(s, d)
     val cands = bandCandidates(sigs.select("doc_id", "sig"), bandRows = graft.GraftConf.lshBandRowsVerify)
       .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
-    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild)
+    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild;
+    // collision bound: [[graft.functions.Hash64Collision]])
     val shA = hashedShingleSide(sigs, "doc_a", "sh_a")
     val shB = hashedShingleSide(sigs, "doc_b", "sh_b")
     cands.join(shA, "doc_a").join(shB, "doc_b")
@@ -1778,7 +1779,8 @@ object Dedup {
       .filter(col("p") =!= col("q"))
       .select(least(col("p"), col("q")).as("doc_a"), greatest(col("p"), col("q")).as("doc_b"))
       .distinct()
-    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild)
+    // r13: hashed sorted shingles + sorted_jaccard (see ngramJaccardBuild;
+    // collision bound: [[graft.functions.Hash64Collision]])
     val shA = hashedShingleSide(sigs, "doc_a", "sh_a")
     val shB = hashedShingleSide(sigs, "doc_b", "sh_b")
     cands.join(shA, "doc_a").join(shB, "doc_b")
@@ -2232,7 +2234,7 @@ object Dedup {
     // a doc side fits, shuffled-hash past that — an explicit
     // SHUFFLE_HASH hint here measurably LOST to broadcast at bench
     // scale). Same exact integers, same one IEEE division — the
-    // word_hashes collision argument is [[widthSweep]]'s verbatim, and
+    // collision bound is [[graft.functions.Hash64Collision]]'s, and
     // the string-exact twin would flag a collision.
     val shA = sigs.select(col("doc_id").as("doc_a"),
       sort_array(graft.functions.MinHashFns.word_hashes(col("sh"))).as("sh_a"))

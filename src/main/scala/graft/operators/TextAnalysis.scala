@@ -1955,9 +1955,9 @@ object TextAnalysis {
     // the chunk md5s instead of array_intersect/array_union over the
     // md5 STRING arrays (the d_lsh_tune treatment; signature/candidate
     // arithmetic stays on the md5 strings the oracle replays). Same
-    // exact integers, same one IEEE division; the word_hashes collision
-    // argument is d_width_sweep's, and the string-exact twin would
-    // flag a collision.
+    // exact integers, same one IEEE division; the collision bound is
+    // [[graft.functions.Hash64Collision]], and the string-exact twin
+    // would flag a collision.
     val ca = sets.select(col("doc_id").as("doc_a"),
       sort_array(graft.functions.MinHashFns.word_hashes(col("chs"))).as("ch_a"))
     val cb = sets.select(col("doc_id").as("doc_b"),
