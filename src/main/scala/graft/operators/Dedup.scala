@@ -902,74 +902,82 @@ object Dedup {
     // birthday-bounded, string-exact DuckDB twin audits it).
     val toks = docs.select(col("doc_id"), split(trim(col("text")), WS).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def statsFor(w: Int, verify: Boolean): DataFrame = {
-      val tok = toks.select(col("doc_id"),
-          explode(graft.functions.MinHashFns.word_hashes(
-            graft.functions.MinHashFns.word_shingles(col("toks"), w))).as("g"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val joinRows = tok.groupBy("g").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("jr"))
-        .head().getLong(0)
-      val base = s.range(1).select(lit(w).as("w"), lit(joinRows).as("n_join_rows"))
-      val out =
-        if (!verify)
-          base.select(col("w"), col("n_join_rows"),
-            lit(null).cast("long").as("n_candidates"),
-            lit(null).cast("long").as("n_pairs_05"),
-            lit(null).cast("long").as("n_docs_dup"),
-            lit(false).as("verified"))
-        else {
-          val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-          val pr = tok.select(col("doc_id").as("doc_a"), col("g"))
-            .join(tok.select(col("doc_id").as("doc_b"), col("g")), "g")
-            .filter(col("doc_a") < col("doc_b"))
-            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("isz"))
-            .localCheckpoint()
-          // SHUFFLE_HASH on the doc-size sides (r13 width attribution:
-          // SMJ sorted the 113 M-row pair side TWICE against a 500 k-row
-          // size table — 9.4 GB of sort spill at 100×; hash joins build
-          // on the small side and stream the pairs): broadcast would
-          // also work here but dies at billion-doc scale, shuffle-hash
-          // holds at any |docs|
-          val dup = pr
-            .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))
-              .hint("SHUFFLE_HASH"), "doc_a")
-            .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-              .hint("SHUFFLE_HASH"), "doc_b")
-            .filter(ExactRound.r(col("isz").cast("double")
-              / (col("na") + col("nb") - col("isz")), 6) >= 0.5)
-            .select("doc_a", "doc_b").localCheckpoint()
-          val nCand = pr.count()
-          val nPairs = dup.count()
-          val nDocs = dup.select(col("doc_a").as("id"))
-            .union(dup.select(col("doc_b").as("id"))).distinct().count()
-          base.select(col("w"), col("n_join_rows"),
-            lit(nCand).as("n_candidates"), lit(nPairs).as("n_pairs_05"),
-            lit(nDocs).as("n_docs_dup"), lit(true).as("verified"))
-        }
-      val materialized = out.localCheckpoint()
-      tok.unpersist(blocking = false)
-      materialized
-    }
-    // the four width pipelines are independent DAGs over the one
-    // persisted token table and each is a chain of SMALL jobs (price
-    // agg, candidate join, two count passes) — run them CONCURRENTLY so
-    // the scheduler overlaps their short stages instead of paying ~16
-    // sequential job latencies (each width's result is a checkpointed
-    // 1-row frame, so the futures only race on job submission, not on
-    // shared mutable state). Materialize the token table once BEFORE
-    // forking so the widths don't duplicate the scan into the persist.
+    // r14 (guide §2.4 "remove passes outright"): the four widths used to
+    // run four chained per-width pipelines — a head() price action plus
+    // two checkpoints and THREE count actions each, ~20 small jobs even
+    // with the width DAGs overlapped. The widths differ only in a `w`
+    // column, so every stage now runs ONCE over a single (w, doc_id, g)
+    // table: one aggregate prices all four widths, one candidate join
+    // keyed on (w, g) generates every width's pairs, and all nine
+    // per-width counts come back in ONE collect over a union of three
+    // grouped aggregates. Same expressions per width as before (same
+    // distinct, same doc_a < doc_b, same ExactRound.r(...) >= 0.5), so
+    // every value is unchanged; the string-exact DuckDB twin is the gate.
+    val widths = Seq(2, 3, 5, 8)
+    val verifiedW = Seq(3, 5, 8)
     toks.count()
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val frames = Seq((2, false), (3, true), (5, true), (8, true))
-      .map { case (w, v) => Future(statsFor(w, v)) }
-      .map(Await.result(_, Duration.Inf))
-    val out = frames.reduce(_ unionAll _).orderBy("w")
+    val tokAll = widths.map { w =>
+      toks.select(lit(w).as("w"), col("doc_id"),
+        explode(graft.functions.MinHashFns.word_hashes(
+          graft.functions.MinHashFns.word_shingles(col("toks"), w))).as("g"))
+    }.reduce(_ unionAll _)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joinRows: Map[Int, Long] = tokAll.groupBy("w", "g").agg(count(lit(1)).as("c"))
+      .groupBy("w").agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("jr"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tokV = tokAll.filter(col("w").isin(verifiedW: _*))
+    val pr = tokV.select(col("w"), col("doc_id").as("doc_a"), col("g"))
+      .join(tokV.select(col("w"), col("doc_id").as("doc_b"), col("g")), Seq("w", "g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("w", "doc_a", "doc_b").agg(count(lit(1)).as("isz"))
+      .localCheckpoint()
+    val sz = tokV.groupBy("w", "doc_id").agg(count(lit(1)).as("n"))
+    // SHUFFLE_HASH on the doc-size sides (r13 width attribution:
+    // SMJ sorted the 113 M-row pair side TWICE against a 500 k-row
+    // size table — 9.4 GB of sort spill at 100×; hash joins build
+    // on the small side and stream the pairs): broadcast would
+    // also work here but dies at billion-doc scale, shuffle-hash
+    // holds at any |docs|
+    val dup = pr
+      .join(sz.select(col("w"), col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("SHUFFLE_HASH"), Seq("w", "doc_a"))
+      .join(sz.select(col("w"), col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("SHUFFLE_HASH"), Seq("w", "doc_b"))
+      .filter(ExactRound.r(col("isz").cast("double")
+        / (col("na") + col("nb") - col("isz")), 6) >= 0.5)
+      .select("w", "doc_a", "doc_b").localCheckpoint()
+    val counts: Map[(Int, String), Long] =
+      pr.groupBy("w").agg(count(lit(1)).as("v"))
+        .select(col("w"), lit("cand").as("k"), col("v"))
+      .unionAll(dup.groupBy("w").agg(count(lit(1)).as("v"))
+        .select(col("w"), lit("pairs").as("k"), col("v")))
+      .unionAll(dup.select(col("w"), col("doc_a").as("id"))
+        .unionAll(dup.select(col("w"), col("doc_b").as("id")))
+        .distinct().groupBy("w").agg(count(lit(1)).as("v"))
+        .select(col("w"), lit("docs").as("k"), col("v")))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    tokAll.unpersist(blocking = false)
     toks.unpersist(blocking = false)
-    out
+    val frames = widths.map { w =>
+      // a width with zero shingles has no group row: null join volume
+      // (the SQL twin's SUM over empty), never a missing-key crash
+      val jr = joinRows.get(w).map(v => lit(v)).getOrElse(lit(null)).cast("long")
+      val base = s.range(1).select(lit(w).as("w"), jr.as("n_join_rows"))
+      if (!verifiedW.contains(w))
+        base.select(col("w"), col("n_join_rows"),
+          lit(null).cast("long").as("n_candidates"),
+          lit(null).cast("long").as("n_pairs_05"),
+          lit(null).cast("long").as("n_docs_dup"),
+          lit(false).as("verified"))
+      else
+        base.select(col("w"), col("n_join_rows"),
+          lit(counts.getOrElse((w, "cand"), 0L)).as("n_candidates"),
+          lit(counts.getOrElse((w, "pairs"), 0L)).as("n_pairs_05"),
+          lit(counts.getOrElse((w, "docs"), 0L)).as("n_docs_dup"),
+          lit(true).as("verified"))
+    }
+    frames.reduce(_ unionAll _).orderBy("w")
   }
 
   /** SQL twin: join volume from the frequency table for every width,
