@@ -161,6 +161,9 @@ object Bench {
     // same pin for the adaptive state-store backend (r11)
     sys.env.get("SPARK_GRAFT_STREAM_STATESTORE")
       .foreach(v => spark.conf.set(graft.GraftConf.streamStateStoreKey, v))
+    // same pin for the volume-derived streaming shuffle width (r14)
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+      .foreach(v => spark.conf.set(graft.GraftConf.streamShuffleKey, v))
 
     // iteration aid (the Verify pattern): SPARK_GRAFT_ONLY=a,b times just
     // those queries; driver leaves it unset → full sweep

@@ -1548,13 +1548,28 @@ object Pipeline {
         .withColumn("u8", expr("(user_id * 256) div (umax + 1)"))
         .withColumn("d8", expr("((dom - 1) * 256) div 31"))
         .withColumn("zbucket", expr(s"(${zExpr("div")}) div 4096"))
-      ranked.select("event_id", "user_id", "dom", "value", "zbucket")
-        .repartition(col("zbucket"))
-        .write.mode("overwrite").partitionBy("zbucket").parquet(out)
       // the query box: user ∈ [(umax+1)/4, (umax+1)/2], dom ∈ [8, 15]
       val box = umax.select(expr("(umax + 1) div 4").as("lo_u"),
         expr("(umax + 1) div 2").as("hi_u")).collect()(0)
       val (loU, hiU) = (box.getAs[Long]("lo_u"), box.getAs[Long]("hi_u"))
+      // r14 (guide §2.6): the unclustered strawman manifest never reads
+      // the written layout — overlap its aggregate with the layout write
+      // instead of paying the two job latencies back to back
+      val overlapped = graft.operators.Shared.awaitAll(Seq[() => Long](
+        () => {
+          ranked.select("event_id", "user_id", "dom", "value", "zbucket")
+            .repartition(col("zbucket"))
+            .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+          0L
+        },
+        () => e
+          .groupBy((col("event_id") % 16).as("b"))
+          .agg(min("user_id").as("mn_u"), max("user_id").as("mx_u"),
+            min("dom").as("mn_d"), max("dom").as("mx_d"))
+          .filter(col("mx_u") >= loU && col("mn_u") <= hiU &&
+            col("mx_d") >= 8 && col("mn_d") <= 15)
+          .count()))
+      val nOverlapUnclustered = overlapped(1)
       // manifest build: per-file min/max stats (the write-side artifact;
       // here recomputed from the layout, which doubles as a read-back check)
       val layout = s.read.option("basePath", out).parquet(out)
@@ -1576,15 +1591,6 @@ object Pipeline {
       val row = pruned.collect()(0)
       val filesRead = PlanProbeRef.scanMetricSumForPath(pruned, "numFiles", out)
       val filesTotal = manifest.count()
-      // the unclustered strawman: same manifest math over a round-robin
-      // layout — no file need be written to know every one overlaps
-      val nOverlapUnclustered = e
-        .groupBy((col("event_id") % 16).as("b"))
-        .agg(min("user_id").as("mn_u"), max("user_id").as("mx_u"),
-          min("dom").as("mn_d"), max("dom").as("mx_d"))
-        .filter(col("mx_u") >= loU && col("mn_u") <= hiU &&
-          col("mx_d") >= 8 && col("mn_d") <= 15)
-        .count()
       import s.implicits._
       Seq((row.getAs[Long]("n_rows"), row.getAs[Long]("value_c"),
           filesRead, filesTotal, nOverlapUnclustered))
@@ -2601,19 +2607,36 @@ object Pipeline {
         .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(dayDir)
       val dayScan = s.read.parquet(dayDir)
-      dayScan
-        .withColumn("wk", expr("CAST((dayofyear(to_date(day)) - 1) div 7 AS INT)"))
-        .repartition(col("wk"))
-        .write.mode("overwrite").partitionBy("wk").parquet(wkDir)
       import org.apache.spark.sql.graftbridge.PlanProbe
-      val allDays = dayScan.agg(count(lit(1)).as("n")); allDays.collect()
-      val filesBefore = PlanProbe.scanMetricSumForPath(allDays, "numFiles", dayDir)
+      // r14 (guide §2.6): the day-layout audit never reads the week
+      // layout — overlap it with the week rewrite; then the two
+      // week-layout probes (full scan, pruned scan) overlap each other
+      val dayPhase = graft.operators.Shared.awaitAll(Seq[() => Long](
+        () => {
+          dayScan
+            .withColumn("wk", expr("CAST((dayofyear(to_date(day)) - 1) div 7 AS INT)"))
+            .repartition(col("wk"))
+            .write.mode("overwrite").partitionBy("wk").parquet(wkDir)
+          0L
+        },
+        () => {
+          val allDays = dayScan.agg(count(lit(1)).as("n")); allDays.collect()
+          PlanProbe.scanMetricSumForPath(allDays, "numFiles", dayDir)
+        }))
+      val filesBefore = dayPhase(1)
       val wkScan = s.read.parquet(wkDir)
-      val allWks = wkScan.agg(count(lit(1)).as("n")); allWks.collect()
-      val filesAfter = PlanProbe.scanMetricSumForPath(allWks, "numFiles", wkDir)
-      val oneWk = wkScan.filter(col("wk") === 0).agg(count(lit(1)).as("n"))
-      oneWk.collect()
-      val pruned = PlanProbe.scanMetricSumForPath(oneWk, "numFiles", wkDir)
+      val wkPhase = graft.operators.Shared.awaitAll(Seq[() => Long](
+        () => {
+          val allWks = wkScan.agg(count(lit(1)).as("n")); allWks.collect()
+          PlanProbe.scanMetricSumForPath(allWks, "numFiles", wkDir)
+        },
+        () => {
+          val oneWk = wkScan.filter(col("wk") === 0).agg(count(lit(1)).as("n"))
+          oneWk.collect()
+          PlanProbe.scanMetricSumForPath(oneWk, "numFiles", wkDir)
+        }))
+      val filesAfter = wkPhase(0)
+      val pruned = wkPhase(1)
       if (pruned != 1L)
         throw new IllegalStateException(
           s"one-week predicate must open exactly 1 file on the evolved layout, opened $pruned")

@@ -432,7 +432,13 @@ object Similarity {
     * one descent round recovers most of what the bucket init misses. */
   def nnDescent(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = adaptivePlaneCount(Tables.embeddings(s, d).select("vec_id").count())
+    val nVec = Tables.embeddings(s, d).select("vec_id").count()
+    val p = adaptivePlaneCount(nVec)
+    // r14 (the graph-loop treatment, verdict item 6): the refinement
+    // rounds are a chain of small checkpointed frames over ~nVec rows —
+    // partitions from the measured count, AQE's per-stage jobs off
+    // below the data-bound threshold (skew guard in Shared)
+    Shared.withLoopParallelism(s, nVec, rowsPerPartition = 100_000L) {
     val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
       .withColumn("bucket", bucketOfN(col("v"), p))
       .localCheckpoint()
@@ -468,12 +474,20 @@ object Similarity {
       .select("a", "nb")
     val hits = g1.join(truth, Seq("a", "nb"))
       .groupBy("a").agg(count(lit(1)).as("h"))
-    sample.select(col("a").as("vec_id"))
+    val out = sample.select(col("a").as("vec_id"))
       .join(hits.withColumnRenamed("a", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("h"), lit(0L)).as("n_hits"),
         (coalesce(col("h"), lit(0L)) / lit(5.0)).as("recall"))
       .orderBy("vec_id")
+      // materialize INSIDE the loop scope so the whole refinement chain
+      // runs under the sized partitioning (the wrapper restores confs on
+      // exit; a lazy tail would otherwise execute under session confs)
+      .localCheckpoint()
+    b.unpersist(blocking = false)
+    g0.unpersist(blocking = false)
+    out
+    }
   }
 
   val nnDescentSql: String = {
@@ -539,7 +553,13 @@ object Similarity {
     * speed/recall trade of every graph index; recall measurement
     * belongs to [[nnDescent]]/[[recallEval]]'s harnesses. */
   def graphSearch(s: SparkSession, d: String): DataFrame = {
-    val p = adaptivePlaneCount(Tables.embeddings(s, d).select("vec_id").count())
+    val nVec = Tables.embeddings(s, d).select("vec_id").count()
+    val p = adaptivePlaneCount(nVec)
+    // r14 (the graph-loop treatment, verdict item 6): three unrolled
+    // beam steps, each a checkpointed frame of ≤ |queries|·beam rows —
+    // partitions from the measured count, AQE off below the skew-guard
+    // threshold (Shared.withLoopParallelism)
+    Shared.withLoopParallelism(s, nVec, rowsPerPartition = 100_000L) {
     val b = vectors(s, d).select(col("vec_id"), col("v"), col("norm"))
       .withColumn("bucket", bucketOfN(col("v"), p))
       .localCheckpoint()
@@ -571,9 +591,15 @@ object Similarity {
         .localCheckpoint()
     val b0 = qs.select(col("q"), lit(1L).as("id"))
     val fin = step(step(step(b0)))
-    fin.select(col("q").as("query_id"), col("rn").as("rank_n"),
+    val out = fin.select(col("q").as("query_id"), col("rn").as("rank_n"),
       col("id").as("vec_id"), col("cos"))
       .orderBy("query_id", "rank_n")
+      .localCheckpoint()
+    b.unpersist(blocking = false)
+    g0.unpersist(blocking = false)
+    qs.unpersist(blocking = false)
+    out
+    }
   }
 
   /** Oracle: identical graph, identical unrolled 3-round walk. */
@@ -1498,6 +1524,10 @@ object Similarity {
     * twin). */
   def kmeansIter(s: SparkSession, d: String): DataFrame = {
     val vs = vectors(s, d).select("vec_id", "v").localCheckpoint()
+    // r14 (verdict item 6): two unrolled assign/update rounds over the
+    // checkpointed vector table — loop partitions from the measured
+    // count, AQE off below the skew-guard threshold
+    Shared.withLoopParallelism(s, vs.count(), rowsPerPartition = 100_000L) {
     def assign(cents: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
       vs.crossJoin(broadcast(cents))
@@ -1525,12 +1555,19 @@ object Similarity {
     val a1 = assign(c1).localCheckpoint()
     val c2 = update(a1).localCheckpoint()
     val sizes = a1.groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
-    c1.select(col("centroid_id"), col("c_v").as("c_old"))
+    val out = c1.select(col("centroid_id"), col("c_v").as("c_old"))
       .join(c2.select(col("centroid_id"), col("c_v").as("c_new")), "centroid_id")
       .join(sizes, "centroid_id")
       .select(col("centroid_id"), col("n_members"),
         ExactRound.r(sqDist(col("c_old"), col("c_new")), 6).as("movement"))
       .orderBy("centroid_id")
+      .localCheckpoint()
+    vs.unpersist(blocking = false)
+    a1.unpersist(blocking = false)
+    c1.unpersist(blocking = false)
+    c2.unpersist(blocking = false)
+    out
+    }
   }
 
   /** SQL twin: the two rounds unrolled with the identical micros-mean

@@ -390,12 +390,21 @@ object EventStream {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
 
-  private def runSessionStream(s: SparkSession, d: String): DataFrame = {
-    val sessions = sessionFsmStream(s, d)
-    val name = "graft_st_sessionize_stream"
-    val drained = runToMemorySink(s, d, sessions, name, "append")
-    drained
-  }
+  private def runSessionStream(s: SparkSession, d: String): DataFrame =
+    // r14: TWO declared queries (st_sessionize_stream = the gap-closed
+    // slice, st_sessionize_final = the timeout slice) drain this same
+    // FSM stream and then filter disjoint halves of it — the shared
+    // derived table pattern (Shared.memo contract: session-scoped,
+    // keyed on applicationId, dies with the JVM). The first consumer
+    // pays the full drain; the second scans the drained session table
+    // instead of replaying the whole micro-batch pipeline. The drained
+    // multiset is deterministic (single events file + the no-data
+    // watermark batch, append mode accumulates every emitted session)
+    // and both consumers re-apply their own ordering; each slice stays
+    // oracle-gated per query.
+    graft.operators.Shared.memo(s, d, "st_sessionize_drained") {
+      runToMemorySink(s, d, sessionFsmStream(s, d), "graft_st_sessionize_stream", "append")
+    }
 
   /** The flatMapGroupsWithState session FSM without a sink — shared by
     * [[runSessionStream]] (memory sink) and the 1000× file-sink probe. */
